@@ -1,13 +1,241 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator from the SURVEY §2 inventory
+  * (or a 100TB-pipeline extension), expressed Spark-first over the
+  * driver-generated test tables. `oracleSql` carries the DuckDB-equivalent
+  * SQL; column names and row order match exactly (each query ends in a
+  * deterministic sort, and money arithmetic goes through DECIMAL so Spark
+  * and DuckDB produce bit-identical doubles).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    revenueByNation(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Parity queries (SURVEY §2)
+  // ---------------------------------------------------------------------
+
+  /** E2/B3/G1-style pricing summary (TPC-H Q1 shape): wide aggregate with
+    * decimal-exact money math, partial aggregation map-side. */
+  private def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)").as("sum_qty"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)").as("sum_base_price"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DOUBLE)").as("sum_disc_price"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*)").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** E4 — daily rollup: the generating query for the reference's `counts`
+    * table (import_counts.py): per-day active users + volume. */
+  private def dailyActiveUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(dayOf(col("ts")).cast("string").as("day"))
+      .agg(
+        countDistinct(col("user_id")).as("dau"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("day"))
+
+  /** F2/B4/§1.5 — deterministic hex-prefix sampling cohorts: the
+    * three-tier (10/50/100) membership counts. Tier subsets are nested by
+    * construction (cohort<10 ⊂ cohort<50 ⊂ cohort<100). */
+  private def samplingTiers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), numericCohort(col("user_id")).as("cohort"))
+      .agg(
+        count(when(col("cohort") < 10, 1L)).as("events_t10"),
+        count(when(col("cohort") < 50, 1L)).as("events_t50"),
+        count(lit(1)).as("events_t100"),
+        countDistinct(when(col("cohort") < 10, col("user_id"))).as("users_t10"),
+        countDistinct(when(col("cohort") < 50, col("user_id"))).as("users_t50"),
+        countDistinct(col("user_id")).as("users_t100"))
+
+  /** C1 — the 7-day trailing range self-join
+    * (calculate_daily_summary.py:92-105): users active with ≥2 distinct
+    * "devices" (event_type stands in for device_id in the test data)
+    * within a trailing 7-day window. Aggregated per day to keep the
+    * output compact; the join itself is the operator under test. */
+  private def multiDevice7d(s: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(s, dir)
+      .select(dayOf(col("ts")).as("day"), col("user_id"), col("event_type"))
+      .distinct()
+    val present = activity.as("present")
+    val past = activity.as("past")
+    val pairs = present.join(past,
+        col("present.user_id") === col("past.user_id") &&
+        col("present.event_type") =!= col("past.event_type") &&
+        col("past.day") <= col("present.day") &&
+        col("past.day") >= date_sub(col("present.day"), 7))
+      .select(
+        col("present.day").as("day"),
+        col("present.user_id").as("user_id"),
+        col("present.event_type").as("type_now"),
+        col("past.event_type").as("type_prev"))
+      .distinct()
+    pairs.groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"))
+  }
+
+  /** C2/C3/I2 — sessionization as a join cascade (import_flow_events.py):
+    * session opens at the user's first `signup` (flow.begin analog), is
+    * folded from events within the begin day and the next day (the
+    * reference's +1-day late-data lookback), and `completed` is a
+    * semi-join flag from `purchase` (flow.complete analog). */
+  private def sessionMetadata(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    // INSERT INTO flow_metadata ... WHERE type = 'flow.begin'
+    val meta = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("began_at"))
+    // UPDATE ... FROM (SELECT ... GROUP BY flow_id): fold day d ∪ d+1
+    val inWindow = events.as("e")
+      .join(meta.as("m"), col("e.user_id") === col("m.user_id"))
+      .filter(dayOf(col("e.ts")).between(
+        dayOf(col("m.began_at")), date_add(dayOf(col("m.began_at")), 1)))
+      .filter(col("e.ts") >= col("m.began_at"))
+    val folded = inWindow
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("e.ts")).as("last_ts"),
+        max(when(col("e.event_type") === "purchase", 1L).otherwise(0L)).as("has_purchase"))
+    meta.join(folded, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("began_at"),
+        (unix_millis(col("last_ts")) - unix_millis(col("began_at"))).as("duration_ms"),
+        col("n_events"),
+        (col("has_purchase") === 1L).as("completed"))
+      .orderBy(col("user_id"))
+  }
+
+  /** C-joins — star join with broadcast dims: revenue per nation. */
+  private def revenueByNation(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DOUBLE)").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation"))
+
+  /** C4 — anti-join: customers with no high-value order, per segment. */
+  private def customersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("segment"))
+
+  /** Dedup (exact) — hash-groupBy on normalized text: global stats. */
+  private def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(lower(trim(col("text"))).as("norm"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("norm")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("norm"))).as("n_dupes"))
+
+  // ---------------------------------------------------------------------
+  // Contract maps
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (pricingSummary _),
+    "q02_daily_active_users" -> (dailyActiveUsers _),
+    "q03_sampling_tiers" -> (samplingTiers _),
+    "q04_multi_device_7d" -> (multiDevice7d _),
+    "q05_session_metadata" -> (sessionMetadata _),
+    "q06_revenue_by_nation" -> (revenueByNation _),
+    "q07_customers_without_orders" -> (customersWithoutOrders _),
+    "q08_exact_dedup" -> (exactDedup _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q02_daily_active_users" ->
+      """SELECT CAST(ts::DATE AS VARCHAR) AS day, COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q03_sampling_tiers" ->
+      """WITH c AS (SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS cohort
+           FROM events)
+         SELECT COUNT(CASE WHEN cohort < 10 THEN 1 END) AS events_t10,
+                COUNT(CASE WHEN cohort < 50 THEN 1 END) AS events_t50,
+                COUNT(*) AS events_t100,
+                COUNT(DISTINCT CASE WHEN cohort < 10 THEN user_id END) AS users_t10,
+                COUNT(DISTINCT CASE WHEN cohort < 50 THEN user_id END) AS users_t50,
+                COUNT(DISTINCT user_id) AS users_t100
+         FROM c""",
+    "q04_multi_device_7d" ->
+      """WITH activity AS (SELECT DISTINCT ts::DATE AS day, user_id, event_type FROM events),
+         pairs AS (
+           SELECT DISTINCT present.day, present.user_id,
+                  present.event_type AS type_now, past.event_type AS type_prev
+           FROM activity present JOIN activity past
+             ON present.user_id = past.user_id
+            AND present.event_type <> past.event_type
+            AND past.day <= present.day
+            AND past.day >= present.day - INTERVAL 7 DAY)
+         SELECT CAST(day AS VARCHAR) AS day, COUNT(*) AS n_pairs, COUNT(DISTINCT user_id) AS n_users
+         FROM pairs GROUP BY 1 ORDER BY 1""",
+    "q05_session_metadata" ->
+      """WITH meta AS (
+           SELECT user_id, MIN(ts) AS began_at FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+         folded AS (
+           SELECT e.user_id, COUNT(*) AS n_events, MAX(e.ts) AS last_ts,
+                  MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+           FROM events e JOIN meta m ON e.user_id = m.user_id
+           WHERE e.ts::DATE BETWEEN m.began_at::DATE AND m.began_at::DATE + INTERVAL 1 DAY
+             AND e.ts >= m.began_at
+           GROUP BY e.user_id)
+         SELECT m.user_id, m.began_at,
+                date_diff('millisecond', m.began_at, f.last_ts) AS duration_ms,
+                f.n_events, f.has_purchase = 1 AS completed
+         FROM meta m LEFT JOIN folded f ON m.user_id = f.user_id
+         ORDER BY m.user_id""",
+    "q06_revenue_by_nation" ->
+      """SELECT n_name AS nation,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name ORDER BY nation""",
+    "q07_customers_without_orders" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n_customers
+         FROM customer WHERE NOT EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+         GROUP BY 1 ORDER BY 1""",
+    "q08_exact_dedup" ->
+      """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT lower(trim(text))) AS n_unique,
+                COUNT(*) - COUNT(DISTINCT lower(trim(text))) AS n_dupes
+         FROM documents""")
 }
