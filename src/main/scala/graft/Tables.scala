@@ -17,10 +17,11 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Read one test table; `sfDir` is e.g. /root/testdata/sf0.01. */
+  /** Read one test table; `sfDir` is e.g. /root/testdata/sf0.01.
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (GraftSession sets it) — config is session-scoped, not set here. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else {
