@@ -163,6 +163,30 @@ object SparkEntry {
         countDistinct(col("h")).as("n_unique"),
         (count(lit(1)) - countDistinct(col("h"))).as("n_dupes"))
 
+  /** D1/D2/D4/B9 — the storage layer's lifecycle, end to end: write all
+    * days of `events` into a day-partitioned table, rebuild one day
+    * (idempotent dynamic partition overwrite), expire days older than
+    * max_day - 20 days, and return the surviving per-day rollup. The
+    * oracle recomputes the survivors straight from the source table. */
+  private def dayStoreLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import graft.store.DayPartitionedTable
+    import graft.util.TmpDirs
+    val root = TmpDirs.fresh("q09_day_store")
+    val t = new DayPartitionedTable(root, "events_store", sortCol = Some("ts"))
+    val ev = Tables.events(s, dir).withColumn("day", dayOf(col("ts")))
+    t.writeDays(ev)
+    // idempotent rebuild of one mid-range day (D1): must be a fixed point
+    t.writeDays(ev.filter(col("day") === lit("2024-01-15").cast("date")))
+    // retention expiry (D2): keep the trailing 21 days
+    val cutoff = t.maxDay(s).get.minusDays(20)
+    t.expireBefore(s, cutoff)
+    t.read(s)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -175,7 +199,8 @@ object SparkEntry {
     "q05_session_metadata" -> (sessionMetadata _),
     "q06_revenue_by_nation" -> (revenueByNation _),
     "q07_customers_without_orders" -> (customersWithoutOrders _),
-    "q08_exact_dedup" -> (exactDedup _))
+    "q08_exact_dedup" -> (exactDedup _),
+    "q09_day_store_lifecycle" -> (dayStoreLifecycle _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -247,5 +272,11 @@ object SparkEntry {
     "q08_exact_dedup" ->
       """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT lower(trim(text))) AS n_unique,
                 COUNT(*) - COUNT(DISTINCT lower(trim(text))) AS n_dupes
-         FROM documents""")
+         FROM documents""",
+    "q09_day_store_lifecycle" ->
+      """SELECT CAST(ts::DATE AS VARCHAR) AS day, COUNT(*) AS n_events,
+                COUNT(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE ts::DATE >= (SELECT MAX(ts::DATE) - INTERVAL 20 DAY FROM events)
+         GROUP BY 1 ORDER BY 1""")
 }

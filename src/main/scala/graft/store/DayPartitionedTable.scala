@@ -1,0 +1,135 @@
+package graft.store
+
+import java.time.LocalDate
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Day-partitioned zstd-parquet table — the engine's storage layer.
+  *
+  * Reproduces the reference's operational protocol (SURVEY.md §2 D-rows)
+  * on top of Spark-native partitioned parquet:
+  *
+  *  - D1 clear-day-then-insert (import_events.py:102-127) → dynamic
+  *    partition overwrite: only the day partitions present in the written
+  *    DataFrame are replaced, atomically per partition, so re-running a
+  *    day is an idempotent rebuild (I5).
+  *  - D2 retention expiry (import_events.py:133-136) → O(partitions)
+  *    metadata deletes of `day=<d>` directories, no data scan.
+  *  - D4 VACUUM (import_events.py:138-142) → write-time compaction:
+  *    rows are shuffled into `filesPerDay` buckets per day before the
+  *    write, so file counts stay bounded regardless of input parallelism.
+  *  - G1 sort-on-write (calculate_daily_summary.py:64) → an optional
+  *    within-partition sort column keeps parquet row-group min/max stats
+  *    tight for range-restricted scans (the SORTKEY analog).
+  *  - B9 existence probe (import_events.py:72-78) → `hasDay` is an O(1)
+  *    partition-directory check, cheaper than the reference's LIMIT 1 scan.
+  *  - A2/I4 day discovery + high-water mark → directory listing, driver-side.
+  *
+  * Predicates on `day` prune partitions at scan time (Catalyst
+  * PruneFileSourcePartitions), which is what makes per-day rollups
+  * near-free at 100 TB — the property the reference's `timestamp::DATE`
+  * predicates could never give Redshift (SURVEY §4.2).
+  */
+final class DayPartitionedTable(
+    val root: String,
+    val name: String,
+    val dayCol: String = "day",
+    val sortCol: Option[String] = None,
+    val filesPerDay: Int = 1) {
+
+  val path: String = s"$root/$name"
+
+  private def fs(spark: SparkSession): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession): Boolean = fs(spark).exists(new Path(path))
+
+  /** B9 — is this day already loaded? O(1) directory-metadata probe. */
+  def hasDay(spark: SparkSession, day: LocalDate): Boolean =
+    fs(spark).exists(new Path(s"$path/$dayCol=$day"))
+
+  /** A2/I4 — the loaded days, from partition-directory names. */
+  def days(spark: SparkSession): Seq[LocalDate] = {
+    val p = new Path(path)
+    val f = fs(spark)
+    if (!f.exists(p)) Seq.empty
+    else
+      f.listStatus(p).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith(s"$dayCol="))
+        .map(n => LocalDate.parse(n.stripPrefix(s"$dayCol=")))
+        .sorted
+  }
+
+  /** I4 — high-water mark (MAX day), from metadata only. */
+  def maxDay(spark: SparkSession): Option[LocalDate] = days(spark).lastOption
+  def minDay(spark: SparkSession): Option[LocalDate] = days(spark).headOption
+
+  /** D1 — write `df`'s day partitions, replacing exactly those days.
+    *
+    * `df` must carry `dayCol` (DateType). Rows are repartitioned by
+    * (day, bucket) so each day lands in `filesPerDay` files (D4), and
+    * sorted within partitions on `sortCol` (G1) for stats-tight scans.
+    */
+  def writeDays(df: DataFrame): Unit = {
+    val bucket: Column =
+      if (filesPerDay <= 1) lit(0)
+      else pmod(hash(col(sortCol.getOrElse(df.columns.head))), lit(filesPerDay))
+    val shaped = df.repartition(col(dayCol), bucket)
+    val sorted = sortCol match {
+      case Some(c) => shaped.sortWithinPartitions(col(dayCol), col(c))
+      case None    => shaped.sortWithinPartitions(col(dayCol))
+    }
+    sorted.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(dayCol)
+      .parquet(path)
+  }
+
+  /** Full-table replace (used by summary rebuild windows). */
+  def overwriteAll(df: DataFrame): Unit = {
+    df.repartition(col(dayCol))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy(dayCol)
+      .parquet(path)
+  }
+
+  /** D2 — drop day partitions strictly before `cutoff`. Metadata-only. */
+  def expireBefore(spark: SparkSession, cutoff: LocalDate): Unit = {
+    val f = fs(spark)
+    days(spark).filter(_.isBefore(cutoff)).foreach { d =>
+      f.delete(new Path(s"$path/$dayCol=$d"), true)
+    }
+  }
+
+  /** Read the table; `basePath` keeps the partition column visible. */
+  def read(spark: SparkSession): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+
+  /** Read, or an empty frame with `schema` (+ day column) if absent —
+    * the `MAX(day)`-of-empty-table case the reference crashes on
+    * (import_events.py:250). */
+  def readOr(spark: SparkSession, schema: StructType): DataFrame =
+    if (exists(spark)) read(spark)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(
+            dayCol, org.apache.spark.sql.types.DateType)))
+
+  /** Partition-pruned read of `[from, until]` (B3 date-range). */
+  def readRange(spark: SparkSession, from: LocalDate, until: LocalDate): DataFrame =
+    read(spark).filter(
+      col(dayCol) >= lit(from.toString).cast("date") &&
+      col(dayCol) <= lit(until.toString).cast("date"))
+
+  /** Drop the whole table (test hygiene / DROP TABLE analog, A5). */
+  def drop(spark: SparkSession): Unit = fs(spark).delete(new Path(path), true)
+}

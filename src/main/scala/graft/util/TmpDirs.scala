@@ -1,0 +1,23 @@
+package graft.util
+
+import java.io.File
+
+/** Scratch roots for write-path queries and specs. Lives under the
+  * repo's target/ dir (never outside the repo). Deterministic per name
+  * so re-runs start clean. */
+object TmpDirs {
+  private val base = new File("target/graft-scratch")
+
+  /** A fresh (deleted-if-present) scratch dir for `name`. */
+  def fresh(name: String): String = {
+    val dir = new File(base, name)
+    delete(dir)
+    dir.mkdirs()
+    dir.getAbsolutePath
+  }
+
+  private def delete(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
+    f.delete(): Unit
+  }
+}

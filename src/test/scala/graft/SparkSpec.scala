@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Shared local session for all suites (one JVM-wide session — Spark
+  * startup dominates suite time otherwise). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("graft-test", 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+trait SparkSpec extends AnyFunSuite with Matchers {
+  lazy val spark: SparkSession = TestSpark.spark
+  /** sf0.001 smoke data (TESTDATA.md). */
+  val sfSmoke = "/root/testdata/sf0.001"
+}
