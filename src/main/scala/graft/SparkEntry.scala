@@ -187,6 +187,78 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Derive an activity-events staging frame from the `events` test
+    * table — the same derivation is mirrored in the DuckDB oracles so
+    * ingest/import pipelines can be verified end-to-end. uid is a real
+    * 32-char hex string (md5), so the F2 hex-prefix cohort is exercised
+    * directly, not through indirection. ua_browser is over-width for
+    * user_id%10=0 rows to exercise TRUNCATECOLUMNS. */
+  private[graft] def activityStaging(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      unix_seconds(col("ts")).as("timestamp"),
+      when(col("user_id") % 10 === 0, concat(lit("b"), lit("x" * 45)))
+        .otherwise(concat(lit("b"), (col("user_id") % 3).cast("string")))
+        .as("ua_browser"),
+      concat(lit("v"), (col("user_id") % 4).cast("string")).as("ua_version"),
+      concat(lit("os"), (col("user_id") % 2).cast("string")).as("ua_os"),
+      md5(col("user_id").cast("string")).as("uid"),
+      col("event_type").as("type"),
+      when(col("event_id") % 4 === 0, lit(""))
+        .otherwise(concat(lit("svc"), (col("event_id") % 3).cast("string")))
+        .as("service"),
+      concat(lit("d"), (col("event_id") % 5).cast("string")).as("device_id"),
+      dayOf(col("ts")).as("day"))
+
+  /** SQL fragment mirroring [[activityStaging]] for the DuckDB oracle. */
+  private val activityStagingSql: String =
+    """SELECT epoch_ms(ts) // 1000 AS "timestamp",
+         CASE WHEN user_id % 10 = 0 THEN 'b' || repeat('x', 45)
+              ELSE 'b' || (user_id % 3) END AS ua_browser,
+         'v' || (user_id % 4) AS ua_version,
+         'os' || (user_id % 2) AS ua_os,
+         md5(CAST(user_id AS VARCHAR)) AS uid,
+         event_type AS type,
+         CASE WHEN event_id % 4 = 0 THEN '' ELSE 'svc' || (event_id % 3) END AS service,
+         'd' || (event_id % 5) AS device_id,
+         ts::DATE AS day
+       FROM events"""
+
+  /** A1/A2/A6/A7 — the CSV ingestion layer end to end: derive activity
+    * CSV day files from `events`, corrupt one file with blocklist /
+    * malformed / over-long lines, ingest every day through the
+    * sanitizer + field-count filter + MAXERROR gate + TRUNCATECOLUMNS,
+    * and aggregate the surviving typed rows. The oracle computes the
+    * same aggregate from the clean derivation — every injected junk
+    * line must have been dropped, every over-width browser truncated,
+    * every empty service kept as '' (never null). */
+  private def csvIngestSanitize(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CsvEventSource
+    import graft.util.TmpDirs
+    val landing = TmpDirs.fresh("q10_landing")
+    val days = CsvEventSource.writeLanding(s, activityStaging(s, dir), landing, "activity")
+    // corrupt the first day's file: sanitizer + MAXERROR fodder
+    CsvEventSource.appendLines(s, s"$landing/activity-${days.head}.csv", Seq(
+      "1704100000,\"quoted\",1.0,linux,aa,login,s,d",
+      "1704100001,x;DROP,1.0,linux,aa,login,s,d",
+      "1704100002,SELECT 1,1.0,linux,aa,login,s,d",
+      "1704100003,nslookup x,1.0,linux,aa,login,s,d",
+      "not_a_ts,b,v,o,u,t,s,d",
+      "also_not_a_ts,b,v,o,u,t,s,d",
+      "1704100004,too,few"))
+    val perDay = CsvEventSource.listDays(s, landing, "activity").map { case (_, file) =>
+      CsvEventSource.readDay(s, file, graft.model.Schemas.activity,
+        CsvEventSource.Strict, maxError = 10, persist = false)
+    }
+    perDay.reduce(_ unionAll _)
+      .groupBy(col("type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("uid")).as("n_users"),
+        count(when(col("service") === "", 1)).as("n_empty_service"),
+        count(when(length(col("ua_browser")) === 40, 1)).as("n_truncated"))
+      .orderBy(col("type"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -200,7 +272,8 @@ object SparkEntry {
     "q06_revenue_by_nation" -> (revenueByNation _),
     "q07_customers_without_orders" -> (customersWithoutOrders _),
     "q08_exact_dedup" -> (exactDedup _),
-    "q09_day_store_lifecycle" -> (dayStoreLifecycle _))
+    "q09_day_store_lifecycle" -> (dayStoreLifecycle _),
+    "q10_csv_ingest_sanitize" -> (csvIngestSanitize _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -278,5 +351,11 @@ object SparkEntry {
                 COUNT(DISTINCT user_id) AS n_users
          FROM events
          WHERE ts::DATE >= (SELECT MAX(ts::DATE) - INTERVAL 20 DAY FROM events)
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+    "q10_csv_ingest_sanitize" ->
+      s"""WITH staging AS ($activityStagingSql)
+         SELECT type, COUNT(*) AS n_rows, COUNT(DISTINCT uid) AS n_users,
+                COUNT(CASE WHEN service = '' THEN 1 END) AS n_empty_service,
+                COUNT(CASE WHEN length(substr(ua_browser, 1, 40)) = 40 THEN 1 END) AS n_truncated
+         FROM staging GROUP BY type ORDER BY type""")
 }
