@@ -259,6 +259,88 @@ object SparkEntry {
       .orderBy(col("type"))
   }
 
+  /** Day-granular sample tiers so retention/expiry are observable inside
+    * the 30-day test fixture (the reference's months-granular tiers,
+    * import_events.py:43-47, would never expire anything here). */
+  private[graft] val dayTiers = Seq(
+    graft.model.SampleTier(10, java.time.Period.ofDays(36), "_sampled_10"),
+    graft.model.SampleTier(50, java.time.Period.ofDays(24), "_sampled_50"),
+    graft.model.SampleTier(100, java.time.Period.ofDays(18), ""))
+
+  /** F1/F2/B2/B3/B4/B9/D1/D2/I4 — the three-tier EventImporter end to
+    * end: landing CSVs → sanitize/type → per-day, per-tier sampled +
+    * retention-filtered partition writes → expiry — then read the tier
+    * tables back and roll them up. The oracle recomputes each tier
+    * directly from the shared staging derivation: hex cohort on the
+    * REAL 32-char hex uid (7-char prefix), retention from max day. */
+  private def activityImportTiers(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EventImporter
+    import graft.sources.CsvEventSource
+    import graft.util.TmpDirs
+    val landing = TmpDirs.fresh("q11_landing")
+    CsvEventSource.writeLanding(s, activityStaging(s, dir), landing, "activity")
+    val imp = new EventImporter(
+      TmpDirs.fresh("q11_wh"), graft.model.Schemas.activity, dayTiers)
+    imp.run(s, landing, "activity")
+    dayTiers.map { tier =>
+      imp.table(tier).read(s)
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("uid")).as("n_users"))
+        .withColumn("tier_pct", lit(tier.percent))
+    }.reduce(_ unionAll _).orderBy(col("tier_pct"), col("day"))
+  }
+
+  /** Email-family staging: flow_id is EMPTY for event_id%7=0 rows — the
+    * NULL-cohort trap (import_email_events.py:7): those rows belong to
+    * no sample tier because `NULL < pct` is never true. */
+  private[graft] def emailStaging(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      unix_seconds(col("ts")).as("timestamp"),
+      when(col("event_id") % 7 === 0, lit(""))
+        .otherwise(md5(col("event_id").cast("string"))).as("flow_id"),
+      concat(lit("dom"), (col("user_id") % 5).cast("string")).as("domain"),
+      concat(lit("t"), (col("event_id") % 3).cast("string")).as("template"),
+      col("event_type").as("type"),
+      when(col("event_id") % 11 === 0, lit("true")).otherwise(lit("")).as("bounced"),
+      lit("").as("complaint"),
+      concat(lit("loc"), (col("user_id") % 7).cast("string")).as("locale"),
+      dayOf(col("ts")).as("day"))
+
+  private val emailStagingSql: String =
+    """SELECT epoch_ms(ts) // 1000 AS "timestamp",
+         CASE WHEN event_id % 7 = 0 THEN ''
+              ELSE md5(CAST(event_id AS VARCHAR)) END AS flow_id,
+         'dom' || (user_id % 5) AS domain,
+         't' || (event_id % 3) AS template,
+         event_type AS type,
+         CASE WHEN event_id % 11 = 0 THEN 'true' ELSE '' END AS bounced,
+         '' AS complaint,
+         'loc' || (user_id % 7) AS locale,
+         ts::DATE AS day
+       FROM events"""
+
+  /** The email-events import: same importer, flow_id id-column, and the
+    * ''-flow_id rows must land in NO tier. */
+  private def emailImportTiers(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EventImporter
+    import graft.sources.CsvEventSource
+    import graft.util.TmpDirs
+    val landing = TmpDirs.fresh("q18_landing")
+    CsvEventSource.writeLanding(s, emailStaging(s, dir), landing, "email-events")
+    val imp = new EventImporter(
+      TmpDirs.fresh("q18_wh"), graft.model.Schemas.email, dayTiers)
+    imp.run(s, landing, "email-events")
+    dayTiers.map { tier =>
+      imp.table(tier).read(s)
+        .groupBy(col("type"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("flow_id")).as("n_flows"),
+          count(when(col("bounced") === "true", 1)).as("n_bounced"))
+        .withColumn("tier_pct", lit(tier.percent))
+    }.reduce(_ unionAll _).orderBy(col("tier_pct"), col("type"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -273,7 +355,9 @@ object SparkEntry {
     "q07_customers_without_orders" -> (customersWithoutOrders _),
     "q08_exact_dedup" -> (exactDedup _),
     "q09_day_store_lifecycle" -> (dayStoreLifecycle _),
-    "q10_csv_ingest_sanitize" -> (csvIngestSanitize _))
+    "q10_csv_ingest_sanitize" -> (csvIngestSanitize _),
+    "q11_activity_import_tiers" -> (activityImportTiers _),
+    "q18_email_import_tiers" -> (emailImportTiers _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -357,5 +441,39 @@ object SparkEntry {
          SELECT type, COUNT(*) AS n_rows, COUNT(DISTINCT uid) AS n_users,
                 COUNT(CASE WHEN service = '' THEN 1 END) AS n_empty_service,
                 COUNT(CASE WHEN length(substr(ua_browser, 1, 40)) = 40 THEN 1 END) AS n_truncated
-         FROM staging GROUP BY type ORDER BY type""")
+         FROM staging GROUP BY type ORDER BY type""",
+    "q11_activity_import_tiers" ->
+      s"""WITH staging AS ($activityStagingSql),
+         c AS (SELECT *, ('0x' || substr(uid, 1, 7))::BIGINT % 100 AS cohort,
+                      (SELECT MAX(ts::DATE) FROM events) AS max_day
+               FROM staging)
+         SELECT CAST(day AS VARCHAR) AS day, COUNT(*) AS n_rows,
+                COUNT(DISTINCT uid) AS n_users, 10 AS tier_pct
+         FROM c WHERE cohort < 10 AND day >= max_day - INTERVAL 36 DAY GROUP BY day
+         UNION ALL
+         SELECT CAST(day AS VARCHAR), COUNT(*), COUNT(DISTINCT uid), 50
+         FROM c WHERE cohort < 50 AND day >= max_day - INTERVAL 24 DAY GROUP BY day
+         UNION ALL
+         SELECT CAST(day AS VARCHAR), COUNT(*), COUNT(DISTINCT uid), 100
+         FROM c WHERE cohort < 100 AND day >= max_day - INTERVAL 18 DAY GROUP BY day
+         ORDER BY tier_pct, day""",
+    "q18_email_import_tiers" ->
+      s"""WITH staging AS ($emailStagingSql),
+         c AS (SELECT *,
+                 CASE WHEN flow_id = '' THEN NULL
+                      ELSE ('0x' || substr(flow_id, 1, 7))::BIGINT % 100 END AS cohort,
+                 (SELECT MAX(ts::DATE) FROM events) AS max_day
+               FROM staging)
+         SELECT type, COUNT(*) AS n_rows, COUNT(DISTINCT flow_id) AS n_flows,
+                COUNT(CASE WHEN bounced = 'true' THEN 1 END) AS n_bounced, 10 AS tier_pct
+         FROM c WHERE cohort < 10 AND day >= max_day - INTERVAL 36 DAY GROUP BY type
+         UNION ALL
+         SELECT type, COUNT(*), COUNT(DISTINCT flow_id),
+                COUNT(CASE WHEN bounced = 'true' THEN 1 END), 50
+         FROM c WHERE cohort < 50 AND day >= max_day - INTERVAL 24 DAY GROUP BY type
+         UNION ALL
+         SELECT type, COUNT(*), COUNT(DISTINCT flow_id),
+                COUNT(CASE WHEN bounced = 'true' THEN 1 END), 100
+         FROM c WHERE cohort < 100 AND day >= max_day - INTERVAL 18 DAY GROUP BY type
+         ORDER BY tier_pct, type""")
 }

@@ -17,9 +17,17 @@ object GraftFunctions {
     * Redshift `STRTOL(SUBSTRING(id FROM 0 FOR 8), 16) % 100`: PG substring
     * semantics clamp the start to 1 so `FROM 0 FOR 8` yields the FIRST 7
     * characters (not 8). `conv` parses them base-16.
+    *
+    * NULL, empty, or non-hex ids yield a NULL cohort, which fails every
+    * `cohort < pct` predicate — such rows belong to NO sample tier (the
+    * email-events trap: flow_id is nullable, import_email_events.py:7,
+    * and the filter at import_events.py:114-117 silently drops them).
     */
-  def hexPrefixCohort(id: Column, chars: Int = 7, mod: Int = 100): Column =
-    (conv(substring(id, 1, chars), 16, 10).cast(LongType) % mod)
+  def hexPrefixCohort(id: Column, chars: Int = 7, mod: Int = 100): Column = {
+    val prefix = substring(id, 1, chars)
+    when(prefix.rlike("^[0-9a-fA-F]+$"),
+      conv(prefix, 16, 10).cast(LongType) % mod)
+  }
 
   /** Cohort for a numeric id: hash to hex first so cohorts are uniform
     * (the reference's uids are already hex strings; test ids are ints). */

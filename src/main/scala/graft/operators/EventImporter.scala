@@ -1,0 +1,120 @@
+package graft.operators
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.model.{EventFamily, SampleTier}
+import graft.sources.CsvEventSource
+import graft.store.DayPartitionedTable
+
+/** The generic per-day event importer — SURVEY.md §3 entry point 1
+  * (import_events.py:147-258), Spark-first.
+  *
+  * Per day file: type the staging frame (F1 epoch→timestamp), derive the
+  * deterministic hex-prefix cohort (F2) from the family's id column, and
+  * for each sample tier write the `cohort < percent` (B4) slice of rows
+  * whose timestamp falls on the target day (B2 — cross-day rows in the
+  * file are dropped) and inside the retention window (B3,
+  * import_events.py:107-127). The write is a dynamic partition
+  * overwrite, so re-importing a day is the reference's
+  * clear-day-then-insert (D1/I5) — an idempotent rebuild.
+  *
+  * Day discovery (A2/C4), the `_sampled_10` populated-day probe (B9 —
+  * longest retention, import_events.py:72-78), newest-first ordering
+  * (G3), the `max(extant, newest)` high-water mark with the empty-list
+  * crash fixed (import_events.py:245-253 — `unpopulated_days[0]` raises
+  * on empty; here an empty landing dir is a no-op), and retention expiry
+  * (D2, import_events.py:226-236) all live in [[run]].
+  *
+  * Scale shape: each tier insert is a narrow filter+project over the
+  * day's staging (persisted once, scanned once per tier), the write
+  * shuffles only that day's rows, and all predicates are
+  * codegen-friendly column expressions — no UDFs, no driver loops over
+  * data (the per-day loop is over *files*, as in the reference).
+  */
+final class EventImporter(
+    val warehouse: String,
+    val family: EventFamily,
+    val tiers: Seq[SampleTier] = SampleTier.defaults,
+    val policy: CsvEventSource.FieldCountPolicy = CsvEventSource.Strict,
+    val maxError: Int = 100,
+    val filesPerDay: Int = 1) {
+
+  def table(tier: SampleTier): DayPartitionedTable =
+    new DayPartitionedTable(warehouse, family.tableName(tier.suffix),
+      sortCol = Some("ts"), filesPerDay = filesPerDay)
+
+  def tableBySuffix(suffix: String): DayPartitionedTable =
+    table(tiers.find(_.suffix == suffix).get)
+
+  /** E1/I4 — high-water mark from the 100% table (Q_GET_MAX_DAY reads
+    * suffix "", import_events.py:67-70); partition metadata, no scan. */
+  def maxExtantDay(spark: SparkSession): Option[LocalDate] =
+    tableBySuffix("").maxDay(spark)
+
+  /** Import one day's staging frame into all tiers. */
+  def importDay(
+      spark: SparkSession,
+      day: LocalDate,
+      staging: DataFrame,
+      maxDay: LocalDate): Unit = {
+    val typed = staging
+      .withColumn("ts", epochSecondsToTs(col("timestamp"))) // F1
+      .withColumn("cohort", hexPrefixCohort(col(family.idColumn))) // F2
+      .withColumn("day", dayOf(col("ts"))) // F5
+    tiers.foreach { tier =>
+      val cutoff = maxDay.minus(tier.retention)
+      val ins = typed
+        .filter(col("cohort") < tier.percent) // B4
+        .filter(col("day") === lit(day.toString).cast("date")) // B2
+        .filter(col("day") >= lit(cutoff.toString).cast("date")) // B3
+        .select((col("ts") +: col("day") +: family.permColumns.map(col)): _*)
+      table(tier).writeDays(ins) // D1
+    }
+  }
+
+  /** D2 — expire each tier past its retention horizon. */
+  def expire(spark: SparkSession, maxDay: LocalDate): Unit =
+    tiers.foreach { tier =>
+      table(tier).expireBefore(spark, maxDay.minus(tier.retention))
+    }
+
+  /** Full import run over a landing dir (import_events.py:242-258).
+    * Returns the days imported (newest first). */
+  def run(
+      spark: SparkSession,
+      landingDir: String,
+      prefix: String,
+      dayFrom: Option[LocalDate] = None,
+      dayUntil: Option[LocalDate] = None,
+      forceReload: Boolean = false,
+      afterDay: (SparkSession, LocalDate, DataFrame, LocalDate) => Unit =
+        (_, _, _, _) => ())
+      : Seq[LocalDate] = {
+    val extant = maxExtantDay(spark)
+    val from = dayFrom.orElse(extant)
+    def candidate(d: LocalDate): Boolean =
+      from.forall(f => !d.isBefore(f)) && dayUntil.forall(u => !d.isAfter(u))
+    val probe = tableBySuffix("_sampled_10") // B9: longest retention
+    val unpopulated = CsvEventSource
+      .listDays(spark, landingDir, prefix)
+      .filter { case (d, _) =>
+        candidate(d) && (forceReload || !probe.hasDay(spark, d))
+      }
+      .sortBy(_._1)(Ordering[LocalDate].reverse) // G3 newest-first
+    if (unpopulated.isEmpty && extant.isEmpty) return Seq.empty // empty-safe
+    val maxDay = (extant.toSeq ++ unpopulated.headOption.map(_._1)).max
+    unpopulated.foreach { case (day, file) =>
+      val staging = CsvEventSource.readDay(
+        spark, file, family, policy, maxError)
+      importDay(spark, day, staging, maxDay)
+      afterDay(spark, day, staging, maxDay)
+      staging.unpersist()
+    }
+    expire(spark, maxDay)
+    unpopulated.map(_._1)
+  }
+}
