@@ -342,6 +342,151 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // Flow sessionizer pipeline (q12-q14)
+  // ---------------------------------------------------------------------
+
+  /** Synthetic flow-events staging derived from `events`: each
+    * (user, 2-day bucket) is one flow; signup→flow.begin,
+    * purchase→flow.complete, error→created/continued/error by event_id,
+    * every 5th view→flow.experiment.{name}.{cohort}. Deterministic and
+    * mirrored in SQL so the WHOLE 12-step cascade has a DuckDB oracle. */
+  private[graft] def flowStaging(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val day = dayOf(col("ts"))
+    val anchor = lit("2024-01-01").cast("date")
+    val bucketStart = date_add(anchor, (datediff(day, anchor) / 2).cast("int") * 2)
+    val uidStr = col("user_id").cast("string")
+    e.select(
+      unix_seconds(col("ts")).as("timestamp"),
+      when(col("event_type") === "signup", lit("flow.begin"))
+        .when(col("event_type") === "purchase", lit("flow.complete"))
+        .when(col("event_type") === "click", lit("flow.signin"))
+        .when(col("event_type") === "view",
+          when(col("event_id") % 5 === 0,
+            concat(lit("flow.experiment.exp"), (col("event_id") % 3).cast("string"),
+              lit(".c"), (col("event_id") % 2).cast("string")))
+            .otherwise(lit("flow.viewed")))
+        .otherwise(
+          when(col("event_id") % 3 === 0, lit("account.created"))
+            .when(col("event_id") % 3 === 1,
+              concat(lit("flow.continued."), md5(concat(uidStr, lit("#prev")))))
+            .otherwise(lit("flow.error")))
+        .as("type"),
+      md5(concat(uidStr, lit("#"), bucketStart.cast("string"))).as("flow_id"),
+      (unix_millis(col("ts")) % 100000000L).as("flow_time"),
+      concat(lit("fb"), (col("user_id") % 3).cast("string")).as("ua_browser"),
+      concat(lit("v"), (col("user_id") % 2).cast("string")).as("ua_version"),
+      concat(lit("os"), (col("user_id") % 2).cast("string")).as("ua_os"),
+      when(col("event_id") % 4 === 0, lit(""))
+        .otherwise(concat(lit("ctx"), (col("user_id") % 3).cast("string"))).as("context"),
+      concat(lit("ep"), (col("user_id") % 2).cast("string")).as("entrypoint"),
+      lit("").as("migration"),
+      when(col("user_id") % 5 === 0, lit("")).otherwise(lit("sync")).as("service"),
+      when(col("event_id") % 3 === 0, lit(""))
+        .otherwise(concat(lit("camp"), (col("user_id") % 2).cast("string"))).as("utm_campaign"),
+      lit("con").as("utm_content"),
+      lit("med").as("utm_medium"),
+      lit("src").as("utm_source"),
+      lit("term").as("utm_term"),
+      when(col("event_id") % 6 === 0, lit(""))
+        .otherwise(concat(lit("loc"), (col("user_id") % 7).cast("string"))).as("locale"),
+      md5(uidStr).as("uid"),
+      day.as("day"))
+  }
+
+  private val flowStagingSql: String =
+    """SELECT epoch_ms(ts) // 1000 AS "timestamp",
+         CASE
+           WHEN event_type = 'signup' THEN 'flow.begin'
+           WHEN event_type = 'purchase' THEN 'flow.complete'
+           WHEN event_type = 'click' THEN 'flow.signin'
+           WHEN event_type = 'view' THEN
+             CASE WHEN event_id % 5 = 0
+               THEN 'flow.experiment.exp' || (event_id % 3) || '.c' || (event_id % 2)
+               ELSE 'flow.viewed' END
+           ELSE CASE WHEN event_id % 3 = 0 THEN 'account.created'
+                     WHEN event_id % 3 = 1 THEN 'flow.continued.' || md5(user_id || '#prev')
+                     ELSE 'flow.error' END
+         END AS type,
+         md5(user_id || '#' ||
+             CAST(DATE '2024-01-01' +
+                  CAST(((ts::DATE - DATE '2024-01-01') // 2) * 2 AS INTEGER)
+                  AS VARCHAR)) AS flow_id,
+         epoch_ms(ts) % 100000000 AS flow_time,
+         'fb' || (user_id % 3) AS ua_browser,
+         'v' || (user_id % 2) AS ua_version,
+         'os' || (user_id % 2) AS ua_os,
+         CASE WHEN event_id % 4 = 0 THEN '' ELSE 'ctx' || (user_id % 3) END AS context,
+         'ep' || (user_id % 2) AS entrypoint,
+         '' AS migration,
+         CASE WHEN user_id % 5 = 0 THEN '' ELSE 'sync' END AS service,
+         CASE WHEN event_id % 3 = 0 THEN '' ELSE 'camp' || (user_id % 2) END AS utm_campaign,
+         'con' AS utm_content, 'med' AS utm_medium, 'src' AS utm_source, 'term' AS utm_term,
+         CASE WHEN event_id % 6 = 0 THEN '' ELSE 'loc' || (user_id % 7) END AS locale,
+         md5(CAST(user_id AS VARCHAR)) AS uid,
+         ts::DATE AS day
+       FROM events"""
+
+  /** One pipeline run per sf dir, shared by q12/q13/q14. */
+  private val flowRuns =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.FlowPipeline]
+
+  private[graft] def flowRun(s: SparkSession, dir: String): graft.operators.FlowPipeline =
+    flowRuns.getOrElseUpdate(dir, {
+      import graft.sources.CsvEventSource
+      import graft.util.TmpDirs
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val landing = TmpDirs.fresh(s"flow_landing_$tag")
+      CsvEventSource.writeLanding(s, flowStaging(s, dir), landing, "flow")
+      val p = new graft.operators.FlowPipeline(
+        TmpDirs.fresh(s"flow_wh_$tag"), dayTiers,
+        historicalCutoff = java.time.LocalDate.parse("2030-01-01"))
+      p.run(s, landing, "flow")
+      p
+    })
+
+  /** C2/C3/I2/I3/F3/B8/D3 — the final flow_metadata (100% tier) after
+    * the full newest-first multi-day cascade. The oracle reproduces the
+    * end state declaratively, including the last-writer fold-window
+    * semantics: the oldest processing day that still matches a flow
+    * wins, so the counted rows are X(D) ∪ E(D+1) with
+    * D = max(min_day, least(min X-day, min E-day - 1)) where X = all
+    * non-begin rows (controls not yet absorbed on their own day) and
+    * E = payload-only rows (what older processings see on disk). */
+  private def flowMetadataFinal(s: SparkSession, dir: String): DataFrame = {
+    val p = flowRun(s, dir)
+    p.metadataTable(dayTiers.find(_.suffix == "").get).read(s)
+      .select(
+        col("flow_id"), col("begin_time"), col("duration"), col("completed"),
+        col("new_account"), col("context"), col("utm_campaign"), col("locale"),
+        col("uid"), col("continued_from"),
+        col("export_date").cast("string").as("export_date"))
+      .orderBy(col("flow_id"), col("begin_time"))
+  }
+
+  /** F4 — the final flow_experiments (100% tier). */
+  private def flowExperimentsFinal(s: SparkSession, dir: String): DataFrame = {
+    val p = flowRun(s, dir)
+    p.experimentsTable(dayTiers.find(_.suffix == "").get).read(s)
+      .select(col("experiment"), col("cohort"), col("timestamp"), col("flow_id"),
+        col("uid"), col("export_date").cast("string").as("export_date"))
+      .orderBy(col("flow_id"), col("timestamp"), col("experiment"))
+  }
+
+  /** D3 invariant + per-tier sampling/retention of the absorbed
+    * flow_events tables: per (tier, type) counts — control event types
+    * must be gone, and the oracle recomputes every surviving count. */
+  private def flowEventsAbsorbed(s: SparkSession, dir: String): DataFrame = {
+    val p = flowRun(s, dir)
+    dayTiers.map { tier =>
+      p.importer.table(tier).read(s)
+        .groupBy(col("type"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("flow_id")).as("n_flows"))
+        .withColumn("tier_pct", lit(tier.percent))
+    }.reduce(_ unionAll _).orderBy(col("tier_pct"), col("type"))
+  }
+
+  // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
 
@@ -357,6 +502,9 @@ object SparkEntry {
     "q09_day_store_lifecycle" -> (dayStoreLifecycle _),
     "q10_csv_ingest_sanitize" -> (csvIngestSanitize _),
     "q11_activity_import_tiers" -> (activityImportTiers _),
+    "q12_flow_metadata_cascade" -> (flowMetadataFinal _),
+    "q13_flow_experiments" -> (flowExperimentsFinal _),
+    "q14_flow_events_absorbed" -> (flowEventsAbsorbed _),
     "q18_email_import_tiers" -> (emailImportTiers _))
 
   def oracleSql: Map[String, String] = Map(
@@ -457,6 +605,99 @@ object SparkEntry {
          SELECT CAST(day AS VARCHAR), COUNT(*), COUNT(DISTINCT uid), 100
          FROM c WHERE cohort < 100 AND day >= max_day - INTERVAL 18 DAY GROUP BY day
          ORDER BY tier_pct, day""",
+    "q12_flow_metadata_cascade" ->
+      s"""WITH S AS ($flowStagingSql),
+         P AS (SELECT MAX(day) AS max_day, MIN(day) AS min_day FROM S),
+         X AS (SELECT s.* FROM S s CROSS JOIN P
+               WHERE s.day >= P.max_day - INTERVAL 18 DAY AND s.type <> 'flow.begin'),
+         E AS (SELECT * FROM X
+               WHERE type NOT LIKE 'flow.continued.%' AND type NOT LIKE 'flow.experiment.%'),
+         mx AS (SELECT flow_id, MIN(day) AS mx_day FROM X GROUP BY flow_id),
+         me AS (SELECT flow_id, MIN(day) AS me_day FROM E GROUP BY flow_id),
+         dsel AS (SELECT mx.flow_id,
+                    GREATEST(P.min_day,
+                      LEAST(mx.mx_day, COALESCE(me.me_day - 1, mx.mx_day))) AS d
+                  FROM mx LEFT JOIN me USING (flow_id) CROSS JOIN P),
+         counted AS (
+           SELECT x.flow_id, x.flow_time, x.locale, x.uid
+           FROM X x JOIN dsel USING (flow_id) WHERE x.day = dsel.d
+           UNION ALL
+           SELECT e.flow_id, e.flow_time, e.locale, e.uid
+           FROM E e JOIN dsel USING (flow_id) WHERE e.day = dsel.d + 1),
+         fold AS (SELECT flow_id, MAX(flow_time) AS f_time, MAX(locale) AS f_locale,
+                         MAX(uid) AS f_uid
+                  FROM counted GROUP BY flow_id),
+         compl AS (SELECT DISTINCT flow_id FROM E WHERE type = 'flow.complete'),
+         acct AS (SELECT DISTINCT flow_id FROM E WHERE type = 'account.created'),
+         contd AS (SELECT flow_id, MIN(day) AS cmin, substr(MAX(type), 16, 64) AS cont
+                   FROM X WHERE type LIKE 'flow.continued.%' GROUP BY flow_id),
+         base AS (SELECT flow_id, make_timestamp("timestamp" * 1000000) AS begin_time,
+                         context, utm_campaign, day AS export_date
+                  FROM S WHERE type = 'flow.begin'),
+         -- a metadata row inserted on begin-day b only receives updates
+         -- from processings at days <= b (newest-first: older days run
+         -- later); the backfill likewise only sees staging days <= b
+         mcxrow AS (SELECT b2.flow_id, b2.export_date,
+                           MAX(s.context) AS mx_context,
+                           MAX(s.utm_campaign) AS mx_camp
+                    FROM (SELECT DISTINCT flow_id, export_date FROM base) b2
+                    JOIN S s ON s.flow_id = b2.flow_id AND s.day <= b2.export_date
+                    GROUP BY b2.flow_id, b2.export_date)
+         SELECT b.flow_id, b.begin_time,
+           CASE WHEN ds.d IS NOT NULL AND ds.d <= b.export_date
+                THEN f.f_time ELSE 0 END AS duration,
+           (c.flow_id IS NOT NULL) AS completed,
+           (a.flow_id IS NOT NULL) AS new_account,
+           CASE WHEN b.context <> '' THEN b.context ELSE m.mx_context END AS context,
+           CASE WHEN b.utm_campaign <> '' THEN b.utm_campaign ELSE m.mx_camp END AS utm_campaign,
+           CASE WHEN ds.d IS NOT NULL AND ds.d <= b.export_date
+                THEN f.f_locale END AS locale,
+           CASE WHEN ds.d IS NOT NULL AND ds.d <= b.export_date
+                THEN f.f_uid END AS uid,
+           CASE WHEN d.cmin IS NOT NULL AND d.cmin <= b.export_date
+                THEN d.cont END AS continued_from,
+           CAST(b.export_date AS VARCHAR) AS export_date
+         FROM base b
+         LEFT JOIN dsel ds USING (flow_id)
+         LEFT JOIN fold f USING (flow_id)
+         LEFT JOIN compl c USING (flow_id)
+         LEFT JOIN acct a USING (flow_id)
+         LEFT JOIN contd d USING (flow_id)
+         LEFT JOIN mcxrow m ON m.flow_id = b.flow_id AND m.export_date = b.export_date
+         CROSS JOIN P
+         WHERE b.export_date >= P.max_day - INTERVAL 18 DAY
+         ORDER BY b.flow_id, b.begin_time""",
+    "q13_flow_experiments" ->
+      s"""WITH S AS ($flowStagingSql),
+         P AS (SELECT MAX(day) AS max_day FROM S)
+         SELECT split_part(type, '.', 3) AS experiment,
+                split_part(type, '.', 4) AS cohort,
+                make_timestamp("timestamp" * 1000000) AS timestamp,
+                flow_id, uid, CAST(day AS VARCHAR) AS export_date
+         FROM S CROSS JOIN P
+         WHERE type LIKE 'flow.experiment.%'
+           AND day >= P.max_day - INTERVAL 18 DAY
+         ORDER BY flow_id, timestamp, experiment""",
+    "q14_flow_events_absorbed" ->
+      s"""WITH S AS ($flowStagingSql),
+         P AS (SELECT MAX(day) AS max_day FROM S),
+         C AS (SELECT s.*, ('0x' || substr(flow_id, 1, 7))::BIGINT % 100 AS cohort_pct
+               FROM S s
+               WHERE s.type <> 'flow.begin'
+                 AND s.type NOT LIKE 'flow.continued.%'
+                 AND s.type NOT LIKE 'flow.experiment.%')
+         SELECT type, COUNT(*) AS n_rows, COUNT(DISTINCT flow_id) AS n_flows, 10 AS tier_pct
+         FROM C CROSS JOIN P
+         WHERE cohort_pct < 10 AND day >= P.max_day - INTERVAL 36 DAY GROUP BY type
+         UNION ALL
+         SELECT type, COUNT(*), COUNT(DISTINCT flow_id), 50
+         FROM C CROSS JOIN P
+         WHERE cohort_pct < 50 AND day >= P.max_day - INTERVAL 24 DAY GROUP BY type
+         UNION ALL
+         SELECT type, COUNT(*), COUNT(DISTINCT flow_id), 100
+         FROM C CROSS JOIN P
+         WHERE cohort_pct < 100 AND day >= P.max_day - INTERVAL 18 DAY GROUP BY type
+         ORDER BY tier_pct, type""",
     "q18_email_import_tiers" ->
       s"""WITH staging AS ($emailStagingSql),
          c AS (SELECT *,

@@ -41,7 +41,8 @@ final class EventImporter(
     val tiers: Seq[SampleTier] = SampleTier.defaults,
     val policy: CsvEventSource.FieldCountPolicy = CsvEventSource.Strict,
     val maxError: Int = 100,
-    val filesPerDay: Int = 1) {
+    val filesPerDay: Int = 1,
+    val insertFilter: Option[org.apache.spark.sql.Column] = None) {
 
   def table(tier: SampleTier): DayPartitionedTable =
     new DayPartitionedTable(warehouse, family.tableName(tier.suffix),
@@ -55,24 +56,43 @@ final class EventImporter(
   def maxExtantDay(spark: SparkSession): Option[LocalDate] =
     tableBySuffix("").maxDay(spark)
 
+  /** F1/F2/F5 typing of a staging frame (shared with pipeline hooks so
+    * derived views use the exact same lineage as the inserts). */
+  def typedStaging(staging: DataFrame): DataFrame =
+    staging
+      .withColumn("ts", epochSecondsToTs(col("timestamp"))) // F1
+      .withColumn("cohort", hexPrefixCohort(col(family.idColumn))) // F2
+      .withColumn("day", dayOf(col("ts"))) // F5
+
+  /** The rows of `typed` that belong in `tier`'s permanent table for
+    * `day` — sampling (B4), same-day (B2), retention (B3) — BEFORE the
+    * optional insertFilter. Projected to the permanent layout. */
+  def tierSlice(
+      typed: DataFrame,
+      tier: SampleTier,
+      day: LocalDate,
+      maxDay: LocalDate): DataFrame = {
+    val cutoff = maxDay.minus(tier.retention)
+    typed
+      .filter(col("cohort") < tier.percent) // B4
+      .filter(col("day") === lit(day.toString).cast("date")) // B2
+      .filter(col("day") >= lit(cutoff.toString).cast("date")) // B3
+      .select((col("ts") +: col("day") +: family.permColumns.map(col)): _*)
+  }
+
   /** Import one day's staging frame into all tiers. */
   def importDay(
       spark: SparkSession,
       day: LocalDate,
       staging: DataFrame,
       maxDay: LocalDate): Unit = {
-    val typed = staging
-      .withColumn("ts", epochSecondsToTs(col("timestamp"))) // F1
-      .withColumn("cohort", hexPrefixCohort(col(family.idColumn))) // F2
-      .withColumn("day", dayOf(col("ts"))) // F5
+    val typed = typedStaging(staging)
     tiers.foreach { tier =>
-      val cutoff = maxDay.minus(tier.retention)
-      val ins = typed
-        .filter(col("cohort") < tier.percent) // B4
-        .filter(col("day") === lit(day.toString).cast("date")) // B2
-        .filter(col("day") >= lit(cutoff.toString).cast("date")) // B3
-        .select((col("ts") +: col("day") +: family.permColumns.map(col)): _*)
-      table(tier).writeDays(ins) // D1
+      val slice = tierSlice(typed, tier, day, maxDay)
+      val ins = insertFilter.fold(slice)(slice.filter)
+      val t = table(tier)
+      t.clearDay(spark, day) // D1 clear half: a zero-row rebuild must clear
+      t.writeDays(ins) // D1 insert half
     }
   }
 

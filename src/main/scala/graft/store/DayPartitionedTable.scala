@@ -100,6 +100,14 @@ final class DayPartitionedTable(
       .parquet(path)
   }
 
+  /** D1's DELETE half, standalone: drop one day partition. Needed when a
+    * rebuild may legitimately produce ZERO rows for the day (the
+    * reference's Q_CLEAR_DAY runs unconditionally; dynamic overwrite
+    * alone would leave the stale partition in place). */
+  def clearDay(spark: SparkSession, day: LocalDate): Unit = {
+    fs(spark).delete(new Path(s"$path/$dayCol=$day"), true): Unit
+  }
+
   /** D2 — drop day partitions strictly before `cutoff`. Metadata-only. */
   def expireBefore(spark: SparkSession, cutoff: LocalDate): Unit = {
     val f = fs(spark)
