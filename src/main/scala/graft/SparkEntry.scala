@@ -206,7 +206,9 @@ object SparkEntry {
       when(col("event_id") % 4 === 0, lit(""))
         .otherwise(concat(lit("svc"), (col("event_id") % 3).cast("string")))
         .as("service"),
-      concat(lit("d"), (col("event_id") % 5).cast("string")).as("device_id"),
+      when(col("event_id") % 13 === 0, lit("")) // exercises B7 device_id != ''
+        .otherwise(concat(lit("d"), (col("event_id") % 5).cast("string")))
+        .as("device_id"),
       dayOf(col("ts")).as("day"))
 
   /** SQL fragment mirroring [[activityStaging]] for the DuckDB oracle. */
@@ -219,7 +221,7 @@ object SparkEntry {
          md5(CAST(user_id AS VARCHAR)) AS uid,
          event_type AS type,
          CASE WHEN event_id % 4 = 0 THEN '' ELSE 'svc' || (event_id % 3) END AS service,
-         'd' || (event_id % 5) AS device_id,
+         CASE WHEN event_id % 13 = 0 THEN '' ELSE 'd' || (event_id % 5) END AS device_id,
          ts::DATE AS day
        FROM events"""
 
@@ -273,15 +275,25 @@ object SparkEntry {
     * tables back and roll them up. The oracle recomputes each tier
     * directly from the shared staging derivation: hex cohort on the
     * REAL 32-char hex uid (7-char prefix), retention from max day. */
+  /** One activity import per sf dir, shared by q11 and the summaries. */
+  private val activityRuns =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.EventImporter]
+
+  private[graft] def activityRun(s: SparkSession, dir: String): graft.operators.EventImporter =
+    activityRuns.getOrElseUpdate(dir, {
+      import graft.sources.CsvEventSource
+      import graft.util.TmpDirs
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val landing = TmpDirs.fresh(s"activity_landing_$tag")
+      CsvEventSource.writeLanding(s, activityStaging(s, dir), landing, "activity")
+      val imp = new graft.operators.EventImporter(
+        TmpDirs.fresh(s"activity_wh_$tag"), graft.model.Schemas.activity, dayTiers)
+      imp.run(s, landing, "activity")
+      imp
+    })
+
   private def activityImportTiers(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.EventImporter
-    import graft.sources.CsvEventSource
-    import graft.util.TmpDirs
-    val landing = TmpDirs.fresh("q11_landing")
-    CsvEventSource.writeLanding(s, activityStaging(s, dir), landing, "activity")
-    val imp = new EventImporter(
-      TmpDirs.fresh("q11_wh"), graft.model.Schemas.activity, dayTiers)
-    imp.run(s, landing, "activity")
+    val imp = activityRun(s, dir)
     dayTiers.map { tier =>
       imp.table(tier).read(s)
         .groupBy(col("day").cast("string").as("day"))
@@ -487,6 +499,85 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // Daily summaries + counts (q15-q17)
+  // ---------------------------------------------------------------------
+
+  /** E3/B7/G1 — daily_activity_per_device: the distinct device rollup
+    * over the imported (truncated, retention-filtered) activity tables.
+    * Returns the 100% tier's rows. */
+  private def dailyDevicesRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DailySummaries
+    import graft.util.TmpDirs
+    val imp = activityRun(s, dir)
+    val sums = new DailySummaries(
+      TmpDirs.fresh(s"q15_sum_${java.lang.Integer.toHexString(dir.hashCode)}"),
+      imp, dayTiers)
+    sums.summarize(s)
+    sums.devicesTable(dayTiers.find(_.suffix == "").get).read(s)
+      .select(col("day").cast("string").as("day"), col("uid"), col("device_id"),
+        col("service"), col("ua_browser"), col("ua_version"), col("ua_os"))
+      .orderBy(col("day"), col("uid"), col("device_id"), col("service"))
+  }
+
+  /** C1 + I4/I5 — the 7-day multi-device self-join built INCREMENTALLY:
+    * import the first 20 days, summarize, import the rest, summarize
+    * again (day_from = MAX(day)+1), and the final table must equal the
+    * oracle's one-shot computation. Single 100%/60-day tier so retention
+    * does not interact with the phase boundary. */
+  private def multiDeviceIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{DailySummaries, EventImporter}
+    import graft.sources.CsvEventSource
+    import graft.util.TmpDirs
+    val oneTier = Seq(graft.model.SampleTier(100, java.time.Period.ofDays(60), ""))
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val landing = TmpDirs.fresh(s"q16_landing_$tag")
+    val wh = TmpDirs.fresh(s"q16_wh_$tag")
+    val staged = activityStaging(s, dir)
+    val imp = new EventImporter(wh, graft.model.Schemas.activity, oneTier)
+    val sums = new DailySummaries(TmpDirs.fresh(s"q16_sum_$tag"), imp, oneTier)
+    val split = lit("2024-01-20").cast("date")
+    CsvEventSource.writeLanding(s, staged.filter(col("day") <= split), landing, "activity")
+    imp.run(s, landing, "activity")
+    sums.summarize(s)
+    CsvEventSource.writeLanding(s, staged.filter(col("day") > split), landing, "activity")
+    imp.run(s, landing, "activity")
+    sums.summarize(s)
+    sums.multiDeviceTable(oneTier.head).read(s)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("uid")).as("n_users"))
+      .orderBy(col("day"))
+  }
+
+  /** F6/A2 + COUNTS_BEGIN — the counts import: one pre-aggregated
+    * (day, accounts, verified_accounts) line per day file, hard floor
+    * date, MAXERROR tolerance for a corrupted file. */
+  private def countsImport(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountsImporter
+    import graft.sources.CsvEventSource
+    import graft.util.TmpDirs
+    val landing = TmpDirs.fresh("q17_landing")
+    val perDay = Tables.events(s, dir)
+      .groupBy(dayOf(col("ts")).cast("string").as("day"))
+      .agg(countDistinct(col("user_id")).as("accounts"),
+        count(lit(1)).as("verified_accounts"))
+      .collect()
+    perDay.foreach { r =>
+      CsvEventSource.appendLines(s, s"$landing/fxa-basic-metrics-${r.getString(0)}.txt",
+        Seq(s"${r.getString(0)},${r.getLong(1)},${r.getLong(2)}"))
+    }
+    // corrupt one file: a bad-arity line and a non-numeric line (< MAXERROR)
+    CsvEventSource.appendLines(s, s"$landing/fxa-basic-metrics-2024-01-15.txt",
+      Seq("2024-01-15,12", "2024-01-15,notanumber,3"))
+    val imp = new CountsImporter(TmpDirs.fresh("q17_wh"),
+      countsBegin = java.time.LocalDate.parse("2024-01-10"))
+    imp.run(s, landing, "fxa-basic-metrics")
+    imp.table.read(s)
+      .select(col("day").cast("string").as("day"), col("accounts"),
+        col("verified_accounts"))
+      .orderBy(col("day"))
+  }
+
+  // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
 
@@ -505,6 +596,9 @@ object SparkEntry {
     "q12_flow_metadata_cascade" -> (flowMetadataFinal _),
     "q13_flow_experiments" -> (flowExperimentsFinal _),
     "q14_flow_events_absorbed" -> (flowEventsAbsorbed _),
+    "q15_daily_devices_rollup" -> (dailyDevicesRollup _),
+    "q16_multi_device_incremental" -> (multiDeviceIncremental _),
+    "q17_counts_import" -> (countsImport _),
     "q18_email_import_tiers" -> (emailImportTiers _))
 
   def oracleSql: Map[String, String] = Map(
@@ -698,6 +792,30 @@ object SparkEntry {
          FROM C CROSS JOIN P
          WHERE cohort_pct < 100 AND day >= P.max_day - INTERVAL 18 DAY GROUP BY type
          ORDER BY tier_pct, type""",
+    "q15_daily_devices_rollup" ->
+      s"""WITH staging AS ($activityStagingSql),
+         P AS (SELECT MAX(day) AS max_day FROM staging)
+         SELECT DISTINCT CAST(day AS VARCHAR) AS day, uid, device_id, service,
+                substr(ua_browser, 1, 40) AS ua_browser, ua_version, ua_os
+         FROM staging CROSS JOIN P
+         WHERE device_id <> '' AND day >= P.max_day - INTERVAL 18 DAY
+         ORDER BY day, uid, device_id, service""",
+    "q16_multi_device_incremental" ->
+      s"""WITH staging AS ($activityStagingSql),
+         dev AS (SELECT DISTINCT day, uid, device_id FROM staging WHERE device_id <> ''),
+         pairs AS (
+           SELECT DISTINCT p.day, p.uid, p.device_id AS device_now, q.device_id AS device_prev
+           FROM dev p JOIN dev q
+             ON p.uid = q.uid AND p.device_id <> q.device_id
+            AND q.day <= p.day AND q.day >= p.day - INTERVAL 7 DAY)
+         SELECT CAST(day AS VARCHAR) AS day, COUNT(*) AS n_pairs,
+                COUNT(DISTINCT uid) AS n_users
+         FROM pairs GROUP BY 1 ORDER BY 1""",
+    "q17_counts_import" ->
+      """SELECT CAST(ts::DATE AS VARCHAR) AS day,
+                COUNT(DISTINCT user_id) AS accounts, COUNT(*) AS verified_accounts
+         FROM events WHERE ts::DATE >= DATE '2024-01-10'
+         GROUP BY 1 ORDER BY 1""",
     "q18_email_import_tiers" ->
       s"""WITH staging AS ($emailStagingSql),
          c AS (SELECT *,

@@ -51,6 +51,11 @@ final class EventImporter(
   def tableBySuffix(suffix: String): DayPartitionedTable =
     table(tiers.find(_.suffix == suffix).get)
 
+  /** The populated-day probe tier: longest retention (the reference
+    * probes `_sampled_10` for exactly this reason, import_events.py:77). */
+  private def probeTier: SampleTier =
+    tiers.maxBy(t => t.retention.toTotalMonths * 31 + t.retention.getDays)
+
   /** E1/I4 — high-water mark from the 100% table (Q_GET_MAX_DAY reads
     * suffix "", import_events.py:67-70); partition metadata, no scan. */
   def maxExtantDay(spark: SparkSession): Option[LocalDate] =
@@ -118,7 +123,7 @@ final class EventImporter(
     val from = dayFrom.orElse(extant)
     def candidate(d: LocalDate): Boolean =
       from.forall(f => !d.isBefore(f)) && dayUntil.forall(u => !d.isAfter(u))
-    val probe = tableBySuffix("_sampled_10") // B9: longest retention
+    val probe = table(probeTier) // B9: longest retention
     val unpopulated = CsvEventSource
       .listDays(spark, landingDir, prefix)
       .filter { case (d, _) =>

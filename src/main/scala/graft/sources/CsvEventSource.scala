@@ -115,7 +115,8 @@ object CsvEventSource {
   /** A2 — enumerate day files under a landing dir: `{prefix}-YYYY-MM-DD
     * .csv`, day parsed as the last three hyphen-split parts of the
     * basename minus ".csv" (import_events.py:181-183). */
-  def listDays(spark: SparkSession, dir: String, prefix: String): Seq[(LocalDate, String)] = {
+  def listDays(spark: SparkSession, dir: String, prefix: String,
+      ext: String = ".csv"): Seq[(LocalDate, String)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
@@ -123,10 +124,10 @@ object CsvEventSource {
       fs.listStatus(p).toSeq
         .map(_.getPath)
         .filter { f =>
-          f.getName.startsWith(s"$prefix-") && f.getName.endsWith(".csv")
+          f.getName.startsWith(s"$prefix-") && f.getName.endsWith(ext)
         }
         .flatMap { f =>
-          val day = f.getName.dropRight(4).split("-").takeRight(3).mkString("-")
+          val day = f.getName.dropRight(ext.length).split("-").takeRight(3).mkString("-")
           scala.util.Try(LocalDate.parse(day)).toOption.map(_ -> f.toString)
         }
         .sortBy(_._1)
