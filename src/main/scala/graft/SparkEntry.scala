@@ -578,6 +578,177 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // LLM training-data pipeline operators (q20-q31)
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup as a dataset operator: keep min-id doc per normalized
+    * text, report survivors per (lang, source). One 8-byte-hash shuffle. */
+  private def exactDedupRows(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    TextDedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** MinHash + LSH banding (16 hashes, 4 bands): near-dup candidate
+    * pair volume. Joins happen only inside band buckets — the all-pairs
+    * product never exists (the 100 TB shape). */
+  private def minHashLsh(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    TextDedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text")
+      .select(explode(array(col("a"), col("b"))).as("d"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
+  }
+
+  /** SimHash (60-bit bit-vote sketch) banded into 15-bit chunks. */
+  private def simHashPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val sim = TextDedup.simHash(Tables.documents(s, dir), "doc_id", "text")
+    val pairStats = TextDedup.simHashCandidatePairs(sim)
+      .select(explode(array(col("a"), col("b"))).as("d"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
+    pairStats.crossJoin(sim.agg(countDistinct(col("simhash")).as("n_distinct_hashes")))
+  }
+
+  /** The exact verify stage after LSH: word-set Jaccard on candidate
+    * pairs, top-100 by (score, pair) — fully ordered for determinism. */
+  private def ngramJaccardTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val docs = Tables.documents(s, dir)
+    val ws = docs.select(col("doc_id"), TextDedup.normWordSet(col("text")).as("ws"))
+    TextDedup.lshCandidatePairs(docs, "doc_id", "text")
+      .join(ws.select(col("doc_id").as("a"), col("ws").as("wa")), Seq("a"))
+      .join(ws.select(col("doc_id").as("b"), col("ws").as("wb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(TextDedup.jaccard(col("wa"), col("wb")), 6).as("jac"))
+      .orderBy(col("jac").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
+  /** Embedding cosine near-dup pairs (brute force — correct baseline;
+    * the LSH-bucketed path in q26 is the 100 TB shape). */
+  private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Brute-force cosine top-5 for the first 20 vectors. */
+  private def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("id"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Sign-random-projection LSH (6 deterministic md5-parity
+    * hyperplanes): per query, bucket population and recall@5 overlap
+    * with the exact top-5. */
+  private def annLshRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bucket", Similarity.signRandomProjection(col("embedding"), 64, 6))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("bucket").as("qbucket"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+      col("bucket"))
+    val exact = Similarity.bruteForceTopK(
+      queries.drop("qbucket"), corpus.drop("bucket"), k = 5)
+      .select(col("qid"), col("id"))
+    val lsh = Similarity.lshTopK(queries, corpus, k = 5)
+      .select(col("qid"), col("id"))
+    val mates = corpus.join(broadcast(queries),
+        col("qbucket") === col("bucket") && col("qid") =!= col("id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_mates"))
+    val hits = lsh.join(exact, Seq("qid", "id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    queries.select(col("qid"))
+      .join(mates, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_mates"), lit(0L)).as("n_mates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy(col("qid"))
+  }
+
+  /** Marker-word language ID vs the labeled lang column. */
+  private def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    Tables.documents(s, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Quality facets per source — integer arithmetic only. */
+  private def qualityScores(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val t = col("text")
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(t)).as("sum_words"),
+        sum(length(t)).as("sum_chars"),
+        sum(TextAnalysis.stopwordCount(t, TextAnalysis.langMarkers.head._2)).as("sum_stop"),
+        count(when(TextAnalysis.highQuality(t), 1)).as("n_highq"))
+      .orderBy(col("source"))
+  }
+
+  /** Token statistics per lang: whitespace + BPE-ish subword counts. */
+  private def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val t = col("text")
+    val d = Tables.documents(s, dir)
+    val perLang = d.groupBy(col("lang"))
+      .agg(
+        sum(TextAnalysis.tokenCount(t)).as("total_words"),
+        sum(TextAnalysis.subwordCount(t)).as("total_subwords"),
+        max(array_max(transform(split(t, " "), w => length(w)))).cast("long").as("max_wlen"))
+    val distinctWords = d
+      .select(col("lang"), explode(split(t, " ")).as("w"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("w")).as("n_distinct_words"))
+    perLang.join(distinctWords, Seq("lang")).orderBy(col("lang"))
+  }
+
+  /** Document fingerprints: MinHash@1, folded hash-sum, rolling hash. */
+  private def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprintMin(col("text")).as("fp_min"),
+        TextAnalysis.fingerprintSum(col("text")).as("fp_sum"),
+        TextAnalysis.fingerprintRolling(col("text")).as("fp_roll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal plumbing: binary media column → batched partition-local
+    * feature extraction (deterministic stub decoder). */
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.extractFeatures(s, Multimodal.attachMedia(Tables.documents(s, dir)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
 
@@ -599,7 +770,43 @@ object SparkEntry {
     "q15_daily_devices_rollup" -> (dailyDevicesRollup _),
     "q16_multi_device_incremental" -> (multiDeviceIncremental _),
     "q17_counts_import" -> (countsImport _),
-    "q18_email_import_tiers" -> (emailImportTiers _))
+    "q18_email_import_tiers" -> (emailImportTiers _),
+    "q20_exact_dedup_rows" -> (exactDedupRows _),
+    "q21_minhash_lsh_pairs" -> (minHashLsh _),
+    "q22_simhash_pairs" -> (simHashPairs _),
+    "q23_ngram_jaccard_topk" -> (ngramJaccardTopK _),
+    "q24_embedding_neardup" -> (embeddingNearDup _),
+    "q25_ann_bruteforce_topk" -> (annBruteForce _),
+    "q26_ann_lsh_recall" -> (annLshRecall _),
+    "q27_lang_id" -> (langIdConfusion _),
+    "q28_quality_scores" -> (qualityScores _),
+    "q29_token_stats" -> (tokenStats _),
+    "q30_fingerprints" -> (fingerprints _),
+    "q31_multimodal_features" -> (multimodalFeatures _))
+
+  /** Shared oracle fragment: MinHash(16) + 4-band LSH candidate pairs
+    * over `documents` — mirrors TextDedup.lshCandidatePairs. */
+  private val minHashPairsSql: String =
+    """w AS (SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+            FROM documents),
+       hs AS (SELECT doc_id, i,
+                     MIN(('0x' || substr(md5(word || '#' || i), 1, 15))::BIGINT) AS sig
+              FROM w CROSS JOIN (SELECT unnest(range(16)) AS i) GROUP BY doc_id, i),
+       bands AS (SELECT doc_id, i // 4 AS band,
+                        string_agg(CAST(sig AS VARCHAR), '|' ORDER BY i) AS key
+                 FROM hs GROUP BY doc_id, (i // 4)),
+       pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+  /** Shared oracle fragment: rounded cosine between two 64-dim FLOAT[]
+    * columns — same double math and summation order as Similarity. */
+  private def cosSql(va: String, vb: String): String =
+    s"""round(
+         list_sum(list_transform(range(64), d ->
+           $va[CAST(d + 1 AS INTEGER)]::DOUBLE * $vb[CAST(d + 1 AS INTEGER)]::DOUBLE)) /
+         (sqrt(list_sum(list_transform($va, x -> x::DOUBLE * x::DOUBLE))) *
+          sqrt(list_sum(list_transform($vb, x -> x::DOUBLE * x::DOUBLE)))), 6)"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -834,5 +1041,153 @@ object SparkEntry {
          SELECT type, COUNT(*), COUNT(DISTINCT flow_id),
                 COUNT(CASE WHEN bounced = 'true' THEN 1 END), 100
          FROM c WHERE cohort < 100 AND day >= max_day - INTERVAL 18 DAY GROUP BY type
-         ORDER BY tier_pct, type""")
+         ORDER BY tier_pct, type""",
+    "q20_exact_dedup_rows" ->
+      """WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                    GROUP BY lower(trim(text)))
+         SELECT d.lang, d.source, COUNT(*) AS n_docs
+         FROM documents d JOIN k USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q21_minhash_lsh_pairs" ->
+      s"""WITH $minHashPairsSql,
+         e AS (SELECT a AS d FROM pairs UNION ALL SELECT b FROM pairs)
+         SELECT (SELECT COUNT(*) FROM pairs) AS n_pairs,
+                (SELECT COUNT(DISTINCT d) FROM e) AS n_docs""",
+    "q22_simhash_pairs" ->
+      """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+                    FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
+         v AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+               FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) GROUP BY doc_id, j),
+         sh AS (SELECT doc_id,
+                       CAST(SUM(CASE WHEN vote > 0 THEN 1::BIGINT << CAST(j AS INTEGER)
+                                     ELSE 0 END) AS BIGINT) AS simhash
+                FROM v GROUP BY doc_id),
+         ch AS (SELECT doc_id, k, (simhash >> CAST(k * 15 AS INTEGER)) & 32767 AS key
+                FROM sh CROSS JOIN (SELECT unnest(range(4)) AS k)),
+         p AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+               FROM ch a JOIN ch b
+                 ON a.k = b.k AND a.key = b.key AND a.doc_id < b.doc_id),
+         e AS (SELECT a AS d FROM p UNION ALL SELECT b FROM p)
+         SELECT (SELECT COUNT(*) FROM p) AS n_pairs,
+                (SELECT COUNT(DISTINCT d) FROM e) AS n_docs,
+                (SELECT COUNT(DISTINCT simhash) FROM sh) AS n_distinct_hashes""",
+    "q23_ngram_jaccard_topk" ->
+      s"""WITH $minHashPairsSql,
+         ws AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS ws FROM documents)
+         SELECT p.a, p.b,
+                round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) /
+                      CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE), 6) AS jac
+         FROM pairs p
+         JOIN ws wa ON wa.doc_id = p.a
+         JOIN ws wb ON wb.doc_id = p.b
+         ORDER BY jac DESC, p.a, p.b LIMIT 100""",
+    "q24_embedding_neardup" ->
+      s"""SELECT a.vec_id AS a, b.vec_id AS b,
+                ${cosSql("a.embedding", "b.embedding")} AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+         ORDER BY a, b""",
+    "q25_ann_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         scored AS (SELECT qid, id, ${cosSql("qvec", "vec")} AS cos
+                    FROM q JOIN c ON qid <> id)
+         SELECT qid, rank, id, cos FROM (
+           SELECT qid, id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           FROM scored) t
+         WHERE rank <= 5 ORDER BY qid, rank""",
+    "q26_ann_lsh_recall" ->
+      s"""WITH vb AS (SELECT vec_id, b,
+                list_sum(list_transform(range(64), d ->
+                  embedding[CAST(d + 1 AS INTEGER)]::DOUBLE *
+                  (CASE WHEN ('0x' || substr(md5('hp-' || b || '-' || d), 1, 15))::BIGINT % 2 = 1
+                        THEN 1.0 ELSE -1.0 END))) AS proj
+              FROM embeddings CROSS JOIN (SELECT unnest(range(6)) AS b)),
+         bk AS (SELECT vec_id,
+                       CAST(SUM(CASE WHEN proj > 0 THEN 1::BIGINT << CAST(b AS INTEGER)
+                                     ELSE 0 END) AS BIGINT) AS bucket
+                FROM vb GROUP BY vec_id),
+         q AS (SELECT e.vec_id AS qid, e.embedding AS qvec, bk.bucket AS qbucket
+               FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id WHERE e.vec_id < 20),
+         c AS (SELECT e.vec_id AS id, e.embedding AS vec, bk.bucket
+               FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+         exact AS (SELECT qid, id FROM (
+             SELECT qid, id, row_number() OVER (PARTITION BY qid
+               ORDER BY ${cosSql("qvec", "vec")} DESC, id) AS r
+             FROM q JOIN c ON qid <> id) t WHERE r <= 5),
+         lsh AS (SELECT qid, id FROM (
+             SELECT qid, id, row_number() OVER (PARTITION BY qid
+               ORDER BY ${cosSql("qvec", "vec")} DESC, id) AS r
+             FROM q JOIN c ON qid <> id AND qbucket = bucket) t WHERE r <= 5),
+         mates AS (SELECT qid, COUNT(*) AS n_mates
+                   FROM q JOIN c ON qbucket = bucket AND qid <> id GROUP BY qid),
+         hits AS (SELECT l.qid, COUNT(*) AS n_hits
+                  FROM lsh l JOIN exact x ON l.qid = x.qid AND l.id = x.id GROUP BY l.qid)
+         SELECT q.qid, COALESCE(m.n_mates, 0) AS n_mates, COALESCE(h.n_hits, 0) AS n_hits
+         FROM q LEFT JOIN mates m ON q.qid = m.qid LEFT JOIN hits h ON q.qid = h.qid
+         ORDER BY q.qid""",
+    "q27_lang_id" ->
+      """WITH s AS (SELECT lang, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+         sc AS (SELECT lang,
+             len(list_intersect(ws, ['the','a','of','and','to'])) AS s_en,
+             len(list_intersect(ws, ['der','die','das','und','ist'])) AS s_de,
+             len(list_intersect(ws, ['el','la','los','y','es'])) AS s_es,
+             len(list_intersect(ws, ['le','la','les','et','est'])) AS s_fr,
+             len(list_intersect(ws, ['de','shi','zhe','he','bu'])) AS s_zh
+           FROM s),
+         p AS (SELECT lang, CASE
+             WHEN s_en = g AND g > 0 THEN 'en'
+             WHEN s_de = g AND g > 0 THEN 'de'
+             WHEN s_es = g AND g > 0 THEN 'es'
+             WHEN s_fr = g AND g > 0 THEN 'fr'
+             WHEN s_zh = g AND g > 0 THEN 'zh'
+             ELSE 'und' END AS predicted
+           FROM (SELECT *, GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS g FROM sc) t)
+         SELECT lang, predicted, COUNT(*) AS n_docs
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q28_quality_scores" ->
+      """SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(len(list_filter(string_split(text, ' '),
+             w -> list_contains(['the','a','of','and','to'], w)))) AS BIGINT) AS sum_stop,
+           COUNT(CASE WHEN len(string_split(text, ' ')) >= 50
+                       AND len(list_filter(string_split(text, ' '),
+                         w -> list_contains(['the','a','of','and','to'], w))) * 10
+                           >= len(string_split(text, ' '))
+                 THEN 1 END) AS n_highq
+         FROM documents GROUP BY source ORDER BY source""",
+    "q29_token_stats" ->
+      """WITH d AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+         a1 AS (SELECT lang,
+             CAST(SUM(len(w)) AS BIGINT) AS total_words,
+             CAST(SUM(list_sum(list_transform(w, x -> (length(x) + 3) // 4))) AS BIGINT)
+               AS total_subwords,
+             CAST(MAX(list_max(list_transform(w, x -> length(x)))) AS BIGINT) AS max_wlen
+           FROM d GROUP BY lang),
+         a2 AS (SELECT lang, COUNT(DISTINCT word) AS n_distinct_words
+                FROM (SELECT lang, unnest(w) AS word FROM d) t GROUP BY lang)
+         SELECT a1.lang, a1.total_words, a1.total_subwords, a1.max_wlen,
+                a2.n_distinct_words
+         FROM a1 JOIN a2 USING (lang) ORDER BY a1.lang""",
+    "q30_fingerprints" ->
+      """SELECT doc_id,
+           list_min(list_transform(list_distinct(string_split(text, ' ')),
+             w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS fp_min,
+           CAST(list_sum(list_transform(list_distinct(string_split(text, ' ')),
+             w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1048576)) AS BIGINT) AS fp_sum,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform((string_split(text, ' '))[1:8],
+               w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1000000007)),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q31_multimodal_features" ->
+      """SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           strlen(text) // 1000 + 1 AS n_frames,
+           CAST(list_sum(list_transform(range(1, LEAST(16, length(text)) + 1),
+             i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS head_checksum
+         FROM documents ORDER BY doc_id""")
 }

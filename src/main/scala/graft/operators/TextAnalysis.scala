@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import TextDedup.{md5Hash60, wordSet, words}
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. Integer
+  * arithmetic wherever a ratio would otherwise be a float (cross-engine
+  * FP determinism), pure column expressions throughout.
+  */
+object TextAnalysis {
+
+  /** Marker-word lists per language (n-gram-heuristic language ID).
+    * Order is the tie-break priority. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "zhe", "he", "bu"))
+
+  private def markerArray(ws: Seq[String]): Column =
+    array(ws.map(lit): _*)
+
+  /** Distinct marker hits for one language. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(wordSet(text), markerArray(markers)))
+
+  /** Predicted language: argmax of marker hits, ties broken by the
+    * declared priority order; no hits at all → "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ws) => l -> langScore(text, ws) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Total (with multiplicity) hits of any marker in `markers`. */
+  def stopwordCount(text: Column, markers: Seq[String]): Column =
+    size(filter(words(text), w => array_contains(markerArray(markers), w)))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword count: ceil(len/4) per word, integer math. */
+  def subwordCount(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, w) => acc + ((length(w) + 3) / 4).cast(LongType))
+
+  /** Quality facets, all integers: token count, char count, stopword
+    * hits (en), longest word. `highQuality` = ≥ minWords tokens AND
+    * stopword ratio ≥ 10% (integer-compare form). */
+  def qualityFacets(text: Column): Seq[(String, Column)] = Seq(
+    "n_words" -> tokenCount(text),
+    "n_chars" -> length(text),
+    "n_stop" -> stopwordCount(text, langMarkers.head._2),
+    "max_wlen" -> array_max(transform(words(text), w => length(w))))
+
+  def highQuality(text: Column, minWords: Int = 50): Column =
+    tokenCount(text) >= minWords &&
+      stopwordCount(text, langMarkers.head._2) * 10 >= tokenCount(text)
+
+  /** Document fingerprints: bottom word-hash (MinHash@1), a folded
+    * 20-bit hash sum over the word set, and a polynomial rolling hash
+    * over the first 8 words (mod 1e9+7). */
+  def fingerprintMin(text: Column): Column =
+    array_min(transform(wordSet(text), w => md5Hash60(w)))
+
+  def fingerprintSum(text: Column): Column =
+    aggregate(wordSet(text), lit(0L), (acc, w) => acc + (md5Hash60(w) % 1048576L))
+
+  def fingerprintRolling(text: Column, k: Int = 8): Column =
+    aggregate(slice(words(text), 1, k), lit(0L),
+      (acc, w) => (acc * 31L + (md5Hash60(w) % 1000000007L)) % 1000000007L)
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All hash primitives here are md5-based so a DuckDB oracle can mirror
+  * them bit-for-bit; at production scale swap [[md5Hash60]] for
+  * `xxhash64` (same shapes, one cheap codegen'd hash instead of md5).
+  * Every operator is a pure column-expression lineage — no UDFs — so
+  * whole-stage codegen applies throughout.
+  *
+  * Scale shapes:
+  *  - exact dedup shuffles 8-byte hashes, never document bodies;
+  *  - MinHash/LSH compares only within band buckets (the all-pairs
+  *    cross join never exists);
+  *  - SimHash bands 64-bit sketches into 15-bit chunks, so near-dup
+  *    candidates join on chunk equality.
+  */
+object TextDedup {
+
+  def norm(text: Column): Column = lower(trim(text))
+  def words(text: Column): Column = split(text, " ")
+  def wordSet(text: Column): Column = array_distinct(words(text))
+  /** The dedup shingle base: word set of the NORMALIZED text, so
+    * case/whitespace variants of a document sketch identically. */
+  def normWordSet(text: Column): Column = wordSet(norm(text))
+
+  /** 60-bit deterministic hash (DuckDB-mirrorable):
+    * `('0x' || substr(md5(x),1,15))::BIGINT`. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Exact dedup producing a deduplicated DATASET (not just counters):
+    * keeps the minimum-id row per normalized-text hash. One shuffle on
+    * the 8-byte hash. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_h"))
+    df.withColumn("_h", md5Hash60(norm(col(textCol))))
+      .withColumn("_keep", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("_keep"))
+      .drop("_h", "_keep")
+  }
+
+  /** MinHash signature columns: sig_i = min over the word set of
+    * hash(word + "#i"). Unigram shingles by default — the shingle
+    * granularity is a caller choice (`shingler`). */
+  def minHashSignature(
+      text: Column,
+      numHashes: Int,
+      shingler: Column => Column = normWordSet): Seq[Column] =
+    (0 until numHashes).map { i =>
+      array_min(transform(shingler(text),
+        w => md5Hash60(concat(w, lit(s"#$i"))))).as(s"sig$i")
+    }
+
+  /** LSH banding: candidate near-dup pairs = doc pairs sharing at least
+    * one band key (bands × rowsPerBand = numHashes). Join happens only
+    * inside (band, key) buckets. */
+  def lshCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val r = numHashes / bands
+    val sigs = df.select(
+      (col(idCol).as("id") +: minHashSignature(col(textCol), numHashes)): _*)
+    val bandKeys = (0 until bands).map { j =>
+      concat_ws("|", (j * r until (j + 1) * r).map(i => col(s"sig$i")): _*)
+    }
+    val banded = sigs.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .distinct()
+  }
+
+  /** SimHash sketch (bit-vote over the word set's hashes). */
+  def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+        explode(normWordSet(col(textCol))).as("w"))
+      .withColumn("h", md5Hash60(col("w")))
+    val votes = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val agg = exploded.groupBy("id").agg(votes.head, votes.tail: _*)
+    val hash = (0 until bits)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("id"), hash.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: pairs sharing any 15-bit chunk. */
+  def simHashCandidatePairs(sim: DataFrame, chunks: Int = 4): DataFrame = {
+    val chunkKeys = (0 until chunks).map { k =>
+      shiftright(col("simhash"), k * 15).bitwiseAND(lit(0x7fffL))
+    }
+    val banded = sim.select(col("id"),
+      posexplode(array(chunkKeys: _*)).as(Seq("chunk", "key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .distinct()
+  }
+
+  /** Set Jaccard over word sets (the exact verify stage after LSH). */
+  def jaccard(aWords: Column, bWords: Column): Column =
+    size(array_intersect(aWords, bWords)).cast(DoubleType) /
+      size(array_union(aWords, bWords)).cast(DoubleType)
+}
