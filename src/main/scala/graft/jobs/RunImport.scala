@@ -1,0 +1,76 @@
+package graft.jobs
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftSession
+import graft.model.{SampleTier, Schemas}
+import graft.operators._
+
+/** The orchestrated driver — the reference's `make import`
+  * (Makefile:17-22): activity → flow → email → counts → daily summary,
+  * in order (the summary depends on activity_events being loaded).
+  *
+  * Landing layout (one dir per pipeline, day files inside):
+  * {{{
+  *   landingRoot/activity/activity-YYYY-MM-DD.csv
+  *   landingRoot/flow/flow-YYYY-MM-DD.csv
+  *   landingRoot/email/email-events-YYYY-MM-DD.csv
+  *   landingRoot/counts/fxa-basic-metrics-YYYY-MM-DD.txt
+  * }}}
+  *
+  * Each pipeline discovers its own unpopulated days (C4), probes the
+  * longest-retention tier (B9), processes newest-first (G3), and is an
+  * idempotent no-op when nothing new landed (the empty-landing crash of
+  * import_events.py:250 is handled in EventImporter.run).
+  */
+final class RunImport(
+    val warehouse: String,
+    val landingRoot: String,
+    val tiers: Seq[SampleTier] = SampleTier.defaults,
+    val countsBegin: LocalDate = LocalDate.parse("2017-05-30")) {
+
+  val activity = new EventImporter(warehouse, Schemas.activity, tiers)
+  val flow = new FlowPipeline(warehouse, tiers)
+  val email = new EventImporter(warehouse, Schemas.email, tiers)
+  val counts = new CountsImporter(warehouse, countsBegin)
+  val summaries = new DailySummaries(warehouse, activity, tiers)
+
+  /** Run every pipeline; returns days imported per pipeline. */
+  def run(
+      spark: SparkSession,
+      dayFrom: Option[LocalDate] = None,
+      dayUntil: Option[LocalDate] = None,
+      forceReload: Boolean = false): Map[String, Seq[LocalDate]] = {
+    val a = activity.run(spark, s"$landingRoot/activity", "activity",
+      dayFrom, dayUntil, forceReload)
+    val f = flow.run(spark, s"$landingRoot/flow", "flow",
+      dayFrom, dayUntil, forceReload)
+    val e = email.run(spark, s"$landingRoot/email", "email-events",
+      dayFrom, dayUntil, forceReload)
+    val c = counts.run(spark, s"$landingRoot/counts", "fxa-basic-metrics",
+      forceReload)
+    if (activity.maxExtantDay(spark).isDefined) summaries.summarize(spark)
+    Map("activity" -> a, "flow" -> f, "email" -> e, "counts" -> c)
+  }
+}
+
+object RunImport {
+  /** CLI: RunImport <warehouse> <landingRoot> [dayFrom] [dayUntil] [--force] */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RunImport <warehouse> <landingRoot> [dayFrom] [dayUntil] [--force]")
+    val positional = args.filterNot(_.startsWith("--"))
+    val force = args.contains("--force")
+    val dayFrom = positional.lift(2).map(LocalDate.parse)
+    val dayUntil = positional.lift(3).map(LocalDate.parse)
+    val spark = GraftSession.forMain("graft-import")
+    val result = new RunImport(positional(0), positional(1))
+      .run(spark, dayFrom, dayUntil, force)
+    result.foreach { case (k, days) =>
+      println(s"$k: imported ${days.size} days" +
+        (if (days.nonEmpty) s" (${days.min}..${days.max})" else ""))
+    }
+    spark.stop()
+  }
+}

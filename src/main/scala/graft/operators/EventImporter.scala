@@ -51,10 +51,15 @@ final class EventImporter(
   def tableBySuffix(suffix: String): DayPartitionedTable =
     table(tiers.find(_.suffix == suffix).get)
 
-  /** The populated-day probe tier: longest retention (the reference
-    * probes `_sampled_10` for exactly this reason, import_events.py:77). */
-  private def probeTier: SampleTier =
-    tiers.maxBy(t => t.retention.toTotalMonths * 31 + t.retention.getDays)
+  /** B9 — is this day already imported? The reference probes only the
+    * longest-retention table (import_events.py:77), which re-imports a
+    * day forever when its 10% sample happens to be empty; since all
+    * tiers are written by the same importDay, ANY tier's partition
+    * proves the day was processed. Ordered longest-retention-first so
+    * the common case is still a single metadata probe. */
+  private def isDayPopulated(spark: SparkSession, day: LocalDate): Boolean =
+    tiers.sortBy(t => -(t.retention.toTotalMonths * 31 + t.retention.getDays))
+      .exists(t => table(t).hasDay(spark, day))
 
   /** E1/I4 — high-water mark from the 100% table (Q_GET_MAX_DAY reads
     * suffix "", import_events.py:67-70); partition metadata, no scan. */
@@ -123,11 +128,10 @@ final class EventImporter(
     val from = dayFrom.orElse(extant)
     def candidate(d: LocalDate): Boolean =
       from.forall(f => !d.isBefore(f)) && dayUntil.forall(u => !d.isAfter(u))
-    val probe = table(probeTier) // B9: longest retention
     val unpopulated = CsvEventSource
       .listDays(spark, landingDir, prefix)
       .filter { case (d, _) =>
-        candidate(d) && (forceReload || !probe.hasDay(spark, d))
+        candidate(d) && (forceReload || !isDayPopulated(spark, d))
       }
       .sortBy(_._1)(Ordering[LocalDate].reverse) // G3 newest-first
     if (unpopulated.isEmpty && extant.isEmpty) return Seq.empty // empty-safe
