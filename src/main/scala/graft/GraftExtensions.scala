@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.ArrayDotProduct
+
+/** Engine extensions. Deployable two ways:
+  *  - cluster: `spark.sql.extensions=graft.GraftExtensions`
+  *  - embedded: `GraftExtensions.register(spark)` (what GraftSession
+  *    and the test harness do).
+  */
+object GraftExtensions {
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      new FunctionIdentifier("graft_array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_array_dot"),
+      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}

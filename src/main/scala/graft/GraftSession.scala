@@ -33,6 +33,7 @@ object GraftSession {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = builder(appName, cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
     spark
   }
 }

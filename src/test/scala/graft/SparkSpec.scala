@@ -10,6 +10,7 @@ object TestSpark {
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("graft-test", 4).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(s)
     s
   }
 }
