@@ -97,7 +97,9 @@ final class EventImporter(
       staging: DataFrame,
       maxDay: LocalDate): Unit = {
     val typed = typedStaging(staging)
-    tiers.foreach { tier =>
+    // tiers write to disjoint tables — run them concurrently so the
+    // Spark scheduler fills executor slots a serial loop leaves idle
+    graft.util.Par.foreach(tiers) { tier =>
       val slice = tierSlice(typed, tier, day, maxDay)
       val ins = insertFilter.fold(slice)(slice.filter)
       val t = table(tier)

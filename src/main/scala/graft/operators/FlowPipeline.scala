@@ -275,7 +275,8 @@ final class FlowPipeline(
       forceReload,
       afterDay = (sp, day, staging, maxDay) => {
         val typed = importer.typedStaging(staging)
-        tiers.foreach(t => afterDayTier(sp, t, day, typed, maxDay))
+        // per-tier cascades touch disjoint metadata/experiments tables
+        graft.util.Par.foreach(tiers)(t => afterDayTier(sp, t, day, typed, maxDay))
       })
     importer.maxExtantDay(spark).foreach { maxDay =>
       tiers.foreach { tier =>
