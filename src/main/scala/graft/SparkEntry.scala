@@ -247,9 +247,11 @@ object SparkEntry {
       "not_a_ts,b,v,o,u,t,s,d",
       "also_not_a_ts,b,v,o,u,t,s,d",
       "1704100004,too,few"))
-    val perDay = CsvEventSource.listDays(s, landing, "activity").map { case (_, file) =>
-      CsvEventSource.readDay(s, file, graft.model.Schemas.activity,
-        CsvEventSource.Strict, maxError = 10, persist = false)
+    // each readDay runs its MAXERROR count job; days are independent
+    val perDay = graft.util.Par.map(CsvEventSource.listDays(s, landing, "activity")) {
+      case (_, file) =>
+        CsvEventSource.readDay(s, file, graft.model.Schemas.activity,
+          CsvEventSource.Strict, maxError = 10, persist = false)
     }
     perDay.reduce(_ unionAll _)
       .groupBy(col("type"))

@@ -148,7 +148,7 @@ object CsvEventSource {
       .collect().map(r => LocalDate.parse(r.getString(0))).toSeq.sorted
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(dir))
-    days.foreach { day =>
+    graft.util.Par.foreach(days) { day =>
       val tmp = s"$dir/.tmp-$day"
       df.filter(col(dayCol) === lit(day.toString).cast(df.schema(dayCol).dataType))
         .drop(dayCol)

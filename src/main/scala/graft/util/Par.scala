@@ -24,4 +24,11 @@ object Par {
       implicit val ec: ExecutionContext = pool
       Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf): Unit
     }
+
+  def map[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.sizeIs <= 1) items.map(f)
+    else {
+      implicit val ec: ExecutionContext = pool
+      Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
+    }
 }
