@@ -454,7 +454,10 @@ object SparkEntry {
       CsvEventSource.writeLanding(s, flowStaging(s, dir), landing, "flow")
       val p = new graft.operators.FlowPipeline(
         TmpDirs.fresh(s"flow_wh_$tag"), dayTiers,
-        historicalCutoff = java.time.LocalDate.parse("2030-01-01"))
+        historicalCutoff = java.time.LocalDate.parse("2030-01-01"),
+        // wider than the 30-day fixture, so identical to unbounded —
+        // exercises the scale knob inside the oracle-gated path
+        updateHorizon = Some(40))
       p.run(s, landing, "flow")
       p
     })
@@ -753,6 +756,64 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** MinHash over character 8-gram shingles — the fine-grained
+    * shingling variant (boilerplate-heavy corpora). */
+  private def minHashCharShingles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    TextDedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text",
+        shingler = TextDedup.charShingles(_))
+      .select(explode(array(col("a"), col("b"))).as("d"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
+  }
+
+  /** Embedding near-dup through SRP buckets — the 100 TB path for q24:
+    * compare only within 4-bit sign-random-projection buckets, report
+    * bucketed vs exact pair counts (the recall trade, quantified). */
+  private def embeddingNearDupBucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm2(col("embedding")).as("nrm"),
+        Similarity.signRandomProjection(col("embedding"), 64, 4).as("bucket"))
+      .cache()
+    def pairs(joinExtra: org.apache.spark.sql.Column): DataFrame = {
+      val a = e.select(col("vec_id").as("a"), col("embedding").as("va"),
+        col("nrm").as("na"), col("bucket").as("ba"))
+      val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"),
+        col("nrm").as("nb"), col("bucket").as("bb"))
+      a.join(b, col("a") < col("b") && joinExtra)
+        .select(round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+        .filter(col("cos") >= 0.4)
+    }
+    pairs(col("ba") === col("bb"))
+      .agg(count(lit(1)).as("n_pairs_bucketed"))
+      .crossJoin(pairs(lit(true)).agg(count(lit(1)).as("n_pairs_exact")))
+  }
+
+  /** Gap-based sessionization via Spark's native session_window (30-min
+    * inactivity gap), verified against a gaps-and-islands oracle. */
+  private def sessionWindows(s: SparkSession, dir: String): DataFrame = {
+    val perSession = Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    perSession.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The SQL surface: spark.sql over temp views, calling the engine's
+    * registered native function from SQL. */
+  private def sqlApiNorms(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_v")
+    s.sql("""
+      SELECT vec_id, label,
+             round(graft_array_dot(embedding, embedding), 6) AS sqnorm
+      FROM embeddings_v WHERE vec_id < 50 ORDER BY vec_id""")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -787,7 +848,11 @@ object SparkEntry {
     "q28_quality_scores" -> (qualityScores _),
     "q29_token_stats" -> (tokenStats _),
     "q30_fingerprints" -> (fingerprints _),
-    "q31_multimodal_features" -> (multimodalFeatures _))
+    "q31_multimodal_features" -> (multimodalFeatures _),
+    "q32_minhash_char_shingles" -> (minHashCharShingles _),
+    "q33_embedding_neardup_bucketed" -> (embeddingNearDupBucketed _),
+    "q35_session_windows" -> (sessionWindows _),
+    "q36_sql_api_norms" -> (sqlApiNorms _))
 
   /** Shared oracle fragment: MinHash(16) + 4-band LSH candidate pairs
     * over `documents` — mirrors TextDedup.lshCandidatePairs. */
@@ -827,7 +892,9 @@ object SparkEntry {
     "q23_ngram_jaccard_topk", "q24_embedding_neardup",
     "q25_ann_bruteforce_topk", "q26_ann_lsh_recall", "q27_lang_id",
     "q28_quality_scores", "q29_token_stats", "q30_fingerprints",
-    "q31_multimodal_features")
+    "q31_multimodal_features", "q32_minhash_char_shingles",
+    "q33_embedding_neardup_bucketed", "q35_session_windows",
+    "q36_sql_api_norms")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1210,5 +1277,61 @@ object SparkEntry {
            strlen(text) // 1000 + 1 AS n_frames,
            CAST(list_sum(list_transform(range(1, LEAST(16, length(text)) + 1),
              i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS head_checksum
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "q32_minhash_char_shingles" ->
+      """WITH w AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(length(lower(trim(text))) - 7, 1) + 1),
+               i -> substr(lower(trim(text)), CAST(i AS INTEGER), 8)))) AS word
+             FROM documents),
+         hs AS (SELECT doc_id, i,
+                       MIN(('0x' || substr(md5(word || '#' || i), 1, 15))::BIGINT) AS sig
+                FROM w CROSS JOIN (SELECT unnest(range(16)) AS i) GROUP BY doc_id, i),
+         bands AS (SELECT doc_id, i // 4 AS band,
+                          string_agg(CAST(sig AS VARCHAR), '|' ORDER BY i) AS key
+                   FROM hs GROUP BY doc_id, (i // 4)),
+         pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         e AS (SELECT a AS d FROM pairs UNION ALL SELECT b FROM pairs)
+         SELECT (SELECT COUNT(*) FROM pairs) AS n_pairs,
+                (SELECT COUNT(DISTINCT d) FROM e) AS n_docs""",
+    "q33_embedding_neardup_bucketed" ->
+      s"""WITH vb AS (SELECT vec_id, b,
+                list_sum(list_transform(range(64), d ->
+                  embedding[CAST(d + 1 AS INTEGER)]::DOUBLE *
+                  (CASE WHEN ('0x' || substr(md5('hp-' || b || '-' || d), 1, 15))::BIGINT % 2 = 1
+                        THEN 1.0 ELSE -1.0 END))) AS proj
+              FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS b)),
+         bk AS (SELECT vec_id,
+                       CAST(SUM(CASE WHEN proj > 0 THEN 1::BIGINT << CAST(b AS INTEGER)
+                                     ELSE 0 END) AS BIGINT) AS bucket
+                FROM vb GROUP BY vec_id),
+         e AS (SELECT emb.vec_id, emb.embedding, bk.bucket
+               FROM embeddings emb JOIN bk ON emb.vec_id = bk.vec_id),
+         bp AS (SELECT COUNT(*) AS n_pairs_bucketed
+                FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+                WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
+         ep AS (SELECT COUNT(*) AS n_pairs_exact
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+                WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4)
+         SELECT bp.n_pairs_bucketed, ep.n_pairs_exact FROM bp CROSS JOIN ep""",
+    "q35_session_windows" ->
+      """WITH m AS (SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+         g AS (SELECT user_id,
+                      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m),
+         sess AS (SELECT user_id, sid, COUNT(*) AS n_events FROM g GROUP BY 1, 2)
+         SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
+                CAST(SUM(n_events) AS BIGINT) AS n_events
+         FROM sess GROUP BY 1 ORDER BY 1""",
+    "q36_sql_api_norms" ->
+      """SELECT vec_id, label,
+                round(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 6) AS sqnorm
+         FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""")
 }

@@ -29,6 +29,17 @@ object TextDedup {
     * case/whitespace variants of a document sketch identically. */
   def normWordSet(text: Column): Column = wordSet(norm(text))
 
+  /** Character k-gram shingles of the normalized text (the classic
+    * shingling for boilerplate-heavy corpora where word sets are too
+    * coarse). Dynamic positions need the SQL substring (3-arg Column
+    * form), reached via call_function. */
+  def charShingles(text: Column, k: Int = 8): Column = {
+    val n = norm(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
+      i => call_function("substring", n, i, lit(k))))
+  }
+
   /** 60-bit deterministic hash (DuckDB-mirrorable):
     * `('0x' || substr(md5(x),1,15))::BIGINT`. */
   def md5Hash60(c: Column): Column =
@@ -65,10 +76,11 @@ object TextDedup {
       idCol: String,
       textCol: String,
       numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      shingler: Column => Column = normWordSet): DataFrame = {
     val r = numHashes / bands
     val sigs = df.select(
-      (col(idCol).as("id") +: minHashSignature(col(textCol), numHashes)): _*)
+      (col(idCol).as("id") +: minHashSignature(col(textCol), numHashes, shingler)): _*)
     val bandKeys = (0 until bands).map { j =>
       concat_ws("|", (j * r until (j + 1) * r).map(i => col(s"sig$i")): _*)
     }
