@@ -856,12 +856,22 @@ object SparkEntry {
 
   /** Shared oracle fragment: MinHash(16) + 4-band LSH candidate pairs
     * over `documents` — mirrors TextDedup.lshCandidatePairs. */
-  private val minHashPairsSql: String =
-    """w AS (SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+  /** SQL VALUES list of the MinHash coefficients — generated from the
+    * same Scala constants the operators use. */
+  private val minHashCoeffsSql: String =
+    graft.operators.TextDedup.minHashCoeffs(16).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
+  private lazy val minHashPairsSql: String =
+    s"""w AS (SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
             FROM documents),
-       hs AS (SELECT doc_id, i,
-                     MIN(('0x' || substr(md5(word || '#' || i), 1, 15))::BIGINT) AS sig
-              FROM w CROSS JOIN (SELECT unnest(range(16)) AS i) GROUP BY doc_id, i),
+       hb AS (SELECT doc_id,
+                     ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS h
+              FROM w),
+       hs AS (SELECT doc_id, c.i AS i,
+                     MIN((h * c.a + c.b) % 2147483647) AS sig
+              FROM hb CROSS JOIN (VALUES $minHashCoeffsSql) AS c(i, a, b)
+              GROUP BY doc_id, c.i),
        bands AS (SELECT doc_id, i // 4 AS band,
                         string_agg(CAST(sig AS VARCHAR), '|' ORDER BY i) AS key
                  FROM hs GROUP BY doc_id, (i // 4)),
@@ -1279,13 +1289,17 @@ object SparkEntry {
              i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS head_checksum
          FROM documents ORDER BY doc_id""",
     "q32_minhash_char_shingles" ->
-      """WITH w AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      s"""WITH w AS (SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, greatest(length(lower(trim(text))) - 7, 1) + 1),
                i -> substr(lower(trim(text)), CAST(i AS INTEGER), 8)))) AS word
              FROM documents),
-         hs AS (SELECT doc_id, i,
-                       MIN(('0x' || substr(md5(word || '#' || i), 1, 15))::BIGINT) AS sig
-                FROM w CROSS JOIN (SELECT unnest(range(16)) AS i) GROUP BY doc_id, i),
+         hb AS (SELECT doc_id,
+                       ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS h
+                FROM w),
+         hs AS (SELECT doc_id, c.i AS i,
+                       MIN((h * c.a + c.b) % 2147483647) AS sig
+                FROM hb CROSS JOIN (VALUES $minHashCoeffsSql) AS c(i, a, b)
+                GROUP BY doc_id, c.i),
          bands AS (SELECT doc_id, i // 4 AS band,
                           string_agg(CAST(sig AS VARCHAR), '|' ORDER BY i) AS key
                    FROM hs GROUP BY doc_id, (i // 4)),
