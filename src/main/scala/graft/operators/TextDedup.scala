@@ -154,4 +154,25 @@ object TextDedup {
   def jaccard(aWords: Column, bWords: Column): Column =
     size(array_intersect(aWords, bWords)).cast(DoubleType) /
       size(array_union(aWords, bWords)).cast(DoubleType)
+
+  /** Incremental exact dedup — the realistic pipeline form: dedupe the
+    * new batch internally, then drop anything whose normalized-text
+    * hash already exists in the historical index (left_anti on 8-byte
+    * hashes; the index never carries text). Returns (survivors,
+    * updated index). */
+  def dedupAgainstIndex(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      seenHashes: DataFrame): (DataFrame, DataFrame) = {
+    val fresh = exactDedup(newDocs, textCol, idCol)
+      .withColumn("_h", md5Hash60(norm(col(textCol))))
+    val survivors = fresh
+      .join(seenHashes.select(col("h").as("_h")), Seq("_h"), "left_anti")
+      .drop("_h")
+    val newIndex = seenHashes
+      .unionByName(fresh.select(col("_h").as("h")))
+      .distinct()
+    (survivors, newIndex)
+  }
 }

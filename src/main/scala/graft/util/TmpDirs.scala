@@ -16,6 +16,9 @@ object TmpDirs {
     dir.getAbsolutePath
   }
 
+  /** Recursive delete of an arbitrary path (test hygiene). */
+  def deleteRecursively(path: String): Unit = delete(new File(path))
+
   private def delete(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
     f.delete(): Unit

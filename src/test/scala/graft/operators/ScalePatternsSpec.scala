@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The 100 TB join patterns: salting for skew bombs, bucketing for
+  * shuffle-free co-located joins, hash-index incremental dedup. */
+class ScalePatternsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals the plain join on a skewed fixture") {
+    // one hot key (90% of probe rows) + a long tail
+    val probe = ((1 to 900).map(i => ("hot", i)) ++ (1 to 100).map(i => (s"k$i", i)))
+      .toDF("k", "v")
+    val build = (Seq("hot") ++ (1 to 100).map(i => s"k$i")).zipWithIndex
+      .toDF("k", "w")
+    val plain = probe.join(build, "k").orderBy("k", "v", "w").collect()
+    val salted = SkewJoin.saltedInner(probe, build, Seq("k"), salt = 8)
+      .select("k", "v", "w").orderBy("k", "v", "w").collect()
+    salted shouldBe plain
+    plain.length shouldBe 1000
+  }
+
+  test("bucketed tables sort-merge join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    // the in-memory catalog forgets tables between JVMs but their dirs
+    // persist under the warehouse — clear the locations too
+    Seq("bk_orders", "bk_lineitem").foreach { t =>
+      graft.util.TmpDirs.deleteRecursively(s"target/spark-warehouse/$t")
+    }
+    graft.Tables.orders(spark, sfSmoke)
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("bk_orders")
+    graft.Tables.lineitem(spark, sfSmoke)
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("bk_lineitem")
+    val j = spark.table("bk_lineitem").hint("merge")
+      .join(spark.table("bk_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = j.queryExecution.sparkPlan.toString
+    // bucket-aligned scan feeds the SMJ directly: no hash repartitioning
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    j.count() shouldBe graft.Tables.lineitem(spark, sfSmoke).count()
+  }
+
+  test("incremental dedup: batch 2 drops docs already in the hash index") {
+    val b1 = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, "ALPHA BETA  "), // seen (normalized) in batch 1
+      (11L, "epsilon zeta"), // new
+      (12L, "epsilon zeta"), // dup within batch 2
+      (13L, "gamma delta")) // seen
+      .toDF("doc_id", "text")
+    val emptyIndex = Seq.empty[Long].toDF("h")
+    val (s1, idx1) = TextDedup.dedupAgainstIndex(b1, "text", "doc_id", emptyIndex)
+    s1.count() shouldBe 2
+    idx1.count() shouldBe 2
+    val (s2, idx2) = TextDedup.dedupAgainstIndex(b2, "text", "doc_id", idx1)
+    s2.select($"doc_id").as[Long].collect().toSet shouldBe Set(11L)
+    idx2.count() shouldBe 3 // alpha-beta, gamma-delta, epsilon-zeta
+  }
+}
