@@ -623,7 +623,12 @@ object SparkEntry {
   private def ngramJaccardTopK(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextDedup
     val docs = Tables.documents(s, dir)
-    val ws = docs.select(col("doc_id"), TextDedup.normWordSet(col("text")).as("ws"))
+    // intersect 8-byte word hashes, not strings: identical Jaccard
+    // (60-bit collisions are negligible; the oracle verifies on raw
+    // words, so a collision would fail the gate, not pass silently)
+    val ws = docs.select(col("doc_id"),
+      transform(TextDedup.normWordSet(col("text")),
+        w => TextDedup.md5Hash60(w)).as("ws"))
     TextDedup.lshCandidatePairs(docs, "doc_id", "text")
       .join(ws.select(col("doc_id").as("a"), col("ws").as("wa")), Seq("a"))
       .join(ws.select(col("doc_id").as("b"), col("ws").as("wb")), Seq("b"))
