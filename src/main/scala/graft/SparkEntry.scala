@@ -796,6 +796,21 @@ object SparkEntry {
       .crossJoin(pairs(lit(true)).agg(count(lit(1)).as("n_pairs_exact")))
   }
 
+  /** Near-dup clusters: connected components over the LSH candidate
+    * graph — the step that makes dedup a dataset operation (keep one
+    * representative per component). Oracle: recursive-CTE transitive
+    * closure with min-label reduction. */
+  private def nearDupComponents(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val pairs = TextDedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text")
+    val comp = TextDedup.connectedComponents(pairs)
+    val sizes = comp.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    sizes.agg(
+      count(lit(1)).as("n_components"),
+      max(col("csize")).as("max_component"),
+      sum(col("csize")).cast("long").as("n_docs_in_pairs"))
+  }
+
   /** Gap-based sessionization via Spark's native session_window (30-min
     * inactivity gap), verified against a gaps-and-islands oracle. */
   private def sessionWindows(s: SparkSession, dir: String): DataFrame = {
@@ -856,6 +871,7 @@ object SparkEntry {
     "q31_multimodal_features" -> (multimodalFeatures _),
     "q32_minhash_char_shingles" -> (minHashCharShingles _),
     "q33_embedding_neardup_bucketed" -> (embeddingNearDupBucketed _),
+    "q34_neardup_components" -> (nearDupComponents _),
     "q35_session_windows" -> (sessionWindows _),
     "q36_sql_api_norms" -> (sqlApiNorms _))
 
@@ -908,8 +924,8 @@ object SparkEntry {
     "q25_ann_bruteforce_topk", "q26_ann_lsh_recall", "q27_lang_id",
     "q28_quality_scores", "q29_token_stats", "q30_fingerprints",
     "q31_multimodal_features", "q32_minhash_char_shingles",
-    "q33_embedding_neardup_bucketed", "q35_session_windows",
-    "q36_sql_api_norms")
+    "q33_embedding_neardup_bucketed", "q34_neardup_components",
+    "q35_session_windows", "q36_sql_api_norms")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1334,6 +1350,17 @@ object SparkEntry {
                 FROM e a JOIN e b ON a.vec_id < b.vec_id
                 WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4)
          SELECT bp.n_pairs_bucketed, ep.n_pairs_exact FROM bp CROSS JOIN ep""",
+    "q34_neardup_components" ->
+      s"""WITH RECURSIVE $minHashPairsSql,
+         ed AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         reach(d, r) AS (
+           SELECT src AS d, src AS r FROM ed
+           UNION
+           SELECT ed.src AS d, reach.r FROM ed JOIN reach ON ed.dst = reach.d),
+         comp AS (SELECT d, MIN(r) AS label FROM reach GROUP BY d),
+         sizes AS (SELECT label, COUNT(*) AS csize FROM comp GROUP BY label)
+         SELECT COUNT(*) AS n_components, MAX(csize) AS max_component,
+                CAST(SUM(csize) AS BIGINT) AS n_docs_in_pairs FROM sizes""",
     "q35_session_windows" ->
       """WITH m AS (SELECT user_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -150,6 +150,46 @@ object TextDedup {
       .distinct()
   }
 
+  /** Connected components over an undirected pair graph — the step
+    * that turns near-dup candidate PAIRS into dedup CLUSTERS (keep the
+    * min-id representative per component). Iterative min-label
+    * propagation: each round every node takes the minimum label among
+    * itself and its neighbors; converges in O(component diameter)
+    * rounds (LSH bands produce near-cliques, so typically 2-4). Each
+    * round is one shuffle on node id; the driver only checks the
+    * changed-label count. Returns (id, label). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      next.count(): Unit // materialize before comparing
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Set Jaccard over word sets (the exact verify stage after LSH). */
   def jaccard(aWords: Column, bWords: Column): Column =
     size(array_intersect(aWords, bWords)).cast(DoubleType) /

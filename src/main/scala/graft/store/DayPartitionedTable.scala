@@ -108,6 +108,25 @@ final class DayPartitionedTable(
     fs(spark).delete(new Path(s"$path/$dayCol=$day"), true): Unit
   }
 
+  /** D4 — post-hoc compaction of one day partition (the VACUUM FULL
+    * analog for partitions accreted by many small incremental jobs):
+    * rewrite the partition's files into `filesPerDay` sorted files via
+    * a sibling temp dir and a directory swap — fully distributed, one
+    * partition of IO, and never reads the path it overwrites. */
+  def compactDay(spark: SparkSession, day: LocalDate): Unit = {
+    if (!hasDay(spark, day)) return
+    val src = new Path(s"$path/$dayCol=$day")
+    val tmp = new Path(s"$path/.compacting-$day")
+    val f = fs(spark)
+    f.delete(tmp, true)
+    val rows = spark.read.parquet(src.toString)
+    val shaped = rows.repartition(math.max(filesPerDay, 1))
+    val sorted = sortCol.fold(shaped)(c => shaped.sortWithinPartitions(col(c)))
+    sorted.write.mode("overwrite").parquet(tmp.toString)
+    f.delete(src, true)
+    f.rename(tmp, src): Unit
+  }
+
   /** D2 — drop day partitions strictly before `cutoff`. Metadata-only. */
   def expireBefore(spark: SparkSession, cutoff: LocalDate): Unit = {
     val f = fs(spark)

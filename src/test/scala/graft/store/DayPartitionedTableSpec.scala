@@ -70,6 +70,26 @@ class DayPartitionedTableSpec extends SparkSpec {
     parquets should be >= 1
   }
 
+  test("D4: compactDay collapses an accreted partition, preserving rows") {
+    val root = TmpDirs.fresh("spec-store-compact")
+    val t = new DayPartitionedTable(root, "ev", sortCol = Some("ts"))
+    val ev = eventsWithDay
+    t.writeDays(ev)
+    val day = LocalDate.parse("2024-01-05")
+    // simulate small-file accretion: append extra files into the partition
+    val dir = new java.io.File(s"${t.path}/day=$day")
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath, new java.io.File(dir, "extra1.parquet").toPath)
+    val before = t.read(spark).filter(col("day") === lit(day.toString).cast("date")).count()
+    dir.listFiles().count(_.getName.endsWith(".parquet")) should be > 1
+    t.compactDay(spark, day)
+    dir.listFiles().count(_.getName.endsWith(".parquet")) shouldBe 1
+    t.read(spark).filter(col("day") === lit(day.toString).cast("date"))
+      .count() shouldBe before
+    // other partitions untouched
+    t.read(spark).count() shouldBe ev.count() + (before / 2)
+  }
+
   test("partition pruning: a day-range read scans only selected partitions") {
     val root = TmpDirs.fresh("spec-store-prune")
     val t = new DayPartitionedTable(root, "ev")
