@@ -25,6 +25,16 @@ object StreamingRollups {
         count(lit(1)).as("n_events"))
       .select(to_date(col("w.start")).as("day"), col("dau_approx"), col("n_events"))
 
+  /** Streaming exact dedup on an id column: duplicates arriving within
+    * the watermark window are suppressed, and per-key state expires
+    * with the watermark (bounded state — the property that makes
+    * streaming dedup viable at 100 TB/day; an unbounded dropDuplicates
+    * would hold every id ever seen). */
+  def dedupStream(events: DataFrame, idCol: String): DataFrame =
+    events
+      .withWatermark("ts", "25 hours")
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Per-day, per-type counts (the events-side generator for the
     * reference's pre-aggregated counts file). */
   def dailyTypeCounts(events: DataFrame): DataFrame =

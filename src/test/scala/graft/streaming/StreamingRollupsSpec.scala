@@ -13,6 +13,24 @@ class StreamingRollupsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("streaming dedup: in-watermark duplicates suppressed, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingRollups.dedupStream(input.toDS().toDF(), "user_id")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1, "view"),
+        Ev(ts("2024-01-01 10:05:00"), 1, "view"), // same-batch duplicate
+        Ev(ts("2024-01-01 11:00:00"), 2, "view"))
+      q.processAllAvailable()
+      input.addData(Ev(ts("2024-01-01 12:00:00"), 1, "click")) // cross-batch dup
+      q.processAllAvailable()
+      val users = spark.table("dedup").select($"user_id").as[Long].collect().toSeq
+      users.sorted shouldBe Seq(1L, 2L)
+    } finally q.stop()
+  }
+
   test("windowed DAU: 1-day tumbling windows close after the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
