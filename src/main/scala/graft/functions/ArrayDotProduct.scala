@@ -37,6 +37,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_array_dot"
 
+  // Semantics at the edges (kept identical between eval and codegen):
+  // null ELEMENTS contribute 0.0 (parquet float arrays read back with
+  // containsNull=true even when no nulls exist, so requiring
+  // containsNull=false would reject every real column); mismatched
+  // lengths truncate to the shorter array.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -44,7 +49,9 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      }
       i += 1
     }
     acc
@@ -59,7 +66,9 @@ case class ArrayDotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

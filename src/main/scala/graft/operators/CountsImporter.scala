@@ -53,6 +53,10 @@ final class CountsImporter(
       val typed = flagged.filter(!col("_error"))
         .select(col("day_str").cast("date").as("day"), // F6 day::DATE
           col("accounts"), col("verified_accounts"))
+        // B2 analog: a stray line whose embedded date differs from the
+        // file's day must not overwrite ANOTHER day's partition (the
+        // dynamic overwrite would otherwise clobber it with one row)
+        .filter(col("day") === lit(day.toString).cast("date"))
       table.clearDay(spark, day)
       table.writeDays(typed)
     }

@@ -41,9 +41,13 @@ object Multimodal {
       octet_length(col("text")).cast("long").as("byte_len"))
 
   /** STUB decoder — deterministic fake of decode/frame-sample/feature
-    * extraction. A real implementation would decode `media` here. */
+    * extraction. A real implementation would decode `media` here; the
+    * stub "decodes" the payload back to text and checksums the first 16
+    * CODEPOINTS (not raw bytes), so the semantics are byte-encoding
+    * independent and match the oracle on non-ASCII content too. */
   def decodeStub(doc: MediaDoc): MediaFeatures = {
-    val head = doc.media.take(16).foldLeft(0L)((acc, b) => acc + (b & 0xff))
+    val decoded = new String(doc.media, java.nio.charset.StandardCharsets.UTF_8)
+    val head = decoded.codePoints().limit(16).asLongStream().sum()
     MediaFeatures(
       doc_id = doc.doc_id,
       byte_len = doc.media.length.toLong,

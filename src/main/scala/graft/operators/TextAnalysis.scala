@@ -51,15 +51,8 @@ object TextAnalysis {
     aggregate(words(text), lit(0L),
       (acc, w) => acc + ((length(w) + 3) / 4).cast(LongType))
 
-  /** Quality facets, all integers: token count, char count, stopword
-    * hits (en), longest word. `highQuality` = ≥ minWords tokens AND
-    * stopword ratio ≥ 10% (integer-compare form). */
-  def qualityFacets(text: Column): Seq[(String, Column)] = Seq(
-    "n_words" -> tokenCount(text),
-    "n_chars" -> length(text),
-    "n_stop" -> stopwordCount(text, langMarkers.head._2),
-    "max_wlen" -> array_max(transform(words(text), w => length(w))))
-
+  /** High-quality gate: ≥ minWords tokens AND stopword ratio ≥ 10%
+    * (integer-compare form — no float ratios). */
   def highQuality(text: Column, minWords: Int = 50): Column =
     tokenCount(text) >= minWords &&
       stopwordCount(text, langMarkers.head._2) * 10 >= tokenCount(text)

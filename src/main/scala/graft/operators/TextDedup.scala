@@ -187,6 +187,10 @@ object TextDedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter) — raise maxIter")
     labels
   }
 

@@ -158,7 +158,9 @@ object CsvEventSource {
         .csv(tmp)
       val part = fs.listStatus(new Path(tmp))
         .map(_.getPath).find(_.getName.startsWith("part-")).get
-      fs.rename(part, new Path(s"$dir/$prefix-$day.csv"))
+      val dest = new Path(s"$dir/$prefix-$day.csv")
+      fs.delete(dest, false) // rename silently no-ops onto an existing file
+      require(fs.rename(part, dest), s"rename failed: $part -> $dest")
       fs.delete(new Path(tmp), true)
     }
     days

@@ -5,7 +5,6 @@ import java.time.LocalDate
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
 
 /** Day-partitioned zstd-parquet table — the engine's storage layer.
   *
@@ -90,16 +89,6 @@ final class DayPartitionedTable(
       .parquet(path)
   }
 
-  /** Full-table replace (used by summary rebuild windows). */
-  def overwriteAll(df: DataFrame): Unit = {
-    df.repartition(col(dayCol))
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-      .partitionBy(dayCol)
-      .parquet(path)
-  }
-
   /** D1's DELETE half, standalone: drop one day partition. Needed when a
     * rebuild may legitimately produce ZERO rows for the day (the
     * reference's Q_CLEAR_DAY runs unconditionally; dynamic overwrite
@@ -138,18 +127,6 @@ final class DayPartitionedTable(
   /** Read the table; `basePath` keeps the partition column visible. */
   def read(spark: SparkSession): DataFrame =
     spark.read.option("basePath", path).parquet(path)
-
-  /** Read, or an empty frame with `schema` (+ day column) if absent —
-    * the `MAX(day)`-of-empty-table case the reference crashes on
-    * (import_events.py:250). */
-  def readOr(spark: SparkSession, schema: StructType): DataFrame =
-    if (exists(spark)) read(spark)
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(schema.fields :+
-          org.apache.spark.sql.types.StructField(
-            dayCol, org.apache.spark.sql.types.DateType)))
 
   /** Partition-pruned read of `[from, until]` (B3 date-range). */
   def readRange(spark: SparkSession, from: LocalDate, until: LocalDate): DataFrame =

@@ -28,10 +28,10 @@ object CohortProps extends Properties("hexPrefixCohort") {
       cohorts(Seq(id)).head.exists(c => c >= 0 && c < 100)
     }
 
-  property("tiers nest: cohort<10 implies cohort<50 implies cohort<100") =
+  property("matches the reference formula: parseLong(id[0:7], 16) % 100") =
     Prop.forAll(hexId) { id =>
-      val c = cohorts(Seq(id)).head.get
-      (c >= 10 || c < 50) && (c >= 50 || c < 100)
+      cohorts(Seq(id)).head.contains(
+        java.lang.Long.parseLong(id.take(7), 16) % 100)
     }
 
   property("FROM 0 FOR 8 quirk: only the first 7 chars matter") =

@@ -13,11 +13,9 @@ import graft.util.TmpDirs
 class EventImporterSpec extends SparkSpec {
   import spark.implicits._
 
-  // day-granular tiers so expiry/retention are observable in a 30-day fixture
-  private val dayTiers = Seq(
-    SampleTier(10, Period.ofDays(36), "_sampled_10"),
-    SampleTier(50, Period.ofDays(24), "_sampled_50"),
-    SampleTier(100, Period.ofDays(18), ""))
+  // the oracle-gated day-granular tiers (single definition, shared with
+  // the q11/q18 correctness queries so spec and gate can't drift)
+  private val dayTiers = SparkEntry.dayTiers
 
   private def freshImporter(name: String): (EventImporter, String) = {
     val wh = TmpDirs.fresh(s"spec-imp-$name-wh")
