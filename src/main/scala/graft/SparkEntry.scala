@@ -834,6 +834,27 @@ object SparkEntry {
       FROM embeddings_v WHERE vec_id < 50 ORDER BY vec_id""")
   }
 
+  /** Exact interpolated percentiles of event value per type (quality
+    * cutoffs in data curation are percentile-driven; exact `percentile`
+    * and DuckDB's quantile_cont share the linear-interpolation
+    * definition, so the oracle matches bit-for-bit). */
+  private def valuePercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))
+      .orderBy(col("event_type"))
+
+  /** ROLLUP over (lang, source): per-group, per-lang and grand-total
+    * doc counts in one pass (grouping sets). */
+  private def docRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -873,7 +894,9 @@ object SparkEntry {
     "q33_embedding_neardup_bucketed" -> (embeddingNearDupBucketed _),
     "q34_neardup_components" -> (nearDupComponents _),
     "q35_session_windows" -> (sessionWindows _),
-    "q36_sql_api_norms" -> (sqlApiNorms _))
+    "q36_sql_api_norms" -> (sqlApiNorms _),
+    "q37_value_percentiles" -> (valuePercentiles _),
+    "q38_doc_rollup" -> (docRollup _))
 
   /** Shared oracle fragment: MinHash(16) + 4-band LSH candidate pairs
     * over `documents` — mirrors TextDedup.lshCandidatePairs. */
@@ -925,7 +948,8 @@ object SparkEntry {
     "q28_quality_scores", "q29_token_stats", "q30_fingerprints",
     "q31_multimodal_features", "q32_minhash_char_shingles",
     "q33_embedding_neardup_bucketed", "q34_neardup_components",
-    "q35_session_windows", "q36_sql_api_norms")
+    "q35_session_windows", "q36_sql_api_norms", "q37_value_percentiles",
+    "q38_doc_rollup")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1379,5 +1403,16 @@ object SparkEntry {
     "q36_sql_api_norms" ->
       """SELECT vec_id, label,
                 round(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 6) AS sqnorm
-         FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""")
+         FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""",
+    "q37_value_percentiles" ->
+      """SELECT event_type,
+                quantile_cont(value, 0.5) AS p50,
+                quantile_cont(value, 0.9) AS p90,
+                quantile_cont(value, 0.99) AS p99
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q38_doc_rollup" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY ROLLUP (lang, source)
+         ORDER BY lang, source""")
 }
