@@ -1,26 +1,60 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — prints ONE JSON line the driver parses.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_REPEATS` times (default 3) and
+  * reports the per-query MINIMUM: a shared-box bench is noisy (the
+  * round-2 driver run recorded 15 s for a query that takes <1 s on an
+  * idle machine), and min-of-N is the standard way to measure the
+  * engine rather than the neighbors. The max-min spread is emitted per
+  * query so variance is visible in the artifact itself.
+  *
+  * A query that throws is recorded as `null` in "queries", listed in
+  * "errors", EXCLUDED from the total, and fails the run (nonzero exit)
+  * — a broken query must never silently deflate the benchmark.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val spark = GraftSession.forMain("graft-bench")
     // Warm the JVM/codegen/IO paths once so the first measured query
     // doesn't absorb session startup (measures queries, not JIT).
     Tables.lineitem(spark, sfDir).limit(1).collect()
-    val results = SparkEntry.benchQueries.map(n => n -> SparkEntry.queries(n)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: full plan executes (a bare .count() can let Spark skip
-      // evaluating projected expressions under column pruning).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // no cross-query cache accumulation
-      name -> dt
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results: Seq[(String, Either[String, (Double, Double)])] =
+      SparkEntry.benchQueries.map { name =>
+        val fn = SparkEntry.queries(name)
+        val runs = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          // noop sink: full plan executes (a bare .count() can let Spark
+          // skip evaluating projected expressions under column pruning).
+          val r =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Right(()) }
+            catch { case e: Throwable => Left(e.toString.linesIterator.next()) }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache() // no cross-query cache accumulation
+          r.map(_ => dt)
+        }
+        val times = runs.collect { case Right(t) => t }
+        val res =
+          if (times.nonEmpty) Right((times.min, times.max - times.min))
+          else Left(runs.collectFirst { case Left(e) => e }.getOrElse("unknown"))
+        res.left.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
+        name -> res
+      }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map {
+      case (k, Right((mn, _))) => s"${jstr(k)}:$mn"
+      case (k, Left(_)) => s"${jstr(k)}:null"
+    }.mkString("{", ",", "}")
+    val spreads = results.collect { case (k, Right((_, sp))) => s"${jstr(k)}:$sp" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, Right((mn, _))) => mn }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""spread_sec":$spreads,"repeats":$repeats,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._2.isLeft)) sys.exit(1)
   }
 }

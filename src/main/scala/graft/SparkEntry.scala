@@ -765,8 +765,11 @@ object SparkEntry {
     * shingling variant (boilerplate-heavy corpora). */
   private def minHashCharShingles(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextDedup
+    // 32/4 (8 rows/band ≈ 0.84 threshold): char 8-gram space is already
+    // discriminative, so the steep 64/16 word-set setting would double
+    // the signature cost for no selectivity gain
     TextDedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text",
-        shingler = TextDedup.charShingles(_))
+        numHashes = 32, bands = 4, shingler = TextDedup.charShingles(_))
       .select(explode(array(col("a"), col("b"))).as("d"))
       .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
         countDistinct(col("d")).as("n_docs"))
@@ -798,11 +801,15 @@ object SparkEntry {
 
   /** Near-dup clusters: connected components over the LSH candidate
     * graph — the step that makes dedup a dataset operation (keep one
-    * representative per component). Oracle: recursive-CTE transitive
-    * closure with min-label reduction. */
+    * representative per component). Pipeline order matters at scale:
+    * exact dedup runs FIRST (one cheap 8-byte-hash shuffle), so
+    * byte-identical templated docs never inflate the LSH buckets or
+    * the component graph. Oracle: recursive-CTE transitive closure
+    * with min-label reduction over the same survivor set. */
   private def nearDupComponents(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextDedup
-    val pairs = TextDedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text")
+    val survivors = TextDedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+    val pairs = TextDedup.lshCandidatePairs(survivors, "doc_id", "text")
     val comp = TextDedup.connectedComponents(pairs)
     val sizes = comp.groupBy(col("label")).agg(count(lit(1)).as("csize"))
     sizes.agg(
@@ -898,30 +905,48 @@ object SparkEntry {
     "q37_value_percentiles" -> (valuePercentiles _),
     "q38_doc_rollup" -> (docRollup _))
 
-  /** Shared oracle fragment: MinHash(16) + 4-band LSH candidate pairs
-    * over `documents` — mirrors TextDedup.lshCandidatePairs. */
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
-  private val minHashCoeffsSql: String =
-    graft.operators.TextDedup.minHashCoeffs(16).zipWithIndex
+  private def minHashCoeffsSql(numHashes: Int): String =
+    graft.operators.TextDedup.minHashCoeffs(numHashes).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
-  private lazy val minHashPairsSql: String =
-    s"""w AS (SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
-            FROM documents),
+  /** Shared oracle fragment: MinHash + banded LSH candidate pairs with
+    * the bucket-size guard — mirrors TextDedup.lshCandidatePairs over
+    * any `w(doc_id, word)` shingle CTE. Buckets over 100 docs are
+    * refined by the exact shingle-set hash, exactly like the Spark
+    * side. */
+  private def lshPairsSqlOverShingles(
+      wCte: String, numHashes: Int = 64, rowsPerBand: Int = 16): String =
+    s"""w AS ($wCte),
        hb AS (SELECT doc_id,
                      ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS h
               FROM w),
        hs AS (SELECT doc_id, c.i AS i,
                      MIN((h * c.a + c.b) % 2147483647) AS sig
-              FROM hb CROSS JOIN (VALUES $minHashCoeffsSql) AS c(i, a, b)
+              FROM hb CROSS JOIN (VALUES ${minHashCoeffsSql(numHashes)}) AS c(i, a, b)
               GROUP BY doc_id, c.i),
-       bands AS (SELECT doc_id, i // 4 AS band,
+       sk AS (SELECT doc_id, md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS setkey
+              FROM (SELECT DISTINCT doc_id, h FROM hb) GROUP BY doc_id),
+       bands AS (SELECT doc_id, i // $rowsPerBand AS band,
                         string_agg(CAST(sig AS VARCHAR), '|' ORDER BY i) AS key
-                 FROM hs GROUP BY doc_id, (i // 4)),
+                 FROM hs GROUP BY doc_id, (i // $rowsPerBand)),
+       bsz AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key),
+       rb AS (SELECT b.doc_id, b.band,
+                     CASE WHEN s.n <= 100 THEN b.key
+                          ELSE b.key || '!' || k.setkey END AS key
+              FROM bands b JOIN bsz s USING (band, key) JOIN sk k USING (doc_id)),
        pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-                 FROM bands a JOIN bands b
+                 FROM rb a JOIN rb b
                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+  /** Word-set shingles over a docs relation (the default shingler). */
+  private def minHashPairsSqlOver(docs: String): String =
+    lshPairsSqlOverShingles(
+      s"""SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+          FROM $docs""")
+
+  private lazy val minHashPairsSql: String = minHashPairsSqlOver("documents")
 
   /** Shared oracle fragment: rounded cosine between two 64-dim FLOAT[]
     * columns — same double math and summation order as Similarity. */
@@ -1334,23 +1359,11 @@ object SparkEntry {
              i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS head_checksum
          FROM documents ORDER BY doc_id""",
     "q32_minhash_char_shingles" ->
-      s"""WITH w AS (SELECT doc_id, unnest(list_distinct(list_transform(
-               range(1, greatest(length(lower(trim(text))) - 7, 1) + 1),
-               i -> substr(lower(trim(text)), CAST(i AS INTEGER), 8)))) AS word
-             FROM documents),
-         hb AS (SELECT doc_id,
-                       ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS h
-                FROM w),
-         hs AS (SELECT doc_id, c.i AS i,
-                       MIN((h * c.a + c.b) % 2147483647) AS sig
-                FROM hb CROSS JOIN (VALUES $minHashCoeffsSql) AS c(i, a, b)
-                GROUP BY doc_id, c.i),
-         bands AS (SELECT doc_id, i // 4 AS band,
-                          string_agg(CAST(sig AS VARCHAR), '|' ORDER BY i) AS key
-                   FROM hs GROUP BY doc_id, (i // 4)),
-         pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-                   FROM bands a JOIN bands b
-                     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      s"""WITH ${lshPairsSqlOverShingles(
+             """SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(length(lower(trim(text))) - 7, 1) + 1),
+                  i -> substr(lower(trim(text)), CAST(i AS INTEGER), 8)))) AS word
+                FROM documents""", numHashes = 32, rowsPerBand = 8)},
          e AS (SELECT a AS d FROM pairs UNION ALL SELECT b FROM pairs)
          SELECT (SELECT COUNT(*) FROM pairs) AS n_pairs,
                 (SELECT COUNT(DISTINCT d) FROM e) AS n_docs""",
@@ -1375,7 +1388,10 @@ object SparkEntry {
                 WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4)
          SELECT bp.n_pairs_bucketed, ep.n_pairs_exact FROM bp CROSS JOIN ep""",
     "q34_neardup_components" ->
-      s"""WITH RECURSIVE $minHashPairsSql,
+      s"""WITH RECURSIVE kmin AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                                  GROUP BY lower(trim(text))),
+         sdocs AS (SELECT d.* FROM documents d JOIN kmin USING (doc_id)),
+         ${minHashPairsSqlOver("sdocs")},
          ed AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
          reach(d, r) AS (
            SELECT src AS d, src AS r FROM ed

@@ -49,17 +49,27 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane sign for (bit b, dim d): parity of an
-    * md5-derived integer — identical in the DuckDB mirror. */
-  private def planeSign(b: Int, d: Column): Column =
-    when(TextDedup.md5Hash60(concat(lit(s"hp-$b-"), d.cast("string"))) % 2 === 1,
-      lit(1.0)).otherwise(lit(-1.0))
+    * md5-derived integer — identical in the DuckDB mirror
+    * (`('0x' || substr(md5('hp-' || b || '-' || d), 1, 15))::BIGINT % 2`).
+    * The sign depends only on the CONSTANTS (b, d), so it is computed
+    * once driver-side and folded into a literal array at plan time —
+    * the round-2 form re-evaluated md5 per row per (bit, dim): 384
+    * interpreted digests per vector for a 6-bit/64-dim signature. */
+  private def planeSign(b: Int, d: Int): Float = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"hp-$b-$d".getBytes("UTF-8"))
+      .map(x => f"$x%02x").mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 1) 1.0f
+    else -1.0f
+  }
 
-  /** Sign-random-projection bucket id (nbits-bit LSH signature). */
+  /** Sign-random-projection bucket id (nbits-bit LSH signature): nbits
+    * codegen'd dot products against plan-time ±1 literal arrays (±1 is
+    * exact in float, so the double math matches the oracle's ±1.0). */
   def signRandomProjection(vec: Column, dims: Int, nbits: Int): Column =
     (0 until nbits).map { b =>
-      val proj = aggregate(sequence(lit(0), lit(dims - 1)), lit(0.0),
-        (acc, d) => acc + element_at(vec, d + 1).cast(DoubleType) * planeSign(b, d))
-      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+      val signs = lit((0 until dims).map(d => planeSign(b, d)).toArray)
+      when(dot(vec, signs) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Bucketed ANN: top-k among same-bucket mates only, plus the bucket

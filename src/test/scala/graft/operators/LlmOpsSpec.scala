@@ -40,6 +40,42 @@ class LlmOpsSpec extends SparkSpec {
     java.lang.Long.bitCount(sim(0L) ^ sim(3L)) should be >= hamming
   }
 
+  test("connected components: 1000-node path converges in O(log n) rounds") {
+    // plain neighbor-min propagation needs 999 rounds on a path; the
+    // pointer-jumping variant must close it in ~12
+    val pairs = spark.range(0, 999)
+      .select($"id".as("a"), ($"id" + 1L).as("b"))
+    val labels = TextDedup.connectedComponents(pairs.toDF(), maxIter = 15)
+    labels.count() shouldBe 1000
+    labels.filter($"label" =!= 0L).count() shouldBe 0
+  }
+
+  test("connected components: separate cliques keep separate min labels") {
+    val edges = (for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)) ++
+      (for (a <- 10L to 12L; b <- (a + 1) to 12L) yield (a, b))
+    val labels = TextDedup.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    (0L to 3L).foreach(n => labels(n) shouldBe 0L)
+    (10L to 12L).foreach(n => labels(n) shouldBe 10L)
+  }
+
+  test("LSH bucket-size guard refines mega-buckets to exact set matches") {
+    // 10 groups × 12 copies over a 10-word vocabulary, group g missing
+    // word g: cross-group Jaccard is 0.8, identical sets within group.
+    // Identical sets share every band key, so every bucket holds whole
+    // groups (≥12 docs > cap=5) and gets refined by the exact set key:
+    // cross-group candidates must vanish, within-group pairs must ALL
+    // survive (the guard refines, never drops).
+    val vocab = ('a' to 'j').map(c => s"word$c")
+    val rows = for (g <- 0 until 10; c <- 0 until 12)
+      yield ((g * 12 + c).toLong, vocab.patch(g, Nil, 1).mkString(" "))
+    val df = rows.toDF("doc_id", "text")
+    val pairs = TextDedup.lshCandidatePairs(df, "doc_id", "text", bucketCap = 5)
+      .cache()
+    pairs.filter(floor($"a" / 12) =!= floor($"b" / 12)).count() shouldBe 0
+    pairs.count() shouldBe 10L * (12 * 11 / 2)
+  }
+
   test("jaccard: set semantics (duplicates ignored), exact values") {
     val ws = docs.select($"doc_id", TextDedup.wordSet($"text").as("ws"))
     val j = ws.filter($"doc_id" === 0).select($"ws".as("wa"))
