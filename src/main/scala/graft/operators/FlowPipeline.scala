@@ -42,17 +42,24 @@ import graft.store.DayPartitionedTable
   *
   * All update build sides are one-day aggregates — broadcast joins —
   * and metadata rewrites touch only the partitions that contain matched
-  * flow_ids (collected driver-side from the joined frame). At 100 TB
-  * the faithful any-export_date update scope can be bounded with
-  * `updateHorizon` (flows span ≤ 2 days, so export_date ≥ d-horizon
-  * sees every legitimate match).
+  * flow_ids (collected driver-side from the joined frame).
+  *
+  * `updateHorizon` bounds the update scan to metadata partitions with
+  * export_date ≥ day − horizon. Flows span at most 2 calendar days by
+  * construction (one +1-day late-data lookback), so `Some(2)` — the
+  * default — sees every metadata row a day-d processing can legitimately
+  * touch while scanning O(1) partitions instead of the whole table (the
+  * reference's unbounded `UPDATE ... FROM` scope is the classic
+  * full-table-scan-per-day scale trap). `None` restores the
+  * reference-faithful unbounded scope for parity experiments;
+  * FlowPipelineSpec locks horizon-2 ≡ unbounded on a 30-day fixture.
   */
 final class FlowPipeline(
     val warehouse: String,
     val tiers: Seq[SampleTier] = SampleTier.defaults,
     val historicalCutoff: LocalDate = LocalDate.parse("2016-10-25"),
     val maxError: Int = 100,
-    val updateHorizon: Option[Int] = None) {
+    val updateHorizon: Option[Int] = Some(2)) {
 
   /** Control events are absorbed into metadata/experiments (D3): the
     * permanent flow_events tables hold payload events only. */
@@ -199,7 +206,13 @@ final class FlowPipeline(
     if (metaT.days(spark).isEmpty || upd.isEmpty) return
     val meta = metaT.read(spark).filter(horizonFilter(day))
     val u = broadcast(upd.withColumnRenamed("flow_id", "u_flow_id"))
-    val joined = meta.join(u, meta("flow_id") === u("u_flow_id"), "left").cache()
+    // localCheckpoint, not cache: writeDays below dynamically overwrites
+    // the very partitions this frame reads. A cached plan keeps its full
+    // lineage, so losing a block mid-write would recompute from the
+    // half-overwritten table; checkpointing severs the lineage before
+    // the first overwritten byte.
+    val joined = meta.join(u, meta("flow_id") === u("u_flow_id"), "left")
+      .localCheckpoint()
     def m(c: String): Column = coalesce(col(c), lit(false))
     val anyMatch = m("fold_m") || m("completed_m") || m("created_m") ||
       m("cont_m") || (if (joined.columns.contains("mcx_m")) m("mcx_m") else lit(false))
@@ -232,7 +245,6 @@ final class FlowPipeline(
           .filter(col("export_date").cast("string").isin(affected: _*))
           .select(outCols: _*))
     }
-    joined.unpersist(): Unit
   }
 
   /** Step 12 — Q_UPDATE_EXPERIMENTS (`:287-298`). */
@@ -245,7 +257,10 @@ final class FlowPipeline(
     val exp = expT.read(spark).filter(horizonFilter(day))
     val u = broadcast(fold
       .select(col("flow_id").as("u_flow_id"), col("upd_uid"), col("fold_m")))
-    val joined = exp.join(u, exp("flow_id") === u("u_flow_id"), "left").cache()
+    // localCheckpoint for the same read-then-overwrite reason as
+    // applyMetadataUpdates
+    val joined = exp.join(u, exp("flow_id") === u("u_flow_id"), "left")
+      .localCheckpoint()
     val affected = joined.filter(coalesce(col("fold_m"), lit(false)))
       .select(col("export_date").cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -259,7 +274,6 @@ final class FlowPipeline(
           .filter(col("export_date").cast("string").isin(affected: _*))
           .select(outCols: _*))
     }
-    joined.unpersist(): Unit
   }
 
   /** Full run: generic import (with absorption-filtered inserts) + the

@@ -46,9 +46,13 @@ object CsvEventSource {
     extends RuntimeException(
       s"CSV load produced $errors error rows (MAXERROR $maxError)")
 
-  /** One regex pass over the raw line = the 13 grep -v filters. */
+  /** One regex pass over the raw line = the 13 grep -v filters. The
+    * `(?i:...)` groups SCOPE the case-insensitivity to the two SQL
+    * keywords (clean-flow-data.sh greps `-i` for those alone); an
+    * unscoped `(?i)` would leak to everything after it and drop e.g.
+    * 'NSLookup' lines the reference keeps. */
   val blocklistPattern: String =
-    """["'`;><\\]|\./|(?i)select |(?i)declare |burpcollab|nslookup|file:"""
+    """["'`;><\\]|\./|(?i:select )|(?i:declare )|burpcollab|nslookup|file:"""
 
   def blocklisted(line: Column): Column = line.rlike(blocklistPattern)
 

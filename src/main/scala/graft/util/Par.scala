@@ -9,24 +9,36 @@ import scala.concurrent.duration.Duration
   * three sample tiers of one import day — separate output tables, no
   * shared state). The Spark scheduler interleaves concurrently
   * submitted jobs across executor slots, which a serial per-tier loop
-  * leaves idle. */
+  * leaves idle.
+  *
+  * Nested calls run INLINE: the fixed pool blocks its callers with
+  * Await, so a Par call from inside a Par task would deadlock once
+  * all pool threads block awaiting inner futures. Re-entry is detected
+  * by thread name and degrades to the sequential loop — same results,
+  * no extra parallelism, no deadlock.
+  */
 object Par {
+  private val threadName = "graft-par"
+
   private val pool = ExecutionContext.fromExecutorService(
     Executors.newFixedThreadPool(4, r => {
-      val t = new Thread(r, "graft-par")
+      val t = new Thread(r, threadName)
       t.setDaemon(true)
       t
     }))
 
+  private def onParThread: Boolean =
+    Thread.currentThread().getName == threadName
+
   def foreach[A](items: Seq[A])(f: A => Unit): Unit =
-    if (items.sizeIs <= 1) items.foreach(f)
+    if (items.sizeIs <= 1 || onParThread) items.foreach(f)
     else {
       implicit val ec: ExecutionContext = pool
       Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf): Unit
     }
 
   def map[A, B](items: Seq[A])(f: A => B): Seq[B] =
-    if (items.sizeIs <= 1) items.map(f)
+    if (items.sizeIs <= 1 || onParThread) items.map(f)
     else {
       implicit val ec: ExecutionContext = pool
       Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)

@@ -130,6 +130,31 @@ class FlowPipelineSpec extends SparkSpec {
     flows("") shouldBe Set(f1, f2, f3, f4, f5)
   }
 
+  test("updateHorizon=2 equals the unbounded parity scope on 30 days") {
+    // flows span ≤ 2 calendar days, so bounding the UPDATE scan to
+    // export_date ≥ d-2 must not change a single metadata or
+    // experiments row vs the reference-faithful full-table scope
+    val oneTier = Seq(SampleTier(100, java.time.Period.ofDays(60), ""))
+    val staged = graft.SparkEntry.flowStaging(spark, sfSmoke)
+    def run(name: String, horizon: Option[Int]): FlowPipeline = {
+      val landing = TmpDirs.fresh(s"spec-flow-hz-$name-landing")
+      CsvEventSource.writeLanding(spark, staged, landing, "flow")
+      val p = new FlowPipeline(TmpDirs.fresh(s"spec-flow-hz-$name-wh"),
+        oneTier, historicalCutoff = LocalDate.parse("2030-01-01"),
+        updateHorizon = horizon)
+      p.run(spark, landing, "flow")
+      p
+    }
+    val bounded = run("b", Some(2))
+    val unbounded = run("u", None)
+    def meta(p: FlowPipeline) = p.metadataTable(oneTier.head).read(spark)
+      .orderBy("flow_id", "begin_time").collect()
+    def exps(p: FlowPipeline) = p.experimentsTable(oneTier.head).read(spark)
+      .orderBy("flow_id", "timestamp", "experiment").collect()
+    meta(bounded) shouldBe meta(unbounded)
+    exps(bounded) shouldBe exps(unbounded)
+  }
+
   test("I5: forceReload rerun is a fixed point for metadata and events") {
     val p = runPipeline("idem")
     val before = p.metadataTable(tier100).read(spark)
