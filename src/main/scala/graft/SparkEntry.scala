@@ -862,6 +862,121 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"), col("source"))
 
+  /** A7 — the Pad field-count policy end to end (pad-flow-data.sh:19):
+    * short lines are completed with '' fields (never dropped, never
+    * null), full-width lines pass through untouched. The oracle adds
+    * the literal padded rows to the clean staging aggregate. */
+  private def padPolicyIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.CsvEventSource
+    import graft.util.TmpDirs
+    val landing = TmpDirs.fresh("q39_landing")
+    val days = CsvEventSource.writeLanding(s, activityStaging(s, dir), landing, "activity")
+    // short lines: 2, 5 and exactly-8 fields (activity = ts + 7 cols)
+    CsvEventSource.appendLines(s, s"$landing/activity-${days.head}.csv", Seq(
+      "1704100000,padb",
+      "1704100001,padb,padv,pados,paduid",
+      "1704100002,padb,padv,pados,paduid,padtype,padsvc,paddev"))
+    val perDay = graft.util.Par.map(CsvEventSource.listDays(s, landing, "activity")) {
+      case (_, file) =>
+        CsvEventSource.readDay(s, file, graft.model.Schemas.activity,
+          CsvEventSource.Pad, maxError = 10, persist = false)
+    }
+    perDay.reduce(_ unionAll _)
+      .groupBy(col("type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("uid") === "", 1)).as("n_empty_uid"),
+        count(when(col("device_id") === "", 1)).as("n_empty_device"))
+      .orderBy(col("type"))
+  }
+
+  /** D4 — compaction lifecycle: accrete one day partition with six
+    * small incremental writes (the many-tiny-files failure mode of
+    * incremental jobs), `compactDay` it back to `filesPerDay` sorted
+    * files via the temp-dir-and-swap path, and prove file count AND
+    * row fidelity. The oracle recomputes the day's aggregate from the
+    * source table; the file counts are the operator's invariants. */
+  private def compactionLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import graft.store.DayPartitionedTable
+    import graft.util.TmpDirs
+    val root = TmpDirs.fresh("q40_compact")
+    val t = new DayPartitionedTable(root, "events_store",
+      sortCol = Some("ts"), filesPerDay = 2)
+    val day = "2024-01-15"
+    val slice = Tables.events(s, dir)
+      .filter(dayOf(col("ts")) === lit(day).cast("date"))
+    (0 until 6).foreach { i =>
+      slice.filter(pmod(col("event_id"), lit(6)) === i)
+        .coalesce(1)
+        .write.mode("append").parquet(s"${t.path}/day=$day")
+    }
+    def nFiles: Long =
+      t.read(s).select(input_file_name()).distinct().count()
+    val before = nFiles
+    t.compactDay(s, java.time.LocalDate.parse(day))
+    val after = nFiles
+    t.read(s)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(
+        lit(before).as("files_before"),
+        lit(after).as("files_after"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("sum_event_id"))
+      .orderBy(col("day"))
+  }
+
+  /** J — the orchestrated driver (`make import`, Makefile:17-22): all
+    * four pipelines + the daily summary over one landing root, single
+    * 100%/18-day tier. The gate is the Makefile-final artifact — the
+    * 7-day multi-device rollup — recomputed declaratively by the
+    * oracle (device pairs over the retention-filtered staging). */
+  private def runImportE2E(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.RunImport
+    import graft.sources.CsvEventSource
+    import graft.util.TmpDirs
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val root = TmpDirs.fresh(s"q41_landing_$tag")
+    CsvEventSource.writeLanding(s, activityStaging(s, dir), s"$root/activity", "activity")
+    CsvEventSource.writeLanding(s, flowStaging(s, dir), s"$root/flow", "flow")
+    CsvEventSource.writeLanding(s, emailStaging(s, dir), s"$root/email", "email-events")
+    Tables.events(s, dir)
+      .groupBy(dayOf(col("ts")).cast("string").as("day"))
+      .agg(countDistinct(col("user_id")).as("accounts"),
+        count(lit(1)).as("verified_accounts"))
+      .collect()
+      .foreach { r =>
+        CsvEventSource.appendLines(s, s"$root/counts/fxa-basic-metrics-${r.getString(0)}.txt",
+          Seq(s"${r.getString(0)},${r.getLong(1)},${r.getLong(2)}"))
+      }
+    val oneTier = dayTiers.filter(_.suffix == "")
+    val job = new RunImport(TmpDirs.fresh(s"q41_wh_$tag"), root, oneTier,
+      countsBegin = java.time.LocalDate.parse("2024-01-10"))
+    job.run(s)
+    job.summaries.multiDeviceTable(oneTier.head).read(s)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("uid")).as("n_users"))
+      .orderBy(col("day"))
+  }
+
+  /** The approx_percentile scale path beside q37's exact form: exact
+    * `percentile` buffers EVERY value per group in one agg buffer (OOM
+    * at 100 TB); `approx_percentile` is the mergeable-sketch form with
+    * bounded state. The gate: exact quantiles hash-match the oracle,
+    * and the sketch answer must sit within 5% of the value range of
+    * the exact answer (deterministically true at this accuracy). */
+  private def valuePercentilesApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
+        (max(col("value")) - min(col("value"))).as("rng"))
+      .select(col("event_type"), col("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) <= col("rng") * 0.05)
+          .as("approx_ok"))
+      .orderBy(col("event_type"))
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -903,7 +1018,11 @@ object SparkEntry {
     "q35_session_windows" -> (sessionWindows _),
     "q36_sql_api_norms" -> (sqlApiNorms _),
     "q37_value_percentiles" -> (valuePercentiles _),
-    "q38_doc_rollup" -> (docRollup _))
+    "q38_doc_rollup" -> (docRollup _),
+    "q39_pad_policy_ingest" -> (padPolicyIngest _),
+    "q40_compaction_lifecycle" -> (compactionLifecycle _),
+    "q41_run_import_e2e" -> (runImportE2E _),
+    "q42_value_percentiles_approx" -> (valuePercentilesApprox _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1430,5 +1549,51 @@ object SparkEntry {
       """SELECT lang, source, COUNT(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY ROLLUP (lang, source)
-         ORDER BY lang, source""")
+         ORDER BY lang, source""",
+    "q39_pad_policy_ingest" ->
+      s"""WITH staging AS ($activityStagingSql),
+         base AS (
+           SELECT type, COUNT(*) AS n_rows,
+                  COUNT(CASE WHEN uid = '' THEN 1 END) AS n_empty_uid,
+                  COUNT(CASE WHEN device_id = '' THEN 1 END) AS n_empty_device
+           FROM staging GROUP BY type),
+         -- the three appended lines after padding to 8 fields:
+         -- 2-field  -> type '', uid '',      device_id ''
+         -- 5-field  -> type '', uid paduid,  device_id ''
+         -- 8-field  -> type padtype, uid paduid, device_id paddev
+         pads AS (SELECT * FROM (VALUES
+           ('', 2, 1, 2), ('padtype', 1, 0, 0))
+           AS t(type, n_rows, n_empty_uid, n_empty_device))
+         SELECT type, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                CAST(SUM(n_empty_uid) AS BIGINT) AS n_empty_uid,
+                CAST(SUM(n_empty_device) AS BIGINT) AS n_empty_device
+         FROM (SELECT * FROM base UNION ALL SELECT * FROM pads)
+         GROUP BY type ORDER BY type""",
+    "q40_compaction_lifecycle" ->
+      """SELECT CAST(ts::DATE AS VARCHAR) AS day,
+                CAST(6 AS BIGINT) AS files_before,
+                CAST(2 AS BIGINT) AS files_after,
+                COUNT(*) AS n_events,
+                COUNT(DISTINCT user_id) AS n_users,
+                CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+         FROM events WHERE ts::DATE = DATE '2024-01-15'
+         GROUP BY 1 ORDER BY 1""",
+    "q41_run_import_e2e" ->
+      s"""WITH staging AS ($activityStagingSql),
+         P AS (SELECT MAX(day) AS max_day FROM staging),
+         dev AS (SELECT DISTINCT day, uid, device_id
+                 FROM staging CROSS JOIN P
+                 WHERE device_id <> '' AND day >= max_day - INTERVAL 18 DAY),
+         pairs AS (
+           SELECT DISTINCT p.day, p.uid, p.device_id AS device_now, q.device_id AS device_prev
+           FROM dev p JOIN dev q
+             ON p.uid = q.uid AND p.device_id <> q.device_id
+            AND q.day <= p.day AND q.day >= p.day - INTERVAL 7 DAY)
+         SELECT CAST(day AS VARCHAR) AS day, COUNT(*) AS n_pairs,
+                COUNT(DISTINCT uid) AS n_users
+         FROM pairs GROUP BY 1 ORDER BY 1""",
+    "q42_value_percentiles_approx" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50_exact,
+                true AS approx_ok
+         FROM events GROUP BY event_type ORDER BY event_type""")
 }

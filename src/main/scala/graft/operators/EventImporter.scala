@@ -141,6 +141,12 @@ final class EventImporter(
     unpopulated.foreach { case (day, file) =>
       val staging = CsvEventSource.readDay(
         spark, file, family, policy, maxError)
+      // Staging sanity probe (import_events.py:129-131,188-192): the
+      // reference prints the staged MIN/MAX timestamps per day before
+      // loading — the operator guardrail against a mis-dated or
+      // mis-clocked file. One agg job over the already-persisted frame.
+      val mm = staging.agg(min(col("timestamp")), max(col("timestamp"))).head()
+      println(s"[graft-import] $prefix $day staged ${mm.get(0)}..${mm.get(1)} (epoch s)")
       importDay(spark, day, staging, maxDay)
       afterDay(spark, day, staging, maxDay)
       staging.unpersist()

@@ -106,11 +106,20 @@ object StreamingSessionizer {
     * (the engine's own storage) as a stream — `Trigger.AvailableNow`
     * replays the backlog in order, then stops; a long-running query
     * picks up new day partitions as the batch importer lands them. */
-  def fileStream(spark: SparkSession, tablePath: String): Dataset[FlowEvent] = {
+  def fileStream(
+      spark: SparkSession,
+      tablePath: String,
+      maxFilesPerTrigger: Option[Int] = None): Dataset[FlowEvent] = {
     import spark.implicits._
-    spark.readStream
+    val reader = spark.readStream
       .schema("ts TIMESTAMP, type STRING, flow_id STRING, flow_time BIGINT, " +
         "locale STRING, uid STRING, day DATE")
+    // bounding files-per-batch makes the watermark advance BETWEEN
+    // files — an AvailableNow backlog replay then fires event-time
+    // timeouts exactly as a live run would, instead of swallowing the
+    // whole history in one zero-watermark batch
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(tablePath)
       .selectExpr("flow_id", "type", "ts", "flow_time", "locale", "uid")
       .as[FlowEvent]

@@ -130,6 +130,49 @@ class FlowPipelineSpec extends SparkSpec {
     flows("") shouldBe Set(f1, f2, f3, f4, f5)
   }
 
+  test("I3 v2: AvailableNow file replay reproduces the batch metadata fold") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingSessionizer
+    pipeline: Unit // force the batch run (writes the landing files)
+    val landing = "target/graft-scratch/spec-flow-main-landing"
+    val dir = TmpDirs.fresh("spec-flow-replay")
+    val path = s"$dir/flow_all"
+    // one parquet file per day (oldest first), so maxFilesPerTrigger=1
+    // replays day-at-a-time like the batch importer
+    def dayFile(d: String): Unit =
+      CsvEventSource.readDay(spark, s"$landing/flow-$d.csv",
+          graft.model.Schemas.flow, persist = false)
+        .select(
+          graft.functions.GraftFunctions.epochSecondsToTs($"timestamp").as("ts"),
+          $"type", $"flow_id", $"flow_time", $"locale", $"uid")
+        .withColumn("day", to_date($"ts"))
+        .coalesce(1).write.mode("append").parquet(path)
+    dayFile("2024-01-01")
+    dayFile("2024-01-02")
+    // two heartbeat files: the first advances the watermark past every
+    // real flow's lateness deadline, the second's batch fires the
+    // event-time timeouts that watermark enabled
+    def tick(t: String): Unit =
+      Seq((java.sql.Timestamp.valueOf(t), "tick", s"tick-$t", 0L, "", ""))
+        .toDF("ts", "type", "flow_id", "flow_time", "locale", "uid")
+        .withColumn("day", to_date($"ts"))
+        .coalesce(1).write.mode("append").parquet(path)
+    tick("2024-02-01 00:00:00")
+    tick("2024-02-02 00:00:00")
+    val q = StreamingSessionizer.sessionize(
+        StreamingSessionizer.fileStream(spark, path, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("replay_sessions")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000) shouldBe true
+    val cols = Seq("flow_id", "begin_time", "duration", "completed",
+      "new_account", "locale", "uid").map(col)
+    val streamed = spark.table("replay_sessions").select(cols: _*)
+      .orderBy("flow_id").collect()
+    val batch = meta100.select(cols: _*).orderBy("flow_id").collect()
+    streamed shouldBe batch
+  }
+
   test("updateHorizon=2 equals the unbounded parity scope on 30 days") {
     // flows span ≤ 2 calendar days, so bounding the UPDATE scan to
     // export_date ≥ d-2 must not change a single metadata or
