@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.ArrayDotProduct
+import graft.functions.{ArrayDotProduct, KMinValues}
 
 /** Engine extensions. Deployable two ways:
   *  - cluster: `spark.sql.extensions=graft.GraftExtensions`
@@ -16,7 +16,11 @@ object GraftExtensions {
     Seq((
       new FunctionIdentifier("graft_array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_array_dot"),
-      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))),
+    (
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KMinValues].getName, "graft_kmv"),
+      (children: Seq[Expression]) => KMinValues(children(0), children(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

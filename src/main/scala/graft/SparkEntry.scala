@@ -977,6 +977,132 @@ object SparkEntry {
           .as("approx_ok"))
       .orderBy(col("event_type"))
 
+  /** As-of join (operators/AsOfJoin): each purchase picks up the most
+    * recent prior page view of the same user — one shuffle + one
+    * partition-local sort, never the per-key quadratic product a range
+    * join would build. Unmatched purchases (no earlier view) keep null. */
+  private def asOfPrevView(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val e = Tables.events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    AsOfJoin.asOf(purchases, views,
+        key = "user_id", time = "ts", tie = "event_id",
+        payload = Seq("event_id", "ts"))
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("asof_event_id").as("view_event_id"),
+        (unix_seconds(col("ts")) - unix_seconds(col("asof_ts"))).as("gap_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  /** KMV distinct sketch (functions/KMinValues — native mergeable
+    * aggregate with a bounded ≤k buffer): per event type, the k
+    * smallest distinct user-id hashes, the textbook (k-1)/R_k
+    * estimator, and the exact count beside it. The sketch is a pure
+    * function of the input set, so the DuckDB oracle reproduces it
+    * value-for-value — unlike HLL, whose registers no other engine can
+    * check. */
+  private def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup.md5Hash60
+    val k = 64
+    val m = 1152921504606846976.0 // 2^60: the hash space of md5Hash60
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        call_function("graft_kmv",
+          md5Hash60(col("user_id").cast("string")), lit(k)).as("kmv"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .select(
+        col("event_type"),
+        size(col("kmv")).cast("long").as("sketch_size"),
+        try_element_at(col("kmv"), lit(k)).as("kth_min"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble) * lit(m) /
+              try_element_at(col("kmv"), lit(k)).cast("double"), 4))
+          .as("est_distinct"),
+        col("n_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  /** TF-IDF top terms per language (operators/TextAnalysis): corpus
+    * characterization with the df side reduced to vocabulary size and
+    * broadcast. */
+  private def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.tfIdfTopTerms(
+        Tables.documents(s, dir), "doc_id", "text", "lang", topK = 10)
+      .withColumnRenamed("grp", "lang")
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** I3 "v2" under the oracle gate: the streaming sessionizer
+    * (flatMapGroupsWithState + 25 h watermark) replayed over the
+    * engine's own day-partitioned storage with Trigger.AvailableNow,
+    * one file per batch — the watermark advances BETWEEN days exactly
+    * as a live deployment would see it, and event-time timeouts flush
+    * every session. Two tick days (far past the data, no flow.begin →
+    * they emit nothing) push the final watermark past every timeout.
+    * The oracle recomputes the same per-flow fold declaratively. */
+  private def streamingSessions(s: SparkSession, dir: String): DataFrame = {
+    import graft.store.DayPartitionedTable
+    import graft.streaming.StreamingSessionizer
+    import graft.util.TmpDirs
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val root = TmpDirs.fresh(s"q46_stream_$tag")
+    val e = Tables.events(s, dir)
+    val fe = e.select(
+      col("ts"),
+      when(col("event_type") === "signup", lit("flow.begin"))
+        .when(col("event_type") === "purchase", lit("flow.complete"))
+        .when(col("event_type") === "error", lit("account.created"))
+        .otherwise(lit("flow.event")).as("type"),
+      md5(concat(col("user_id").cast("string"), lit("#"),
+        dayOf(col("ts")).cast("string"))).as("flow_id"),
+      (unix_millis(col("ts")) % 100000000L).as("flow_time"),
+      concat(lit("loc"), (col("user_id") % 7).cast("string")).as("locale"),
+      md5(col("user_id").cast("string")).as("uid"),
+      dayOf(col("ts")).as("day"))
+    val t = new DayPartitionedTable(root, "flow_events", sortCol = Some("ts"))
+    t.writeDays(fe)
+    val realFiles = t.read(s).select(input_file_name()).distinct().count().toInt
+    // Tick days, written AFTER the data so modification time (the file
+    // source's processing order) puts them last. Timeouts fire in the
+    // batch AFTER the watermark advances past them, so the flush needs
+    // two tick batches: batch k processes every real file (watermark
+    // still at its pre-tick value — no real event is ever late), batch
+    // k+1 the first tick day (advancing the watermark past every real
+    // deadline), batch k+2 the second tick day (firing them). The first
+    // tick day spans `realFiles` files so the two ticks can never share
+    // a batch; tick flows have no flow.begin and emit nothing.
+    val maxDay = t.maxDay(s).get
+    def tickRows(n: Int, d: Long): DataFrame = {
+      val tick = maxDay.plusDays(d)
+      s.range(n.toLong).select(
+        lit(java.sql.Timestamp.valueOf(s"$tick 00:00:00")).as("ts"),
+        lit("tick").as("type"),
+        concat(lit(s"tick-$d-"), col("id")).as("flow_id"),
+        lit(0L).as("flow_time"), lit("").as("locale"), lit("").as("uid"))
+    }
+    tickRows(realFiles, 3).repartition(realFiles)
+      .write.mode("append").parquet(s"${t.path}/day=${maxDay.plusDays(3)}")
+    tickRows(1, 6).coalesce(1)
+      .write.mode("append").parquet(s"${t.path}/day=${maxDay.plusDays(6)}")
+    val sink = s"q46_sessions_$tag"
+    val q = StreamingSessionizer.sessionize(
+        StreamingSessionizer.fileStream(s, t.path, Some(realFiles)))
+      .writeStream
+      .format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("flow_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1022,7 +1148,11 @@ object SparkEntry {
     "q39_pad_policy_ingest" -> (padPolicyIngest _),
     "q40_compaction_lifecycle" -> (compactionLifecycle _),
     "q41_run_import_e2e" -> (runImportE2E _),
-    "q42_value_percentiles_approx" -> (valuePercentilesApprox _))
+    "q42_value_percentiles_approx" -> (valuePercentilesApprox _),
+    "q43_asof_prev_view" -> (asOfPrevView _),
+    "q44_kmv_distinct" -> (kmvDistinct _),
+    "q45_tfidf_top_terms" -> (tfidfTopTerms _),
+    "q46_streaming_sessions" -> (streamingSessions _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1093,7 +1223,8 @@ object SparkEntry {
     "q31_multimodal_features", "q32_minhash_char_shingles",
     "q33_embedding_neardup_bucketed", "q34_neardup_components",
     "q35_session_windows", "q36_sql_api_norms", "q37_value_percentiles",
-    "q38_doc_rollup")
+    "q38_doc_rollup", "q43_asof_prev_view", "q44_kmv_distinct",
+    "q45_tfidf_top_terms")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1595,5 +1726,86 @@ object SparkEntry {
     "q42_value_percentiles_approx" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50_exact,
                 true AS approx_ok
-         FROM events GROUP BY event_type ORDER BY event_type""")
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q43_asof_prev_view" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, 1 AS side,
+                  NULL::BIGINT AS r_event_id, NULL::TIMESTAMP AS r_ts
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts, event_id, 0, event_id, ts
+           FROM events WHERE event_type = 'view'),
+         w AS (
+           SELECT *,
+             last_value(r_event_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_event_id,
+             last_value(r_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts
+           FROM u)
+         SELECT user_id, event_id, ts, view_event_id,
+                epoch_ms(ts) // 1000 - epoch_ms(view_ts) // 1000 AS gap_sec
+         FROM w WHERE side = 1 AND user_id < 30 ORDER BY event_id""",
+    "q44_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM events),
+         r AS (SELECT event_type, h,
+                      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                      COUNT(*) OVER (PARTITION BY event_type) AS nd
+               FROM h),
+         k AS (SELECT event_type, MIN(nd) AS nd,
+                      MAX(CASE WHEN rn = 64 THEN h END) AS kth
+               FROM r GROUP BY event_type),
+         x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+               FROM events GROUP BY event_type)
+         SELECT k.event_type,
+                CAST(LEAST(k.nd, 64) AS BIGINT) AS sketch_size,
+                k.kth AS kth_min,
+                CASE WHEN k.nd < 64 THEN CAST(k.nd AS DOUBLE)
+                     ELSE round(63.0 * 1152921504606846976.0 / CAST(k.kth AS DOUBLE), 4)
+                END AS est_distinct,
+                x.n_exact
+         FROM k JOIN x USING (event_type) ORDER BY k.event_type""",
+    "q45_tfidf_top_terms" ->
+      """WITH tokens AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+         tf AS (SELECT lang, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+         dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (SELECT tf.lang, tf.term, tf.tf, dfc.df,
+                           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) AS tfidf
+                    FROM tf JOIN dfc USING (term) CROSS JOIN n),
+         ranked AS (SELECT *, row_number() OVER (
+                      PARTITION BY lang ORDER BY tfidf DESC, term) AS rank
+                    FROM scored)
+         SELECT lang, rank, term, tf, df, tfidf
+         FROM ranked WHERE rank <= 10 ORDER BY lang, rank""",
+    "q46_streaming_sessions" ->
+      """WITH fe AS (
+           SELECT ts,
+                  CASE event_type WHEN 'signup' THEN 'flow.begin'
+                                  WHEN 'purchase' THEN 'flow.complete'
+                                  WHEN 'error' THEN 'account.created'
+                                  ELSE 'flow.event' END AS type,
+                  md5(user_id || '#' || CAST(ts::DATE AS VARCHAR)) AS flow_id,
+                  epoch_ms(ts) % 100000000 AS flow_time,
+                  'loc' || (user_id % 7) AS locale,
+                  md5(CAST(user_id AS VARCHAR)) AS uid
+           FROM events),
+         b AS (SELECT flow_id,
+                      make_timestamp(CAST(epoch_ms(MIN(ts)) AS BIGINT) * 1000) AS begin_time
+               FROM fe WHERE type = 'flow.begin' GROUP BY flow_id),
+         f AS (SELECT flow_id,
+                      COALESCE(MAX(CASE WHEN type <> 'flow.begin' THEN flow_time END), 0)
+                        AS duration,
+                      BOOL_OR(type = 'flow.complete') AS completed,
+                      BOOL_OR(type = 'account.created') AS new_account,
+                      MAX(CASE WHEN type <> 'flow.begin' THEN locale END) AS locale,
+                      MAX(CASE WHEN type <> 'flow.begin' THEN uid END) AS uid
+               FROM fe GROUP BY flow_id)
+         SELECT b.flow_id, b.begin_time, f.duration, f.completed, f.new_account,
+                f.locale, f.uid
+         FROM b JOIN f USING (flow_id) ORDER BY b.flow_id""")
 }

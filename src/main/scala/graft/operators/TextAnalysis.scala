@@ -69,4 +69,37 @@ object TextAnalysis {
   def fingerprintRolling(text: Column, k: Int = 8): Column =
     aggregate(slice(words(text), 1, k), lit(0L),
       (acc, w) => (acc * 31L + (md5Hash60(w) % 1000000007L)) % 1000000007L)
+
+  /** TF-IDF top terms per group (corpus-characterization / curation:
+    * "what is this language/source slice actually about").
+    *
+    * Scale shape: term frequencies reduce map-side (the shuffle carries
+    * (group, term) partials, never token streams); document frequencies
+    * aggregate to one row per DISTINCT TERM — vocabulary-sized, orders
+    * of magnitude smaller than the corpus — so the df side broadcasts
+    * into the score join and the big tf side never re-shuffles. The
+    * final top-k sorts only |group| × |vocab| score rows.
+    *
+    * Determinism: scores are `round(tf * ln(N/df), 6)` (double math
+    * identical in the DuckDB mirror), ranked by (score DESC, term). */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = docs.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      explode(words(col(textCol))).as("term"))
+    val tf = tokens.groupBy(col("grp"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tokens.groupBy(col("term")).agg(countDistinct(col("id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfc), Seq("term")).crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col("grp")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("grp"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
 }
