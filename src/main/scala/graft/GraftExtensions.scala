@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotProduct, KMinValues}
+import graft.functions.{ArrayDotProduct, KMinValues, TopKByScore}
 
 /** Engine extensions. Deployable two ways:
   *  - cluster: `spark.sql.extensions=graft.GraftExtensions`
@@ -20,7 +20,12 @@ object GraftExtensions {
     (
       new FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KMinValues].getName, "graft_kmv"),
-      (children: Seq[Expression]) => KMinValues(children(0), children(1))))
+      (children: Seq[Expression]) => KMinValues(children(0), children(1))),
+    (
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
+      (children: Seq[Expression]) =>
+        TopKByScore(children(0), children(1), children(2))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

@@ -1103,6 +1103,63 @@ object SparkEntry {
     s.table(sink).orderBy(col("flow_id"))
   }
 
+  /** Benchmark-contamination scan: which corpus documents share char
+    * 8-gram shingles with a held-out eval set (doc_id < 20 stands in
+    * for the benchmark). The eval shingle set is tiny → broadcast; the
+    * corpus side is one explode + hash + count, never a doc×doc
+    * product. A doc is flagged when shared shingles reach half its
+    * shingle set. */
+  private def contaminationScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val docs = Tables.documents(s, dir)
+    def shingles(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), explode(TextDedup.charShingles(col("text"))).as("w"))
+      .select(col("doc_id"), TextDedup.md5Hash60(col("w")).as("h"))
+    val evalSh = shingles(docs.filter(col("doc_id") < 20)).select(col("h")).distinct()
+    val corpusSh = shingles(docs.filter(col("doc_id") >= 20))
+    val totals = corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val shared = corpusSh.join(broadcast(evalSh), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    shared.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        (col("n_shared") * 2 >= col("n_shingles")).as("contaminated"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-percentile curation filter: per-language p75 length
+    * cutoff (exact percentile — interpolation identical to DuckDB's
+    * quantile_cont), thresholds broadcast back onto the corpus, per
+    * (lang, source) keep rates. The percentile-driven gate is how
+    * real curation picks quality cutoffs without hand-tuned
+    * constants. */
+  private def qualityPercentileFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val thr = d.groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, 0.75)").as("thr"))
+    d.join(broadcast(thr), Seq("lang"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("n_chars") >= col("thr"), 1)).as("n_kept"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** q25's brute-force ANN re-expressed through the bounded
+    * `graft_topk` heap aggregate (functions/TopKByScore): same rows as
+    * the window form, but the shuffle carries ≤k entries per group
+    * instead of every scored pair — the form that survives a
+    * billion-candidate verify stage. Oracle: identical to q25's. */
+  private def annTopKAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.bruteForceTopKAgg(queries, corpus, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1152,7 +1209,10 @@ object SparkEntry {
     "q43_asof_prev_view" -> (asOfPrevView _),
     "q44_kmv_distinct" -> (kmvDistinct _),
     "q45_tfidf_top_terms" -> (tfidfTopTerms _),
-    "q46_streaming_sessions" -> (streamingSessions _))
+    "q46_streaming_sessions" -> (streamingSessions _),
+    "q47_contamination_scan" -> (contaminationScan _),
+    "q48_quality_percentile_filter" -> (qualityPercentileFilter _),
+    "q49_ann_topk_agg" -> (annTopKAgg _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1224,7 +1284,8 @@ object SparkEntry {
     "q33_embedding_neardup_bucketed", "q34_neardup_components",
     "q35_session_windows", "q36_sql_api_norms", "q37_value_percentiles",
     "q38_doc_rollup", "q43_asof_prev_view", "q44_kmv_distinct",
-    "q45_tfidf_top_terms")
+    "q45_tfidf_top_terms", "q47_contamination_scan",
+    "q48_quality_percentile_filter", "q49_ann_topk_agg")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1807,5 +1868,38 @@ object SparkEntry {
                FROM fe GROUP BY flow_id)
          SELECT b.flow_id, b.begin_time, f.duration, f.completed, f.new_account,
                 f.locale, f.uid
-         FROM b JOIN f USING (flow_id) ORDER BY b.flow_id""")
+         FROM b JOIN f USING (flow_id) ORDER BY b.flow_id""",
+    "q47_contamination_scan" ->
+      """WITH sh AS (
+           SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(length(lower(trim(text))) - 7, 1) + 1),
+                   i -> substr(lower(trim(text)), CAST(i AS INTEGER), 8)))) AS word
+                 FROM documents) t),
+         ev AS (SELECT DISTINCT h FROM sh WHERE doc_id < 20),
+         c AS (SELECT doc_id, h FROM sh WHERE doc_id >= 20),
+         tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM c GROUP BY doc_id),
+         shared AS (SELECT c.doc_id, COUNT(*) AS n_shared
+                    FROM c JOIN ev USING (h) GROUP BY c.doc_id)
+         SELECT s.doc_id, s.n_shared, t.n_shingles,
+                s.n_shared * 2 >= t.n_shingles AS contaminated
+         FROM shared s JOIN tot t USING (doc_id)
+         WHERE s.n_shared >= 3 ORDER BY s.doc_id""",
+    "q48_quality_percentile_filter" ->
+      """WITH thr AS (SELECT lang, quantile_cont(n_chars, 0.75) AS thr
+                      FROM documents GROUP BY lang)
+         SELECT d.lang, d.source, COUNT(*) AS n_docs,
+                COUNT(CASE WHEN d.n_chars >= t.thr THEN 1 END) AS n_kept
+         FROM documents d JOIN thr t USING (lang)
+         GROUP BY d.lang, d.source ORDER BY d.lang, d.source""",
+    "q49_ann_topk_agg" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         scored AS (SELECT qid, id, ${cosSql("qvec", "vec")} AS cos
+                    FROM q JOIN c ON qid <> id)
+         SELECT qid, rank, id, cos FROM (
+           SELECT qid, id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           FROM scored) t
+         WHERE rank <= 5 ORDER BY qid, rank""")
 }

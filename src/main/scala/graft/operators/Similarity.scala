@@ -72,6 +72,26 @@ object Similarity {
       when(dot(vec, signs) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** [[bruteForceTopK]] with the per-query top-k done by the bounded
+    * `graft_topk` heap aggregate instead of a window sort: partials
+    * combine map-side and the exchange carries at most k entries per
+    * (partition, query) — at 100 TB the window form shuffles and sorts
+    * every scored candidate pair, this form never materializes them
+    * past the map stage. Same output contract as [[bruteForceTopK]]. */
+  def bruteForceTopKAgg(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (id, vec)
+      k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(queries), col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("qvec"), col("vec")), 6).as("cos"))
+    scored.groupBy(col("qid"))
+      .agg(call_function("graft_topk", col("cos"), col("id"), lit(k)).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("id"), col("e.ord").as("cos"))
+  }
+
   /** Bucketed ANN: top-k among same-bucket mates only, plus the bucket
     * population (candidate count actually scanned). */
   def lshTopK(
