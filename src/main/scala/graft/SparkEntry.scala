@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -1108,7 +1109,13 @@ object SparkEntry {
     * for the benchmark). The eval shingle set is tiny → broadcast; the
     * corpus side is one explode + hash + count, never a doc×doc
     * product. A doc is flagged when shared shingles reach half its
-    * shingle set. */
+    * shingle set.
+    *
+    * Single corpus pass: the eval set joins in as a broadcast LEFT
+    * join with a hit marker, so one explode + hash + aggregation
+    * computes both the total and the shared shingle counts — the
+    * two-branch form scanned and hashed the corpus twice and
+    * shuffled it twice. */
   private def contaminationScan(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextDedup
     val docs = Tables.documents(s, dir)
@@ -1116,14 +1123,14 @@ object SparkEntry {
       .select(col("doc_id"), explode(TextDedup.charShingles(col("text"))).as("w"))
       .select(col("doc_id"), TextDedup.md5Hash60(col("w")).as("h"))
     val evalSh = shingles(docs.filter(col("doc_id") < 20)).select(col("h")).distinct()
-    val corpusSh = shingles(docs.filter(col("doc_id") >= 20))
-    val totals = corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val shared = corpusSh.join(broadcast(evalSh), Seq("h"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    shared.join(totals, Seq("doc_id"))
+      .withColumn("hit", lit(1))
+    shingles(docs.filter(col("doc_id") >= 20))
+      .join(broadcast(evalSh), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+      .filter(col("n_shared") >= 3)
       .select(col("doc_id"), col("n_shared"), col("n_shingles"),
         (col("n_shared") * 2 >= col("n_shingles")).as("contaminated"))
-      .filter(col("n_shared") >= 3)
       .orderBy(col("doc_id"))
   }
 
@@ -1158,6 +1165,101 @@ object SparkEntry {
     val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
     Similarity.bruteForceTopKAgg(queries, corpus, k = 5)
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** IVF-style ANN: 16 deterministic seed centroids (vec_id 20–35)
+    * quantize the corpus via plan-time literal dot products (map-only
+    * cell assignment); each query probes its 4 nearest cells, so the
+    * exact-cosine stage touches ~4/16 of the corpus. The collect is
+    * the 16-row quantizer, not data. */
+  private def ivfAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val centroids = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfTopK(queries, corpus, centroids, nprobe = 4, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Deterministic stratified sample: a pure map-side hash-threshold
+    * filter (Curation.hashSample) — no sort, no shuffle, same rows on
+    * every engine/run; stratification is free by hash uniformity. */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.hashSample(Tables.documents(s, dir), col("doc_id"), permille = 200)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-domain cap via the bounded graft_topk heap: ≤15 best docs
+    * (n_chars DESC, doc_id) per source survive; the exchange carries
+    * at most 15 entries per (partition, source), never whole domains. */
+  private def domainCapQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.domainCap(Tables.documents(s, dir),
+        "source", col("n_chars"), "doc_id", cap = 15)
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** Gopher-style repetition quality signals per document. */
+  private def repetitionSignalsQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII redaction scan: deterministic synthetic emails/IPs are
+    * injected into every 5th doc (the corpus has none — the same
+    * concat runs in the oracle), then redacted; per-source counts and
+    * a folded checksum of the redacted text prove byte-identical
+    * replacement. */
+  private def piiRedactScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, TextDedup}
+    val injected = Tables.documents(s, dir).withColumn("text2",
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com at 10.0."),
+            (col("doc_id") % 200).cast("string"), lit(".77")))
+          .otherwise(lit(""))))
+    injected
+      .select(col("source"),
+        Curation.emailCount(col("text2")).as("em"),
+        Curation.ipv4Count(col("text2")).as("ip"),
+        (TextDedup.md5Hash60(Curation.redactPii(col("text2"))) % 1048576L).as("ck"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("em")).as("n_emails"),
+        sum(col("ip")).as("n_ips"), sum(col("ck")).as("redacted_checksum"))
+      .orderBy(col("source"))
+  }
+
+  /** Bucketed range join: events falling in the 10 busiest 90-minute
+    * windows. The interval side explodes to hour buckets and the join
+    * is a hash equi-join on bucket + exact range filter — never the
+    * broadcast nested loop Spark plans for a raw band join. The top-10
+    * window over hourly counts sorts |hours| rows (tiny), not events. */
+  private def rangeJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(s, dir)
+    val hours = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("h"))
+    val top = hours.withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+      .select(col("h").as("w_start"),
+        (col("h") + expr("INTERVAL 90 MINUTES")).as("w_end"))
+    RangeJoin.bucketed(ev, "ts", top, "w_start", "w_end", bucketSeconds = 3600L)
+      .groupBy(col("w_start"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_events"), col("n_users"))
+      .orderBy(col("window_start"))
   }
 
   // ---------------------------------------------------------------------
@@ -1212,7 +1314,13 @@ object SparkEntry {
     "q46_streaming_sessions" -> (streamingSessions _),
     "q47_contamination_scan" -> (contaminationScan _),
     "q48_quality_percentile_filter" -> (qualityPercentileFilter _),
-    "q49_ann_topk_agg" -> (annTopKAgg _))
+    "q49_ann_topk_agg" -> (annTopKAgg _),
+    "q50_ivf_ann" -> (ivfAnn _),
+    "q51_stratified_sample" -> (stratifiedSample _),
+    "q52_domain_cap" -> (domainCapQuery _),
+    "q53_repetition_signals" -> (repetitionSignalsQuery _),
+    "q54_pii_redact" -> (piiRedactScan _),
+    "q55_range_join_windows" -> (rangeJoinBucketed _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1285,7 +1393,9 @@ object SparkEntry {
     "q35_session_windows", "q36_sql_api_norms", "q37_value_percentiles",
     "q38_doc_rollup", "q43_asof_prev_view", "q44_kmv_distinct",
     "q45_tfidf_top_terms", "q47_contamination_scan",
-    "q48_quality_percentile_filter", "q49_ann_topk_agg")
+    "q48_quality_percentile_filter", "q49_ann_topk_agg",
+    "q50_ivf_ann", "q51_stratified_sample", "q52_domain_cap",
+    "q53_repetition_signals", "q54_pii_redact", "q55_range_join_windows")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1901,5 +2011,91 @@ object SparkEntry {
            SELECT qid, id, cos,
                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
            FROM scored) t
-         WHERE rank <= 5 ORDER BY qid, rank""")
+         WHERE rank <= 5 ORDER BY qid, rank""",
+    "q50_ivf_ann" ->
+      s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                       WHERE vec_id BETWEEN 20 AND 35),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 20),
+         asg AS (SELECT id, vec, cell FROM (
+             SELECT c.id, c.vec, cen.cid AS cell,
+                    row_number() OVER (PARTITION BY c.id
+                      ORDER BY ${cosSql("c.vec", "cen.cvec")} DESC, cen.cid) AS rn
+             FROM c CROSS JOIN cen) t WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         pr AS (SELECT qid, qvec, cell FROM (
+             SELECT q.qid, q.qvec, cen.cid AS cell,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY ${cosSql("q.qvec", "cen.cvec")} DESC, cen.cid) AS rn
+             FROM q CROSS JOIN cen) t WHERE rn <= 4),
+         scored AS (SELECT pr.qid, asg.id, ${cosSql("pr.qvec", "asg.vec")} AS cos
+                    FROM pr JOIN asg USING (cell) WHERE pr.qid <> asg.id)
+         SELECT qid, rank, id, cos FROM (
+           SELECT qid, id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           FROM scored) t
+         WHERE rank <= 5 ORDER BY qid, rank""",
+    "q51_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 200
+         ORDER BY doc_id""",
+    "q52_domain_cap" ->
+      """SELECT source, rank, doc_id, score FROM (
+           SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rank
+           FROM documents) t
+         WHERE rank <= 15 ORDER BY source, rank""",
+    "q53_repetition_signals" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         wstats AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+                           COUNT(*) AS n_distinct, MAX(n) AS max_word_n
+                    FROM (SELECT doc_id, t, COUNT(*) AS n
+                          FROM (SELECT doc_id, unnest(l) AS t FROM ws) u
+                          GROUP BY doc_id, t) g
+                    GROUP BY doc_id),
+         bstats AS (SELECT doc_id, MAX(n) AS max_bigram_n
+                    FROM (SELECT doc_id, g, COUNT(*) AS n
+                          FROM (SELECT doc_id,
+                                  unnest(CASE WHEN len(l) >= 2
+                                    THEN list_transform(range(1, len(l)),
+                                      i -> l[CAST(i AS INTEGER)] || ' ' || l[CAST(i AS INTEGER) + 1])
+                                    ELSE []::VARCHAR[] END) AS g
+                                FROM ws) u
+                          GROUP BY doc_id, g) g2
+                    GROUP BY doc_id)
+         SELECT w.doc_id, w.n_words, w.n_distinct, w.max_word_n,
+                COALESCE(b.max_bigram_n, 0) AS max_bigram_n,
+                w.max_word_n >= 2 AND w.max_word_n * 10 >= w.n_words AS repetitive
+         FROM wstats w LEFT JOIN bstats b USING (doc_id)
+         ORDER BY w.doc_id""",
+    "q54_pii_redact" ->
+      """WITH t AS (SELECT source,
+             text || CASE WHEN doc_id % 5 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.'
+                    || CAST(doc_id % 200 AS VARCHAR) || '.77'
+               ELSE '' END AS text2
+           FROM documents),
+         r AS (SELECT source,
+             len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS em,
+             len(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ip,
+             ('0x' || substr(md5(
+               regexp_replace(
+                 regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')), 1, 15))::BIGINT % 1048576 AS ck
+           FROM t)
+         SELECT source, COUNT(*) AS n_docs, CAST(SUM(em) AS BIGINT) AS n_emails,
+                CAST(SUM(ip) AS BIGINT) AS n_ips,
+                CAST(SUM(ck) AS BIGINT) AS redacted_checksum
+         FROM r GROUP BY source ORDER BY source""",
+    "q55_range_join_windows" ->
+      """WITH hours AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+                        FROM events GROUP BY 1),
+         top AS (SELECT h FROM (
+             SELECT h, row_number() OVER (ORDER BY n DESC, h) AS r FROM hours) t
+           WHERE r <= 10)
+         SELECT strftime(t.h, '%Y-%m-%d %H:%M:%S') AS window_start,
+                COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users
+         FROM events e JOIN top t
+           ON e.ts >= t.h AND e.ts < t.h + INTERVAL 90 MINUTE
+         GROUP BY t.h ORDER BY window_start""")
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import TextDedup.{md5Hash60, words}
+
+/** Corpus-curation operators a training-data pipeline runs between
+  * ingest and dedup: deterministic sampling, per-domain caps,
+  * repetition-based quality signals, and PII redaction. All column
+  * math is integer or md5-derived so a DuckDB oracle mirrors results
+  * bit-for-bit; nothing here shuffles more than aggregation partials.
+  */
+object Curation {
+
+  /** Deterministic hash-threshold sample: keep rows whose md5-derived
+    * bucket of `id` falls under `permille`/1000.
+    *
+    * This is the 100 TB sampler: a pure map-side FILTER — no sort, no
+    * shuffle, no per-stratum state — and stratification comes free
+    * because the hash is uniform within every stratum. The
+    * exact-fraction alternative (row_number over each stratum) sorts
+    * every stratum and is only worth it when the contract is "exactly
+    * ceil(f·n) rows". Same rows on every engine and every run, unlike
+    * `TABLESAMPLE`/`rand()`. */
+  def hashSample(df: DataFrame, id: Column, permille: Int): DataFrame =
+    df.filter(md5Hash60(id.cast("string")) % 1000 < permille)
+
+  /** Per-domain cap: keep the best `cap` docs per domain by
+    * (score DESC, id ASC), the standard guard against a handful of
+    * template-heavy domains dominating a crawl corpus.
+    *
+    * Uses the bounded `graft_topk` heap aggregate, so each exchange
+    * partition ships at most `cap` entries per domain instead of
+    * sorting whole domains — the window-function form materializes and
+    * sorts every row of the largest (= exactly the problem) domains. */
+  def domainCap(
+      docs: DataFrame,
+      domainCol: String,
+      score: Column,
+      idCol: String,
+      cap: Int): DataFrame =
+    docs.groupBy(col(domainCol))
+      .agg(call_function("graft_topk",
+        score.cast("double"), col(idCol).cast(LongType), lit(cap)).as("tk"))
+      .select(col(domainCol), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col(domainCol), (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as(idCol), col("e.ord").as("score"))
+
+  /** Gopher-style repetition signals per document: token totals,
+    * distinct-token count, the highest single-word multiplicity and
+    * the highest bigram multiplicity. A doc whose top word repeats
+    * (≥ 2) and covers ≥ 10% of its tokens is flagged repetitive
+    * (integer compares — no float ratios, so the oracle matches
+    * exactly; the ≥ 2 guard keeps short all-distinct docs clean).
+    *
+    * Shape: one explode per n-gram order feeding two-level
+    * aggregations — (doc, gram) partials combine map-side, then one
+    * doc-sized shuffle; the token stream itself never re-shuffles. */
+  def repetitionSignals(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      words(col(textCol)).as("ws"))
+    val wordStats = toks
+      .select(col("doc_id"), explode(col("ws")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("n")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("max_word_n"))
+    val bigrams = toks.select(col("doc_id"), explode(
+      when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ",
+            element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+        .otherwise(array())).as("g"))
+    val biStats = bigrams
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(max(col("n")).as("max_bigram_n"))
+    wordStats.join(biStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        col("max_word_n"),
+        coalesce(col("max_bigram_n"), lit(0L)).as("max_bigram_n"),
+        (col("max_word_n") >= 2 &&
+          col("max_word_n") * 10 >= col("n_words")).as("repetitive"))
+  }
+
+  /** PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB):
+    * no backrefs, no lookarounds. */
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails then IPv4 literals with placeholder tokens (the
+    * order matters: an email's host part must not be half-eaten by
+    * the IP pass first). Pure codegen'd string expressions. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailRe, "<EMAIL>"),
+      ipv4Re, "<IP>")
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailRe), lit(0))).cast(LongType)
+
+  def ipv4Count(text: Column): Column =
+    size(regexp_extract_all(text, lit(ipv4Re), lit(0))).cast(LongType)
+}

@@ -92,6 +92,89 @@ object Similarity {
         col("e.id").as("id"), col("e.ord").as("cos"))
   }
 
+  /** IVF cell assignment: argmax-cosine over a tiny centroid set that
+    * is folded into the plan as LITERALS — so assignment is a pure
+    * map (nlist codegen'd dot products per row, no explode, no
+    * shuffle, no join). Ties break to the smaller centroid id, which a
+    * DuckDB `row_number() OVER (... ORDER BY cos DESC, cid)` oracle
+    * reproduces. Centroid norms are precomputed driver-side in the
+    * same left-to-right double order as the oracle's `list_sum`. */
+  def ivfAssign(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Seq[(Long, Array[Float])]): DataFrame = {
+    val scored = centroids.map { case (cid, cv) =>
+      val cn = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      struct(
+        round(dot(col(vecCol), lit(cv)) / (col("__nrm") * lit(cn)), 6).as("c"),
+        lit(-cid).as("negid"))
+    }
+    df.withColumn("__nrm", norm2(col(vecCol)))
+      .withColumn("cell", greatest(scored: _*).getField("negid") * -1)
+      .drop("__nrm")
+  }
+
+  /** IVF-style ANN: the corpus is partitioned into `centroids.size`
+    * cells by [[ivfAssign]] (map-only); each query probes its `nprobe`
+    * nearest cells and exact cosine runs ONLY inside probed cells —
+    * ~nprobe/nlist of the corpus per query instead of all of it. The
+    * per-query top-k goes through the bounded `graft_topk` heap, so
+    * the exchange carries ≤ k entries per (partition, query).
+    *
+    * Centroids are caller-provided: deterministic seed vectors in the
+    * oracle-gated query, or a [[lloydStep]]-refined set at scale
+    * (train on a sample, then this probe path is unchanged). */
+  def ivfTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (id, vec)
+      centroids: Seq[(Long, Array[Float])],
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("cid", "cvec")
+    val wp = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("qvec"), col("cid"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("c"))
+      .withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid").as("cell"))
+    val scored = ivfAssign(corpus, "vec", centroids)
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("qvec"), col("vec")), 6).as("cos"))
+    scored.groupBy(col("qid"))
+      .agg(call_function("graft_topk", col("cos"), col("id"), lit(k)).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("id"), col("e.ord").as("cos"))
+  }
+
+  /** One Lloyd refinement step: reassign (map-only, via [[ivfAssign]])
+    * then recompute each cell's mean vector. The per-dimension mean
+    * aggregates (cell, dim) partials map-side — the explode never
+    * re-shuffles raw vectors. Float means are summation-order
+    * dependent, so this is for TRAINING (where any near-mean works),
+    * not for oracle-gated paths; the spec asserts cost monotonicity,
+    * not bytes. Empty cells keep their old centroid. */
+  def lloydStep(
+      corpus: DataFrame, // (id, vec)
+      centroids: Seq[(Long, Array[Float])]): Seq[(Long, Array[Float])] = {
+    val dims = centroids.head._2.length
+    val means = ivfAssign(corpus, "vec", centroids)
+      .select(col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(map_from_arrays(collect_list(col("d")), collect_list(col("m"))).as("dm"))
+      .collect()
+      .map { r =>
+        val dm = r.getMap[Int, Double](1)
+        r.getLong(0) -> Array.tabulate(dims)(d => dm(d).toFloat)
+      }.toMap
+    centroids.map { case (cid, cv) => cid -> means.getOrElse(cid, cv) }
+  }
+
   /** Bucketed ANN: top-k among same-bucket mates only, plus the bucket
     * population (candidate count actually scanned). */
   def lshTopK(

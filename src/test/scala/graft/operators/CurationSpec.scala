@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSample is deterministic, map-only, and near the target rate") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val a = Curation.hashSample(docs, col("doc_id"), 200)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Curation.hashSample(docs, col("doc_id"), 200)
+      .select("doc_id").as[Long].collect().sorted
+    a shouldBe b // same rows every run (no rand())
+    val n = docs.count()
+    a.length.toDouble / n should be(0.2 +- 0.1)
+    // map-only: the plan must contain no Exchange at all
+    val plan = Curation.hashSample(docs, col("doc_id"), 200)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
+  test("domainCap keeps at most cap rows per domain, best-first") {
+    val docs = Seq(
+      (1L, "a", 10), (2L, "a", 30), (3L, "a", 20), (4L, "a", 30),
+      (5L, "b", 5)
+    ).toDF("doc_id", "source", "n_chars")
+    val out = Curation.domainCap(docs, "source", col("n_chars"), "doc_id", cap = 2)
+      .orderBy("source", "rank").collect()
+    // domain a: score 30 (id 2), 30 (id 4 — tie broken by id), never id 1/3
+    out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) shouldBe Array(
+      ("a", 1L, 2L), ("a", 2L, 4L), ("b", 1L, 5L))
+  }
+
+  test("repetitionSignals counts words, bigrams, and flags repetition") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam ok"),
+      (2L, "all words here are completely different tokens friend"),
+      (3L, "one")
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    out(0) shouldBe Row(1L, 10L, 2L, 9L, 8L, true) // "spam spam" ×8
+    out(1) shouldBe Row(2L, 8L, 8L, 1L, 1L, false)
+    out(2) shouldBe Row(3L, 1L, 1L, 1L, 0L, false) // no repeat at all
+  }
+
+  test("redactPii replaces emails then IPs, and counts match") {
+    val docs = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.org or 10.0.42.77 now"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = docs.select(
+      Curation.redactPii(col("text")).as("r"),
+      Curation.emailCount(col("text")).as("em"),
+      Curation.ipv4Count(col("text")).as("ip"))
+      .orderBy("em").collect()
+    out(1).getString(0) shouldBe "mail me at <EMAIL> or <IP> now"
+    out(1).getLong(1) shouldBe 1L
+    out(1).getLong(2) shouldBe 1L
+    out(0).getString(0) shouldBe "no pii here at all"
+  }
+
+  test("bucketed range join equals the declarative band join") {
+    val ev = graft.Tables.events(spark, sfSmoke)
+    val hours = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val top = hours.orderBy(col("n").desc, col("h")).limit(5)
+      .select(col("h").as("w_start"),
+        (col("h") + expr("INTERVAL 90 MINUTES")).as("w_end"))
+    val bucketed = RangeJoin.bucketed(ev, "ts", top, "w_start", "w_end", 3600L)
+      .groupBy("w_start").agg(count(lit(1)).as("n"))
+    val naive = ev.join(top,
+        col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy("w_start").agg(count(lit(1)).as("n"))
+    val l = bucketed.orderBy("w_start").collect()
+    val r = naive.orderBy("w_start").collect()
+    l shouldBe r
+    l.length shouldBe 5
+  }
+
+  test("ivfAssign picks the argmax-cosine cell; ivfTopK stays in probed cells") {
+    val e = graft.Tables.embeddings(spark, sfSmoke)
+    val centroids = e.filter(col("vec_id") >= 20 && col("vec_id") < 24)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val assigned = Similarity.ivfAssign(corpus, "vec", centroids)
+    // every centroid vector must land in its own cell (cos=1 with itself)
+    val self = assigned.filter(col("id") < 24)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    centroids.foreach { case (cid, _) => self(cid) shouldBe cid }
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Similarity.ivfTopK(queries, corpus, centroids, nprobe = 2, k = 3)
+    out.groupBy("qid").count().collect().foreach(_.getLong(1) should be <= 3L)
+  }
+
+  test("lloydStep does not increase total assignment cost") {
+    val e = graft.Tables.embeddings(spark, sfSmoke)
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val seed = e.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    def cost(cs: Seq[(Long, Array[Float])]): Double = {
+      val cmap = cs.toMap
+      val assigned = Similarity.ivfAssign(corpus, "vec", cs)
+      val byCell = assigned.select("id", "cell").as[(Long, Long)].collect()
+      val vecs = corpus.select("id", "vec").as[(Long, Seq[Float])].collect().toMap
+      byCell.map { case (id, cell) =>
+        val v = vecs(id); val c = cmap(cell)
+        val dotVC = v.indices.foldLeft(0.0)((a, i) => a + v(i).toDouble * c(i).toDouble)
+        val nv = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        val nc = math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        1.0 - dotVC / (nv * nc) // cosine distance
+      }.sum
+    }
+    val refined = Similarity.lloydStep(corpus, seed)
+    cost(refined) should be <= cost(seed) + 1e-6
+  }
+}
