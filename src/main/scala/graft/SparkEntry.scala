@@ -1262,6 +1262,33 @@ object SparkEntry {
       .orderBy(col("window_start"))
   }
 
+  /** Incremental near-dup: the "new batch" (doc_id % 10 >= 8, ~20%)
+    * probes the corpus index (the other 80%) through refined LSH band
+    * keys — candidates are new×index only (never new×new or
+    * index×index), then the exact Jaccard gate keeps ≥ 0.5. The
+    * continuous-crawl shape: at 100 TB the index side is a persisted
+    * (band, key) → id table and only the new batch computes
+    * signatures. */
+  private def lshIncrementalProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    TextDedup.lshProbeIndex(Tables.documents(s, dir), "doc_id", "text",
+        isNew = col("doc_id") % 10 >= 8, minJaccard = 0.5)
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
+  /** The whole dedup pipeline as one dataset operator: exact dedup →
+    * LSH candidates → exact-Jaccard verify → components → keep one doc
+    * per cluster. This is THE headline curation op — what a training
+    * corpus actually runs. Oracle: recursive-CTE closure over the same
+    * gated edge set, anti-joined back. */
+  private def nearDupDedupDataset(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    TextDedup.nearDupDedup(Tables.documents(s, dir), "doc_id", "text",
+        minJaccard = 0.5)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1320,7 +1347,9 @@ object SparkEntry {
     "q52_domain_cap" -> (domainCapQuery _),
     "q53_repetition_signals" -> (repetitionSignalsQuery _),
     "q54_pii_redact" -> (piiRedactScan _),
-    "q55_range_join_windows" -> (rangeJoinBucketed _))
+    "q55_range_join_windows" -> (rangeJoinBucketed _),
+    "q56_lsh_incremental" -> (lshIncrementalProbe _),
+    "q57_neardup_dedup_dataset" -> (nearDupDedupDataset _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1334,7 +1363,8 @@ object SparkEntry {
     * refined by the exact shingle-set hash, exactly like the Spark
     * side. */
   private def lshPairsSqlOverShingles(
-      wCte: String, numHashes: Int = 64, rowsPerBand: Int = 16): String =
+      wCte: String, numHashes: Int = 64, rowsPerBand: Int = 16,
+      pairPred: String = "a.doc_id < b.doc_id"): String =
     s"""w AS ($wCte),
        hb AS (SELECT doc_id,
                      ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS h
@@ -1355,7 +1385,7 @@ object SparkEntry {
               FROM bands b JOIN bsz s USING (band, key) JOIN sk k USING (doc_id)),
        pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
                  FROM rb a JOIN rb b
-                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+                   ON a.band = b.band AND a.key = b.key AND $pairPred)"""
 
   /** Word-set shingles over a docs relation (the default shingler). */
   private def minHashPairsSqlOver(docs: String): String =
@@ -1395,7 +1425,8 @@ object SparkEntry {
     "q45_tfidf_top_terms", "q47_contamination_scan",
     "q48_quality_percentile_filter", "q49_ann_topk_agg",
     "q50_ivf_ann", "q51_stratified_sample", "q52_domain_cap",
-    "q53_repetition_signals", "q54_pii_redact", "q55_range_join_windows")
+    "q53_repetition_signals", "q54_pii_redact", "q55_range_join_windows",
+    "q56_lsh_incremental", "q57_neardup_dedup_dataset")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2097,5 +2128,20 @@ object SparkEntry {
                 COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users
          FROM events e JOIN top t
            ON e.ts >= t.h AND e.ts < t.h + INTERVAL 90 MINUTE
-         GROUP BY t.h ORDER BY window_start""")
+         GROUP BY t.h ORDER BY window_start""",
+    "q56_lsh_incremental" ->
+      s"""WITH ${lshPairsSqlOverShingles(
+             s"""SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+                 FROM documents""",
+             pairPred = "a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8")},
+         ws AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS ws FROM documents)
+         SELECT new_id, dup_of, jac FROM (
+           SELECT p.a AS new_id, p.b AS dup_of,
+                  round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) /
+                        CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE), 6) AS jac
+           FROM pairs p
+           JOIN ws wa ON wa.doc_id = p.a
+           JOIN ws wb ON wb.doc_id = p.b) t
+         WHERE jac >= 0.5
+         ORDER BY new_id, dup_of""")
 }

@@ -32,13 +32,19 @@ object TextDedup {
   /** Character k-gram shingles of the normalized text (the classic
     * shingling for boilerplate-heavy corpora where word sets are too
     * coarse). Dynamic positions need the SQL substring (3-arg Column
-    * form), reached via call_function. */
-  def charShingles(text: Column, k: Int = 8): Column = {
-    val n = norm(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
-      i => call_function("substring", n, i, lit(k))))
-  }
+    * form), reached via call_function.
+    *
+    * The outer transform-over-1-element-array binds the normalized
+    * text to a lambda VARIABLE once per row: higher-order-function
+    * lambdas are interpreted, so referencing `lower(trim(text))`
+    * directly in the inner lambda would re-normalize the whole
+    * document once PER SHINGLE (~300× per row — measured 4× the
+    * query cost of the shingling itself at sf0.1). */
+  def charShingles(text: Column, k: Int = 8): Column =
+    array_distinct(flatten(transform(array(norm(text)), n =>
+      transform(
+        sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
+        i => call_function("substring", n, i, lit(k))))))
 
   /** 60-bit deterministic hash (DuckDB-mirrorable):
     * `('0x' || substr(md5(x),1,15))::BIGINT`. */
@@ -124,6 +130,27 @@ object TextDedup {
       bands: Int = 4,
       bucketCap: Int = 100,
       shingler: Column => Column = normWordSet): DataFrame = {
+    val refined = lshRefinedBands(df, idCol, textCol, numHashes, bands,
+      bucketCap, shingler)
+    val a = refined.as("a")
+    val b = refined.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .distinct()
+  }
+
+  /** Banded, bucket-capped LSH keys — `(id, band, key)` — shared by the
+    * symmetric candidate join and the incremental index probe. */
+  private def lshRefinedBands(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      bucketCap: Int,
+      shingler: Column => Column): DataFrame = {
     val r = numHashes / bands
     // Signatures + the exact shingle-set key in ONE aggregation pass:
     // the set key is md5 over the sorted distinct shingle hashes, so it
@@ -146,16 +173,49 @@ object TextDedup {
     // candidate join needs anyway
     val sized = banded.withColumn("n",
       count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-    val refined = sized.select(col("id"), col("band"),
+    sized.select(col("id"), col("band"),
       when(col("n") <= bucketCap, col("key"))
         .otherwise(concat(col("key"), lit("!"), col("setkey"))).as("key"))
-    val a = refined.as("a")
-    val b = refined.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("b.id").as("b"))
+  }
+
+  /** Incremental near-dup probe — the continuous-crawl shape: a NEW
+    * batch of docs is checked against the EXISTING corpus without ever
+    * forming new×new or index×index pairs. Band keys are the stored
+    * index (at 100 TB they persist as a `(band, key) → id` table; here
+    * both sides derive from one relation split by `isNew` so the
+    * DuckDB oracle can mirror the split exactly). Candidates collide
+    * inside refined (band, key) buckets only, then the exact
+    * hashed-word-set Jaccard gate keeps pairs ≥ `minJaccard`.
+    * Returns `(new_id, dup_of, jac)` — every new doc paired with each
+    * index doc it near-duplicates. */
+  def lshProbeIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isNew: Column,
+      minJaccard: Double,
+      numHashes: Int = 64,
+      bands: Int = 4,
+      bucketCap: Int = 100,
+      shingler: Column => Column = normWordSet): DataFrame = {
+    val marked = df.withColumn("__new", isNew)
+    val refined = lshRefinedBands(marked, idCol, textCol, numHashes, bands,
+      bucketCap, shingler)
+      .join(marked.select(col(idCol).as("id"), col("__new")), Seq("id"))
+    val probe = refined.filter(col("__new")).as("a")
+    val index = refined.filter(!col("__new")).as("b")
+    val cands = probe.join(index,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("new_id"), col("b.id").as("dup_of"))
       .distinct()
+    val ws = df.select(col(idCol).as("wid"),
+      transform(shingler(col(textCol)), w => md5Hash60(w)).as("ws"))
+    cands
+      .join(ws.select(col("wid").as("new_id"), col("ws").as("wa")), Seq("new_id"))
+      .join(ws.select(col("wid").as("dup_of"), col("ws").as("wb")), Seq("dup_of"))
+      .select(col("new_id"), col("dup_of"),
+        round(jaccard(col("wa"), col("wb")), 6).as("jac"))
+      .filter(col("jac") >= minJaccard)
   }
 
   /** SimHash sketch (bit-vote over the word set's hashes). */
@@ -251,6 +311,42 @@ object TextDedup {
   def jaccard(aWords: Column, bWords: Column): Column =
     size(array_intersect(aWords, bWords)).cast(DoubleType) /
       size(array_union(aWords, bWords)).cast(DoubleType)
+
+  /** End-to-end near-dup dedup: the full curation pipeline as ONE
+    * dataset operator. Stages, in the order that survives 100 TB:
+    *  1. exact dedup (one 8-byte-hash shuffle) so byte-identical
+    *     templated docs never reach the LSH buckets;
+    *  2. banded LSH candidates (collisions only inside capped
+    *     (band, key) buckets — the all-pairs product never exists);
+    *  3. exact Jaccard gate over hashed word sets (verify step: LSH
+    *     candidates are probabilistic, the kept edges are not);
+    *  4. connected components (pointer-jumping min-label);
+    *  5. keep the min-id doc per component (the label IS the
+    *     component's min id), plus every unpaired doc.
+    * Returns the deduplicated dataset with the input's columns. */
+  def nearDupDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 4,
+      bucketCap: Int = 100): DataFrame = {
+    val survivors = exactDedup(df, textCol, idCol)
+    val cands = lshCandidatePairs(survivors, idCol, textCol, numHashes,
+      bands, bucketCap)
+    val ws = survivors.select(col(idCol).as("wid"),
+      transform(normWordSet(col(textCol)), w => md5Hash60(w)).as("ws"))
+    val gated = cands
+      .join(ws.select(col("wid").as("a"), col("ws").as("wa")), Seq("a"))
+      .join(ws.select(col("wid").as("b"), col("ws").as("wb")), Seq("b"))
+      .filter(round(jaccard(col("wa"), col("wb")), 6) >= minJaccard)
+      .select(col("a"), col("b"))
+    val losers = connectedComponents(gated)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    survivors.join(losers, Seq(idCol), "left_anti")
+  }
 
   /** Incremental exact dedup — the realistic pipeline form: dedupe the
     * new batch internally, then drop anything whose normalized-text

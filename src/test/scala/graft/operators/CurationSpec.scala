@@ -100,6 +100,23 @@ class CurationSpec extends SparkSpec {
     out.groupBy("qid").count().collect().foreach(_.getLong(1) should be <= 3L)
   }
 
+  test("lshProbeIndex emits only new×index pairs, matching the symmetric join") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val isNew = col("doc_id") % 10 >= 8
+    val probe = TextDedup.lshProbeIndex(docs, "doc_id", "text", isNew, 0.0)
+      .select("new_id", "dup_of").as[(Long, Long)].collect().toSet
+    probe.foreach { case (n, i) =>
+      (n % 10) should be >= 8L
+      (i % 10) should be < 8L
+    }
+    // same buckets, so cross-side pairs of the symmetric join == probe
+    val sym = TextDedup.lshCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (n, i) => n % 10 >= 8 && i % 10 < 8 }.toSet
+    probe shouldBe sym
+  }
+
   test("lloydStep does not increase total assignment cost") {
     val e = graft.Tables.embeddings(spark, sfSmoke)
     val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
