@@ -2143,5 +2143,36 @@ object SparkEntry {
            JOIN ws wa ON wa.doc_id = p.a
            JOIN ws wb ON wb.doc_id = p.b) t
          WHERE jac >= 0.5
-         ORDER BY new_id, dup_of""")
+         ORDER BY new_id, dup_of""",
+    // Mirrors TextDedup.nearDupDedup stage for stage: exact dedup
+    // (min-id per normalized text) → banded LSH candidates over the
+    // survivors → exact-Jaccard gate on the 60-bit-hashed word sets →
+    // recursive-CTE min-label closure (the q34 pattern) → drop every
+    // non-label member of a component.
+    "q57_neardup_dedup_dataset" ->
+      s"""WITH RECURSIVE kmin AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                                  GROUP BY lower(trim(text))),
+         sdocs AS (SELECT d.* FROM documents d JOIN kmin USING (doc_id)),
+         ${minHashPairsSqlOver("sdocs")},
+         hws AS (SELECT doc_id,
+                        list_distinct(list_transform(
+                          list_distinct(string_split(lower(trim(text)), ' ')),
+                          w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS ws
+                 FROM sdocs),
+         gp AS (SELECT p.a, p.b FROM pairs p
+                JOIN hws wa ON wa.doc_id = p.a
+                JOIN hws wb ON wb.doc_id = p.b
+                WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) /
+                            CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE), 6)
+                      >= 0.5),
+         ed AS (SELECT a AS src, b AS dst FROM gp UNION SELECT b, a FROM gp),
+         reach(d, r) AS (
+           SELECT src AS d, src AS r FROM ed
+           UNION
+           SELECT ed.src AS d, reach.r FROM ed JOIN reach ON ed.dst = reach.d),
+         comp AS (SELECT d, MIN(r) AS label FROM reach GROUP BY d),
+         losers AS (SELECT d AS doc_id FROM comp WHERE d <> label)
+         SELECT doc_id, lang, source FROM sdocs
+         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         ORDER BY doc_id""")
 }
