@@ -98,17 +98,21 @@ object SparkEntry {
   private def sessionMetadata(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(s, dir)
     // INSERT INTO flow_metadata ... WHERE type = 'flow.begin'.
-    // `meta` is one row per signup user — tiny relative to `events` — so
+    // `meta` is one row per signup user — small relative to `events` — so
     // cache it (it feeds both the window join and the final left join;
-    // uncached it would rescan `events` twice) and broadcast it into the
-    // window join so the big `events` side never shuffles.
+    // uncached it would rescan `events` twice). Deliberately NO
+    // broadcast() hint: it is an ALL-TIME per-user aggregate, so a
+    // literal hint would override AQE's size check and OOM the driver at
+    // 100×. AQE broadcasts it while it measures small and degrades to a
+    // shuffle join when it no longer does (plan-asserted in
+    // ScalePatternsSpec).
     val meta = events.filter(col("event_type") === "signup")
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("began_at"))
       .cache()
     // UPDATE ... FROM (SELECT ... GROUP BY flow_id): fold day d ∪ d+1
     val inWindow = events.as("e")
-      .join(broadcast(meta.as("m")), col("e.user_id") === col("m.user_id"))
+      .join(meta.as("m"), col("e.user_id") === col("m.user_id"))
       .filter(dayOf(col("e.ts")).between(
         dayOf(col("m.began_at")), date_add(dayOf(col("m.began_at")), 1)))
       .filter(col("e.ts") >= col("m.began_at"))
@@ -118,7 +122,7 @@ object SparkEntry {
         count(lit(1)).as("n_events"),
         max(col("e.ts")).as("last_ts"),
         max(when(col("e.event_type") === "purchase", 1L).otherwise(0L)).as("has_purchase"))
-    meta.join(broadcast(folded), Seq("user_id"), "left")
+    meta.join(folded, Seq("user_id"), "left")
       .select(
         col("user_id"),
         col("began_at"),

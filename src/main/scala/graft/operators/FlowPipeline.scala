@@ -205,7 +205,11 @@ final class FlowPipeline(
       day: LocalDate): Unit = {
     if (metaT.days(spark).isEmpty || upd.isEmpty) return
     val meta = metaT.read(spark).filter(horizonFilter(day))
-    val u = broadcast(upd.withColumnRenamed("flow_id", "u_flow_id"))
+    // No broadcast() hint: `upd` is one row per flow of one day —
+    // bounded by day volume, but at 100 TB/day that is far past
+    // broadcast range, and a literal hint overrides AQE's size check.
+    // AQE broadcasts it while small, shuffle-joins when not.
+    val u = upd.withColumnRenamed("flow_id", "u_flow_id")
     // localCheckpoint, not cache: writeDays below dynamically overwrites
     // the very partitions this frame reads. A cached plan keeps its full
     // lineage, so losing a block mid-write would recompute from the
@@ -255,8 +259,9 @@ final class FlowPipeline(
       day: LocalDate): Unit = {
     if (expT.days(spark).isEmpty || fold.isEmpty) return
     val exp = expT.read(spark).filter(horizonFilter(day))
-    val u = broadcast(fold
-      .select(col("flow_id").as("u_flow_id"), col("upd_uid"), col("fold_m")))
+    // un-hinted for the same per-day-volume reason as applyMetadataUpdates
+    val u = fold
+      .select(col("flow_id").as("u_flow_id"), col("upd_uid"), col("fold_m"))
     // localCheckpoint for the same read-then-overwrite reason as
     // applyMetadataUpdates
     val joined = exp.join(u, exp("flow_id") === u("u_flow_id"), "left")

@@ -46,6 +46,18 @@ class ScalePatternsSpec extends SparkSpec {
     j.count() shouldBe graft.Tables.lineitem(spark, sfSmoke).count()
   }
 
+  test("q05 carries no broadcast hint, yet AQE still broadcasts at fixture scale") {
+    val df = graft.SparkEntry.queries("q05_session_metadata")(spark, sfSmoke)
+    // no literal hint anywhere in the analyzed plan — AQE must be free
+    // to degrade to a shuffle join when the build side outgrows it
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "q05 should not force a join strategy with a literal hint")
+    df.collect() // run so AQE finalizes its runtime strategy choice
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE should pick broadcast for the small build sides at sf0.001:\n$plan")
+  }
+
   test("incremental dedup: batch 2 drops docs already in the hash index") {
     val b1 = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
     val b2 = Seq(
