@@ -1108,6 +1108,74 @@ object SparkEntry {
     s.table(sink).orderBy(col("flow_id"))
   }
 
+  /** Streaming daily rollups (StreamingRollups) oracle-gated the q46
+    * way: replay the events table through the file source day by day
+    * (AvailableNow + maxFilesPerTrigger so the watermark advances
+    * BETWEEN days), two tick batches flush the final windows, and the
+    * tick windows themselves never close so they never reach the sink.
+    * Per-type daily counts are checked hash-exact; the HLL
+    * `dau_approx` column is reduced to a Spark-side tolerance flag vs
+    * the exact batch DAU (the q42 technique — DuckDB cannot replay
+    * Spark's HLL sketch, but it can assert the flag). */
+  private def streamingDailyRollups(s: SparkSession, dir: String): DataFrame = {
+    import graft.store.DayPartitionedTable
+    import graft.streaming.StreamingRollups
+    import graft.util.TmpDirs
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val root = TmpDirs.fresh(s"q58_stream_$tag")
+    val e = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("event_type"), dayOf(col("ts")).as("day"))
+    val t = new DayPartitionedTable(root, "events_by_day", sortCol = Some("ts"))
+    t.writeDays(e)
+    val realFiles = t.read(s).select(input_file_name()).distinct().count().toInt
+    // same two-tick flush as q46: batch k+1 advances the watermark past
+    // every real day window, batch k+2 evicts/emits them; the tick
+    // windows stay open and are never emitted (negative user_ids and a
+    // 'tick' type keep them self-describing if one ever leaks — the
+    // day join below would drop it anyway).
+    val maxDay = t.maxDay(s).get
+    def tickRows(n: Int, d: Long): DataFrame = {
+      val tick = maxDay.plusDays(d)
+      s.range(n.toLong).select(
+        lit(java.sql.Timestamp.valueOf(s"$tick 00:00:00")).as("ts"),
+        (col("id") - 1000000L).as("user_id"),
+        lit("tick").as("event_type"))
+    }
+    tickRows(realFiles, 3).repartition(realFiles)
+      .write.mode("append").parquet(s"${t.path}/day=${maxDay.plusDays(3)}")
+    tickRows(1, 6).coalesce(1)
+      .write.mode("append").parquet(s"${t.path}/day=${maxDay.plusDays(6)}")
+    def replay(): DataFrame = s.readStream
+      .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, day DATE")
+      .option("maxFilesPerTrigger", realFiles)
+      .parquet(t.path)
+      .select("ts", "user_id", "event_type")
+    def runToTable(df: DataFrame, name: String): DataFrame = {
+      val q = df.writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt_$name")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }
+    val typeCounts =
+      runToTable(StreamingRollups.dailyTypeCounts(replay()), s"q58_types_$tag")
+    val dau =
+      runToTable(StreamingRollups.dailyActiveUsers(replay()), s"q58_dau_$tag")
+    val exact = Tables.events(s, dir)
+      .groupBy(dayOf(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau_exact"))
+    val dauOk = dau.join(exact, Seq("day"))
+      .select(col("day"),
+        (abs(col("dau_approx") - col("dau_exact")) <=
+          greatest(lit(2L), (col("dau_exact") * 0.15).cast("long"))).as("dau_ok"))
+    typeCounts.join(dauOk, Seq("day"))
+      .select(col("day").cast("string").as("day"), col("event_type"),
+        col("n_events"), col("dau_ok"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** Benchmark-contamination scan: which corpus documents share char
     * 8-gram shingles with a held-out eval set (doc_id < 20 stands in
     * for the benchmark). The eval shingle set is tiny → broadcast; the
@@ -1353,7 +1421,8 @@ object SparkEntry {
     "q54_pii_redact" -> (piiRedactScan _),
     "q55_range_join_windows" -> (rangeJoinBucketed _),
     "q56_lsh_incremental" -> (lshIncrementalProbe _),
-    "q57_neardup_dedup_dataset" -> (nearDupDedupDataset _))
+    "q57_neardup_dedup_dataset" -> (nearDupDedupDataset _),
+    "q58_streaming_rollups" -> (streamingDailyRollups _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2178,5 +2247,11 @@ object SparkEntry {
          losers AS (SELECT d AS doc_id FROM comp WHERE d <> label)
          SELECT doc_id, lang, source FROM sdocs
          WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    // Exact mirror of the streaming per-type daily counts; the HLL DAU
+    // column is asserted Spark-side as a tolerance flag (q42 technique).
+    "q58_streaming_rollups" ->
+      """SELECT CAST(ts::DATE AS VARCHAR) AS day, event_type,
+                COUNT(*) AS n_events, true AS dau_ok
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
 }

@@ -31,6 +31,30 @@ class StreamingRollupsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup equals batch dropDuplicates across multi-batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic fixture: 120 events over 3 microbatches, user_id
+    // repeats every 17 events, all inside the 25h watermark window
+    val all = (0 until 120).map { i =>
+      Ev(ts(f"2024-01-01 ${6 + i / 20}%02d:${i % 60}%02d:00"), (i % 17).toLong, "view")
+    }
+    val input = MemoryStream[Ev]
+    val q = StreamingRollups.dedupStream(input.toDS().toDF(), "user_id")
+      .writeStream.format("memory").queryName("dedup_eq").outputMode("append").start()
+    try {
+      all.grouped(40).foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("dedup_eq")
+        .select($"user_id").as[Long].collect().toSeq.sorted
+      val batch = all.toDF().dropDuplicates("user_id")
+        .select($"user_id").as[Long].collect().toSeq.sorted
+      streamed shouldBe batch
+      streamed.length shouldBe 17
+    } finally q.stop()
+  }
+
   test("windowed DAU: 1-day tumbling windows close after the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
