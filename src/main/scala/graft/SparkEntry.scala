@@ -757,11 +757,13 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Multimodal plumbing: binary media column → batched partition-local
-    * feature extraction (deterministic stub decoder). */
+  /** Multimodal pipeline: binary media column (real P6 PPM images) →
+    * batched partition-local feature extraction through a real,
+    * spec-compliant PPM decoder (dimensions + raster checksum). */
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
-    Multimodal.extractFeatures(s, Multimodal.attachMedia(Tables.documents(s, dir)))
+    Multimodal.extractFeatures(s,
+        Multimodal.attachMedia(s, Tables.documents(s, dir)))
       .toDF()
       .orderBy(col("doc_id"))
   }
@@ -1876,13 +1878,24 @@ object SparkEntry {
                w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1000000007)),
              (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    // Recomputes what the PPM decoder extracts: dimensions from the
+    // byte length (the encoder's derivation), total media size =
+    // header + raster, and the raster checksum = byte sum of the
+    // doc's leading min(strlen, w*h*3) bytes (the zero padding adds 0).
     "q31_multimodal_features" ->
-      """SELECT doc_id,
-           CAST(strlen(text) AS BIGINT) AS byte_len,
-           strlen(text) // 1000 + 1 AS n_frames,
-           CAST(list_sum(list_transform(range(1, LEAST(16, length(text)) + 1),
-             i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS head_checksum
-         FROM documents ORDER BY doc_id""",
+      """WITH m AS (SELECT doc_id, text,
+             strlen(text) % 13 + 2 AS w,
+             strlen(text) % 7 + 2 AS h
+           FROM documents)
+         SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(strlen('P6' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
+                       CAST(h AS VARCHAR) || chr(10) || '255' || chr(10))
+                + w * h * 3 AS BIGINT) AS byte_len,
+           CAST(COALESCE(list_sum(list_transform(
+                  range(1, LEAST(w * h * 3, strlen(text)) + 1),
+                  i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0)
+                AS BIGINT) AS px_checksum
+         FROM m ORDER BY doc_id""",
     "q32_minhash_char_shingles" ->
       s"""WITH ${lshPairsSqlOverShingles(
              """SELECT doc_id, unnest(list_distinct(list_transform(

@@ -1,21 +1,23 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, feature extraction as batched partition-local
   * processing.
   *
-  * The Spark side — schema, partition-local batching, typed Dataset
-  * boundary — is real and tested. The DECODER is a deterministic stub
-  * (this container has no image/audio codecs): it derives features
-  * from the raw bytes (length, frame-sample count, head checksum)
-  * exactly the way a real decoder would expose dimensions/duration/
-  * codec stats. Swap [[decodeStub]] for a JNI/codec call to go real —
-  * the batching shape is what matters at 100 TB: each task processes
-  * its partition in fixed-size batches (amortizing per-batch decoder
-  * init, the same reason PySpark pipelines use mapInPandas batches).
+  * The decode path is REAL: media payloads are P6 PPM images (the
+  * netpbm format — a pure-ASCII header `P6 <w> <h> <maxval>` followed
+  * by a w×h×3 RGB raster, decodable with zero codec dependencies), and
+  * [[decodePpm]] is a spec-compliant parser (whitespace/comment
+  * handling included) that extracts dimensions and a raster checksum —
+  * the same shape a JPEG decoder would expose as dimensions/EXIF/
+  * pixel stats. The batching shape is what matters at 100 TB: each
+  * task processes its partition in fixed-size batches (amortizing
+  * per-batch decoder init, the same reason PySpark pipelines use
+  * mapInPandas batches).
   */
 object Multimodal {
 
@@ -27,44 +29,90 @@ object Multimodal {
 
   final case class MediaFeatures(
       doc_id: Long,
+      width: Int,
+      height: Int,
       byte_len: Long,
-      n_frames: Long,
-      head_checksum: Long)
+      px_checksum: Long)
 
-  /** Attach an opaque media column (here: the utf-8 bytes of `text`,
-    * standing in for image/audio payloads) plus typed metadata. */
-  def attachMedia(df: DataFrame): DataFrame =
-    df.select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("media"),
-      lit("application/octet-stream").as("media_type"),
-      octet_length(col("text")).cast("long").as("byte_len"))
-
-  /** STUB decoder — deterministic fake of decode/frame-sample/feature
-    * extraction. A real implementation would decode `media` here; the
-    * stub "decodes" the payload back to text and checksums the first 16
-    * CODEPOINTS (not raw bytes), so the semantics are byte-encoding
-    * independent and match the oracle on non-ASCII content too. */
-  def decodeStub(doc: MediaDoc): MediaFeatures = {
-    val decoded = new String(doc.media, java.nio.charset.StandardCharsets.UTF_8)
-    val head = decoded.codePoints().limit(16).asLongStream().sum()
-    MediaFeatures(
-      doc_id = doc.doc_id,
-      byte_len = doc.media.length.toLong,
-      n_frames = doc.media.length.toLong / 1000L + 1L, // frame sampling
-      head_checksum = head)
+  /** Deterministic P6 PPM encoder: a w×h image whose raster is the
+    * document's leading bytes (zero-padded). Dimensions derive from the
+    * byte length so every doc gets a distinct-but-mirrorable shape —
+    * the DuckDB oracle recomputes them from `strlen(text)`. */
+  def encodePpm(docId: Long, text: String): MediaDoc = {
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    val w = bytes.length % 13 + 2
+    val h = bytes.length % 7 + 2
+    val header = s"P6\n$w $h\n255\n".getBytes(StandardCharsets.US_ASCII)
+    val px = new Array[Byte](w * h * 3)
+    System.arraycopy(bytes, 0, px, 0, math.min(bytes.length, px.length))
+    val media = new Array[Byte](header.length + px.length)
+    System.arraycopy(header, 0, media, 0, header.length)
+    System.arraycopy(px, 0, media, header.length, px.length)
+    MediaDoc(docId, media, "image/x-portable-pixmap", media.length.toLong)
   }
 
-  /** Batched partition-local feature extraction. */
+  /** Attach a real media column: each document's payload is a decodable
+    * P6 PPM image standing in for crawled image bytes. */
+  def attachMedia(spark: SparkSession, df: DataFrame): Dataset[MediaDoc] = {
+    import spark.implicits._
+    df.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => encodePpm(id, text) }
+  }
+
+  /** REAL decoder — parses the P6 header per the netpbm spec (any
+    * whitespace between tokens, `#` comments through end-of-line, one
+    * whitespace byte before the raster), validates the raster length,
+    * and folds the raster into an unsigned-byte checksum. Throws on
+    * malformed input like any decoder would. */
+  def decodePpm(doc: MediaDoc): MediaFeatures = {
+    val b = doc.media
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
+      s"doc ${doc.doc_id}: not a P6 PPM")
+    var pos = 2
+    def isWs(c: Byte): Boolean =
+      c == ' ' || c == '\n' || c == '\t' || c == '\r'
+    def skipWsAndComments(): Unit = {
+      var moving = true
+      while (moving) {
+        while (pos < b.length && isWs(b(pos))) pos += 1
+        if (pos < b.length && b(pos) == '#') {
+          while (pos < b.length && b(pos) != '\n') pos += 1
+        } else moving = false
+      }
+    }
+    def readInt(): Int = {
+      skipWsAndComments()
+      require(pos < b.length && b(pos) >= '0' && b(pos) <= '9',
+        s"doc ${doc.doc_id}: malformed PPM header at byte $pos")
+      var v = 0
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = readInt()
+    val h = readInt()
+    val maxval = readInt()
+    require(maxval == 255, s"doc ${doc.doc_id}: unsupported maxval $maxval")
+    pos += 1 // exactly one whitespace byte separates header and raster
+    require(b.length - pos == w * h * 3,
+      s"doc ${doc.doc_id}: raster is ${b.length - pos} bytes, want ${w * h * 3}")
+    var sum = 0L
+    var i = pos
+    while (i < b.length) { sum += (b(i) & 0xff); i += 1 }
+    MediaFeatures(doc.doc_id, w, h, b.length.toLong, sum)
+  }
+
+  /** Batched partition-local feature extraction over decodable media. */
   def extractFeatures(
       spark: SparkSession,
-      media: DataFrame,
+      media: Dataset[MediaDoc],
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaDoc].mapPartitions { it =>
+    media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // per-batch decoder init would live here
-        batch.iterator.map(decodeStub)
+        batch.iterator.map(decodePpm)
       }
     }
   }

@@ -103,14 +103,41 @@ class LlmOpsSpec extends SparkSpec {
   private def Tables_embeddings() = graft.Tables.embeddings(spark, sfSmoke)
 
   test("multimodal: batched extraction preserves every doc exactly once") {
-    val media = Multimodal.attachMedia(
+    val media = Multimodal.attachMedia(spark,
       graft.Tables.documents(spark, sfSmoke))
     val feats = Multimodal.extractFeatures(spark, media, batchSize = 7).cache()
     feats.count() shouldBe 500
     feats.select(countDistinct($"doc_id")).as[Long].head() shouldBe 500
-    // stub invariants: byte_len matches source text length
+    // decoder invariants: dimensions derive from the text byte length,
+    // and byte_len is the full media size (header + w*h*3 raster)
     val bad = feats.join(graft.Tables.documents(spark, sfSmoke), "doc_id")
-      .filter($"byte_len" =!= org.apache.spark.sql.functions.length($"text")).count()
+      .filter($"width" =!= org.apache.spark.sql.functions.length($"text") % 13 + 2 ||
+        $"height" =!= org.apache.spark.sql.functions.length($"text") % 7 + 2 ||
+        $"byte_len" <= $"width" * $"height" * 3)
+      .count()
     bad shouldBe 0
+  }
+
+  test("multimodal: PPM decoder round-trips the encoder and rejects garbage") {
+    val doc = Multimodal.encodePpm(7L, "hello world, a decodable doc")
+    val f = Multimodal.decodePpm(doc)
+    f.width shouldBe 28 % 13 + 2
+    f.height shouldBe 28 % 7 + 2
+    // raster holds only the first w*h*3 = 4*2*3 = 24 bytes of the 28-byte doc
+    f.px_checksum shouldBe "hello world, a decodable doc".getBytes("UTF-8")
+      .take(24).map(_ & 0xff).sum.toLong
+    // spec compliance: comments and arbitrary whitespace in the header
+    val withComment = ("P6\n# a comment\n 2\t3 # trailing\n255\n" +
+      "x" * 18).getBytes("ISO-8859-1")
+    val g = Multimodal.decodePpm(Multimodal.MediaDoc(8L, withComment, "", 0L))
+    g.width shouldBe 2
+    g.height shouldBe 3
+    g.px_checksum shouldBe 18L * 'x'
+    // a real parser throws on malformed input instead of fabricating
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodePpm(Multimodal.MediaDoc(9L, "JFIF....".getBytes, "", 0L))
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodePpm(Multimodal.MediaDoc(10L,
+        "P6\n2 2\n255\nshort".getBytes, "", 0L)) // truncated raster
   }
 }
