@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
 import graft.GraftSession
 import graft.model.{SampleTier, Schemas}
 import graft.operators._
+import graft.store.DayPartitionedTable
 
 /** The orchestrated driver — the reference's `make import`
   * (Makefile:17-22): activity → flow → email → counts → daily summary,
@@ -52,7 +53,39 @@ final class RunImport(
     val c = counts.run(spark, s"$landingRoot/counts", "fxa-basic-metrics",
       forceReload)
     if (activity.maxExtantDay(spark).isDefined) summaries.summarize(spark)
-    Map("activity" -> a, "flow" -> f, "email" -> e, "counts" -> c)
+    val imported = Map("activity" -> a, "flow" -> f, "email" -> e, "counts" -> c)
+    compact(spark, imported)
+    imported
+  }
+
+  /** D4 — the reference vacuums after every import batch
+    * (import_events.py:138-142); the analog here is per-partition
+    * compaction of every day this run touched, restoring each to its
+    * table's target file count. writeDays already shapes full-day
+    * rebuilds, so this pass matters for partitions accreted by
+    * incremental appends outside the rebuild path; it is O(touched
+    * partitions), never a whole-table rewrite. Summary tables are
+    * rebuilt wholesale by writeDays each run and need no pass. */
+  def compact(spark: SparkSession, imported: Map[String, Seq[LocalDate]]): Unit = {
+    def tablesFor(pipeline: String): Seq[DayPartitionedTable] = pipeline match {
+      case "activity" => tiers.map(activity.table)
+      case "flow" => tiers.flatMap(t =>
+        Seq(flow.importer.table(t), flow.metadataTable(t), flow.experimentsTable(t)))
+      case "email"  => tiers.map(email.table)
+      case "counts" => Seq(counts.table)
+      case _        => Seq.empty
+    }
+    imported.foreach { case (pipeline, days) =>
+      // flow updates rewrite partitions up to updateHorizon days back
+      // from each processed day — those count as touched too
+      val touched = (pipeline match {
+        case "flow" => days.flatMap(d =>
+          (0 to flow.updateHorizon.getOrElse(0)).map(h => d.minusDays(h.toLong)))
+        case _ => days
+      }).distinct
+      tablesFor(pipeline).foreach(t =>
+        touched.foreach(d => t.compactDay(spark, d)))
+    }
   }
 }
 

@@ -45,4 +45,42 @@ class RunImportSpec extends SparkSpec {
     val again = job.run(spark)
     again.values.foreach(_ shouldBe Seq.empty)
   }
+
+  test("D4: compact() restores fragmented touched partitions to target file counts") {
+    val wh = TmpDirs.fresh("spec-runimport-compact")
+    val job = new RunImport(wh, wh)
+    val tier = job.tiers.find(_.suffix == "").get
+    val day = LocalDate.parse("2024-03-10")
+    val actT = job.activity.table(tier)      // dayCol=day, sortCol=ts
+    val metaT = job.flow.metadataTable(tier) // dayCol=export_date, sortCol=begin_time
+
+    // simulate a partition accreted by many small incremental appends:
+    // five single-row writes straight into the partition dir
+    def fragment(t: graft.store.DayPartitionedTable, d: LocalDate,
+        sortColName: String): Unit =
+      (1 to 5).foreach { i =>
+        Seq((i.toLong, s"u$i")).toDF(sortColName, "uid")
+          .coalesce(1).write.mode("append")
+          .parquet(s"${t.path}/${t.dayCol}=$d")
+      }
+    def parquetFiles(t: graft.store.DayPartitionedTable, d: LocalDate): Int =
+      Option(new java.io.File(s"${t.path}/${t.dayCol}=$d").listFiles())
+        .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+
+    fragment(actT, day, "ts")
+    // flow horizon (updateHorizon=2): day, day-1, day-2 are all touched
+    // by processing `day`; day-3 is outside the horizon
+    (0 to 3).foreach(h => fragment(metaT, day.minusDays(h.toLong), "begin_time"))
+    parquetFiles(actT, day) shouldBe 5
+    parquetFiles(metaT, day) shouldBe 5
+
+    job.compact(spark, Map("activity" -> Seq(day), "flow" -> Seq(day)))
+
+    parquetFiles(actT, day) shouldBe actT.filesPerDay
+    actT.read(spark).count() shouldBe 5 // no rows lost
+    (0 to 2).foreach { h =>
+      parquetFiles(metaT, day.minusDays(h.toLong)) shouldBe metaT.filesPerDay
+    }
+    parquetFiles(metaT, day.minusDays(3)) shouldBe 5 // untouched stays as-is
+  }
 }
