@@ -1262,6 +1262,43 @@ object SparkEntry {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Lloyd-TRAINED IVF recall audit: one deterministic spherical Lloyd
+    * step (Similarity.lloydStepDeterministic — ascending-id member
+    * fold, so the refined centroids are bit-reproducible in DuckDB via
+    * `list_reduce`) refines q50's 16 seed centroids; the corpus
+    * re-quantizes against the refined set, each query probes its 4
+    * nearest refined cells, and recall@5 is scored against the exact
+    * brute-force top-5. This gates the IVF TRAINING path end-to-end,
+    * not just q50's probe path. At 100 TB the training sample is
+    * bounded (Lloyd always trains on a sample), so the id-sorted
+    * member collect stays modest while probing/scoring remain
+    * distributed. IvfLloydSpec asserts the trained recall beats a
+    * floor and does not trail the seed centroids' recall. */
+  private def ivfLloydRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val seeds = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val refined = Similarity.lloydStepDeterministic(corpus, seeds)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ivf = Similarity.ivfTopK(queries, corpus, refined, nprobe = 4, k = 5)
+      .select(col("qid"), col("id"))
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select(col("qid"), col("id"))
+    val hits = ivf.join(exact, Seq("qid", "id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    queries.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy(col("qid"))
+  }
+
   /** Deterministic stratified sample: a pure map-side hash-threshold
     * filter (Curation.hashSample) — no sort, no shuffle, same rows on
     * every engine/run; stratification is free by hash uniformity. */
@@ -1424,7 +1461,8 @@ object SparkEntry {
     "q55_range_join_windows" -> (rangeJoinBucketed _),
     "q56_lsh_incremental" -> (lshIncrementalProbe _),
     "q57_neardup_dedup_dataset" -> (nearDupDedupDataset _),
-    "q58_streaming_rollups" -> (streamingDailyRollups _))
+    "q58_streaming_rollups" -> (streamingDailyRollups _),
+    "q59_ivf_lloyd_recall" -> (ivfLloydRecall _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1501,7 +1539,8 @@ object SparkEntry {
     "q48_quality_percentile_filter", "q49_ann_topk_agg",
     "q50_ivf_ann", "q51_stratified_sample", "q52_domain_cap",
     "q53_repetition_signals", "q54_pii_redact", "q55_range_join_windows",
-    "q56_lsh_incremental", "q57_neardup_dedup_dataset")
+    "q56_lsh_incremental", "q57_neardup_dedup_dataset",
+    "q59_ivf_lloyd_recall")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2266,5 +2305,51 @@ object SparkEntry {
     "q58_streaming_rollups" ->
       """SELECT CAST(ts::DATE AS VARCHAR) AS day, event_type,
                 COUNT(*) AS n_events, true AS dau_ok
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q59_ivf_lloyd_recall" ->
+      s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                       WHERE vec_id BETWEEN 20 AND 35),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 20),
+         asg0 AS (SELECT id, vec, cell FROM (
+             SELECT c.id, c.vec, cen.cid AS cell,
+                    row_number() OVER (PARTITION BY c.id
+                      ORDER BY ${cosSql("c.vec", "cen.cvec")} DESC, cen.cid) AS rn
+             FROM c CROSS JOIN cen) t WHERE rn = 1),
+         nv AS (SELECT id, cell,
+                  list_transform(vec, x -> x::DOUBLE /
+                    sqrt(list_sum(list_transform(vec, y -> y::DOUBLE * y::DOUBLE)))) AS nvec
+                FROM asg0),
+         ms AS (SELECT cell, list(nvec ORDER BY id) AS vs FROM nv GROUP BY cell),
+         ref AS (SELECT cell AS cid,
+                   list_transform(range(64), d ->
+                     CAST(list_reduce(
+                       list_transform(vs, v -> v[CAST(d + 1 AS INTEGER)]),
+                       (a, b) -> a + b) AS REAL)) AS cvec
+                 FROM ms),
+         asg AS (SELECT id, vec, cell FROM (
+             SELECT c.id, c.vec, ref.cid AS cell,
+                    row_number() OVER (PARTITION BY c.id
+                      ORDER BY ${cosSql("c.vec", "ref.cvec")} DESC, ref.cid) AS rn
+             FROM c CROSS JOIN ref) t WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         pr AS (SELECT qid, qvec, cell FROM (
+             SELECT q.qid, q.qvec, ref.cid AS cell,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY ${cosSql("q.qvec", "ref.cvec")} DESC, ref.cid) AS rn
+             FROM q CROSS JOIN ref) t WHERE rn <= 4),
+         scored AS (SELECT pr.qid, a.id, ${cosSql("pr.qvec", "a.vec")} AS cos
+                    FROM pr JOIN asg a USING (cell) WHERE pr.qid <> a.id),
+         ivf AS (SELECT qid, id FROM (
+             SELECT qid, id,
+                    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+             FROM scored) t WHERE rank <= 5),
+         ex AS (SELECT qid, id FROM (
+             SELECT q.qid, c.id,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY ${cosSql("q.qvec", "c.vec")} DESC, c.id) AS rank
+             FROM q CROSS JOIN c WHERE q.qid <> c.id) t WHERE rank <= 5)
+         SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits
+         FROM q LEFT JOIN (SELECT qid, COUNT(*) AS n_hits
+                           FROM ivf JOIN ex USING (qid, id) GROUP BY qid) h USING (qid)
+         ORDER BY q.qid""")
 }

@@ -22,21 +22,34 @@ object RangeJoin {
   /** Join `points` (timestamp column `pointTs`) to `intervals`
     * (timestamp columns `startTs`/`endTs`, end exclusive). Output:
     * one row per (point, containing interval), with all columns of
-    * both inputs. Empty intervals (end <= start) match nothing. */
+    * both inputs. Empty intervals (end <= start) match nothing.
+    *
+    * The two inputs must have DISJOINT column names (alias/prefix one
+    * side first) — enforced, since shared names would make the output
+    * ambiguous. The bucket helper column is generated collision-proof
+    * against both schemas. */
   def bucketed(
       points: DataFrame, pointTs: String,
       intervals: DataFrame, startTs: String, endTs: String,
       bucketSeconds: Long): DataFrame = {
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals must have disjoint column names; " +
+        s"shared: ${shared.mkString(", ")}")
+    val bucket = Iterator.from(0)
+      .map(n => if (n == 0) "__bucket" else s"__bucket_$n")
+      .find(c => !points.columns.contains(c) && !intervals.columns.contains(c))
+      .get
     val busPer = bucketSeconds * 1000000L // bucket width in microseconds
-    val p = points.withColumn("__bucket",
+    val p = points.withColumn(bucket,
       expr(s"unix_micros($pointTs) div $busPer"))
     val i = intervals
       .filter(col(endTs) > col(startTs))
-      .withColumn("__bucket", explode(sequence(
+      .withColumn(bucket, explode(sequence(
         expr(s"unix_micros($startTs) div $busPer"),
         expr(s"(unix_micros($endTs) - 1) div $busPer"))))
-    p.join(i, Seq("__bucket"))
+    p.join(i, Seq(bucket))
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
-      .drop("__bucket")
+      .drop(bucket)
   }
 }

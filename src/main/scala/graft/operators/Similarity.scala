@@ -151,28 +151,70 @@ object Similarity {
         col("e.id").as("id"), col("e.ord").as("cos"))
   }
 
-  /** One Lloyd refinement step: reassign (map-only, via [[ivfAssign]])
-    * then recompute each cell's mean vector. The per-dimension mean
-    * aggregates (cell, dim) partials map-side — the explode never
-    * re-shuffles raw vectors. Float means are summation-order
-    * dependent, so this is for TRAINING (where any near-mean works),
-    * not for oracle-gated paths; the spec asserts cost monotonicity,
-    * not bytes. Empty cells keep their old centroid. */
+  /** One SPHERICAL Lloyd refinement step: reassign (map-only, via
+    * [[ivfAssign]]) then set each cell's centroid to the renormalized
+    * mean of its members' UNIT-normalized vectors. Assignment maximizes
+    * cosine, and for a fixed assignment the unit vector maximizing
+    * Σ cos(vᵢ, c) is exactly normalize(Σ vᵢ/‖vᵢ‖) — so total cosine
+    * cost is non-increasing by the standard Lloyd argument (a raw
+    * arithmetic mean only guarantees this for squared-Euclidean cost).
+    * The per-dimension mean aggregates (cell, dim) partials map-side —
+    * the explode never re-shuffles raw vectors. Float means are
+    * summation-order dependent, so this is for TRAINING (where any
+    * near-mean works), not for oracle-gated paths; the spec asserts
+    * cost monotonicity, which the spherical update makes a theorem.
+    * Empty and degenerate (zero-mean) cells keep their old centroid. */
   def lloydStep(
       corpus: DataFrame, // (id, vec)
       centroids: Seq[(Long, Array[Float])]): Seq[(Long, Array[Float])] = {
     val dims = centroids.head._2.length
     val means = ivfAssign(corpus, "vec", centroids)
-      .select(col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
-      .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("m"))
+      .select(col("cell"), col("vec"), norm2(col("vec")).as("__nrm"))
+      .select(col("cell"), col("__nrm"), posexplode(col("vec")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg(avg(col("x") / col("__nrm")).as("m"))
       .groupBy(col("cell"))
       .agg(map_from_arrays(collect_list(col("d")), collect_list(col("m"))).as("dm"))
       .collect()
-      .map { r =>
+      .flatMap { r =>
         val dm = r.getMap[Int, Double](1)
-        r.getLong(0) -> Array.tabulate(dims)(d => dm(d).toFloat)
+        val mean = Array.tabulate(dims)(d => dm(d))
+        val n = math.sqrt(mean.foldLeft(0.0)((a, x) => a + x * x))
+        if (n > 0.0) Some(r.getLong(0) -> mean.map(x => (x / n).toFloat))
+        else None
       }.toMap
     centroids.map { case (cid, cv) => cid -> means.getOrElse(cid, cv) }
+  }
+
+  /** Deterministic twin of [[lloydStep]] for AUDIT paths: the same
+    * spherical update, but each cell's member fold runs in ascending-id
+    * order with double math, so the refined centroids are
+    * bit-reproducible and mirrorable by a DuckDB oracle (list
+    * aggregates walk ascending there too). The returned centroid is
+    * the UNNORMALIZED per-dim sum of unit members cast to float —
+    * cosine assignment is scale-invariant, so skipping the final
+    * renormalize changes nothing and avoids a second cross-engine
+    * rounding point. Collects one id-sorted member list per cell, so
+    * cells must be modest (audit/sample scale, where Lloyd training
+    * runs anyway); [[lloydStep]] is the distributed form for when cell
+    * member lists would not fit. Empty cells keep their seed. */
+  def lloydStepDeterministic(
+      corpus: DataFrame, // (id, vec)
+      centroids: Seq[(Long, Array[Float])]): Seq[(Long, Array[Float])] = {
+    val dims = centroids.head._2.length
+    val sums = ivfAssign(corpus, "vec", centroids)
+      .withColumn("__n", norm2(col("vec")))
+      .withColumn("nvec",
+        transform(col("vec"), x => x.cast(DoubleType) / col("__n")))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("id"), col("nvec")))).as("ms"))
+      .select(col("cell"), transform(sequence(lit(0), lit(dims - 1)),
+        d => aggregate(col("ms"), lit(0.0),
+          (acc, m) => acc + element_at(m.getField("nvec"), d + 1))).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray.map(_.toFloat))
+      .toMap
+    centroids.map { case (cid, cv) => cid -> sums.getOrElse(cid, cv) }
   }
 
   /** Bucketed ANN: top-k among same-bucket mates only, plus the bucket

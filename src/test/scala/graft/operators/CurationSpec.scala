@@ -82,6 +82,23 @@ class CurationSpec extends SparkSpec {
     l.length shouldBe 5
   }
 
+  test("range join survives a pre-existing __bucket column and rejects shared names") {
+    val ts = java.sql.Timestamp.valueOf("2024-03-10 12:30:00")
+    val pts = Seq((1L, ts, 99L)).toDF("pid", "pts", "__bucket")
+    val ivs = Seq((7L,
+      java.sql.Timestamp.valueOf("2024-03-10 12:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-10 13:00:00"))).toDF("iid", "s", "e")
+    val out = RangeJoin.bucketed(pts, "pts", ivs, "s", "e", 3600L).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("__bucket") shouldBe 99L // caller's column intact
+    val clash = Seq((1L, ts)).toDF("pid", "pts")
+    val ivsClash = ivs.withColumnRenamed("iid", "pid")
+    val err = intercept[IllegalArgumentException] {
+      RangeJoin.bucketed(clash, "pts", ivsClash, "s", "e", 3600L)
+    }
+    err.getMessage should include("pid")
+  }
+
   test("ivfAssign picks the argmax-cosine cell; ivfTopK stays in probed cells") {
     val e = graft.Tables.embeddings(spark, sfSmoke)
     val centroids = e.filter(col("vec_id") >= 20 && col("vec_id") < 24)
@@ -138,5 +155,31 @@ class CurationSpec extends SparkSpec {
     }
     val refined = Similarity.lloydStep(corpus, seed)
     cost(refined) should be <= cost(seed) + 1e-6
+  }
+
+  test("lloydStepDeterministic matches lloydStep's direction; trained recall clears the floor") {
+    val e = graft.Tables.embeddings(spark, sfSmoke)
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val seeds = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    val det = Similarity.lloydStepDeterministic(corpus, seeds).toMap
+    val dist = Similarity.lloydStep(corpus, seeds).toMap
+    // both are the same spherical update (sum-of-unit-members vs
+    // renormalized mean) — directions must agree to float noise
+    seeds.foreach { case (cid, _) =>
+      val a = det(cid).map(_.toDouble)
+      val b = dist(cid).map(_.toDouble)
+      val cos = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i)) /
+        (math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x)) *
+          math.sqrt(b.foldLeft(0.0)((s, x) => s + x * x)))
+      cos should be >= 0.9999
+    }
+    // trained IVF with nprobe=4/16 must clear a recall@5 floor
+    val out = graft.SparkEntry.queries("q59_ivf_lloyd_recall")(spark, sfSmoke)
+      .agg(sum(col("n_hits")).as("h"), count(lit(1)).as("q")).collect().head
+    val recall = out.getLong(0).toDouble / (out.getLong(1) * 5)
+    recall should be >= 0.3
   }
 }
