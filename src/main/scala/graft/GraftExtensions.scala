@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotProduct, KMinValues, TopKByScore}
+import graft.functions.{ArrayDotProduct, BloomFilterAgg, BloomMightContain, KMinValues, TopKByScore}
 
 /** Engine extensions. Deployable two ways:
   *  - cluster: `spark.sql.extensions=graft.GraftExtensions`
@@ -25,7 +25,16 @@ object GraftExtensions {
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (children: Seq[Expression]) =>
-        TopKByScore(children(0), children(1), children(2))))
+        TopKByScore(children(0), children(1), children(2))),
+    (
+      new FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "graft_bloom"),
+      (children: Seq[Expression]) =>
+        BloomFilterAgg(children(0), children(1), children(2))),
+    (
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

@@ -132,11 +132,15 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
-  /** C-joins — star join with broadcast dims: revenue per nation. */
+  /** C-joins — star join: revenue per nation. Only the FIXED-cardinality
+    * dims carry broadcast hints (nation = 25 rows, region = 5 — bounded
+    * by the world, not the scale factor); customer GROWS with SF, so
+    * its join strategy is left to AQE's size check, which broadcasts it
+    * while small and degrades to shuffle join at 100×. */
   private def revenueByNation(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name").as("nation"))
@@ -1299,6 +1303,47 @@ object SparkEntry {
       .orderBy(col("qid"))
   }
 
+  /** Bloom-prefiltered incremental exact dedup: index = docs with
+    * doc_id % 10 < 8 (the q56 crawl split), new batch = the rest. A
+    * graft_bloom sketch of the index (bounded bytes, broadcast as a
+    * literal) splits the batch map-side: definitely-new rows skip the
+    * index join entirely (a Bloom filter has no false negatives), and
+    * only the maybe-seen sliver pays the anti-join shuffle — the plan
+    * that survives 100 TB/day against a multi-PB index. The result is
+    * EXACT, so the oracle is the plain set-semantics anti-join. */
+  private def bloomIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val docs = Tables.documents(s, dir)
+    val index = docs.filter(col("doc_id") % 10 < 8)
+      .select(TextDedup.md5Hash60(TextDedup.norm(col("text"))).as("h"))
+      .distinct()
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+    val (survivors, _) = TextDedup.dedupAgainstIndexBloom(
+      batch, "text", "doc_id", index, numBits = 1 << 16, numHashes = 7)
+    survivors.select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sliding-window chunking: 16-token windows every 8 tokens (50%
+    * overlap), the map-only explode that turns curated docs into
+    * fixed-size training examples. No shuffle anywhere — the ORDER BY
+    * here is only the oracle-compare canonicalization. */
+  private def chunkDocumentsQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 16, stride = 8)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** BPE merge candidates: corpus-wide adjacent-character-pair counts
+    * weighted by word frequency — the argmax is the pair a BPE trainer
+    * merges next. The corpus collapses to its Zipf-bounded vocabulary
+    * before any character work happens. */
+  private def bpePairCountsQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.bpePairCounts(Tables.documents(s, dir), "text", topK = 50)
+  }
+
   /** Deterministic stratified sample: a pure map-side hash-threshold
     * filter (Curation.hashSample) — no sort, no shuffle, same rows on
     * every engine/run; stratification is free by hash uniformity. */
@@ -1462,7 +1507,10 @@ object SparkEntry {
     "q56_lsh_incremental" -> (lshIncrementalProbe _),
     "q57_neardup_dedup_dataset" -> (nearDupDedupDataset _),
     "q58_streaming_rollups" -> (streamingDailyRollups _),
-    "q59_ivf_lloyd_recall" -> (ivfLloydRecall _))
+    "q59_ivf_lloyd_recall" -> (ivfLloydRecall _),
+    "q60_bloom_incremental_dedup" -> (bloomIncrementalDedup _),
+    "q61_doc_chunking" -> (chunkDocumentsQuery _),
+    "q62_bpe_pair_counts" -> (bpePairCountsQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1540,7 +1588,8 @@ object SparkEntry {
     "q50_ivf_ann", "q51_stratified_sample", "q52_domain_cap",
     "q53_repetition_signals", "q54_pii_redact", "q55_range_join_windows",
     "q56_lsh_incremental", "q57_neardup_dedup_dataset",
-    "q59_ivf_lloyd_recall")
+    "q59_ivf_lloyd_recall", "q60_bloom_incremental_dedup",
+    "q61_doc_chunking", "q62_bpe_pair_counts")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2351,5 +2400,43 @@ object SparkEntry {
          SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits
          FROM q LEFT JOIN (SELECT qid, COUNT(*) AS n_hits
                            FROM ivf JOIN ex USING (qid, id) GROUP BY qid) h USING (qid)
-         ORDER BY q.qid""")
+         ORDER BY q.qid""",
+    // The Bloom prefilter changes the PLAN, never the answer (no false
+    // negatives + exact verify of maybe-seen rows), so the oracle is
+    // the sketch-free set-semantics form: dedupe the new batch by
+    // normalized text (min-id keeper), drop texts already in the index.
+    "q60_bloom_incremental_dedup" ->
+      """WITH newb AS (SELECT * FROM documents WHERE doc_id % 10 >= 8),
+         idx AS (SELECT DISTINCT lower(trim(text)) AS t FROM documents
+                 WHERE doc_id % 10 < 8),
+         k AS (SELECT MIN(doc_id) AS doc_id FROM newb GROUP BY lower(trim(text)))
+         SELECT d.doc_id, d.lang, d.source
+         FROM newb d JOIN k USING (doc_id)
+         WHERE lower(trim(d.text)) NOT IN (SELECT t FROM idx)
+         ORDER BY doc_id""",
+    // 16-token windows every 8 tokens; window count covers every token
+    // (1 + ceil(max(0, n-16)/8)); DuckDB's inclusive 1-based list slice
+    // toks[a:b] mirrors Spark's slice(toks, a, 16) with b = a+15.
+    "q61_doc_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n,
+                      1 + (greatest(len(toks) - 16, 0) + 7) // 8 AS nc
+               FROM t),
+         e AS (SELECT doc_id, toks, n, unnest(range(nc)) AS i FROM s)
+         SELECT doc_id, i AS chunk_idx,
+                least(16, n - i * 8) AS n_tokens,
+                array_to_string(toks[(i * 8 + 1):(i * 8 + 16)], ' ') AS chunk
+         FROM e ORDER BY doc_id, chunk_idx""",
+    // Corpus → vocab (word, count) → per-word character pairs weighted
+    // by word count → top-50 by (total DESC, pair). Same tie-break both
+    // sides, so the row SET is deterministic.
+    "q62_bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         wc AS (SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY word),
+         pe AS (SELECT n, unnest(list_transform(range(1, length(word)),
+                         i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+                FROM wc),
+         agg AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pairs FROM pe GROUP BY pair)
+         SELECT pair, n_pairs FROM agg
+         ORDER BY n_pairs DESC, pair LIMIT 50""")
 }

@@ -86,6 +86,49 @@ object Curation {
           col("max_word_n") * 10 >= col("n_words")).as("repetitive"))
   }
 
+  /** Sliding-window document chunking — the step that turns curated
+    * documents into fixed-size training examples. Each doc yields
+    * windows of `chunkTokens` whitespace tokens starting every
+    * `stride` tokens; the window count is exactly enough to cover
+    * every token (the final windows may be short), so no text is
+    * dropped and overlap = chunkTokens - stride is the standard
+    * context-continuity overlap.
+    *
+    * Shape at 100 TB: a pure per-row explode — no shuffle, no state,
+    * no driver involvement. The token array, the start sequence, and
+    * the slices are all single-pass codegen'd collection expressions,
+    * and output rows stream straight to the sink, so the operator is
+    * bounded by write bandwidth, not memory (a doc's chunks never
+    * materialize beyond one row's expression buffer).
+    *
+    * Requires stride <= chunkTokens (the full-coverage contract:
+    * gapped sampling would silently drop tokens). */
+  def chunkDocuments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      stride: Int): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      s"need 1 <= stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val toks = words(col(textCol))
+    val n = size(toks)
+    // 1 + ceil(max(0, n - chunkTokens) / stride) window starts
+    val nChunks = (lit(1) +
+      floor((greatest(n - lit(chunkTokens), lit(0)) + lit(stride - 1)) /
+        lit(stride.toDouble))).cast("int")
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("ws"), n.as("n"), nChunks.as("nc"))
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => array_join(slice(col("ws"), i * stride + 1, lit(chunkTokens)), " ")))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        least(lit(chunkTokens), col("n") - col("chunk_idx") * stride)
+          .cast(LongType).as("n_tokens"),
+        col("chunk"))
+  }
+
   /** PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB):
     * no backrefs, no lookarounds. */
   val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -102,4 +102,31 @@ object TextAnalysis {
       .filter(col("rank") <= topK)
       .select(col("grp"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** BPE merge-candidate counting — step 1 of byte-pair-encoding
+    * tokenizer training: corpus-wide frequencies of adjacent CHARACTER
+    * pairs inside words, weighted by word frequency. The top pair is
+    * what a BPE trainer would merge next.
+    *
+    * Shape at 100 TB: the corpus collapses to its VOCABULARY first
+    * (one word-sized shuffle, Zipf-bounded — a trillion tokens is a
+    * few million distinct words), and pair explosion runs over the
+    * vocab, not the corpus, so per-word character work happens once no
+    * matter how often the word occurs. Top-k is a per-partition heap
+    * (TakeOrdered), never a full sort. */
+  def bpePairCounts(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val vocab = docs
+      .select(explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    vocab
+      .select(col("n"), explode(
+        when(length(col("word")) >= 2,
+          transform(sequence(lit(1), length(col("word")) - 1),
+            i => col("word").substr(i, lit(2))))
+          .otherwise(array())).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("pair"))
+      .limit(topK)
+  }
 }

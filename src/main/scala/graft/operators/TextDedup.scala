@@ -368,4 +368,46 @@ object TextDedup {
       .distinct()
     (survivors, newIndex)
   }
+
+  /** Bloom-prefiltered incremental dedup — same CONTRACT as
+    * [[dedupAgainstIndex]] (exact result, no false drops), different
+    * PLAN: a `graft_bloom` sketch of the index (bounded bytes,
+    * broadcast as a literal) splits the new batch map-side into
+    * definitely-new rows — which skip the index join entirely, since a
+    * Bloom filter has no false negatives — and maybe-seen rows, and
+    * only that sliver (true dupes + ~fp-rate noise) pays the anti-join
+    * shuffle. At 100 TB/day vs a multi-PB index, that turns the
+    * dominant shuffle into a scan-speed filter: the sketch is a few MB
+    * for billions of index entries at ~1% fp, while the anti-join
+    * would move every row of the batch.
+    *
+    * The two sketch parameters trade memory for join volume:
+    * bits ≈ 1.44 · n · log2(1/fp), hashes ≈ 0.7 · bits / n. */
+  def dedupAgainstIndexBloom(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      seenHashes: DataFrame,
+      numBits: Int = 1 << 22,
+      numHashes: Int = 7): (DataFrame, DataFrame) = {
+    // One collect of ONE bounded row (the sketch itself, numBits/8
+    // bytes) — the same driver-side footprint class as the IVF
+    // centroid literal, not a data collect.
+    val sketch: Array[Byte] = seenHashes
+      .agg(call_function("graft_bloom", col("h"), lit(numBits), lit(numHashes)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val fresh = exactDedup(newDocs, textCol, idCol)
+      .withColumn("_h", md5Hash60(norm(col(textCol))))
+    val maybeSeen = col("_maybe_seen")
+    val flagged = fresh.withColumn("_maybe_seen",
+      call_function("graft_bloom_contains", lit(sketch), col("_h")))
+    val survivors = flagged.filter(!maybeSeen).drop("_maybe_seen")
+      .unionByName(flagged.filter(maybeSeen).drop("_maybe_seen")
+        .join(seenHashes.select(col("h").as("_h")), Seq("_h"), "left_anti"))
+      .drop("_h")
+    val newIndex = seenHashes
+      .unionByName(fresh.select(col("_h").as("h")))
+      .distinct()
+    (survivors, newIndex)
+  }
 }

@@ -182,4 +182,38 @@ class CurationSpec extends SparkSpec {
     val recall = out.getLong(0).toDouble / (out.getLong(1) * 5)
     recall should be >= 0.3
   }
+
+  test("chunkDocuments: window starts, short tails, and full coverage") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: starts 0,3,6
+      (2L, "a b"),                                    // shorter than one chunk
+      (3L, (1 to 4).map(i => s"t$i").mkString(" ")))  // exactly one chunk
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    out shouldBe Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 2L, "a b"),
+      (3L, 0L, 4L, "t1 t2 t3 t4"))
+    // coverage property on real data: every token of every doc lands in
+    // at least one window — last window start + chunk >= n
+    val docsReal = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val chunks = Curation.chunkDocuments(docsReal, "doc_id", "text", 16, 8)
+    val uncovered = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_idx") * 8 + col("n_tokens")).as("covered"))
+      .join(docsReal.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(split(col("text"), " "))
+          .cast("long").as("n")), Seq("doc_id"))
+      .filter(col("covered") < col("n"))
+    uncovered.count() shouldBe 0L
+    // map-only: no shuffle anywhere in the chunking plan
+    val plan = chunks.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    an[IllegalArgumentException] should be thrownBy
+      Curation.chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, stride = 5)
+  }
 }

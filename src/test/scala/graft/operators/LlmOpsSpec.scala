@@ -140,4 +140,17 @@ class LlmOpsSpec extends SparkSpec {
       Multimodal.decodePpm(Multimodal.MediaDoc(10L,
         "P6\n2 2\n255\nshort".getBytes, "", 0L)) // truncated raster
   }
+
+  test("BPE pair counts weight character pairs by word frequency") {
+    val corpus = Seq(
+      (0L, "abab abab cd"),
+      (1L, "abab x")) // "abab"×3: ab=2/word, ba=1/word; "cd"×1; "x" has no pair
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairCounts(corpus, "text", topK = 10)
+      .as[(String, Long)].collect().toSeq
+    out shouldBe Seq(("ab", 6L), ("ba", 3L), ("cd", 1L))
+    // single-character words contribute nothing; empty corpus is empty
+    TextAnalysis.bpePairCounts(
+      Seq((0L, "a b c")).toDF("doc_id", "text"), "text", 5).count() shouldBe 0L
+  }
 }

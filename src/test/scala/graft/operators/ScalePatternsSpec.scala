@@ -74,4 +74,33 @@ class ScalePatternsSpec extends SparkSpec {
     s2.select($"doc_id").as[Long].collect().toSet shouldBe Set(11L)
     idx2.count() shouldBe 3 // alpha-beta, gamma-delta, epsilon-zeta
   }
+
+  test("bloom-prefiltered incremental dedup is plan-different, answer-identical") {
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val index = docs.filter($"doc_id" % 10 < 8)
+      .select(TextDedup.md5Hash60(TextDedup.norm($"text")).as("h"))
+      .distinct()
+    val batch = docs.filter($"doc_id" % 10 >= 8)
+    val (plain, _) = TextDedup.dedupAgainstIndex(batch, "text", "doc_id", index)
+    val (bloom, bloomIdx) = TextDedup.dedupAgainstIndexBloom(
+      batch, "text", "doc_id", index, numBits = 1 << 16, numHashes = 7)
+    bloom.select($"doc_id").as[Long].collect().sorted.toSeq shouldBe
+      plain.select($"doc_id").as[Long].collect().sorted.toSeq
+    bloomIdx.count() shouldBe
+      TextDedup.dedupAgainstIndex(batch, "text", "doc_id", index)._2.count()
+    // the sketch must actually prune: the definitely-new path bypasses
+    // the anti-join, so the join input is a small fraction of the batch
+    val sketch = index
+      .agg(call_function("graft_bloom", $"h", lit(1 << 16), lit(7)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val fresh = TextDedup.exactDedup(batch, "text", "doc_id")
+      .withColumn("_h", TextDedup.md5Hash60(TextDedup.norm($"text")))
+    val nFresh = fresh.count()
+    val nMaybe = fresh
+      .filter(call_function("graft_bloom_contains", lit(sketch), $"_h")).count()
+    // true dupes exist in the fixture, but the maybe-seen sliver must
+    // stay well under the full batch (fp rate ~0 at 2^16 bits here)
+    assert(nMaybe < nFresh,
+      s"bloom prefilter pruned nothing: $nMaybe of $nFresh rows hit the join")
+  }
 }
