@@ -1335,6 +1335,30 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Product-quantization ANN (q63): 8 subspaces × 16 deterministic
+    * seed centroids (vec_id 20..35, the q59 seed set) — corpus vectors
+    * compress to 8 small codes (map-only, literal codebooks), queries
+    * score candidates via ADC table lookups, top-5 through the bounded
+    * graft_topk heap. The DuckDB oracle mirrors encode + ADC exactly
+    * (same subspace slicing, same left-to-right double sums, same
+    * round-6 + lowest-cid tie-breaks). */
+  private def pqAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val seeds = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2).toSeq
+    val cbs = Similarity.pqCodebooks(seeds, m = 8)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.pqTopK(queries, corpus, cbs, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** BPE merge candidates: corpus-wide adjacent-character-pair counts
     * weighted by word frequency — the argmax is the pair a BPE trainer
     * merges next. The corpus collapses to its Zipf-bounded vocabulary
@@ -1510,7 +1534,8 @@ object SparkEntry {
     "q59_ivf_lloyd_recall" -> (ivfLloydRecall _),
     "q60_bloom_incremental_dedup" -> (bloomIncrementalDedup _),
     "q61_doc_chunking" -> (chunkDocumentsQuery _),
-    "q62_bpe_pair_counts" -> (bpePairCountsQuery _))
+    "q62_bpe_pair_counts" -> (bpePairCountsQuery _),
+    "q63_pq_ann" -> (pqAnn _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1556,6 +1581,12 @@ object SparkEntry {
 
   private lazy val minHashPairsSql: String = minHashPairsSqlOver("documents")
 
+  /** Ordered double dot product over the first n dims — mirrors
+    * graft_array_dot's left-to-right summation. */
+  private def dotSqlN(va: String, vb: String, n: Int): String =
+    s"""list_sum(list_transform(range($n), d ->
+         $va[CAST(d + 1 AS INTEGER)]::DOUBLE * $vb[CAST(d + 1 AS INTEGER)]::DOUBLE))"""
+
   /** Shared oracle fragment: rounded cosine between two 64-dim FLOAT[]
     * columns — same double math and summation order as Similarity. */
   private def cosSql(va: String, vb: String): String =
@@ -1589,7 +1620,7 @@ object SparkEntry {
     "q53_repetition_signals", "q54_pii_redact", "q55_range_join_windows",
     "q56_lsh_incremental", "q57_neardup_dedup_dataset",
     "q59_ivf_lloyd_recall", "q60_bloom_incremental_dedup",
-    "q61_doc_chunking", "q62_bpe_pair_counts")
+    "q61_doc_chunking", "q62_bpe_pair_counts", "q63_pq_ann")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2438,5 +2469,45 @@ object SparkEntry {
                 FROM wc),
          agg AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pairs FROM pe GROUP BY pair)
          SELECT pair, n_pairs FROM agg
-         ORDER BY n_pairs DESC, pair LIMIT 50""")
+         ORDER BY n_pairs DESC, pair LIMIT 50""",
+    // Exact mirror of PQ encode + ADC: same subspace slices, the same
+    // argmax form (dot - |c|²/2, round 6, lowest-cid tie), and the ADC
+    // sum walks subspaces in ascending order (list(dd ORDER BY sub))
+    // to match Spark's zip_with/aggregate left fold.
+    "q63_pq_ann" ->
+      s"""WITH sp AS (SELECT unnest(range(8)) AS sub),
+         cb AS (SELECT vec_id - 20 AS cid, sub,
+                       embedding[(CAST(sub AS INTEGER) * 8 + 1):(CAST(sub AS INTEGER) * 8 + 8)] AS cv
+                FROM embeddings, sp WHERE vec_id BETWEEN 20 AND 35),
+         cb2 AS (SELECT cid, sub, cv,
+                        list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)) AS c2
+                 FROM cb),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 20),
+         sv AS (SELECT id, sub,
+                       vec[(CAST(sub AS INTEGER) * 8 + 1):(CAST(sub AS INTEGER) * 8 + 8)] AS sv
+                FROM c, sp),
+         enc AS (SELECT id, sub, cid AS code FROM (
+             SELECT sv.id, sv.sub, cb2.cid,
+                    row_number() OVER (PARTITION BY sv.id, sv.sub
+                      ORDER BY round(${dotSqlN("sv.sv", "cb2.cv", 8)} - c2 / 2, 6) DESC,
+                               cb2.cid) AS rn
+             FROM sv JOIN cb2 ON cb2.sub = sv.sub) t WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         qs AS (SELECT qid, sub,
+                       qvec[(CAST(sub AS INTEGER) * 8 + 1):(CAST(sub AS INTEGER) * 8 + 8)] AS qsv
+                FROM q, sp),
+         qt AS (SELECT qid, cb2.sub, cid,
+                       ${dotSqlN("qs.qsv", "qs.qsv", 8)}
+                         - 2 * ${dotSqlN("qs.qsv", "cb2.cv", 8)} + c2 AS dd
+                FROM qs JOIN cb2 ON cb2.sub = qs.sub),
+         ad AS (SELECT qt.qid, e.id,
+                       round(list_sum(list(dd ORDER BY e.sub)), 6) AS adist
+                FROM enc e JOIN qt ON qt.sub = e.sub AND qt.cid = e.code
+                WHERE qt.qid <> e.id
+                GROUP BY qt.qid, e.id)
+         SELECT qid, CAST(rank AS BIGINT) AS rank, id, adist FROM (
+           SELECT qid, id, adist,
+                  row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rank
+           FROM ad) t WHERE rank <= 5
+         ORDER BY qid, rank""")
 }

@@ -217,6 +217,162 @@ object Similarity {
     centroids.map { case (cid, cv) => cid -> sums.getOrElse(cid, cv) }
   }
 
+  /** Product-quantization codebooks from seed vectors: subspace `s` of
+    * seed `i` becomes centroid `cid = i` of codebook `s` — so `m`
+    * codebooks of `seeds.size` centroids, each spanning `dims/m`
+    * consecutive dimensions. Deterministic (no RNG); at scale the
+    * seeds come from a training sample exactly like [[lloydStep]]'s. */
+  def pqCodebooks(seeds: Seq[Array[Float]], m: Int): Seq[Seq[Array[Float]]] = {
+    val dims = seeds.head.length
+    require(m >= 1 && dims % m == 0,
+      s"dims=$dims must be divisible into m=$m subspaces")
+    val d = dims / m
+    (0 until m).map(s => seeds.map(v => v.slice(s * d, (s + 1) * d)))
+  }
+
+  /** Deterministic per-subspace Lloyd training for PQ codebooks.
+    * PQ training ALWAYS runs on a bounded sample (the codebook must
+    * fit in the plan; FAISS trains on ~100k sampled vectors for
+    * billion-vector indexes), so this is driver-side double math —
+    * the distributed parts of PQ are encode and search, not training.
+    * Starts from [[pqCodebooks]] seed subvectors; each iteration
+    * assigns every sample subvector to its nearest (squared-L2,
+    * lowest-cid tie) centroid and recenters on the arithmetic mean;
+    * empty cells keep their previous centroid. Deterministic: no RNG,
+    * fixed iteration order, stable ties. */
+  def pqTrain(
+      sample: Seq[Array[Float]],
+      seeds: Seq[Array[Float]],
+      m: Int,
+      iters: Int): Seq[Seq[Array[Float]]] = {
+    val seed = pqCodebooks(seeds, m)
+    val dims = sample.head.length
+    val d = dims / m
+    (0 until m).map { s =>
+      val subs = sample.map(v => v.slice(s * d, (s + 1) * d).map(_.toDouble))
+      var cents = seed(s).map(_.map(_.toDouble))
+      for (_ <- 0 until iters) {
+        val assign = subs.map { x =>
+          cents.zipWithIndex.minBy { case (c, cid) =>
+            var acc = 0.0
+            var i = 0
+            while (i < d) { val t = x(i) - c(i); acc += t * t; i += 1 }
+            (acc, cid)
+          }._2
+        }
+        cents = cents.indices.map { cid =>
+          val members = subs.zip(assign).collect { case (x, a) if a == cid => x }
+          if (members.isEmpty) cents(cid)
+          else {
+            val mean = new Array[Double](d)
+            members.foreach(x => for (i <- 0 until d) mean(i) += x(i))
+            mean.map(_ / members.size)
+          }
+        }
+      }
+      cents.map(_.map(_.toFloat)).toSeq
+    }
+  }
+
+  /** PQ encoding: each vector becomes `m` small codes — the nearest
+    * (squared-L2) centroid per subspace. This is the 100 TB memory
+    * lever: a 64-dim float vector (256 B) compresses to m=8 byte-range
+    * codes, so a billion-vector index fits in executor memory.
+    *
+    * Pure map: the codebooks fold into the plan as LITERALS, argmin-L2
+    * per subspace is `argmax(dot(sub, c) - |c|²/2)` (the |sub|² term is
+    * constant across centroids), evaluated as codegen'd dot products
+    * with the same greatest-over-structs argmax as [[ivfAssign]] —
+    * no explode, no join, no shuffle. Ties round(·,6)-then-lowest-cid,
+    * which a DuckDB `row_number` oracle reproduces. */
+  def pqEncode(
+      corpus: DataFrame,
+      vecCol: String,
+      codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
+    val m = codebooks.size
+    val d = codebooks.head.head.length
+    val codeCols = (0 until m).map { s =>
+      val sub = slice(col(vecCol), s * d + 1, d)
+      val scored = codebooks(s).zipWithIndex.map { case (cv, cid) =>
+        val c2 = cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        struct(
+          round(dot(sub, lit(cv)) - lit(c2 / 2.0), 6).as("sc"),
+          lit(-cid.toLong).as("negid"))
+      }
+      (greatest(scored: _*).getField("negid") * -1).cast("int")
+    }
+    corpus.withColumn("code", array(codeCols: _*))
+  }
+
+  /** PQ ANN via asymmetric distance computation (ADC): per query,
+    * a (m × ks) table of exact subspace distances to every centroid is
+    * computed ONCE (on the tiny broadcast query side); each corpus
+    * vector's approximate distance is then m table lookups summed in
+    * subspace order — no 64-dim math ever touches a corpus row at
+    * query time, only its codes. Per-query top-k goes through the
+    * bounded `graft_topk` heap (≤ k entries per partition through the
+    * exchange). Compose with [[ivfTopK]]'s cell pruning at scale (IVF
+    * prunes candidates, PQ shrinks per-candidate cost/memory — the
+    * standard IVF-PQ pairing); here the full-scan form is the
+    * oracle-gated contract. */
+  def pqTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (id, vec)
+      codebooks: Seq[Seq[Array[Float]]],
+      k: Int): DataFrame = {
+    val m = codebooks.size
+    val d = codebooks.head.head.length
+    val qtab = array((0 until m).map { s =>
+      val qsub = slice(col("qvec"), s * d + 1, d)
+      val qq = dot(qsub, qsub)
+      array(codebooks(s).map { cv =>
+        val c2 = cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        qq - lit(2.0) * dot(qsub, lit(cv)) + lit(c2)
+      }: _*)
+    }: _*)
+    val qdf = queries.select(col("qid"), qtab.as("qtab"))
+    val enc = pqEncode(corpus, "vec", codebooks).select(col("id"), col("code"))
+    val scored = enc.join(broadcast(qdf), col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        round(aggregate(zip_with(col("qtab"), col("code"),
+            (t, c) => element_at(t, c + 1)),
+          lit(0.0), (acc, x) => acc + x), 6).as("adist"))
+    scored.groupBy(col("qid"))
+      .agg(call_function("graft_topk", -col("adist"), col("id"), lit(k)).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("id"), (-col("e.ord")).as("adist"))
+  }
+
+  /** [[pqTopK]] with the standard exact re-rank stage: ADC produces a
+    * `shortlist`-sized candidate set per query (cheap, code-only math
+    * over the whole corpus), then TRUE squared-L2 runs on just those
+    * candidates and the final top-k is exact-over-shortlist. This is
+    * how PQ deploys in practice — ADC recall decays on
+    * distance-concentrated data, but P(true neighbor ∈ top-shortlist)
+    * stays high, and the exact stage touches only
+    * |queries| × shortlist vectors, not the corpus. */
+  def pqTopKReranked(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (id, vec)
+      codebooks: Seq[Seq[Array[Float]]],
+      shortlist: Int,
+      k: Int): DataFrame = {
+    val cands = pqTopK(queries, corpus, codebooks, shortlist)
+      .select(col("qid").as("cqid"), col("id").as("cid"))
+    val l2 = dot(col("qvec"), col("qvec")) -
+      lit(2.0) * dot(col("qvec"), col("vec")) + dot(col("vec"), col("vec"))
+    val scored = corpus.join(broadcast(
+        cands.join(queries, col("cqid") === col("qid"))
+          .select(col("qid"), col("cid"), col("qvec"))),
+        col("cid") === col("id"))
+      .select(col("qid"), col("id"), round(l2, 6).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("d2"))
+  }
+
   /** Bucketed ANN: top-k among same-bucket mates only, plus the bucket
     * population (candidate count actually scanned). */
   def lshTopK(

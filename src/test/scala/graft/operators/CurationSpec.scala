@@ -183,6 +183,70 @@ class CurationSpec extends SparkSpec {
     recall should be >= 0.3
   }
 
+  test("PQ: encode is map-only, codes are in range, ADC top-k overlaps exact") {
+    val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    val seeds = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2).toSeq
+    val cbs = Similarity.pqCodebooks(seeds, m = 8)
+    cbs should have length 8
+    all(cbs.map(_.length)) shouldBe 16
+    all(cbs.flatMap(_.map(_.length))) shouldBe 8
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val enc = Similarity.pqEncode(corpus, "vec", cbs)
+    // pure map: no shuffle in the encoding plan
+    enc.queryExecution.executedPlan.toString should not include "Exchange"
+    val codes = enc.select(explode(col("code")).as("c"))
+      .agg(min(col("c")), max(col("c"))).collect().head
+    codes.getInt(0) should be >= 0
+    codes.getInt(1) should be <= 15
+    // a seed vector reconstructs exactly: every subspace picks itself
+    enc.filter(col("id") === 25L).select(col("code")).collect()
+      .head.getSeq[Int](0).toSet shouldBe Set(5)
+    // ADC ranking must substantially agree with the exact top-5 under
+    // the SAME metric (squared L2) — cosine top-5 is a different
+    // ranking when vectors are not unit-norm
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val pq = Similarity.pqTopK(queries, corpus, cbs, k = 5)
+      .select(col("qid"), col("id"))
+    val l2 = Similarity.dot(col("qvec"), col("qvec")) -
+      lit(2.0) * Similarity.dot(col("qvec"), col("vec")) +
+      Similarity.dot(col("vec"), col("vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2"), col("id"))
+    val exact = corpus.join(broadcast(queries), col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), round(l2, 6).as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("qid"), col("id"))
+    val nq = queries.count()
+    val hits = pq.join(exact, Seq("qid", "id")).count()
+    // raw ADC on distance-concentrated random data: weak but far above
+    // the ~1% random baseline (5 of 480)
+    hits.toDouble / (nq * 5) should be >= 0.08
+    // the production form — Lloyd-trained codebooks + ADC shortlist +
+    // exact re-rank — must have strong recall
+    val sample = corpus.select(col("id"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2).toSeq
+    val trained = Similarity.pqTrain(sample, seeds, m = 8, iters = 10)
+    def recallOf(cb: Seq[Seq[Array[Float]]], shortlist: Int): Double = {
+      val rr = Similarity.pqTopKReranked(queries, corpus, cb, shortlist, k = 5)
+        .select(col("qid"), col("id"))
+      rr.join(exact, Seq("qid", "id")).count().toDouble / (nq * 5)
+    }
+    val seed50 = recallOf(cbs, 50)
+    val tr50 = recallOf(trained, 50)
+    val tr100 = recallOf(trained, 100)
+    info(s"ADC=${hits.toDouble / (nq * 5)} seed50=$seed50 tr50=$tr50 tr100=$tr100")
+    tr50 should be >= seed50
+    tr100 should be >= 0.5
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.pqCodebooks(seeds, m = 7) // 64 % 7 != 0
+  }
+
   test("chunkDocuments: window starts, short tails, and full coverage") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: starts 0,3,6
