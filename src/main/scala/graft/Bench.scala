@@ -17,12 +17,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    // optional args: query-name filter for local iteration (the driver
+    // passes none and always measures the full set)
+    val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None
     val spark = GraftSession.forMain("graft-bench")
     // Warm the JVM/codegen/IO paths once so the first measured query
     // doesn't absorb session startup (measures queries, not JIT).
     Tables.lineitem(spark, sfDir).limit(1).collect()
     val results: Seq[(String, Either[String, (Double, Double)])] =
-      SparkEntry.benchQueries.map { name =>
+      SparkEntry.benchQueries.filter(n => only.forall(_.contains(n))).map { name =>
         val fn = SparkEntry.queries(name)
         val runs = (1 to repeats).map { _ =>
           val t0 = System.nanoTime()

@@ -331,12 +331,26 @@ object Similarity {
       }: _*)
     }: _*)
     val qdf = queries.select(col("qid"), qtab.as("qtab"))
+    // The repartition is load-bearing twice over: (a) it puts an
+    // exchange between encoding and the nested-loop query join, so the
+    // 128-dot encode Project stays inside its own whole-stage-codegen
+    // stage (planned directly under BroadcastNestedLoopJoin it runs
+    // interpreted — measured 10× slower at sf0.1); (b) it is the
+    // plan-shape equivalent of what production PQ does anyway: encode
+    // once, materialize the code table, search many times. Codes are
+    // tiny (m small ints vs dims floats), so the shuffle moves ~2% of
+    // the vector bytes.
     val enc = pqEncode(corpus, "vec", codebooks).select(col("id"), col("code"))
+      .repartition(col("id"))
+    // static chain of codegen'd element_at lookups, summed left-to-right
+    // (same order as the oracle's list_sum fold) — a zip_with/aggregate
+    // lambda form here runs interpreted per candidate pair
+    val adist = (0 until m).map { s =>
+      element_at(element_at(col("qtab"), s + 1),
+        element_at(col("code"), s + 1) + 1)
+    }.reduce(_ + _)
     val scored = enc.join(broadcast(qdf), col("qid") =!= col("id"))
-      .select(col("qid"), col("id"),
-        round(aggregate(zip_with(col("qtab"), col("code"),
-            (t, c) => element_at(t, c + 1)),
-          lit(0.0), (acc, x) => acc + x), 6).as("adist"))
+      .select(col("qid"), col("id"), round(adist, 6).as("adist"))
     scored.groupBy(col("qid"))
       .agg(call_function("graft_topk", -col("adist"), col("id"), lit(k)).as("tk"))
       .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
