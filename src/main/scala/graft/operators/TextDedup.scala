@@ -332,7 +332,13 @@ object TextDedup {
       numHashes: Int = 64,
       bands: Int = 4,
       bucketCap: Int = 100): DataFrame = {
+    // The exact-dedup result feeds three consumers (LSH signatures,
+    // word-set join, final anti-join); uncached, each re-runs the
+    // dedup window over the full input. persist() marks the reuse
+    // point (memory-and-disk, so oversized partitions spill rather
+    // than evict at scale).
     val survivors = exactDedup(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatePairs(survivors, idCol, textCol, numHashes,
       bands, bucketCap)
     val ws = survivors.select(col(idCol).as("wid"),
