@@ -1335,6 +1335,38 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** JSON-lines ingestion (q64): the CSV ingest contract (MAXERROR,
+    * TRUNCATECOLUMNS, ''-vs-null) over a second wire format, sharing
+    * the EventFamily schema metadata. Derives the same activity staging
+    * days as q10, writes them as JSON-lines landing files, corrupts one
+    * with malformed/unparseable lines (all of which must be dropped
+    * within MAXERROR), ingests every day, and runs q10's aggregate —
+    * so the oracle is the SAME clean-derivation SQL as q10's. */
+  private def jsonIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{CsvEventSource, JsonEventSource}
+    import graft.util.TmpDirs
+    val landing = TmpDirs.fresh("q64_landing")
+    val days = JsonEventSource.writeLanding(s, activityStaging(s, dir), landing, "activity")
+    CsvEventSource.appendLines(s, s"$landing/activity-${days.head}.json", Seq(
+      """this is not json at all""",
+      """{"timestamp":"not_a_ts","ua_browser":"b1","uid":"u","type":"login"}""",
+      """{"ua_browser":"missing ts","uid":"u","type":"login"}""",
+      """[1, 2, 3]"""))
+    val perDay = graft.util.Par.map(JsonEventSource.listDays(s, landing, "activity")) {
+      case (_, file) =>
+        JsonEventSource.readDay(s, file, graft.model.Schemas.activity,
+          maxError = 10, persist = false)
+    }
+    perDay.reduce(_ unionAll _)
+      .groupBy(col("type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("uid")).as("n_users"),
+        count(when(col("service") === "", 1)).as("n_empty_service"),
+        count(when(length(col("ua_browser")) === 40, 1)).as("n_truncated"))
+      .orderBy(col("type"))
+  }
+
   /** Product-quantization ANN (q63): 8 subspaces × 16 deterministic
     * seed centroids (vec_id 20..35, the q59 seed set) — corpus vectors
     * compress to 8 small codes (map-only, literal codebooks), queries
@@ -1535,7 +1567,8 @@ object SparkEntry {
     "q60_bloom_incremental_dedup" -> (bloomIncrementalDedup _),
     "q61_doc_chunking" -> (chunkDocumentsQuery _),
     "q62_bpe_pair_counts" -> (bpePairCountsQuery _),
-    "q63_pq_ann" -> (pqAnn _))
+    "q63_pq_ann" -> (pqAnn _),
+    "q64_json_ingest" -> (jsonIngest _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1620,7 +1653,8 @@ object SparkEntry {
     "q53_repetition_signals", "q54_pii_redact", "q55_range_join_windows",
     "q56_lsh_incremental", "q57_neardup_dedup_dataset",
     "q59_ivf_lloyd_recall", "q60_bloom_incremental_dedup",
-    "q61_doc_chunking", "q62_bpe_pair_counts", "q63_pq_ann")
+    "q61_doc_chunking", "q62_bpe_pair_counts", "q63_pq_ann",
+    "q64_json_ingest")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2509,5 +2543,14 @@ object SparkEntry {
            SELECT qid, id, adist,
                   row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rank
            FROM ad) t WHERE rank <= 5
-         ORDER BY qid, rank""")
+         ORDER BY qid, rank""",
+    // Same clean-derivation aggregate as q10: every injected junk line
+    // must be dropped by the JSON MAXERROR accounting, every over-width
+    // browser truncated, every empty service kept as '' (never null).
+    "q64_json_ingest" ->
+      s"""WITH staging AS ($activityStagingSql)
+         SELECT type, COUNT(*) AS n_rows, COUNT(DISTINCT uid) AS n_users,
+                COUNT(CASE WHEN service = '' THEN 1 END) AS n_empty_service,
+                COUNT(CASE WHEN length(substr(ua_browser, 1, 40)) = 40 THEN 1 END) AS n_truncated
+         FROM staging GROUP BY type ORDER BY type""")
 }
