@@ -1367,6 +1367,43 @@ object SparkEntry {
       .orderBy(col("type"))
   }
 
+  /** Streaming watermarked dedup (q65): replay the events table through
+    * `dropDuplicatesWithinWatermark` on a collision-heavy key
+    * (event_id % 500) with every real file in ONE AvailableNow batch,
+    * so suppression is global and the emitted key set equals batch
+    * DISTINCT — which is exactly what the DuckDB oracle checks.
+    * Cross-batch suppression and state expiry are covered by the
+    * MemoryStream specs (StreamingRollupsSpec), where batch boundaries
+    * are controllable; a file-replay oracle must not depend on file
+    * listing order, so the single-batch form is the deterministic
+    * contract. */
+  private def streamingDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.store.DayPartitionedTable
+    import graft.streaming.StreamingRollups
+    import graft.util.TmpDirs
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val root = TmpDirs.fresh(s"q65_stream_$tag")
+    val e = Tables.events(s, dir)
+      .select(col("ts"), (col("event_id") % 500).as("did"), dayOf(col("ts")).as("day"))
+    val t = new DayPartitionedTable(root, "events_by_day", sortCol = Some("ts"))
+    t.writeDays(e)
+    val realFiles = t.read(s).select(input_file_name()).distinct().count().toInt
+    val replayed = s.readStream
+      .schema("ts TIMESTAMP, did BIGINT, day DATE")
+      .option("maxFilesPerTrigger", realFiles)
+      .parquet(t.path)
+      .select("ts", "did")
+    val q = StreamingRollups.dedupStream(replayed, "did")
+      .select(col("did"))
+      .writeStream
+      .format("memory").queryName(s"q65_dedup_$tag").outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(s"q65_dedup_$tag").orderBy(col("did"))
+  }
+
   /** Product-quantization ANN (q63): 8 subspaces × 16 deterministic
     * seed centroids (vec_id 20..35, the q59 seed set) — corpus vectors
     * compress to 8 small codes (map-only, literal codebooks), queries
@@ -1568,7 +1605,8 @@ object SparkEntry {
     "q61_doc_chunking" -> (chunkDocumentsQuery _),
     "q62_bpe_pair_counts" -> (bpePairCountsQuery _),
     "q63_pq_ann" -> (pqAnn _),
-    "q64_json_ingest" -> (jsonIngest _))
+    "q64_json_ingest" -> (jsonIngest _),
+    "q65_streaming_dedup" -> (streamingDedup _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2552,5 +2590,9 @@ object SparkEntry {
          SELECT type, COUNT(*) AS n_rows, COUNT(DISTINCT uid) AS n_users,
                 COUNT(CASE WHEN service = '' THEN 1 END) AS n_empty_service,
                 COUNT(CASE WHEN length(substr(ua_browser, 1, 40)) = 40 THEN 1 END) AS n_truncated
-         FROM staging GROUP BY type ORDER BY type""")
+         FROM staging GROUP BY type ORDER BY type""",
+    // Single-batch replay → global suppression → the emitted key set is
+    // exactly batch DISTINCT.
+    "q65_streaming_dedup" ->
+      """SELECT DISTINCT event_id % 500 AS did FROM events ORDER BY did""")
 }
