@@ -1404,6 +1404,15 @@ object SparkEntry {
     s.table(s"q65_dedup_$tag").orderBy(col("did"))
   }
 
+  /** Composite curation gate (q66): the full filter battery —
+    * repetition flag, quality gate, PII counts, redacted footprint —
+    * as ONE auditable verdict per document, reasons as data. */
+  private def curateQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.curate(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Product-quantization ANN (q63): 8 subspaces × 16 deterministic
     * seed centroids (vec_id 20..35, the q59 seed set) — corpus vectors
     * compress to 8 small codes (map-only, literal codebooks), queries
@@ -1606,7 +1615,8 @@ object SparkEntry {
     "q62_bpe_pair_counts" -> (bpePairCountsQuery _),
     "q63_pq_ann" -> (pqAnn _),
     "q64_json_ingest" -> (jsonIngest _),
-    "q65_streaming_dedup" -> (streamingDedup _))
+    "q65_streaming_dedup" -> (streamingDedup _),
+    "q66_curation_gate" -> (curateQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1692,7 +1702,7 @@ object SparkEntry {
     "q56_lsh_incremental", "q57_neardup_dedup_dataset",
     "q59_ivf_lloyd_recall", "q60_bloom_incremental_dedup",
     "q61_doc_chunking", "q62_bpe_pair_counts", "q63_pq_ann",
-    "q64_json_ingest")
+    "q64_json_ingest", "q66_curation_gate")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2594,5 +2604,37 @@ object SparkEntry {
     // Single-batch replay → global suppression → the emitted key set is
     // exactly batch DISTINCT.
     "q65_streaming_dedup" ->
-      """SELECT DISTINCT event_id % 500 AS did FROM events ORDER BY did""")
+      """SELECT DISTINCT event_id % 500 AS did FROM events ORDER BY did""",
+    // Composes the q53 repetition CTE, the q28 quality predicate, and
+    // the q54 regex mirrors into one verdict row per document;
+    // concat_ws skips NULL reason slots on both engines.
+    "q66_curation_gate" ->
+      """WITH wstats AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+                                MAX(n) AS max_word_n
+                         FROM (SELECT doc_id, t, COUNT(*) AS n
+                               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                                     FROM documents) u
+                               GROUP BY doc_id, t) g
+                         GROUP BY doc_id),
+         rep AS (SELECT doc_id,
+                        max_word_n >= 2 AND max_word_n * 10 >= n_words AS repetitive
+                 FROM wstats),
+         qual AS (SELECT doc_id,
+                         len(string_split(text, ' ')) >= 50
+                         AND len(list_filter(string_split(text, ' '),
+                           w -> list_contains(['the','a','of','and','to'], w))) * 10
+                             >= len(string_split(text, ' ')) AS hq
+                  FROM documents)
+         SELECT d.doc_id,
+                (NOT r.repetitive AND q.hq) AS keep,
+                concat_ws(',',
+                  CASE WHEN r.repetitive THEN 'repetitive' END,
+                  CASE WHEN NOT q.hq THEN 'low_quality' END) AS reasons,
+                len(regexp_extract_all(d.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  + len(regexp_extract_all(d.text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_pii,
+                length(regexp_replace(
+                  regexp_replace(d.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_len
+         FROM documents d JOIN rep r USING (doc_id) JOIN qual q USING (doc_id)
+         ORDER BY d.doc_id""")
 }

@@ -86,6 +86,42 @@ object Curation {
           col("max_word_n") * 10 >= col("n_words")).as("repetitive"))
   }
 
+  /** Composite curation gate — the quality-side counterpart of
+    * TextDedup.nearDupDedup: one operator that runs the standard
+    * filter battery over a corpus and returns every doc with an
+    * explicit keep/drop verdict and machine-readable reasons, plus the
+    * PII-redacted footprint for the keepers. Real pipelines ship this
+    * exact composition (filter → annotate → redact) between ingest and
+    * dedup; reasons-as-data (rather than silent drops) is what makes
+    * curation auditable at 100 TB — you can aggregate drop reasons per
+    * source/lang and catch a filter misfiring before it deletes a
+    * terabyte.
+    *
+    * Shape: repetition signals are the only aggregation (two-level
+    * map-side partials, q53's shape); quality, redaction, and reason
+    * assembly are pure codegen'd column expressions joined back on the
+    * 8-byte doc id. */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50): DataFrame = {
+    import graft.operators.TextAnalysis
+    val rep = repetitionSignals(docs, idCol, textCol)
+      .select(col("doc_id"), col("repetitive"))
+    val hq = TextAnalysis.highQuality(col("text"), minWords)
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(rep, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        (!col("repetitive") && hq).as("keep"),
+        concat_ws(",",
+          when(col("repetitive"), lit("repetitive")),
+          when(!hq, lit("low_quality"))).as("reasons"),
+        (emailCount(col("text")) + ipv4Count(col("text"))).as("n_pii"),
+        length(redactPii(col("text"))).cast(LongType).as("redacted_len"))
+  }
+
   /** Sliding-window document chunking — the step that turns curated
     * documents into fixed-size training examples. Each doc yields
     * windows of `chunkTokens` whitespace tokens starting every

@@ -247,6 +247,34 @@ class CurationSpec extends SparkSpec {
       Similarity.pqCodebooks(seeds, m = 7) // 64 % 7 != 0
   }
 
+  test("curate: verdicts carry reasons; PII and redaction footprints are counted") {
+    // stopwords spread over all five markers: ratio passes the quality
+    // gate (10/60) without any single word tripping the repetition flag
+    val markers = Seq("the", "a", "of", "and", "to")
+    val filler = (1 to 60)
+      .map(i => if (i % 6 == 0) markers((i / 6) % 5) else s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, filler), // long, stopword-rich → keep
+      (2L, "spam " * 40 + "spam"), // repetitive (and low stopword ratio)
+      (3L, "too short to pass"), // low_quality
+      (4L, s"$filler mail me at a.b@example.com or 10.0.0.7 ok"))
+      .toDF("doc_id", "text")
+    val out = Curation.curate(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Boolean, String, Long, Long)].collect().toSeq
+    out.map(r => (r._1, r._2, r._3)) shouldBe Seq(
+      (1L, true, ""),
+      (2L, false, "repetitive,low_quality"),
+      (3L, false, "low_quality"),
+      (4L, true, ""))
+    out(3)._4 shouldBe 2L // one email + one IP
+    // redaction shrinks or grows deterministically: <EMAIL>/<IP> placeholders
+    val rawLen = docs.filter($"doc_id" === 4L)
+      .select(org.apache.spark.sql.functions.length($"text")).as[Int].head()
+    out(3)._5 shouldBe rawLen - "a.b@example.com".length + "<EMAIL>".length -
+      "10.0.0.7".length + "<IP>".length
+  }
+
   test("chunkDocuments: window starts, short tails, and full coverage") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: starts 0,3,6
