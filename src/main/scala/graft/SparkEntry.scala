@@ -1404,6 +1404,17 @@ object SparkEntry {
     s.table(s"q65_dedup_$tag").orderBy(col("did"))
   }
 
+  /** Unigram surprisal (q67): mean negative log-probability of each
+    * doc's tokens under the corpus's own unigram LM — the cheap
+    * perplexity-filter proxy. Per-token surprisal quantizes to integer
+    * micro-nats BEFORE the per-doc sum, so aggregation order cannot
+    * move the result. */
+  private def unigramSurprisalQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Composite curation gate (q66): the full filter battery —
     * repetition flag, quality gate, PII counts, redacted footprint —
     * as ONE auditable verdict per document, reasons as data. */
@@ -1616,7 +1627,8 @@ object SparkEntry {
     "q63_pq_ann" -> (pqAnn _),
     "q64_json_ingest" -> (jsonIngest _),
     "q65_streaming_dedup" -> (streamingDedup _),
-    "q66_curation_gate" -> (curateQuery _))
+    "q66_curation_gate" -> (curateQuery _),
+    "q67_unigram_surprisal" -> (unigramSurprisalQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1702,7 +1714,7 @@ object SparkEntry {
     "q56_lsh_incremental", "q57_neardup_dedup_dataset",
     "q59_ivf_lloyd_recall", "q60_bloom_incremental_dedup",
     "q61_doc_chunking", "q62_bpe_pair_counts", "q63_pq_ann",
-    "q64_json_ingest", "q66_curation_gate")
+    "q64_json_ingest", "q66_curation_gate", "q67_unigram_surprisal")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2636,5 +2648,23 @@ object SparkEntry {
                   regexp_replace(d.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_len
          FROM documents d JOIN rep r USING (doc_id) JOIN qual q USING (doc_id)
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id""",
+    // Per-token micro-nat quantization BEFORE the per-doc sum: integer
+    // addition commutes, so both engines agree regardless of
+    // aggregation order; `div`/`//` keeps the mean integral too.
+    "q67_unigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id, t
+                       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                             FROM documents) u
+                       WHERE t <> ''),
+         vocab AS (SELECT t, COUNT(*) AS n_w FROM toks GROUP BY t),
+         tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM vocab),
+         sc AS (SELECT doc_id,
+                       CAST(round(-ln(CAST(n_w AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e6)
+                            AS BIGINT) AS s_micro
+                FROM toks JOIN vocab USING (t) CROSS JOIN tot)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+                CAST(SUM(s_micro) AS BIGINT) AS surprisal_micro,
+                CAST(SUM(s_micro) AS BIGINT) // COUNT(*) AS mean_micro
+         FROM sc GROUP BY doc_id ORDER BY doc_id""")
 }

@@ -103,6 +103,41 @@ object TextAnalysis {
       .select(col("grp"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Unigram surprisal scoring — the cheap proxy for perplexity
+    * filtering: score each document by the mean negative log-probability
+    * of its tokens under the corpus's OWN unigram distribution. Low
+    * surprisal ≈ templated/common text, high ≈ rare-token noise; both
+    * tails get inspected or dropped in real pipelines.
+    *
+    * Determinism across engines: per-token surprisal is quantized to
+    * integer MICRO-nats (round(-ln(p)·1e6) as BIGINT) before the
+    * per-document sum — integer addition commutes, so partition order
+    * cannot flip a rounded double the way summing raw doubles could.
+    *
+    * Shape at 100 TB: the token stream aggregates once to the
+    * Zipf-bounded vocabulary; the stream then joins the BROADCAST vocab
+    * (the q45 tf-idf shape) and collapses to one row per doc —
+    * map-side partials all the way. */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(words(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("n_w"))
+    val total = vocab.agg(sum(col("n_w")).as("n_total"))
+    toks.join(broadcast(vocab), Seq("t"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(-log(col("n_w").cast("double") / col("n_total").cast("double")) * 1e6)
+          .cast(LongType).as("s_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s_micro")).as("surprisal_micro"))
+      // integer `div`, not a double `/` + cast: a double quotient can
+      // land a hair under an integer and truncate differently than the
+      // oracle's `//`
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_micro"),
+        expr("surprisal_micro div n_tokens").as("mean_micro"))
+  }
+
   /** BPE merge-candidate counting — step 1 of byte-pair-encoding
     * tokenizer training: corpus-wide frequencies of adjacent CHARACTER
     * pairs inside words, weighted by word frequency. The top pair is

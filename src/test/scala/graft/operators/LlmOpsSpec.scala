@@ -141,6 +141,24 @@ class LlmOpsSpec extends SparkSpec {
         "P6\n2 2\n255\nshort".getBytes, "", 0L)) // truncated raster
   }
 
+  test("unigram surprisal: micro-nat quantization, hand-checked values") {
+    // tokens: a×2, b×2, total 4 → p = 0.5 each → -ln(0.5)·1e6 = 693147
+    val corpus = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(corpus, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      (1L, 3L, 3 * 693147L, 693147L),
+      (2L, 1L, 693147L, 693147L))
+    // rarer tokens are more surprising: a unique token scores above a
+    // repeated one within the same corpus
+    val c2 = Seq((1L, "x x x x y")).toDF("doc_id", "text")
+    val micro = TextAnalysis.unigramSurprisal(c2, "doc_id", "text")
+      .select($"surprisal_micro").as[Long].head()
+    // x: -ln(4/5)×4, y: -ln(1/5) → 892574 + 1609438 = 2501 to the micro
+    micro shouldBe (4 * math.round(-math.log(4.0 / 5) * 1e6) +
+      math.round(-math.log(1.0 / 5) * 1e6))
+  }
+
   test("BPE pair counts weight character pairs by word frequency") {
     val corpus = Seq(
       (0L, "abab abab cd"),
