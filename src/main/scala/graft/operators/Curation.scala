@@ -106,7 +106,6 @@ object Curation {
       idCol: String,
       textCol: String,
       minWords: Int = 50): DataFrame = {
-    import graft.operators.TextAnalysis
     val rep = repetitionSignals(docs, idCol, textCol)
       .select(col("doc_id"), col("repetitive"))
     val hq = TextAnalysis.highQuality(col("text"), minWords)
