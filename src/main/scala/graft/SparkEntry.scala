@@ -1519,8 +1519,9 @@ object SparkEntry {
     val ev = Tables.events(s, dir)
     val hours = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("h"))
-    val top = hours.withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+    // global top-10 as TakeOrdered (per-partition heap, no
+    // single-partition window sort of every hour row)
+    val top = hours.orderBy(col("n").desc, col("h")).limit(10)
       .select(col("h").as("w_start"),
         (col("h") + expr("INTERVAL 90 MINUTES")).as("w_end"))
     RangeJoin.bucketed(ev, "ts", top, "w_start", "w_end", bucketSeconds = 3600L)
