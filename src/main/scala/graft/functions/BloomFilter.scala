@@ -73,9 +73,12 @@ object BloomUtil {
   * against the historical index. At 100 TB/day against a multi-PB
   * index, almost every new document is NOT a duplicate — the shuffle
   * moves billions of rows to discover nothing. A Bloom sketch of the
-  * index (a few MB for billions of entries at ~1% fp) broadcasts to
-  * every executor and prunes the definitely-new rows with a map-only
-  * filter; only the ~fp-rate sliver joins. No false negatives means
+  * index (~10 bits per entry at 1% fp — 120 MB per 100M entries,
+  * against an index whose own footprint is TBs) broadcasts to every
+  * executor and prunes the definitely-new rows with a map-only
+  * filter; only the ~fp-rate sliver joins. Past a few hundred million
+  * entries, raise the fp target or shard the sketch by hash prefix —
+  * the anti-join still only sees the sliver. No false negatives means
   * the composed operator stays EXACT — the sketch changes the plan,
   * never the answer.
   *

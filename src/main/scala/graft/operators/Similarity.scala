@@ -276,8 +276,9 @@ object Similarity {
 
   /** PQ encoding: each vector becomes `m` small codes — the nearest
     * (squared-L2) centroid per subspace. This is the 100 TB memory
-    * lever: a 64-dim float vector (256 B) compresses to m=8 byte-range
-    * codes, so a billion-vector index fits in executor memory.
+    * lever: a 64-dim float vector (256 B) compresses 32× to m=8
+    * byte-range codes, turning a billion-vector index from 256 GB of
+    * floats into ~8 GB of codes — cluster-memory scale.
     *
     * Pure map: the codebooks fold into the plan as LITERALS, argmin-L2
     * per subspace is `argmax(dot(sub, c) - |c|²/2)` (the |sub|² term is

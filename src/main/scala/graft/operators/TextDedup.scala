@@ -383,9 +383,10 @@ object TextDedup {
     * Bloom filter has no false negatives — and maybe-seen rows, and
     * only that sliver (true dupes + ~fp-rate noise) pays the anti-join
     * shuffle. At 100 TB/day vs a multi-PB index, that turns the
-    * dominant shuffle into a scan-speed filter: the sketch is a few MB
-    * for billions of index entries at ~1% fp, while the anti-join
-    * would move every row of the batch.
+    * dominant shuffle into a scan-speed filter: the sketch costs ~10
+    * bits per index entry at 1% fp (120 MB per 100M entries — broadcast
+    * range; shard by hash prefix or raise fp beyond that), while the
+    * anti-join would move every row of the batch.
     *
     * The two sketch parameters trade memory for join volume:
     * bits ≈ 1.44 · n · log2(1/fp), hashes ≈ 0.7 · bits / n. */
