@@ -1415,6 +1415,40 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Hybrid retrieval (q68): lexical Jaccard top-20 and cosine top-20
+    * per query, fused by integer-micro-point reciprocal-rank fusion
+    * (no floats anywhere in the fusion — 1000000 div (60+rank)), final
+    * top-10 through the bounded graft_topk heap. Queries are docs
+    * 0..19 (text + aligned embedding); corpus is the rest. */
+  private def hybridSearchQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{HybridSearch, Similarity, TextDedup}
+    import org.apache.spark.sql.Column
+    val docs = Tables.documents(s, dir)
+    def ws(c: Column): Column =
+      transform(TextDedup.normWordSet(c), w => TextDedup.md5Hash60(w))
+    val qws = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("qid"), ws(col("text")).as("qws"))
+    val cws = docs.filter(col("doc_id") >= 20)
+      .select(col("doc_id").as("id"), ws(col("text")).as("ws"))
+    val wl = Window.partitionBy(col("qid"))
+      .orderBy(col("jac").desc, col("id"))
+    val lex = cws.join(broadcast(qws), col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        round(TextDedup.jaccard(col("qws"), col("ws")), 6).as("jac"))
+      .withColumn("r", row_number().over(wl)).filter(col("r") <= 20)
+      .select(col("qid"), col("id"), col("r"))
+    val e = Tables.embeddings(s, dir)
+    val vec = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 20)
+      .select(col("qid"), col("id"), col("rank").as("r"))
+    HybridSearch.rrfFuse(Seq(lex, vec), k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Composite curation gate (q66): the full filter battery —
     * repetition flag, quality gate, PII counts, redacted footprint —
     * as ONE auditable verdict per document, reasons as data. */
@@ -1629,7 +1663,8 @@ object SparkEntry {
     "q64_json_ingest" -> (jsonIngest _),
     "q65_streaming_dedup" -> (streamingDedup _),
     "q66_curation_gate" -> (curateQuery _),
-    "q67_unigram_surprisal" -> (unigramSurprisalQuery _))
+    "q67_unigram_surprisal" -> (unigramSurprisalQuery _),
+    "q68_hybrid_search" -> (hybridSearchQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1715,7 +1750,8 @@ object SparkEntry {
     "q56_lsh_incremental", "q57_neardup_dedup_dataset",
     "q59_ivf_lloyd_recall", "q60_bloom_incremental_dedup",
     "q61_doc_chunking", "q62_bpe_pair_counts", "q63_pq_ann",
-    "q64_json_ingest", "q66_curation_gate", "q67_unigram_surprisal")
+    "q64_json_ingest", "q66_curation_gate", "q67_unigram_surprisal",
+    "q68_hybrid_search")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2667,5 +2703,40 @@ object SparkEntry {
          SELECT doc_id, COUNT(*) AS n_tokens,
                 CAST(SUM(s_micro) AS BIGINT) AS surprisal_micro,
                 CAST(SUM(s_micro) AS BIGINT) // COUNT(*) AS mean_micro
-         FROM sc GROUP BY doc_id ORDER BY doc_id""")
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    // Integer RRF: 1000000 // (60 + rank) per retriever, summed —
+    // no floats in the fusion, so the oracle matches exactly. Lexical
+    // jaccard and cosine ranks mirror the q56/q25 oracle forms.
+    "q68_hybrid_search" ->
+      s"""WITH qw AS (SELECT doc_id AS qid,
+                             list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                      FROM documents WHERE doc_id < 20),
+         cw AS (SELECT doc_id AS id,
+                       list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                FROM documents WHERE doc_id >= 20),
+         lex AS (SELECT qid, id,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY jac DESC, id) AS r
+                 FROM (SELECT q.qid, c.id,
+                              round(CAST(len(list_intersect(q.ws, c.ws)) AS DOUBLE) /
+                                    CAST(len(list_distinct(q.ws || c.ws)) AS DOUBLE), 6) AS jac
+                       FROM qw q CROSS JOIN cw c) t),
+         lexp AS (SELECT qid, id, 1000000 // (60 + r) AS pts FROM lex WHERE r <= 20),
+         q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 20),
+         vec AS (SELECT qid, id,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY cos DESC, id) AS r
+                 FROM (SELECT q.qid, c.id, ${cosSql("q.qvec", "c.vec")} AS cos
+                       FROM q CROSS JOIN c WHERE q.qid <> c.id) t),
+         vecp AS (SELECT qid, id, 1000000 // (60 + r) AS pts FROM vec WHERE r <= 20),
+         fused AS (SELECT qid, id, CAST(SUM(pts) AS BIGINT) AS rrf_micro
+                   FROM (SELECT * FROM lexp UNION ALL SELECT * FROM vecp) u
+                   GROUP BY qid, id)
+         SELECT qid, CAST(rank AS BIGINT) AS rank, id, rrf_micro FROM (
+           SELECT qid, id, rrf_micro,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY rrf_micro DESC, id) AS rank
+           FROM fused) t
+         WHERE rank <= 10 ORDER BY qid, rank""")
 }

@@ -159,6 +159,20 @@ class LlmOpsSpec extends SparkSpec {
       math.round(-math.log(1.0 / 5) * 1e6))
   }
 
+  test("RRF fusion: integer points, both-modality docs outrank single-modality") {
+    // retriever A ranks: d10=1, d11=2 ; retriever B ranks: d10=2, d12=1
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "id", "r")
+    val b = Seq((1L, 10L, 2), (1L, 12L, 1)).toDF("qid", "id", "r")
+    val out = HybridSearch.rrfFuse(Seq(a, b), k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val p1 = 1000000 / 61 // rank 1 → 16393
+    val p2 = 1000000 / 62 // rank 2 → 16129
+    out shouldBe Seq(
+      (1L, 1L, 10L, (p1 + p2).toLong), // in both lists → dominates
+      (1L, 2L, 12L, p1.toLong), // rank-1 in one list beats rank-2 in one
+      (1L, 3L, 11L, p2.toLong))
+  }
+
   test("BPE pair counts weight character pairs by word frequency") {
     val corpus = Seq(
       (0L, "abab abab cd"),
