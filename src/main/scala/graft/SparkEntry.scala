@@ -1449,6 +1449,19 @@ object SparkEntry {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Decontamination dataset op (q69): q47's scan flag APPLIED — the
+    * clean corpus with contaminated docs dropped. */
+  private def decontaminateQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val docs = Tables.documents(s, dir)
+    TextDedup.decontaminate(
+        docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20),
+        "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Composite curation gate (q66): the full filter battery —
     * repetition flag, quality gate, PII counts, redacted footprint —
     * as ONE auditable verdict per document, reasons as data. */
@@ -1664,7 +1677,8 @@ object SparkEntry {
     "q65_streaming_dedup" -> (streamingDedup _),
     "q66_curation_gate" -> (curateQuery _),
     "q67_unigram_surprisal" -> (unigramSurprisalQuery _),
-    "q68_hybrid_search" -> (hybridSearchQuery _))
+    "q68_hybrid_search" -> (hybridSearchQuery _),
+    "q69_decontaminate" -> (decontaminateQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1751,7 +1765,7 @@ object SparkEntry {
     "q59_ivf_lloyd_recall", "q60_bloom_incremental_dedup",
     "q61_doc_chunking", "q62_bpe_pair_counts", "q63_pq_ann",
     "q64_json_ingest", "q66_curation_gate", "q67_unigram_surprisal",
-    "q68_hybrid_search")
+    "q68_hybrid_search", "q69_decontaminate")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2738,5 +2752,23 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY qid
                     ORDER BY rrf_micro DESC, id) AS rank
            FROM fused) t
-         WHERE rank <= 10 ORDER BY qid, rank""")
+         WHERE rank <= 10 ORDER BY qid, rank""",
+    // q47's CTEs with the flag applied: anti-join the contaminated ids.
+    "q69_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(length(lower(trim(text))) - 7, 1) + 1),
+                   i -> substr(lower(trim(text)), CAST(i AS INTEGER), 8)))) AS word
+                 FROM documents) t),
+         ev AS (SELECT DISTINCT h FROM sh WHERE doc_id < 20),
+         c AS (SELECT doc_id, h FROM sh WHERE doc_id >= 20),
+         tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM c GROUP BY doc_id),
+         shared AS (SELECT c.doc_id, COUNT(*) AS n_shared
+                    FROM c JOIN ev USING (h) GROUP BY c.doc_id),
+         bad AS (SELECT s.doc_id FROM shared s JOIN tot t USING (doc_id)
+                 WHERE s.n_shared >= 3 AND s.n_shared * 2 >= t.n_shingles)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""")
 }

@@ -375,6 +375,37 @@ object TextDedup {
     (survivors, newIndex)
   }
 
+  /** Benchmark decontamination as a DATASET operator: drop every
+    * corpus document sharing at least `minShared` 8-char shingles with
+    * the eval set AND whose shared shingles cover ≥ half its own
+    * shingle set (the q47 scan's flag, applied). This is the step a
+    * training pipeline actually runs before tokenization — the scan
+    * reports, this one cleans.
+    *
+    * Scale shape: one corpus shingle pass joined against the BROADCAST
+    * eval-set hash set (eval suites are small by nature), integer
+    * threshold math, then a left_anti on the tiny contaminated-id set
+    * (AQE broadcasts it). The corpus is never shuffled. */
+  def decontaminate(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Int = 3): DataFrame = {
+    def sh(d: DataFrame): DataFrame = d
+      .select(col(idCol).as("__did"), explode(charShingles(col(textCol))).as("w"))
+      .select(col("__did"), md5Hash60(col("w")).as("h"))
+    val evalSh = sh(evalDocs).select(col("h")).distinct().withColumn("hit", lit(1))
+    val contaminated = sh(corpus)
+      .join(broadcast(evalSh), Seq("h"), "left")
+      .groupBy(col("__did"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+      .filter(col("n_shared") >= minShared &&
+        col("n_shared") * 2 >= col("n_shingles"))
+      .select(col("__did").as(idCol))
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Bloom-prefiltered incremental dedup — same CONTRACT as
     * [[dedupAgainstIndex]] (exact result, no false drops), different
     * PLAN: a `graft_bloom` sketch of the index (bounded bytes,

@@ -159,6 +159,19 @@ class LlmOpsSpec extends SparkSpec {
       math.round(-math.log(1.0 / 5) * 1e6))
   }
 
+  test("decontaminate drops eval-overlapping docs, keeps clean and short ones") {
+    val eval = Seq((1L, "the secret benchmark answer string here"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the secret benchmark answer string here"), // full overlap → drop
+      (11L, "совершенно другие слова здесь без пересечения вовсе"), // clean → keep
+      (12L, "tiny")) // 1 shingle, 0 shared → keep (below minShared)
+      .toDF("doc_id", "text")
+    val kept = TextDedup.decontaminate(corpus, eval, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    kept shouldBe Set(11L, 12L)
+  }
+
   test("RRF fusion: integer points, both-modality docs outrank single-modality") {
     // retriever A ranks: d10=1, d11=2 ; retriever B ranks: d10=2, d12=1
     val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "id", "r")
