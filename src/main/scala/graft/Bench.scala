@@ -12,13 +12,27 @@ package graft
   * A query that throws is recorded as `null` in "queries", listed in
   * "errors", EXCLUDED from the total, and fails the run (nonzero exit)
   * — a broken query must never silently deflate the benchmark.
+  *
+  * Field order is load-bearing: the driver archives only a fixed-size
+  * TAIL of stdout, so the per-query MIN map ("queries") and "value"
+  * are emitted LAST — truncation eats diagnostics (spreads, errors),
+  * never the round's primary perf evidence. (Round 6 lost its minimums
+  * to the old ordering; only spread_sec survived the tail.)
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     // optional args: query-name filter for local iteration (the driver
-    // passes none and always measures the full set)
+    // passes none and always measures the full set). Unknown names fail
+    // fast — a typo must not silently benchmark nothing and exit 0.
+    val unknown = args.toSet.diff(SparkEntry.benchQueries.toSet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[bench] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}; " +
+          s"valid: ${SparkEntry.benchQueries.mkString(", ")}")
+      sys.exit(2)
+    }
     val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None
     val spark = GraftSession.forMain("graft-bench")
     // Warm the JVM/codegen/IO paths once so the first measured query
@@ -46,17 +60,22 @@ object Bench {
         name -> res
       }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Millisecond precision keeps the line short (less to truncate)
+    // without losing anything a seconds-scale bench can measure.
+    def jnum(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map {
-      case (k, Right((mn, _))) => s"${jstr(k)}:$mn"
+      case (k, Right((mn, _))) => s"${jstr(k)}:${jnum(mn)}"
       case (k, Left(_)) => s"${jstr(k)}:null"
     }.mkString("{", ",", "}")
-    val spreads = results.collect { case (k, Right((_, sp))) => s"${jstr(k)}:$sp" }
+    val spreads = results.collect { case (k, Right((_, sp))) => s"${jstr(k)}:${jnum(sp)}" }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right((mn, _))) => mn }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""spread_sec":$spreads,"repeats":$repeats,"errors":$errors,"sf":"$sfDir"}""")
+    // "queries" (the per-query minimums) and "value" LAST — see doc
+    // comment: the driver's tail-truncation must preserve them.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","repeats":$repeats,""" +
+      s""""errors":$errors,"spread_sec":$spreads,"queries":$qs,"value":${jnum(total)}}""")
     spark.stop()
     if (results.exists(_._2.isLeft)) sys.exit(1)
   }

@@ -12,29 +12,47 @@ import graft.functions.{ArrayDotProduct, BloomFilterAgg, BloomMightContain, KMin
   *    and the test harness do).
   */
 object GraftExtensions {
+  /** Wraps a builder with an arity check so a wrong argument count is
+    * an AnalysisException naming the expected signature, not an
+    * IndexOutOfBoundsException from `children(i)`. */
+  private def arity(name: String, n: Int, signature: String)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children =>
+      if (children.size == n) build(children)
+      else throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name` (expected: $signature)",
+          "expectedNum" -> n.toString,
+          "actualNum" -> children.size.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq((
       new FunctionIdentifier("graft_array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_array_dot"),
-      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))),
+      arity("graft_array_dot", 2, "graft_array_dot(a, b)")(
+        children => ArrayDotProduct(children(0), children(1)))),
     (
       new FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KMinValues].getName, "graft_kmv"),
-      (children: Seq[Expression]) => KMinValues(children(0), children(1))),
+      arity("graft_kmv", 2, "graft_kmv(value, k)")(
+        children => KMinValues(children(0), children(1)))),
     (
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
-      (children: Seq[Expression]) =>
-        TopKByScore(children(0), children(1), children(2))),
+      arity("graft_topk", 3, "graft_topk(score, payload, k)")(
+        children => TopKByScore(children(0), children(1), children(2)))),
     (
       new FunctionIdentifier("graft_bloom"),
       new ExpressionInfo(classOf[BloomFilterAgg].getName, "graft_bloom"),
-      (children: Seq[Expression]) =>
-        BloomFilterAgg(children(0), children(1), children(2))),
+      arity("graft_bloom", 3, "graft_bloom(value, expectedItems, fpRate)")(
+        children => BloomFilterAgg(children(0), children(1), children(2)))),
     (
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
-      (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
+      arity("graft_bloom_contains", 2, "graft_bloom_contains(sketch, value)")(
+        children => BloomMightContain(children(0), children(1)))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

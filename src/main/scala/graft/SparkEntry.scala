@@ -1415,7 +1415,31 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Hybrid retrieval (q68): lexical Jaccard top-20 and cosine top-20
+  /** Inverted-index lexical retrieval (q19): per-query top-20 corpus
+    * docs by word-set Jaccard WITHOUT a query×corpus scan — corpus
+    * explodes once to (token, doc) postings, query tokens join the
+    * postings, overlaps accumulate map-side, and the bounded
+    * graft_topk heap keeps 20 per query. The scale-shaped replacement
+    * for the scan-form lexical feeder (identical ranked output on any
+    * corpus where each query has ≥ 20 positive-Jaccard matches —
+    * trivially true on the fixtures, min 479). */
+  private def lexicalInvertedTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{HybridSearch, TextDedup}
+    import org.apache.spark.sql.Column
+    val docs = Tables.documents(s, dir)
+    def ws(c: Column): Column =
+      transform(TextDedup.normWordSet(c), w => TextDedup.md5Hash60(w))
+    HybridSearch.lexicalTopK(
+        docs.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("qid"), ws(col("text")).as("qws")),
+        docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id").as("id"), ws(col("text")).as("ws")),
+        k = 20)
+      .orderBy(col("qid"), col("r"))
+  }
+
+  /** Hybrid retrieval (q68): lexical Jaccard top-20 (via the q19
+    * inverted-index feeder — no query×corpus scan) and cosine top-20
     * per query, fused by integer-micro-point reciprocal-rank fusion
     * (no floats anywhere in the fusion — 1000000 div (60+rank)), final
     * top-10 through the bounded graft_topk heap. Queries are docs
@@ -1426,16 +1450,12 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     def ws(c: Column): Column =
       transform(TextDedup.normWordSet(c), w => TextDedup.md5Hash60(w))
-    val qws = docs.filter(col("doc_id") < 20)
-      .select(col("doc_id").as("qid"), ws(col("text")).as("qws"))
-    val cws = docs.filter(col("doc_id") >= 20)
-      .select(col("doc_id").as("id"), ws(col("text")).as("ws"))
-    val wl = Window.partitionBy(col("qid"))
-      .orderBy(col("jac").desc, col("id"))
-    val lex = cws.join(broadcast(qws), col("qid") =!= col("id"))
-      .select(col("qid"), col("id"),
-        round(TextDedup.jaccard(col("qws"), col("ws")), 6).as("jac"))
-      .withColumn("r", row_number().over(wl)).filter(col("r") <= 20)
+    val lex = HybridSearch.lexicalTopK(
+        docs.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("qid"), ws(col("text")).as("qws")),
+        docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id").as("id"), ws(col("text")).as("ws")),
+        k = 20)
       .select(col("qid"), col("id"), col("r"))
     val e = Tables.embeddings(s, dir)
     val vec = Similarity.bruteForceTopK(
@@ -1629,6 +1649,7 @@ object SparkEntry {
     "q16_multi_device_incremental" -> (multiDeviceIncremental _),
     "q17_counts_import" -> (countsImport _),
     "q18_email_import_tiers" -> (emailImportTiers _),
+    "q19_lexical_inverted_topk" -> (lexicalInvertedTopK _),
     "q20_exact_dedup_rows" -> (exactDedupRows _),
     "q21_minhash_lsh_pairs" -> (minHashLsh _),
     "q22_simhash_pairs" -> (simHashPairs _),
@@ -1749,6 +1770,7 @@ object SparkEntry {
     "q04_multi_device_7d", "q05_session_metadata", "q06_revenue_by_nation",
     "q07_customers_without_orders", "q08_exact_dedup",
     "q09_day_store_lifecycle", "q10_csv_ingest_sanitize",
+    "q19_lexical_inverted_topk",
     "q20_exact_dedup_rows", "q21_minhash_lsh_pairs", "q22_simhash_pairs",
     "q23_ngram_jaccard_topk", "q24_embedding_neardup",
     "q25_ann_bruteforce_topk", "q26_ann_lsh_recall", "q27_lang_id",
@@ -2001,6 +2023,29 @@ object SparkEntry {
                 COUNT(CASE WHEN bounced = 'true' THEN 1 END), 100
          FROM c WHERE cohort < 100 AND day >= max_day - INTERVAL 18 DAY GROUP BY type
          ORDER BY tier_pct, type""",
+    // Inverted-index lexical retrieval: the oracle scores pairs by the
+    // same overlap arithmetic (|A∩B| / (|A|+|B|−|A∩B|)) and keeps only
+    // positive-overlap docs — the operator's retrieval contract (a doc
+    // sharing no token is not a result, so the index never scores it).
+    "q19_lexical_inverted_topk" ->
+      """WITH qw AS (SELECT doc_id AS qid,
+                            list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                     FROM documents WHERE doc_id < 20),
+         cw AS (SELECT doc_id AS id,
+                       list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                FROM documents WHERE doc_id >= 20),
+         sc AS (SELECT q.qid, c.id,
+                       len(list_intersect(q.ws, c.ws)) AS ov,
+                       round(CAST(len(list_intersect(q.ws, c.ws)) AS DOUBLE) /
+                             CAST(len(q.ws) + len(c.ws)
+                                  - len(list_intersect(q.ws, c.ws)) AS DOUBLE), 6) AS jac
+                FROM qw q CROSS JOIN cw c)
+         SELECT qid, id, CAST(r AS BIGINT) AS r, jac FROM (
+           SELECT qid, id, jac,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY jac DESC, id) AS r
+           FROM sc WHERE ov > 0) t
+         WHERE r <= 20 ORDER BY qid, r""",
     "q20_exact_dedup_rows" ->
       """WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents
                     GROUP BY lower(trim(text)))

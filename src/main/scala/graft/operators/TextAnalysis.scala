@@ -113,6 +113,12 @@ object TextAnalysis {
     * integer MICRO-nats (round(-ln(p)·1e6) as BIGINT) before the
     * per-document sum — integer addition commutes, so partition order
     * cannot flip a rounded double the way summing raw doubles could.
+    * Residual theoretical hazard (accepted, consistent with the
+    * repo-wide round(x,6) practice): -ln(p) itself comes from two libm
+    * implementations (java.lang.Math.log here, the oracle engine's ln
+    * there); a value within ~1 ulp of a .5 micro-nat boundary could
+    * round to different integers. p is always ratio-of-small-integers
+    * on the fixture, so no such boundary value has been observed.
     *
     * Shape at 100 TB: the token stream aggregates once to the
     * Zipf-bounded vocabulary; the stream then joins the BROADCAST vocab

@@ -336,7 +336,15 @@ object TextDedup {
     // word-set join, final anti-join); uncached, each re-runs the
     // dedup window over the full input. persist() marks the reuse
     // point (memory-and-disk, so oversized partitions spill rather
-    // than evict at scale).
+    // than evict at scale). The cache is RELEASED before returning
+    // (r6 ADVICE: it used to pin corpus-sized blocks for the session
+    // lifetime): the id-only loser set is materialized eagerly through
+    // the cache (consuming the signature + word-set branches), then
+    // survivors is unpersisted and the returned anti-join re-derives
+    // exactDedup from source. Cost: one extra hash shuffle at
+    // consumption time; at 100 TB that is far cheaper than holding a
+    // corpus-sized cache alive. exactDedup is deterministic (min-id
+    // keeper), so the re-derived plan yields identical rows.
     val survivors = exactDedup(df, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatePairs(survivors, idCol, textCol, numHashes,
@@ -351,7 +359,13 @@ object TextDedup {
     val losers = connectedComponents(gated)
       .filter(col("id") =!= col("label"))
       .select(col("id").as(idCol))
-    survivors.join(losers, Seq(idCol), "left_anti")
+      // localCheckpoint (eager): id-only rows, so the block footprint
+      // is tiny, and unlike persist() the blocks are released by the
+      // ContextCleaner once the result is unreferenced — no session-
+      // lifetime CacheManager entry.
+      .localCheckpoint()
+    survivors.unpersist()
+    exactDedup(df, textCol, idCol).join(losers, Seq(idCol), "left_anti")
   }
 
   /** Incremental exact dedup — the realistic pipeline form: dedupe the

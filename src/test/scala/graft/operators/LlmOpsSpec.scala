@@ -186,6 +186,48 @@ class LlmOpsSpec extends SparkSpec {
       (1L, 3L, 11L, p2.toLong))
   }
 
+  test("inverted-index lexical top-k matches the scan form on the fixture") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    def ws(c: Column): Column =
+      transform(TextDedup.normWordSet(c), w => TextDedup.md5Hash60(w))
+    val qs = d.filter($"doc_id" < 20)
+      .select($"doc_id".as("qid"), ws($"text").as("qws"))
+    val cs = d.filter($"doc_id" >= 20)
+      .select($"doc_id".as("id"), ws($"text").as("ws"))
+    val idx = HybridSearch.lexicalTopK(qs, cs, k = 20)
+      .select($"qid", $"id", $"r").as[(Long, Long, Long)].collect().toSet
+    // scan form: score EVERY (query, doc) pair, rank by (jac DESC, id)
+    val wl = Window.partitionBy($"qid").orderBy($"jac".desc, $"id")
+    val scan = cs.join(qs)
+      .select($"qid", $"id",
+        round(TextDedup.jaccard($"qws", $"ws"), 6).as("jac"))
+      .withColumn("r", row_number().over(wl))
+      .filter($"r" <= 20 && $"jac" > 0)
+      .select($"qid", $"id", $"r").as[(Long, Long, Long)].collect().toSet
+    idx shouldBe scan
+    // the index never materializes the query×corpus product: no
+    // nested-loop/cartesian join may appear in the physical plan
+    val plan = HybridSearch.lexicalTopK(qs, cs, 20)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("lexical top-k: zero-overlap docs are not retrieved; ties break by id") {
+    val qs = Seq((1L, Seq(10L, 11L, 12L, 13L))).toDF("qid", "qws")
+    val cs = Seq(
+      (100L, Seq(10L, 11L, 12L, 13L)), // jac 1.0
+      (101L, Seq(10L, 11L)), //            jac 0.5
+      (99L, Seq(12L, 13L)), //             jac 0.5 — ties with 101, lower id
+      (102L, Seq(77L, 78L))) //            no overlap → never retrieved
+      .toDF("id", "ws")
+    val out = HybridSearch.lexicalTopK(qs, cs, k = 10)
+      .orderBy($"r").select($"id", $"r").as[(Long, Long)].collect().toSeq
+    out shouldBe Seq((100L, 1L), (99L, 2L), (101L, 3L)) // 3 rows, not 4
+  }
+
   test("BPE pair counts weight character pairs by word frequency") {
     val corpus = Seq(
       (0L, "abab abab cd"),
