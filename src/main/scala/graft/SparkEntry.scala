@@ -1515,6 +1515,30 @@ object SparkEntry {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF×PQ composed ANN (q70): the billion-scale pairing — IVF cell
+    * pruning (q50's centroids, nprobe 4 of 16) bounds WHICH candidates
+    * are scored, PQ ADC (q63's codebooks) bounds WHAT each costs, and
+    * an exact squared-L2 re-rank of the 20-candidate shortlist
+    * restores true ordering for the top-5. Same seed set (vec_id
+    * 20..35) serves as both IVF centroids and PQ codebook seeds. */
+  private def ivfPqAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val seeds = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
+    val cbs = Similarity.pqCodebooks(seeds.map(_._2), m = 8)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfPqTopK(queries, corpus, seeds, cbs,
+        nprobe = 4, shortlist = 20, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** BPE merge candidates: corpus-wide adjacent-character-pair counts
     * weighted by word frequency — the argmax is the pair a BPE trainer
     * merges next. The corpus collapses to its Zipf-bounded vocabulary
@@ -1699,7 +1723,8 @@ object SparkEntry {
     "q66_curation_gate" -> (curateQuery _),
     "q67_unigram_surprisal" -> (unigramSurprisalQuery _),
     "q68_hybrid_search" -> (hybridSearchQuery _),
-    "q69_decontaminate" -> (decontaminateQuery _))
+    "q69_decontaminate" -> (decontaminateQuery _),
+    "q70_ivf_pq_ann" -> (ivfPqAnn _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1787,7 +1812,7 @@ object SparkEntry {
     "q59_ivf_lloyd_recall", "q60_bloom_incremental_dedup",
     "q61_doc_chunking", "q62_bpe_pair_counts", "q63_pq_ann",
     "q64_json_ingest", "q66_curation_gate", "q67_unigram_surprisal",
-    "q68_hybrid_search", "q69_decontaminate")
+    "q68_hybrid_search", "q69_decontaminate", "q70_ivf_pq_ann")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2815,5 +2840,69 @@ object SparkEntry {
                  WHERE s.n_shared >= 3 AND s.n_shared * 2 >= t.n_shingles)
          SELECT doc_id, lang, source FROM documents
          WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM bad)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    // IVF×PQ: q50's assignment/probe CTEs gate WHICH (qid, id) pairs
+    // the q63 ADC CTEs score; a 20-deep shortlist per query is then
+    // exactly re-ranked by true squared-L2 (same left-to-right double
+    // sums as graft_array_dot, same (a−b)+c association).
+    "q70_ivf_pq_ann" ->
+      s"""WITH sp AS (SELECT unnest(range(8)) AS sub),
+         cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                 WHERE vec_id BETWEEN 20 AND 35),
+         cb AS (SELECT vec_id - 20 AS cid, sub,
+                       embedding[(CAST(sub AS INTEGER) * 8 + 1):(CAST(sub AS INTEGER) * 8 + 8)] AS cv
+                FROM embeddings, sp WHERE vec_id BETWEEN 20 AND 35),
+         cb2 AS (SELECT cid, sub, cv,
+                        list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)) AS c2
+                 FROM cb),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 20),
+         asg AS (SELECT id, cell FROM (
+             SELECT c.id, cen.cid AS cell,
+                    row_number() OVER (PARTITION BY c.id
+                      ORDER BY ${cosSql("c.vec", "cen.cvec")} DESC, cen.cid) AS rn
+             FROM c CROSS JOIN cen) t WHERE rn = 1),
+         sv AS (SELECT id, sub,
+                       vec[(CAST(sub AS INTEGER) * 8 + 1):(CAST(sub AS INTEGER) * 8 + 8)] AS sv
+                FROM c, sp),
+         enc AS (SELECT id, sub, cid AS code FROM (
+             SELECT sv.id, sv.sub, cb2.cid,
+                    row_number() OVER (PARTITION BY sv.id, sv.sub
+                      ORDER BY round(${dotSqlN("sv.sv", "cb2.cv", 8)} - c2 / 2, 6) DESC,
+                               cb2.cid) AS rn
+             FROM sv JOIN cb2 ON cb2.sub = sv.sub) t WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         pr AS (SELECT qid, cell FROM (
+             SELECT q.qid, cen.cid AS cell,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY ${cosSql("q.qvec", "cen.cvec")} DESC, cen.cid) AS rn
+             FROM q CROSS JOIN cen) t WHERE rn <= 4),
+         qs AS (SELECT qid, sub,
+                       qvec[(CAST(sub AS INTEGER) * 8 + 1):(CAST(sub AS INTEGER) * 8 + 8)] AS qsv
+                FROM q, sp),
+         qt AS (SELECT qid, cb2.sub, cid,
+                       ${dotSqlN("qs.qsv", "qs.qsv", 8)}
+                         - 2 * ${dotSqlN("qs.qsv", "cb2.cv", 8)} + c2 AS dd
+                FROM qs JOIN cb2 ON cb2.sub = qs.sub),
+         ad AS (SELECT qt.qid, e.id,
+                       round(list_sum(list(dd ORDER BY e.sub)), 6) AS adist
+                FROM enc e
+                JOIN asg a ON a.id = e.id
+                JOIN pr ON pr.cell = a.cell
+                JOIN qt ON qt.sub = e.sub AND qt.cid = e.code AND qt.qid = pr.qid
+                WHERE pr.qid <> e.id
+                GROUP BY qt.qid, e.id),
+         sl AS (SELECT qid, id FROM (
+             SELECT qid, id,
+                    row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rn
+             FROM ad) t WHERE rn <= 20),
+         rr AS (SELECT sl.qid, sl.id,
+                       round(${dotSqlN("q.qvec", "q.qvec", 64)}
+                             - 2 * ${dotSqlN("q.qvec", "c.vec", 64)}
+                             + ${dotSqlN("c.vec", "c.vec", 64)}, 6) AS d2
+                FROM sl JOIN q ON q.qid = sl.qid JOIN c ON c.id = sl.id)
+         SELECT qid, CAST(rank AS BIGINT) AS rank, id, d2 FROM (
+           SELECT qid, id, d2,
+                  row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rank
+           FROM rr) t
+         WHERE rank <= 5 ORDER BY qid, rank""")
 }

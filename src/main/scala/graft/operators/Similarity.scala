@@ -375,6 +375,18 @@ object Similarity {
       k: Int): DataFrame = {
     val cands = pqTopK(queries, corpus, codebooks, shortlist)
       .select(col("qid").as("cqid"), col("id").as("cid"))
+    rerankL2(queries, corpus, cands, k)
+  }
+
+  /** Exact squared-L2 re-rank of a bounded candidate set: true distance
+    * runs on |queries| × shortlist vectors only (the candidate→query
+    * map is broadcast; the corpus is probed by an equi-join on id).
+    * Shared tail of [[pqTopKReranked]] and [[ivfPqTopK]]. */
+  private def rerankL2(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (id, vec)
+      cands: DataFrame, // (cqid, cid)
+      k: Int): DataFrame = {
     val l2 = dot(col("qvec"), col("qvec")) -
       lit(2.0) * dot(col("qvec"), col("vec")) + dot(col("vec"), col("vec"))
     val scored = corpus.join(broadcast(
@@ -386,6 +398,79 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("d2"))
+  }
+
+  /** IVF×PQ — the standard billion-scale ANN pairing, composed from
+    * the parts this file already gates separately: IVF cell pruning
+    * bounds WHICH candidates are scored (~nprobe/nlist of the corpus
+    * per query), PQ ADC bounds WHAT each candidate costs (m table
+    * lookups over small codes — no vector math, no vector bytes), and
+    * the exact re-rank stage restores true-distance ordering on the
+    * bounded shortlist. This closes the pairing [[pqTopK]]'s docstring
+    * promises.
+    *
+    * Stages:
+    *  1. probe selection — per query, `nprobe` nearest cells by
+    *     rounded cosine (identical to [[ivfTopK]], tie → smaller cid);
+    *  2. index build — [[ivfAssign]] ∘ [[pqEncode]], one map-only
+    *     Project over the corpus (cell + m codes per row), then the
+    *     same load-bearing repartition as [[pqTopK]]: the exchange
+    *     keeps the 128-dot encode inside its own codegen stage AND is
+    *     the plan shape of a real deployment (encode once, search
+    *     many); only (id, cell, code) bytes move — never vectors;
+    *  3. ADC inside probed cells only — the probe side (qid, qtab,
+    *     cell) broadcasts, the join is an equi-join on cell (hash, not
+    *     nested-loop), adist is m codegen'd lookups summed in subspace
+    *     order, and the `shortlist` survivors per query come off the
+    *     bounded `graft_topk` heap;
+    *  4. exact re-rank — [[rerankL2]] over |queries| × shortlist rows.
+    *
+    * Probing is cosine-based (the IVF contract of q50/q59); candidate
+    * scoring and re-rank are squared-L2 (the PQ contract of q63) —
+    * same pairing FAISS's IVFPQ index ships. Output:
+    * (qid, rank, id, d2), rank 1-based by (d2 ASC, id ASC). */
+  def ivfPqTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (id, vec)
+      centroids: Seq[(Long, Array[Float])],
+      codebooks: Seq[Seq[Array[Float]]],
+      nprobe: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = codebooks.size
+    val d = codebooks.head.head.length
+    val qtab = array((0 until m).map { s =>
+      val qsub = slice(col("qvec"), s * d + 1, d)
+      val qq = dot(qsub, qsub)
+      array(codebooks(s).map { cv =>
+        val c2 = cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        qq - lit(2.0) * dot(qsub, lit(cv)) + lit(c2)
+      }: _*)
+    }: _*)
+    val centDf = centroids.toDF("cid", "cvec")
+    val wp = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("qvec"), col("cid"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("c"))
+      .withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
+      .select(col("qid"), qtab.as("qtab"), col("cid").as("cell"))
+    val index = pqEncode(ivfAssign(corpus, "vec", centroids), "vec", codebooks)
+      .select(col("id"), col("cell"), col("code"))
+      .repartition(col("id"))
+    val adist = (0 until m).map { s =>
+      element_at(element_at(col("qtab"), s + 1),
+        element_at(col("code"), s + 1) + 1)
+    }.reduce(_ + _)
+    val cands = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), round(adist, 6).as("adist"))
+      .groupBy(col("qid"))
+      .agg(call_function("graft_topk",
+        -col("adist"), col("id"), lit(shortlist)).as("tk"))
+      .select(col("qid").as("cqid"), explode(col("tk").getField("id")).as("cid"))
+    rerankL2(queries, corpus, cands, k)
   }
 
   /** Bucketed ANN: top-k among same-bucket mates only, plus the bucket

@@ -247,6 +247,59 @@ class CurationSpec extends SparkSpec {
       Similarity.pqCodebooks(seeds, m = 7) // 64 % 7 != 0
   }
 
+  test("IVF×PQ: candidates only from probed cells; recall clears the floor") {
+    val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    val seeds = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
+    val cbs = Similarity.pqCodebooks(seeds.map(_._2), m = 8)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val out = Similarity.ivfPqTopK(queries, corpus, seeds, cbs,
+      nprobe = 4, shortlist = 20, k = 5)
+    // contract: ≤5 rows per query, ranks dense from 1
+    val perQ = out.groupBy(col("qid")).agg(count(lit(1)).as("n"),
+      max(col("rank")).as("mx")).collect()
+    all(perQ.map(_.getLong(1))) should be <= 5L
+    perQ.foreach(r => r.getLong(2) shouldBe r.getLong(1)) // ranks dense
+    // every returned (qid, id): the id's cell must be among the
+    // query's nprobe probed cells — IVF pruning is real, not advisory
+    val asg = Similarity.ivfAssign(corpus, "vec", seeds)
+      .select(col("id"), col("cell"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("c").desc, col("cid"))
+    val centDf = seeds.toDF("cid", "cvec")
+    val probes = queries.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("cid"),
+        round(Similarity.cosine(col("qvec"), col("cvec")), 6).as("c"))
+      .withColumn("pr", row_number().over(wp)).filter(col("pr") <= 4)
+      .select(col("qid"), col("cid").as("cell"))
+    val inProbed = out.select(col("qid"), col("id"))
+      .join(asg, Seq("id")).join(probes, Seq("qid", "cell"))
+    inProbed.count() shouldBe out.count()
+    // recall@5 vs exact squared-L2 (deterministic on the fixture)
+    val l2 = Similarity.dot(col("qvec"), col("qvec")) -
+      lit(2.0) * Similarity.dot(col("qvec"), col("vec")) +
+      Similarity.dot(col("vec"), col("vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2"), col("id"))
+    val exact = corpus.join(broadcast(queries), col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), round(l2, 6).as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("qid"), col("id"))
+    val nq = queries.count()
+    val recall = out.select(col("qid"), col("id"))
+      .join(exact, Seq("qid", "id")).count().toDouble / (nq * 5)
+    info(s"ivfpq recall@5 = $recall")
+    // IVF(4/16) bounds recall at the q59 cell-pruning ceiling; ADC+
+    // re-rank inside probed cells must not fall below the q59 floor's
+    // neighborhood — the composition can't be worse than its gate
+    recall should be >= 0.2
+  }
+
   test("curate: verdicts carry reasons; PII and redaction footprints are counted") {
     // stopwords spread over all five markers: ratio passes the quality
     // gate (10/60) without any single word tripping the repetition flag
