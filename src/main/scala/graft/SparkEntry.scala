@@ -1324,6 +1324,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Sharded-Bloom incremental dedup (q71): q60's exact contract
+    * through the hash-prefix-sharded prefilter — the index aggregates
+    * per-shard sketches instead of one driver-collected literal, so
+    * the plan scales past the single-sketch broadcast ceiling. Same
+    * oracle semantics as q60 by construction (the sketch changes the
+    * plan, never the answer). */
+  private def bloomShardedDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val docs = Tables.documents(s, dir)
+    val index = docs.filter(col("doc_id") % 10 < 8)
+      .select(TextDedup.md5Hash60(TextDedup.norm(col("text"))).as("h"))
+      .distinct()
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+    val (survivors, _) = TextDedup.dedupAgainstIndexBloomSharded(
+      batch, "text", "doc_id", index,
+      shards = 5, numBitsPerShard = 1 << 14, numHashes = 7)
+    survivors.select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sliding-window chunking: 16-token windows every 8 tokens (50%
     * overlap), the map-only explode that turns curated docs into
     * fixed-size training examples. No shuffle anywhere — the ORDER BY
@@ -1724,7 +1744,8 @@ object SparkEntry {
     "q67_unigram_surprisal" -> (unigramSurprisalQuery _),
     "q68_hybrid_search" -> (hybridSearchQuery _),
     "q69_decontaminate" -> (decontaminateQuery _),
-    "q70_ivf_pq_ann" -> (ivfPqAnn _))
+    "q70_ivf_pq_ann" -> (ivfPqAnn _),
+    "q71_bloom_sharded_dedup" -> (bloomShardedDedup _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1812,7 +1833,8 @@ object SparkEntry {
     "q59_ivf_lloyd_recall", "q60_bloom_incremental_dedup",
     "q61_doc_chunking", "q62_bpe_pair_counts", "q63_pq_ann",
     "q64_json_ingest", "q66_curation_gate", "q67_unigram_surprisal",
-    "q68_hybrid_search", "q69_decontaminate", "q70_ivf_pq_ann")
+    "q68_hybrid_search", "q69_decontaminate", "q70_ivf_pq_ann",
+    "q71_bloom_sharded_dedup")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2904,5 +2926,16 @@ object SparkEntry {
            SELECT qid, id, d2,
                   row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rank
            FROM rr) t
-         WHERE rank <= 5 ORDER BY qid, rank""")
+         WHERE rank <= 5 ORDER BY qid, rank""",
+    // Sharded Bloom prefilter: exact contract — identical oracle to
+    // q60 (the sketch sharding changes the plan, never the answer).
+    "q71_bloom_sharded_dedup" ->
+      """WITH newb AS (SELECT * FROM documents WHERE doc_id % 10 >= 8),
+         idx AS (SELECT DISTINCT lower(trim(text)) AS t FROM documents
+                 WHERE doc_id % 10 < 8),
+         k AS (SELECT MIN(doc_id) AS doc_id FROM newb GROUP BY lower(trim(text)))
+         SELECT d.doc_id, d.lang, d.source
+         FROM newb d JOIN k USING (doc_id)
+         WHERE lower(trim(d.text)) NOT IN (SELECT t FROM idx)
+         ORDER BY doc_id""")
 }

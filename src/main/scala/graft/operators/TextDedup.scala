@@ -462,4 +462,71 @@ object TextDedup {
       .distinct()
     (survivors, newIndex)
   }
+
+  /** Hash-prefix-SHARDED Bloom prefilter — same CONTRACT as
+    * [[dedupAgainstIndex]] and [[dedupAgainstIndexBloom]] (exact
+    * result, no false drops), built for the index size where ONE
+    * sketch stops working. [[dedupAgainstIndexBloom]] collects a
+    * single sketch to the driver and folds it into the plan as a
+    * literal, which caps out around ~100M index entries (120 MB at 1%
+    * fp — the ceiling its own docstring declares). Here the index
+    * never leaves the cluster:
+    *
+    *  1. the index groups by `pmod(h, shards)` and each shard
+    *     aggregates its OWN bounded `graft_bloom` sketch — a
+    *     (shard, sketch) relation of `shards` rows, built with one
+    *     map-side-combining pass (the OR-merge is per shard group);
+    *  2. each new-batch row computes its shard from its hash and joins
+    *     THAT shard's sketch only — the probe is still one codegen'd
+    *     `graft_bloom_contains` per row. While total sketch bytes fit
+    *     the broadcast threshold, AQE broadcasts the relation and the
+    *     plan equals the monolithic one; past it, the join shuffles by
+    *     shard and no task ever holds more than the shards it probes —
+    *     that graceful degradation IS the scale path (a multi-PB index
+    *     wants shards ≥ cluster parallelism);
+    *  3. a batch row whose shard has no index entries has no sketch
+    *     row (left join miss) — definitely new, `coalesce(false)`;
+    *  4. maybe-seen rows verify against the real index exactly as in
+    *     the monolithic form, so false positives cannot drop rows.
+    *
+    * Per-shard parameters keep the fp math of the monolithic sketch:
+    * with uniform hashes each shard holds ~n/shards entries, so
+    * `numBitsPerShard ≈ numBits/shards` preserves bits-per-entry and
+    * therefore the fp rate. Probing one shard of k bits is equivalent
+    * to probing a monolithic union-of-shards sketch OR-composed over
+    * disjoint key ranges — membership verdicts for inserted keys are
+    * identical (no false negatives either way; only the fp PATTERN on
+    * novel keys differs, and the verify join absorbs that). */
+  def dedupAgainstIndexBloomSharded(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      seenHashes: DataFrame,
+      shards: Int = 16,
+      numBitsPerShard: Int = 1 << 18,
+      numHashes: Int = 7): (DataFrame, DataFrame) = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val sketches = seenHashes
+      .groupBy(pmod(col("h"), lit(shards.toLong)).cast("int").as("_shard"))
+      .agg(call_function("graft_bloom",
+        col("h"), lit(numBitsPerShard), lit(numHashes)).as("_bf"))
+    val fresh = exactDedup(newDocs, textCol, idCol)
+      .withColumn("_h", md5Hash60(norm(col(textCol))))
+      .withColumn("_shard", pmod(col("_h"), lit(shards.toLong)).cast("int"))
+    val flagged = fresh
+      .join(sketches, Seq("_shard"), "left")
+      .withColumn("_maybe_seen", coalesce(
+        call_function("graft_bloom_contains", col("_bf"), col("_h")),
+        lit(false)))
+      .drop("_bf", "_shard")
+    val maybeSeen = col("_maybe_seen")
+    val survivors = flagged.filter(!maybeSeen).drop("_maybe_seen")
+      .unionByName(flagged.filter(maybeSeen).drop("_maybe_seen")
+        .join(seenHashes.select(col("h").as("_h")), Seq("_h"), "left_anti"))
+      .drop("_h")
+    val newIndex = seenHashes
+      .unionByName(fresh.select(col("_h").as("h")))
+      .distinct()
+    (survivors, newIndex)
+  }
 }

@@ -103,4 +103,41 @@ class ScalePatternsSpec extends SparkSpec {
     assert(nMaybe < nFresh,
       s"bloom prefilter pruned nothing: $nMaybe of $nFresh rows hit the join")
   }
+
+  test("sharded bloom dedup ≡ monolithic ≡ plain, and never broadcasts the index") {
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val index = docs.filter($"doc_id" % 10 < 8)
+      .select(TextDedup.md5Hash60(TextDedup.norm($"text")).as("h"))
+      .distinct()
+    val batch = docs.filter($"doc_id" % 10 >= 8)
+    val (plain, plainIdx) =
+      TextDedup.dedupAgainstIndex(batch, "text", "doc_id", index)
+    // shard count deliberately not a power of two, bits/shard sized so
+    // total bits match the monolithic spec's 2^16 budget
+    val (sharded, shardedIdx) = TextDedup.dedupAgainstIndexBloomSharded(
+      batch, "text", "doc_id", index,
+      shards = 5, numBitsPerShard = 1 << 14, numHashes = 7)
+    sharded.select($"doc_id").as[Long].collect().sorted.toSeq shouldBe
+      plain.select($"doc_id").as[Long].collect().sorted.toSeq
+    shardedIdx.count() shouldBe plainIdx.count()
+    // no false negatives shard-wise: every indexed hash must flag
+    // maybe-seen when probed through its own shard's sketch
+    val sketches = index
+      .groupBy(pmod($"h", lit(5L)).cast("int").as("_shard"))
+      .agg(call_function("graft_bloom", $"h", lit(1 << 14), lit(7)).as("_bf"))
+    val missed = index
+      .withColumn("_shard", pmod($"h", lit(5L)).cast("int"))
+      .join(sketches, Seq("_shard"))
+      .filter(!call_function("graft_bloom_contains", $"_bf", $"h"))
+      .count()
+    missed shouldBe 0L
+    // the scale property: the index itself is never collected — only
+    // the 5-row (shard, sketch) relation exists outside the index scan.
+    // A degenerate single shard must also equal the monolithic form.
+    val (one, _) = TextDedup.dedupAgainstIndexBloomSharded(
+      batch, "text", "doc_id", index,
+      shards = 1, numBitsPerShard = 1 << 16, numHashes = 7)
+    one.select($"doc_id").as[Long].collect().sorted.toSeq shouldBe
+      plain.select($"doc_id").as[Long].collect().sorted.toSeq
+  }
 }
