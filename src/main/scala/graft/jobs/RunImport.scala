@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
 import graft.GraftSession
 import graft.model.{SampleTier, Schemas}
 import graft.operators._
+import graft.sources.LandingFormat
 import graft.store.DayPartitionedTable
 
 /** The orchestrated driver — the reference's `make import`
@@ -25,16 +26,30 @@ import graft.store.DayPartitionedTable
   * longest-retention tier (B9), processes newest-first (G3), and is an
   * idempotent no-op when nothing new landed (the empty-landing crash of
   * import_events.py:250 is handled in EventImporter.run).
+  *
+  * `formats` selects each event pipeline's landing WIRE format
+  * ("activity" / "flow" / "email" → [[LandingFormat]], default CSV) —
+  * the whole Makefile-order orchestration runs unchanged over
+  * JSON-lines landings, because everything downstream of readDay is
+  * format-blind. The counts pipeline reads the reference's fixed
+  * 3-field basic-metrics TXT (import_counts.py) and has no second
+  * wire format.
   */
 final class RunImport(
     val warehouse: String,
     val landingRoot: String,
     val tiers: Seq[SampleTier] = SampleTier.defaults,
-    val countsBegin: LocalDate = LocalDate.parse("2017-05-30")) {
+    val countsBegin: LocalDate = LocalDate.parse("2017-05-30"),
+    val formats: Map[String, LandingFormat] = Map.empty) {
 
-  val activity = new EventImporter(warehouse, Schemas.activity, tiers)
-  val flow = new FlowPipeline(warehouse, tiers)
-  val email = new EventImporter(warehouse, Schemas.email, tiers)
+  private def fmt(pipeline: String): LandingFormat =
+    formats.getOrElse(pipeline, LandingFormat.Csv)
+
+  val activity = new EventImporter(warehouse, Schemas.activity, tiers,
+    format = fmt("activity"))
+  val flow = new FlowPipeline(warehouse, tiers, format = fmt("flow"))
+  val email = new EventImporter(warehouse, Schemas.email, tiers,
+    format = fmt("email"))
   val counts = new CountsImporter(warehouse, countsBegin)
   val summaries = new DailySummaries(warehouse, activity, tiers)
 
@@ -90,15 +105,28 @@ final class RunImport(
 }
 
 object RunImport {
-  /** CLI: RunImport <warehouse> <landingRoot> [dayFrom] [dayUntil] [--force] */
+  /** CLI: RunImport <warehouse> <landingRoot> [dayFrom] [dayUntil]
+    * [--force] [--json=activity,flow,email]
+    * `--json=` lists the event pipelines whose landing files are
+    * JSON-lines instead of CSV. */
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: RunImport <warehouse> <landingRoot> [dayFrom] [dayUntil] [--force]")
+    require(args.length >= 2,
+      "usage: RunImport <warehouse> <landingRoot> [dayFrom] [dayUntil] " +
+        "[--force] [--json=activity,flow,email]")
     val positional = args.filterNot(_.startsWith("--"))
     val force = args.contains("--force")
+    val jsonPipelines = args.collectFirst {
+      case a if a.startsWith("--json=") =>
+        a.stripPrefix("--json=").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    }.getOrElse(Seq.empty)
+    val known = Set("activity", "flow", "email")
+    require(jsonPipelines.forall(known),
+      s"--json= accepts ${known.mkString("/")}, got: ${jsonPipelines.mkString(",")}")
     val dayFrom = positional.lift(2).map(LocalDate.parse)
     val dayUntil = positional.lift(3).map(LocalDate.parse)
     val spark = GraftSession.forMain("graft-import")
-    val result = new RunImport(positional(0), positional(1))
+    val result = new RunImport(positional(0), positional(1),
+        formats = jsonPipelines.map(_ -> (LandingFormat.Json: LandingFormat)).toMap)
       .run(spark, dayFrom, dayUntil, force)
     result.foreach { case (k, days) =>
       println(s"$k: imported ${days.size} days" +

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
 import graft.model.{EventFamily, SampleTier}
-import graft.sources.CsvEventSource
+import graft.sources.{CsvEventSource, LandingFormat}
 import graft.store.DayPartitionedTable
 
 /** The generic per-day event importer — SURVEY.md §3 entry point 1
@@ -42,7 +42,8 @@ final class EventImporter(
     val policy: CsvEventSource.FieldCountPolicy = CsvEventSource.Strict,
     val maxError: Int = 100,
     val filesPerDay: Int = 1,
-    val insertFilter: Option[org.apache.spark.sql.Column] = None) {
+    val insertFilter: Option[org.apache.spark.sql.Column] = None,
+    val format: LandingFormat = LandingFormat.Csv) {
 
   def table(tier: SampleTier): DayPartitionedTable =
     new DayPartitionedTable(warehouse, family.tableName(tier.suffix),
@@ -130,7 +131,7 @@ final class EventImporter(
     val from = dayFrom.orElse(extant)
     def candidate(d: LocalDate): Boolean =
       from.forall(f => !d.isBefore(f)) && dayUntil.forall(u => !d.isAfter(u))
-    val unpopulated = CsvEventSource
+    val unpopulated = format
       .listDays(spark, landingDir, prefix)
       .filter { case (d, _) =>
         candidate(d) && (forceReload || !isDayPopulated(spark, d))
@@ -139,7 +140,7 @@ final class EventImporter(
     if (unpopulated.isEmpty && extant.isEmpty) return Seq.empty // empty-safe
     val maxDay = (extant.toSeq ++ unpopulated.headOption.map(_._1)).max
     unpopulated.foreach { case (day, file) =>
-      val staging = CsvEventSource.readDay(
+      val staging = format.readDay(
         spark, file, family, policy, maxError)
       // Staging sanity probe (import_events.py:129-131,188-192): the
       // reference prints the staged MIN/MAX timestamps per day before

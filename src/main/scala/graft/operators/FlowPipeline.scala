@@ -59,7 +59,8 @@ final class FlowPipeline(
     val tiers: Seq[SampleTier] = SampleTier.defaults,
     val historicalCutoff: LocalDate = LocalDate.parse("2016-10-25"),
     val maxError: Int = 100,
-    val updateHorizon: Option[Int] = Some(2)) {
+    val updateHorizon: Option[Int] = Some(2),
+    val format: graft.sources.LandingFormat = graft.sources.LandingFormat.Csv) {
 
   /** Control events are absorbed into metadata/experiments (D3): the
     * permanent flow_events tables hold payload events only. */
@@ -70,7 +71,7 @@ final class FlowPipeline(
 
   val importer = new EventImporter(
     warehouse, Schemas.flow, tiers, maxError = maxError,
-    insertFilter = Some(controlFilter))
+    insertFilter = Some(controlFilter), format = format)
 
   def metadataTable(tier: SampleTier): DayPartitionedTable =
     new DayPartitionedTable(warehouse, s"flow_metadata${tier.suffix}",
