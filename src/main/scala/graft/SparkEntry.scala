@@ -1458,6 +1458,28 @@ object SparkEntry {
       .orderBy(col("qid"), col("r"))
   }
 
+  /** BM25 retrieval (q72): the inverted-index postings carry term
+    * frequencies and document lengths; scores quantize per matched
+    * term to integer micro-points before the per-(query, doc) sum (the
+    * q67 discipline), so the DuckDB oracle matches bit-for-bit. Hashed
+    * tokens keep the postings shuffle narrow — tf/df/dl are invariant
+    * under the hash. */
+  private def bm25TopKQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{HybridSearch, TextDedup}
+    import org.apache.spark.sql.Column
+    val docs = Tables.documents(s, dir)
+    def toks(c: Column): Column = transform(
+      filter(split(TextDedup.norm(c), " "), w => w =!= ""),
+      w => TextDedup.md5Hash60(w))
+    HybridSearch.bm25TopK(
+        docs.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("qid"), toks(col("text")).as("qtoks")),
+        docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id").as("id"), toks(col("text")).as("toks")),
+        k = 20)
+      .orderBy(col("qid"), col("r"))
+  }
+
   /** Hybrid retrieval (q68): lexical Jaccard top-20 (via the q19
     * inverted-index feeder — no query×corpus scan) and cosine top-20
     * per query, fused by integer-micro-point reciprocal-rank fusion
@@ -1745,7 +1767,8 @@ object SparkEntry {
     "q68_hybrid_search" -> (hybridSearchQuery _),
     "q69_decontaminate" -> (decontaminateQuery _),
     "q70_ivf_pq_ann" -> (ivfPqAnn _),
-    "q71_bloom_sharded_dedup" -> (bloomShardedDedup _))
+    "q71_bloom_sharded_dedup" -> (bloomShardedDedup _),
+    "q72_bm25_topk" -> (bm25TopKQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1834,7 +1857,7 @@ object SparkEntry {
     "q61_doc_chunking", "q62_bpe_pair_counts", "q63_pq_ann",
     "q64_json_ingest", "q66_curation_gate", "q67_unigram_surprisal",
     "q68_hybrid_search", "q69_decontaminate", "q70_ivf_pq_ann",
-    "q71_bloom_sharded_dedup")
+    "q71_bloom_sharded_dedup", "q72_bm25_topk")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2937,5 +2960,44 @@ object SparkEntry {
          SELECT d.doc_id, d.lang, d.source
          FROM newb d JOIN k USING (doc_id)
          WHERE lower(trim(d.text)) NOT IN (SELECT t FROM idx)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    // BM25 over inverted-index postings. Arithmetic parity notes:
+    // (1.2 + 1.0) is written as an ADDITION so both engines perform the
+    // same IEEE add (the literal 2.2 could differ by 1 ulp from the
+    // sum); 1 − 0.75 = 0.25 is exact so it may be a literal; per-term
+    // contributions quantize to micro-points (BIGINT) before the
+    // order-insensitive integer SUM; avgdl is exact because integer-
+    // valued doubles sum exactly below 2^53.
+    "q72_bm25_topk" ->
+      """WITH qd AS (SELECT doc_id AS qid,
+                            list_filter(string_split(lower(trim(text)), ' '),
+                                        t -> t <> '') AS toks
+                     FROM documents WHERE doc_id < 20),
+         cd AS (SELECT doc_id AS id,
+                       list_filter(string_split(lower(trim(text)), ' '),
+                                   t -> t <> '') AS toks
+                FROM documents WHERE doc_id >= 20),
+         post AS (SELECT id, tok, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+                    SELECT id, len(toks) AS dl, unnest(toks) AS tok FROM cd) u
+                  GROUP BY id, tok),
+         dfreq AS (SELECT tok, COUNT(*) AS df FROM post GROUP BY tok),
+         st AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM cd),
+         qt AS (SELECT qid, unnest(list_distinct(toks)) AS tok FROM qd),
+         sc AS (SELECT qt.qid, p.id,
+                       CAST(round(ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+                            * (p.tf * (1.2 + 1.0) /
+                               (p.tf + 1.2 * (0.25 + 0.75 * p.dl / st.avgdl)))
+                            * 1e6) AS BIGINT) AS c_micro
+                FROM post p
+                JOIN qt ON qt.tok = p.tok
+                JOIN dfreq d ON d.tok = p.tok
+                CROSS JOIN st),
+         agg AS (SELECT qid, id, CAST(SUM(c_micro) AS BIGINT) AS bm25_micro
+                 FROM sc GROUP BY qid, id)
+         SELECT qid, id, CAST(r AS BIGINT) AS r, bm25_micro FROM (
+           SELECT qid, id, bm25_micro,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY bm25_micro DESC, id) AS r
+           FROM agg) t
+         WHERE r <= 20 ORDER BY qid, r""")
 }

@@ -93,4 +93,65 @@ object HybridSearch {
       .select(col("qid"), col("e.id").as("id"),
         (col("pos") + 1).cast(LongType).as("r"), col("e.ord").as("jac"))
   }
+
+  /** BM25 retrieval over the same inverted-index shape as
+    * [[lexicalTopK]] — the scoring real lexical search ranks by (term
+    * saturation + length normalization + rarity weighting), where
+    * Jaccard is the dedup-style overlap measure:
+    *
+    *   score(q,d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   idf(t)     = ln(1 + (N − df + 0.5)/(df + 0.5))       (Lucene form)
+    *
+    * Determinism across engines: a per-(query, doc) SUM of doubles is
+    * aggregation-order-dependent, so each matched term's contribution
+    * quantizes to integer MICRO-points (round(·1e6) as BIGINT) before
+    * the sum — the q67 surprisal discipline; integer addition commutes,
+    * and the oracle mirrors the arithmetic with identical
+    * parenthesization. (Same accepted cross-libm `ln` caveat as q67.)
+    *
+    * Scale shape: one corpus pass builds tf postings (the only
+    * corpus-sized shuffle, keyed (doc, token)); document frequencies
+    * aggregate token-keyed into a Zipf-bounded relation; N/avgdl are a
+    * one-row broadcast; query terms join the postings; the per-pair
+    * integer sum combines map-side and the per-query top-k is the
+    * bounded `graft_topk` heap.
+    *
+    * Inputs: `queries` = (qid, qtoks ARRAY — duplicates ignored, query
+    * tf is 1 per the standard short-query simplification), `corpus` =
+    * (id, toks ARRAY — duplicates are the term frequencies). Output:
+    * (qid, id, r, bm25_micro). */
+  def bm25TopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val post = corpus
+      .select(col("id"), size(col("toks")).as("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = corpus.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(col("toks")).cast(DoubleType)).as("avgdl"))
+    val qt = queries.select(col("qid"), explode(array_distinct(col("qtoks"))).as("tok"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfp = (col("tf") * lit(k1 + 1.0)).cast(DoubleType) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val contrib = round(idf * tfp * lit(1e6), 0).cast(LongType)
+    post.join(qt, Seq("tok"))
+      .join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(stats)) // one row: corpus-level N and avgdl
+      .select(col("qid"), col("id"), contrib.as("c_micro"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("c_micro")).as("bm25_micro"))
+      .groupBy(col("qid"))
+      .agg(call_function("graft_topk",
+        col("bm25_micro").cast(DoubleType), col("id"), lit(k)).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e.id").as("id"),
+        (col("pos") + 1).cast(LongType).as("r"),
+        col("e.ord").cast(LongType).as("bm25_micro"))
+  }
 }

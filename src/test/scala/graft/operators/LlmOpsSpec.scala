@@ -228,6 +228,32 @@ class LlmOpsSpec extends SparkSpec {
     out shouldBe Seq((100L, 1L), (99L, 2L), (101L, 3L)) // 3 rows, not 4
   }
 
+  test("BM25: hand-checked score; rarity outweighs common terms; no-overlap docs absent") {
+    val corpus = Seq(
+      (100L, Seq("a", "b", "a")), // tf(a)=2, dl=3
+      (101L, Seq("b", "c"))) //       dl=2 — no 'a'
+      .toDF("id", "toks")
+    val qs = Seq((1L, Seq("a"))).toDF("qid", "qtoks")
+    val out = HybridSearch.bm25TopK(qs, corpus, k = 5)
+      .select($"id", $"bm25_micro").as[(Long, Long)].collect().toSeq
+    // N=2, avgdl=2.5; idf(a)=ln(1+(2-1+0.5)/(1+0.5)), tf part per the
+    // operator's exact parenthesization
+    val idf = math.log(1.0 + (2 - 1 + 0.5) / (1 + 0.5))
+    val tfp = 2 * (1.2 + 1.0) / (2 + 1.2 * (0.25 + 0.75 * 3 / 2.5))
+    out shouldBe Seq((100L, math.round(idf * tfp * 1e6)))
+    // a rare term must outscore a corpus-wide common term at equal tf
+    val c2 = Seq(
+      (200L, Seq("common", "rare")),
+      (201L, Seq("common", "x")),
+      (202L, Seq("common", "y")))
+      .toDF("id", "toks")
+    val q2 = Seq((1L, Seq("rare")), (2L, Seq("common"))).toDF("qid", "qtoks")
+    val scores = HybridSearch.bm25TopK(q2, c2, k = 5)
+      .select($"qid", $"id", $"bm25_micro").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    scores((1L, 200L)) should be > scores((2L, 200L))
+  }
+
   test("BPE pair counts weight character pairs by word frequency") {
     val corpus = Seq(
       (0L, "abab abab cd"),
