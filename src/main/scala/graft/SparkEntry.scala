@@ -1581,6 +1581,25 @@ object SparkEntry {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** SemDeDup semantic dedup (q73): embeddings cluster into the q50
+    * IVF cells (vec_id 20..35 centroids), pairwise cosine runs only
+    * within a cell, and any vector with a lower-id cell-mate at
+    * cosine ≥ 0.4 (the q24 near-dup bar on this synthetic corpus) is
+    * dropped — greedy keep-first. Survivors listed by vec_id. */
+  private def semDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val seeds = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.semDedup(corpus, seeds, minCos = 0.4)
+      .select(col("id").as("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** BPE merge candidates: corpus-wide adjacent-character-pair counts
     * weighted by word frequency — the argmax is the pair a BPE trainer
     * merges next. The corpus collapses to its Zipf-bounded vocabulary
@@ -1768,7 +1787,8 @@ object SparkEntry {
     "q69_decontaminate" -> (decontaminateQuery _),
     "q70_ivf_pq_ann" -> (ivfPqAnn _),
     "q71_bloom_sharded_dedup" -> (bloomShardedDedup _),
-    "q72_bm25_topk" -> (bm25TopKQuery _))
+    "q72_bm25_topk" -> (bm25TopKQuery _),
+    "q73_semantic_dedup" -> (semDedupQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1857,7 +1877,7 @@ object SparkEntry {
     "q61_doc_chunking", "q62_bpe_pair_counts", "q63_pq_ann",
     "q64_json_ingest", "q66_curation_gate", "q67_unigram_surprisal",
     "q68_hybrid_search", "q69_decontaminate", "q70_ivf_pq_ann",
-    "q71_bloom_sharded_dedup", "q72_bm25_topk")
+    "q71_bloom_sharded_dedup", "q72_bm25_topk", "q73_semantic_dedup")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2999,5 +3019,23 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY qid
                     ORDER BY bm25_micro DESC, id) AS r
            FROM agg) t
-         WHERE r <= 20 ORDER BY qid, r""")
+         WHERE r <= 20 ORDER BY qid, r""",
+    // SemDeDup: q50's cell-assignment CTE over the full vector set,
+    // pairwise cosine within cells only, drop any id with a lower-id
+    // cell-mate at >= 0.4.
+    "q73_semantic_dedup" ->
+      s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                       WHERE vec_id BETWEEN 20 AND 35),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         asg AS (SELECT id, vec, cell FROM (
+             SELECT c.id, c.vec, cen.cid AS cell,
+                    row_number() OVER (PARTITION BY c.id
+                      ORDER BY ${cosSql("c.vec", "cen.cvec")} DESC, cen.cid) AS rn
+             FROM c CROSS JOIN cen) t WHERE rn = 1),
+         losers AS (SELECT DISTINCT b.id
+                    FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+                    WHERE ${cosSql("a.vec", "b.vec")} >= 0.4)
+         SELECT id AS vec_id FROM c
+         WHERE id NOT IN (SELECT id FROM losers)
+         ORDER BY vec_id""")
 }

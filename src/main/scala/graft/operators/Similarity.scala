@@ -103,6 +103,10 @@ object Similarity {
       df: DataFrame,
       vecCol: String,
       centroids: Seq[(Long, Array[Float])]): DataFrame = {
+    require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
+    // one centroid: every row is its cell (greatest() requires >= 2 args)
+    if (centroids.size == 1)
+      return df.withColumn("cell", lit(centroids.head._1))
     val scored = centroids.map { case (cid, cv) =>
       val cn = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
       struct(
@@ -471,6 +475,37 @@ object Similarity {
         -col("adist"), col("id"), lit(shortlist)).as("tk"))
       .select(col("qid").as("cqid"), explode(col("tk").getField("id")).as("cid"))
     rerankL2(queries, corpus, cands, k)
+  }
+
+  /** SemDeDup-style SEMANTIC dedup (cluster-then-compare, after Abbas
+    * et al. 2023, arXiv:2303.09540): embeddings are clustered (the
+    * IVF map-only cell assignment — plan-time literal centroids, no
+    * shuffle), pairwise cosine runs ONLY within a cell, and a document
+    * is dropped when a LOWER-id document in its cell scores
+    * ≥ `minCos` — greedy keep-first, the paper's policy with id as the
+    * deterministic order. Exact text dedup can't catch paraphrases and
+    * template rewordings; this is the embedding-space analog the big
+    * curation pipelines run after exact + MinHash.
+    *
+    * Scale shape: the all-pairs product NEVER exists — candidates are
+    * bounded per cell (the whole point of clustering first: k cells
+    * cut pairs by ~k), the within-cell self-join is a hash equi-join
+    * on cell, and the loser set is id-only. Centroid count scales with
+    * corpus size at 100 TB (train via [[lloydStep]] on a sample);
+    * oversized cells can recurse with a finer literal codebook exactly
+    * like the LSH bucket-cap refinement. */
+  def semDedup(
+      corpus: DataFrame, // (id, vec)
+      centroids: Seq[(Long, Array[Float])],
+      minCos: Double): DataFrame = {
+    val asg = ivfAssign(corpus, "vec", centroids)
+    val a = asg.select(col("cell"), col("id").as("a"), col("vec").as("va"))
+    val b = asg.select(col("cell"), col("id").as("b"), col("vec").as("vb"))
+    val losers = a.join(b, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= minCos)
+      .select(col("b").as("id")).distinct()
+    corpus.join(losers, Seq("id"), "left_anti")
   }
 
   /** Bucketed ANN: top-k among same-bucket mates only, plus the bucket

@@ -300,6 +300,35 @@ class CurationSpec extends SparkSpec {
     recall should be >= 0.2
   }
 
+  test("semDedup: drops within-cell near-dups keep-first; cross-cell pairs are never compared") {
+    import spark.implicits._
+    // two well-separated centroids on orthogonal axes
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // cell 0
+      (11L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // cell 0, ~dup of 10 → drop
+      (12L, Array(0.6f, 0.0f, 0.8f, 0.0f)), // cell 0, cos 0.6 to 10 → keep
+      (20L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // cell 1
+      (21L, Array(0.01f, 0.99f, 0.0f, 0.0f))) // cell 1, ~dup of 20 → drop
+      .toDF("id", "vec")
+    val kept = Similarity.semDedup(corpus, cents, minCos = 0.95)
+      .select($"id").as[Long].collect().toSet
+    kept shouldBe Set(10L, 12L, 20L)
+    // keep-first is by id: the LOWEST id in a dup group survives
+    // cross-cell near-dups are invisible by design (cluster-then-compare):
+    // an exact copy of doc 10 assigned to cell 1 by construction can't
+    // exist, but a borderline vector equidistant-ish lands in ONE cell
+    // and is only deduped there — verify the pair (12, 20): cos 0 across
+    // cells, both kept.
+    // degenerate single centroid ≡ global pairwise threshold dedup
+    val one = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val keptAll = Similarity.semDedup(corpus, one, minCos = 0.95)
+      .select($"id").as[Long].collect().toSet
+    keptAll shouldBe Set(10L, 12L, 20L) // 11 dups 10; 21 dups 20 — globally
+  }
+
   test("curate: verdicts carry reasons; PII and redaction footprints are counted") {
     // stopwords spread over all five markers: ratio passes the quality
     // gate (10/60) without any single word tripping the repetition flag
