@@ -1600,6 +1600,27 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Exact-size deterministic sample (q74): the 100 docs with the
+    * smallest md5-derived id hash, via the bounded graft_topk heap —
+    * never a global sort. The exact-N contract hashSample (q51)
+    * cannot give. */
+  private def exactSampleQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.exactSample(Tables.documents(s, dir), "doc_id", n = 100)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing (q75): stream-pack each language's docs into
+    * 512-token bins in doc_id order — one windowed integer running
+    * sum per shard, `div`/`%` bin math. */
+  private def packSequencesQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, TextDedup}
+    Curation.packSequences(Tables.documents(s, dir), "lang", "doc_id",
+        size(TextDedup.words(col("text"))), budgetTokens = 512)
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** BPE merge candidates: corpus-wide adjacent-character-pair counts
     * weighted by word frequency — the argmax is the pair a BPE trainer
     * merges next. The corpus collapses to its Zipf-bounded vocabulary
@@ -1788,7 +1809,9 @@ object SparkEntry {
     "q70_ivf_pq_ann" -> (ivfPqAnn _),
     "q71_bloom_sharded_dedup" -> (bloomShardedDedup _),
     "q72_bm25_topk" -> (bm25TopKQuery _),
-    "q73_semantic_dedup" -> (semDedupQuery _))
+    "q73_semantic_dedup" -> (semDedupQuery _),
+    "q74_exact_sample" -> (exactSampleQuery _),
+    "q75_sequence_packing" -> (packSequencesQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1877,7 +1900,8 @@ object SparkEntry {
     "q61_doc_chunking", "q62_bpe_pair_counts", "q63_pq_ann",
     "q64_json_ingest", "q66_curation_gate", "q67_unigram_surprisal",
     "q68_hybrid_search", "q69_decontaminate", "q70_ivf_pq_ann",
-    "q71_bloom_sharded_dedup", "q72_bm25_topk", "q73_semantic_dedup")
+    "q71_bloom_sharded_dedup", "q72_bm25_topk", "q73_semantic_dedup",
+    "q74_exact_sample", "q75_sequence_packing")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3037,5 +3061,28 @@ object SparkEntry {
                     WHERE ${cosSql("a.vec", "b.vec")} >= 0.4)
          SELECT id AS vec_id FROM c
          WHERE id NOT IN (SELECT id FROM losers)
-         ORDER BY vec_id""")
+         ORDER BY vec_id""",
+    // Bottom-100-by-hash = exact-size uniform sample (q51's hash, with
+    // an ORDER/LIMIT oracle; the engine side uses the bounded heap).
+    "q74_exact_sample" ->
+      """WITH h AS (SELECT doc_id,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+                    FROM documents),
+         p AS (SELECT doc_id FROM h ORDER BY hh, doc_id LIMIT 100)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN p USING (doc_id) ORDER BY d.doc_id""",
+    // Stream packing: bin = tokens_before // budget per (lang) shard in
+    // doc_id order — pure integer window math on both engines.
+    "q75_sequence_packing" ->
+      """WITH t AS (SELECT lang, doc_id,
+                           len(string_split(text, ' ')) AS n_tokens
+                    FROM documents),
+         c AS (SELECT lang, doc_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY lang
+                        ORDER BY doc_id) AS cum
+               FROM t)
+         SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+                CAST((cum - n_tokens) % 512 AS BIGINT) AS bin_offset
+         FROM c ORDER BY lang, doc_id""")
 }

@@ -164,6 +164,67 @@ object Curation {
         col("chunk"))
   }
 
+  /** Exact-size deterministic uniform sample: the `n` rows with the
+    * SMALLEST md5-derived hash of `id` — the bottom-k-by-hash sample.
+    * [[hashSample]] is the rate sampler (pure filter, but only
+    * approximately f·N rows); this is the contract "exactly n rows,
+    * uniform, same on every engine and every run". The KMV insight in
+    * reverse: the bottom-k of a uniform hash IS a uniform sample.
+    *
+    * Shape at 100 TB: the bounded `graft_topk` heap again — each
+    * exchange partition ships at most n (hash, id) entries, so there
+    * is never a global sort of the corpus (the `ORDER BY hash LIMIT n`
+    * form sorts everything). Negated hash because the heap keeps
+    * score-DESC; ids ride as payload. Returns the sampled ids joined
+    * back to the input rows. */
+  def exactSample(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    val picked = df
+      .select(md5Hash60(col(idCol).cast("string")).as("_h"), col(idCol))
+      .agg(call_function("graft_topk",
+        -col("_h").cast("double"), col(idCol).cast(LongType), lit(n)).as("tk"))
+      .select(explode(col("tk").getField("id")).as(idCol))
+    df.join(picked, Seq(idCol), "left_semi")
+  }
+
+  /** Sequence PACKING for training: assign docs/chunks to fixed
+    * token-budget bins (context windows) in deterministic id order,
+    * partitioned by a shard column so the running sum parallelizes —
+    * how real pipelines pack (per-shard packers; one global packer
+    * would serialize the corpus through a single partition).
+    *
+    * This is STREAM packing ("virtual packing"): docs concatenate into
+    * one per-shard token stream and a doc belongs to the bin its FIRST
+    * token falls in — `bin = floor(tokens_before / budget)`, offset
+    * `tokens_before % budget`. One windowed integer SUM, exactly
+    * reproducible, mirrored by a `SUM() OVER` oracle. The tradeoff vs
+    * greedy first-fit (which needs a sequential running-total-with-
+    * reset that a window cannot express): a doc straddling a budget
+    * boundary overflows its bin by up to its own length, so keep
+    * inputs budget-capped via [[chunkDocuments]] upstream — training
+    * packers do the same (chunk, then pack, then split the one
+    * straddler per boundary at materialization).
+    *
+    * Emits (shard, id, n_tokens, bin, bin_offset); `bin` dense from 0
+    * per shard. */
+  def packSequences(
+      docs: DataFrame,
+      shardCol: String,
+      idCol: String,
+      nTokens: Column,
+      budgetTokens: Int): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+    val cum = sum(nTokens).over(w)
+    docs.select(col(shardCol), col(idCol), nTokens.cast(LongType).as("n_tokens"),
+        cum.cast(LongType).as("_cum"))
+      // `div`, not `/`: long division must stay integral (the q67 rule)
+      .select(col(shardCol), col(idCol), col("n_tokens"),
+        expr(s"(_cum - n_tokens) div ${budgetTokens.toLong}").as("bin"),
+        ((col("_cum") - col("n_tokens")) % lit(budgetTokens.toLong))
+          .cast(LongType).as("bin_offset"))
+  }
+
   /** PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB):
     * no backrefs, no lookarounds. */
   val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

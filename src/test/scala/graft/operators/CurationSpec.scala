@@ -329,6 +329,41 @@ class CurationSpec extends SparkSpec {
     keptAll shouldBe Set(10L, 12L, 20L) // 11 dups 10; 21 dups 20 — globally
   }
 
+  test("exactSample: exactly n deterministic rows, a subset, all rows when n >= count") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val s1 = Curation.exactSample(docs, "doc_id", 37)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    s1 should have size 37
+    // deterministic: same 37 ids on a repeat run
+    Curation.exactSample(docs, "doc_id", 37)
+      .select($"doc_id").as[Long].collect().sorted.toSeq shouldBe s1
+    // a bigger sample CONTAINS the smaller one (bottom-k nesting)
+    val s2 = Curation.exactSample(docs, "doc_id", 80)
+      .select($"doc_id").as[Long].collect().toSet
+    s1.toSet.subsetOf(s2) shouldBe true
+    // n >= |input| returns everything
+    val tiny = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    Curation.exactSample(tiny, "doc_id", 10).count() shouldBe 2
+  }
+
+  test("packSequences: stream bins per shard, hand-checked offsets") {
+    import spark.implicits._
+    val docs = Seq(
+      // shard A: sizes 300, 300, 100, 400 → tokens_before 0/300/600/700
+      ("A", 1L, 300L), ("A", 2L, 300L), ("A", 3L, 100L), ("A", 4L, 400L),
+      // shard B packs independently from bin 0
+      ("B", 1L, 500L), ("B", 2L, 20L))
+      .toDF("shard", "id", "toks")
+    val out = Curation.packSequences(docs, "shard", "id", $"toks", 512)
+      .select($"shard", $"id", $"bin", $"bin_offset")
+      .as[(String, Long, Long, Long)].collect().toSet
+    out shouldBe Set(
+      ("A", 1L, 0L, 0L), ("A", 2L, 0L, 300L),
+      ("A", 3L, 1L, 88L), ("A", 4L, 1L, 188L),
+      ("B", 1L, 0L, 0L), ("B", 2L, 0L, 500L))
+  }
+
   test("curate: verdicts carry reasons; PII and redaction footprints are counted") {
     // stopwords spread over all five markers: ratio passes the quality
     // gate (10/60) without any single word tripping the repetition flag
