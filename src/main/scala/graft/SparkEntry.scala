@@ -1511,6 +1511,46 @@ object SparkEntry {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Three-retriever hybrid fusion (q76): BM25 (q72), inverted-index
+    * Jaccard (q19), and exact cosine (q25's form) top-20s fused by
+    * integer RRF into a final top-10 — the full hybrid stack, every
+    * feeder scale-shaped. rrfFuse is retriever-count-agnostic, so the
+    * only new code here is composition. */
+  private def hybridSearch3Query(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{HybridSearch, Similarity, TextDedup}
+    import org.apache.spark.sql.Column
+    val docs = Tables.documents(s, dir)
+    def ws(c: Column): Column =
+      transform(TextDedup.normWordSet(c), w => TextDedup.md5Hash60(w))
+    def toks(c: Column): Column = transform(
+      filter(split(TextDedup.norm(c), " "), w => w =!= ""),
+      w => TextDedup.md5Hash60(w))
+    val lex = HybridSearch.lexicalTopK(
+        docs.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("qid"), ws(col("text")).as("qws")),
+        docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id").as("id"), ws(col("text")).as("ws")),
+        k = 20)
+      .select(col("qid"), col("id"), col("r"))
+    val bm = HybridSearch.bm25TopK(
+        docs.filter(col("doc_id") < 20)
+          .select(col("doc_id").as("qid"), toks(col("text")).as("qtoks")),
+        docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id").as("id"), toks(col("text")).as("toks")),
+        k = 20)
+      .select(col("qid"), col("id"), col("r"))
+    val e = Tables.embeddings(s, dir)
+    val vec = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        k = 20)
+      .select(col("qid"), col("id"), col("rank").as("r"))
+    HybridSearch.rrfFuse(Seq(bm, lex, vec), k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Decontamination dataset op (q69): q47's scan flag APPLIED — the
     * clean corpus with contaminated docs dropped. */
   private def decontaminateQuery(s: SparkSession, dir: String): DataFrame = {
@@ -1811,7 +1851,8 @@ object SparkEntry {
     "q72_bm25_topk" -> (bm25TopKQuery _),
     "q73_semantic_dedup" -> (semDedupQuery _),
     "q74_exact_sample" -> (exactSampleQuery _),
-    "q75_sequence_packing" -> (packSequencesQuery _))
+    "q75_sequence_packing" -> (packSequencesQuery _),
+    "q76_hybrid_search_3way" -> (hybridSearch3Query _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1901,7 +1942,7 @@ object SparkEntry {
     "q64_json_ingest", "q66_curation_gate", "q67_unigram_surprisal",
     "q68_hybrid_search", "q69_decontaminate", "q70_ivf_pq_ann",
     "q71_bloom_sharded_dedup", "q72_bm25_topk", "q73_semantic_dedup",
-    "q74_exact_sample", "q75_sequence_packing")
+    "q74_exact_sample", "q75_sequence_packing", "q76_hybrid_search_3way")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3084,5 +3125,74 @@ object SparkEntry {
          SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                 CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
                 CAST((cum - n_tokens) % 512 AS BIGINT) AS bin_offset
-         FROM c ORDER BY lang, doc_id""")
+         FROM c ORDER BY lang, doc_id""",
+    // Three-retriever RRF: the q72 BM25 CTEs, the q19 inverted-index
+    // Jaccard CTEs, and the q68 cosine CTE feed the q68 fusion tail.
+    "q76_hybrid_search_3way" ->
+      s"""WITH qd AS (SELECT doc_id AS qid,
+                             list_filter(string_split(lower(trim(text)), ' '),
+                                         t -> t <> '') AS toks
+                      FROM documents WHERE doc_id < 20),
+         cd AS (SELECT doc_id AS id,
+                       list_filter(string_split(lower(trim(text)), ' '),
+                                   t -> t <> '') AS toks
+                FROM documents WHERE doc_id >= 20),
+         post AS (SELECT id, tok, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+                    SELECT id, len(toks) AS dl, unnest(toks) AS tok FROM cd) u
+                  GROUP BY id, tok),
+         dfreq AS (SELECT tok, COUNT(*) AS df FROM post GROUP BY tok),
+         st AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM cd),
+         qtk AS (SELECT qid, unnest(list_distinct(toks)) AS tok FROM qd),
+         bsc AS (SELECT qtk.qid, p.id,
+                        CAST(round(ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+                             * (p.tf * (1.2 + 1.0) /
+                                (p.tf + 1.2 * (0.25 + 0.75 * p.dl / st.avgdl)))
+                             * 1e6) AS BIGINT) AS c_micro
+                 FROM post p
+                 JOIN qtk ON qtk.tok = p.tok
+                 JOIN dfreq d ON d.tok = p.tok
+                 CROSS JOIN st),
+         bagg AS (SELECT qid, id, CAST(SUM(c_micro) AS BIGINT) AS bm25_micro
+                  FROM bsc GROUP BY qid, id),
+         bmr AS (SELECT qid, id,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY bm25_micro DESC, id) AS r
+                 FROM bagg),
+         bmp AS (SELECT qid, id, 1000000 // (60 + r) AS pts FROM bmr WHERE r <= 20),
+         qw AS (SELECT doc_id AS qid,
+                       list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                FROM documents WHERE doc_id < 20),
+         cw AS (SELECT doc_id AS id,
+                       list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                FROM documents WHERE doc_id >= 20),
+         lsc AS (SELECT q.qid, c.id,
+                        len(list_intersect(q.ws, c.ws)) AS ov,
+                        round(CAST(len(list_intersect(q.ws, c.ws)) AS DOUBLE) /
+                              CAST(len(q.ws) + len(c.ws)
+                                   - len(list_intersect(q.ws, c.ws)) AS DOUBLE), 6) AS jac
+                 FROM qw q CROSS JOIN cw c),
+         lexr AS (SELECT qid, id,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY jac DESC, id) AS r
+                  FROM lsc WHERE ov > 0),
+         lexp AS (SELECT qid, id, 1000000 // (60 + r) AS pts FROM lexr WHERE r <= 20),
+         q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 20),
+         vecr AS (SELECT qid, id,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY cos DESC, id) AS r
+                  FROM (SELECT q.qid, c.id, ${cosSql("q.qvec", "c.vec")} AS cos
+                        FROM q CROSS JOIN c WHERE q.qid <> c.id) t),
+         vecp AS (SELECT qid, id, 1000000 // (60 + r) AS pts FROM vecr WHERE r <= 20),
+         fused AS (SELECT qid, id, CAST(SUM(pts) AS BIGINT) AS rrf_micro
+                   FROM (SELECT * FROM bmp UNION ALL
+                         SELECT * FROM lexp UNION ALL
+                         SELECT * FROM vecp) u
+                   GROUP BY qid, id)
+         SELECT qid, CAST(rank AS BIGINT) AS rank, id, rrf_micro FROM (
+           SELECT qid, id, rrf_micro,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY rrf_micro DESC, id) AS rank
+           FROM fused) t
+         WHERE rank <= 10 ORDER BY qid, rank""")
 }
