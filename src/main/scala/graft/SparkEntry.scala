@@ -772,6 +772,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio modality (q77): deterministic 16-bit PCM WAV payloads
+    * decoded by a real RIFF chunk-walking parser; Σ|sample| is the
+    * integer loudness proxy. Same batched extraction shape as q31. */
+  private def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.extractAudioFeatures(s,
+        Multimodal.attachAudio(s, Tables.documents(s, dir)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash over character 8-gram shingles — the fine-grained
     * shingling variant (boilerplate-heavy corpora). */
   private def minHashCharShingles(s: SparkSession, dir: String): DataFrame = {
@@ -1852,7 +1863,8 @@ object SparkEntry {
     "q73_semantic_dedup" -> (semDedupQuery _),
     "q74_exact_sample" -> (exactSampleQuery _),
     "q75_sequence_packing" -> (packSequencesQuery _),
-    "q76_hybrid_search_3way" -> (hybridSearch3Query _))
+    "q76_hybrid_search_3way" -> (hybridSearch3Query _),
+    "q77_multimodal_audio" -> (multimodalAudio _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1942,7 +1954,8 @@ object SparkEntry {
     "q64_json_ingest", "q66_curation_gate", "q67_unigram_surprisal",
     "q68_hybrid_search", "q69_decontaminate", "q70_ivf_pq_ann",
     "q71_bloom_sharded_dedup", "q72_bm25_topk", "q73_semantic_dedup",
-    "q74_exact_sample", "q75_sequence_packing", "q76_hybrid_search_3way")
+    "q74_exact_sample", "q75_sequence_packing", "q76_hybrid_search_3way",
+    "q77_multimodal_audio")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3194,5 +3207,21 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY qid
                     ORDER BY rrf_micro DESC, id) AS rank
            FROM fused) t
-         WHERE rank <= 10 ORDER BY qid, rank""")
+         WHERE rank <= 10 ORDER BY qid, rank""",
+    // Audio modality: the oracle recomputes the deterministic encoder's
+    // output from strlen/ord, exactly like q31's PPM mirror — sample i
+    // is (byte(i mod len) − 128)·128, so Σ|sample| is pure integer math.
+    "q77_multimodal_audio" ->
+      """WITH m AS (SELECT doc_id, text, strlen(text) AS len,
+                           strlen(text) % 50 + 10 AS n
+                    FROM documents)
+         SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+                CAST(n AS BIGINT) AS n_samples,
+                CAST(44 + 2 * n AS BIGINT) AS byte_len,
+                CAST(list_sum(list_transform(range(n),
+                     i -> abs((CASE WHEN len = 0 THEN 0
+                               ELSE ord(substr(text, CAST(i % len AS INTEGER) + 1, 1))
+                               END - 128) * 128)))
+                     AS BIGINT) AS amp_checksum
+         FROM m ORDER BY doc_id""")
 }

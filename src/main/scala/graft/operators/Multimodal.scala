@@ -116,4 +116,113 @@ object Multimodal {
       }
     }
   }
+
+  // ---- second modality: audio (RIFF/WAVE, 16-bit PCM mono) ----
+
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      byte_len: Long,
+      amp_checksum: Long)
+
+  /** Deterministic WAV encoder: a 16-bit PCM mono clip whose samples
+    * derive from the document's bytes (sample i = (byte(i mod len) −
+    * 128) · 128, a centered int16), length `len % 50 + 10` samples —
+    * distinct-but-mirrorable like [[encodePpm]]'s dimensions: the
+    * DuckDB oracle recomputes everything from `strlen(text)` and
+    * `ord()`. Canonical 44-byte RIFF/fmt/data layout. */
+  def encodeWav(docId: Long, text: String): MediaDoc = {
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    val n = bytes.length % 50 + 10
+    val rate = 8000
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + 2 * n)
+    bb.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    bb.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(rate)
+    bb.putInt(rate * 2) // byte rate = rate * blockAlign
+    bb.putShort(2) // blockAlign = channels * 16/8
+    bb.putShort(16) // bits per sample
+    bb.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      val b = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+      bb.putShort(((b - 128) * 128).toShort)
+      i += 1
+    }
+    MediaDoc(docId, bb.array(), "audio/wav", (44 + 2 * n).toLong)
+  }
+
+  def attachAudio(spark: SparkSession, df: DataFrame): Dataset[MediaDoc] = {
+    import spark.implicits._
+    df.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => encodeWav(id, text) }
+  }
+
+  /** REAL RIFF/WAVE decoder: validates the RIFF/WAVE magic, walks the
+    * chunk list (skipping unknown chunks with the spec's even-byte
+    * padding — real files carry LIST/INFO/fact chunks), requires PCM
+    * 16-bit mono from `fmt `, and folds the `data` samples
+    * (little-endian int16) into Σ|sample| — the integer loudness proxy
+    * standing in for what an audio featurizer would emit. Throws on
+    * malformed input like any decoder would. */
+  def decodeWav(doc: MediaDoc): AudioFeatures = {
+    val b = doc.media
+    def ascii(at: Int, n: Int) = new String(b, at, n, StandardCharsets.US_ASCII)
+    def le32(at: Int): Int =
+      (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) |
+        ((b(at + 2) & 0xff) << 16) | ((b(at + 3) & 0xff) << 24)
+    def le16(at: Int): Int = (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+    require(b.length >= 44 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE",
+      s"doc ${doc.doc_id}: not a RIFF/WAVE file")
+    var pos = 12
+    var rate = -1
+    var dataAt = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length && (rate < 0 || dataAt < 0)) {
+      val id = ascii(pos, 4)
+      val size = le32(pos + 4)
+      require(size >= 0 && pos + 8 + size <= b.length,
+        s"doc ${doc.doc_id}: chunk '$id' overruns the file")
+      id match {
+        case "fmt " =>
+          require(size >= 16 && le16(pos + 8) == 1 && le16(pos + 10) == 1 &&
+              le16(pos + 22) == 16,
+            s"doc ${doc.doc_id}: need PCM 16-bit mono")
+          rate = le32(pos + 12)
+        case "data" =>
+          require(size % 2 == 0, s"doc ${doc.doc_id}: odd data size $size")
+          dataAt = pos + 8
+          dataLen = size
+        case _ => // unknown chunk: skip
+      }
+      pos += 8 + size + (size & 1) // RIFF pads odd chunks to even
+    }
+    require(rate > 0 && dataAt >= 0,
+      s"doc ${doc.doc_id}: missing fmt or data chunk")
+    var sum = 0L
+    var i = dataAt
+    while (i < dataAt + dataLen) {
+      sum += math.abs(le16(i).toShort.toLong)
+      i += 2
+    }
+    AudioFeatures(doc.doc_id, rate, dataLen / 2L, b.length.toLong, sum)
+  }
+
+  /** Batched partition-local audio feature extraction. */
+  def extractAudioFeatures(
+      spark: SparkSession,
+      media: Dataset[MediaDoc],
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(decodeWav)
+      }
+    }
+  }
 }

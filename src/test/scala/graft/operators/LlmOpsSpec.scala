@@ -141,6 +141,40 @@ class LlmOpsSpec extends SparkSpec {
         "P6\n2 2\n255\nshort".getBytes, "", 0L)) // truncated raster
   }
 
+  test("multimodal: WAV decoder round-trips, walks unknown chunks, rejects garbage") {
+    val text = "hello world, a decodable doc" // 28 bytes
+    val doc = Multimodal.encodeWav(7L, text)
+    val f = Multimodal.decodeWav(doc)
+    f.sample_rate shouldBe 8000
+    f.n_samples shouldBe (28 % 50 + 10).toLong // 38
+    f.byte_len shouldBe (44 + 2 * 38).toLong
+    val bytes = text.getBytes("UTF-8")
+    f.amp_checksum shouldBe (0 until 38)
+      .map(i => math.abs(((bytes(i % 28) & 0xff) - 128) * 128).toLong).sum
+    // real-file robustness: an unknown LIST chunk (odd size → padded)
+    // between fmt and data must be skipped, not fatal
+    val base = doc.media
+    val extra = java.nio.ByteBuffer.allocate(base.length + 8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(base, 0, 36) // RIFF..fmt chunk (12 + 8 + 16)
+    extra.put("LIST".getBytes("US-ASCII")).putInt(5)
+    extra.put("INFOx".getBytes("US-ASCII")).put(0.toByte) // 5 bytes + pad
+    extra.put(base, 36, base.length - 36) // data chunk
+    val padded = extra.array()
+    // patch the RIFF size field for the inserted 14 bytes
+    val riffSize = padded.length - 8
+    (0 until 4).foreach(i => padded(4 + i) = ((riffSize >> (8 * i)) & 0xff).toByte)
+    val g = Multimodal.decodeWav(Multimodal.MediaDoc(8L, padded, "", 0L))
+    g.amp_checksum shouldBe f.amp_checksum
+    g.n_samples shouldBe f.n_samples
+    // garbage and truncation throw instead of fabricating
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeWav(Multimodal.MediaDoc(9L, "ID3....whatever".getBytes, "", 0L))
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeWav(Multimodal.MediaDoc(10L,
+        doc.media.take(50), "", 0L)) // data chunk overruns
+  }
+
   test("unigram surprisal: micro-nat quantization, hand-checked values") {
     // tokens: a×2, b×2, total 4 → p = 0.5 each → -ln(0.5)·1e6 = 693147
     val corpus = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
