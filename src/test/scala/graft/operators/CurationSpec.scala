@@ -298,6 +298,20 @@ class CurationSpec extends SparkSpec {
     // re-rank inside probed cells must not fall below the q59 floor's
     // neighborhood — the composition can't be worse than its gate
     recall should be >= 0.2
+    // the production form: Lloyd-trained centroids + trained codebooks
+    // through the same composition — training must not hurt (both
+    // trainings are deterministic, so this is a fixed comparison)
+    val sample = corpus.select(col("id"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2).toSeq
+    val trainedCents = Similarity.lloydStepDeterministic(corpus, seeds)
+    val trainedCbs = Similarity.pqTrain(sample, seeds.map(_._2), m = 8, iters = 10)
+    val outT = Similarity.ivfPqTopK(queries, corpus, trainedCents, trainedCbs,
+      nprobe = 4, shortlist = 20, k = 5)
+    val recallT = outT.select(col("qid"), col("id"))
+      .join(exact, Seq("qid", "id")).count().toDouble / (nq * 5)
+    info(s"ivfpq trained recall@5 = $recallT")
+    recallT should be >= recall
   }
 
   test("semDedup: drops within-cell near-dups keep-first; cross-cell pairs are never compared") {
