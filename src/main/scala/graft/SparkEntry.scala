@@ -1672,6 +1672,38 @@ object SparkEntry {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Corpus-overlap estimation from sketches (q78): per-language
+    * bottom-128 KMV sketches of word-hash sets, pairwise sketch
+    * Jaccard (pure array algebra over two 128-long arrays — the
+    * corpora are never compared directly), with the exact Jaccard
+    * alongside so the estimate is auditable. */
+  private def corpusOverlapQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val k = 128
+    val w = Tables.documents(s, dir)
+      .select(col("lang"), explode(TextDedup.normWordSet(col("text"))).as("word"))
+      .select(col("lang"), TextDedup.md5Hash60(col("word")).as("h"))
+      .distinct()
+    val sk = w.groupBy(col("lang"))
+      .agg(call_function("graft_kmv", col("h"), lit(k)).as("kmv"),
+        count(lit(1)).as("n"))
+    val pairs = sk.select(col("lang").as("lang_a"), col("kmv").as("ka"), col("n").as("na"))
+      .join(sk.select(col("lang").as("lang_b"), col("kmv").as("kb"), col("n").as("nb")),
+        col("lang_a") < col("lang_b"))
+    val inter = w.select(col("lang").as("lang_a"), col("h"))
+      .join(w.select(col("lang").as("lang_b"), col("h")), Seq("h"))
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("ni"))
+    pairs.join(inter, Seq("lang_a", "lang_b"), "left")
+      .select(col("lang_a"), col("lang_b"),
+        TextDedup.sketchJaccard(col("ka"), col("kb"), k).as("sketch_jaccard"),
+        round(coalesce(col("ni"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("ni"), lit(0L))).cast("double"), 6)
+          .as("exact_jaccard"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
   /** BPE merge candidates: corpus-wide adjacent-character-pair counts
     * weighted by word frequency — the argmax is the pair a BPE trainer
     * merges next. The corpus collapses to its Zipf-bounded vocabulary
@@ -1864,7 +1896,8 @@ object SparkEntry {
     "q74_exact_sample" -> (exactSampleQuery _),
     "q75_sequence_packing" -> (packSequencesQuery _),
     "q76_hybrid_search_3way" -> (hybridSearch3Query _),
-    "q77_multimodal_audio" -> (multimodalAudio _))
+    "q77_multimodal_audio" -> (multimodalAudio _),
+    "q78_corpus_overlap" -> (corpusOverlapQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1955,7 +1988,7 @@ object SparkEntry {
     "q68_hybrid_search", "q69_decontaminate", "q70_ivf_pq_ann",
     "q71_bloom_sharded_dedup", "q72_bm25_topk", "q73_semantic_dedup",
     "q74_exact_sample", "q75_sequence_packing", "q76_hybrid_search_3way",
-    "q77_multimodal_audio")
+    "q77_multimodal_audio", "q78_corpus_overlap")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3223,5 +3256,38 @@ object SparkEntry {
                                ELSE ord(substr(text, CAST(i % len AS INTEGER) + 1, 1))
                                END - 128) * 128)))
                      AS BIGINT) AS amp_checksum
-         FROM m ORDER BY doc_id""")
+         FROM m ORDER BY doc_id""",
+    // Bottom-k sketch Jaccard: |U_k ∩ A ∩ B| / |U_k| over per-lang KMV
+    // sketches (q44's bottom-k form), exact Jaccard alongside.
+    "q78_corpus_overlap" ->
+      """WITH w AS (SELECT DISTINCT lang,
+                           ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+                    FROM (SELECT lang,
+                                 unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+                          FROM documents) t),
+         r AS (SELECT lang, h,
+                      row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+               FROM w),
+         sk AS (SELECT lang, list(h ORDER BY h) AS kmv FROM r
+                WHERE rn <= 128 GROUP BY lang),
+         sz AS (SELECT lang, COUNT(*) AS n FROM w GROUP BY lang),
+         pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                       a.kmv AS ka, b.kmv AS kb
+                FROM sk a JOIN sk b ON a.lang < b.lang),
+         ex AS (SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS ni
+                FROM w a JOIN w b ON a.h = b.h AND a.lang < b.lang
+                GROUP BY 1, 2),
+         est AS (SELECT lang_a, lang_b,
+                        list_sort(list_distinct(ka || kb))[1:128] AS u, ka, kb
+                 FROM pr)
+         SELECT e.lang_a, e.lang_b,
+                round(CAST(len(list_intersect(list_intersect(e.u, e.ka), e.kb)) AS DOUBLE) /
+                      CAST(len(e.u) AS DOUBLE), 6) AS sketch_jaccard,
+                round(CAST(COALESCE(x.ni, 0) AS DOUBLE) /
+                      CAST(sa.n + sb.n - COALESCE(x.ni, 0) AS DOUBLE), 6) AS exact_jaccard
+         FROM est e
+         JOIN sz sa ON sa.lang = e.lang_a
+         JOIN sz sb ON sb.lang = e.lang_b
+         LEFT JOIN ex x ON x.lang_a = e.lang_a AND x.lang_b = e.lang_b
+         ORDER BY e.lang_a, e.lang_b""")
 }

@@ -312,6 +312,21 @@ object TextDedup {
     size(array_intersect(aWords, bWords)).cast(DoubleType) /
       size(array_union(aWords, bWords)).cast(DoubleType)
 
+  /** Bottom-k sketch Jaccard — corpus overlap WITHOUT touching the
+    * corpora: given two `graft_kmv` sketches (sorted bottom-k distinct
+    * hashes), the textbook estimator
+    * `|U_k ∩ A ∩ B| / |U_k|`, where `U_k` is the bottom-k of the
+    * sketch union. Deterministic (a pure function of the two sketches,
+    * no RNG), standard error ~1/sqrt(k), and pure codegen'd array
+    * algebra — so two 100 TB corpora compare via two k-long arrays.
+    * Empty-vs-empty is undefined (null); callers sketch non-empty
+    * corpora. */
+  def sketchJaccard(a: Column, b: Column, k: Int): Column = {
+    val u = slice(array_sort(array_union(a, b)), 1, k)
+    val inter = array_intersect(array_intersect(u, a), b)
+    round(size(inter).cast(DoubleType) / size(u).cast(DoubleType), 6)
+  }
+
   /** End-to-end near-dup dedup: the full curation pipeline as ONE
     * dataset operator. Stages, in the order that survives 100 TB:
     *  1. exact dedup (one 8-byte-hash shuffle) so byte-identical

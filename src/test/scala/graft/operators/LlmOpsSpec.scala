@@ -286,6 +286,36 @@ class LlmOpsSpec extends SparkSpec {
       .select($"qid", $"id", $"bm25_micro").as[(Long, Long, Long)]
       .collect().map(r => (r._1, r._2) -> r._3).toMap
     scores((1L, 200L)) should be > scores((2L, 200L))
+    // plan shape: no cartesian product, and the only nested-loop join
+    // is the one-row N/avgdl stats broadcast
+    val plan = HybridSearch.bm25TopK(q2, c2, 5)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    ("BroadcastNestedLoopJoin".r.findAllIn(plan).size) should be <= 1
+  }
+
+  test("sketchJaccard: exact on identical/disjoint sketches, close on real overlap") {
+    def kmvOf(hs: Seq[Long], k: Int = 128) = {
+      hs.toDF("h")
+        .agg(call_function("graft_kmv", $"h", lit(k)).as("kmv"))
+        .withColumn("other", $"kmv")
+    }
+    def est(a: Seq[Long], b: Seq[Long], k: Int = 128): Double = {
+      val df = kmvOf(a).select($"kmv".as("ka"))
+        .crossJoin(kmvOf(b).select($"kmv".as("kb")))
+      df.select(TextDedup.sketchJaccard($"ka", $"kb", k)).as[Double].head()
+    }
+    // KMV needs UNIFORM hashes (i*C is monotone — its bottom-k would
+    // all come from small i); mix() is the murmur finalizer the Bloom
+    // sketch uses
+    def hs(r: Range): Seq[Long] = r.map(i => graft.functions.BloomUtil.mix(i.toLong))
+    val xs = hs(1 to 1000)
+    est(xs, xs) shouldBe 1.0
+    est(xs, hs(5000 to 6000)) shouldBe 0.0
+    // A = 1..1000, B = 501..1500 → |A∩B|=500, |A∪B|=1500 → true J=1/3;
+    // k=128 lands within the ~1/sqrt(k) ≈ 0.09 textbook band
+    // (deterministic fixture)
+    est(xs, hs(501 to 1500)) should be (1.0 / 3 +- 0.09)
   }
 
   test("BPE pair counts weight character pairs by word frequency") {
