@@ -244,7 +244,7 @@ final class FlowPipeline(
         .withColumn("continued_from",
           when(m("cont_m"), continuedFrom(col("cont_type")))
             .otherwise(col("continued_from")))
-      val outCols = meta.columns.map(col)
+      val outCols = meta.columns.toIndexedSeq.map(col)
       metaT.writeDays(
         updated
           .filter(col("export_date").cast("string").isin(affected: _*))
@@ -274,7 +274,7 @@ final class FlowPipeline(
       val updated = joined.withColumn("uid",
         when(coalesce(col("fold_m"), lit(false)), col("upd_uid"))
           .otherwise(col("uid")))
-      val outCols = exp.columns.map(col)
+      val outCols = exp.columns.toIndexedSeq.map(col)
       expT.writeDays(
         updated
           .filter(col("export_date").cast("string").isin(affected: _*))

@@ -23,7 +23,7 @@ object SkewJoin {
       keys: Seq[String],
       salt: Int): DataFrame = {
     val l = probe.withColumn("_salt",
-      pmod(xxhash64(struct(probe.columns.map(col): _*)), lit(salt)))
+      pmod(xxhash64(struct(probe.columns.toIndexedSeq.map(col): _*)), lit(salt)))
     val r = build
       .withColumn("_salt", explode(sequence(lit(0L), lit(salt - 1L))))
     l.join(r, keys :+ "_salt").drop("_salt")

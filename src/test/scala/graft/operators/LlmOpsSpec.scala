@@ -295,11 +295,9 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("sketchJaccard: exact on identical/disjoint sketches, close on real overlap") {
-    def kmvOf(hs: Seq[Long], k: Int = 128) = {
+    def kmvOf(hs: Seq[Long], k: Int = 128) =
       hs.toDF("h")
         .agg(call_function("graft_kmv", $"h", lit(k)).as("kmv"))
-        .withColumn("other", $"kmv")
-    }
     def est(a: Seq[Long], b: Seq[Long], k: Int = 128): Double = {
       val df = kmvOf(a).select($"kmv".as("ka"))
         .crossJoin(kmvOf(b).select($"kmv".as("kb")))
