@@ -46,7 +46,7 @@ object GraftExtensions {
     (
       new FunctionIdentifier("graft_bloom"),
       new ExpressionInfo(classOf[BloomFilterAgg].getName, "graft_bloom"),
-      arity("graft_bloom", 3, "graft_bloom(value, expectedItems, fpRate)")(
+      arity("graft_bloom", 3, "graft_bloom(hash, numBits, numHashes)")(
         children => BloomFilterAgg(children(0), children(1), children(2)))),
     (
       new FunctionIdentifier("graft_bloom_contains"),

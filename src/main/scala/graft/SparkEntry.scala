@@ -1261,14 +1261,22 @@ object SparkEntry {
     * cell assignment); each query probes its 4 nearest cells, so the
     * exact-cosine stage touches ~4/16 of the corpus. The collect is
     * the 16-row quantizer, not data. */
-  private def ivfAnn(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Similarity
-    val e = Tables.embeddings(s, dir)
-    val centroids = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+  /** The fixture's shared centroid/codebook seed set (vec_id 20..35)
+    * as id-sorted (id, vec) pairs — one definition for q50/q59/q63/
+    * q70/q73, so the seed range can never silently diverge between
+    * the oracle-gated queries and the spec fixtures. Bounded model
+    * state (16 vectors), not a data collect. */
+  private def seedVectors(e: DataFrame): Seq[(Long, Array[Float])] =
+    e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .toSeq.sortBy(_._1)
+
+  private def ivfAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val centroids = seedVectors(e)
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = e.filter(col("vec_id") >= 20)
@@ -1292,11 +1300,7 @@ object SparkEntry {
   private def ivfLloydRecall(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val e = Tables.embeddings(s, dir)
-    val seeds = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .toSeq.sortBy(_._1)
+    val seeds = seedVectors(e)
     val corpus = e.filter(col("vec_id") >= 20)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val refined = Similarity.lloydStepDeterministic(corpus, seeds)
@@ -1446,6 +1450,38 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared retrieval feeders (q19/q68/q72/q76): docs 0..19 are the
+    * queries, the rest the corpus; tokens are md5-hashed (counts and
+    * set sizes are hash-invariant, the postings shuffle narrows). */
+  private def lexFeeder(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{HybridSearch, TextDedup}
+    import org.apache.spark.sql.Column
+    val docs = Tables.documents(s, dir)
+    def ws(c: Column): Column =
+      transform(TextDedup.normWordSet(c), w => TextDedup.md5Hash60(w))
+    HybridSearch.lexicalTopK(
+      docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), ws(col("text")).as("qws")),
+      docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id").as("id"), ws(col("text")).as("ws")),
+      k = 20)
+  }
+
+  private def bm25Feeder(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{HybridSearch, TextDedup}
+    import org.apache.spark.sql.Column
+    val docs = Tables.documents(s, dir)
+    def toks(c: Column): Column = transform(
+      filter(split(TextDedup.norm(c), " "), w => w =!= ""),
+      w => TextDedup.md5Hash60(w))
+    HybridSearch.bm25TopK(
+      docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), toks(col("text")).as("qtoks")),
+      docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id").as("id"), toks(col("text")).as("toks")),
+      k = 20)
+  }
+
   /** Inverted-index lexical retrieval (q19): per-query top-20 corpus
     * docs by word-set Jaccard WITHOUT a query×corpus scan — corpus
     * explodes once to (token, doc) postings, query tokens join the
@@ -1454,20 +1490,8 @@ object SparkEntry {
     * for the scan-form lexical feeder (identical ranked output on any
     * corpus where each query has ≥ 20 positive-Jaccard matches —
     * trivially true on the fixtures, min 479). */
-  private def lexicalInvertedTopK(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{HybridSearch, TextDedup}
-    import org.apache.spark.sql.Column
-    val docs = Tables.documents(s, dir)
-    def ws(c: Column): Column =
-      transform(TextDedup.normWordSet(c), w => TextDedup.md5Hash60(w))
-    HybridSearch.lexicalTopK(
-        docs.filter(col("doc_id") < 20)
-          .select(col("doc_id").as("qid"), ws(col("text")).as("qws")),
-        docs.filter(col("doc_id") >= 20)
-          .select(col("doc_id").as("id"), ws(col("text")).as("ws")),
-        k = 20)
-      .orderBy(col("qid"), col("r"))
-  }
+  private def lexicalInvertedTopK(s: SparkSession, dir: String): DataFrame =
+    lexFeeder(s, dir).orderBy(col("qid"), col("r"))
 
   /** BM25 retrieval (q72): the inverted-index postings carry term
     * frequencies and document lengths; scores quantize per matched
@@ -1475,21 +1499,8 @@ object SparkEntry {
     * q67 discipline), so the DuckDB oracle matches bit-for-bit. Hashed
     * tokens keep the postings shuffle narrow — tf/df/dl are invariant
     * under the hash. */
-  private def bm25TopKQuery(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{HybridSearch, TextDedup}
-    import org.apache.spark.sql.Column
-    val docs = Tables.documents(s, dir)
-    def toks(c: Column): Column = transform(
-      filter(split(TextDedup.norm(c), " "), w => w =!= ""),
-      w => TextDedup.md5Hash60(w))
-    HybridSearch.bm25TopK(
-        docs.filter(col("doc_id") < 20)
-          .select(col("doc_id").as("qid"), toks(col("text")).as("qtoks")),
-        docs.filter(col("doc_id") >= 20)
-          .select(col("doc_id").as("id"), toks(col("text")).as("toks")),
-        k = 20)
-      .orderBy(col("qid"), col("r"))
-  }
+  private def bm25TopKQuery(s: SparkSession, dir: String): DataFrame =
+    bm25Feeder(s, dir).orderBy(col("qid"), col("r"))
 
   /** Hybrid retrieval (q68): lexical Jaccard top-20 (via the q19
     * inverted-index feeder — no query×corpus scan) and cosine top-20
@@ -1498,18 +1509,8 @@ object SparkEntry {
     * top-10 through the bounded graft_topk heap. Queries are docs
     * 0..19 (text + aligned embedding); corpus is the rest. */
   private def hybridSearchQuery(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{HybridSearch, Similarity, TextDedup}
-    import org.apache.spark.sql.Column
-    val docs = Tables.documents(s, dir)
-    def ws(c: Column): Column =
-      transform(TextDedup.normWordSet(c), w => TextDedup.md5Hash60(w))
-    val lex = HybridSearch.lexicalTopK(
-        docs.filter(col("doc_id") < 20)
-          .select(col("doc_id").as("qid"), ws(col("text")).as("qws")),
-        docs.filter(col("doc_id") >= 20)
-          .select(col("doc_id").as("id"), ws(col("text")).as("ws")),
-        k = 20)
-      .select(col("qid"), col("id"), col("r"))
+    import graft.operators.{HybridSearch, Similarity}
+    val lex = lexFeeder(s, dir).select(col("qid"), col("id"), col("r"))
     val e = Tables.embeddings(s, dir)
     val vec = Similarity.bruteForceTopK(
         e.filter(col("vec_id") < 20)
@@ -1528,28 +1529,9 @@ object SparkEntry {
     * feeder scale-shaped. rrfFuse is retriever-count-agnostic, so the
     * only new code here is composition. */
   private def hybridSearch3Query(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{HybridSearch, Similarity, TextDedup}
-    import org.apache.spark.sql.Column
-    val docs = Tables.documents(s, dir)
-    def ws(c: Column): Column =
-      transform(TextDedup.normWordSet(c), w => TextDedup.md5Hash60(w))
-    def toks(c: Column): Column = transform(
-      filter(split(TextDedup.norm(c), " "), w => w =!= ""),
-      w => TextDedup.md5Hash60(w))
-    val lex = HybridSearch.lexicalTopK(
-        docs.filter(col("doc_id") < 20)
-          .select(col("doc_id").as("qid"), ws(col("text")).as("qws")),
-        docs.filter(col("doc_id") >= 20)
-          .select(col("doc_id").as("id"), ws(col("text")).as("ws")),
-        k = 20)
-      .select(col("qid"), col("id"), col("r"))
-    val bm = HybridSearch.bm25TopK(
-        docs.filter(col("doc_id") < 20)
-          .select(col("doc_id").as("qid"), toks(col("text")).as("qtoks")),
-        docs.filter(col("doc_id") >= 20)
-          .select(col("doc_id").as("id"), toks(col("text")).as("toks")),
-        k = 20)
-      .select(col("qid"), col("id"), col("r"))
+    import graft.operators.{HybridSearch, Similarity}
+    val lex = lexFeeder(s, dir).select(col("qid"), col("id"), col("r"))
+    val bm = bm25Feeder(s, dir).select(col("qid"), col("id"), col("r"))
     val e = Tables.embeddings(s, dir)
     val vec = Similarity.bruteForceTopK(
         e.filter(col("vec_id") < 20)
@@ -1594,12 +1576,7 @@ object SparkEntry {
   private def pqAnn(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val e = Tables.embeddings(s, dir)
-    val seeds = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).map(_._2).toSeq
-    val cbs = Similarity.pqCodebooks(seeds, m = 8)
+    val cbs = Similarity.pqCodebooks(seedVectors(e).map(_._2), m = 8)
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = e.filter(col("vec_id") >= 20)
@@ -1617,11 +1594,7 @@ object SparkEntry {
   private def ivfPqAnn(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val e = Tables.embeddings(s, dir)
-    val seeds = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .toSeq.sortBy(_._1)
+    val seeds = seedVectors(e)
     val cbs = Similarity.pqCodebooks(seeds.map(_._2), m = 8)
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -1640,11 +1613,7 @@ object SparkEntry {
   private def semDedupQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
     val e = Tables.embeddings(s, dir)
-    val seeds = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .toSeq.sortBy(_._1)
+    val seeds = seedVectors(e)
     val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
     Similarity.semDedup(corpus, seeds, minCos = 0.4)
       .select(col("id").as("vec_id"))
@@ -2974,13 +2943,19 @@ object SparkEntry {
          cw AS (SELECT doc_id AS id,
                        list_distinct(string_split(lower(trim(text)), ' ')) AS ws
                 FROM documents WHERE doc_id >= 20),
+         -- ov > 0 mirrors the inverted-index feeder's retrieval
+         -- contract: a doc sharing no token is not a result (identical
+         -- output on the fixture, where every query has hundreds of
+         -- positive matches; divergence-proof off-fixture)
          lex AS (SELECT qid, id,
                         row_number() OVER (PARTITION BY qid
                           ORDER BY jac DESC, id) AS r
                  FROM (SELECT q.qid, c.id,
+                              len(list_intersect(q.ws, c.ws)) AS ov,
                               round(CAST(len(list_intersect(q.ws, c.ws)) AS DOUBLE) /
                                     CAST(len(list_distinct(q.ws || c.ws)) AS DOUBLE), 6) AS jac
-                       FROM qw q CROSS JOIN cw c) t),
+                       FROM qw q CROSS JOIN cw c) t
+                 WHERE ov > 0),
          lexp AS (SELECT qid, id, 1000000 // (60 + r) AS pts FROM lex WHERE r <= 20),
          q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
          c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 20),
@@ -3149,11 +3124,12 @@ object SparkEntry {
          SELECT id AS vec_id FROM c
          WHERE id NOT IN (SELECT id FROM losers)
          ORDER BY vec_id""",
-    // Bottom-100-by-hash = exact-size uniform sample (q51's hash, with
-    // an ORDER/LIMIT oracle; the engine side uses the bounded heap).
+    // Bottom-100-by-hash = exact-size uniform sample (13 hex chars =
+    // 52 bits, exactly representable in the heap's DOUBLE score; an
+    // ORDER/LIMIT oracle — the engine side uses the bounded heap).
     "q74_exact_sample" ->
       """WITH h AS (SELECT doc_id,
-                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS hh
                     FROM documents),
          p AS (SELECT doc_id FROM h ORDER BY hh, doc_id LIMIT 100)
          SELECT d.doc_id, d.lang, d.source

@@ -175,11 +175,17 @@ object Curation {
     * exchange partition ships at most n (hash, id) entries, so there
     * is never a global sort of the corpus (the `ORDER BY hash LIMIT n`
     * form sorts everything). Negated hash because the heap keeps
-    * score-DESC; ids ride as payload. Returns the sampled ids joined
-    * back to the input rows. */
+    * score-DESC; ids ride as payload. The hash is 52-BIT (13 md5 hex
+    * chars), not the usual 60: the heap's score is a DOUBLE, and a
+    * 52-bit integer is exactly representable where a 60-bit one loses
+    * its low ~7 bits — a loss that could re-order the bottom-n
+    * boundary vs an exact-integer oracle at corpus scale. Returns the
+    * sampled ids joined back to the input rows. */
   def exactSample(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    val h52 = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast(LongType)
     val picked = df
-      .select(md5Hash60(col(idCol).cast("string")).as("_h"), col(idCol))
+      .select(h52.as("_h"), col(idCol))
       .agg(call_function("graft_topk",
         -col("_h").cast("double"), col(idCol).cast(LongType), lit(n)).as("tk"))
       .select(explode(col("tk").getField("id")).as(idCol))

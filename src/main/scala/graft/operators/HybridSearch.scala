@@ -109,12 +109,15 @@ object HybridSearch {
     * and the oracle mirrors the arithmetic with identical
     * parenthesization. (Same accepted cross-libm `ln` caveat as q67.)
     *
-    * Scale shape: one corpus pass builds tf postings (the only
-    * corpus-sized shuffle, keyed (doc, token)); document frequencies
-    * aggregate token-keyed into a Zipf-bounded relation; N/avgdl are a
-    * one-row broadcast; query terms join the postings; the per-pair
-    * integer sum combines map-side and the per-query top-k is the
-    * bounded `graft_topk` heap.
+    * Scale shape: ONE corpus pass builds tf postings (the (doc, token)
+    * aggregation shuffle); document frequencies come from a window
+    * count over those postings keyed by token — a second exchange of
+    * the already-aggregated postings, NOT a second corpus scan (a
+    * dfreq self-join would re-execute the corpus explode+aggregate:
+    * Catalyst does not dedupe repeated subplans without persist).
+    * N/avgdl are a one-row broadcast; query terms join the postings;
+    * the per-pair integer sum combines map-side and the per-query
+    * top-k is the bounded `graft_topk` heap.
     *
     * Inputs: `queries` = (qid, qtoks ARRAY — duplicates ignored, query
     * tf is 1 per the standard short-query simplification), `corpus` =
@@ -130,7 +133,10 @@ object HybridSearch {
       .select(col("id"), size(col("toks")).as("dl"), explode(col("toks")).as("tok"))
       .groupBy(col("id"), col("tok"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // df from a window, not a dfreq self-join: the postings plan
+      // executes ONCE (see docstring)
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
     val stats = corpus.agg(
       count(lit(1)).as("n_docs"),
       avg(size(col("toks")).cast(DoubleType)).as("avgdl"))
@@ -141,7 +147,6 @@ object HybridSearch {
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
     val contrib = round(idf * tfp * lit(1e6), 0).cast(LongType)
     post.join(qt, Seq("tok"))
-      .join(dfreq, Seq("tok"))
       .crossJoin(broadcast(stats)) // one row: corpus-level N and avgdl
       .select(col("qid"), col("id"), contrib.as("c_micro"))
       .groupBy(col("qid"), col("id"))

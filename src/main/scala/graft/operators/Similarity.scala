@@ -455,11 +455,15 @@ object Similarity {
     }: _*)
     val centDf = centroids.toDF("cid", "cvec")
     val wp = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("cid"))
+    // probes carry only (qid, cell); the m×K ADC table rides a separate
+    // one-row-per-query broadcast — joined by qid AFTER the cell join,
+    // so it is shipped once per query, not duplicated nprobe times
     val probes = queries.crossJoin(broadcast(centDf))
       .select(col("qid"), col("qvec"), col("cid"),
         round(cosine(col("qvec"), col("cvec")), 6).as("c"))
       .withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
-      .select(col("qid"), qtab.as("qtab"), col("cid").as("cell"))
+      .select(col("qid"), col("cid").as("cell"))
+    val qtabs = queries.select(col("qid"), qtab.as("qtab"))
     val index = pqEncode(ivfAssign(corpus, "vec", centroids), "vec", codebooks)
       .select(col("id"), col("cell"), col("code"))
       .repartition(col("id"))
@@ -469,6 +473,7 @@ object Similarity {
     }.reduce(_ + _)
     val cands = index.join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("id"))
+      .join(broadcast(qtabs), Seq("qid"))
       .select(col("qid"), col("id"), round(adist, 6).as("adist"))
       .groupBy(col("qid"))
       .agg(call_function("graft_topk",
@@ -481,9 +486,18 @@ object Similarity {
     * et al. 2023, arXiv:2303.09540): embeddings are clustered (the
     * IVF map-only cell assignment — plan-time literal centroids, no
     * shuffle), pairwise cosine runs ONLY within a cell, and a document
-    * is dropped when a LOWER-id document in its cell scores
-    * ≥ `minCos` — greedy keep-first, the paper's policy with id as the
-    * deterministic order. Exact text dedup can't catch paraphrases and
+    * is dropped when ANY lower-id document in its cell scores
+    * ≥ `minCos` — the pairwise lower-id rule, with id as the
+    * deterministic order. Note this is NOT sequential greedy
+    * keep-first (keep iff no KEPT doc is similar): on a similarity
+    * CHAIN a–b–c where only adjacent pairs clear the threshold, this
+    * rule drops both b and c while greedy would keep c. That is the
+    * deliberate one-pass tradeoff — greedy's keep-set is inherently
+    * sequential per cell, while this rule is a single self-join, and
+    * near-threshold chains are rare at the tight thresholds semantic
+    * dedup runs at (callers who need group-per-component semantics
+    * compose [[TextDedup.connectedComponents]] over the gated pairs,
+    * the q57 shape). Exact text dedup can't catch paraphrases and
     * template rewordings; this is the embedding-space analog the big
     * curation pipelines run after exact + MinHash.
     *

@@ -314,7 +314,7 @@ class CurationSpec extends SparkSpec {
     recallT should be >= recall
   }
 
-  test("semDedup: drops within-cell near-dups keep-first; cross-cell pairs are never compared") {
+  test("semDedup: drops docs with a similar lower-id cell-mate; cross-cell pairs are never compared") {
     import spark.implicits._
     // two well-separated centroids on orthogonal axes
     val cents = Seq(
@@ -330,7 +330,7 @@ class CurationSpec extends SparkSpec {
     val kept = Similarity.semDedup(corpus, cents, minCos = 0.95)
       .select($"id").as[Long].collect().toSet
     kept shouldBe Set(10L, 12L, 20L)
-    // keep-first is by id: the LOWEST id in a dup group survives
+    // the LOWEST id in each pairwise dup group survives
     // cross-cell near-dups are invisible by design (cluster-then-compare):
     // an exact copy of doc 10 assigned to cell 1 by construction can't
     // exist, but a borderline vector equidistant-ish lands in ONE cell
