@@ -1673,6 +1673,24 @@ object SparkEntry {
       .orderBy(col("lang_a"), col("lang_b"))
   }
 
+  /** SQ8 scalar-quantized ANN (q79): per-dimension max-|v| scales
+    * trained on the corpus side in one aggregate pass, symmetric int8
+    * encode (floor(x+0.5) rounding — engine-identical, unlike round),
+    * ranking by EXACT integer code dot product — the cheap point on
+    * the quantization curve before PQ (q63). Top-5 per query off the
+    * bounded heap. */
+  private def sqAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val scales = Similarity.sqTrain(corpus, "vec", dims = 64)
+    Similarity.sqTopK(queries, corpus, scales, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** BPE merge candidates: corpus-wide adjacent-character-pair counts
     * weighted by word frequency — the argmax is the pair a BPE trainer
     * merges next. The corpus collapses to its Zipf-bounded vocabulary
@@ -1866,7 +1884,8 @@ object SparkEntry {
     "q75_sequence_packing" -> (packSequencesQuery _),
     "q76_hybrid_search_3way" -> (hybridSearch3Query _),
     "q77_multimodal_audio" -> (multimodalAudio _),
-    "q78_corpus_overlap" -> (corpusOverlapQuery _))
+    "q78_corpus_overlap" -> (corpusOverlapQuery _),
+    "q79_sq_ann" -> (sqAnn _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1957,7 +1976,7 @@ object SparkEntry {
     "q68_hybrid_search", "q69_decontaminate", "q70_ivf_pq_ann",
     "q71_bloom_sharded_dedup", "q72_bm25_topk", "q73_semantic_dedup",
     "q74_exact_sample", "q75_sequence_packing", "q76_hybrid_search_3way",
-    "q77_multimodal_audio", "q78_corpus_overlap")
+    "q77_multimodal_audio", "q78_corpus_overlap", "q79_sq_ann")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3265,5 +3284,35 @@ object SparkEntry {
          JOIN sz sa ON sa.lang = e.lang_a
          JOIN sz sb ON sb.lang = e.lang_b
          LEFT JOIN ex x ON x.lang_a = e.lang_a AND x.lang_b = e.lang_b
-         ORDER BY e.lang_a, e.lang_b""")
+         ORDER BY e.lang_a, e.lang_b""",
+    // SQ8: per-dim max-|v| scales from the corpus side, symmetric int8
+    // encode with floor(x+0.5) (round() halves differ across engines;
+    // floor is IEEE-identical), then EXACT integer dot ranking — no
+    // rounding tolerance anywhere in this oracle.
+    "q79_sq_ann" ->
+      """WITH dims AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS i),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 20),
+         q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         sc AS (SELECT i, max(abs(CAST(vec[i + 1] AS DOUBLE))) AS s
+                FROM c, dims GROUP BY i),
+         ce AS (SELECT id, sc.i,
+                       CASE WHEN s <= 0 THEN 0
+                            ELSE CAST(greatest(-127, least(127,
+                              floor(CAST(vec[sc.i + 1] AS DOUBLE) / s * 127 + 0.5))) AS BIGINT)
+                       END AS code
+                FROM c, sc),
+         qe AS (SELECT qid, sc.i,
+                       CASE WHEN s <= 0 THEN 0
+                            ELSE CAST(greatest(-127, least(127,
+                              floor(CAST(qvec[sc.i + 1] AS DOUBLE) / s * 127 + 0.5))) AS BIGINT)
+                       END AS code
+                FROM q, sc),
+         d AS (SELECT qid, id, CAST(SUM(qe.code * ce.code) AS BIGINT) AS idot
+               FROM qe JOIN ce ON qe.i = ce.i AND qe.qid <> ce.id
+               GROUP BY qid, id)
+         SELECT qid, CAST(rank AS BIGINT) AS rank, id, idot FROM (
+           SELECT qid, id, idot,
+                  row_number() OVER (PARTITION BY qid ORDER BY idot DESC, id) AS rank
+           FROM d) t
+         WHERE rank <= 5 ORDER BY qid, rank""")
 }

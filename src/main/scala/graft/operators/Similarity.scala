@@ -522,6 +522,115 @@ object Similarity {
     corpus.join(losers, Seq("id"), "left_anti")
   }
 
+  // --------------------------------------------------------------------------
+  // Scalar quantization (SQ8)
+
+  /** Per-dimension max-|v| scales for symmetric int8 scalar
+    * quantization, from ONE aggregate pass over the corpus (`dims`
+    * max(abs(·)) aggregates — no explode, no extra shuffle beyond the
+    * aggregate's own partial-merge). Bounded model state exactly like
+    * the IVF centroids / PQ codebooks: `dims` doubles that fold into
+    * the encode plan as literals. Math runs in DOUBLE and `max` over
+    * the same value set is order-independent, so the DuckDB oracle
+    * reproduces the scales bit-for-bit. */
+  def sqTrain(corpus: DataFrame, vecCol: String, dims: Int): Array[Double] = {
+    val aggs = (0 until dims).map(i =>
+      max(abs(element_at(col(vecCol), i + 1).cast(DoubleType))).as(s"s$i"))
+    val row = corpus.agg(aggs.head, aggs.tail: _*).head()
+    (0 until dims).map(i => if (row.isNullAt(i)) 0.0 else row.getDouble(i)).toArray
+  }
+
+  /** Symmetric int8 encode: code_i = clamp(⌊v_i/s_i·127 + 0.5⌋, ±127).
+    * Map-only (the scales are plan-time literals), one codegen'd
+    * Project — the static per-dimension column chain is the same plan
+    * shape as [[pqEncode]]. Rounding is spelled `floor(x + 0.5)`
+    * rather than `round(x)` deliberately: engines disagree on halves
+    * (HALF_UP vs banker's) while `floor` is IEEE-identical everywhere,
+    * and a half-boundary flipping one code by 1 would diverge every
+    * integer dot product downstream. A dimension whose corpus scale
+    * is 0 (all-zero column) encodes as 0. Codes are byte-range values
+    * carried as BIGINT for engine-portable integer algebra; the
+    * at-rest layout of a real index stores them as 1-byte fields
+    * (4× memory cut vs float32 per 4-byte dim, 32× if packed). */
+  def sqEncode(
+      df: DataFrame,
+      vecCol: String,
+      scales: Array[Double],
+      codeCol: String): DataFrame = {
+    val codes = scales.toSeq.zipWithIndex.map { case (s, i) =>
+      if (s <= 0) lit(0L)
+      else greatest(lit(-127L), least(lit(127L),
+        floor(element_at(col(vecCol), i + 1).cast(DoubleType) / lit(s)
+          * lit(127.0) + lit(0.5))))
+    }
+    df.withColumn(codeCol, array(codes: _*))
+  }
+
+  /** Integer dot product of two code arrays: a static chain of `dims`
+    * codegen'd multiply-adds (a zip_with/aggregate lambda here would
+    * run interpreted — the [[pqTopK]] lookup-chain reasoning). Pure
+    * integer algebra: both engines agree EXACTLY, no rounding
+    * tolerance anywhere in the ranking. */
+  def sqDot(a: Column, b: Column, dims: Int): Column =
+    (0 until dims).map { i =>
+      element_at(a, i + 1) * element_at(b, i + 1)
+    }.reduce(_ + _)
+
+  /** SQ8 ANN: queries and corpus quantize with the SAME corpus-trained
+    * scales (symmetric SQ — query clamping to the corpus range is the
+    * standard contract), ranked by integer code dot product. Where PQ
+    * ([[pqTopK]]) buys 32× compression at codebook-train + lookup-table
+    * cost, SQ8 is the cheap point on the quantization curve: training
+    * is `dims` maxes, there are no codebooks, and scoring stays one
+    * tight multiply-add loop — the default first step every production
+    * vector store takes before PQ. Same scale shape as the other ANN
+    * paths: encode is map-only behind its own exchange (codes-only
+    * bytes move), the query side broadcasts, and per-query top-k comes
+    * off the bounded `graft_topk` heap (≤ k rows per partition through
+    * the exchange). Compose with [[ivfTopK]] cell pruning at scale.
+    * Output (qid, rank, id, idot), rank 1-based by (idot DESC, id ASC). */
+  def sqTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (id, vec)
+      scales: Array[Double],
+      k: Int): DataFrame = {
+    val dims = scales.length
+    val q = sqEncode(queries, "qvec", scales, "qcode")
+      .select(col("qid"), col("qcode"))
+    // Same load-bearing exchange as pqTopK: the dims-wide encode
+    // Project keeps its own whole-stage-codegen stage instead of
+    // running interpreted under the nested-loop query join, and the
+    // shuffle moves code bytes, never vectors.
+    val c = sqEncode(corpus, "vec", scales, "code")
+      .select(col("id"), col("code"))
+      .repartition(col("id"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        sqDot(col("qcode"), col("code"), dims).as("idot"))
+    scored.groupBy(col("qid"))
+      .agg(call_function("graft_topk",
+        col("idot").cast(DoubleType), col("id"), lit(k)).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("id"), col("e.ord").cast("long").as("idot"))
+  }
+
+  /** [[sqTopK]] with the standard exact re-rank: the quantized ranking
+    * proposes a `shortlist`-sized candidate set per query, true
+    * squared-L2 runs on just those vectors, and the final top-k is
+    * exact-over-shortlist — the same two-stage contract as
+    * [[pqTopKReranked]]. */
+  def sqTopKReranked(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (id, vec)
+      scales: Array[Double],
+      shortlist: Int,
+      k: Int): DataFrame = {
+    val cands = sqTopK(queries, corpus, scales, shortlist)
+      .select(col("qid").as("cqid"), col("id").as("cid"))
+    rerankL2(queries, corpus, cands, k)
+  }
+
   /** Bucketed ANN: top-k among same-bucket mates only, plus the bucket
     * population (candidate count actually scanned). */
   def lshTopK(

@@ -247,6 +247,54 @@ class CurationSpec extends SparkSpec {
       Similarity.pqCodebooks(seeds, m = 7) // 64 % 7 != 0
   }
 
+  test("SQ8: codes clamp to ±127, zero-scale dims encode 0, ranking tracks exact dot") {
+    val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val scales = Similarity.sqTrain(corpus, "vec", dims = 64)
+    scales.length shouldBe 64
+    all(scales) should be > 0.0
+    // codes live in [-127, 127]; the corpus max-|v| element per dim hits ±127
+    val enc = Similarity.sqEncode(corpus, "vec", scales, "code")
+    val mm = enc.select(explode(col("code")).as("c"))
+      .agg(min(col("c")), max(col("c"))).head()
+    mm.getLong(0) should be >= -127L
+    mm.getLong(1) should be <= 127L
+    mm.getLong(1) shouldBe 127L // some dim's max element must saturate
+    // a zero-scale dimension encodes as literal 0 (no div-by-zero)
+    val z = Similarity.sqEncode(
+      Seq((1L, Array(0.5f, 0.0f))).toDF("id", "vec"), "vec",
+      Array(1.0, 0.0), "code").select(col("code")).head().getSeq[Long](0)
+    z shouldBe Seq(64L, 0L) // floor(63.5+0.5)=64; zero-scale dim → 0
+    // int8 ranking must track the exact float-dot ranking closely
+    val sq = Similarity.sqTopK(queries, corpus, scales, k = 5)
+      .select(col("qid"), col("id"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("fdot").desc, col("id"))
+    val exact = corpus.join(broadcast(queries), col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        round(Similarity.dot(col("qvec"), col("vec")), 6).as("fdot"))
+      .withColumn("rank", row_number().over(wd)).filter(col("rank") <= 5)
+      .select(col("qid"), col("id"))
+    val nq = queries.count()
+    val recall = sq.join(exact, Seq("qid", "id")).count().toDouble / (nq * 5)
+    info(s"sq8 recall@5 vs exact dot = $recall")
+    recall should be >= 0.8 // int8 is a fine quantization of this corpus
+    // re-ranked form: exact-L2-over-shortlist contract, dense ranks
+    val rr = Similarity.sqTopKReranked(queries, corpus, scales,
+      shortlist = 20, k = 5)
+    rr.groupBy(col("qid")).agg(count(lit(1)).as("n")).collect()
+      .foreach(r => r.getLong(1) shouldBe 5L)
+    // determinism: two runs, identical rows
+    val runA = Similarity.sqTopK(queries, corpus, scales, k = 5)
+      .orderBy("qid", "rank").collect()
+    val runB = Similarity.sqTopK(queries, corpus, scales, k = 5)
+      .orderBy("qid", "rank").collect()
+    runA shouldBe runB
+  }
+
   test("IVF×PQ: candidates only from probed cells; recall clears the floor") {
     val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
     val seeds = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
