@@ -1691,6 +1691,140 @@ object SparkEntry {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** C4-style line-level boilerplate removal (q80): the corpus is
+    * given a deterministic line structure (3-word lines — the fixture
+    * has no newlines; the lining transform is mirrored exactly by the
+    * oracle), then every line occurring in ≥ 3 distinct documents is
+    * dropped corpus-wide and documents reassemble from surviving
+    * lines in order. */
+  private def lineDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val ws = split(col("text"), " ")
+    val nc = ceil(size(ws) / lit(3.0)).cast("int")
+    val lined = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), nc - 1),
+            i => array_join(slice(ws, i * 3 + 1, lit(3)), " ")),
+          "\n").as("text"))
+    TextDedup.lineDedup(lined, "doc_id", "text", sep = "\n", minDocs = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Duplicated word-5-gram statistics (q81): per-doc total grams,
+    * grams shared with any other doc, and the exact integer ppm
+    * fraction — the substring-level dup signal that fires when no
+    * full-document near-dup does. */
+  private def dupNgramQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    TextDedup.dupNgramStats(Tables.documents(s, dir), "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Character-distribution entropy (q82): micro-nat quantized Shannon
+    * entropy per doc — the model-free randomness quality signal. */
+  private def charEntropyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Hashed-feature linear quality scorer (q83): feature-hashing
+    * bag-of-words through a deterministic weight function — the
+    * model-based-filter plumbing with a SQL-reproducible stand-in for
+    * trained weights. */
+  private def hashedQualityQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.hashedQualityScore(Tables.documents(s, dir), "doc_id", "text",
+        buckets = 1024)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic training-order shuffle (q84): every doc gets a
+    * (shard, pos) address pseudo-random w.r.t. content but identical
+    * across engines and runs — resumable-epoch ordering. */
+  private def shuffleAssignQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.shuffleAssign(Tables.documents(s, dir), "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Audio frame energies (q85): 8-sample frames at hop 4 over the
+    * decoded PCM — peak frame energy + index, total energy; the
+    * windowing step under VAD/spectrogram featurizers, on the q77
+    * decoder's samples. */
+  private def audioFramesQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.extractAudioFrames(s,
+        Multimodal.attachAudio(s, Tables.documents(s, dir)),
+        frameLen = 8, hop = 4)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact stratified sample (q86): exactly 20 docs per language,
+    * uniform within each, off per-stratum bounded heaps — the
+    * balanced-mixture contract (q51 is rate-approximate, q74 is
+    * global-N). */
+  private def stratifiedSampleQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.exactSampleStratified(Tables.documents(s, dir), "doc_id", "lang",
+        nPerStratum = 20)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram surprisal (q87): mean -ln P(w2|w1) per doc under the
+    * corpus's own MLE bigram model — "common words in a weird order"
+    * vs q67's unigram view. */
+  private def bigramSurprisalQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Filtered ANN (q88): vector search under a metadata predicate —
+    * the corpus PRE-filters (join to the doc relation on the
+    * predicate), so top-k recall over the allowed set is exact by
+    * construction (post-filtering an unfiltered top-k can starve);
+    * then exact cosine ranking over the survivors. The fixture
+    * predicate is lang='en'; at scale the same shape pushes any doc
+    * predicate into the scan before vectors are touched. */
+  private def filteredAnnQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val allowed = Tables.documents(s, dir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .join(allowed, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("id"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** IVF×SQ8 composed ANN (q89): cell pruning + int8 integer-dot
+    * scoring + exact L2 re-rank — FAISS's IVF,SQ8 pairing next to
+    * q70's IVF×PQ. Same seed centroids as q50/q70, same corpus-trained
+    * scales as q79. */
+  private def ivfSqAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val seeds = seedVectors(e)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val scales = Similarity.sqTrain(corpus, "vec", dims = 64)
+    Similarity.ivfSqTopK(queries, corpus, seeds, scales,
+        nprobe = 4, shortlist = 20, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** BPE merge candidates: corpus-wide adjacent-character-pair counts
     * weighted by word frequency — the argmax is the pair a BPE trainer
     * merges next. The corpus collapses to its Zipf-bounded vocabulary
@@ -1885,7 +2019,17 @@ object SparkEntry {
     "q76_hybrid_search_3way" -> (hybridSearch3Query _),
     "q77_multimodal_audio" -> (multimodalAudio _),
     "q78_corpus_overlap" -> (corpusOverlapQuery _),
-    "q79_sq_ann" -> (sqAnn _))
+    "q79_sq_ann" -> (sqAnn _),
+    "q80_line_dedup" -> (lineDedupQuery _),
+    "q81_dup_ngrams" -> (dupNgramQuery _),
+    "q82_char_entropy" -> (charEntropyQuery _),
+    "q83_hashed_quality" -> (hashedQualityQuery _),
+    "q84_shuffle_assign" -> (shuffleAssignQuery _),
+    "q85_audio_frames" -> (audioFramesQuery _),
+    "q86_stratified_sample" -> (stratifiedSampleQuery _),
+    "q87_bigram_surprisal" -> (bigramSurprisalQuery _),
+    "q88_filtered_ann" -> (filteredAnnQuery _),
+    "q89_ivf_sq_ann" -> (ivfSqAnn _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -1976,7 +2120,11 @@ object SparkEntry {
     "q68_hybrid_search", "q69_decontaminate", "q70_ivf_pq_ann",
     "q71_bloom_sharded_dedup", "q72_bm25_topk", "q73_semantic_dedup",
     "q74_exact_sample", "q75_sequence_packing", "q76_hybrid_search_3way",
-    "q77_multimodal_audio", "q78_corpus_overlap", "q79_sq_ann")
+    "q77_multimodal_audio", "q78_corpus_overlap", "q79_sq_ann",
+    "q80_line_dedup", "q81_dup_ngrams", "q82_char_entropy",
+    "q83_hashed_quality", "q84_shuffle_assign", "q85_audio_frames",
+    "q86_stratified_sample", "q87_bigram_surprisal", "q88_filtered_ann",
+    "q89_ivf_sq_ann")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3314,5 +3462,204 @@ object SparkEntry {
            SELECT qid, id, idot,
                   row_number() OVER (PARTITION BY qid ORDER BY idot DESC, id) AS rank
            FROM d) t
+         WHERE rank <= 5 ORDER BY qid, rank""",
+    // C4 line dedup: the same deterministic 3-word lining transform,
+    // boilerplate = line in >= 3 distinct docs, reassembly by pos.
+    // string_agg skips the NULLs the CASE leaves for dropped lines.
+    "q80_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         l AS (SELECT doc_id,
+                      unnest(range(CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS pos,
+                      unnest(list_transform(range(CAST(ceil(len(ws) / 3.0) AS BIGINT)),
+                             i -> array_to_string(ws[CAST(i * 3 + 1 AS BIGINT):CAST(i * 3 + 3 AS BIGINT)], ' '))) AS line
+               FROM w),
+         b AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3)
+         SELECT l.doc_id,
+                count(*) AS n_lines,
+                count(*) FILTER (WHERE b.line IS NULL) AS n_kept,
+                coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+                                    chr(10) ORDER BY l.pos), '') AS text
+         FROM l LEFT JOIN b ON l.line = b.line
+         GROUP BY l.doc_id ORDER BY l.doc_id""",
+    // Duplicated 5-gram stats: gram in >= 2 distinct docs is "dup";
+    // integer ppm via floor division (operands non-negative, so
+    // DuckDB // == Spark div).
+    "q81_dup_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                      unnest(list_transform(range(len(ws) - 4),
+                             i -> array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 5 AS BIGINT)], ' '))) AS gram
+               FROM w WHERE len(ws) >= 5),
+         d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+         SELECT g.doc_id, count(*) AS n_grams, count(d.gram) AS n_dup,
+                count(d.gram) * 1000000 // count(*) AS dup_ppm
+         FROM g LEFT JOIN d USING (gram)
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
+    // Char entropy: same micro-nat contract as q67 — per distinct char
+    // round(-ln(p)*1e6) quantizes BEFORE the weighted sum; floor
+    // division on non-negative integers matches Spark's div.
+    "q82_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+                            unnest(list_transform(range(strlen(text)),
+                                   i -> substr(text, CAST(i AS INTEGER) + 1, 1))) AS c
+                     FROM documents WHERE strlen(text) > 0),
+         cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+         nn AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM cc GROUP BY doc_id),
+         t AS (SELECT cc.doc_id, cnt, n,
+                      CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS term
+               FROM cc JOIN nn USING (doc_id))
+         SELECT doc_id, max(n) AS n_chars, count(*) AS n_distinct,
+                CAST(sum(cnt * term) AS BIGINT) // max(n) AS entropy_micro
+         FROM t GROUP BY doc_id ORDER BY doc_id""",
+    // Hashed linear scorer: same 60-bit md5 bucket, same Knuth
+    // multiplicative weight, all-integer. score may be negative, and
+    // both engines' integer division (Spark div, DuckDB //) TRUNCATES
+    // toward zero, so mean_milli agrees exactly.
+    "q83_hashed_quality" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         f AS (SELECT doc_id,
+                      (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024) * 2654435761 % 2001 - 1000 AS w
+               FROM t WHERE tok <> ''),
+         s AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(w) AS BIGINT) AS score
+               FROM f GROUP BY doc_id)
+         SELECT doc_id, n_tokens, score,
+                (score * 1000) // n_tokens AS mean_milli,
+                score >= 0 AS keep
+         FROM s ORDER BY doc_id""",
+    // Deterministic shuffle: salted 52-bit hash, shard = h % 8, pos =
+    // rank of (h, id) within the shard.
+    "q84_shuffle_assign" ->
+      """WITH h AS (SELECT doc_id,
+                           ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS hh
+                    FROM documents)
+         SELECT doc_id, hh % 8 AS shard,
+                CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+         FROM h ORDER BY shard, pos""",
+    // Audio frames: rebuild the generator's samples from the text
+    // (the q77 contract), then 8-sample frames at hop 4 — ceil(n/4)
+    // frames, ragged tail kept; list_position gives the FIRST index of
+    // the max (ties -> lowest frame, matching the Scala fold).
+    "q85_audio_frames" ->
+      """WITH m AS (SELECT doc_id, text, strlen(text) AS len,
+                           strlen(text) % 50 + 10 AS n
+                    FROM documents),
+         e AS (SELECT doc_id, n,
+                      list_transform(range((n + 3) // 4),
+                        f -> list_sum(list_transform(range(least(8, n - f * 4)),
+                               j -> CAST((CASE WHEN len = 0 THEN 0
+                                          ELSE ord(substr(text, CAST((f * 4 + j) % len AS INTEGER) + 1, 1)) - 128
+                                          END) * 128 AS BIGINT)
+                                    * CAST((CASE WHEN len = 0 THEN 0
+                                            ELSE ord(substr(text, CAST((f * 4 + j) % len AS INTEGER) + 1, 1)) - 128
+                                            END) * 128 AS BIGINT)))) AS en,
+                      list_sum(list_transform(range(n),
+                        i -> CAST((CASE WHEN len = 0 THEN 0
+                                   ELSE ord(substr(text, CAST(i % len AS INTEGER) + 1, 1)) - 128
+                                   END) * 128 AS BIGINT)
+                             * CAST((CASE WHEN len = 0 THEN 0
+                                     ELSE ord(substr(text, CAST(i % len AS INTEGER) + 1, 1)) - 128
+                                     END) * 128 AS BIGINT))) AS tot
+               FROM m)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+                CAST((n + 3) // 4 AS BIGINT) AS n_frames,
+                CAST(list_max(en) AS BIGINT) AS max_frame_energy,
+                CAST(list_position(en, list_max(en)) - 1 AS BIGINT) AS max_frame_idx,
+                CAST(tot AS BIGINT) AS total_energy
+         FROM e ORDER BY doc_id""",
+    // Stratified exact sample: bottom-20-by-salted-hash per language
+    // (the q74 convention, per stratum).
+    "q86_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+                           ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS hh
+                    FROM documents),
+         p AS (SELECT doc_id, lang FROM (
+                 SELECT doc_id, lang,
+                        row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
+                 FROM h) t WHERE rn <= 20)
+         SELECT doc_id, lang FROM p ORDER BY doc_id""",
+    // Bigram surprisal: MLE P(w2|w1) with context counts summed over
+    // the bigram vocabulary; q67's micro-nat quantization.
+    "q87_bigram_surprisal" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         b AS (SELECT doc_id,
+                      unnest(list_transform(range(len(ws) - 1), i -> ws[CAST(i + 1 AS BIGINT)])) AS w1,
+                      unnest(list_transform(range(len(ws) - 1), i -> ws[CAST(i + 2 AS BIGINT)])) AS w2
+               FROM w WHERE len(ws) >= 2),
+         cnt AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+         ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cnt GROUP BY w1),
+         model AS (SELECT cnt.w1, cnt.w2,
+                          CAST(round(-ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1e6) AS BIGINT) AS s
+                   FROM cnt JOIN ctx USING (w1))
+         SELECT b.doc_id, count(*) AS n_bigrams,
+                CAST(sum(s) AS BIGINT) AS surprisal_micro,
+                CAST(sum(s) AS BIGINT) // count(*) AS mean_micro
+         FROM b JOIN model USING (w1, w2)
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
+    // Filtered ANN: the corpus PRE-filters on the doc predicate
+    // (exact recall over the allowed set), then q25's cosine ranking.
+    "q88_filtered_ann" ->
+      s"""WITH a AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+               JOIN a ON vec_id = doc_id WHERE vec_id >= 20),
+         q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         scored AS (SELECT qid, id, ${cosSql("qvec", "vec")} AS cos
+                    FROM q JOIN c ON qid <> id)
+         SELECT qid, CAST(rank AS BIGINT) AS rank, id, cos FROM (
+           SELECT qid, id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           FROM scored) t
+         WHERE rank <= 5 ORDER BY qid, rank""",
+    // IVF×SQ8: q70's cell assignment + probes, q79's scales + int8
+    // codes + exact integer dot for the shortlist, q70's exact-L2
+    // re-rank on the survivors.
+    "q89_ivf_sq_ann" ->
+      s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                 WHERE vec_id BETWEEN 20 AND 35),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 20),
+         q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         dims AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS i),
+         sc AS (SELECT i, max(abs(CAST(vec[i + 1] AS DOUBLE))) AS s
+                FROM c, dims GROUP BY i),
+         ce AS (SELECT id, sc.i,
+                       CASE WHEN s <= 0 THEN 0
+                            ELSE CAST(greatest(-127, least(127,
+                              floor(CAST(vec[sc.i + 1] AS DOUBLE) / s * 127 + 0.5))) AS BIGINT)
+                       END AS code
+                FROM c, sc),
+         qe AS (SELECT qid, sc.i,
+                       CASE WHEN s <= 0 THEN 0
+                            ELSE CAST(greatest(-127, least(127,
+                              floor(CAST(qvec[sc.i + 1] AS DOUBLE) / s * 127 + 0.5))) AS BIGINT)
+                       END AS code
+                FROM q, sc),
+         asg AS (SELECT id, cell FROM (
+             SELECT c.id, cen.cid AS cell,
+                    row_number() OVER (PARTITION BY c.id
+                      ORDER BY ${cosSql("c.vec", "cen.cvec")} DESC, cen.cid) AS rn
+             FROM c CROSS JOIN cen) t WHERE rn = 1),
+         pr AS (SELECT qid, cell FROM (
+             SELECT q.qid, cen.cid AS cell,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY ${cosSql("q.qvec", "cen.cvec")} DESC, cen.cid) AS rn
+             FROM q CROSS JOIN cen) t WHERE rn <= 4),
+         idot AS (SELECT qe.qid, ce.id, CAST(SUM(qe.code * ce.code) AS BIGINT) AS idot
+                  FROM qe JOIN ce ON qe.i = ce.i
+                  JOIN asg ON asg.id = ce.id
+                  JOIN pr ON pr.qid = qe.qid AND pr.cell = asg.cell
+                  WHERE qe.qid <> ce.id
+                  GROUP BY qe.qid, ce.id),
+         sl AS (SELECT qid, id FROM (
+             SELECT qid, id,
+                    row_number() OVER (PARTITION BY qid ORDER BY idot DESC, id) AS rn
+             FROM idot) t WHERE rn <= 20),
+         rr AS (SELECT sl.qid, sl.id,
+                       round(${dotSqlN("q.qvec", "q.qvec", 64)}
+                             - 2 * ${dotSqlN("q.qvec", "c.vec", 64)}
+                             + ${dotSqlN("c.vec", "c.vec", 64)}, 6) AS d2
+                FROM sl JOIN q ON q.qid = sl.qid JOIN c ON c.id = sl.id)
+         SELECT qid, CAST(rank AS BIGINT) AS rank, id, d2 FROM (
+           SELECT qid, id, d2,
+                  row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rank
+           FROM rr) t
          WHERE rank <= 5 ORDER BY qid, rank""")
 }

@@ -192,6 +192,38 @@ object Curation {
     df.join(picked, Seq(idCol), "left_semi")
   }
 
+  /** Exact-size STRATIFIED sample: exactly `min(nPerStratum, |stratum|)`
+    * rows per stratum, uniform within each — the balanced-subset
+    * contract corpus mixers need ("50k docs per language") that
+    * neither [[hashSample]] (rate, approximate) nor [[exactSample]]
+    * (global N, big strata swamp small ones) gives.
+    *
+    * Same bottom-n-by-hash construction as [[exactSample]] — the
+    * bounded `graft_topk` heap per STRATUM key instead of one global
+    * heap, so each exchange partition ships ≤ n (hash, id) entries per
+    * stratum and no stratum is ever sorted. The 'strat:' salt
+    * decouples the pick from the K23/K43/K53 hashes — a doc sampled
+    * here must be independent of it being sampled globally. 52-bit
+    * hash for the same double-representability reason as
+    * [[exactSample]]. Returns the sampled input rows. */
+  def exactSampleStratified(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      nPerStratum: Int): DataFrame = {
+    require(nPerStratum >= 1, s"nPerStratum must be >= 1, got $nPerStratum")
+    val h52 = conv(substring(md5(concat(lit("strat:"), col(idCol).cast("string"))),
+      1, 13), 16, 10).cast(LongType)
+    val picked = df
+      .select(col(stratumCol), h52.as("_h"), col(idCol))
+      .groupBy(col(stratumCol))
+      .agg(call_function("graft_topk",
+        -col("_h").cast("double"), col(idCol).cast(LongType),
+        lit(nPerStratum)).as("tk"))
+      .select(explode(col("tk").getField("id")).as(idCol))
+    df.join(picked, Seq(idCol), "left_semi")
+  }
+
   /** Sequence PACKING for training: assign docs/chunks to fixed
     * token-budget bins (context windows) in deterministic id order,
     * partitioned by a shard column so the running sum parallelizes —
@@ -229,6 +261,36 @@ object Curation {
         expr(s"(_cum - n_tokens) div ${budgetTokens.toLong}").as("bin"),
         ((col("_cum") - col("n_tokens")) % lit(budgetTokens.toLong))
           .cast(LongType).as("bin_offset"))
+  }
+
+  /** Deterministic corpus shuffle for training-order export: every row
+    * gets a (shard, pos) address — shard by a salted hash, position by
+    * ranking the hash within the shard — so a training run reads the
+    * corpus in an order that is pseudo-random w.r.t. every content
+    * column yet IDENTICAL across engines, runs, and restarts (the
+    * property `ORDER BY rand()` can never give and a real pipeline
+    * needs for resumable epochs). The salt ('shuf:' prefix) decouples
+    * this hash from the K23/K43 sampling hashes — sampled-in rows must
+    * not cluster at the front of the shuffled order.
+    *
+    * Shape at 100 TB: one shuffle keyed by shard, then a per-shard
+    * sort for row_number — each shard sorts independently, so
+    * `nShards` caps the largest sort at corpus/nShards rows; real
+    * exports size nShards to the writer parallelism (thousands), and
+    * no global sort ever exists. The 52-bit hash (not 60) keeps ties
+    * impossible in practice while staying exactly representable if a
+    * consumer ever routes it through a double. */
+  def shuffleAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = conv(substring(md5(concat(lit("shuf:"), col(idCol).cast("string"))),
+      1, 13), 16, 10).cast(LongType)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_shard")).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", h)
+      .withColumn("_shard", pmod(col("_h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast(LongType) - 1)
+      .withColumnRenamed("_shard", "shard")
+      .drop("_h")
   }
 
   /** PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB):

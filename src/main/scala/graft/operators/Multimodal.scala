@@ -171,6 +171,21 @@ object Multimodal {
     * standing in for what an audio featurizer would emit. Throws on
     * malformed input like any decoder would. */
   def decodeWav(doc: MediaDoc): AudioFeatures = {
+    val (rate, samples) = decodeWavPcm(doc)
+    var sum = 0L
+    var i = 0
+    while (i < samples.length) { sum += math.abs(samples(i).toLong); i += 1 }
+    AudioFeatures(doc.doc_id, rate, samples.length.toLong,
+      doc.media.length.toLong, sum)
+  }
+
+  /** The chunk walk behind [[decodeWav]], exposed as (rate, PCM
+    * samples) for featurizers that need the waveform itself (framing,
+    * below). Clips here are tiny by construction; a production decoder
+    * would stream the data chunk instead of materializing it, but the
+    * per-batch partition-local shape — the part Spark cares about —
+    * is identical. */
+  def decodeWavPcm(doc: MediaDoc): (Int, Array[Short]) = {
     val b = doc.media
     def ascii(at: Int, n: Int) = new String(b, at, n, StandardCharsets.US_ASCII)
     def le32(at: Int): Int =
@@ -204,13 +219,76 @@ object Multimodal {
     }
     require(rate > 0 && dataAt >= 0,
       s"doc ${doc.doc_id}: missing fmt or data chunk")
-    var sum = 0L
-    var i = dataAt
-    while (i < dataAt + dataLen) {
-      sum += math.abs(le16(i).toShort.toLong)
-      i += 2
+    val samples = new Array[Short](dataLen / 2)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = le16(dataAt + 2 * i).toShort
+      i += 1
     }
-    AudioFeatures(doc.doc_id, rate, dataLen / 2L, b.length.toLong, sum)
+    (rate, samples)
+  }
+
+  final case class AudioFrameFeatures(
+      doc_id: Long,
+      n_samples: Long,
+      n_frames: Long,
+      max_frame_energy: Long,
+      max_frame_idx: Long,
+      total_energy: Long)
+
+  /** Frame-level energy extraction — the audio analogue of the
+    * image pipeline's patching and the standard first step of every
+    * audio featurizer (VAD, loudness normalization, spectrogram
+    * windows): slide a `frameLen`-sample window with `hop`-sample
+    * stride, fold each frame to Σs² (all-integer — int16² sums stay
+    * far inside a Long), report the per-clip frame count, peak frame
+    * energy with its first index, and total energy. Frame starts at
+    * 0, hop, 2·hop, … while < n, the ragged tail kept — the same
+    * full-coverage contract as [[graft.operators.Curation.chunkDocuments]]. */
+  def audioFrames(
+      doc: MediaDoc, frameLen: Int, hop: Int): AudioFrameFeatures = {
+    require(frameLen >= 1 && hop >= 1,
+      s"need frameLen >= 1 and hop >= 1, got frameLen=$frameLen hop=$hop")
+    val (_, samples) = decodeWavPcm(doc)
+    val n = samples.length
+    var total = 0L
+    var best = -1L
+    var bestIdx = -1L
+    var f = 0
+    var start = 0
+    while (start < n) {
+      var e = 0L
+      var i = start
+      val end = math.min(start + frameLen, n)
+      while (i < end) {
+        val s = samples(i).toLong
+        e += s * s
+        i += 1
+      }
+      if (e > best) { best = e; bestIdx = f.toLong }
+      f += 1
+      start += hop
+    }
+    var i = 0
+    while (i < n) { val s = samples(i).toLong; total += s * s; i += 1 }
+    AudioFrameFeatures(doc.doc_id, n.toLong, f.toLong,
+      math.max(best, 0L), math.max(bestIdx, 0L), total)
+  }
+
+  /** Batched partition-local frame extraction — same shape as
+    * [[extractAudioFeatures]]. */
+  def extractAudioFrames(
+      spark: SparkSession,
+      media: Dataset[MediaDoc],
+      frameLen: Int,
+      hop: Int,
+      batchSize: Int = 64): Dataset[AudioFrameFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(audioFrames(_, frameLen, hop))
+      }
+    }
   }
 
   /** Batched partition-local audio feature extraction. */

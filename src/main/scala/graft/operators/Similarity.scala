@@ -631,6 +631,58 @@ object Similarity {
     rerankL2(queries, corpus, cands, k)
   }
 
+  /** IVF×SQ8 — the other standard pairing next to [[ivfPqTopK]]
+    * (FAISS's IVF,SQ8 index): IVF cell pruning bounds WHICH candidates
+    * are scored, int8 codes bound WHAT each costs (one integer
+    * multiply-add chain — no codebook lookups at all), exact L2
+    * re-rank restores true ordering on the shortlist. Where IVF×PQ
+    * buys 32× compression at ADC-table cost, IVF×SQ8 keeps 4× with
+    * the simplest possible scoring — the pairing production stores
+    * reach for when recall matters more than memory.
+    *
+    * Same stage layout as [[ivfPqTopK]]: probe selection by rounded
+    * cosine (tie → smaller cid); index build as ONE map-only
+    * assign∘encode Project behind the load-bearing repartition (only
+    * (id, cell, code) bytes move); candidate scoring as an equi-join
+    * on cell against broadcast probes with the integer [[sqDot]]
+    * ranking (descending — codes quantize the raw dot, and ties break
+    * by id via the heap payload) feeding the bounded `graft_topk`
+    * heap; then [[rerankL2]]. Output (qid, rank, id, d2). */
+  def ivfSqTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (id, vec)
+      centroids: Seq[(Long, Array[Float])],
+      scales: Array[Double],
+      nprobe: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val dims = scales.length
+    val centDf = centroids.toDF("cid", "cvec")
+    val wp = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("c"))
+      .withColumn("pr", row_number().over(wp)).filter(col("pr") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"))
+    val qcodes = sqEncode(queries, "qvec", scales, "qcode")
+      .select(col("qid"), col("qcode"))
+    val index = sqEncode(ivfAssign(corpus, "vec", centroids), "vec", scales, "code")
+      .select(col("id"), col("cell"), col("code"))
+      .repartition(col("id"))
+    val cands = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .join(broadcast(qcodes), Seq("qid"))
+      .select(col("qid"), col("id"),
+        sqDot(col("qcode"), col("code"), dims).as("idot"))
+      .groupBy(col("qid"))
+      .agg(call_function("graft_topk",
+        col("idot").cast(DoubleType), col("id"), lit(shortlist)).as("tk"))
+      .select(col("qid").as("cqid"), explode(col("tk").getField("id")).as("cid"))
+    rerankL2(queries, corpus, cands, k)
+  }
+
   /** Bucketed ANN: top-k among same-bucket mates only, plus the bucket
     * population (candidate count actually scanned). */
   def lshTopK(

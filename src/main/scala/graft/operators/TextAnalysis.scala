@@ -170,4 +170,137 @@ object TextAnalysis {
       .orderBy(col("n_pairs").desc, col("pair"))
       .limit(topK)
   }
+
+  /** Bigram surprisal scoring — [[unigramSurprisal]] upgraded one
+    * Markov order: each document scores by the mean negative
+    * log-CONDITIONAL-probability of its token bigrams under the
+    * corpus's own MLE bigram model, P(w2|w1) = c(w1 w2)/c(w1·) with
+    * c(w1·) counting bigram CONTEXTS (occurrences of w1 followed by
+    * anything — a doc's last token is no context), so probabilities
+    * sum to exactly 1 per context and no smoothing is needed: every
+    * scored bigram occurs in the corpus at least once by construction.
+    * Bigram surprisal separates "common words in a weird order" from
+    * "common words in a common order" — the signal unigram surprisal
+    * is blind to.
+    *
+    * Determinism: the q67 micro-nat contract — round(-ln(p)·1e6) per
+    * bigram BEFORE the integer per-doc sum; same accepted ~1-ulp libm
+    * caveat. Shape at 100 TB: the bigram stream collapses to the
+    * Zipf-bounded bigram vocabulary (8-byte hash key), the context
+    * relation is a second rollup OF THE VOCABULARY (not the corpus),
+    * and the doc stream joins the broadcast model — the K34/K41 shape
+    * one order up. */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val bi = docs
+      .select(col(idCol).as("doc_id"), ws.as("_ws"), size(ws).as("_nw"))
+      .filter(col("_nw") >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("_nw") - 2),
+          i => struct(element_at(col("_ws"), i + 1).as("w1"),
+            element_at(col("_ws"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bigrams = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val contexts = bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val model = bigrams.join(contexts, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(-log(col("c12").cast("double") / col("c1").cast("double")) * 1e6)
+          .cast(LongType).as("s_micro"))
+    bi.join(broadcast(model), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s_micro")).as("surprisal_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_micro"),
+        expr("surprisal_micro div n_bigrams").as("mean_micro"))
+  }
+
+  /** Character-distribution Shannon entropy per document — the
+    * model-free randomness signal quality pipelines pair with
+    * repetition (K25) and surprisal (K34): near-zero entropy flags
+    * single-character runs and trivially templated text, abnormally
+    * high entropy flags base64/hex blobs and binary spill.
+    *
+    * Determinism: the same micro-nat contract as [[unigramSurprisal]]
+    * — per distinct character, `round(-ln(c/n)·1e6)` quantizes to an
+    * integer BEFORE the weighted sum, and the per-doc entropy is the
+    * exact integer `Σ cnt·term_micro div n` (floor division; both
+    * engines floor identically on non-negative integers). Same ~1-ulp
+    * libm boundary caveat as q67, same acceptance.
+    *
+    * Shape at 100 TB: per-doc character histograms never leave their
+    * row — the explode→count→sum pipeline groups by (doc, char) with
+    * map-side partials, then collapses to one row per doc. Alphabet
+    * size bounds the intermediate at |doc|·|charset|, and no corpus-
+    * wide state exists at all (unlike surprisal's vocab broadcast). */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .filter(length(col("_t")) > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("_t"))),
+          i => col("_t").substr(i, lit(1)))).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Window.partitionBy(col("doc_id"))
+    chars
+      .groupBy(col("doc_id"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      // the window re-reads the by-(doc,char) partials — already
+      // co-partitioned close enough that AQE coalesces; no corpus-wide
+      // state is ever built
+      .withColumn("n", sum(col("cnt")).over(perDoc))
+      .select(col("doc_id"), col("cnt"), col("n"),
+        round(-log(col("cnt").cast("double") / col("n").cast("double")) * 1e6)
+          .cast(LongType).as("term_micro"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * col("term_micro")).as("_wsum"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        expr("_wsum div n_chars").as("entropy_micro"))
+  }
+
+  /** Hashed-feature linear quality scorer — the PLUMBING of a
+    * fastText-style model-based quality filter (the pipeline stage
+    * CCNet/GPT-3-era corpora used), with the learned weight vector
+    * replaced by a deterministic function of the feature bucket so a
+    * SQL oracle reproduces scores exactly. The Spark shape is the real
+    * one: token → hash-bucket (feature hashing, Weinberger et al. '09),
+    * bucket → weight lookup, per-doc integer sum, threshold verdict.
+    * Swapping in trained weights means broadcasting a `buckets`-row
+    * weight table and joining on bucket — identical plan, and the
+    * deterministic weight here IS that table expressed as a closed
+    * form: w(b) = (b·2654435761) mod 2001 − 1000 ∈ [−1000, 1000]
+    * (Knuth multiplicative hash, all-integer).
+    *
+    * Output: (doc_id, n_tokens, score, mean_milli, keep) with
+    * `score = Σ w(bucket(token))`, `mean_milli = trunc(score·1000 /
+    * n_tokens)`, keep = score ≥ 0. All-integer → bit-exact on every
+    * engine. Because `score` can be NEGATIVE, the division rule
+    * matters for the first time in this repo: both Spark's `div` and
+    * DuckDB's integer `//` TRUNCATE TOWARD ZERO (verified empirically:
+    * -592000 // 83 = -7132, not the floor -7133), so plain `div`
+    * matches — a floor-division oracle engine would need the
+    * (a − pmod(a,b))/b form instead.
+    *
+    * Shape at 100 TB: hash + weight are map-side column math (no
+    * vocab, no model state, nothing broadcast); the only shuffle is
+    * the by-doc rollup with map-side partials. */
+  def hashedQualityScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+    val bucket = pmod(md5Hash60(col("t")), lit(buckets.toLong))
+    val weight = pmod(bucket * lit(2654435761L), lit(2001L)) - lit(1000L)
+    toks
+      .select(col("doc_id"), weight.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        expr("score * 1000 div n_tokens").as("mean_milli"),
+        (col("score") >= 0).as("keep"))
+  }
 }

@@ -544,4 +544,101 @@ object TextDedup {
       .distinct()
     (survivors, newIndex)
   }
+
+  /** Line-level boilerplate removal (the C4 cleaning step,
+    * arXiv:1910.10683 §2.2 applied corpus-wide): a LINE that occurs in
+    * at least `minDocs` DISTINCT documents is boilerplate (nav bars,
+    * cookie banners, license headers) and is dropped from every
+    * document; each document is reassembled from its surviving lines
+    * in original order. Matching is exact on the raw line — unlike the
+    * doc-level dedup family there is no normalization, because
+    * boilerplate is byte-identical by construction (templates).
+    *
+    * Scale shape: one map-only posexplode to (doc, pos, line), one
+    * aggregation keyed by the 8-byte line hash counting DISTINCT docs
+    * (partial-merge friendly), then the boilerplate set — corpus-wide
+    * SMALL by the same Zipf argument as the K30/K34 vocabularies: a
+    * line either repeats across many docs (few such lines) or is
+    * unique (not in the set) — joins back against the exploded lines
+    * (AQE broadcasts it) and one shuffle by doc reassembles. The full
+    * corpus text crosses the wire once, as its own lines.
+    *
+    * Returns (doc_id, n_lines, n_kept, text) with `text` the
+    * sep-rejoined surviving lines ('' when everything was
+    * boilerplate). */
+  def lineDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("_lh", md5Hash60(col("line")))
+    val boiler = lines
+      .groupBy(col("_lh"))
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_lh"), lit(true).as("_boiler"))
+    lines
+      .join(boiler, Seq("_lh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("_boiler").isNull, 1)).as("n_kept"),
+        // collect_list drops the nulls the `when` leaves for boilerplate
+        // lines; array_sort orders the survivors by pos (first struct field)
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_boiler").isNull,
+              struct(col("pos"), col("line"))))),
+            e => e.getField("line")),
+          sep).as("text"))
+  }
+
+  /** Duplicated-n-gram statistics (the substring-level view of
+    * arXiv:2107.06499: exact-substring dedup's MEASUREMENT pass): a
+    * word n-gram occurring in more than one document is "duplicated";
+    * per document, count total grams, duplicated-gram instances, and
+    * the exact integer parts-per-million duplicated fraction
+    * (`dup_ppm = n_dup·1e6 div n_grams` — no float division anywhere,
+    * the q67/q75 integer rule). High dup_ppm flags documents that are
+    * mostly recycled text even when no full-document near-dup fires.
+    *
+    * Scale shape: each gram leaves its row as an 8-byte md5-derived
+    * hash (the gram string exists only inside the map-only transform,
+    * never in a shuffle); the duplicated-gram set is
+    * (gram-hash → distinct-doc-count ≥ 2) — one partial-merge
+    * aggregation — and joins back per gram instance before the final
+    * by-doc rollup. Two shuffles total, both on 8-byte keys. */
+  def dupNgramStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val ws = words(col(textCol))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), ws.as("_ws"), size(ws).as("_nw"))
+      .filter(col("_nw") >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("_nw") - n),
+          i => md5Hash60(array_join(slice(col("_ws"), i + 1, lit(n)), " "))))
+          .as("_gh"))
+    val dup = grams
+      .groupBy(col("_gh"))
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select(col("_gh"), lit(true).as("_dup"))
+    grams
+      .join(dup, Seq("_gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("_dup"), 1)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        expr("n_dup * 1000000 div n_grams").as("dup_ppm"))
+  }
 }

@@ -140,4 +140,43 @@ class ScalePatternsSpec extends SparkSpec {
     one.select($"doc_id").as[Long].collect().sorted.toSeq shouldBe
       plain.select($"doc_id").as[Long].collect().sorted.toSeq
   }
+
+  test("lineDedup: no cartesian, no forced hint; AQE broadcasts the boiler set") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val df = TextDedup.lineDedup(docs, "doc_id", "text", sep = " ", minDocs = 3)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "lineDedup must not force a join strategy — AQE decides")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"lineDedup planned a product join:\n$plan")
+    // the Zipf-bounded boilerplate set is the build side at fixture scale
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the corpus-frequent line set:\n$plan")
+  }
+
+  test("shuffleAssign plans exactly one exchange (the by-shard partition)") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val df = Curation.shuffleAssign(docs, "doc_id", nShards = 4)
+    df.collect()
+    // the AQE toString prints the Initial Plan below the Final one —
+    // count exchanges in the final plan only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly 1 shuffle (by shard), found $exchanges:\n$plan")
+  }
+
+  test("hashedQualityScore: map-side column math, single by-doc aggregation") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val df = TextAnalysis.hashedQualityScore(docs, "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // no join anywhere: the weight table is a closed form, not a lookup
+    assert(!plan.contains("Join"), s"scorer should not join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly 1 shuffle (the doc rollup), found $exchanges:\n$plan")
+  }
 }
