@@ -1807,6 +1807,32 @@ object SparkEntry {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Corpus mixture plan (q90): per-source targets → ceiling
+    * keep-rates → deterministic hash-gate apply, as one auditable
+    * summary. Targets come from a closed-form hash of the source name
+    * (the K52 stand-in pattern — real mixture specs broadcast as a
+    * (src, target_n) relation through the identical plan). */
+  private def mixturePlanQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, TextDedup}
+    val docs = Tables.documents(s, dir)
+    val targets = docs.select(col("source").as("src")).distinct()
+      .withColumn("target_n",
+        lit(5L) + pmod(TextDedup.md5Hash60(col("src")), lit(16L)))
+    Curation.mixturePlan(docs, "doc_id", "source", targets)
+      .orderBy(col("src"))
+  }
+
+  /** IVF index audit (q91): per-cell population + integer micro-unit
+    * mean squared-L2 distortion to the assigned centroid — the index
+    * health report an operator reads before trusting q50/q70/q89. */
+  private def ivfAuditQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfAudit(corpus, seedVectors(e))
+      .orderBy(col("cell"))
+  }
+
   /** IVF×SQ8 composed ANN (q89): cell pruning + int8 integer-dot
     * scoring + exact L2 re-rank — FAISS's IVF,SQ8 pairing next to
     * q70's IVF×PQ. Same seed centroids as q50/q70, same corpus-trained
@@ -2029,7 +2055,9 @@ object SparkEntry {
     "q86_stratified_sample" -> (stratifiedSampleQuery _),
     "q87_bigram_surprisal" -> (bigramSurprisalQuery _),
     "q88_filtered_ann" -> (filteredAnnQuery _),
-    "q89_ivf_sq_ann" -> (ivfSqAnn _))
+    "q89_ivf_sq_ann" -> (ivfSqAnn _),
+    "q90_mixture_plan" -> (mixturePlanQuery _),
+    "q91_ivf_audit" -> (ivfAuditQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2124,7 +2152,7 @@ object SparkEntry {
     "q80_line_dedup", "q81_dup_ngrams", "q82_char_entropy",
     "q83_hashed_quality", "q84_shuffle_assign", "q85_audio_frames",
     "q86_stratified_sample", "q87_bigram_surprisal", "q88_filtered_ann",
-    "q89_ivf_sq_ann")
+    "q89_ivf_sq_ann", "q90_mixture_plan", "q91_ivf_audit")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3661,5 +3689,46 @@ object SparkEntry {
            SELECT qid, id, d2,
                   row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rank
            FROM rr) t
-         WHERE rank <= 5 ORDER BY qid, rank""")
+         WHERE rank <= 5 ORDER BY qid, rank""",
+    // Mixture plan: closed-form per-source targets, ceiling keep-rate,
+    // salted hash gate — all-integer, truncating division on both
+    // engines (operands non-negative here).
+    "q90_mixture_plan" ->
+      """WITH t AS (SELECT DISTINCT source AS src,
+                           5 + ('0x' || substr(md5(source), 1, 15))::BIGINT % 16 AS target_n
+                    FROM documents),
+         c AS (SELECT source AS src, count(*) AS n_docs FROM documents GROUP BY source),
+         r AS (SELECT c.src, n_docs,
+                      coalesce(target_n, CAST(0 AS BIGINT)) AS target_n,
+                      least(CAST(1000 AS BIGINT),
+                            (coalesce(target_n, CAST(0 AS BIGINT)) * 1000 + n_docs - 1) // n_docs) AS rate_permille
+               FROM c LEFT JOIN t USING (src)),
+         s AS (SELECT source AS src, count(*) AS n_sampled
+               FROM documents d JOIN r ON r.src = d.source
+               WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < rate_permille
+               GROUP BY source)
+         SELECT r.src, n_docs, target_n, rate_permille,
+                coalesce(n_sampled, CAST(0 AS BIGINT)) AS n_sampled
+         FROM r LEFT JOIN s USING (src) ORDER BY r.src""",
+    // IVF audit: q89's cosine cell assignment; per-row squared-L2 to
+    // the assigned centroid quantized to integer micro units BEFORE
+    // the per-cell sum (the q67 commuting contract).
+    "q91_ivf_audit" ->
+      s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                 WHERE vec_id BETWEEN 20 AND 35),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         asg AS (SELECT id, cell FROM (
+             SELECT c.id, cen.cid AS cell,
+                    row_number() OVER (PARTITION BY c.id
+                      ORDER BY ${cosSql("c.vec", "cen.cvec")} DESC, cen.cid) AS rn
+             FROM c CROSS JOIN cen) t WHERE rn = 1),
+         d AS (SELECT asg.cell,
+                      CAST(round((${dotSqlN("c.vec", "c.vec", 64)}
+                                  - 2 * ${dotSqlN("c.vec", "cen.cvec", 64)}
+                                  + ${dotSqlN("cen.cvec", "cen.cvec", 64)}) * 1e6) AS BIGINT) AS d2u
+               FROM asg JOIN c ON c.id = asg.id JOIN cen ON cen.cid = asg.cell)
+         SELECT cell, count(*) AS n_vectors,
+                CAST(sum(d2u) AS BIGINT) AS sum_d2_micro,
+                CAST(sum(d2u) AS BIGINT) // count(*) AS mean_d2_micro
+         FROM d GROUP BY cell ORDER BY cell""")
 }

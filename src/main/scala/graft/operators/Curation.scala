@@ -263,6 +263,46 @@ object Curation {
           .cast(LongType).as("bin_offset"))
   }
 
+  /** Corpus MIXTURE planner + deterministic apply — the step that
+    * turns "we want this many docs per source" (Pile/Dolma-style
+    * mixture specs) into per-source keep-rates and an auditable
+    * summary. For each source: the corpus count, the requested target,
+    * the ceiling keep-rate `min(1000, ⌈target·1000/n⌉)` permille
+    * (ceiling so the plan never undershoots a reachable target; a
+    * target above the stock caps at keep-everything), and the count
+    * the deterministic hash gate actually keeps at that rate. The
+    * 'mix:' salt keeps the gate independent of the K23/K43/K53/K55
+    * picks. A source present in the corpus but absent from `targets`
+    * plans to rate 0 (drop) — the explicit-allowlist contract.
+    *
+    * Shape at 100 TB: one by-source rollup (sources are few — the
+    * rates relation broadcasts), a map-side hash filter over the
+    * corpus, one more by-source rollup of the survivors. The sampled
+    * DATASET itself is the same filter without the final rollup —
+    * [[hashSample]] with a per-source rate column. */
+  def mixturePlan(
+      docs: DataFrame,
+      idCol: String,
+      srcCol: String,
+      targets: DataFrame /* (src, target_n) */): DataFrame = {
+    val counts = docs.groupBy(col(srcCol).as("src")).agg(count(lit(1)).as("n_docs"))
+    val rates = counts.join(targets, Seq("src"), "left")
+      .select(col("src"), col("n_docs"),
+        coalesce(col("target_n"), lit(0L)).as("target_n"))
+      .withColumn("rate_permille",
+        least(lit(1000L), expr("(target_n * 1000 + n_docs - 1) div n_docs")))
+    val sampled = docs
+      .select(col(srcCol).as("src"),
+        pmod(md5Hash60(concat(lit("mix:"), col(idCol).cast("string"))),
+          lit(1000L)).as("_b"))
+      .join(broadcast(rates.select(col("src"), col("rate_permille"))), Seq("src"))
+      .filter(col("_b") < col("rate_permille"))
+      .groupBy(col("src")).agg(count(lit(1)).as("n_sampled"))
+    rates.join(sampled, Seq("src"), "left")
+      .select(col("src"), col("n_docs"), col("target_n"), col("rate_permille"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+  }
+
   /** Deterministic corpus shuffle for training-order export: every row
     * gets a (shard, pos) address — shard by a salted hash, position by
     * ranking the hash within the shard — so a training run reads the

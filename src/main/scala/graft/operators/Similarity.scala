@@ -118,6 +118,44 @@ object Similarity {
       .drop("__nrm")
   }
 
+  /** IVF index-health audit: per cell, the population and the mean
+    * squared-L2 distance to the assigned centroid — the numbers an
+    * operator reads before trusting an index (empty / mega cells →
+    * re-train with more/fewer centroids or recurse the big ones;
+    * ballooning mean distortion → the corpus drifted from the
+    * training sample; the K31 codebook story's diagnostic twin).
+    *
+    * Assignment is [[ivfAssign]]'s cosine rule (the index's own
+    * contract); distortion is measured in squared L2 — the quantity PQ
+    * ADC and re-rank approximate downstream. Per-row d2 quantizes to
+    * integer MICRO units (round(d2·1e6)) BEFORE the per-cell sum, the
+    * q67 commuting-integer contract, so the audit is bit-identical on
+    * every engine and partitioning. The centroid dot and its norm² are
+    * plan-time literals chained through one codegen'd CASE — map-only
+    * until the tiny by-cell rollup. Output (cell, n_vectors,
+    * sum_d2_micro, mean_d2_micro). */
+  def ivfAudit(
+      corpus: DataFrame, // (id, vec)
+      centroids: Seq[(Long, Array[Float])]): DataFrame = {
+    require(centroids.nonEmpty, "ivfAudit needs at least one centroid")
+    val asg = ivfAssign(corpus, "vec", centroids)
+    def chain(f: (Long, Array[Float]) => Column): Column =
+      centroids.tail.foldLeft(
+        when(col("cell") === centroids.head._1, f(centroids.head._1, centroids.head._2))) {
+        case (acc, (cid, cv)) => acc.when(col("cell") === cid, f(cid, cv))
+      }
+    val dotc = chain((_, cv) => dot(col("vec"), lit(cv)))
+    val c2 = chain((_, cv) =>
+      lit(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+    val d2 = dot(col("vec"), col("vec")) - lit(2.0) * dotc + c2
+    asg
+      .select(col("cell"), round(d2 * 1e6).cast("long").as("_d2u"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("_d2u")).as("sum_d2_micro"))
+      .select(col("cell"), col("n_vectors"), col("sum_d2_micro"),
+        expr("sum_d2_micro div n_vectors").as("mean_d2_micro"))
+  }
+
   /** IVF-style ANN: the corpus is partitioned into `centroids.size`
     * cells by [[ivfAssign]] (map-only); each query probes its `nprobe`
     * nearest cells and exact cosine runs ONLY inside probed cells —

@@ -279,4 +279,62 @@ class Round8OpsSpec extends SparkSpec {
     // observed); structured corpora probe far better
     recall should be >= 0.3
   }
+
+  // -------------------------------------------------------------- mixturePlan
+
+  test("mixturePlan: ceiling rates, over-stock caps at 1000, unlisted source drops") {
+    val docs = ((1 to 4).map(i => (i.toLong, "A")) ++
+      Seq((10L, "B"), (11L, "B")) ++
+      Seq((20L, "C"))).toDF("doc_id", "source")
+    val targets = Seq(("A", 2L), ("B", 5L)).toDF("src", "target_n")
+    val out = Curation.mixturePlan(docs, "doc_id", "source", targets)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val bySrc = out.map(t => t._1 -> t).toMap
+    // A: 4 docs, target 2 -> ceil(2000/4) = 500 permille
+    bySrc("A")._4 shouldBe 500L
+    bySrc("A")._5 should be <= 4L
+    // B: target above stock -> rate caps at keep-everything, all kept
+    bySrc("B")._4 shouldBe 1000L
+    bySrc("B")._5 shouldBe 2L
+    // C: in the corpus, not in the targets -> explicit drop
+    bySrc("C")._3 shouldBe 0L
+    bySrc("C")._4 shouldBe 0L
+    bySrc("C")._5 shouldBe 0L
+    // deterministic across runs
+    Curation.mixturePlan(docs, "doc_id", "source", targets)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(4))) shouldBe out.map(t => (t._1, t._5))
+  }
+
+  // ----------------------------------------------------------------- ivfAudit
+
+  test("ivfAudit: CASE-chain plan equals a join re-derivation; counts cover corpus") {
+    val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
+    val seeds = e.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val audit = Similarity.ivfAudit(corpus, seeds).orderBy("cell").collect()
+    audit.map(_.getLong(1)).sum shouldBe corpus.count()
+    audit.map(_.getLong(0)).toSet.subsetOf(seeds.map(_._1).toSet) shouldBe true
+    audit.foreach { r =>
+      r.getLong(3) shouldBe r.getLong(2) / r.getLong(1) // mean = sum div n
+      r.getLong(2) should be >= 0L
+    }
+    // independent re-derivation: join the centroid relation instead of
+    // the literal CASE chain — different plan, identical numbers
+    val centDf = seeds.toDF("cell", "cvec")
+    val rederived = Similarity.ivfAssign(corpus, "vec", seeds)
+      .join(centDf, Seq("cell"))
+      .select(col("cell"),
+        round((Similarity.dot(col("vec"), col("vec"))
+          - lit(2.0) * Similarity.dot(col("vec"), col("cvec"))
+          + Similarity.dot(col("cvec"), col("cvec"))) * 1e6).cast("long").as("u"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("s"))
+      .orderBy("cell").collect()
+    rederived.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
+      audit.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+  }
 }
