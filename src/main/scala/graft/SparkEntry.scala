@@ -1807,6 +1807,33 @@ object SparkEntry {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Streaming quality gate (q92): the documents corpus replayed as a
+    * file stream through the STATELESS map-only scorer — no watermark,
+    * no state store, no shuffle; the form a curation gate takes inside
+    * a streaming ingest (score-and-drop before anything pays storage).
+    * One AvailableNow pass; emitted rows equal the batch scorer's
+    * (doc_id, n_tokens, score, keep) exactly, which is what the q83
+    * oracle (minus its mean column) checks. */
+  private def streamingQualityGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    import graft.util.TmpDirs
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val root = TmpDirs.fresh(s"q92_stream_$tag")
+    Tables.documents(s, dir).select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$root/docs")
+    val replayed = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .parquet(s"$root/docs")
+    val q = TextAnalysis.hashedQualityScoreMapOnly(replayed, "doc_id", "text")
+      .writeStream
+      .format("memory").queryName(s"q92_gate_$tag").outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(s"q92_gate_$tag").orderBy(col("doc_id"))
+  }
+
   /** Corpus mixture plan (q90): per-source targets → ceiling
     * keep-rates → deterministic hash-gate apply, as one auditable
     * summary. Targets come from a closed-form hash of the source name
@@ -2057,7 +2084,8 @@ object SparkEntry {
     "q88_filtered_ann" -> (filteredAnnQuery _),
     "q89_ivf_sq_ann" -> (ivfSqAnn _),
     "q90_mixture_plan" -> (mixturePlanQuery _),
-    "q91_ivf_audit" -> (ivfAuditQuery _))
+    "q91_ivf_audit" -> (ivfAuditQuery _),
+    "q92_streaming_quality" -> (streamingQualityGate _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3730,5 +3758,16 @@ object SparkEntry {
          SELECT cell, count(*) AS n_vectors,
                 CAST(sum(d2u) AS BIGINT) AS sum_d2_micro,
                 CAST(sum(d2u) AS BIGINT) // count(*) AS mean_d2_micro
-         FROM d GROUP BY cell ORDER BY cell""")
+         FROM d GROUP BY cell ORDER BY cell""",
+    // Streaming quality gate: the stateless map-only scorer must emit
+    // exactly the batch scorer's rows — q83's oracle minus its mean.
+    "q92_streaming_quality" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         f AS (SELECT doc_id,
+                      (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024) * 2654435761 % 2001 - 1000 AS w
+               FROM t WHERE tok <> ''),
+         s AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(w) AS BIGINT) AS score
+               FROM f GROUP BY doc_id)
+         SELECT doc_id, n_tokens, score, score >= 0 AS keep
+         FROM s ORDER BY doc_id""")
 }

@@ -213,6 +213,40 @@ object TextAnalysis {
         expr("surprisal_micro div n_bigrams").as("mean_micro"))
   }
 
+  /** [[hashedQualityScore]] as a STATELESS map-only column transform:
+    * the per-doc token fold runs inside an `aggregate` higher-order
+    * function over the words array instead of explode + groupBy, so
+    * there is NO shuffle and NO aggregation state — the form a
+    * STREAMING curation gate needs (stateless operators stream with
+    * no watermark, no state store, no output-mode constraints).
+    * Identical numbers to the batch form (spec-asserted equal).
+    *
+    * The tradeoff, stated honestly: Spark's higher-order functions
+    * evaluate their lambda interpreted per element, outside
+    * whole-stage codegen, while the explode+agg form is codegen'd end
+    * to end — so the BATCH pipeline keeps the explode form and this
+    * one exists for streaming and for map-only contexts where a
+    * shuffle is worth more than per-row lambda overhead. Emits
+    * (doc_id, n_tokens, score, keep); docs with no tokens are dropped
+    * (the explode form's implicit contract). */
+  def hashedQualityScoreMapOnly(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val toks = filter(words(col(textCol)), t => t =!= "")
+    def weight(t: Column): Column =
+      pmod(pmod(md5Hash60(t), lit(buckets.toLong)) * lit(2654435761L),
+        lit(2001L)) - lit(1000L)
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("score"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("keep", col("score") >= 0)
+  }
+
   /** Character-distribution Shannon entropy per document — the
     * model-free randomness signal quality pipelines pair with
     * repetition (K25) and surprisal (K34): near-zero entropy flags

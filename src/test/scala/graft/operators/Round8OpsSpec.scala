@@ -337,4 +337,25 @@ class Round8OpsSpec extends SparkSpec {
     rederived.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
       audit.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
   }
+
+  // -------------------------------------------- hashedQualityScoreMapOnly
+
+  test("map-only scorer equals the explode form and plans zero exchanges") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val mapOnly = TextAnalysis.hashedQualityScoreMapOnly(docs, "doc_id", "text")
+    val batch = TextAnalysis.hashedQualityScore(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "score", "keep")
+    mapOnly.orderBy("doc_id").collect() shouldBe batch.orderBy("doc_id").collect()
+    // stateless: the whole computation is one map-side Project — the
+    // property that lets it run in a stream with no watermark/state
+    mapOnly.collect()
+    val plan = mapOnly.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"),
+      s"map-only scorer must not shuffle:\n$plan")
+    // empty-token docs drop in both forms
+    val edge = Seq((1L, ""), (2L, "ok")).toDF("doc_id", "text")
+    TextAnalysis.hashedQualityScoreMapOnly(edge, "doc_id", "text")
+      .select("doc_id").as[Long].collect() shouldBe Array(2L)
+  }
 }
