@@ -1807,6 +1807,26 @@ object SparkEntry {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Winnowing fingerprints (q93): MOSS-style robust substring
+    * fingerprints — min hash per 4-hash window over word 4-gram
+    * hashes; per-doc selection stats plus the cross-doc shared count
+    * (a shared run of ≥ 7 words guarantees a shared fingerprint). */
+  private def winnowingQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.winnowingFingerprints(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Packing boundary split (q94): q75's stream packing plus the
+    * materialization step — head tokens in the assigned bin, tail
+    * spilling into bin+1, the one-spill contract enforced in-plan. */
+  private def packingSplitQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, TextDedup}
+    Curation.packSequencesSplit(Tables.documents(s, dir), "lang", "doc_id",
+        size(TextDedup.words(col("text"))), budgetTokens = 512)
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** Streaming quality gate (q92): the documents corpus replayed as a
     * file stream through the STATELESS map-only scorer — no watermark,
     * no state store, no shuffle; the form a curation gate takes inside
@@ -2085,7 +2105,9 @@ object SparkEntry {
     "q89_ivf_sq_ann" -> (ivfSqAnn _),
     "q90_mixture_plan" -> (mixturePlanQuery _),
     "q91_ivf_audit" -> (ivfAuditQuery _),
-    "q92_streaming_quality" -> (streamingQualityGate _))
+    "q92_streaming_quality" -> (streamingQualityGate _),
+    "q93_winnowing" -> (winnowingQuery _),
+    "q94_packing_split" -> (packingSplitQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2180,7 +2202,8 @@ object SparkEntry {
     "q80_line_dedup", "q81_dup_ngrams", "q82_char_entropy",
     "q83_hashed_quality", "q84_shuffle_assign", "q85_audio_frames",
     "q86_stratified_sample", "q87_bigram_surprisal", "q88_filtered_ann",
-    "q89_ivf_sq_ann", "q90_mixture_plan", "q91_ivf_audit")
+    "q89_ivf_sq_ann", "q90_mixture_plan", "q91_ivf_audit",
+    "q93_winnowing", "q94_packing_split")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3769,5 +3792,45 @@ object SparkEntry {
          s AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(w) AS BIGINT) AS score
                FROM f GROUP BY doc_id)
          SELECT doc_id, n_tokens, score, score >= 0 AS keep
-         FROM s ORDER BY doc_id""")
+         FROM s ORDER BY doc_id""",
+    // Winnowing: word 4-gram hashes, min per 4-hash window, distinct
+    // set per doc; shared = fingerprint in >= 2 distinct docs.
+    "q93_winnowing" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, len(ws) - 3 AS m,
+                      list_transform(range(len(ws) - 3),
+                        i -> ('0x' || substr(md5(array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 4 AS BIGINT)], ' ')), 1, 15))::BIGINT) AS gh
+               FROM w WHERE len(ws) >= 4),
+         f AS (SELECT doc_id, m, greatest(m - 3, 1) AS nw,
+                      list_distinct(list_transform(range(greatest(m - 3, 1)),
+                        j -> list_min(gh[CAST(j + 1 AS BIGINT):CAST(j + 4 AS BIGINT)]))) AS fps
+               FROM g),
+         e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         sh AS (SELECT fp FROM e GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+         sc AS (SELECT e.doc_id, count(*) AS cnt
+                FROM e JOIN sh USING (fp) GROUP BY e.doc_id)
+         SELECT f.doc_id, CAST(m AS BIGINT) AS n_grams,
+                CAST(nw AS BIGINT) AS n_windows,
+                CAST(len(fps) AS BIGINT) AS n_fp,
+                CAST(coalesce(cnt, 0) AS BIGINT) AS n_shared_fp
+         FROM f LEFT JOIN sc USING (doc_id)
+         ORDER BY f.doc_id""",
+    // Packing split: the q75 window plus head/tail integer math
+    // (head = min(n, budget - offset); tail spills into bin+1).
+    "q94_packing_split" ->
+      """WITH t AS (SELECT lang, doc_id,
+                           len(string_split(text, ' ')) AS n_tokens
+                    FROM documents),
+         c AS (SELECT lang, doc_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY lang
+                        ORDER BY doc_id) AS cum
+               FROM t),
+         p AS (SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                      CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+                      CAST((cum - n_tokens) % 512 AS BIGINT) AS bin_offset
+               FROM c)
+         SELECT lang, doc_id, n_tokens, bin, bin_offset,
+                least(n_tokens, 512 - bin_offset) AS head_tokens,
+                n_tokens - least(n_tokens, 512 - bin_offset) AS tail_tokens
+         FROM p ORDER BY lang, doc_id""")
 }

@@ -333,6 +333,35 @@ object Curation {
       .drop("_h")
   }
 
+  /** The materialization step [[packSequences]]'s docstring promises:
+    * split each boundary-straddling doc at the bin edge. Every doc
+    * gets `head_tokens = min(n_tokens, budget − bin_offset)` in its
+    * assigned bin and `tail_tokens = n_tokens − head_tokens` spilling
+    * into bin+1 (zero for the non-straddlers; inputs budget-capped via
+    * [[chunkDocuments]] guarantee at most ONE spill — enforced by an
+    * in-plan assert_true, not assumed). Pure integer column math on
+    * top of the packing window — no new shuffle. Emits packSequences'
+    * columns + (head_tokens, tail_tokens). */
+  def packSequencesSplit(
+      docs: DataFrame,
+      shardCol: String,
+      idCol: String,
+      nTokens: Column,
+      budgetTokens: Int): DataFrame = {
+    val b = lit(budgetTokens.toLong)
+    packSequences(docs, shardCol, idCol, nTokens, budgetTokens)
+      .withColumn("head_tokens",
+        least(col("n_tokens"), b - col("bin_offset")).cast(LongType))
+      // assert_true rides inside the value expression so the optimizer
+      // cannot prune it: a doc long enough to straddle TWO boundaries
+      // (tail > budget) fails the job instead of silently mis-splitting
+      .withColumn("tail_tokens",
+        when(assert_true(col("n_tokens") - col("head_tokens") <= b,
+            lit("packSequencesSplit: doc exceeds budget + remaining bin " +
+              "space; chunk inputs (chunkDocuments) before packing")).isNull,
+          col("n_tokens") - col("head_tokens")).cast(LongType))
+  }
+
   /** PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB):
     * no backrefs, no lookarounds. */
   val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

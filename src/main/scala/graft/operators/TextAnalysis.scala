@@ -171,6 +171,84 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Winnowing fingerprints (the MOSS algorithm, Schleimer–Wilkerson–
+    * Aiken SIGMOD'03): hash every word k-gram, slide a w-hash window,
+    * keep each window's MINIMUM hash — the selected set is a robust
+    * substring fingerprint with the guarantee that any shared run of
+    * ≥ w+k−1 words between two documents shares at least one
+    * fingerprint. The plagiarism-detector primitive, and the
+    * robust middle ground between K9's whole-doc rolling fingerprint
+    * and K50's every-gram statistics (winnowing stores ~1/w of the
+    * grams for the same detection floor). Set semantics per doc
+    * (distinct mins — the classic density argument; position lists are
+    * a trivial extension the fixture doesn't need).
+    *
+    * Per doc: gram count, window count, fingerprint count, and how
+    * many of its fingerprints appear in ≥ 1 OTHER document (the
+    * cross-doc overlap signal). Docs shorter than k words have no
+    * gram and emit no row; docs with fewer than w grams form ONE
+    * window over what exists.
+    *
+    * Scale shape: grams and windows live inside one map-only
+    * transform chain (arrays never leave their row); only the
+    * fingerprint SET explodes — ~m/w hashes per doc — into the
+    * shared-set aggregation (distinct-doc-count ≥ 2, the K49/K50
+    * rollup shape) and one rejoin. */
+  def winnowingFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val ws = words(col(textCol))
+    val m = size(ws) - (k - 1)
+    // sequence() runs DESCENDING when its upper bound goes negative
+    // (docs shorter than k words), handing slice() a 0 start — clamp
+    // the bound; the n_grams >= 1 filter below discards those rows
+    // regardless of what the clamped expression computed for them
+    val gh = transform(sequence(lit(0), greatest(m, lit(1)) - 1),
+      i => md5Hash60(array_join(slice(ws, i + 1, lit(k)), " ")))
+    // LOAD-BEARING EXCHANGE (the pqEncode lesson, quadratic edition):
+    // a lambda body re-evaluates every expression it references PER
+    // ELEMENT, and CollapseProject would inline the gh alias straight
+    // into the window lambda below — m md5 digests × m windows = O(m²)
+    // digests per document (observed: minutes at sf0.1 where the fixed
+    // plan takes seconds). The repartition materializes the m-hash
+    // array once per row; the window pass then reads an attribute.
+    val hashed = docs
+      .select(col(idCol).as("doc_id"), m.cast(LongType).as("n_grams"),
+        gh.as("_gh"))
+      .filter(col("n_grams") >= 1)
+      .repartition(col("doc_id"))
+    val nWin = greatest(col("n_grams") - (w - 1), lit(1L))
+    val base = hashed
+      .select(col("doc_id"), col("n_grams"), nWin.as("n_windows"),
+        array_distinct(transform(sequence(lit(0L), nWin - 1),
+          j => array_min(slice(col("_gh"), (j + 1).cast("int"), lit(w)))))
+          .as("_fps"))
+    // explode_OUTER, deliberately: plain explode makes
+    // InferFiltersFromGenerate add a `size(_fps) > 0` guard, which
+    // predicate pushdown then drags below the exchange — re-inlining
+    // the whole fps expression (inner m-digest transform included)
+    // into a per-row Filter and resurrecting the O(m²) plan the
+    // exchange exists to prevent. _fps is non-empty for every
+    // surviving row (n_grams >= 1 ⇒ at least one window), so outer
+    // explode is value-identical and gets no inferred filter.
+    val fp = base.select(col("doc_id"), explode_outer(col("_fps")).as("fp"))
+    val shared = fp.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select(col("fp"))
+    val sharedPerDoc = fp.join(shared, Seq("fp"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_fp"))
+    base
+      .select(col("doc_id"), col("n_grams"), col("n_windows"),
+        size(col("_fps")).cast(LongType).as("n_fp"))
+      .join(sharedPerDoc, Seq("doc_id"), "left")
+      .withColumn("n_shared_fp", coalesce(col("n_shared_fp"), lit(0L)))
+  }
+
   /** Bigram surprisal scoring — [[unigramSurprisal]] upgraded one
     * Markov order: each document scores by the mean negative
     * log-CONDITIONAL-probability of its token bigrams under the

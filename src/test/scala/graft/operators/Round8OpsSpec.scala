@@ -358,4 +358,63 @@ class Round8OpsSpec extends SparkSpec {
     TextAnalysis.hashedQualityScoreMapOnly(edge, "doc_id", "text")
       .select("doc_id").as[Long].collect() shouldBe Array(2L)
   }
+
+  // ---------------------------------------------------- winnowingFingerprints
+
+  test("winnowing: shared 7-word run guarantees a shared fingerprint") {
+    // docs 0 and 1 share an 8-word run (>= w + k - 1 = 7) inside
+    // otherwise-disjoint text; doc 2 shares nothing
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, s"one two three $run four five"),
+      (1L, s"six seven $run eight nine ten"),
+      (2L, "completely different words with no overlap at all here"),
+      (3L, "tiny doc"), // < k words: no gram, no row
+      (4L, "five little words here now")). // m=2 grams < w: ONE window
+      toDF("doc_id", "text")
+    val out = TextAnalysis.winnowingFingerprints(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.map(_._1) shouldBe Array(0L, 1L, 2L, 4L)
+    val byId = out.map(t => t._1 -> t).toMap
+    byId(0L)._5 should be >= 1L // the SWA'03 guarantee
+    byId(1L)._5 should be >= 1L
+    byId(2L)._5 shouldBe 0L
+    byId(4L) shouldBe ((4L, 2L, 1L, 1L, 0L)) // sub-window doc: one window, one fp
+    // selection is sparse: never more fingerprints than windows
+    out.foreach { t => t._4 should be <= t._3 }
+  }
+
+  // -------------------------------------------------------- packSequencesSplit
+
+  test("packingSplit: full bins receive exactly budget tokens; one-spill enforced") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val nTok = org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.split(col("text"), " "))
+    val budget = 512
+    val out = Curation.packSequencesSplit(docs, "lang", "doc_id", nTok, budget)
+    out.filter(col("head_tokens") + col("tail_tokens") =!= col("n_tokens"))
+      .count() shouldBe 0L
+    out.filter(col("head_tokens") < 1).count() shouldBe 0L
+    // conservation per bin: heads landing in bin b plus tails spilling
+    // in from bin b-1 fill every non-final bin to exactly `budget`
+    val heads = out.groupBy(col("lang"), col("bin"))
+      .agg(sum(col("head_tokens")).as("h"))
+    val tails = out.filter(col("tail_tokens") > 0)
+      .groupBy(col("lang"), (col("bin") + 1).as("bin"))
+      .agg(sum(col("tail_tokens")).as("t"))
+    val lastBin = out.groupBy(col("lang").as("l")).agg(max(col("bin")).as("mx"))
+    val full = heads.join(tails, Seq("lang", "bin"), "left")
+      .join(lastBin, col("lang") === col("l") && col("bin") === col("mx"), "left_anti")
+      .select(col("lang"), col("bin"),
+        (col("h") + coalesce(col("t"), lit(0L))).as("filled"))
+    full.count() should be > 0L
+    full.filter(col("filled") =!= budget.toLong).count() shouldBe 0L
+    // a doc that would straddle TWO boundaries fails the job loudly
+    val long = Seq(("s", 1L, "a b c d e f g h i j k l m n o p q r s t"))
+      .toDF("shard", "id", "text")
+    an[Exception] shouldBe thrownBy {
+      Curation.packSequencesSplit(long, "shard", "id",
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.split(col("text"), " ")), budgetTokens = 4).collect()
+    }
+  }
 }
