@@ -1807,6 +1807,36 @@ object SparkEntry {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Training manifest (q95): the curation pipeline end to end as ONE
+    * declarative composition — quality gate (K52) → exact dedup (K1,
+    * min-id per normalized text) → fixed-window chunking (K29, 32/32)
+    * → per-shard stream packing with boundary split (K44/K63, budget
+    * 64). The output is what a trainer reads: every chunk addressed to
+    * (bin, offset) with its head/tail split. Each stage is the
+    * already-gated operator; the composition itself is what this query
+    * gates — one plan, no materialization between stages. */
+  private def trainingManifestQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, TextAnalysis, TextDedup}
+    val docs = Tables.documents(s, dir)
+    val kept = TextAnalysis.hashedQualityScore(docs, "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id"))
+    val surv = TextDedup.exactDedup(
+      docs.join(kept, Seq("doc_id"), "left_semi"), "text", "doc_id")
+    val chunks = Curation.chunkDocuments(surv, "doc_id", "text",
+        chunkTokens = 32, stride = 32)
+      .join(surv.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("lang"), (col("doc_id") * 100 + col("chunk_idx")).as("chunk_id"),
+        col("n_tokens"))
+    Curation.packSequencesSplit(chunks, "lang", "chunk_id",
+        col("n_tokens"), budgetTokens = 64)
+      .select(col("lang"), col("chunk_id"),
+        expr("chunk_id div 100").as("doc_id"),
+        (col("chunk_id") % 100).as("chunk_idx"),
+        col("n_tokens"), col("bin"), col("bin_offset"),
+        col("head_tokens"), col("tail_tokens"))
+      .orderBy(col("lang"), col("chunk_id"))
+  }
+
   /** Winnowing fingerprints (q93): MOSS-style robust substring
     * fingerprints — min hash per 4-hash window over word 4-gram
     * hashes; per-doc selection stats plus the cross-doc shared count
@@ -2107,7 +2137,8 @@ object SparkEntry {
     "q91_ivf_audit" -> (ivfAuditQuery _),
     "q92_streaming_quality" -> (streamingQualityGate _),
     "q93_winnowing" -> (winnowingQuery _),
-    "q94_packing_split" -> (packingSplitQuery _))
+    "q94_packing_split" -> (packingSplitQuery _),
+    "q95_training_manifest" -> (trainingManifestQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2203,7 +2234,7 @@ object SparkEntry {
     "q83_hashed_quality", "q84_shuffle_assign", "q85_audio_frames",
     "q86_stratified_sample", "q87_bigram_surprisal", "q88_filtered_ann",
     "q89_ivf_sq_ann", "q90_mixture_plan", "q91_ivf_audit",
-    "q93_winnowing", "q94_packing_split")
+    "q93_winnowing", "q94_packing_split", "q95_training_manifest")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3832,5 +3863,39 @@ object SparkEntry {
          SELECT lang, doc_id, n_tokens, bin, bin_offset,
                 least(n_tokens, 512 - bin_offset) AS head_tokens,
                 n_tokens - least(n_tokens, 512 - bin_offset) AS tail_tokens
-         FROM p ORDER BY lang, doc_id""")
+         FROM p ORDER BY lang, doc_id""",
+    // Training manifest: q83's gate, q20's min-id dedup over the kept
+    // set, q61's chunk-count formula (32/32), q75's packing window at
+    // budget 64 plus the q94 split — one composed oracle.
+    "q95_training_manifest" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         fw AS (SELECT doc_id,
+                       (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024) * 2654435761 % 2001 - 1000 AS w
+                FROM tk WHERE tok <> ''),
+         kept AS (SELECT doc_id FROM fw GROUP BY doc_id HAVING CAST(sum(w) AS BIGINT) >= 0),
+         surv AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                  WHERE doc_id IN (SELECT doc_id FROM kept)
+                  GROUP BY lower(trim(text))),
+         d AS (SELECT dd.doc_id, dd.lang,
+                      len(string_split(dd.text, ' ')) AS n
+               FROM documents dd JOIN surv USING (doc_id)),
+         ch AS (SELECT doc_id, lang, n,
+                       unnest(range(1 + CAST(ceil(greatest(n - 32, 0) / 32.0) AS BIGINT))) AS chunk_idx
+                FROM d),
+         cc AS (SELECT lang, doc_id * 100 + chunk_idx AS chunk_id, doc_id, chunk_idx,
+                       least(32, n - chunk_idx * 32) AS n_tokens
+                FROM ch),
+         cm AS (SELECT lang, chunk_id, doc_id, chunk_idx, n_tokens,
+                       SUM(n_tokens) OVER (PARTITION BY lang ORDER BY chunk_id) AS cum
+                FROM cc),
+         p AS (SELECT lang, chunk_id, doc_id, chunk_idx,
+                      CAST(n_tokens AS BIGINT) AS n_tokens,
+                      CAST((cum - n_tokens) // 64 AS BIGINT) AS bin,
+                      CAST((cum - n_tokens) % 64 AS BIGINT) AS bin_offset
+               FROM cm)
+         SELECT lang, chunk_id, doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                n_tokens, bin, bin_offset,
+                least(n_tokens, 64 - bin_offset) AS head_tokens,
+                n_tokens - least(n_tokens, 64 - bin_offset) AS tail_tokens
+         FROM p ORDER BY lang, chunk_id""")
 }
