@@ -264,10 +264,11 @@ object TextAnalysis {
     * Determinism: the q67 micro-nat contract — round(-ln(p)·1e6) per
     * bigram BEFORE the integer per-doc sum; same accepted ~1-ulp libm
     * caveat. Shape at 100 TB: the bigram stream collapses to the
-    * Zipf-bounded bigram vocabulary (8-byte hash key), the context
-    * relation is a second rollup OF THE VOCABULARY (not the corpus),
-    * and the doc stream joins the broadcast model — the K34/K41 shape
-    * one order up. */
+    * bigram vocabulary first, the context relation is a second rollup
+    * OF THE VOCABULARY (not the corpus), and the doc stream equi-joins
+    * the model with NO forced broadcast — the K34/K41 shape one order
+    * up, except the model side is only Zipf-ish (quadratic in the
+    * unigram vocab at worst), so the join strategy is left to AQE. */
   def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = words(col(textCol))
     val bi = docs
@@ -284,7 +285,12 @@ object TextAnalysis {
       .select(col("w1"), col("w2"),
         round(-log(col("c12").cast("double") / col("c1").cast("double")) * 1e6)
           .cast(LongType).as("s_micro"))
-    bi.join(broadcast(model), Seq("w1", "w2"))
+    // NO broadcast hint, deliberately (the r5 unbounded-hint rule): the
+    // unigram vocab (K34) is Zipf-bounded tightly enough to pin, but
+    // the BIGRAM vocabulary grows ~quadratically in it and can outgrow
+    // any broadcast ceiling at 100 TB — AQE broadcasts it while it
+    // fits and degrades to a shuffle join when it doesn't
+    bi.join(model, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("s_micro")).as("surprisal_micro"))
       .select(col("doc_id"), col("n_bigrams"), col("surprisal_micro"),
