@@ -1807,6 +1807,52 @@ object SparkEntry {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Semantic contamination audit (q96): q47 scans for LEXICAL overlap
+    * with the eval set; this is its embedding-space complement — for
+    * every eval vector, the nearest training vector by exact cosine
+    * and a flag at the q24 near-dup bar. Paraphrased eval leakage
+    * shows up here when no shingle matches. One bounded broadcast
+    * (the eval side), k=1 through the ranking. */
+  private def semanticContaminationQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val evalSet = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val train = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.bruteForceTopK(evalSet, train, k = 1)
+      .select(col("qid"), col("id").as("nearest_id"), col("cos"),
+        (col("cos") >= 0.4).as("contaminated"))
+      .orderBy(col("qid"))
+  }
+
+  /** Per-language data card (q97): the corpus-level summary a dataset
+    * release publishes — doc and exact-dup counts, token totals and
+    * integer milli-mean lengths, distinct-word and source counts. Doc
+    * facts aggregate once; token facts aggregate the exploded stream
+    * with map-side partials; the two tiny per-lang relations join. */
+  private def dataCardQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val docs = Tables.documents(s, dir)
+    val docFacts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(TextDedup.norm(col("text"))).as("n_distinct_texts"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(size(TextDedup.words(col("text"))).cast("long")).as("total_tokens"))
+    val tokenFacts = docs
+      .select(col("lang"), explode(TextDedup.words(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("t")).as("distinct_words"))
+    docFacts.join(tokenFacts, Seq("lang"))
+      .select(col("lang"), col("n_docs"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),
+        col("n_sources"), col("total_tokens"),
+        expr("total_tokens * 1000 div n_docs").as("mean_tokens_milli"),
+        col("distinct_words"))
+      .orderBy(col("lang"))
+  }
+
   /** Training manifest (q95): the curation pipeline end to end as ONE
     * declarative composition — quality gate (K52) → exact dedup (K1,
     * min-id per normalized text) → fixed-window chunking (K29, 32/32)
@@ -2138,7 +2184,9 @@ object SparkEntry {
     "q92_streaming_quality" -> (streamingQualityGate _),
     "q93_winnowing" -> (winnowingQuery _),
     "q94_packing_split" -> (packingSplitQuery _),
-    "q95_training_manifest" -> (trainingManifestQuery _))
+    "q95_training_manifest" -> (trainingManifestQuery _),
+    "q96_semantic_contamination" -> (semanticContaminationQuery _),
+    "q97_data_card" -> (dataCardQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2234,7 +2282,8 @@ object SparkEntry {
     "q83_hashed_quality", "q84_shuffle_assign", "q85_audio_frames",
     "q86_stratified_sample", "q87_bigram_surprisal", "q88_filtered_ann",
     "q89_ivf_sq_ann", "q90_mixture_plan", "q91_ivf_audit",
-    "q93_winnowing", "q94_packing_split", "q95_training_manifest")
+    "q93_winnowing", "q94_packing_split", "q95_training_manifest",
+    "q96_semantic_contamination", "q97_data_card")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3897,5 +3946,34 @@ object SparkEntry {
                 n_tokens, bin, bin_offset,
                 least(n_tokens, 64 - bin_offset) AS head_tokens,
                 n_tokens - least(n_tokens, 64 - bin_offset) AS tail_tokens
-         FROM p ORDER BY lang, chunk_id""")
+         FROM p ORDER BY lang, chunk_id""",
+    // Semantic contamination: q25's exact cosine ranking at k=1 with
+    // the q24 near-dup flag.
+    "q96_semantic_contamination" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 20),
+         scored AS (SELECT qid, id, ${cosSql("qvec", "vec")} AS cos
+                    FROM q JOIN c ON qid <> id)
+         SELECT qid, id AS nearest_id, cos, cos >= 0.4 AS contaminated FROM (
+           SELECT qid, id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           FROM scored) t
+         WHERE rank = 1 ORDER BY qid""",
+    // Data card: doc facts + exploded-token facts per lang, integer
+    // milli-mean (non-negative, so // == div).
+    "q97_data_card" ->
+      """WITH df AS (SELECT lang, count(*) AS n_docs,
+                            count(DISTINCT lower(trim(text))) AS n_distinct_texts,
+                            count(DISTINCT source) AS n_sources,
+                            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+                     FROM documents GROUP BY lang),
+         tf AS (SELECT lang, count(DISTINCT t) AS distinct_words
+                FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents) x
+                WHERE t <> '' GROUP BY lang)
+         SELECT df.lang, n_docs,
+                n_docs - n_distinct_texts AS n_exact_dups,
+                n_sources, total_tokens,
+                total_tokens * 1000 // n_docs AS mean_tokens_milli,
+                distinct_words
+         FROM df JOIN tf USING (lang) ORDER BY df.lang""")
 }
