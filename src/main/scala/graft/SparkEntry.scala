@@ -1868,16 +1868,24 @@ object SparkEntry {
       .filter(col("keep")).select(col("doc_id"))
     val surv = TextDedup.exactDedup(
       docs.join(kept, Seq("doc_id"), "left_semi"), "text", "doc_id")
+    // chunk_id = doc_id·1e5 + chunk_idx: collision-free up to 100k
+    // chunks per doc (3.2M tokens at 32-token chunks) — a doc past
+    // that would silently alias a neighbor's address space, so guard
+    // it in-plan rather than assume it
     val chunks = Curation.chunkDocuments(surv, "doc_id", "text",
         chunkTokens = 32, stride = 32)
       .join(surv.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .select(col("lang"), (col("doc_id") * 100 + col("chunk_idx")).as("chunk_id"),
+      .select(col("lang"),
+        (col("doc_id") * 100000 +
+          when(assert_true(col("chunk_idx") < 100000,
+              lit("q95: doc exceeds 100k chunks; widen the chunk_id base"))
+            .isNull, col("chunk_idx"))).as("chunk_id"),
         col("n_tokens"))
     Curation.packSequencesSplit(chunks, "lang", "chunk_id",
         col("n_tokens"), budgetTokens = 64)
       .select(col("lang"), col("chunk_id"),
-        expr("chunk_id div 100").as("doc_id"),
-        (col("chunk_id") % 100).as("chunk_idx"),
+        expr("chunk_id div 100000").as("doc_id"),
+        (col("chunk_id") % 100000).as("chunk_idx"),
         col("n_tokens"), col("bin"), col("bin_offset"),
         col("head_tokens"), col("tail_tokens"))
       .orderBy(col("lang"), col("chunk_id"))
@@ -1898,7 +1906,13 @@ object SparkEntry {
     * spilling into bin+1, the one-spill contract enforced in-plan. */
   private def packingSplitQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Curation, TextDedup}
-    Curation.packSequencesSplit(Tables.documents(s, dir), "lang", "doc_id",
+    // budget-capped inputs are the operator's one-spill CONTRACT
+    // (enforced in-plan by assert_true): apply the cap as a filter so
+    // the query cannot become a data-dependent whole-run abort on a
+    // longer-tailed fixture — q95 shows the chunk-first form
+    val capped = Tables.documents(s, dir)
+      .filter(size(TextDedup.words(col("text"))) <= 512)
+    Curation.packSequencesSplit(capped, "lang", "doc_id",
         size(TextDedup.words(col("text"))), budgetTokens = 512)
       .orderBy(col("lang"), col("doc_id"))
   }
@@ -3659,9 +3673,9 @@ object SparkEntry {
     // division on non-negative integers matches Spark's div.
     "q82_char_entropy" ->
       """WITH ch AS (SELECT doc_id,
-                            unnest(list_transform(range(strlen(text)),
+                            unnest(list_transform(range(length(text)),
                                    i -> substr(text, CAST(i AS INTEGER) + 1, 1))) AS c
-                     FROM documents WHERE strlen(text) > 0),
+                     FROM documents WHERE length(text) > 0),
          cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
          nn AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM cc GROUP BY doc_id),
          t AS (SELECT cc.doc_id, cnt, n,
@@ -3706,18 +3720,18 @@ object SparkEntry {
                       list_transform(range((n + 3) // 4),
                         f -> list_sum(list_transform(range(least(8, n - f * 4)),
                                j -> CAST((CASE WHEN len = 0 THEN 0
-                                          ELSE ord(substr(text, CAST((f * 4 + j) % len AS INTEGER) + 1, 1)) - 128
-                                          END) * 128 AS BIGINT)
+                                          ELSE ord(substr(text, CAST((f * 4 + j) % len AS INTEGER) + 1, 1))
+                                          END - 128) * 128 AS BIGINT)
                                     * CAST((CASE WHEN len = 0 THEN 0
-                                            ELSE ord(substr(text, CAST((f * 4 + j) % len AS INTEGER) + 1, 1)) - 128
-                                            END) * 128 AS BIGINT)))) AS en,
+                                            ELSE ord(substr(text, CAST((f * 4 + j) % len AS INTEGER) + 1, 1))
+                                            END - 128) * 128 AS BIGINT)))) AS en,
                       list_sum(list_transform(range(n),
                         i -> CAST((CASE WHEN len = 0 THEN 0
-                                   ELSE ord(substr(text, CAST(i % len AS INTEGER) + 1, 1)) - 128
-                                   END) * 128 AS BIGINT)
+                                   ELSE ord(substr(text, CAST(i % len AS INTEGER) + 1, 1))
+                                   END - 128) * 128 AS BIGINT)
                              * CAST((CASE WHEN len = 0 THEN 0
-                                     ELSE ord(substr(text, CAST(i % len AS INTEGER) + 1, 1)) - 128
-                                     END) * 128 AS BIGINT))) AS tot
+                                     ELSE ord(substr(text, CAST(i % len AS INTEGER) + 1, 1))
+                                     END - 128) * 128 AS BIGINT))) AS tot
                FROM m)
          SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
                 CAST((n + 3) // 4 AS BIGINT) AS n_frames,
@@ -3857,11 +3871,16 @@ object SparkEntry {
                       CAST(round((${dotSqlN("c.vec", "c.vec", 64)}
                                   - 2 * ${dotSqlN("c.vec", "cen.cvec", 64)}
                                   + ${dotSqlN("cen.cvec", "cen.cvec", 64)}) * 1e6) AS BIGINT) AS d2u
-               FROM asg JOIN c ON c.id = asg.id JOIN cen ON cen.cid = asg.cell)
-         SELECT cell, count(*) AS n_vectors,
-                CAST(sum(d2u) AS BIGINT) AS sum_d2_micro,
-                CAST(sum(d2u) AS BIGINT) // count(*) AS mean_d2_micro
-         FROM d GROUP BY cell ORDER BY cell""",
+               FROM asg JOIN c ON c.id = asg.id JOIN cen ON cen.cid = asg.cell),
+         g AS (SELECT cell, count(*) AS n_vectors,
+                      CAST(sum(d2u) AS BIGINT) AS sum_d2_micro,
+                      CAST(sum(d2u) AS BIGINT) // count(*) AS mean_d2_micro
+               FROM d GROUP BY cell)
+         SELECT cen.cid AS cell,
+                coalesce(n_vectors, CAST(0 AS BIGINT)) AS n_vectors,
+                coalesce(sum_d2_micro, CAST(0 AS BIGINT)) AS sum_d2_micro,
+                coalesce(mean_d2_micro, CAST(0 AS BIGINT)) AS mean_d2_micro
+         FROM cen LEFT JOIN g ON g.cell = cen.cid ORDER BY cell""",
     // Streaming quality gate: the stateless map-only scorer must emit
     // exactly the batch scorer's rows — q83's oracle minus its mean.
     "q92_streaming_quality" ->
@@ -3900,7 +3919,8 @@ object SparkEntry {
     "q94_packing_split" ->
       """WITH t AS (SELECT lang, doc_id,
                            len(string_split(text, ' ')) AS n_tokens
-                    FROM documents),
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) <= 512),
          c AS (SELECT lang, doc_id, n_tokens,
                       SUM(n_tokens) OVER (PARTITION BY lang
                         ORDER BY doc_id) AS cum
@@ -3931,7 +3951,7 @@ object SparkEntry {
          ch AS (SELECT doc_id, lang, n,
                        unnest(range(1 + CAST(ceil(greatest(n - 32, 0) / 32.0) AS BIGINT))) AS chunk_idx
                 FROM d),
-         cc AS (SELECT lang, doc_id * 100 + chunk_idx AS chunk_id, doc_id, chunk_idx,
+         cc AS (SELECT lang, doc_id * 100000 + chunk_idx AS chunk_id, doc_id, chunk_idx,
                        least(32, n - chunk_idx * 32) AS n_tokens
                 FROM ch),
          cm AS (SELECT lang, chunk_id, doc_id, chunk_idx, n_tokens,

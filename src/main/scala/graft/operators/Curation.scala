@@ -182,8 +182,7 @@ object Curation {
     * boundary vs an exact-integer oracle at corpus scale. Returns the
     * sampled ids joined back to the input rows. */
   def exactSample(df: DataFrame, idCol: String, n: Int): DataFrame = {
-    val h52 = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
-      .cast(LongType)
+    val h52 = TextDedup.md5Hash52(col(idCol).cast("string"))
     val picked = df
       .select(h52.as("_h"), col(idCol))
       .agg(call_function("graft_topk",
@@ -212,8 +211,7 @@ object Curation {
       stratumCol: String,
       nPerStratum: Int): DataFrame = {
     require(nPerStratum >= 1, s"nPerStratum must be >= 1, got $nPerStratum")
-    val h52 = conv(substring(md5(concat(lit("strat:"), col(idCol).cast("string"))),
-      1, 13), 16, 10).cast(LongType)
+    val h52 = TextDedup.md5Hash52(concat(lit("strat:"), col(idCol).cast("string")))
     val picked = df
       .select(col(stratumCol), h52.as("_h"), col(idCol))
       .groupBy(col(stratumCol))
@@ -322,8 +320,7 @@ object Curation {
     * consumer ever routes it through a double. */
   def shuffleAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val h = conv(substring(md5(concat(lit("shuf:"), col(idCol).cast("string"))),
-      1, 13), 16, 10).cast(LongType)
+    val h = TextDedup.md5Hash52(concat(lit("shuf:"), col(idCol).cast("string")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_shard")).orderBy(col("_h"), col(idCol))
     df.withColumn("_h", h)

@@ -133,7 +133,8 @@ object Similarity {
     * every engine and partitioning. The centroid dot and its norm² are
     * plan-time literals chained through one codegen'd CASE — map-only
     * until the tiny by-cell rollup. Output (cell, n_vectors,
-    * sum_d2_micro, mean_d2_micro). */
+    * sum_d2_micro, mean_d2_micro), one row per CENTROID — empty cells
+    * report n_vectors = 0 rather than vanishing. */
   def ivfAudit(
       corpus: DataFrame, // (id, vec)
       centroids: Seq[(Long, Array[Float])]): DataFrame = {
@@ -148,12 +149,24 @@ object Similarity {
     val c2 = chain((_, cv) =>
       lit(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
     val d2 = dot(col("vec"), col("vec")) - lit(2.0) * dotc + c2
-    asg
+    val byCell = asg
       .select(col("cell"), round(d2 * 1e6).cast("long").as("_d2u"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"), sum(col("_d2u")).as("sum_d2_micro"))
-      .select(col("cell"), col("n_vectors"), col("sum_d2_micro"),
-        expr("sum_d2_micro div n_vectors").as("mean_d2_micro"))
+    // EMPTY cells must appear (n_vectors = 0) — they are half of what
+    // the audit exists to surface; a groupBy alone silently omits any
+    // centroid nothing assigned to. The centroid relation is tiny and
+    // drives a left join.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.map(_._1).toDF("cell")
+      .join(byCell, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+        coalesce(col("sum_d2_micro"), lit(0L)).as("sum_d2_micro"))
+      .withColumn("mean_d2_micro",
+        when(col("n_vectors") > 0, expr("sum_d2_micro div n_vectors"))
+          .otherwise(lit(0L)))
   }
 
   /** IVF-style ANN: the corpus is partitioned into `centroids.size`

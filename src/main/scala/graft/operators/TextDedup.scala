@@ -51,6 +51,15 @@ object TextDedup {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** The 52-BIT twin (13 hex chars): for hashes that may ride through
+    * a DOUBLE (heap scores, sampling thresholds) — a 52-bit integer is
+    * exactly double-representable where a 60-bit one loses its low ~7
+    * bits, which could re-order a bottom-k boundary vs an
+    * exact-integer oracle. Callers prepend their salt ('strat:',
+    * 'shuf:', …) to decouple independent picks. */
+  def md5Hash52(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast(LongType)
+
   /** Exact dedup producing a deduplicated DATASET (not just counters):
     * keeps the minimum-id row per normalized-text hash. One shuffle on
     * the 8-byte hash. */

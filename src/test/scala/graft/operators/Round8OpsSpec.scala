@@ -336,6 +336,17 @@ class Round8OpsSpec extends SparkSpec {
       .orderBy("cell").collect()
     rederived.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
       audit.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // an unreachable centroid must still produce a row — empty cells
+    // are half of what the audit exists to surface. Cosine assignment
+    // is magnitude-blind, so "far away" can still win; a DUPLICATE of
+    // an existing centroid under a HIGHER cid is provably empty (every
+    // tie breaks to the smaller cid)
+    val emptyCentroid = (999L, seeds.head._2)
+    val withEmpty = Similarity.ivfAudit(corpus, seeds :+ emptyCentroid)
+      .filter(col("cell") === 999L).collect()
+    withEmpty.length shouldBe 1
+    withEmpty.head.getLong(1) shouldBe 0L // n_vectors
+    withEmpty.head.getLong(3) shouldBe 0L // mean, not a div-by-zero
   }
 
   // -------------------------------------------- hashedQualityScoreMapOnly
