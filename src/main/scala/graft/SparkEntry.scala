@@ -2099,6 +2099,66 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus snapshot diff (q98): two snapshots derived
+    * deterministically from the fixture — the OLD snapshot drops
+    * doc_id % 10 = 3, the NEW snapshot drops doc_id % 10 = 7 and
+    * rewrites the text of doc_id % 10 = 5 — then the digest-compare
+    * full-outer join classifies every id. Non-`unchanged` rows only:
+    * the diff's consumers (re-embed, re-dedup, index maintenance)
+    * never want the unchanged bulk. */
+  private def snapshotDiffQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val d = Tables.documents(s, dir)
+    val oldSnap = d.filter(col("doc_id") % 10 =!= 3)
+    val newSnap = d.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    Curation.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .filter(col("status") =!= "unchanged")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Matryoshka truncated-dim retrieval (q99): brute cosine top-5 in
+    * the first 16 of 64 dimensions, each hit flagged against the
+    * full-dim top-5 — the MRL cheap-first-stage pattern with recall
+    * evidence inline. */
+  private def matryoshkaAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.matryoshkaTopK(queries, corpus, dims = 16, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Length-bucketed batch assembly (q100): pow-2 length buckets
+    * [16, 512], 8-doc batches within (bucket, shard of 4), per-doc
+    * padding waste — the batching layout that minimizes pad tokens
+    * without a global sort. */
+  private def lengthBucketQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, TextDedup}
+    Curation.lengthBucketBatches(Tables.documents(s, dir), "doc_id",
+        size(TextDedup.words(col("text"))), batchSize = 8, nShards = 4,
+        minBucket = 16, maxBucket = 512)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Containment pairs (q101): doc-inside-doc detection over word
+    * 3-gram sets — postings join with df cap 100, pairs whose larger
+    * containment direction ≥ 30% (the fixture's docs are synthetic
+    * permutations, so full quotations don't occur; the gate is set
+    * where the shared-template tail is non-empty and the asymmetry
+    * column shows what Jaccard would have hidden). */
+  private def containmentQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    TextDedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, dfCap = 100, minPpm = 300000L)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2200,7 +2260,11 @@ object SparkEntry {
     "q94_packing_split" -> (packingSplitQuery _),
     "q95_training_manifest" -> (trainingManifestQuery _),
     "q96_semantic_contamination" -> (semanticContaminationQuery _),
-    "q97_data_card" -> (dataCardQuery _))
+    "q97_data_card" -> (dataCardQuery _),
+    "q98_snapshot_diff" -> (snapshotDiffQuery _),
+    "q99_matryoshka_ann" -> (matryoshkaAnn _),
+    "q100_length_buckets" -> (lengthBucketQuery _),
+    "q101_containment_pairs" -> (containmentQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2297,7 +2361,9 @@ object SparkEntry {
     "q86_stratified_sample", "q87_bigram_surprisal", "q88_filtered_ann",
     "q89_ivf_sq_ann", "q90_mixture_plan", "q91_ivf_audit",
     "q93_winnowing", "q94_packing_split", "q95_training_manifest",
-    "q96_semantic_contamination", "q97_data_card")
+    "q96_semantic_contamination", "q97_data_card",
+    "q98_snapshot_diff", "q99_matryoshka_ann", "q100_length_buckets",
+    "q101_containment_pairs")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3995,5 +4061,95 @@ object SparkEntry {
                 n_sources, total_tokens,
                 total_tokens * 1000 // n_docs AS mean_tokens_milli,
                 distinct_words
-         FROM df JOIN tf USING (lang) ORDER BY df.lang""")
+         FROM df JOIN tf USING (lang) ORDER BY df.lang""",
+    // Snapshot diff: digest-compare full-outer join over the two
+    // deterministically derived snapshots; non-unchanged rows only.
+    "q98_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h_old
+                    FROM documents WHERE doc_id % 10 <> 3),
+         n AS (SELECT doc_id,
+                      md5(CASE WHEN doc_id % 10 = 5 THEN text || ' v2'
+                               ELSE text END) AS h_new
+               FROM documents WHERE doc_id % 10 <> 7),
+         d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                      CASE WHEN h_old IS NULL THEN 'added'
+                           WHEN h_new IS NULL THEN 'removed'
+                           WHEN h_old <> h_new THEN 'changed'
+                           ELSE 'unchanged' END AS status
+               FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         SELECT doc_id, status FROM d
+         WHERE status <> 'unchanged' ORDER BY doc_id""",
+    // Matryoshka: cosine in the first 16 dims (slice is 1-based
+    // inclusive in both engines; norms over the SLICED arrays), each
+    // truncated hit flagged against the full-64-dim top-5.
+    "q99_matryoshka_ann" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 20),
+         ts AS (SELECT qid, id,
+                       round(${dotSqlN("qvec", "vec", 16)} /
+                         (sqrt(${dotSqlN("qvec", "qvec", 16)}) *
+                          sqrt(${dotSqlN("vec", "vec", 16)})), 6) AS cos
+                FROM q JOIN c ON qid <> id),
+         tr AS (SELECT qid, id, cos,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, id) AS rank
+                FROM ts),
+         fs AS (SELECT qid, id FROM (
+                  SELECT qid, id,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY ${cosSql("qvec", "vec")} DESC, id) AS r
+                  FROM q JOIN c ON qid <> id) x WHERE r <= 5)
+         SELECT t.qid, CAST(t.rank AS BIGINT) AS rank, t.id,
+                t.cos AS cos_trunc,
+                CAST(CASE WHEN f.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                  AS in_full_topk
+         FROM tr t LEFT JOIN fs f ON t.qid = f.qid AND t.id = f.id
+         WHERE t.rank <= 5 ORDER BY t.qid, t.rank""",
+    // Length buckets: pow-2 CASE chain, salted-52-bit shard, in-shard
+    // row_number packing — all integer, both engines identical.
+    "q100_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                           ('0x' || substr(md5('lb:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 4 AS shard
+                    FROM documents),
+         b AS (SELECT doc_id, n_tokens, shard,
+                      CASE WHEN n_tokens <= 16 THEN 16
+                           WHEN n_tokens <= 32 THEN 32
+                           WHEN n_tokens <= 64 THEN 64
+                           WHEN n_tokens <= 128 THEN 128
+                           WHEN n_tokens <= 256 THEN 256
+                           ELSE 512 END AS bucket_len
+               FROM t)
+         SELECT doc_id, n_tokens, CAST(bucket_len AS BIGINT) AS bucket_len,
+                CAST(shard AS BIGINT) AS shard,
+                CAST((row_number() OVER (PARTITION BY bucket_len, shard
+                       ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch,
+                CAST(bucket_len - least(n_tokens, bucket_len) AS BIGINT) AS pad_tokens
+         FROM b ORDER BY doc_id""",
+    // Containment: distinct word-3-gram sets, df-capped postings
+    // self-join, integer-ppm containment both directions; gram
+    // identity (string here ≡ 60-bit md5 on the Spark side, the q81
+    // convention).
+    "q101_containment_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT DISTINCT doc_id, gram FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(len(ws) - 2),
+                          i -> array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' '))) AS gram
+                 FROM w WHERE len(ws) >= 3) x),
+         sz AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+         dfc AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
+         r AS (SELECT g.doc_id, g.gram FROM g JOIN dfc USING (gram)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*) AS n_shared
+               FROM r a JOIN r b ON a.gram = b.gram AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT id_a, id_b, n_shared, sa.ng AS na, sb.ng AS nb,
+                n_shared * 1000000 // sa.ng AS cont_a_ppm,
+                n_shared * 1000000 // sb.ng AS cont_b_ppm
+         FROM p JOIN sz sa ON p.id_a = sa.doc_id
+                JOIN sz sb ON p.id_b = sb.doc_id
+         WHERE greatest(n_shared * 1000000 // sa.ng,
+                        n_shared * 1000000 // sb.ng) >= 300000
+         ORDER BY id_a, id_b""")
 }

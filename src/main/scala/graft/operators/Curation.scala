@@ -359,6 +359,85 @@ object Curation {
           col("n_tokens") - col("head_tokens")).cast(LongType))
   }
 
+  /** Incremental corpus snapshot diff: classify every id present in
+    * either snapshot as added / removed / changed / unchanged by
+    * comparing content digests. Both sides project to `(id, md5)`
+    * BEFORE the full-outer join, so the exchange carries a 32-char
+    * digest per row, never document bodies — at 100 TB the join
+    * co-partitions on the id both snapshots would naturally bucket
+    * by, and the shuffle width is independent of document size. This
+    * is the nightly-crawl refresh primitive: downstream re-embedding,
+    * re-dedup and index maintenance run over `added ∪ changed` only,
+    * instead of re-processing the whole corpus. */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("id"),
+      md5(col(contentCol).cast("string")).as("_h_old"))
+    val n = newSnap.select(col(idCol).as("id"),
+      md5(col(contentCol).cast("string")).as("_h_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("_h_old").isNull, lit("added"))
+          .when(col("_h_new").isNull, lit("removed"))
+          .when(col("_h_old") =!= col("_h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** Length-bucketed batch assembly: round each doc's token count up
+    * to the next power-of-two bucket in `[minBucket, maxBucket]`
+    * (longer docs truncate to `maxBucket`), then pack docs into
+    * fixed-`batchSize` batches WITHIN `(bucket, shard)` — shard =
+    * salted md5 of the id mod `nShards` — emitting the per-doc
+    * padding waste `bucket_len − min(n_tokens, bucket_len)` the
+    * bucketing exists to minimize. Batch addressing is (bucket_len,
+    * shard, batch) with a window per (bucket, shard): sharding is
+    * what makes this a 100 TB op — a handful of global length
+    * buckets would otherwise funnel the whole corpus through that
+    * many window partitions, and training never needs globally
+    * consecutive batch ids, only deterministic resumable ones (the
+    * q84 argument applied to batching). Pure integer math
+    * throughout, so a SQL oracle matches bit-for-bit. */
+  def lengthBucketBatches(
+      docs: DataFrame,
+      idCol: String,
+      nTokens: Column,
+      batchSize: Int,
+      nShards: Int,
+      minBucket: Int = 16,
+      maxBucket: Int = 1024): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(minBucket >= 1 && Integer.bitCount(minBucket) == 1 &&
+      Integer.bitCount(maxBucket) == 1 && maxBucket >= minBucket,
+      s"bucket bounds must be powers of two with min <= max, " +
+        s"got [$minBucket, $maxBucket]")
+    val sizes = Iterator.iterate(minBucket)(_ * 2)
+      .takeWhile(_ <= maxBucket).toSeq
+    // CASE chain from the smallest bucket out — identical fold order
+    // in the SQL mirror; cheap (log2(max/min) comparisons per row).
+    val bucket = sizes.reverse.foldLeft(lit(maxBucket.toLong): Column) {
+      (acc, b) => when(col("n_tokens") <= b, lit(b.toLong)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_len"), col("shard")).orderBy(col(idCol))
+    docs
+      .withColumn("n_tokens", nTokens.cast(LongType))
+      .withColumn("bucket_len", bucket)
+      .withColumn("shard",
+        pmod(TextDedup.md5Hash52(
+          concat(lit("lb:"), col(idCol).cast("string"))),
+          lit(nShards.toLong)))
+      .withColumn("_seq", row_number().over(w).cast(LongType) - 1)
+      .withColumn("batch", expr(s"_seq div ${batchSize}L"))
+      .withColumn("pad_tokens",
+        col("bucket_len") - least(col("n_tokens"), col("bucket_len")))
+      .select(col(idCol), col("n_tokens"), col("bucket_len"),
+        col("shard"), col("batch"), col("pad_tokens"))
+  }
+
   /** PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB):
     * no backrefs, no lookarounds. */
   val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -747,4 +747,32 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Matryoshka (MRL-style) truncated-dimension retrieval with its own
+    * recall evidence: brute cosine top-k over only the first `dims`
+    * dimensions of each vector — the cheap prefix a
+    * matryoshka-trained encoder front-loads — flagged per hit against
+    * the full-dimension top-k. Truncation is a plan-time `slice`
+    * feeding the codegen'd dot product, so scoring does `dims`
+    * multiplies instead of the full width; at scale the truncated
+    * pass is the first-stage retriever (k× the candidates at dims/D
+    * the cost) and the full-dim pass here is the AUDIT twin, kept so
+    * the output carries per-query agreement the way q26/q59/q91
+    * audits do. Output: (qid, rank, id, cos_trunc, in_full_topk). */
+  def matryoshkaTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (id, vec)
+      dims: Int,
+      k: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val tq = queries.select(col("qid"), slice(col("qvec"), 1, dims).as("qvec"))
+    val tc = corpus.select(col("id"), slice(col("vec"), 1, dims).as("vec"))
+    val trunc = bruteForceTopKAgg(tq, tc, k)
+    val full = bruteForceTopKAgg(queries, corpus, k)
+      .select(col("qid"), col("id"), lit(1L).as("in_full_topk"))
+    trunc.join(full, Seq("qid", "id"), "left")
+      .select(col("qid"), col("rank"), col("id"),
+        col("cos").as("cos_trunc"),
+        coalesce(col("in_full_topk"), lit(0L)).as("in_full_topk"))
+  }
 }

@@ -650,4 +650,64 @@ object TextDedup {
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         expr("n_dup * 1000000 div n_grams").as("dup_ppm"))
   }
+
+  /** Asymmetric containment detection (doc-inside-doc): exact
+    * containment `C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)|` in
+    * integer ppm over DISTINCT word n-gram sets, for candidate pairs
+    * from an n-gram postings self-join. The Jaccard-gated near-dup
+    * stack (q21/q57) structurally misses a small document quoted
+    * whole inside a much larger one — Jaccard ≈ |a|/|b| vanishes as
+    * the host grows, while containment stays 1.0; this operator is
+    * the quotation/subsumption detector.
+    *
+    * Scale shape: postings with document frequency > `dfCap` are
+    * dropped BEFORE the self-join, bounding each gram's pair fan-out
+    * at dfCap² (the standard prefix-filter guard). A capped gram is a
+    * template/boilerplate gram — a pair sharing ONLY those is
+    * boilerplate reuse, which line-level dedup (q80) owns, not
+    * quotation. Pairs shuffle as 8-byte gram hashes + ids; document
+    * text never reaches the join. Returns pairs whose larger-direction
+    * containment ≥ `minPpm`, with both directions reported. */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      dfCap: Int = 50,
+      minPpm: Long = 500000L): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(dfCap >= 2, s"dfCap must be >= 2, got $dfCap")
+    val ws = words(col(textCol))
+    // DISTINCT gram sets: containment is a set measure, so a gram
+    // repeated inside one doc counts once (array_distinct post-hash).
+    val grams = docs
+      .select(col(idCol).as("id"), ws.as("_ws"), size(ws).as("_nw"))
+      .filter(col("_nw") >= n)
+      .select(col("id"),
+        explode(array_distinct(
+          transform(sequence(lit(0), col("_nw") - n),
+            i => md5Hash60(array_join(slice(col("_ws"), i + 1, lit(n)), " ")))))
+          .as("_gh"))
+    val setSizes = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
+    val rare = grams
+      .withColumn("_df", count(lit(1))
+        .over(Window.partitionBy(col("_gh"))))
+      .filter(col("_df") <= dfCap)
+      .select(col("id"), col("_gh"))
+    val shared = rare.select(col("id").as("id_a"), col("_gh"))
+      .join(rare.select(col("id").as("id_b"), col("_gh")), Seq("_gh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(setSizes.select(col("id").as("id_a"), col("ng").as("na")),
+        Seq("id_a"))
+      .join(setSizes.select(col("id").as("id_b"), col("ng").as("nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("na"), col("nb"),
+        expr("n_shared * 1000000 div na").as("cont_a_ppm"),
+        expr("n_shared * 1000000 div nb").as("cont_b_ppm"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= minPpm)
+  }
 }
