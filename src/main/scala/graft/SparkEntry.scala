@@ -2159,6 +2159,45 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Per-source score calibration (q102): token count re-expressed as
+    * a within-source percentile (integer ppm), so one global threshold
+    * treats terse and verbose sources fairly. */
+  private def calibrateQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, TextDedup}
+    Curation.calibrateScores(Tables.documents(s, dir), "doc_id", "source",
+        size(TextDedup.words(col("text"))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** LSH index maintenance delta (q103): the q98 snapshot pair pushed
+    * through digest diff → delta-only MinHash banding — del rows carry
+    * the OLD text's keys, ins rows the NEW text's; unchanged docs
+    * never reach the signature stage. */
+  private def lshIndexDeltaQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val d = Tables.documents(s, dir)
+    val oldSnap = d.filter(col("doc_id") % 10 =!= 3)
+    val newSnap = d.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    TextDedup.lshIndexDelta(oldSnap, newSnap, "doc_id", "text")
+      .orderBy(col("op"), col("id"), col("band"))
+  }
+
+  /** Signal correlation audit (q104): pairwise Pearson r between
+    * doc-length signals (chars, tokens, distinct tokens) from one
+    * integer-sum aggregation pass — the redundancy check run before
+    * adding another quality filter to the gate. */
+  private def signalCorrQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis, TextDedup}
+    TextAnalysis.signalCorrelations(Tables.documents(s, dir), Seq(
+        "n_chars" -> col("n_chars"),
+        "n_tokens" -> size(TextDedup.words(col("text"))),
+        "n_distinct" -> size(array_distinct(TextDedup.words(col("text"))))))
+      .orderBy(col("sig_a"), col("sig_b"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2264,7 +2303,10 @@ object SparkEntry {
     "q98_snapshot_diff" -> (snapshotDiffQuery _),
     "q99_matryoshka_ann" -> (matryoshkaAnn _),
     "q100_length_buckets" -> (lengthBucketQuery _),
-    "q101_containment_pairs" -> (containmentQuery _))
+    "q101_containment_pairs" -> (containmentQuery _),
+    "q102_score_calibration" -> (calibrateQuery _),
+    "q103_lsh_index_delta" -> (lshIndexDeltaQuery _),
+    "q104_signal_correlations" -> (signalCorrQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2363,7 +2405,8 @@ object SparkEntry {
     "q93_winnowing", "q94_packing_split", "q95_training_manifest",
     "q96_semantic_contamination", "q97_data_card",
     "q98_snapshot_diff", "q99_matryoshka_ann", "q100_length_buckets",
-    "q101_containment_pairs")
+    "q101_containment_pairs", "q102_score_calibration",
+    "q103_lsh_index_delta", "q104_signal_correlations")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4151,5 +4194,95 @@ object SparkEntry {
                 JOIN sz sb ON p.id_b = sb.doc_id
          WHERE greatest(n_shared * 1000000 // sa.ng,
                         n_shared * 1000000 // sb.ng) >= 300000
-         ORDER BY id_a, id_b""")
+         ORDER BY id_a, id_b""",
+    // Score calibration: within-source integer-ppm percentile with
+    // (score, doc_id) tie-break; single-member sources -> 0.
+    "q102_score_calibration" ->
+      """WITH t AS (SELECT doc_id, source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+                    FROM documents),
+         r AS (SELECT doc_id, source, score,
+                      CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY score, doc_id) AS BIGINT) AS rk,
+                      CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+               FROM t)
+         SELECT doc_id, source, score,
+                CASE WHEN n = 1 THEN 0
+                     ELSE (rk - 1) * 1000000 // (n - 1) END AS pct_ppm
+         FROM r ORDER BY doc_id""",
+    // LSH index delta: q98's digest diff picks the delta docs, then
+    // raw (uncapped) 64-hash/4-band MinHash keys — del from OLD text,
+    // ins from NEW text. Same signature algebra as the q21 fragment.
+    "q103_lsh_index_delta" ->
+      s"""WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3),
+         nw AS (SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 5 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 10 <> 7),
+         st AS (SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN nw.doc_id IS NULL THEN 'removed'
+                            WHEN md5(o.text) <> md5(nw.text) THEN 'changed'
+                            ELSE 'unchanged' END AS status
+                FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id),
+         dd AS (SELECT 'del' AS op, o.doc_id, o.text
+                FROM o JOIN st USING (doc_id)
+                WHERE status IN ('removed', 'changed')
+                UNION ALL
+                SELECT 'ins' AS op, nw.doc_id, nw.text
+                FROM nw JOIN st USING (doc_id)
+                WHERE status IN ('added', 'changed')),
+         w AS (SELECT op, doc_id,
+                      unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+               FROM dd),
+         hb AS (SELECT op, doc_id,
+                       ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS h
+                FROM w),
+         hs AS (SELECT op, doc_id, c.i AS i,
+                       MIN((h * c.a + c.b) % 2147483647) AS sig
+                FROM hb CROSS JOIN (VALUES ${minHashCoeffsSql(64)}) AS c(i, a, b)
+                GROUP BY op, doc_id, c.i),
+         bands AS (SELECT op, doc_id, i // 16 AS band,
+                          string_agg(CAST(sig AS VARCHAR), '|' ORDER BY i) AS key
+                   FROM hs GROUP BY op, doc_id, (i // 16))
+         SELECT op, doc_id AS id, CAST(band AS BIGINT) AS band, key
+         FROM bands ORDER BY op, id, band""",
+    // Signal correlations: exact integer sums, closed-form Pearson in
+    // double with the SAME expression shape as the Scala side;
+    // zero-variance guard -> NULL.
+    "q104_signal_correlations" ->
+      """WITH t AS (SELECT CAST(n_chars AS BIGINT) AS a,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS b,
+                           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS c
+                    FROM documents),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(a) AS DOUBLE) AS sa, CAST(sum(a*a) AS DOUBLE) AS ssa,
+                      CAST(sum(b) AS DOUBLE) AS sb, CAST(sum(b*b) AS DOUBLE) AS ssb,
+                      CAST(sum(c) AS DOUBLE) AS sc, CAST(sum(c*c) AS DOUBLE) AS ssc,
+                      CAST(sum(a*b) AS DOUBLE) AS sab,
+                      CAST(sum(a*c) AS DOUBLE) AS sac,
+                      CAST(sum(b*c) AS DOUBLE) AS sbc
+               FROM t)
+         SELECT sig_a, sig_b, corr FROM (
+           SELECT 'n_chars' AS sig_a, 'n_tokens' AS sig_b,
+                  CASE WHEN (n*ssa - sa*sa) * (n*ssb - sb*sb) > 0
+                       THEN round((n*sab - sa*sb) /
+                              sqrt((n*ssa - sa*sa) * (n*ssb - sb*sb)), 6)
+                       ELSE NULL END AS corr
+           FROM s
+           UNION ALL
+           SELECT 'n_chars', 'n_distinct',
+                  CASE WHEN (n*ssa - sa*sa) * (n*ssc - sc*sc) > 0
+                       THEN round((n*sac - sa*sc) /
+                              sqrt((n*ssa - sa*sa) * (n*ssc - sc*sc)), 6)
+                       ELSE NULL END
+           FROM s
+           UNION ALL
+           SELECT 'n_tokens', 'n_distinct',
+                  CASE WHEN (n*ssb - sb*sb) * (n*ssc - sc*sc) > 0
+                       THEN round((n*sbc - sb*sc) /
+                              sqrt((n*ssb - sb*sb) * (n*ssc - sc*sc)), 6)
+                       ELSE NULL END
+           FROM s) x
+         ORDER BY sig_a, sig_b""")
 }

@@ -438,6 +438,35 @@ object Curation {
         col("shard"), col("batch"), col("pad_tokens"))
   }
 
+  /** Within-group score calibration: replace a raw quality score with
+    * its percentile INSIDE its group (integer ppm — rank 0 of n−1 →
+    * 0, top rank → 1,000,000), so one global keep-threshold is fair
+    * across groups whose raw score distributions differ (a fixed raw
+    * cutoff over-prunes sources that are merely terse and under-prunes
+    * verbose ones — the standard per-source calibration step before a
+    * corpus-wide quality gate). Ties break by id, making the
+    * percentile deterministic; a single-member group calibrates to 0.
+    * One window per group — groups (sources/domains/languages) number
+    * in the thousands-to-millions at corpus scale, so the window
+    * partitioning is the natural parallelism, never a global sort. */
+  def calibrateScores(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      score: Column): DataFrame = {
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    docs
+      .withColumn("score", score.cast(LongType))
+      .withColumn("_rk", row_number()
+        .over(byGroup.orderBy(col("score"), col(idCol))).cast(LongType))
+      .withColumn("_n", count(lit(1)).over(byGroup).cast(LongType))
+      .withColumn("pct_ppm",
+        when(col("_n") === 1, lit(0L))
+          .otherwise(expr("(_rk - 1) * 1000000 div (_n - 1)")))
+      .select(col(idCol), col(groupCol), col("score"), col("pct_ppm"))
+  }
+
   /** PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB):
     * no backrefs, no lookarounds. */
   val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -421,4 +421,44 @@ object TextAnalysis {
         expr("score * 1000 div n_tokens").as("mean_milli"),
         (col("score") >= 0).as("keep"))
   }
+
+  /** Pairwise Pearson correlation between per-document INTEGER quality
+    * signals — the audit that tells a curation pipeline which of its
+    * filters are redundant (two signals at r ≈ 1 gate the same docs)
+    * and which genuinely add information. One aggregation pass
+    * accumulates every sum (n, Σx, Σx² per signal, Σxy per pair) as
+    * EXACT integers with map-side combine — the corpus is read once
+    * regardless of how many signals are audited — and the closed-form
+    * `(nΣxy − ΣxΣy) / √((nΣx²−Σx²)(nΣy²−Σy²))` evaluates in double on
+    * the single result row (identical expression tree on both engines,
+    * so round(·,6) matches exactly). Zero-variance signals yield NULL,
+    * not a division error. Output: one row per unordered pair. */
+  def signalCorrelations(
+      docs: DataFrame,
+      signals: Seq[(String, Column)]): DataFrame = {
+    require(signals.size >= 2,
+      s"need at least 2 signals, got ${signals.size}")
+    val base = docs.select(signals.map { case (nm, c) =>
+      c.cast(LongType).as(nm) }: _*)
+    val names = signals.map(_._1)
+    val sumAggs =
+      names.flatMap { a =>
+        Seq(sum(col(a)).as(s"s_$a"), sum(col(a) * col(a)).as(s"ss_$a"))
+      } ++
+      names.combinations(2).map { case Seq(a, b) =>
+        sum(col(a) * col(b)).as(s"sp_${a}_$b")
+      }.toSeq
+    val agg = base.agg(count(lit(1)).as("n"), sumAggs: _*)
+    val pairRows = names.combinations(2).map { case Seq(a, b) =>
+      val n = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val cov = n * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b")
+      val va = n * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")
+      val vb = n * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b")
+      struct(lit(a).as("sig_a"), lit(b).as("sig_b"),
+        when(va * vb > 0, round(cov / sqrt(va * vb), 6))
+          .otherwise(lit(null).cast("double")).as("corr"))
+    }.toSeq
+    agg.select(explode(array(pairRows: _*)).as("p")).select(col("p.*"))
+  }
 }

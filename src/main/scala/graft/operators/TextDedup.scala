@@ -710,4 +710,58 @@ object TextDedup {
         expr("n_shared * 1000000 div nb").as("cont_b_ppm"))
       .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= minPpm)
   }
+
+  /** Raw banded MinHash keys — `(id, band, key)` — the STORED form of
+    * the LSH index. Unlike [[lshCandidatePairs]]' refined bands, no
+    * bucket-cap refinement is applied here: refinement depends on the
+    * corpus-wide bucket census at query time, while a persisted index
+    * must be computable per document (a new doc's keys cannot depend
+    * on how many neighbours it will meet). */
+  def bandKeys(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 4,
+      shingler: Column => Column = normWordSet): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide into bands ($bands)")
+    val r = numHashes / bands
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingler)
+    val bandCols = (0 until bands).map { j =>
+      concat_ws("|", (j * r until (j + 1) * r).map(i => col(s"sig$i")): _*)
+    }
+    sigs.select(col("id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "key")))
+      .withColumn("band", col("band").cast("long"))
+  }
+
+  /** Incremental LSH index maintenance: the `(op, id, band, key)`
+    * delta that brings a persisted band-key index (the [[bandKeys]]
+    * form) from the OLD corpus snapshot to the NEW one — deletes for
+    * removed docs and for the stale keys of changed docs (computed
+    * from the OLD text), inserts for added docs and the fresh keys of
+    * changed docs (from the NEW text). Unchanged docs never reach the
+    * signature stage: the snapshot diff runs first on digests alone,
+    * and only the delta ids join back to their text — so nightly
+    * index upkeep costs O(changed docs), not O(corpus), which is the
+    * entire point of keeping the index persistent. Composes
+    * [[graft.operators.Curation.snapshotDiff]] with [[bandKeys]]. */
+  def lshIndexDelta(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 4): DataFrame = {
+    val diff = Curation.snapshotDiff(oldSnap, newSnap, idCol, textCol)
+    def side(snap: DataFrame, statuses: Seq[String], op: String) = {
+      val ids = diff.filter(col("status").isin(statuses: _*))
+        .select(col(idCol))
+      bandKeys(snap.join(ids, Seq(idCol)), idCol, textCol, numHashes, bands)
+        .select(lit(op).as("op"), col("id"), col("band"), col("key"))
+    }
+    side(oldSnap, Seq("removed", "changed"), "del")
+      .unionByName(side(newSnap, Seq("added", "changed"), "ins"))
+  }
 }

@@ -129,6 +129,75 @@ class Round8cOpsSpec extends SparkSpec {
     out.map(_._2) shouldBe Array(0L, 1L)
   }
 
+  // ---------------------------------------------------------- calibrateScores
+
+  test("calibrateScores: within-group ppm percentiles, endpoints, singleton -> 0") {
+    val docs = Seq(
+      (1L, "s1", 10L), (2L, "s1", 30L), (3L, "s1", 20L),
+      (4L, "s2", 999L), // singleton group
+      (5L, "s3", 7L), (6L, "s3", 7L) // tie broken by id
+    ).toDF("doc_id", "src", "n")
+    val out = Curation.calibrateScores(docs, "doc_id", "src", col("n"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    out shouldBe Array(
+      (1L, 0L), (2L, 1000000L), (3L, 500000L),
+      (4L, 0L),
+      (5L, 0L), (6L, 1000000L))
+  }
+
+  // --------------------------------------------------- bandKeys / lshIndexDelta
+
+  test("lshIndexDelta: applying the delta to the old index yields the new index") {
+    val oldSnap = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota")).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "alpha beta gamma"), // unchanged
+      (2L, "delta epsilon zeta CHANGED"), // changed
+      (4L, "kappa lambda mu")).toDF("doc_id", "text") // added; 3 removed
+    val delta = TextDedup.lshIndexDelta(oldSnap, newSnap, "doc_id", "text")
+    val dels = delta.filter(col("op") === "del").select("id", "band", "key")
+    val ins = delta.filter(col("op") === "ins").select("id", "band", "key")
+    // unchanged docs never appear in the delta
+    delta.filter(col("id") === 1L).count() shouldBe 0L
+    // del = old keys of {2, 3}; ins = new keys of {2, 4}; 4 bands each
+    dels.select("id").distinct().collect().map(_.getLong(0)).sorted shouldBe
+      Array(2L, 3L)
+    ins.select("id").distinct().collect().map(_.getLong(0)).sorted shouldBe
+      Array(2L, 4L)
+    delta.groupBy("op", "id").count().agg(min("count"), max("count"))
+      .head() match { case r => (r.getLong(0), r.getLong(1)) shouldBe ((4L, 4L)) }
+    // the index invariant: old − dels + ins = new
+    val oldIdx = TextDedup.bandKeys(oldSnap, "doc_id", "text")
+    val newIdx = TextDedup.bandKeys(newSnap, "doc_id", "text")
+    val patched = oldIdx.exceptAll(dels).unionByName(ins)
+    patched.exceptAll(newIdx).count() shouldBe 0L
+    newIdx.exceptAll(patched).count() shouldBe 0L
+  }
+
+  // ------------------------------------------------------- signalCorrelations
+
+  test("signalCorrelations: perfect, inverse, and degenerate signals") {
+    val docs = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("doc_id", "x")
+    val out = TextAnalysis.signalCorrelations(docs, Seq(
+        "x" -> col("x"),
+        "x2" -> col("x") * 2, // perfectly correlated
+        "neg" -> -col("x"), // perfectly anti-correlated
+        "const" -> lit(5L))) // zero variance -> NULL
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    out(("x", "x2")) shouldBe Some(1.0)
+    out(("x", "neg")) shouldBe Some(-1.0)
+    out(("x", "const")) shouldBe None
+    out(("x2", "neg")) shouldBe Some(-1.0)
+    out.size shouldBe 6
+    an[IllegalArgumentException] shouldBe thrownBy {
+      TextAnalysis.signalCorrelations(docs, Seq("x" -> col("x")))
+    }
+  }
+
   test("matryoshkaTopK: dims = full width reproduces brute-force exactly") {
     val e = spark.read.parquet(s"$sfSmoke/embeddings.parquet")
     val queries = e.filter(col("vec_id") < 5)
