@@ -2198,6 +2198,30 @@ object SparkEntry {
       .orderBy(col("sig_a"), col("sig_b"))
   }
 
+  /** Keep-best near-dup dedup (q105): the q57 pipeline with the
+    * production keeper — per cluster, the highest-token-count doc
+    * survives (tie → lowest id) instead of the lowest id. */
+  private def nearDupKeepBestQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    TextDedup.nearDupDedupKeepBest(Tables.documents(s, dir), "doc_id", "text",
+        quality = size(TextDedup.words(col("text"))), minJaccard = 0.5)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Contamination span audit (q106): q47's eval/corpus split
+    * (doc_id < 20 = eval), word 3-grams; per corpus doc the longest
+    * contiguous shared-gram run and its token span. */
+  private def contaminationSpanQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val d = Tables.documents(s, dir)
+    TextDedup.contaminationSpans(
+        d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+        "doc_id", "text", n = 3)
+      .filter(col("n_hit") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2306,7 +2330,9 @@ object SparkEntry {
     "q101_containment_pairs" -> (containmentQuery _),
     "q102_score_calibration" -> (calibrateQuery _),
     "q103_lsh_index_delta" -> (lshIndexDeltaQuery _),
-    "q104_signal_correlations" -> (signalCorrQuery _))
+    "q104_signal_correlations" -> (signalCorrQuery _),
+    "q105_neardup_keep_best" -> (nearDupKeepBestQuery _),
+    "q106_contamination_spans" -> (contaminationSpanQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2406,7 +2432,8 @@ object SparkEntry {
     "q96_semantic_contamination", "q97_data_card",
     "q98_snapshot_diff", "q99_matryoshka_ann", "q100_length_buckets",
     "q101_containment_pairs", "q102_score_calibration",
-    "q103_lsh_index_delta", "q104_signal_correlations")
+    "q103_lsh_index_delta", "q104_signal_correlations",
+    "q105_neardup_keep_best", "q106_contamination_spans")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4284,5 +4311,70 @@ object SparkEntry {
                               sqrt((n*ssb - sb*sb) * (n*ssc - sc*sc)), 6)
                        ELSE NULL END
            FROM s) x
-         ORDER BY sig_a, sig_b""")
+         ORDER BY sig_a, sig_b""",
+    // Keep-best near-dup dedup: q57's recursive-CTE closure, but the
+    // per-component keeper is argmax(token count) with min-id tiebreak.
+    "q105_neardup_keep_best" ->
+      s"""WITH RECURSIVE kmin AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                                  GROUP BY lower(trim(text))),
+         sdocs AS (SELECT d.* FROM documents d JOIN kmin USING (doc_id)),
+         ${minHashPairsSqlOver("sdocs")},
+         hws AS (SELECT doc_id,
+                        list_distinct(list_transform(
+                          list_distinct(string_split(lower(trim(text)), ' ')),
+                          w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS ws
+                 FROM sdocs),
+         gp AS (SELECT p.a, p.b FROM pairs p
+                JOIN hws wa ON wa.doc_id = p.a
+                JOIN hws wb ON wb.doc_id = p.b
+                WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) /
+                            CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE), 6)
+                      >= 0.5),
+         ed AS (SELECT a AS src, b AS dst FROM gp UNION SELECT b, a FROM gp),
+         reach(d, r) AS (
+           SELECT src AS d, src AS r FROM ed
+           UNION
+           SELECT ed.src AS d, reach.r FROM ed JOIN reach ON ed.dst = reach.d),
+         comp AS (SELECT d, MIN(r) AS label FROM reach GROUP BY d),
+         q AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS qual
+               FROM sdocs),
+         losers AS (SELECT d AS doc_id FROM (
+             SELECT comp.d,
+                    row_number() OVER (PARTITION BY comp.label
+                      ORDER BY q.qual DESC, comp.d) AS rn
+             FROM comp JOIN q ON q.doc_id = comp.d) t
+           WHERE rn > 1)
+         SELECT doc_id, lang, source FROM sdocs
+         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         ORDER BY doc_id""",
+    // Contamination spans: positional word 3-grams, eval = doc_id<20;
+    // maximal runs via the gaps-and-islands identity; a run of r grams
+    // spans r + 2 tokens. Only contaminated docs (n_hit > 0) emit.
+    "q106_contamination_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                      ('0x' || substr(md5(array_to_string(
+                        ws[CAST(pos + 1 AS BIGINT):CAST(pos + 3 AS BIGINT)], ' ')),
+                        1, 15))::BIGINT AS gh
+               FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS pos
+                     FROM w WHERE len(ws) >= 3)),
+         ev AS (SELECT DISTINCT gh FROM g WHERE doc_id < 20),
+         cg AS (SELECT doc_id, pos, gh FROM g WHERE doc_id >= 20),
+         hit AS (SELECT cg.doc_id, cg.pos FROM cg JOIN ev USING (gh)),
+         isl AS (SELECT doc_id,
+                        pos - row_number() OVER (PARTITION BY doc_id
+                          ORDER BY pos) AS grp
+                 FROM hit),
+         runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run
+                  FROM isl GROUP BY doc_id, grp),
+         agg AS (SELECT doc_id, max(run) AS max_run,
+                        CAST(sum(run) AS BIGINT) AS n_hit
+                 FROM runs GROUP BY doc_id),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                 FROM cg GROUP BY doc_id)
+         SELECT t.doc_id, t.n_grams, a.n_hit, a.max_run,
+                a.max_run + 2 AS span_tokens
+         FROM tot t JOIN agg a USING (doc_id)
+         ORDER BY t.doc_id""")
 }

@@ -764,4 +764,110 @@ object TextDedup {
     side(oldSnap, Seq("removed", "changed"), "del")
       .unionByName(side(newSnap, Seq("added", "changed"), "ins"))
   }
+
+  /** [[nearDupDedup]] with a QUALITY-ARGMAX keeper: per near-dup
+    * cluster, keep the highest-`quality` document (ties break to the
+    * lowest id) instead of the lowest-id one. This is the policy real
+    * curation runs — when a page and its boilerplate-stripped mirror
+    * collide, you want the longer/cleaner copy, not whichever crawled
+    * first. `quality` is any integer column expression over the doc's
+    * columns (token count, a K52 score, …).
+    *
+    * Same five stages and scale shapes as [[nearDupDedup]]; only the
+    * keeper rule differs. The exact-dedup pre-stage still keeps the
+    * min-id copy of byte-identical groups — when `quality` is a pure
+    * function of the text (the normal case), identical bytes score
+    * identically, so min-id IS the quality-argmax there. The argmax
+    * itself is one row_number window partitioned by component label —
+    * components are bucket-capped small while numbering in the
+    * millions at corpus scale, so the label partitioning is the
+    * parallelism and no global sort exists. */
+  def nearDupDedupKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      quality: Column,
+      minJaccard: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 4,
+      bucketCap: Int = 100): DataFrame = {
+    // persist/unpersist discipline identical to nearDupDedup (r6
+    // ADVICE): losers materialize eagerly through the cache, then the
+    // returned anti-join re-derives the deterministic exactDedup.
+    val survivors = exactDedup(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidatePairs(survivors, idCol, textCol, numHashes,
+      bands, bucketCap)
+    val ws = survivors.select(col(idCol).as("wid"),
+      transform(normWordSet(col(textCol)), w => md5Hash60(w)).as("ws"))
+    val gated = cands
+      .join(ws.select(col("wid").as("a"), col("ws").as("wa")), Seq("a"))
+      .join(ws.select(col("wid").as("b"), col("ws").as("wb")), Seq("b"))
+      .filter(round(jaccard(col("wa"), col("wb")), 6) >= minJaccard)
+      .select(col("a"), col("b"))
+    val qual = survivors.select(col(idCol).as("id"),
+      quality.cast(LongType).as("_q"))
+    val byComp = Window.partitionBy(col("label"))
+      .orderBy(col("_q").desc, col("id"))
+    val losers = connectedComponents(gated)
+      .join(qual, Seq("id"))
+      .withColumn("_rn", row_number().over(byComp))
+      .filter(col("_rn") > 1)
+      .select(col("id").as(idCol))
+      .localCheckpoint()
+    survivors.unpersist()
+    exactDedup(df, textCol, idCol).join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Contamination SPAN audit: per corpus document, the longest
+    * CONTIGUOUS run of word n-grams shared with the eval set — the
+    * quantity decontamination policies actually threshold on ("any
+    * contiguous 13-gram match", "overlap span ≥ 50 tokens"), which
+    * q47's shared-shingle COUNT cannot distinguish from scattered
+    * coincidental overlap. A run of `r` consecutive shared n-grams is
+    * a contiguous block of `r + n − 1` shared tokens (`span_tokens`).
+    *
+    * Shape: positional n-grams on the corpus side; the eval side
+    * collapses to a DISTINCT gram-hash set (positions irrelevant) that
+    * broadcasts — eval sets are benchmark-sized, the corpus is not.
+    * Matched positions are grouped into maximal runs by the
+    * gaps-and-islands identity (`pos − row_number()` is constant
+    * within a run); the window runs ONLY over matched rows — rare by
+    * construction — partitioned by doc, so no corpus-wide window or
+    * sort exists. Docs shorter than `n` words carry no grams and are
+    * absent, same contract as [[dupNgramStats]]. */
+  def contaminationSpans(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(d: DataFrame): DataFrame = {
+      val ws = words(col(textCol))
+      d.select(col(idCol).as("doc_id"), ws.as("_ws"), size(ws).as("_nw"))
+        .filter(col("_nw") >= n)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), col("_nw") - n),
+            i => md5Hash60(array_join(slice(col("_ws"), i + 1, lit(n)), " "))))
+            .as(Seq("pos", "gh")))
+    }
+    val ev = grams(evalDocs).select(col("gh")).distinct()
+    val cg = grams(corpus)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = cg.join(broadcast(ev), Seq("gh"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("_grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(count(lit(1)).as("_run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("_run")).as("_maxrun"), sum(col("_run")).as("_nhit"))
+    cg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("_nhit"), lit(0L)).as("n_hit"),
+        coalesce(col("_maxrun"), lit(0L)).as("max_run"),
+        coalesce(col("_maxrun") + lit(n - 1).cast(LongType), lit(0L))
+          .as("span_tokens"))
+  }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Final round-8 operator specs: keep-best near-dup dedup and the
+  * other curation-audit operators added after q104. */
+class Round8dOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------ nearDupDedupKeepBest
+
+  test("nearDupDedupKeepBest: cluster keeps the highest-quality doc, not min id") {
+    // 1 and 2 share an identical word SET (signatures collide in every
+    // band, Jaccard = 1.0) but 2 repeats tokens, so it is LONGER and
+    // must win even though 1 has the lower id. 3 is unrelated.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta alpha beta"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val kept = TextDedup.nearDupDedupKeepBest(docs, "doc_id", "text",
+        quality = org.apache.spark.sql.functions.size(TextDedup.words(col("text"))))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(2L, 3L)
+    // same corpus through the min-id keeper picks 1 instead
+    val keptMinId = TextDedup.nearDupDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    keptMinId shouldBe Array(1L, 3L)
+  }
+
+  test("nearDupDedupKeepBest: quality ties break to the lowest id") {
+    // identical word sets again (guaranteed collision); 8 and 9 tie
+    // at 5 tokens so 8 wins the tie; 7 (4 tokens) loses outright.
+    val docs = Seq(
+      (7L, "one two three four"),
+      (9L, "one two three four two"),
+      (8L, "one two three four one")).toDF("doc_id", "text")
+    val kept = TextDedup.nearDupDedupKeepBest(docs, "doc_id", "text",
+        quality = org.apache.spark.sql.functions.size(TextDedup.words(col("text"))))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(8L)
+  }
+
+  test("nearDupDedupKeepBest: exact-dup pre-stage and unpaired docs unaffected") {
+    val docs = Seq(
+      (1L, "same exact bytes here"),
+      (2L, "same exact bytes here"), // byte-identical: min-id keeper
+      (5L, "totally unrelated content words")).toDF("doc_id", "text")
+    val kept = TextDedup.nearDupDedupKeepBest(docs, "doc_id", "text",
+        quality = org.apache.spark.sql.functions.size(TextDedup.words(col("text"))))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L, 5L)
+  }
+
+  // ------------------------------------------------------- contaminationSpans
+
+  test("contaminationSpans: contiguous run vs scattered hits, span math") {
+    val corpus = Seq(
+      (10L, "a b c d e f g"), // grams at pos 0..4
+      (11L, "x y z w v u")).toDF("doc_id", "text") // no overlap
+    // eval quote "b c d e" shares grams (b c d), (c d e) -> run of 2
+    val ev = Seq((1L, "b c d e")).toDF("doc_id", "text")
+    val out = TextDedup.contaminationSpans(corpus, ev, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    out shouldBe Array(
+      (10L, 5L, 2L, 2L, 4L), // 5 grams, 2 hits, max run 2, span 2+3-1=4
+      (11L, 4L, 0L, 0L, 0L))
+  }
+
+  test("contaminationSpans: scattered matches never report a long span") {
+    val corpus = Seq((10L, "a b c q q q e f g")).toDF("doc_id", "text")
+    // eval shares (a b c) at pos 0 and (e f g) at pos 6 — no adjacency
+    val ev = Seq((1L, "a b c"), (2L, "e f g")).toDF("doc_id", "text")
+    val out = TextDedup.contaminationSpans(corpus, ev, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).head
+    out shouldBe ((2L, 1L, 3L)) // 2 hits, max run 1, span 3
+  }
+
+  test("contaminationSpans: docs shorter than n words carry no grams") {
+    val corpus = Seq((10L, "a b"), (11L, "a b c")).toDF("doc_id", "text")
+    val ev = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = TextDedup.contaminationSpans(corpus, ev, "doc_id", "text", n = 3)
+      .collect().map(_.getLong(0))
+    out shouldBe Array(11L)
+  }
+}
