@@ -2222,6 +2222,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Fractional upsampling (q107): per-source targets at 0.5×/1.5×/
+    * 2.5× of the source size (closed-form hash multiplier, the q90
+    * stand-in pattern), applied as deterministic whole+fractional
+    * repeats with a 0-based copy index. */
+  private def upsampleQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, TextDedup}
+    val docs = Tables.documents(s, dir)
+    val targets = docs.groupBy(col("source").as("src"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_m", pmod(TextDedup.md5Hash60(col("src")), lit(3L)))
+      .select(col("src"), expr("(_n * (2 * _m + 1)) div 2").as("target_n"))
+    Curation.upsample(docs, "doc_id", "source", targets)
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
+  /** Zipf-law audit (q108): ln-ln least squares over the top-100
+    * vocabulary of the documents corpus — one row of corpus-health
+    * summary (slope ≈ the Zipf exponent). */
+  private def zipfAuditQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.zipfAudit(Tables.documents(s, dir), "text", topK = 100)
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2332,7 +2355,9 @@ object SparkEntry {
     "q103_lsh_index_delta" -> (lshIndexDeltaQuery _),
     "q104_signal_correlations" -> (signalCorrQuery _),
     "q105_neardup_keep_best" -> (nearDupKeepBestQuery _),
-    "q106_contamination_spans" -> (contaminationSpanQuery _))
+    "q106_contamination_spans" -> (contaminationSpanQuery _),
+    "q107_upsample" -> (upsampleQuery _),
+    "q108_zipf_audit" -> (zipfAuditQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2433,7 +2458,8 @@ object SparkEntry {
     "q98_snapshot_diff", "q99_matryoshka_ann", "q100_length_buckets",
     "q101_containment_pairs", "q102_score_calibration",
     "q103_lsh_index_delta", "q104_signal_correlations",
-    "q105_neardup_keep_best", "q106_contamination_spans")
+    "q105_neardup_keep_best", "q106_contamination_spans",
+    "q107_upsample", "q108_zipf_audit")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4376,5 +4402,63 @@ object SparkEntry {
          SELECT t.doc_id, t.n_grams, a.n_hit, a.max_run,
                 a.max_run + 2 AS span_tokens
          FROM tot t JOIN agg a USING (doc_id)
-         ORDER BY t.doc_id""")
+         ORDER BY t.doc_id""",
+    // Fractional upsampling: ceil-ppm rate per source; each doc emits
+    // rate//1e6 whole copies + 1 iff its 'up:'-salted hash bucket is
+    // under rate%1e6. range(n) unnest mirrors Spark's sequence explode.
+    "q107_upsample" ->
+      """WITH c AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS n
+                    FROM documents GROUP BY source),
+         t AS (SELECT src,
+                      (n * (2 * (('0x' || substr(md5(src), 1, 15))::BIGINT % 3) + 1)) // 2 AS target_n
+               FROM c),
+         r AS (SELECT c.src,
+                      (coalesce(t.target_n, 0) * 1000000 + n - 1) // n AS rate_ppm
+               FROM c LEFT JOIN t USING (src)),
+         d AS (SELECT doc_id, source,
+                      ('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS b
+               FROM documents),
+         nc AS (SELECT doc_id, d.source,
+                       rate_ppm // 1000000 +
+                         CASE WHEN b < rate_ppm % 1000000 THEN 1 ELSE 0 END AS n_copies
+                FROM d JOIN r ON r.src = d.source)
+         SELECT doc_id, source, CAST(unnest(range(n_copies)) AS BIGINT) AS copy
+         FROM nc WHERE n_copies >= 1
+         ORDER BY doc_id, copy""",
+    // Zipf audit: top-100 vocab by (freq DESC, token ASC); ln(rank)/
+    // ln(freq) quantized to integer micro-nats before the regression
+    // sums; closed-form slope/intercept/r2 in double, round 6.
+    "q108_zipf_audit" ->
+      """WITH v AS (SELECT t, CAST(count(*) AS BIGINT) AS n_w
+                    FROM (SELECT unnest(string_split(text, ' ')) AS t
+                          FROM documents) x
+                    WHERE t <> '' GROUP BY t
+                    ORDER BY n_w DESC, t LIMIT 100),
+         q AS (SELECT CAST(round(ln(CAST(row_number() OVER
+                        (ORDER BY n_w DESC, t) AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                      CAST(round(ln(CAST(n_w AS DOUBLE)) * 1e6) AS BIGINT) AS y
+               FROM v),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x*x) AS BIGINT) AS sxx,
+                      CAST(sum(y*y) AS BIGINT) AS syy,
+                      CAST(sum(x*y) AS BIGINT) AS sxy
+               FROM q)
+         SELECT n AS n_terms,
+                CASE WHEN CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx > 0
+                     THEN round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
+                            (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 6)
+                     ELSE NULL END AS slope,
+                CASE WHEN CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx > 0
+                     THEN round((CAST(sy AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sxy) /
+                            (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) / 1e6, 6)
+                     ELSE NULL END AS intercept,
+                CASE WHEN CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx > 0
+                      AND CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy > 0
+                     THEN round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) *
+                                (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
+                            ((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *
+                             (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 6)
+                     ELSE NULL END AS r2
+         FROM s""")
 }

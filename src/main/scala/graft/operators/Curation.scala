@@ -467,6 +467,49 @@ object Curation {
       .select(col(idCol), col(groupCol), col("score"), col("pct_ppm"))
   }
 
+  /** Deterministic fractional UPSAMPLING — the half of mixture
+    * targeting [[mixturePlan]] caps away: a source whose target
+    * exceeds its size gets docs REPEATED. Per source,
+    * `rate_ppm = ceil(target_n / n_docs · 10⁶)`; each doc emits
+    * `rate_ppm div 10⁶` whole copies plus one more iff its salted
+    * hash bucket falls under `rate_ppm mod 10⁶` — so expected output
+    * per source ≈ target_n, each doc repeated ⌊r⌋ or ⌈r⌉ times, and
+    * the choice is a pure hash of the id (identical across engines,
+    * runs, and restarts — epoch composition a trainer can resume).
+    * Unlisted sources rate to 0 and drop, [[mixturePlan]]'s explicit-
+    * drop contract. Output rows carry a `copy` index (0-based) so
+    * downstream shuffling/packing can address each repeat.
+    *
+    * Shape at 100 TB: the rates relation is per-source (tiny —
+    * broadcast); the corpus sees one map-side join + an explode that
+    * GENERATES repeats at the executor — repeated bodies never
+    * shuffle, and there is no corpus-wide state beyond the per-source
+    * counts rollup. The `up:` salt decouples the fractional pick from
+    * the K23/K43/K53 sampling and shuffle hashes. */
+  def upsample(
+      docs: DataFrame,
+      idCol: String,
+      srcCol: String,
+      targets: DataFrame /* (src, target_n) */): DataFrame = {
+    val counts = docs.groupBy(col(srcCol).as("src")).agg(count(lit(1)).as("_n"))
+    val rates = counts.join(targets, Seq("src"), "left")
+      .select(col("src"),
+        expr("(coalesce(target_n, 0L) * 1000000 + _n - 1) div _n")
+          .as("rate_ppm"))
+    docs
+      .select(col(idCol), col(srcCol).as("src"),
+        pmod(TextDedup.md5Hash60(concat(lit("up:"), col(idCol).cast("string"))),
+          lit(1000000L)).as("_b"))
+      .join(broadcast(rates), Seq("src"))
+      .withColumn("n_copies",
+        expr("rate_ppm div 1000000") +
+          when(col("_b") < pmod(col("rate_ppm"), lit(1000000L)), lit(1L))
+            .otherwise(lit(0L)))
+      .filter(col("n_copies") >= 1)
+      .select(col(idCol), col("src").as(srcCol),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+  }
+
   /** PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB):
     * no backrefs, no lookarounds. */
   val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

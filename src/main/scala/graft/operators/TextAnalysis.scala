@@ -461,4 +461,55 @@ object TextAnalysis {
     }.toSeq
     agg.select(explode(array(pairRows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Zipf-law audit: least-squares fit of `ln freq ~ ln rank` over the
+    * top-`topK` vocabulary — the corpus-health check run before
+    * trusting token statistics (natural text slopes near −1;
+    * template/boilerplate-heavy or spam corpora bend visibly away).
+    * Returns one row: term count, slope (the Zipf exponent),
+    * intercept (natural-log units), and r² of the fit.
+    *
+    * Determinism: ln(rank) and ln(freq) quantize to integer micro-nats
+    * (q67's contract) BEFORE the regression sums, so Σx/Σy/Σxx/Σyy/Σxy
+    * are exact integers and the closed-form fit evaluates in double on
+    * one row with the same expression shape on both engines. Rank
+    * breaks frequency ties by token, so the top-K cut is a total
+    * order.
+    *
+    * Shape at 100 TB: corpus → vocabulary is the one shuffle
+    * (Zipf-bounded); the top-K cut is a per-partition bounded heap
+    * (TakeOrdered), never a vocab-wide sort; the fit itself sees K
+    * rows. */
+  def zipfAudit(docs: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    val top = docs.select(explode(words(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("n_w"))
+      .orderBy(col("n_w").desc, col("t"))
+      .limit(topK)
+    val q = top
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n_w").desc, col("t"))).cast(LongType))
+      .select(
+        round(log(col("rank").cast("double")) * 1e6).cast(LongType).as("x"),
+        round(log(col("n_w").cast("double")) * 1e6).cast(LongType).as("y"))
+    val sums = q.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n")
+    val den = n * d("sxx") - d("sx") * d("sx")
+    val cov = n * d("sxy") - d("sx") * d("sy")
+    val vy = n * d("syy") - d("sy") * d("sy")
+    sums.select(col("n").as("n_terms"),
+      when(den > 0, round(cov / den, 6))
+        .otherwise(lit(null).cast("double")).as("slope"),
+      when(den > 0,
+        round((d("sy") * d("sxx") - d("sx") * d("sxy")) / den / 1e6, 6))
+        .otherwise(lit(null).cast("double")).as("intercept"),
+      when(den > 0 && vy > 0, round(cov * cov / (den * vy), 6))
+        .otherwise(lit(null).cast("double")).as("r2"))
+  }
 }

@@ -86,4 +86,67 @@ class Round8dOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     out shouldBe Array(11L)
   }
+
+  // ----------------------------------------------------------------- upsample
+
+  test("upsample: whole multiples repeat exactly, unlisted sources drop") {
+    val docs = (1L to 10L).map(i => (i, if (i <= 6) "a" else "b"))
+      .toDF("doc_id", "source")
+    // a: 6 docs, target 12 -> exactly 2 copies each; b unlisted -> drop
+    val targets = Seq(("a", 12L)).toDF("src", "target_n")
+    val out = Curation.upsample(docs, "doc_id", "source", targets)
+    out.count() shouldBe 12L
+    out.filter(col("source") === "b").count() shouldBe 0L
+    val perDoc = out.groupBy("doc_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (1L to 6L).foreach(i => perDoc(i) shouldBe 2L)
+    // copy indices are dense 0..n-1
+    out.filter(col("doc_id") === 1L).select("copy").collect()
+      .map(_.getLong(0)).sorted shouldBe Array(0L, 1L)
+  }
+
+  test("upsample: fractional rates give floor-or-ceil copies, deterministic") {
+    val docs = (1L to 100L).map(i => (i, "a")).toDF("doc_id", "source")
+    // target 150 of 100 -> rate 1.5: every doc 1 or 2 copies
+    val targets = Seq(("a", 150L)).toDF("src", "target_n")
+    val out = Curation.upsample(docs, "doc_id", "source", targets)
+    val perDoc = out.groupBy("doc_id").count().collect().map(_.getLong(1))
+    perDoc.length shouldBe 100 // every doc survives (rate >= 1)
+    all(perDoc) should (be(1L) or be(2L))
+    val total = perDoc.sum
+    total should be >= 130L
+    total should be <= 170L // hash-fractional, near 150 in expectation
+    // deterministic: identical on re-run
+    Curation.upsample(docs, "doc_id", "source", targets).count() shouldBe
+      out.count()
+  }
+
+  test("upsample: sub-1 rates downsample without ever repeating") {
+    val docs = (1L to 100L).map(i => (i, "a")).toDF("doc_id", "source")
+    val targets = Seq(("a", 30L)).toDF("src", "target_n")
+    val perDoc = Curation.upsample(docs, "doc_id", "source", targets)
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    all(perDoc) shouldBe 1L
+    perDoc.length should be < 60 // ~30 expected
+  }
+
+  // ---------------------------------------------------------------- zipfAudit
+
+  test("zipfAudit: exact power law fits with slope -2 and r2 = 1") {
+    // freq(a)=8 at rank 1, freq(b)=2 at rank 2: ln-ln slope is -2.
+    val docs = Seq((1L, (Seq.fill(8)("a") ++ Seq.fill(2)("b")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.zipfAudit(docs, "text", topK = 10).head()
+    r.getLong(0) shouldBe 2L
+    r.getDouble(1) shouldBe -2.0 +- 0.0001
+    r.getDouble(3) shouldBe 1.0 +- 1e-9
+  }
+
+  test("zipfAudit: flat frequencies give slope 0 and undefined r2") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfAudit(docs, "text", topK = 10).head()
+    r.getLong(0) shouldBe 4L
+    r.getDouble(1) shouldBe 0.0
+    r.isNullAt(3) shouldBe true // zero y-variance
+  }
 }
