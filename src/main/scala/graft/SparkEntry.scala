@@ -2245,6 +2245,33 @@ object SparkEntry {
     TextAnalysis.zipfAudit(Tables.documents(s, dir), "text", topK = 100)
   }
 
+  /** Ranking metrics (q109): the q26 retriever pair — SRP-LSH top-10
+    * graded against exact cosine top-10 as truth — through the generic
+    * recall@k / reciprocal-rank evaluator. */
+  private def rankingMetricsQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bucket", Similarity.signRandomProjection(col("embedding"), 64, 6))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("bucket").as("qbucket"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+      col("bucket"))
+    val exact = Similarity.bruteForceTopK(
+      queries.drop("qbucket"), corpus.drop("bucket"), k = 10)
+    val lsh = Similarity.lshTopK(queries, corpus, k = 10)
+    Similarity.rankingMetrics(exact, lsh, k = 10).orderBy(col("qid"))
+  }
+
+  /** Rare-token scrub (q110): tokens seen in fewer than 2 documents
+    * masked to `<unk>`, docs reassembled; per-doc scrub accounting. */
+  private def rareTokenScrubQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    TextDedup.rareTokenScrub(Tables.documents(s, dir), "doc_id", "text",
+        minDocs = 2)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2357,7 +2384,9 @@ object SparkEntry {
     "q105_neardup_keep_best" -> (nearDupKeepBestQuery _),
     "q106_contamination_spans" -> (contaminationSpanQuery _),
     "q107_upsample" -> (upsampleQuery _),
-    "q108_zipf_audit" -> (zipfAuditQuery _))
+    "q108_zipf_audit" -> (zipfAuditQuery _),
+    "q109_ranking_metrics" -> (rankingMetricsQuery _),
+    "q110_rare_token_scrub" -> (rareTokenScrubQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2459,7 +2488,8 @@ object SparkEntry {
     "q101_containment_pairs", "q102_score_calibration",
     "q103_lsh_index_delta", "q104_signal_correlations",
     "q105_neardup_keep_best", "q106_contamination_spans",
-    "q107_upsample", "q108_zipf_audit")
+    "q107_upsample", "q108_zipf_audit", "q109_ranking_metrics",
+    "q110_rare_token_scrub")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4460,5 +4490,59 @@ object SparkEntry {
                             ((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *
                              (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 6)
                      ELSE NULL END AS r2
-         FROM s""")
+         FROM s""",
+    // Ranking metrics: q26's SRP bucketing and retriever pair at k=10;
+    // recall@10 in ppm, reciprocal rank of the first relevant hit in
+    // micro units — all integer division.
+    "q109_ranking_metrics" ->
+      s"""WITH vb AS (SELECT vec_id, b,
+                list_sum(list_transform(range(64), d ->
+                  embedding[CAST(d + 1 AS INTEGER)]::DOUBLE *
+                  (CASE WHEN ('0x' || substr(md5('hp-' || b || '-' || d), 1, 15))::BIGINT % 2 = 1
+                        THEN 1.0 ELSE -1.0 END))) AS proj
+              FROM embeddings CROSS JOIN (SELECT unnest(range(6)) AS b)),
+         bk AS (SELECT vec_id,
+                       CAST(SUM(CASE WHEN proj > 0 THEN 1::BIGINT << CAST(b AS INTEGER)
+                                     ELSE 0 END) AS BIGINT) AS bucket
+                FROM vb GROUP BY vec_id),
+         q AS (SELECT e.vec_id AS qid, e.embedding AS qvec, bk.bucket AS qbucket
+               FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id WHERE e.vec_id < 20),
+         c AS (SELECT e.vec_id AS id, e.embedding AS vec, bk.bucket
+               FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+         exact AS (SELECT qid, id FROM (
+             SELECT qid, id, row_number() OVER (PARTITION BY qid
+               ORDER BY ${cosSql("qvec", "vec")} DESC, id) AS r
+             FROM q JOIN c ON qid <> id) t WHERE r <= 10),
+         lsh AS (SELECT qid, id, r FROM (
+             SELECT qid, id, row_number() OVER (PARTITION BY qid
+               ORDER BY ${cosSql("qvec", "vec")} DESC, id) AS r
+             FROM q JOIN c ON qid <> id AND qbucket = bucket) t WHERE r <= 10),
+         hits AS (SELECT l.qid, CAST(count(*) AS BIGINT) AS n_hits,
+                         CAST(min(l.r) AS BIGINT) AS first_r
+                  FROM lsh l JOIN exact x ON l.qid = x.qid AND l.id = x.id
+                  GROUP BY l.qid)
+         SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+                COALESCE(h.n_hits, 0) * 1000000 // 10 AS recall_ppm,
+                COALESCE(1000000 // h.first_r, 0) AS rr_micro
+         FROM q LEFT JOIN hits h ON q.qid = h.qid
+         ORDER BY q.qid""",
+    // Rare-token scrub: document frequency per token; df < 2 masks to
+    // <unk>; string_agg ORDER BY pos mirrors the collect-sort-join
+    // reassembly.
+    "q110_rare_token_scrub" ->
+      """WITH tk AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                            ws[CAST(pos + 1 AS BIGINT)] AS tok
+                     FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+                                  unnest(range(len(ws))) AS pos
+                           FROM documents)),
+         r AS (SELECT tok FROM tk GROUP BY tok
+               HAVING count(DISTINCT doc_id) < 2),
+         o AS (SELECT tk.doc_id, tk.pos,
+                      CASE WHEN r.tok IS NOT NULL THEN '<unk>' ELSE tk.tok END AS tok2,
+                      CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END AS sc
+               FROM tk LEFT JOIN r USING (tok))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(sc) AS BIGINT) AS n_scrubbed,
+                string_agg(tok2, ' ' ORDER BY pos) AS text
+         FROM o GROUP BY doc_id ORDER BY doc_id""")
 }

@@ -775,4 +775,37 @@ object Similarity {
         col("cos").as("cos_trunc"),
         coalesce(col("in_full_topk"), lit(0L)).as("in_full_topk"))
   }
+
+  /** Retrieval evaluation: per-query recall@k and reciprocal rank of a
+    * retriever against a ground-truth relevant set — the generic twin
+    * of the inline recall audits (q26/q59/q99) that works over ANY two
+    * ranked relations, so every ANN variant and the lexical/hybrid
+    * retrievers grade on one operator. `truth` rows are the relevant
+    * (qid, id) pairs (ranks ignored — relevance is a set); `retrieved`
+    * rows carry the system's `rank` (1-based). Per query: `n_hits`
+    * (retrieved ∩ truth), `recall_ppm = n_hits·10⁶ div k`, and
+    * `rr_micro = 10⁶ div (rank of the FIRST relevant hit)` — 0 when
+    * nothing relevant was retrieved. All-integer (micro-unit) math,
+    * so cross-engine equality is exact; the mean over queries (MRR) is
+    * one trivial rollup the caller owns.
+    *
+    * Shape: one (qid, id) hash join + a per-qid rollup; queries are
+    * eval-sized, never corpus-sized. Queries with zero hits still
+    * emit (from the truth side's qid set). */
+  def rankingMetrics(
+      truth: DataFrame, // (qid, id, ...)
+      retrieved: DataFrame, // (qid, id, rank)
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hits = retrieved.select(col("qid"), col("id"), col("rank"))
+      .join(truth.select(col("qid"), col("id")), Seq("qid", "id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("_nh"), min(col("rank")).cast("long").as("_first"))
+    truth.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("_nh"), lit(0L)).as("n_hits"),
+        expr(s"coalesce(_nh, 0L) * 1000000 div $k").as("recall_ppm"),
+        coalesce(expr("1000000 div _first"), lit(0L)).as("rr_micro"))
+  }
 }

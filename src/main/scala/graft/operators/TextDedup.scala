@@ -870,4 +870,50 @@ object TextDedup {
         coalesce(col("_maxrun") + lit(n - 1).cast(LongType), lit(0L))
           .as("span_tokens"))
   }
+
+  /** Rare-token scrub — k-anonymity-style redaction: any token whose
+    * corpus DOCUMENT frequency is below `minDocs` is replaced by
+    * `unk`, docs reassembled in order. A token appearing in fewer than
+    * k documents is a quasi-identifier (usernames, ticket ids, long
+    * serials survive PII regexes; corpus-frequency thresholds don't
+    * care what shape the secret has) and doubles as vocabulary-tail
+    * noise removal before tokenizer training.
+    *
+    * The inverse polarity of [[lineDedup]] — that drops what is TOO
+    * COMMON, this masks what is TOO RARE — with one structural
+    * consequence: the rare set is the Zipf TAIL, typically most of the
+    * distinct vocabulary, so it must NEVER broadcast. Token instances
+    * join the rare relation on 8-byte token hashes (one hash-partition
+    * shuffle each side); reassembly is the [[lineDedup]]
+    * collect-sort-join rollup keyed by doc. Token strings cross the
+    * wire once, inside the per-doc rollup. */
+  def rareTokenScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 2,
+      unk: String = "<unk>"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(words(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("_th", md5Hash60(col("tok")))
+    val rare = toks
+      .groupBy(col("_th"))
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") < minDocs)
+      .select(col("_th"), lit(true).as("_rare"))
+    toks
+      .join(rare, Seq("_th"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("_rare"), 1)).as("n_scrubbed"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"),
+              when(col("_rare"), lit(unk)).otherwise(col("tok")).as("tok")))),
+            e => e.getField("tok")),
+          " ").as("text"))
+  }
 }

@@ -149,4 +149,58 @@ class Round8dOpsSpec extends SparkSpec {
     r.getDouble(1) shouldBe 0.0
     r.isNullAt(3) shouldBe true // zero y-variance
   }
+
+  // ----------------------------------------------------------- rankingMetrics
+
+  test("rankingMetrics: recall, first-hit reciprocal rank, zero-hit queries") {
+    val truth = Seq((1L, 100L), (1L, 101L), (2L, 200L), (3L, 300L))
+      .toDF("qid", "id")
+    val retrieved = Seq(
+      (1L, 100L, 1L), (1L, 999L, 2L), (1L, 101L, 3L), // 2 hits, first at 1
+      (2L, 998L, 1L), (2L, 200L, 4L), // 1 hit, first at 4
+      (3L, 997L, 1L), (3L, 996L, 2L)) // 0 hits
+      .toDF("qid", "id", "rank")
+    val out = Similarity.rankingMetrics(truth, retrieved, k = 2)
+      .orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out shouldBe Array(
+      (1L, 2L, 1000000L, 1000000L),
+      (2L, 1L, 500000L, 250000L),
+      (3L, 0L, 0L, 0L))
+  }
+
+  test("rankingMetrics: perfect retriever scores 100% recall and rr 1.0") {
+    val truth = Seq((1L, 10L), (1L, 11L)).toDF("qid", "id")
+    val retrieved = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "id", "rank")
+    val r = Similarity.rankingMetrics(truth, retrieved, k = 2).head()
+    (r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((2L, 1000000L, 1000000L))
+  }
+
+  // ----------------------------------------------------------- rareTokenScrub
+
+  test("rareTokenScrub: tokens below the doc-frequency floor mask to <unk>") {
+    val docs = Seq(
+      (1L, "common words here secret123"),
+      (2L, "common words here too"),
+      (3L, "common words again")).toDF("doc_id", "text")
+    val out = TextDedup.rareTokenScrub(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // df: common=3, words=3, here=2, secret123=1, too=1, again=1
+    out shouldBe Array(
+      (1L, 4L, 1L, "common words here <unk>"),
+      (2L, 4L, 1L, "common words here <unk>"),
+      (3L, 3L, 1L, "common words <unk>"))
+  }
+
+  test("rareTokenScrub: repeated rare token in ONE doc still scrubs (df, not tf)") {
+    val docs = Seq(
+      (1L, "zzz zzz shared"),
+      (2L, "shared only")).toDF("doc_id", "text")
+    val out = TextDedup.rareTokenScrub(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect().map(r => (r.getString(3), r.getLong(2)))
+    // zzz appears twice but only in doc 1 -> df 1 -> both scrubbed
+    out(0) shouldBe (("<unk> <unk> shared", 2L))
+    out(1) shouldBe (("shared <unk>", 1L))
+  }
 }
