@@ -2272,6 +2272,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Centroid drift (q111): per-label cosine between the q98-style
+    * OLD (vec_id%10≠3) and NEW (vec_id%10≠7) snapshot centroids of the
+    * embeddings table — membership churn is the drift source. */
+  private def centroidDriftQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    Similarity.centroidDrift(
+        e.filter(col("vec_id") % 10 =!= 3), e.filter(col("vec_id") % 10 =!= 7),
+        "label", "embedding")
+      .orderBy(col("grp"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2386,7 +2398,8 @@ object SparkEntry {
     "q107_upsample" -> (upsampleQuery _),
     "q108_zipf_audit" -> (zipfAuditQuery _),
     "q109_ranking_metrics" -> (rankingMetricsQuery _),
-    "q110_rare_token_scrub" -> (rareTokenScrubQuery _))
+    "q110_rare_token_scrub" -> (rareTokenScrubQuery _),
+    "q111_centroid_drift" -> (centroidDriftQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2489,7 +2502,7 @@ object SparkEntry {
     "q103_lsh_index_delta", "q104_signal_correlations",
     "q105_neardup_keep_best", "q106_contamination_spans",
     "q107_upsample", "q108_zipf_audit", "q109_ranking_metrics",
-    "q110_rare_token_scrub")
+    "q110_rare_token_scrub", "q111_centroid_drift")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4544,5 +4557,37 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                 CAST(sum(sc) AS BIGINT) AS n_scrubbed,
                 string_agg(tok2, ' ' ORDER BY pos) AS text
-         FROM o GROUP BY doc_id ORDER BY doc_id""")
+         FROM o GROUP BY doc_id ORDER BY doc_id""",
+    // Centroid drift: micro-unit quantized per-(label, dim) integer
+    // sums; cos(sum) = cos(mean); dims summed left-to-right in double.
+    "q111_centroid_drift" ->
+      """WITH o AS (SELECT label, embedding FROM embeddings WHERE vec_id % 10 <> 3),
+         nw AS (SELECT label, embedding FROM embeddings WHERE vec_id % 10 <> 7),
+         oq AS (SELECT label, d,
+                       CAST(sum(CAST(round(embedding[CAST(d + 1 AS INTEGER)]::DOUBLE * 1e6) AS BIGINT)) AS BIGINT) AS s
+                FROM o CROSS JOIN (SELECT unnest(range(64)) AS d)
+                GROUP BY label, d),
+         nq AS (SELECT label, d,
+                       CAST(sum(CAST(round(embedding[CAST(d + 1 AS INTEGER)]::DOUBLE * 1e6) AS BIGINT)) AS BIGINT) AS s
+                FROM nw CROSS JOIN (SELECT unnest(range(64)) AS d)
+                GROUP BY label, d),
+         oa AS (SELECT label, list(s ORDER BY d) AS so FROM oq GROUP BY label),
+         na AS (SELECT label, list(s ORDER BY d) AS sn FROM nq GROUP BY label),
+         oc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_old FROM o GROUP BY label),
+         nc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_new FROM nw GROUP BY label)
+         SELECT oc.label AS grp, n_old, n_new,
+                CASE WHEN list_sum(list_transform(range(64), i ->
+                            so[CAST(i + 1 AS INTEGER)]::DOUBLE * so[CAST(i + 1 AS INTEGER)]::DOUBLE)) > 0
+                      AND list_sum(list_transform(range(64), i ->
+                            sn[CAST(i + 1 AS INTEGER)]::DOUBLE * sn[CAST(i + 1 AS INTEGER)]::DOUBLE)) > 0
+                     THEN round(
+                       list_sum(list_transform(range(64), i ->
+                         so[CAST(i + 1 AS INTEGER)]::DOUBLE * sn[CAST(i + 1 AS INTEGER)]::DOUBLE)) /
+                       (sqrt(list_sum(list_transform(range(64), i ->
+                          so[CAST(i + 1 AS INTEGER)]::DOUBLE * so[CAST(i + 1 AS INTEGER)]::DOUBLE))) *
+                        sqrt(list_sum(list_transform(range(64), i ->
+                          sn[CAST(i + 1 AS INTEGER)]::DOUBLE * sn[CAST(i + 1 AS INTEGER)]::DOUBLE)))), 6)
+                     ELSE NULL END AS centroid_cos
+         FROM oc JOIN oa USING (label) JOIN na USING (label) JOIN nc USING (label)
+         ORDER BY grp""")
 }

@@ -808,4 +808,57 @@ object Similarity {
         expr(s"coalesce(_nh, 0L) * 1000000 div $k").as("recall_ppm"),
         coalesce(expr("1000000 div _first"), lit(0L)).as("rr_micro"))
   }
+
+  /** Embedding centroid drift between two corpus snapshots, per group
+    * (source / language / cluster label): the cosine between each
+    * group's OLD and NEW centroid — the corpus-shift audit run after
+    * an ingest wave to see which slices actually moved in embedding
+    * space (cos ≈ 1: stable; lower: re-crawl or re-embed that slice's
+    * downstream indexes). Only groups present in BOTH snapshots emit.
+    *
+    * Determinism: each coordinate quantizes to integer MICRO-units
+    * (round(v·1e6), the q91 contract) BEFORE the per-(group, dim)
+    * sums, so the sums are exact integers regardless of partition
+    * order; and since cos(mean) = cos(sum) — the 1/n scalings cancel —
+    * the division by n never happens. The final cosine evaluates the
+    * integer sum vectors in double, dims left-to-right (the cosSql
+    * summation-order contract).
+    *
+    * Shape at 100 TB: vectors explode to (group, dim, q) and collapse
+    * via map-side partial sums — the corpus crosses the exchange as
+    * 8-byte partials per (group, dim), never as vectors; everything
+    * after is a groups×dims-sized relation. Degenerate (all-zero) sum
+    * vectors yield NULL, not a division error. */
+  def centroidDrift(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      grpCol: String,
+      vecCol: String): DataFrame = {
+    def sums(snap: DataFrame) = {
+      val q = snap
+        .select(col(grpCol).as("grp"), posexplode(col(vecCol)).as(Seq("d", "v")))
+        .select(col("grp"), col("d"),
+          round(col("v").cast("double") * 1e6).cast("long").as("q"))
+        .groupBy(col("grp"), col("d")).agg(sum(col("q")).as("s"))
+        .groupBy(col("grp"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("s")))),
+          e => e.getField("s")).as("sv"))
+      snap.groupBy(col(grpCol).as("grp")).agg(count(lit(1)).as("n"))
+        .join(q, Seq("grp"))
+    }
+    def idot(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val o = sums(oldSnap)
+      .select(col("grp"), col("n").as("n_old"), col("sv").as("so"))
+    val nw = sums(newSnap)
+      .select(col("grp"), col("n").as("n_new"), col("sv").as("sn"))
+    o.join(nw, Seq("grp"))
+      .select(col("grp"), col("n_old"), col("n_new"),
+        when(idot(col("so"), col("so")) > 0 && idot(col("sn"), col("sn")) > 0,
+          round(idot(col("so"), col("sn")) /
+            (sqrt(idot(col("so"), col("so"))) * sqrt(idot(col("sn"), col("sn")))),
+            6))
+          .otherwise(lit(null).cast("double")).as("centroid_cos"))
+  }
 }

@@ -203,4 +203,36 @@ class Round8dOpsSpec extends SparkSpec {
     out(0) shouldBe (("<unk> <unk> shared", 2L))
     out(1) shouldBe (("shared <unk>", 1L))
   }
+
+  // ------------------------------------------------------------ centroidDrift
+
+  test("centroidDrift: identical snapshots give cos 1, opposite give -1") {
+    val a = Seq(
+      (1L, "g1", Array(1.0f, 0.0f)), (2L, "g1", Array(0.0f, 1.0f)),
+      (3L, "g2", Array(1.0f, 1.0f))).toDF("id", "grp0", "vec")
+    val same = Similarity.centroidDrift(a, a, "grp0", "vec")
+      .orderBy("grp").collect()
+    same.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))) shouldBe Array(("g1", 2L, 2L, 1.0), ("g2", 1L, 1L, 1.0))
+    // flipped snapshot: centroid negated -> cos -1
+    val b = a.select(col("id"), col("grp0"),
+      transform(col("vec"), v => -v).as("vec"))
+    val flipped = Similarity.centroidDrift(a, b, "grp0", "vec")
+      .orderBy("grp").collect().map(_.getDouble(3))
+    flipped shouldBe Array(-1.0, -1.0)
+  }
+
+  test("centroidDrift: groups absent from either snapshot do not emit; zero vecs null") {
+    val oldSnap = Seq(
+      ("only_old", Array(1.0f, 0.0f)), ("both", Array(1.0f, 0.0f)),
+      ("zed", Array(0.0f, 0.0f))).toDF("grp0", "vec")
+    val newSnap = Seq(
+      ("only_new", Array(1.0f, 0.0f)), ("both", Array(0.5f, 0.0f)),
+      ("zed", Array(0.0f, 0.0f))).toDF("grp0", "vec")
+    val out = Similarity.centroidDrift(oldSnap, newSnap, "grp0", "vec")
+      .orderBy("grp").collect()
+    out.map(_.getString(0)) shouldBe Array("both", "zed")
+    out(0).getDouble(3) shouldBe 1.0 // same direction, scale cancels
+    out(1).isNullAt(3) shouldBe true // zero-norm guard
+  }
 }
