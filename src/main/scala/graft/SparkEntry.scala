@@ -2284,6 +2284,80 @@ object SparkEntry {
       .orderBy(col("grp"))
   }
 
+  /** Duplicated-span scrub (q112): Lee-et-al-style exact-substring
+    * dedup REMOVAL over the documents corpus — token runs covered by
+    * cross-document 5-gram duplicates disappear, docs reassembled;
+    * per-doc removal accounting. */
+  private def dupSpanScrubQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    TextDedup.dupSpanScrub(Tables.documents(s, dir), "doc_id", "text",
+        n = 5, minDocs = 2)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR importance weights (q113): the `lang = 'en'` slice as the
+    * target distribution, the full documents corpus as raw — per-doc
+    * integer micro-nat log-likelihood ratios under hashed-unigram
+    * models, keep = sign test. */
+  private def dsirWeightsQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 1024)
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style perplexity bucketing (q114): per-language unigram
+    * surprisal percentiles cut into head/middle/tail thirds (head =
+    * lowest surprisal — the slice CCNet keeps). Composition of K34
+    * surprisal and K71 calibration; the bucket rule is pure integer
+    * arithmetic on the ppm percentile. */
+  private def ccnetBucketsQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, TextAnalysis}
+    val docs = Tables.documents(s, dir)
+    val sur = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+    val withLang = sur
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    Curation.calibrateScores(withLang, "doc_id", "lang", col("mean_micro"))
+      .withColumn("bucket",
+        when(col("pct_ppm") * 3 < 1000000L, lit("head"))
+          .when(col("pct_ppm") * 3 < 2000000L, lit("middle"))
+          .otherwise(lit("tail")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget selection (q115): greedy prefix by hashed quality
+    * score under a 15k-token budget — the distributed-prefix-sum cut
+    * (score histogram + within-score windows; no global sort). */
+  private def budgetSelectQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, TextAnalysis}
+    val scored = TextAnalysis.hashedQualityScore(
+      Tables.documents(s, dir), "doc_id", "text", buckets = 1024)
+    Curation.budgetSelect(scored, "doc_id", "score", "n_tokens",
+        budget = 15000L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Leakage-safe split (q116): near-dup-aware 80/10/10 train/val/test
+    * assignment over the documents corpus — byte-identical copies and
+    * near-dup cluster members always share a split. */
+  private def leakageSplitQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    TextDedup.leakageSafeSplit(Tables.documents(s, dir), "doc_id", "text",
+        valPpm = 100000L, testPpm = 100000L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding centroid outliers (q117): per-vector cosine to its own
+    * label centroid, flagged below 0.0 — the cluster-coherence audit
+    * over the embeddings table. */
+  private def centroidOutliersQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.centroidOutliers(Tables.embeddings(s, dir), "vec_id", "label",
+        "embedding", minCos = 0.0)
+      .orderBy(col("id"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2399,7 +2473,13 @@ object SparkEntry {
     "q108_zipf_audit" -> (zipfAuditQuery _),
     "q109_ranking_metrics" -> (rankingMetricsQuery _),
     "q110_rare_token_scrub" -> (rareTokenScrubQuery _),
-    "q111_centroid_drift" -> (centroidDriftQuery _))
+    "q111_centroid_drift" -> (centroidDriftQuery _),
+    "q112_dup_span_scrub" -> (dupSpanScrubQuery _),
+    "q113_dsir_weights" -> (dsirWeightsQuery _),
+    "q114_ccnet_buckets" -> (ccnetBucketsQuery _),
+    "q115_budget_select" -> (budgetSelectQuery _),
+    "q116_leakage_split" -> (leakageSplitQuery _),
+    "q117_centroid_outliers" -> (centroidOutliersQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2502,7 +2582,10 @@ object SparkEntry {
     "q103_lsh_index_delta", "q104_signal_correlations",
     "q105_neardup_keep_best", "q106_contamination_spans",
     "q107_upsample", "q108_zipf_audit", "q109_ranking_metrics",
-    "q110_rare_token_scrub", "q111_centroid_drift")
+    "q110_rare_token_scrub", "q111_centroid_drift",
+    "q112_dup_span_scrub", "q113_dsir_weights",
+    "q114_ccnet_buckets", "q115_budget_select",
+    "q116_leakage_split", "q117_centroid_outliers")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4589,5 +4672,176 @@ object SparkEntry {
                           sn[CAST(i + 1 AS INTEGER)]::DOUBLE * sn[CAST(i + 1 AS INTEGER)]::DOUBLE)))), 6)
                      ELSE NULL END AS centroid_cos
          FROM oc JOIN oa USING (label) JOIN na USING (label) JOIN nc USING (label)
-         ORDER BY grp""")
+         ORDER BY grp""",
+    // Dup-span scrub: positions covered by a >=2-distinct-doc 5-gram
+    // are removed; docs reassembled from survivors (gram compared by
+    // STRING here vs 60-bit md5 hash in Spark — same classification,
+    // the q81 adjudication).
+    "q112_dup_span_scrub" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         tk AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                       ws[CAST(pos + 1 AS BIGINT)] AS tok
+                FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS pos FROM w)),
+         g AS (SELECT doc_id, CAST(s AS BIGINT) AS s,
+                      array_to_string(ws[CAST(s + 1 AS BIGINT):CAST(s + 5 AS BIGINT)], ' ') AS gram
+               FROM (SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS s
+                     FROM w WHERE len(ws) >= 5)),
+         d AS (SELECT gram FROM g GROUP BY gram
+               HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT g.doc_id, g.s + u.i AS pos
+                 FROM g JOIN d USING (gram)
+                 CROSS JOIN (SELECT CAST(unnest(range(5)) AS BIGINT) AS i) u),
+         o AS (SELECT tk.doc_id, tk.pos, tk.tok,
+                      (cov.pos IS NOT NULL) AS cv
+               FROM tk LEFT JOIN cov
+                 ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(count(CASE WHEN cv THEN 1 END) AS BIGINT) AS n_removed,
+                coalesce(string_agg(CASE WHEN NOT cv THEN tok END,
+                                    ' ' ORDER BY pos), '') AS text
+         FROM o GROUP BY doc_id ORDER BY doc_id""",
+    // DSIR weights: per-bucket micro-nat log ratios quantize BEFORE
+    // the per-doc integer sum; keep is a sign test (no negative
+    // integer division — Spark div truncates, DuckDB // floors).
+    "q113_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id,
+                            ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS b
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                           FROM documents)
+                     WHERE tok <> ''),
+         tt AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS b
+                FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents WHERE lang = 'en')
+                WHERE tok <> ''),
+         rc AS (SELECT b, count(*) AS n_raw FROM tk GROUP BY b),
+         tc AS (SELECT b, count(*) AS n_tgt FROM tt GROUP BY b),
+         j AS (SELECT coalesce(rc.b, tc.b) AS b,
+                      coalesce(n_raw, 0) AS n_raw, coalesce(n_tgt, 0) AS n_tgt
+               FROM rc FULL JOIN tc ON rc.b = tc.b),
+         tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+                        CAST(sum(n_tgt) AS BIGINT) AS t_tgt FROM j),
+         wt AS (SELECT b,
+                       CAST(round(ln(
+                         (CAST(n_tgt + 1 AS DOUBLE) / CAST(t_tgt + 1024 AS DOUBLE)) /
+                         (CAST(n_raw + 1 AS DOUBLE) / CAST(t_raw + 1024 AS DOUBLE))) * 1e6)
+                         AS BIGINT) AS w
+                FROM j CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(w) AS BIGINT) AS logratio_micro,
+                (sum(w) >= 0) AS keep
+         FROM tk JOIN wt USING (b) GROUP BY doc_id ORDER BY doc_id""",
+    // CCNet buckets: q67's surprisal mean -> q102's per-group ppm
+    // percentile (group = lang) -> integer third cuts; head = lowest.
+    "q114_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, t
+                       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                             FROM documents) u
+                       WHERE t <> ''),
+         vocab AS (SELECT t, COUNT(*) AS n_w FROM toks GROUP BY t),
+         tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM vocab),
+         sc AS (SELECT doc_id,
+                       CAST(round(-ln(CAST(n_w AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e6)
+                            AS BIGINT) AS s_micro
+                FROM toks JOIN vocab USING (t) CROSS JOIN tot),
+         m AS (SELECT doc_id, CAST(SUM(s_micro) AS BIGINT) // COUNT(*) AS score
+               FROM sc GROUP BY doc_id),
+         l AS (SELECT m.doc_id, lang, score FROM m JOIN documents USING (doc_id)),
+         r AS (SELECT doc_id, lang, score,
+                      CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY score, doc_id) AS BIGINT) AS rk,
+                      CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+               FROM l),
+         p AS (SELECT doc_id, lang, score,
+                      CASE WHEN n = 1 THEN 0
+                           ELSE (rk - 1) * 1000000 // (n - 1) END AS pct_ppm
+               FROM r)
+         SELECT doc_id, lang, score, pct_ppm,
+                CASE WHEN pct_ppm * 3 < 1000000 THEN 'head'
+                     WHEN pct_ppm * 3 < 2000000 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM p ORDER BY doc_id""",
+    // Budget select: the q83 scorer, then one running sum over
+    // (score DESC, doc_id) <= 15000 — the oracle affords the global
+    // sort the Spark side decomposes away.
+    "q115_budget_select" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         f AS (SELECT doc_id,
+                      (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024) * 2654435761 % 2001 - 1000 AS w
+               FROM t WHERE tok <> ''),
+         s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(sum(w) AS BIGINT) AS score
+               FROM f GROUP BY doc_id),
+         r AS (SELECT doc_id, score, n_tokens,
+                      CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+               FROM s)
+         SELECT doc_id, score, n_tokens, cum_tokens
+         FROM r WHERE cum_tokens <= 15000 ORDER BY doc_id""",
+    // Leakage-safe split: doc -> exact-group keeper -> near-dup
+    // component label (the q34/q105 recursive machinery) -> salted
+    // 52-bit hash of the root, ppm-thresholded 10/10/80.
+    "q116_leakage_split" ->
+      s"""WITH RECURSIVE groups AS (SELECT lower(trim(text)) AS k,
+                                           MIN(doc_id) AS keeper
+                                    FROM documents GROUP BY 1),
+         wk AS (SELECT d.doc_id, g.keeper FROM documents d
+                JOIN groups g ON lower(trim(d.text)) = g.k),
+         kmin AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                  GROUP BY lower(trim(text))),
+         sdocs AS (SELECT d.* FROM documents d JOIN kmin USING (doc_id)),
+         ${minHashPairsSqlOver("sdocs")},
+         hws AS (SELECT doc_id,
+                        list_distinct(list_transform(
+                          list_distinct(string_split(lower(trim(text)), ' ')),
+                          w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS ws
+                 FROM sdocs),
+         gp AS (SELECT p.a, p.b FROM pairs p
+                JOIN hws wa ON wa.doc_id = p.a
+                JOIN hws wb ON wb.doc_id = p.b
+                WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) /
+                            CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE), 6)
+                      >= 0.5),
+         ed AS (SELECT a AS src, b AS dst FROM gp UNION SELECT b, a FROM gp),
+         reach(d, r) AS (
+           SELECT src AS d, src AS r FROM ed
+           UNION
+           SELECT ed.src AS d, reach.r FROM ed JOIN reach ON ed.dst = reach.d),
+         comp AS (SELECT d, MIN(r) AS label FROM reach GROUP BY d),
+         rooted AS (SELECT wk.doc_id,
+                           coalesce(comp.label, wk.keeper) AS root
+                    FROM wk LEFT JOIN comp ON comp.d = wk.keeper),
+         sp AS (SELECT doc_id, root,
+                       ('0x' || substr(md5('split:' || CAST(root AS VARCHAR)), 1, 13))::BIGINT % 1000000 AS b
+                FROM rooted)
+         SELECT doc_id, root,
+                CASE WHEN b < 100000 THEN 'test'
+                     WHEN b < 200000 THEN 'val'
+                     ELSE 'train' END AS split
+         FROM sp ORDER BY doc_id""",
+    // Centroid outliers: q111's micro-unit integer sum vector per
+    // label; cos(v, sum) left-to-right in double, round 6; outlier =
+    // cos < 0.0, degenerate rows flag with null cosine.
+    "q117_centroid_outliers" ->
+      """WITH q AS (SELECT label, d,
+                           CAST(sum(CAST(round(embedding[CAST(d + 1 AS INTEGER)]::DOUBLE * 1e6) AS BIGINT)) AS BIGINT) AS s
+                    FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d)
+                    GROUP BY label, d),
+         a AS (SELECT label, list(s ORDER BY d) AS sv FROM q GROUP BY label),
+         c AS (SELECT vec_id AS id, e.label AS grp,
+                      CASE WHEN list_sum(list_transform(range(64), i ->
+                                  embedding[CAST(i + 1 AS INTEGER)]::DOUBLE * embedding[CAST(i + 1 AS INTEGER)]::DOUBLE)) > 0
+                            AND list_sum(list_transform(range(64), i ->
+                                  sv[CAST(i + 1 AS INTEGER)]::DOUBLE * sv[CAST(i + 1 AS INTEGER)]::DOUBLE)) > 0
+                           THEN round(
+                             list_sum(list_transform(range(64), i ->
+                               embedding[CAST(i + 1 AS INTEGER)]::DOUBLE * sv[CAST(i + 1 AS INTEGER)]::DOUBLE)) /
+                             (sqrt(list_sum(list_transform(range(64), i ->
+                                embedding[CAST(i + 1 AS INTEGER)]::DOUBLE * embedding[CAST(i + 1 AS INTEGER)]::DOUBLE))) *
+                              sqrt(list_sum(list_transform(range(64), i ->
+                                sv[CAST(i + 1 AS INTEGER)]::DOUBLE * sv[CAST(i + 1 AS INTEGER)]::DOUBLE)))), 6)
+                           ELSE NULL END AS cos_centroid
+               FROM embeddings e JOIN a USING (label))
+         SELECT id, grp, cos_centroid,
+                coalesce(cos_centroid < 0.0, TRUE) AS outlier
+         FROM c ORDER BY id""")
 }

@@ -467,6 +467,54 @@ object Curation {
       .select(col(idCol), col(groupCol), col("score"), col("pct_ppm"))
   }
 
+  /** Token-budget selection — the greedy-prefix corpus cut every
+    * "train on the best N tokens" recipe needs: order docs by
+    * (score DESC, id ASC) and keep the longest prefix whose running
+    * token total stays within `budget`. The greedy-prefix contract is
+    * deliberate (it is what quality-threshold curation means), not a
+    * knapsack: a doc past the boundary is out even if some later
+    * smaller doc would still fit.
+    *
+    * Scale shape: the global sort never happens. The running total
+    * decomposes as `cumBefore(score) + runWithin(score, id)`:
+    *  1. per-score token totals collapse to a score-HISTOGRAM relation
+    *     (one map-side-combined shuffle, bounded by the score support
+    *     — thousands of rows for integer quality scores, documented
+    *     assumption);
+    *  2. the histogram's exclusive prefix sum is one window over that
+    *     bounded relation (single-node over model-sized state, the
+    *     Lloyd-centroid adjudication — NOT over the corpus);
+    *  3. within-score running sums are hash-partitioned windows keyed
+    *     by score — fully parallel, and fine-grained for any scorer
+    *     with real spread.
+    * The doc relation joins the histogram on score (AQE broadcasts at
+    * histogram size). Emits the kept prefix with its inclusive
+    * `cum_tokens` audit column. */
+  def budgetSelect(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val hist = docs.groupBy(col(scoreCol))
+      .agg(sum(col(tokCol)).as("_t"))
+    val exclusive = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.select(col(scoreCol),
+      coalesce(sum(col("_t")).over(exclusive), lit(0L)).as("_before"))
+    val withinScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(scoreCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .join(cum, Seq(scoreCol))
+      .withColumn("cum_tokens",
+        col("_before") + sum(col(tokCol)).over(withinScore))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col(scoreCol), col(tokCol), col("cum_tokens"))
+  }
+
   /** Deterministic fractional UPSAMPLING — the half of mixture
     * targeting [[mixturePlan]] caps away: a source whose target
     * exceeds its size gets docs REPEATED. Per source,

@@ -861,4 +861,53 @@ object Similarity {
             6))
           .otherwise(lit(null).cast("double")).as("centroid_cos"))
   }
+
+  /** Embedding outlier audit — per vector, the cosine to its OWN
+    * group's centroid, flagged when it falls below `minCos`: the
+    * cluster-coherence check SemDeDup-style pipelines run before
+    * trusting cell-local comparisons, and the cheap mislabeled-point
+    * detector for any labeled embedding corpus.
+    *
+    * Numbers: the centroid is the [[centroidDrift]] micro-unit
+    * integer sum vector (cos(v, Σ) = cos(v, mean) — the positive 1/n
+    * scales out of cosine), dims multiply left-to-right in double,
+    * result rounds to 6 places. The vector's own contribution to the
+    * centroid is NOT removed — the audit is against the group as
+    * published, and the self-term bias vanishes at any real group
+    * size. Degenerate rows (zero vector, or a zero-sum centroid)
+    * flag as outliers with a null cosine.
+    *
+    * Shape at 100 TB: the corpus collapses to per-(group, dim) 8-byte
+    * partial sums for the centroid build; the per-group sum-vector
+    * relation is group-count-sized and BROADCASTS back onto the
+    * corpus for a map-side zip_with dot — the scoring pass never
+    * shuffles the vectors at all. */
+  def centroidOutliers(
+      df: DataFrame,
+      idCol: String,
+      grpCol: String,
+      vecCol: String,
+      minCos: Double): DataFrame = {
+    val sums = df
+      .select(col(grpCol).as("grp"), posexplode(col(vecCol)).as(Seq("d", "v")))
+      .select(col("grp"), col("d"),
+        round(col("v").cast("double") * 1e6).cast("long").as("q"))
+      .groupBy(col("grp"), col("d")).agg(sum(col("q")).as("s"))
+      .groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("s")))),
+        e => e.getField("s")).as("sv"))
+    def ddot(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    df.select(col(idCol).as("id"), col(grpCol).as("grp"), col(vecCol).as("_v"))
+      .join(broadcast(sums), Seq("grp"))
+      .select(col("id"), col("grp"),
+        when(ddot(col("_v"), col("_v")) > 0 && ddot(col("sv"), col("sv")) > 0,
+          round(ddot(col("_v"), col("sv")) /
+            (sqrt(ddot(col("_v"), col("_v"))) * sqrt(ddot(col("sv"), col("sv")))),
+            6))
+          .otherwise(lit(null).cast("double")).as("cos_centroid"))
+      .withColumn("outlier",
+        coalesce(col("cos_centroid") < minCos, lit(true)))
+  }
 }

@@ -144,6 +144,67 @@ object TextAnalysis {
         expr("surprisal_micro div n_tokens").as("mean_micro"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score each raw document by how much more likely its tokens are
+    * under a TARGET corpus's hashed-unigram distribution than under
+    * the raw corpus's own — the log-likelihood-ratio feature DSIR
+    * resamples by. Tokens hash into `buckets` feature buckets (hashed
+    * n-gram features are the paper's device for keeping the model
+    * finite); both distributions are add-one smoothed over the full
+    * bucket space, so unseen buckets are defined on both sides.
+    *
+    * Determinism: the per-BUCKET log ratio
+    * `round(ln(p_tgt(b)/p_raw(b))·1e6)` quantizes to an integer
+    * micro-nat BEFORE any per-doc sum ([[unigramSurprisal]]'s
+    * contract), so doc scores are exact integer sums; the accepted
+    * ~1-ulp libm caveat applies only to the B bucket weights. The
+    * keep verdict is a sign test on the integer sum — no integer
+    * division of negatives (Spark `div` truncates, DuckDB `//`
+    * floors; the sign test sidesteps the mismatch entirely).
+    *
+    * Shape at 100 TB: both corpora collapse to B-row bucket-count
+    * relations via map-side partial counts; the weight table is B
+    * rows (1024 default) — broadcast by construction, not by hope —
+    * and the raw corpus then streams through one broadcast join and
+    * one per-doc rollup. Nothing corpus-sized shuffles except the
+    * doc-keyed partial sums. */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    def toks(d: DataFrame): DataFrame = d
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("doc_id"),
+        pmod(md5Hash60(col("t")), lit(buckets.toLong)).as("b"))
+    val rawToks = toks(raw)
+    val rc = rawToks.groupBy(col("b")).agg(count(lit(1)).as("n_raw"))
+    val tc = toks(target).groupBy(col("b")).agg(count(lit(1)).as("n_tgt"))
+    val byBucket = rc.join(tc, Seq("b"), "full")
+      .select(col("b"), coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+        coalesce(col("n_tgt"), lit(0L)).as("n_tgt"))
+    val totals = byBucket
+      .agg(sum(col("n_raw")).as("t_raw"), sum(col("n_tgt")).as("t_tgt"))
+    val weights = byBucket.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(
+          ((col("n_tgt") + 1).cast("double") /
+            (col("t_tgt") + buckets).cast("double")) /
+            ((col("n_raw") + 1).cast("double") /
+              (col("t_raw") + buckets).cast("double"))) * 1e6)
+          .cast(LongType).as("w_micro"))
+    rawToks
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("w_micro")).as("logratio_micro"))
+      .withColumn("keep", col("logratio_micro") >= 0)
+  }
+
   /** BPE merge-candidate counting — step 1 of byte-pair-encoding
     * tokenizer training: corpus-wide frequencies of adjacent CHARACTER
     * pairs inside words, weighted by word frequency. The top pair is

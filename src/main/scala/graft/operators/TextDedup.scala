@@ -819,6 +819,75 @@ object TextDedup {
     exactDedup(df, textCol, idCol).join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Leakage-safe train/val/test split — near-dup-AWARE partitioning:
+    * every member of a near-duplicate cluster (and every
+    * byte-identical copy) lands in the SAME split, so evaluation rows
+    * can never be near-copies of training rows. A plain per-doc hash
+    * split leaks by construction: at web scale a few percent of docs
+    * have a near-copy, and an independent coin per doc strands half
+    * of each pair across the train/eval boundary.
+    *
+    * Root chain: doc → its exact-dup group keeper (min id per
+    * normalized text, [[exactDedup]]'s keeper rule) → that keeper's
+    * near-dup component label (the q34 machinery: banded LSH
+    * candidates, exact-Jaccard gate, pointer-jumping CC) → split =
+    * salted 52-bit hash of the ROOT thresholded in ppm. Deterministic
+    * end to end — the same corpus splits identically across engines,
+    * runs, and restarts, and adding docs never moves an existing
+    * cluster between splits unless the clusters themselves merge.
+    *
+    * Shape at 100 TB: the cluster stages are [[nearDupDedup]]'s
+    * verbatim (its adjudications carry over); the additions are two
+    * id-to-id joins on 8-byte keys and a map-side hash — nothing new
+    * shuffles. */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      valPpm: Long = 100000L,
+      testPpm: Long = 100000L,
+      minJaccard: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 4,
+      bucketCap: Int = 100): DataFrame = {
+    require(valPpm >= 0 && testPpm >= 0 && valPpm + testPpm <= 1000000L,
+      s"split fractions must satisfy 0 <= val + test <= 1e6 ppm, " +
+        s"got val=$valPpm test=$testPpm")
+    // doc → exact-group keeper (min id per normalized-text hash; the
+    // same rule exactDedup applies, so keepers == its survivors)
+    val hashed = df.select(col(idCol).as("id"),
+      md5Hash60(norm(col(textCol))).as("_h"))
+    val withKeeper = hashed
+      .join(hashed.groupBy(col("_h")).agg(min(col("id")).as("_keeper")),
+        Seq("_h"))
+      .select(col("id"), col("_keeper"))
+    // near-dup component labels over the keepers (q34 stages verbatim)
+    val survivors = exactDedup(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidatePairs(survivors, idCol, textCol, numHashes,
+      bands, bucketCap)
+    val ws = survivors.select(col(idCol).as("wid"),
+      transform(normWordSet(col(textCol)), w => md5Hash60(w)).as("ws"))
+    val gated = cands
+      .join(ws.select(col("wid").as("a"), col("ws").as("wa")), Seq("a"))
+      .join(ws.select(col("wid").as("b"), col("ws").as("wb")), Seq("b"))
+      .filter(round(jaccard(col("wa"), col("wb")), 6) >= minJaccard)
+      .select(col("a"), col("b"))
+    val labels = connectedComponents(gated).localCheckpoint()
+    survivors.unpersist()
+    val rooted = withKeeper
+      .join(labels.select(col("id").as("_keeper"), col("label")),
+        Seq("_keeper"), "left")
+      .select(col("id"), coalesce(col("label"), col("_keeper")).as("root"))
+    val bucket = pmod(
+      md5Hash52(concat(lit("split:"), col("root").cast("string"))),
+      lit(1000000L))
+    rooted.select(col("id").as(idCol), col("root"),
+      when(bucket < testPpm, lit("test"))
+        .when(bucket < testPpm + valPpm, lit("val"))
+        .otherwise(lit("train")).as("split"))
+  }
+
   /** Contamination SPAN audit: per corpus document, the longest
     * CONTIGUOUS run of word n-grams shared with the eval set — the
     * quantity decontamination policies actually threshold on ("any
@@ -887,6 +956,79 @@ object TextDedup {
     * shuffle each side); reassembly is the [[lineDedup]]
     * collect-sort-join rollup keyed by doc. Token strings cross the
     * wire once, inside the per-doc rollup. */
+  /** Duplicated-span scrub — exact-substring deduplication in the
+    * style of Lee et al. 2021 (arXiv:2107.06499, "Deduplicating
+    * Training Data Makes Language Models Better"): every token
+    * position covered by a word n-gram occurring in at least
+    * `minDocs` DISTINCT documents is REMOVED (the whole duplicated
+    * run disappears, not just its first token), and documents are
+    * reassembled from the surviving tokens in order.
+    * [[dupNgramStats]] measures this duplication; this operator acts
+    * on it. Granularity/polarity neighbors: [[lineDedup]] drops
+    * too-common LAYOUT LINES, [[rareTokenScrub]] masks too-RARE
+    * tokens, this drops too-common token RUNS regardless of layout.
+    *
+    * Coverage law: position p of an nw-token doc is removed iff some
+    * duplicated gram starts in [max(0, p−n+1), min(p, nw−n)]. Docs
+    * with fewer than n tokens have no grams and pass unchanged; a
+    * fully-covered doc survives as an empty text with the removal
+    * fully accounted (n_removed = n_tokens).
+    *
+    * Shape at 100 TB: grams shuffle as 8-byte hashes (one groupBy
+    * builds the dup set); the dup relation is corpus-duplication-
+    * sized, so it joins the gram stream on hash and is NEVER
+    * broadcast. Covered positions fan out ≤ n per duplicated gram
+    * occurrence (map-side explode) and collapse in the per-(doc, pos)
+    * distinct; reassembly is the [[rareTokenScrub]] collect-sort
+    * rollup keyed by doc — text crosses the wire once, as its own
+    * tokens. */
+  def dupSpanScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = docs.select(col(idCol).as("doc_id"),
+      words(col(textCol)).as("_ws"))
+    val toks = base
+      .select(col("doc_id"), posexplode(col("_ws")).as(Seq("pos", "tok")))
+    val grams = base
+      .select(col("doc_id"), col("_ws"), size(col("_ws")).as("_nw"))
+      .filter(col("_nw") >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("_nw") - n),
+          i => md5Hash60(array_join(slice(col("_ws"), i + 1, lit(n)), " "))))
+          .as(Seq("s", "gh")))
+    val dup = grams
+      .groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("gh"))
+    val covered = grams
+      .join(dup, Seq("gh"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + lit(n - 1))).as("pos"))
+      .distinct()
+      .withColumn("_cov", lit(true))
+    toks
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("_cov"), 1)).as("n_removed"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"),
+                when(col("_cov"), lit(1)).otherwise(lit(0)).as("cov"),
+                col("tok")))),
+              e => e.getField("cov") === 0),
+            e => e.getField("tok")),
+          " ").as("text"))
+  }
+
   def rareTokenScrub(
       docs: DataFrame,
       idCol: String,
