@@ -2358,6 +2358,27 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Char-class signals (q118): letter/digit/space/symbol ppm shares
+    * over the events table's JSON props strings (the column with real
+    * structural spread — braces, quotes, digits) — one codegen'd
+    * map-side projection, no shuffle. */
+  private def charClassQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.charClassSignals(
+        Tables.events(s, dir).select(col("event_id"), col("props")),
+        "event_id", "props")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Template grams (q119): top-3 most frequent word 3-grams per
+    * source with ppm share — the crawl-boilerplate audit. */
+  private def templateGramsQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.templateGrams(Tables.documents(s, dir), "source", "text",
+        n = 3, topK = 3)
+      .orderBy(col("source"), col("rank"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2479,7 +2500,9 @@ object SparkEntry {
     "q114_ccnet_buckets" -> (ccnetBucketsQuery _),
     "q115_budget_select" -> (budgetSelectQuery _),
     "q116_leakage_split" -> (leakageSplitQuery _),
-    "q117_centroid_outliers" -> (centroidOutliersQuery _))
+    "q117_centroid_outliers" -> (centroidOutliersQuery _),
+    "q118_char_class_signals" -> (charClassQuery _),
+    "q119_template_grams" -> (templateGramsQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2585,7 +2608,8 @@ object SparkEntry {
     "q110_rare_token_scrub", "q111_centroid_drift",
     "q112_dup_span_scrub", "q113_dsir_weights",
     "q114_ccnet_buckets", "q115_budget_select",
-    "q116_leakage_split", "q117_centroid_outliers")
+    "q116_leakage_split", "q117_centroid_outliers",
+    "q118_char_class_signals", "q119_template_grams")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4843,5 +4867,45 @@ object SparkEntry {
                FROM embeddings e JOIN a USING (label))
          SELECT id, grp, cos_centroid,
                 coalesce(cos_centroid < 0.0, TRUE) AS outlier
-         FROM c ORDER BY id""")
+         FROM c ORDER BY id""",
+    // Char-class signals over customer addresses: regexp length deltas
+    // (DuckDB needs the 'g' flag; Spark replaces all by default).
+    "q118_char_class_signals" ->
+      """WITH t AS (SELECT event_id AS doc_id, props AS a FROM events
+                    WHERE length(props) > 0),
+         c AS (SELECT doc_id, CAST(length(a) AS BIGINT) AS n_chars,
+                      CAST(length(a) - length(regexp_replace(a, '[A-Za-z]', '', 'g')) AS BIGINT) AS l,
+                      CAST(length(a) - length(regexp_replace(a, '[0-9]', '', 'g')) AS BIGINT) AS d,
+                      CAST(length(a) - length(regexp_replace(a, '\s', '', 'g')) AS BIGINT) AS w,
+                      CAST(length(a) - length(regexp_replace(a, '[\[\]{}()<>;]', '', 'g')) AS BIGINT) AS b
+               FROM t)
+         SELECT doc_id, n_chars,
+                l * 1000000 // n_chars AS letter_ppm,
+                d * 1000000 // n_chars AS digit_ppm,
+                w * 1000000 // n_chars AS space_ppm,
+                (n_chars - l - d - w) * 1000000 // n_chars AS symbol_ppm,
+                b * 1000000 // n_chars AS bracket_ppm,
+                (b * 1000000 // n_chars >= 20000 OR
+                 (n_chars - l - d - w) * 1000000 // n_chars >= 150000) AS codey
+         FROM c ORDER BY doc_id""",
+    // Template grams: per-source word-3-gram counts, top-3 by
+    // (count desc, gram asc), ppm share of the source's gram total.
+    "q119_template_grams" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT source,
+                      array_to_string(ws[CAST(s + 1 AS BIGINT):CAST(s + 3 AS BIGINT)], ' ') AS gram
+               FROM (SELECT source, ws, unnest(range(len(ws) - 2)) AS s
+                     FROM w WHERE len(ws) >= 3)),
+         c AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS n_occ
+               FROM g GROUP BY source, gram),
+         t AS (SELECT source, CAST(sum(n_occ) AS BIGINT) AS tot
+               FROM c GROUP BY source),
+         r AS (SELECT source, gram, n_occ,
+                      CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY n_occ DESC, gram) AS BIGINT) AS rank
+               FROM c)
+         SELECT r.source, r.rank, r.gram, r.n_occ,
+                r.n_occ * 1000000 // t.tot AS share_ppm
+         FROM r JOIN t USING (source)
+         WHERE r.rank <= 3 ORDER BY r.source, r.rank""")
 }

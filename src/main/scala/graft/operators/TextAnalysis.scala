@@ -392,6 +392,86 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= 0)
   }
 
+  /** Character-class signal battery — per row, the integer-ppm share
+    * of letters, digits, whitespace, and symbols (everything else),
+    * plus bracket/punctuation density and a thresholded `codey` flag:
+    * the cheap structural complement to word-level quality signals
+    * that code-vs-prose and blob-vs-text filters cut on. Counts come
+    * from codegen'd `regexp_replace` length deltas — no explode, no
+    * shuffle, one map-side pass; the whole operator is a projection.
+    *
+    * All ratios are exact integer ppm (`cnt·10⁶ div n_chars`); empty
+    * strings are dropped ([[charEntropy]]'s contract). The `codey`
+    * flag is `bracket_ppm >= bracketPpmMin OR symbol_ppm >=
+    * symbolPpmMin` — thresholds are parameters because the right cut
+    * is corpus-dependent; the defaults mark heavy-markup rows. */
+  def charClassSignals(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bracketPpmMin: Long = 20000L,
+      symbolPpmMin: Long = 150000L): DataFrame = {
+    val t = col("_t")
+    def cnt(re: String): Column =
+      (length(t) - length(regexp_replace(t, re, ""))).cast(LongType)
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .filter(length(t) > 0)
+      .select(col("doc_id"), length(t).cast(LongType).as("n_chars"),
+        cnt("[A-Za-z]").as("_l"), cnt("[0-9]").as("_d"),
+        cnt("\\s").as("_w"), cnt("[\\[\\]{}()<>;]").as("_b"))
+      .select(col("doc_id"), col("n_chars"),
+        expr("_l * 1000000 div n_chars").as("letter_ppm"),
+        expr("_d * 1000000 div n_chars").as("digit_ppm"),
+        expr("_w * 1000000 div n_chars").as("space_ppm"),
+        expr("(n_chars - _l - _d - _w) * 1000000 div n_chars").as("symbol_ppm"),
+        expr("_b * 1000000 div n_chars").as("bracket_ppm"))
+      .withColumn("codey",
+        col("bracket_ppm") >= bracketPpmMin ||
+          col("symbol_ppm") >= symbolPpmMin)
+  }
+
+  /** Per-source template-gram detection — for each source, the topK
+    * most frequent word n-grams with occurrence counts and the
+    * integer-ppm share of that source's total gram instances: the
+    * boilerplate audit that finds crawl templates ("click here to
+    * subscribe…") before they dominate a mixture. [[bpePairCounts]]'
+    * Zipf argument does NOT apply here — the ranking is per source
+    * over full n-grams — so gram TEXT crosses the wire once, as its
+    * own grams (the [[TextDedup.lineDedup]] adjudication), and the
+    * per-source ranking is a hash-partitioned window over the
+    * (source, gram) count relation, which is vocabulary-sized, not
+    * corpus-sized. Ties break lexicographically on the gram (both
+    * engines compare ASCII byte-wise). */
+  def templateGrams(
+      docs: DataFrame,
+      srcCol: String,
+      textCol: String,
+      n: Int = 3,
+      topK: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val ws = words(col(textCol))
+    val grams = docs
+      .select(col(srcCol).as("source"), ws.as("_ws"), size(ws).as("_nw"))
+      .filter(col("_nw") >= n)
+      .select(col("source"),
+        explode(transform(sequence(lit(0), col("_nw") - n),
+          i => array_join(slice(col("_ws"), i + 1, lit(n)), " "))).as("gram"))
+    val counts = grams.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("n_occ"))
+    val totals = grams.groupBy(col("source")).agg(count(lit(1)).as("_tot"))
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_occ").desc, col("gram"))
+    counts
+      .withColumn("rank", row_number().over(bySrc).cast(LongType))
+      .filter(col("rank") <= topK)
+      .join(totals, Seq("source"))
+      .select(col("source"), col("rank"), col("gram"), col("n_occ"),
+        expr("n_occ * 1000000 div _tot").as("share_ppm"))
+  }
+
   /** Character-distribution Shannon entropy per document — the
     * model-free randomness signal quality pipelines pair with
     * repetition (K25) and surprisal (K34): near-zero entropy flags

@@ -146,6 +146,49 @@ class Round8eOpsSpec extends SparkSpec {
     out shouldBe Array((1L, 5L))
   }
 
+  // -------------------------------------------------------- charClassSignals
+
+  test("charClassSignals: ppm shares and the codey flag, hand-checked") {
+    val docs = Seq(
+      (1L, "ab 12 {x}"), //  3 letters, 2 digits, 2 spaces, 2 brackets
+      (2L, "hello world"), // pure prose
+      (3L, "")) //            dropped
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charClassSignals(docs, "doc_id", "text")
+      .select("doc_id", "n_chars", "letter_ppm", "digit_ppm", "space_ppm",
+        "symbol_ppm", "bracket_ppm", "codey")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    out shouldBe Array(
+      (1L, 9L, 333333L, 222222L, 222222L, 222222L, 222222L, true),
+      (2L, 11L, 909090L, 0L, 90909L, 0L, 0L, false))
+  }
+
+  // ---------------------------------------------------------- templateGrams
+
+  test("templateGrams: top gram per source by count, ties lexicographic") {
+    val docs = Seq(
+      ("s1", "a b c a b c"), // grams: [a b c]x2, [b c a], [c a b]; tot 4
+      ("s2", "x y z")) //       one gram
+      .toDF("source", "text")
+    val out = TextAnalysis.templateGrams(docs, "source", "text", n = 3, topK = 3)
+      .select("source", "rank", "gram", "n_occ", "share_ppm")
+      .as[(String, Long, String, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    out shouldBe Array(
+      ("s1", 1L, "a b c", 2L, 500000L),
+      ("s1", 2L, "b c a", 1L, 250000L),
+      ("s1", 3L, "c a b", 1L, 250000L),
+      ("s2", 1L, "x y z", 1L, 1000000L))
+  }
+
+  test("templateGrams: topK caps the per-source output") {
+    val docs = Seq(("s1", "a b c d e f")).toDF("source", "text")
+    val out = TextAnalysis.templateGrams(docs, "source", "text", n = 3, topK = 2)
+      .collect()
+    out.length shouldBe 2
+  }
+
   // -------------------------------------------------------- leakageSafeSplit
 
   test("leakageSafeSplit: exact copies and near-dups share the cluster's split") {
