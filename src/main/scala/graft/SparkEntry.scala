@@ -2379,6 +2379,60 @@ object SparkEntry {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Funnel (q120): strict first-touch ordered funnel signup → view →
+    * click → purchase over the events stream — one per-user min-rollup,
+    * then a steps-row aggregate (Analytics.funnel). */
+  private def funnelQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy(col("step_idx"))
+  }
+
+  /** Cohort retention (q121): users grouped by first-activity day,
+    * counted per later-day offset 0..14 — the retention triangle. */
+  private def cohortRetentionQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.cohortRetention(Tables.events(s, dir), "user_id", "ts",
+        maxOffsetDays = 14)
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
+
+  /** Markov transition matrix (q122): per-user event-type bigrams with
+    * exact integer row-conditional probability in ppm. */
+  private def transitionMatrixQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.transitionMatrix(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id")
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Trailing z-score anomalies (q123): per-(event_type, day) counts
+    * scored against the previous 7 present days (strictly before). */
+  private def trailingZscoreQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.trailingZscore(Tables.events(s, dir), "ts", "event_type",
+        window = 7)
+      .orderBy(col("key"), col("day"))
+  }
+
+  /** Co-occurrence top-k (q124): market-basket item-item cosine over
+    * (order, part) baskets, mega-baskets (>8 items) dropped whole. */
+  private def coOccurrenceQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.coOccurrenceTopK(Tables.lineitem(s, dir), "l_orderkey",
+        "l_partkey", maxBasket = 8, topK = 20)
+  }
+
+  /** Data profile (q125): per-column rows/nulls/distincts/min/max over
+    * the documents table (all-integer-and-varchar — no cross-engine
+    * float/timestamp string-cast hazards). */
+  private def profileQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.profile(Tables.documents(s, dir))
+      .orderBy(col("column"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2502,7 +2556,13 @@ object SparkEntry {
     "q116_leakage_split" -> (leakageSplitQuery _),
     "q117_centroid_outliers" -> (centroidOutliersQuery _),
     "q118_char_class_signals" -> (charClassQuery _),
-    "q119_template_grams" -> (templateGramsQuery _))
+    "q119_template_grams" -> (templateGramsQuery _),
+    "q120_funnel" -> (funnelQuery _),
+    "q121_cohort_retention" -> (cohortRetentionQuery _),
+    "q122_transition_matrix" -> (transitionMatrixQuery _),
+    "q123_trailing_zscore" -> (trailingZscoreQuery _),
+    "q124_cooccurrence_topk" -> (coOccurrenceQuery _),
+    "q125_data_profile" -> (profileQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2609,7 +2669,9 @@ object SparkEntry {
     "q112_dup_span_scrub", "q113_dsir_weights",
     "q114_ccnet_buckets", "q115_budget_select",
     "q116_leakage_split", "q117_centroid_outliers",
-    "q118_char_class_signals", "q119_template_grams")
+    "q118_char_class_signals", "q119_template_grams",
+    "q120_funnel", "q121_cohort_retention", "q122_transition_matrix",
+    "q123_trailing_zscore", "q124_cooccurrence_topk", "q125_data_profile")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4907,5 +4969,138 @@ object SparkEntry {
          SELECT r.source, r.rank, r.gram, r.n_occ,
                 r.n_occ * 1000000 // t.tot AS share_ppm
          FROM r JOIN t USING (source)
-         WHERE r.rank <= 3 ORDER BY r.source, r.rank""")
+         WHERE r.rank <= 3 ORDER BY r.source, r.rank""",
+    // Funnel: strict order of first touches (m0 < m1 < ... all
+    // present); exact integer ppm vs step 1.
+    "q120_funnel" ->
+      """WITH m AS (SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'signup') AS m0,
+               min(ts) FILTER (WHERE event_type = 'view') AS m1,
+               min(ts) FILTER (WHERE event_type = 'click') AS m2,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS m3
+             FROM events GROUP BY user_id),
+         c AS (SELECT
+               count(*) FILTER (WHERE m0 IS NOT NULL) AS c0,
+               count(*) FILTER (WHERE m0 IS NOT NULL AND m0 < m1) AS c1,
+               count(*) FILTER (WHERE m0 IS NOT NULL AND m0 < m1
+                                  AND m1 < m2) AS c2,
+               count(*) FILTER (WHERE m0 IS NOT NULL AND m0 < m1
+                                  AND m1 < m2 AND m2 < m3) AS c3
+             FROM m),
+         s(step_idx, step) AS (VALUES (1, 'signup'), (2, 'view'),
+                                      (3, 'click'), (4, 'purchase')),
+         l AS (SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+                      CAST(CASE step_idx WHEN 1 THEN c0 WHEN 2 THEN c1
+                           WHEN 3 THEN c2 ELSE c3 END AS BIGINT) AS n_users,
+                      CAST(c0 AS BIGINT) AS base
+               FROM c CROSS JOIN s)
+         SELECT step_idx, step, n_users,
+                CASE WHEN base > 0 THEN n_users * 1000000 // base END
+                  AS conversion_ppm
+         FROM l ORDER BY step_idx""",
+    // Cohort retention triangle: first-activity day x offset 0..14.
+    "q121_cohort_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events),
+         c AS (SELECT u, min(d) AS cd FROM ud GROUP BY u)
+         SELECT CAST(cd AS VARCHAR) AS cohort_day,
+                CAST(d - cd AS BIGINT) AS offset_days,
+                count(*) AS n_users
+         FROM ud JOIN c USING (u)
+         WHERE d - cd <= 14
+         GROUP BY cd, d - cd ORDER BY 1, 2""",
+    // Markov transitions: per-user (ts, event_id)-ordered bigrams,
+    // exact integer row-conditional ppm.
+    "q122_transition_matrix" ->
+      """WITH p AS (SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS to_type
+             FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n_trans
+               FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
+                CAST(n_trans * 1000000 //
+                     sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+                  AS prob_ppm
+         FROM c ORDER BY from_type, to_type""",
+    // Trailing z-score: stats over the previous 7 PRESENT days
+    // (rows-based); variance from exact integer sums; the double
+    // expression mirrors the Spark operand order op-for-op.
+    "q123_trailing_zscore" ->
+      """WITH daily AS (SELECT event_type AS key, ts::DATE AS d,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+         w AS (SELECT key, d, n,
+                      count(n) OVER win AS cnt,
+                      CAST(sum(n) OVER win AS BIGINT) AS s,
+                      CAST(sum(n * n) OVER win AS BIGINT) AS ss
+               FROM daily
+               WINDOW win AS (PARTITION BY key ORDER BY d
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT key, CAST(d AS VARCHAR) AS day, n,
+                      CASE WHEN cnt = 7 AND ss * 7 - s * s > 0
+                           THEN round((CAST(n AS DOUBLE)
+                                       - CAST(s AS DOUBLE) / 7.0)
+                                      / (sqrt(CAST(ss * 7 - s * s AS DOUBLE))
+                                         / 7.0), 6)
+                      END AS z
+               FROM w)
+         SELECT key, day, n, z,
+                coalesce(abs(z) >= 3.0, FALSE) AS anomaly
+         FROM z ORDER BY key, day""",
+    // Co-occurrence: distinct (order, part) baskets, mega-baskets
+    // (>8 items) dropped whole, global top-20 by (n_both, pair).
+    "q124_cooccurrence_topk" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                     FROM lineitem),
+         sized AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= 8),
+         kept AS (SELECT bi.b, bi.i FROM bi JOIN sized USING (b)),
+         itemn AS (SELECT i, CAST(count(*) AS BIGINT) AS n_item
+                   FROM kept GROUP BY i),
+         pairn AS (SELECT a.i AS item_a, c.i AS item_b,
+                          CAST(count(*) AS BIGINT) AS n_both
+                   FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+                   GROUP BY 1, 2)
+         SELECT item_a, item_b, n_both, na.n_item AS n_a, nb.n_item AS n_b,
+                round(CAST(n_both AS DOUBLE)
+                      / sqrt(CAST(na.n_item * nb.n_item AS DOUBLE)), 6)
+                  AS cosine
+         FROM pairn
+         JOIN itemn na ON pairn.item_a = na.i
+         JOIN itemn nb ON pairn.item_b = nb.i
+         ORDER BY n_both DESC, item_a, item_b LIMIT 20""",
+    // Data profile over documents (all BIGINT/VARCHAR — no float or
+    // timestamp string-cast hazards across engines).
+    "q125_data_profile" ->
+      """WITH p AS (
+           SELECT 'doc_id' AS col, count(*) AS n_rows,
+                  count(*) FILTER (WHERE doc_id IS NULL) AS n_null,
+                  count(DISTINCT doc_id) AS n_distinct,
+                  CAST(min(doc_id) AS VARCHAR) AS min_str,
+                  CAST(max(doc_id) AS VARCHAR) AS max_str FROM documents
+           UNION ALL
+           SELECT 'text', count(*),
+                  count(*) FILTER (WHERE text IS NULL),
+                  count(DISTINCT text),
+                  CAST(min(text) AS VARCHAR),
+                  CAST(max(text) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'lang', count(*),
+                  count(*) FILTER (WHERE lang IS NULL),
+                  count(DISTINCT lang),
+                  CAST(min(lang) AS VARCHAR),
+                  CAST(max(lang) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'source', count(*),
+                  count(*) FILTER (WHERE source IS NULL),
+                  count(DISTINCT source),
+                  CAST(min(source) AS VARCHAR),
+                  CAST(max(source) AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'n_chars', count(*),
+                  count(*) FILTER (WHERE n_chars IS NULL),
+                  count(DISTINCT n_chars),
+                  CAST(min(n_chars) AS VARCHAR),
+                  CAST(max(n_chars) AS VARCHAR) FROM documents)
+         SELECT col AS "column", n_rows, n_null, n_distinct, min_str, max_str
+         FROM p ORDER BY col""")
 }

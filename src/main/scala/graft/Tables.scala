@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
-  * The `events` table stores `ts` as parquet INT64 TIMESTAMP(NANOS,false),
-  * which Spark's parquet reader rejects by default (PARQUET_TYPE_ILLEGAL).
-  * We flip `spark.sql.legacy.parquet.nanosAsLong` and convert the raw
-  * nanosecond count to a microsecond TimestampType ourselves (integer
-  * division, i.e. truncation toward zero — the same thing DuckDB does when
-  * it narrows ns → µs), so both engines see identical timestamps.
+  * The `events` table's `ts` column has shipped in two physical layouts
+  * across driver rounds: INT64 TIMESTAMP(NANOS,false) — which Spark's
+  * parquet reader rejects by default (PARQUET_TYPE_ILLEGAL), so we flip
+  * `spark.sql.legacy.parquet.nanosAsLong` and narrow ns → µs ourselves
+  * with integer division (truncation toward zero, same as DuckDB) — and
+  * TIMESTAMP(MICROS,false), which Spark reads as TIMESTAMP_NTZ. We
+  * normalize both to session-zone TimestampType; the session zone is
+  * pinned to UTC (GraftSession), so the NTZ cast is wall-clock-preserving
+  * and both engines see identical timestamps.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -22,8 +25,15 @@ object Tables {
     * (GraftSession sets it) — config is session-scoped, not set here. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn(
+            "ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Product-analytics operators over the event stream: funnels, cohort
+  * retention, Markov transitions, trailing-window anomaly flags,
+  * co-occurrence similarity, and a per-column data profiler.
+  *
+  * The reference warehouse's consumers run exactly this class of query
+  * over the imported activity tables (the dashboards downstream of
+  * fxa-activity-metrics' summary tables); these operators make the
+  * engine answer them directly instead of exporting to a BI tool.
+  *
+  * Scale contract shared by every operator here: events shuffle AT
+  * MOST ONCE, on the entity key (user/day/order), and every downstream
+  * relation is rollup-sized (steps × 1, cohorts × offsets, types²,
+  * days × types). All arithmetic that crosses the engine boundary is
+  * exact integers or single IEEE double ops (sqrt/division are
+  * correctly-rounded per IEEE-754, so both engines produce identical
+  * bits; no libm transcendentals anywhere).
+  */
+object Analytics {
+
+  /** Ordered first-occurrence FUNNEL: for each prefix of `steps`,
+    * count users whose FIRST occurrences of the steps happen in strict
+    * timestamp order (m₁ < m₂ < … < m_k, all present).
+    *
+    * These are the standard "strict order of first touches" funnel
+    * semantics: one `min(ts) FILTER (type = step)` per step in a
+    * single per-user rollup, then a boolean chain — no per-user event
+    * lists, no sequential scan. Equal timestamps do NOT advance the
+    * funnel (strict <), so results are deterministic under ties.
+    *
+    * Shape at 100 TB: one shuffle of (user, ts, type) into the
+    * per-user rollup (map-side partial mins make the exchange rows
+    * user-count-sized), then a steps-row global aggregate.
+    * `conversion_ppm` is an exact integer ratio vs step 1.
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val mins = steps.zipWithIndex.map { case (s, i) =>
+      min(when(col(typeCol) === s, col(tsCol))).as(s"_m$i")
+    }
+    val perUser = events.groupBy(col(userCol)).agg(mins.head, mins.tail: _*)
+    // reached(k) = all first-touches present and strictly increasing
+    val reached: Seq[Column] = steps.indices.map { k =>
+      (1 to k).foldLeft(col("_m0").isNotNull) { (acc, i) =>
+        acc && col(s"_m${i - 1}") < col(s"_m$i")
+      }
+    }
+    val counts = perUser.agg(
+      count(when(reached.head, 1)).as("_c0"),
+      reached.tail.zipWithIndex.map { case (r, i) =>
+        count(when(r, 1)).as(s"_c${i + 1}")
+      }: _*)
+
+    val stepsDf = steps.zipWithIndex
+      .map { case (s, i) => (i.toLong + 1L, s) }
+      .toDF("step_idx", "step")
+    // counts is ONE row; the cross join is 1 × steps
+    val long = counts.crossJoin(stepsDf)
+      .select(col("step_idx"), col("step"),
+        steps.indices.foldLeft(lit(null).cast(LongType)) { (acc, i) =>
+          when(col("step_idx") === (i + 1), col(s"_c$i")).otherwise(acc)
+        }.as("n_users"),
+        col("_c0").as("_base"))
+    // exact integer ppm (`div`, not `/`+cast: Spark's double cast
+    // truncates where DuckDB's rounds — div sidesteps the engines'
+    // cast disagreement entirely)
+    long.select(col("step_idx"), col("step"), col("n_users"),
+      when(col("_base") > 0,
+        expr("n_users * 1000000 div _base")).as("conversion_ppm"))
+  }
+
+  /** COHORT RETENTION triangle: users grouped by first-activity day,
+    * counted on each later activity day as (cohort_day, offset_days,
+    * n_users) for offsets 0..maxOffsetDays.
+    *
+    * Shape at 100 TB: `distinct (user, day)` and `min(day) per user`
+    * are both single-shuffle rollups ON THE SAME KEY (user), so with
+    * AQE the cohort join back to the activity set is co-partitioned —
+    * the wide events relation never shuffles twice. The output is
+    * cohorts × offsets, dashboard-sized.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      maxOffsetDays: Int): DataFrame = {
+    require(maxOffsetDays >= 0, s"maxOffsetDays must be >= 0: $maxOffsetDays")
+    val userDays = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val cohorts = userDays.groupBy(col("u")).agg(min(col("d")).as("cohort_d"))
+    userDays.join(cohorts, "u")
+      .select(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("off"))
+      .filter(col("off") <= maxOffsetDays)
+      .groupBy(col("cohort_d"), col("off"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort_d").cast("string").as("cohort_day"),
+        col("off").cast(LongType).as("offset_days"), col("n_users"))
+  }
+
+  /** First-order Markov TRANSITION MATRIX over per-user event
+    * sequences: (from_type, to_type, n_trans, prob_ppm) where prob is
+    * the exact integer row-conditional P(to | from) in ppm.
+    *
+    * The per-user `lead()` window IS the parallelism (users are
+    * independent); `idCol` breaks timestamp ties so the sequence — and
+    * therefore the matrix — is deterministic. Output is |types|²,
+    * model-sized. One shuffle of the events on user, one types²
+    * rollup.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("_tot", sum(col("n_trans")).over(totals))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        // exact integer ppm — see funnel's note on div vs `/`+cast
+        expr("n_trans * 1000000 div _tot").as("prob_ppm"))
+  }
+
+  /** TRAILING-WINDOW Z-SCORE anomaly flags: per (key, day) event
+    * counts scored against the mean/std of the previous `window`
+    * PRESENT days (rows-based, strictly before today — today never
+    * explains itself away).
+    *
+    * Variance comes from exact integer Σx and Σx² (population form
+    * n·Σx² − (Σx)²), so the only doubles are one subtraction-free
+    * integer-to-double conversion, one division, one sqrt, one
+    * division — all IEEE correctly-rounded, bit-identical across
+    * engines; `z` is additionally rounded to 6 places (repo-wide
+    * cross-engine practice). Rows with an incomplete trailing window
+    * or zero variance emit NULL z and never flag.
+    *
+    * Shape at 100 TB: the raw stream collapses to a (key × day) rollup
+    * FIRST; the window then runs over that dashboard-sized relation,
+    * partitioned by key.
+    */
+  def trailingZscore(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      window: Int,
+      flagAbove: Double = 3.0): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val daily = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("d"))
+      .groupBy(col("key"), col("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("key")).orderBy(col("d"))
+      .rowsBetween(-window, -1)
+    val stats = daily.select(col("key"), col("d"), col("n"),
+      count(col("n")).over(w).as("_cnt"),
+      sum(col("n")).over(w).as("_s"),
+      sum(col("n") * col("n")).over(w).as("_ss"))
+    val nD = lit(window).cast("double")
+    val varNum = (col("_ss") * window - col("_s") * col("_s")).cast("double")
+    val mean = col("_s").cast("double") / nD
+    val std = sqrt(varNum) / nD
+    stats.select(col("key"), col("d").cast("string").as("day"), col("n"),
+        when(col("_cnt") === window && varNum > 0,
+          round((col("n").cast("double") - mean) / std, 6)).as("z"))
+      .withColumn("anomaly", coalesce(abs(col("z")) >= flagAbove, lit(false)))
+  }
+
+  /** CO-OCCURRENCE similarity (the item-item collaborative-filtering
+    * building block): for items appearing together in the same basket,
+    * cosine = n_ab / sqrt(n_a · n_b) over distinct-basket counts, with
+    * the global top-k pairs returned.
+    *
+    * Shape at 100 TB: the (basket, item) postings self-join is the
+    * classic quadratic hazard; it is bounded here by `maxBasket` —
+    * baskets larger than it are dropped whole (a mega-basket is
+    * degenerate signal anyway; the drop is explicit, not silent,
+    * via the basket-size semi-join). Fan-out is then ≤ maxBasket per
+    * basket row. Counts are exact integers; the cosine is two IEEE
+    * ops (sqrt, divide) rounded to 6. Top-k via TakeOrdered on the
+    * pair-count relation (items², never the postings).
+    */
+  def coOccurrenceTopK(
+      baskets: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasket: Int,
+      topK: Int): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2: $maxBasket")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val sized = bi.groupBy(col("b")).agg(count(lit(1)).as("_sz"))
+      .filter(col("_sz") <= maxBasket)
+    val kept = bi.join(sized.select(col("b")), Seq("b"), "left_semi")
+    val itemN = kept.groupBy(col("i")).agg(count(lit(1)).as("n_item"))
+    val l = kept.select(col("b"), col("i").as("item_a"))
+    val r = kept.select(col("b"), col("i").as("item_b"))
+    val pairN = l.join(r, Seq("b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairN
+      .join(itemN.withColumnRenamed("i", "item_a")
+        .withColumnRenamed("n_item", "n_a"), Seq("item_a"))
+      .join(itemN.withColumnRenamed("i", "item_b")
+        .withColumnRenamed("n_item", "n_b"), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        round(col("n_both").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double")), 6).as("cosine"))
+      .orderBy(col("n_both").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
+  /** Per-column data PROFILE: (column, n_rows, n_null, n_distinct,
+    * min_str, max_str) for every column of the input — the
+    * schema-drift / data-quality audit run before trusting a new
+    * snapshot.
+    *
+    * One aggregation pass: Spark expands the multi-distinct aggregate
+    * (one Expand over the input per distinct column — the standard
+    * exact-profile cost; swap in approx_count_distinct when ±2 % is
+    * acceptable at PB scale). min/max are computed on the NATIVE type
+    * (so numeric columns order numerically) and cast to string after.
+    * The per-column melt happens on the single aggregated row.
+    */
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"_n_$c"),
+        count(when(col(c).isNull, 1)).as(s"_nn_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_mn_$c"),
+        max(col(c)).cast("string").as(s"_mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col(s"_n_$c").as("n_rows"),
+        col(s"_nn_$c").as("n_null"), col(s"_nd_$c").as("n_distinct"),
+        col(s"_mn_$c").as("min_str"), col(s"_mx_$c").as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+}
