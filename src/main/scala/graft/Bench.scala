@@ -13,11 +13,18 @@ package graft
   * "errors", EXCLUDED from the total, and fails the run (nonzero exit)
   * — a broken query must never silently deflate the benchmark.
   *
-  * Field order is load-bearing: the driver archives only a fixed-size
-  * TAIL of stdout, so the per-query MIN map ("queries") and "value"
-  * are emitted LAST — truncation eats diagnostics (spreads, errors),
-  * never the round's primary perf evidence. (Round 6 lost its minimums
-  * to the old ordering; only spread_sec survived the tail.)
+  * Output layout is load-bearing: the driver archives only a
+  * fixed-size TAIL of stdout. At 126 queries a single line carrying
+  * full names + mins + spreads overflows that tail FROM THE FRONT
+  * (round 6 lost its minimums to field ordering; round 7's reorder
+  * saved q53–q125 but the line had outgrown the tail and q01–q52's
+  * minimums vanished). So the bench now prints TWO lines:
+  *   1. a full diagnostic line (full names, spreads, errors, mins) —
+  *      truncation may eat its front, that's acceptable;
+  *   2. LAST, a compact line with short keys ("q105" for
+  *      "q105_neardup_keep_best" — the qNN prefix is unique by
+  *      construction) and minimums only, ~15 bytes/query, so every
+  *      query's min survives any plausible tail size.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -72,10 +79,17 @@ object Bench {
     val errors = results.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right((mn, _))) => mn }.sum
-    // "queries" (the per-query minimums) and "value" LAST — see doc
-    // comment: the driver's tail-truncation must preserve them.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","repeats":$repeats,""" +
+    // Short key = the unique qNN prefix; mins only. ~15 bytes/query
+    // keeps the WHOLE final line inside the driver's stdout tail.
+    val qsShort = results.map {
+      case (k, Right((mn, _))) => s"${jstr(k.takeWhile(_ != '_'))}:${jnum(mn)}"
+      case (k, Left(_)) => s"${jstr(k.takeWhile(_ != '_'))}:null"
+    }.mkString("{", ",", "}")
+    // full diagnostic first (front-truncation acceptable), compact last
+    println(s"""{"metric":"total_detail","unit":"sec","sf":"$sfDir","repeats":$repeats,""" +
       s""""errors":$errors,"spread_sec":$spreads,"queries":$qs,"value":${jnum(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","repeats":$repeats,""" +
+      s""""errors_n":${results.count(_._2.isLeft)},"queries":$qsShort,"value":${jnum(total)}}""")
     spark.stop()
     if (results.exists(_._2.isLeft)) sys.exit(1)
   }

@@ -2427,10 +2427,40 @@ object SparkEntry {
   /** Data profile (q125): per-column rows/nulls/distincts/min/max over
     * the documents table (all-integer-and-varchar — no cross-engine
     * float/timestamp string-cast hazards). */
+  /** The one column list both q125 sides derive from: the Spark query
+    * projects exactly these columns before profiling and the oracle's
+    * UNION ALL branches are generated from the same Seq, so schema
+    * drift in the documents parquet breaks both sides together
+    * instead of silently diverging. */
+  private val documentsProfileCols =
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+
   private def profileQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Analytics
-    Analytics.profile(Tables.documents(s, dir))
+    Analytics.profile(
+        Tables.documents(s, dir).select(documentsProfileCols.map(col): _*))
       .orderBy(col("column"))
+  }
+
+  /** Cap-guarded SemDeDup (q126): the q73 cell assignment with
+    * cellCap=12, so every over-cap cell splits into id%nsub sub-cells
+    * and pairwise cosine runs only within a sub-cell. Output is the
+    * per-cell audit (population, split factor, capped flag) joined
+    * with the survivor count — the relation an operator reads to see
+    * exactly what the cap did. */
+  private def semDedupCappedQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val seeds = seedVectors(e)
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val kept = Similarity.semDedup(corpus, seeds, minCos = 0.4, cellCap = 12)
+    val audit = Similarity.semDedupCellAudit(corpus, seeds, cellCap = 12)
+    val keptPerCell = Similarity.ivfAssign(kept, "vec", seeds)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_kept"))
+    audit.join(keptPerCell, Seq("cell"), "left")
+      .select(col("cell"), col("n"), col("nsub"), col("capped"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("cell"))
   }
 
   // ---------------------------------------------------------------------
@@ -2562,7 +2592,8 @@ object SparkEntry {
     "q122_transition_matrix" -> (transitionMatrixQuery _),
     "q123_trailing_zscore" -> (trailingZscoreQuery _),
     "q124_cooccurrence_topk" -> (coOccurrenceQuery _),
-    "q125_data_profile" -> (profileQuery _))
+    "q125_data_profile" -> (profileQuery _),
+    "q126_semdedup_capped" -> (semDedupCappedQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2671,7 +2702,8 @@ object SparkEntry {
     "q116_leakage_split", "q117_centroid_outliers",
     "q118_char_class_signals", "q119_template_grams",
     "q120_funnel", "q121_cohort_retention", "q122_transition_matrix",
-    "q123_trailing_zscore", "q124_cooccurrence_topk", "q125_data_profile")
+    "q123_trailing_zscore", "q124_cooccurrence_topk", "q125_data_profile",
+    "q126_semdedup_capped")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5069,38 +5101,50 @@ object SparkEntry {
          JOIN itemn nb ON pairn.item_b = nb.i
          ORDER BY n_both DESC, item_a, item_b LIMIT 20""",
     // Data profile over documents (all BIGINT/VARCHAR — no float or
-    // timestamp string-cast hazards across engines).
-    "q125_data_profile" ->
-      """WITH p AS (
-           SELECT 'doc_id' AS col, count(*) AS n_rows,
-                  count(*) FILTER (WHERE doc_id IS NULL) AS n_null,
-                  count(DISTINCT doc_id) AS n_distinct,
-                  CAST(min(doc_id) AS VARCHAR) AS min_str,
-                  CAST(max(doc_id) AS VARCHAR) AS max_str FROM documents
-           UNION ALL
-           SELECT 'text', count(*),
-                  count(*) FILTER (WHERE text IS NULL),
-                  count(DISTINCT text),
-                  CAST(min(text) AS VARCHAR),
-                  CAST(max(text) AS VARCHAR) FROM documents
-           UNION ALL
-           SELECT 'lang', count(*),
-                  count(*) FILTER (WHERE lang IS NULL),
-                  count(DISTINCT lang),
-                  CAST(min(lang) AS VARCHAR),
-                  CAST(max(lang) AS VARCHAR) FROM documents
-           UNION ALL
-           SELECT 'source', count(*),
-                  count(*) FILTER (WHERE source IS NULL),
-                  count(DISTINCT source),
-                  CAST(min(source) AS VARCHAR),
-                  CAST(max(source) AS VARCHAR) FROM documents
-           UNION ALL
-           SELECT 'n_chars', count(*),
-                  count(*) FILTER (WHERE n_chars IS NULL),
-                  count(DISTINCT n_chars),
-                  CAST(min(n_chars) AS VARCHAR),
-                  CAST(max(n_chars) AS VARCHAR) FROM documents)
+    // timestamp string-cast hazards across engines). Branches are
+    // GENERATED from documentsProfileCols — the same Seq the q125
+    // Spark side projects — so the two sides cannot silently diverge
+    // on schema drift.
+    "q125_data_profile" -> {
+      val branches = documentsProfileCols.map { c =>
+        s"""SELECT '$c' AS col, count(*) AS n_rows,
+                  count(*) FILTER (WHERE $c IS NULL) AS n_null,
+                  count(DISTINCT $c) AS n_distinct,
+                  CAST(min($c) AS VARCHAR) AS min_str,
+                  CAST(max($c) AS VARCHAR) AS max_str FROM documents"""
+      }.mkString("\n           UNION ALL\n           ")
+      s"""WITH p AS (
+           $branches)
          SELECT col AS "column", n_rows, n_null, n_distinct, min_str, max_str
-         FROM p ORDER BY col""")
+         FROM p ORDER BY col"""
+    },
+    // Cap-guarded SemDeDup: the q73 CTEs plus a per-cell split factor
+    // nsub = ceil(n / 12); pairs join on (cell, id % nsub) so no task
+    // ever sees more than ~cap rows per side. Output is the per-cell
+    // audit + survivor count.
+    "q126_semdedup_capped" ->
+      s"""WITH cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                       WHERE vec_id BETWEEN 20 AND 35),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         asg AS (SELECT id, vec, cell FROM (
+             SELECT c.id, c.vec, cen.cid AS cell,
+                    row_number() OVER (PARTITION BY c.id
+                      ORDER BY ${cosSql("c.vec", "cen.cvec")} DESC, cen.cid) AS rn
+             FROM c CROSS JOIN cen) t WHERE rn = 1),
+         sizes AS (SELECT cell, COUNT(*) AS n,
+                          GREATEST(1, CAST(ceil(COUNT(*) / 12.0) AS BIGINT)) AS nsub
+                   FROM asg GROUP BY cell),
+         sub AS (SELECT asg.id, asg.vec, asg.cell, sizes.nsub,
+                        asg.id % sizes.nsub AS sub
+                 FROM asg JOIN sizes USING (cell)),
+         losers AS (SELECT DISTINCT b.id
+                    FROM sub a JOIN sub b
+                      ON a.cell = b.cell AND a.sub = b.sub AND a.id < b.id
+                    WHERE ${cosSql("a.vec", "b.vec")} >= 0.4),
+         kept AS (SELECT id, cell FROM asg
+                  WHERE id NOT IN (SELECT id FROM losers))
+         SELECT s.cell, s.n, s.nsub, (s.nsub > 1) AS capped,
+                COUNT(k.id) AS n_kept
+         FROM sizes s LEFT JOIN kept k USING (cell)
+         GROUP BY s.cell, s.n, s.nsub ORDER BY cell""")
 }

@@ -573,6 +573,62 @@ object Similarity {
     corpus.join(losers, Seq("id"), "left_anti")
   }
 
+  /** Per-cell sub-assignment for cap-guarded semantic dedup: cells
+    * whose population exceeds `cellCap` are split into
+    * `nsub = ceil(n / cellCap)` deterministic sub-cells by `id % nsub`
+    * — the degenerate (but engine-portable and oracle-expressible)
+    * form of SemDeDup's own prescription that k grow with N so cells
+    * stay small. Returns (cell, n, nsub, capped): the audit relation
+    * every capped run should surface, ≤ |centroids| rows. */
+  def semDedupCellAudit(
+      corpus: DataFrame, // (id, vec)
+      centroids: Seq[(Long, Array[Float])],
+      cellCap: Int): DataFrame = {
+    require(cellCap > 0, s"cellCap must be positive, got $cellCap")
+    ivfAssign(corpus, "vec", centroids)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .withColumn("nsub",
+        greatest(lit(1L), ceil(col("n") / lit(cellCap.toDouble)).cast("long")))
+      .withColumn("capped", col("nsub") > 1)
+  }
+
+  /** Cap-guarded [[semDedup]]: identical pairwise lower-id-drop
+    * semantics, but the within-cell self-join is bounded by splitting
+    * any cell over `cellCap` into `id % nsub` sub-cells
+    * ([[semDedupCellAudit]] is the split plan made explicit). Pairs
+    * are only compared WITHIN a sub-cell, so a hot cell holding f·N
+    * vectors costs ~f·N·cellCap comparisons instead of (f·N)² — the
+    * guard that keeps one bad/stale centroid from turning 1% of a
+    * 100 TB corpus into 10¹⁸ pairs in one shuffle partition family.
+    * The tradeoff is explicit and conservative: cross-sub pairs are
+    * never compared, so the capped run drops a SUBSET of the uncapped
+    * run's losers (it under-dedups, never over-dedups); when no cell
+    * exceeds the cap the result is exactly [[semDedup]]'s.
+    *
+    * Scale shape: the audit relation is ≤ |centroids| rows and
+    * broadcasts into the sub-assignment, so the only shuffles are the
+    * per-cell count and the (cell, sub) equi-join — each join task now
+    * bounded by ~cellCap rows per side regardless of skew. */
+  def semDedup(
+      corpus: DataFrame, // (id, vec)
+      centroids: Seq[(Long, Array[Float])],
+      minCos: Double,
+      cellCap: Int): DataFrame = {
+    val audit = semDedupCellAudit(corpus, centroids, cellCap)
+    val sub = ivfAssign(corpus, "vec", centroids)
+      .join(broadcast(audit.select(col("cell"), col("nsub"))), Seq("cell"))
+      .withColumn("sub", pmod(col("id"), col("nsub")))
+    val a = sub.select(col("cell"), col("sub"),
+      col("id").as("a"), col("vec").as("va"))
+    val b = sub.select(col("cell"), col("sub"),
+      col("id").as("b"), col("vec").as("vb"))
+    val losers = a.join(b, Seq("cell", "sub"))
+      .filter(col("a") < col("b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= minCos)
+      .select(col("b").as("id")).distinct()
+    corpus.join(losers, Seq("id"), "left_anti")
+  }
+
   // --------------------------------------------------------------------------
   // Scalar quantization (SQ8)
 

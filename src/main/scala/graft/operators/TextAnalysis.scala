@@ -485,37 +485,37 @@ object TextAnalysis {
     * engines floor identically on non-negative integers). Same ~1-ulp
     * libm boundary caveat as q67, same acceptance.
     *
-    * Shape at 100 TB: per-doc character histograms never leave their
-    * row — the explode→count→sum pipeline groups by (doc, char) with
-    * map-side partials, then collapses to one row per doc. Alphabet
-    * size bounds the intermediate at |doc|·|charset|, and no corpus-
-    * wide state exists at all (unlike surprisal's vocab broadcast). */
-  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val chars = docs
+    * Shape at 100 TB: the WHOLE computation stays inside the doc's
+    * own row — one `split` pass makes the char array, `array_distinct`
+    * the per-doc alphabet, each distinct char's count is a zero-
+    * allocation fold over the array, and the weighted micro-nat sum
+    * folds over the counts. No shuffle, no window, no per-character
+    * row, no Generate at ALL: q82 is a pure scan→project, the K61
+    * stateless-scorer shape. This replaces the earlier per-char
+    * `explode(sequence…substr(i,1))` plan, which generated one row
+    * per corpus character and paid O(i) per `substr` on long docs;
+    * the folds are O(len·alphabet) integer compares. No corpus-wide
+    * state exists at all (unlike surprisal's vocab broadcast). */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), col(textCol).as("_t"))
       .filter(length(col("_t")) > 0)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), length(col("_t"))),
-          i => col("_t").substr(i, lit(1)))).as("c"))
-    import org.apache.spark.sql.expressions.Window
-    val perDoc = Window.partitionBy(col("doc_id"))
-    chars
-      .groupBy(col("doc_id"), col("c"))
-      .agg(count(lit(1)).as("cnt"))
-      // the window re-reads the by-(doc,char) partials — already
-      // co-partitioned close enough that AQE coalesces; no corpus-wide
-      // state is ever built
-      .withColumn("n", sum(col("cnt")).over(perDoc))
-      .select(col("doc_id"), col("cnt"), col("n"),
-        round(-log(col("cnt").cast("double") / col("n").cast("double")) * 1e6)
-          .cast(LongType).as("term_micro"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("n")).as("n_chars"),
-        count(lit(1)).as("n_distinct"),
-        sum(col("cnt") * col("term_micro")).as("_wsum"))
-      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
-        expr("_wsum div n_chars").as("entropy_micro"))
-  }
+      // split(t, "") appends one trailing "" (Java split, limit -1);
+      // drop it rather than special-casing the last char
+      .select(col("doc_id"), length(col("_t")).cast(LongType).as("n"),
+        filter(split(col("_t"), ""), c => c =!= lit("")).as("cs"))
+      .select(col("doc_id"), col("n"),
+        transform(array_distinct(col("cs")), c =>
+          aggregate(col("cs"), lit(0L),
+            (acc, x) => acc + when(x === c, lit(1L)).otherwise(lit(0L))))
+          .as("cnts"))
+      .select(col("doc_id"), col("n"),
+        size(col("cnts")).cast(LongType).as("n_distinct"),
+        aggregate(col("cnts"), lit(0L), (acc, cnt) => acc + cnt *
+          round(-log(cnt.cast("double") / col("n").cast("double")) * 1e6)
+            .cast(LongType)).as("_wsum"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
+        expr("_wsum div n").as("entropy_micro"))
 
   /** Hashed-feature linear quality scorer — the PLUMBING of a
     * fastText-style model-based quality filter (the pipeline stage

@@ -356,19 +356,42 @@ object TextDedup {
       numHashes: Int = 64,
       bands: Int = 4,
       bucketCap: Int = 100): DataFrame = {
-    // The exact-dedup result feeds three consumers (LSH signatures,
-    // word-set join, final anti-join); uncached, each re-runs the
-    // dedup window over the full input. persist() marks the reuse
-    // point (memory-and-disk, so oversized partitions spill rather
-    // than evict at scale). The cache is RELEASED before returning
-    // (r6 ADVICE: it used to pin corpus-sized blocks for the session
-    // lifetime): the id-only loser set is materialized eagerly through
-    // the cache (consuming the signature + word-set branches), then
-    // survivors is unpersisted and the returned anti-join re-derives
-    // exactDedup from source. Cost: one extra hash shuffle at
-    // consumption time; at 100 TB that is far cheaper than holding a
-    // corpus-sized cache alive. exactDedup is deterministic (min-id
-    // keeper), so the re-derived plan yields identical rows.
+    val losers =
+      nearDupLabels(df, idCol, textCol, minJaccard, numHashes, bands,
+          bucketCap)
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as(idCol))
+    exactDedup(df, textCol, idCol).join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Stages 1–4 of [[nearDupDedup]] as the REUSABLE intermediate every
+    * downstream near-dup gate shares: exact-dedup survivors → banded
+    * LSH candidates → exact-Jaccard verification → pointer-jumping
+    * connected components. Returns `(id, label)` for every doc in a
+    * verified near-dup pair (label = component min id) — the q34
+    * relation. [[nearDupDedup]], [[nearDupDedupKeepBest]] and
+    * [[leakageSafeSplit]] all consume exactly this, so the realistic
+    * pipeline (dedup, THEN split, THEN audit) computes the expensive
+    * cascade ONCE and feeds the label-taking overloads instead of
+    * re-deriving it per stage.
+    *
+    * Execution discipline: the exact-dedup result feeds two consumers
+    * (LSH signatures, word-set join); persist() marks the reuse point
+    * (memory-and-disk, so oversized partitions spill rather than
+    * evict at scale). The label set is materialized eagerly through
+    * the cache via localCheckpoint — (id, label) rows only, so the
+    * block footprint is tiny and the ContextCleaner releases the
+    * blocks once unreferenced (no session-lifetime CacheManager
+    * entry) — then the corpus-sized cache is dropped before
+    * returning. */
+  def nearDupLabels(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 4,
+      bucketCap: Int = 100): DataFrame = {
     val survivors = exactDedup(df, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatePairs(survivors, idCol, textCol, numHashes,
@@ -380,16 +403,9 @@ object TextDedup {
       .join(ws.select(col("wid").as("b"), col("ws").as("wb")), Seq("b"))
       .filter(round(jaccard(col("wa"), col("wb")), 6) >= minJaccard)
       .select(col("a"), col("b"))
-    val losers = connectedComponents(gated)
-      .filter(col("id") =!= col("label"))
-      .select(col("id").as(idCol))
-      // localCheckpoint (eager): id-only rows, so the block footprint
-      // is tiny, and unlike persist() the blocks are released by the
-      // ContextCleaner once the result is unreferenced — no session-
-      // lifetime CacheManager entry.
-      .localCheckpoint()
+    val labels = connectedComponents(gated).localCheckpoint()
     survivors.unpersist()
-    exactDedup(df, textCol, idCol).join(losers, Seq(idCol), "left_anti")
+    labels
   }
 
   /** Incremental exact dedup — the realistic pipeline form: dedupe the
@@ -790,33 +806,34 @@ object TextDedup {
       minJaccard: Double = 0.5,
       numHashes: Int = 64,
       bands: Int = 4,
-      bucketCap: Int = 100): DataFrame = {
-    // persist/unpersist discipline identical to nearDupDedup (r6
-    // ADVICE): losers materialize eagerly through the cache, then the
-    // returned anti-join re-derives the deterministic exactDedup.
+      bucketCap: Int = 100): DataFrame =
+    nearDupDedupKeepBest(df, idCol, textCol, quality,
+      nearDupLabels(df, idCol, textCol, minJaccard, numHashes, bands,
+        bucketCap))
+
+  /** Label-reuse form of [[nearDupDedupKeepBest]]: `labels` is a
+    * precomputed `(id, label)` near-dup component relation — the
+    * [[nearDupLabels]] / q34 output — so a pipeline that already ran
+    * the LSH cascade (for dedup, or for [[leakageSafeSplit]]) pays
+    * only the quality argmax here, not a full re-derivation of
+    * candidates + verification + components. */
+  def nearDupDedupKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      quality: Column,
+      labels: DataFrame): DataFrame = {
     val survivors = exactDedup(df, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidatePairs(survivors, idCol, textCol, numHashes,
-      bands, bucketCap)
-    val ws = survivors.select(col(idCol).as("wid"),
-      transform(normWordSet(col(textCol)), w => md5Hash60(w)).as("ws"))
-    val gated = cands
-      .join(ws.select(col("wid").as("a"), col("ws").as("wa")), Seq("a"))
-      .join(ws.select(col("wid").as("b"), col("ws").as("wb")), Seq("b"))
-      .filter(round(jaccard(col("wa"), col("wb")), 6) >= minJaccard)
-      .select(col("a"), col("b"))
     val qual = survivors.select(col(idCol).as("id"),
       quality.cast(LongType).as("_q"))
     val byComp = Window.partitionBy(col("label"))
       .orderBy(col("_q").desc, col("id"))
-    val losers = connectedComponents(gated)
+    val losers = labels
       .join(qual, Seq("id"))
       .withColumn("_rn", row_number().over(byComp))
       .filter(col("_rn") > 1)
       .select(col("id").as(idCol))
-      .localCheckpoint()
-    survivors.unpersist()
-    exactDedup(df, textCol, idCol).join(losers, Seq(idCol), "left_anti")
+    survivors.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Leakage-safe train/val/test split — near-dup-AWARE partitioning:
@@ -849,7 +866,24 @@ object TextDedup {
       minJaccard: Double = 0.5,
       numHashes: Int = 64,
       bands: Int = 4,
-      bucketCap: Int = 100): DataFrame = {
+      bucketCap: Int = 100): DataFrame =
+    leakageSafeSplit(df, idCol, textCol, valPpm, testPpm,
+      nearDupLabels(df, idCol, textCol, minJaccard, numHashes, bands,
+        bucketCap))
+
+  /** Label-reuse form of [[leakageSafeSplit]]: `labels` is a
+    * precomputed `(id, label)` near-dup component relation (the
+    * [[nearDupLabels]] / q34 output over THIS corpus), so the
+    * realistic dedup-then-split pipeline runs the LSH cascade once
+    * and this form adds only two id-to-id joins on 8-byte keys and a
+    * map-side hash — nothing new shuffles. */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      valPpm: Long,
+      testPpm: Long,
+      labels: DataFrame): DataFrame = {
     require(valPpm >= 0 && testPpm >= 0 && valPpm + testPpm <= 1000000L,
       s"split fractions must satisfy 0 <= val + test <= 1e6 ppm, " +
         s"got val=$valPpm test=$testPpm")
@@ -861,20 +895,6 @@ object TextDedup {
       .join(hashed.groupBy(col("_h")).agg(min(col("id")).as("_keeper")),
         Seq("_h"))
       .select(col("id"), col("_keeper"))
-    // near-dup component labels over the keepers (q34 stages verbatim)
-    val survivors = exactDedup(df, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidatePairs(survivors, idCol, textCol, numHashes,
-      bands, bucketCap)
-    val ws = survivors.select(col(idCol).as("wid"),
-      transform(normWordSet(col(textCol)), w => md5Hash60(w)).as("ws"))
-    val gated = cands
-      .join(ws.select(col("wid").as("a"), col("ws").as("wa")), Seq("a"))
-      .join(ws.select(col("wid").as("b"), col("ws").as("wb")), Seq("b"))
-      .filter(round(jaccard(col("wa"), col("wb")), 6) >= minJaccard)
-      .select(col("a"), col("b"))
-    val labels = connectedComponents(gated).localCheckpoint()
-    survivors.unpersist()
     val rooted = withKeeper
       .join(labels.select(col("id").as("_keeper"), col("label")),
         Seq("_keeper"), "left")

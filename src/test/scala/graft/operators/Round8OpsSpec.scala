@@ -93,6 +93,15 @@ class Round8OpsSpec extends SparkSpec {
     m(0L) shouldBe math.round(math.log(8.0) * 1e6) // uniform over 8 chars: ln 8
   }
 
+  test("charEntropy: plan is map-only — no per-char Generate, no Exchange") {
+    // parquet-backed input so ConvertToLocalRelation can't pre-evaluate
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val plan = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    plan should not include "Generate" // the histogram folds in-row
+    plan should not include "Exchange" // scan -> project, nothing else
+  }
+
   // ------------------------------------------------------- hashedQualityScore
 
   test("hashedQualityScore: all-integer, bounded, deterministic, trunc division") {
