@@ -2463,6 +2463,61 @@ object SparkEntry {
       .orderBy(col("cell"))
   }
 
+  /** The q103/q127/q128 two-snapshot fixture: old = docs where
+    * doc_id%10≠3; new = docs where doc_id%10≠7, with the %10=5 group's
+    * text changed — so the diff has added, removed, changed and
+    * unchanged docs. */
+  private def snapshotFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir)
+    val oldSnap = d.filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"), col("text"))
+    val newSnap = d.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    (oldSnap, newSnap)
+  }
+
+  /** Nightly band-key index maintenance (q127): the index is BUILT
+    * over the old snapshot, one [[graft.jobs.IndexMaintenance]] tick
+    * brings it to the new snapshot at O(changed) cost, and the output
+    * is the maintained index itself. The DuckDB oracle computes a
+    * FULL REBUILD from the new snapshot — the driver's hash compare
+    * of the two relations IS the delta≡rebuild gate, cross-engine. */
+  private def bandIndexNightlyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.IndexMaintenance
+    val (oldSnap, newSnap) = snapshotFixture(s, dir)
+    val st = IndexMaintenance.rebuild(oldSnap, "doc_id", "text")
+    IndexMaintenance.nightly(st, oldSnap, newSnap, "doc_id", "text")
+      .bandIndex
+      .orderBy(col("id"), col("band"))
+  }
+
+  /** Nightly exact-hash index maintenance (q128): same tick as q127;
+    * output is the maintained (h, cnt) multiplicity relation, the
+    * oracle is a direct GROUP BY over the new snapshot. */
+  private def hashIndexNightlyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.IndexMaintenance
+    val (oldSnap, newSnap) = snapshotFixture(s, dir)
+    val st = IndexMaintenance.rebuild(oldSnap, "doc_id", "text")
+    IndexMaintenance.nightly(st, oldSnap, newSnap, "doc_id", "text")
+      .hashIndex
+      .orderBy(col("h"))
+  }
+
+  /** Df-weighted near-dup pairs (q129): weighted-MinHash candidates
+    * (token replicated by its integer rarity weight, banding + bucket
+    * cap as q21) scored by exact df-weighted Jaccard — the
+    * boilerplate-robust twin of the q21→q24 family. */
+  private def weightedNearDupQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val d = Tables.documents(s, dir)
+    val pairs = TextDedup.weightedLshCandidatePairs(d, "doc_id", "text")
+    TextDedup.weightedJaccardPairs(d, "doc_id", "text", pairs)
+      .orderBy(col("a"), col("b"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2593,7 +2648,10 @@ object SparkEntry {
     "q123_trailing_zscore" -> (trailingZscoreQuery _),
     "q124_cooccurrence_topk" -> (coOccurrenceQuery _),
     "q125_data_profile" -> (profileQuery _),
-    "q126_semdedup_capped" -> (semDedupCappedQuery _))
+    "q126_semdedup_capped" -> (semDedupCappedQuery _),
+    "q127_band_index_nightly" -> (bandIndexNightlyQuery _),
+    "q128_hash_index_nightly" -> (hashIndexNightlyQuery _),
+    "q129_weighted_neardup" -> (weightedNearDupQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2703,7 +2761,8 @@ object SparkEntry {
     "q118_char_class_signals", "q119_template_grams",
     "q120_funnel", "q121_cohort_retention", "q122_transition_matrix",
     "q123_trailing_zscore", "q124_cooccurrence_topk", "q125_data_profile",
-    "q126_semdedup_capped")
+    "q126_semdedup_capped", "q127_band_index_nightly",
+    "q128_hash_index_nightly", "q129_weighted_neardup")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5146,5 +5205,98 @@ object SparkEntry {
          SELECT s.cell, s.n, s.nsub, (s.nsub > 1) AS capped,
                 COUNT(k.id) AS n_kept
          FROM sizes s LEFT JOIN kept k USING (cell)
-         GROUP BY s.cell, s.n, s.nsub ORDER BY cell""")
+         GROUP BY s.cell, s.n, s.nsub ORDER BY cell""",
+    // Nightly band-index maintenance: the Spark side delta-maintains
+    // the index built on the OLD snapshot; the oracle REBUILDS from
+    // the NEW snapshot (q103's band-key CTEs, no delta) — equality of
+    // the relations is the delta≡rebuild gate, enforced cross-engine
+    // by the driver's hash compare.
+    "q127_band_index_nightly" ->
+      s"""WITH nw AS (SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 5 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 10 <> 7),
+         w AS (SELECT doc_id,
+                      unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+               FROM nw),
+         hb AS (SELECT doc_id,
+                       ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS h
+                FROM w),
+         hs AS (SELECT doc_id, c.i AS i,
+                       MIN((h * c.a + c.b) % 2147483647) AS sig
+                FROM hb CROSS JOIN (VALUES ${minHashCoeffsSql(64)}) AS c(i, a, b)
+                GROUP BY doc_id, c.i),
+         bands AS (SELECT doc_id, i // 16 AS band,
+                          string_agg(CAST(sig AS VARCHAR), '|' ORDER BY i) AS key
+                   FROM hs GROUP BY doc_id, (i // 16))
+         SELECT doc_id AS id, CAST(band AS BIGINT) AS band, key
+         FROM bands ORDER BY id, band""",
+    // Nightly hash-index maintenance: maintained (h, cnt)
+    // multiplicities must equal a direct GROUP BY over the new
+    // snapshot's normalized-content hashes.
+    "q128_hash_index_nightly" ->
+      """WITH nw AS (SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 5 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 10 <> 7)
+         SELECT ('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT AS h,
+                count(*) AS cnt
+         FROM nw GROUP BY 1 ORDER BY h""",
+    // Df-weighted MinHash: integer rarity weights wt = clamp(N // df,
+    // 1, 8), token replicated wt times (t#1..t#wt), then the exact
+    // q21 signature/band/bucket-cap machinery over elements; exact
+    // weighted Jaccard = shared/(sa+sb-shared) scores the candidates.
+    "q129_weighted_neardup" ->
+      s"""WITH toks AS (SELECT doc_id,
+                      unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS tok
+               FROM documents),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         wts AS (SELECT tok,
+                        GREATEST(1, LEAST(8, (SELECT n_docs FROM nd) // count(*))) AS wt
+                 FROM toks GROUP BY tok),
+         tw AS (SELECT toks.doc_id, toks.tok, wts.wt
+                FROM toks JOIN wts USING (tok)),
+         ex AS (SELECT doc_id,
+                       tok || '#' || CAST(unnest(range(1, wt + 1)) AS VARCHAR) AS e
+                FROM tw),
+         hb AS (SELECT doc_id,
+                       ('0x' || substr(md5(e), 1, 15))::BIGINT % 2147483647 AS h
+                FROM ex),
+         hs AS (SELECT doc_id, c.i AS i,
+                       MIN((h * c.a + c.b) % 2147483647) AS sig
+                FROM hb CROSS JOIN (VALUES ${minHashCoeffsSql(64)}) AS c(i, a, b)
+                GROUP BY doc_id, c.i),
+         sk AS (SELECT doc_id,
+                       md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS setkey
+                FROM (SELECT DISTINCT doc_id, h FROM hb) d GROUP BY doc_id),
+         bands AS (SELECT doc_id, i // 16 AS band,
+                          string_agg(CAST(sig AS VARCHAR), '|' ORDER BY i) AS key
+                   FROM hs GROUP BY doc_id, (i // 16)),
+         sized AS (SELECT b.doc_id, b.band, b.key, sk.setkey,
+                          COUNT(*) OVER (PARTITION BY b.band, b.key) AS n
+                   FROM bands b JOIN sk USING (doc_id)),
+         rb AS (SELECT doc_id, band,
+                       CASE WHEN n <= 100 THEN key
+                            ELSE key || '!' || setkey END AS key
+                FROM sized),
+         cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                  FROM rb a JOIN rb b
+                    ON a.band = b.band AND a.key = b.key
+                       AND a.doc_id < b.doc_id),
+         tot AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS s
+                 FROM tw GROUP BY doc_id),
+         sh AS (SELECT c.a, c.b, CAST(SUM(ta.wt) AS BIGINT) AS shared
+                FROM cand c
+                JOIN tw ta ON ta.doc_id = c.a
+                JOIN tw tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+                GROUP BY c.a, c.b)
+         SELECT c.a AS a, c.b AS b,
+                round(CAST(COALESCE(sh.shared, 0) AS DOUBLE) /
+                      CAST(sa.s + sb.s - COALESCE(sh.shared, 0) AS DOUBLE), 6)
+                  AS wjac
+         FROM cand c
+         LEFT JOIN sh ON sh.a = c.a AND sh.b = c.b
+         JOIN tot sa ON sa.doc_id = c.a
+         JOIN tot sb ON sb.doc_id = c.b
+         ORDER BY c.a, c.b""")
 }

@@ -32,7 +32,12 @@ object Tables {
         case org.apache.spark.sql.types.TimestampNTZType =>
           raw.withColumn(
             "ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-        case _ => raw
+        case org.apache.spark.sql.types.TimestampType => raw
+        // fail fast on layout drift: a third driver-shipped physical
+        // layout (MILLIS, INT96, …) must not flow un-normalized into
+        // every events-based query
+        case dt => throw new IllegalStateException(
+          s"unexpected events.ts physical type: $dt")
       }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")

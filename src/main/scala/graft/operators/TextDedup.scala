@@ -160,15 +160,27 @@ object TextDedup {
       bands: Int,
       bucketCap: Int,
       shingler: Column => Column): DataFrame = {
-    val r = numHashes / bands
-    // Signatures + the exact shingle-set key in ONE aggregation pass:
-    // the set key is md5 over the sorted distinct shingle hashes, so it
-    // costs one extra agg buffer, not a second scan. It is only USED
-    // for oversized buckets, but computing it inline beats re-exploding
-    // the corpus to fetch it for the (rare, at sane scale) refinements.
     val ex = df
       .select(col(idCol).as("id"), explode(shingler(col(textCol))).as("w"))
       .select(col("id"), (md5Hash60(col("w")) % MinHashP).as("h"))
+    refinedBandsFromElements(ex, numHashes, bands, bucketCap)
+  }
+
+  /** The banding core over ANY `(id, h)` element relation — shared by
+    * the per-row-shingler form above and the df-weighted element
+    * relation ([[weightedLshCandidatePairs]]). Signatures + the exact
+    * element-set key come from ONE aggregation pass: the set key is
+    * md5 over the sorted distinct element hashes, so it costs one
+    * extra agg buffer, not a second scan. It is only USED for
+    * oversized buckets, but computing it inline beats re-exploding
+    * the corpus to fetch it for the (rare, at sane scale)
+    * refinements. */
+  private def refinedBandsFromElements(
+      ex: DataFrame, // (id, h)
+      numHashes: Int,
+      bands: Int,
+      bucketCap: Int): DataFrame = {
+    val r = numHashes / bands
     val aggs = minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % MinHashP).as(s"sig$i")
     } :+ md5(concat_ws(",", sort_array(collect_set(col("h"))))).as("setkey")
@@ -185,6 +197,114 @@ object TextDedup {
     sized.select(col("id"), col("band"),
       when(col("n") <= bucketCap, col("key"))
         .otherwise(concat(col("key"), lit("!"), col("setkey"))).as("key"))
+  }
+
+  // --------------------------------------------------------------------------
+  // df-weighted MinHash (boilerplate-robust near-dup)
+
+  /** Global integer token weights from corpus document frequency:
+    * `wt = clamp(n_docs div df, 1, maxW)` — ubiquitous (boilerplate)
+    * tokens weigh 1, rare content tokens weigh up to `maxW`. Exact
+    * integer floor division, so a SQL oracle reproduces weights
+    * bit-for-bit (no log/idf double math). The relation is
+    * vocabulary-sized (Zipf argument: far smaller than the corpus)
+    * and joins back to the token relation on the token itself. */
+  def dfTokenWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxW: Int = 8,
+      shingler: Column => Column = normWordSet): DataFrame = {
+    require(maxW >= 1, s"maxW must be >= 1, got $maxW")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(shingler(col(textCol))).as("tok"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs)) // one-row relation, q72's N/avgdl shape
+      .select(col("tok"),
+        greatest(lit(1L), least(lit(maxW.toLong),
+          expr("n_docs div df"))).as("wt"))
+  }
+
+  /** Df-WEIGHTED near-dup candidate pairs: plain MinHash treats a
+    * page and its boilerplate-sharing neighbor as near-dups (nav
+    * bars, cookie banners and license footers dominate the word
+    * set); weighting by rarity makes shared CONTENT, not shared
+    * template, drive collisions. Weighted MinHash via integer
+    * replication (the classic weighted-sampling reduction: token t
+    * becomes elements t#1..t#wt, and plain MinHash over elements
+    * collides with probability = weighted Jaccard
+    * Σ min(w)/Σ max(w)); with the df weights above that is IDF-ish
+    * weighted Jaccard in exact integer form. Banding, bucket-cap
+    * refinement and the pair join are [[lshCandidatePairs]]'s
+    * verbatim (the shared [[refinedBandsFromElements]] core — the
+    * cap guard carries over).
+    *
+    * Scale shape: replication multiplies the ELEMENT relation by the
+    * mean weight (≤ maxW, and ≈1 for the high-df mass by Zipf), one
+    * md5 per element, then the N signature transforms fold map-side
+    * exactly as unweighted. The weights relation is vocabulary-sized
+    * and never broadcast as a whole — it hash-joins the token
+    * relation on the token key. */
+  def weightedLshCandidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 4,
+      bucketCap: Int = 100,
+      maxW: Int = 8,
+      shingler: Column => Column = normWordSet): DataFrame = {
+    val weights = dfTokenWeights(docs, idCol, textCol, maxW, shingler)
+    val ex = docs
+      .select(col(idCol).as("id"), explode(shingler(col(textCol))).as("tok"))
+      .join(weights, Seq("tok"))
+      .select(col("id"),
+        explode(transform(sequence(lit(1), col("wt").cast("int")),
+          i => concat(col("tok"), lit("#"), i.cast("string")))).as("e"))
+      .select(col("id"), (md5Hash60(col("e")) % MinHashP).as("h"))
+    val refined = refinedBandsFromElements(ex, numHashes, bands, bucketCap)
+    val a = refined.as("a")
+    val b = refined.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .distinct()
+  }
+
+  /** Exact df-weighted Jaccard for given `(a, b)` pairs — the verify
+    * gate behind the weighted sketch (and the quantity the sketch
+    * estimates): with GLOBAL per-token weights and set semantics,
+    * Σ min/Σ max collapses to shared-weight / (S_a + S_b − shared).
+    * Per-doc total weights come from one vocabulary join + rollup;
+    * the pair score is one token-equijoin over the pairs' tokens —
+    * never a corpus product. Returns (a, b, wjac) with wjac
+    * round(·, 6) like the unweighted gates. */
+  def weightedJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame, // (a, b)
+      maxW: Int = 8,
+      shingler: Column => Column = normWordSet): DataFrame = {
+    val weights = dfTokenWeights(docs, idCol, textCol, maxW, shingler)
+    val tw = docs
+      .select(col(idCol).as("id"), explode(shingler(col(textCol))).as("tok"))
+      .join(weights, Seq("tok")) // (id, tok, wt)
+    val totals = tw.groupBy(col("id")).agg(sum(col("wt")).as("s"))
+    val shared = pairs
+      .join(tw.select(col("id").as("a"), col("tok"), col("wt")), Seq("a"))
+      .join(tw.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
+      .groupBy(col("a"), col("b")).agg(sum(col("wt")).as("shared"))
+    pairs
+      .join(shared, Seq("a", "b"), "left")
+      .join(totals.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(totals.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(coalesce(col("shared"), lit(0L)).cast(DoubleType) /
+          (col("sa") + col("sb") -
+            coalesce(col("shared"), lit(0L))).cast(DoubleType), 6).as("wjac"))
   }
 
   /** Incremental near-dup probe — the continuous-crawl shape: a NEW
