@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotProduct, BloomFilterAgg, BloomMightContain, KMinValues, TopKByScore}
+import graft.functions.{ArrayDotProduct, BloomFilterAgg, BloomMightContain, CharEntropy, KMinValues, TopKByScore}
 
 /** Engine extensions. Deployable two ways:
   *  - cluster: `spark.sql.extensions=graft.GraftExtensions`
@@ -52,7 +52,12 @@ object GraftExtensions {
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
       arity("graft_bloom_contains", 2, "graft_bloom_contains(sketch, value)")(
-        children => BloomMightContain(children(0), children(1)))))
+        children => BloomMightContain(children(0), children(1)))),
+    (
+      new FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
+      arity("graft_char_entropy", 1, "graft_char_entropy(text)")(
+        children => CharEntropy(children(0)))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

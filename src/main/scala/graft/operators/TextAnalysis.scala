@@ -486,36 +486,27 @@ object TextAnalysis {
     * libm boundary caveat as q67, same acceptance.
     *
     * Shape at 100 TB: the WHOLE computation stays inside the doc's
-    * own row — one `split` pass makes the char array, `array_distinct`
-    * the per-doc alphabet, each distinct char's count is a zero-
-    * allocation fold over the array, and the weighted micro-nat sum
-    * folds over the counts. No shuffle, no window, no per-character
-    * row, no Generate at ALL: q82 is a pure scan→project, the K61
-    * stateless-scorer shape. This replaces the earlier per-char
-    * `explode(sequence…substr(i,1))` plan, which generated one row
-    * per corpus character and paid O(i) per `substr` on long docs;
-    * the folds are O(len·alphabet) integer compares. No corpus-wide
-    * state exists at all (unlike surprisal's vocab broadcast). */
+    * own row — the native [[graft.functions.CharEntropy]] expression
+    * (registered as `graft_char_entropy`) sorts the document's code
+    * points in a primitive int array and scans the runs once: no
+    * shuffle, no window, no per-character row, no Generate at ALL.
+    * q82 is a pure scan→project, the K61 stateless-scorer shape. The
+    * compiled pass replaced both the per-char
+    * `explode(sequence…substr(i,1))` plan (one row per corpus
+    * character, O(i) substr) and an interpreted-HOF fold that
+    * measured SLOWER at sf0.1 (len×alphabet lambda evaluations).
+    * No corpus-wide state exists at all (unlike surprisal's vocab
+    * broadcast). */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), col(textCol).as("_t"))
       .filter(length(col("_t")) > 0)
-      // split(t, "") appends one trailing "" (Java split, limit -1);
-      // drop it rather than special-casing the last char
-      .select(col("doc_id"), length(col("_t")).cast(LongType).as("n"),
-        filter(split(col("_t"), ""), c => c =!= lit("")).as("cs"))
-      .select(col("doc_id"), col("n"),
-        transform(array_distinct(col("cs")), c =>
-          aggregate(col("cs"), lit(0L),
-            (acc, x) => acc + when(x === c, lit(1L)).otherwise(lit(0L))))
-          .as("cnts"))
-      .select(col("doc_id"), col("n"),
-        size(col("cnts")).cast(LongType).as("n_distinct"),
-        aggregate(col("cnts"), lit(0L), (acc, cnt) => acc + cnt *
-          round(-log(cnt.cast("double") / col("n").cast("double")) * 1e6)
-            .cast(LongType)).as("_wsum"))
-      .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
-        expr("_wsum div n").as("entropy_micro"))
+      .select(col("doc_id"),
+        call_function("graft_char_entropy", col("_t")).as("e"))
+      .select(col("doc_id"),
+        col("e").getField("n_chars").as("n_chars"),
+        col("e").getField("n_distinct").as("n_distinct"),
+        col("e").getField("entropy_micro").as("entropy_micro"))
 
   /** Hashed-feature linear quality scorer — the PLUMBING of a
     * fastText-style model-based quality filter (the pipeline stage
