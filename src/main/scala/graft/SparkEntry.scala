@@ -2518,6 +2518,29 @@ object SparkEntry {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Composed curation pass (q130): the realistic dedup-then-split
+    * pipeline — near-dup component labels computed ONCE
+    * ([[graft.operators.TextDedup.nearDupLabels]]), then keep-best
+    * dedup AND the leakage-safe split consume the same labels via
+    * their label-reuse overloads. Output: per split, its doc count
+    * and keep-best survivor count. One LSH cascade instead of the
+    * two q105/q116 pay separately (bench: q130 ≪ q105 + q116). */
+  private def curationComposedQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val d = Tables.documents(s, dir)
+    val labels = TextDedup.nearDupLabels(d, "doc_id", "text")
+    val kept = TextDedup.nearDupDedupKeepBest(d, "doc_id", "text",
+        size(TextDedup.words(col("text"))), labels)
+      .select(col("doc_id"), lit(1L).as("_kept"))
+    val split = TextDedup.leakageSafeSplit(d, "doc_id", "text",
+      100000L, 100000L, labels)
+    split.join(kept, Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("_kept"), lit(0L))).as("n_kept_best"))
+      .orderBy(col("split"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2651,7 +2674,8 @@ object SparkEntry {
     "q126_semdedup_capped" -> (semDedupCappedQuery _),
     "q127_band_index_nightly" -> (bandIndexNightlyQuery _),
     "q128_hash_index_nightly" -> (hashIndexNightlyQuery _),
-    "q129_weighted_neardup" -> (weightedNearDupQuery _))
+    "q129_weighted_neardup" -> (weightedNearDupQuery _),
+    "q130_curation_composed" -> (curationComposedQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2694,6 +2718,34 @@ object SparkEntry {
     lshPairsSqlOverShingles(
       s"""SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
           FROM $docs""")
+
+  /** Shared CTE block for the near-dup component pipeline over the
+    * documents table (exact-dedup survivors → LSH candidates → exact
+    * Jaccard gate ≥ 0.5 → connected components) — the q34/q57 stages
+    * that q105, q116 and q130 all build on; ends with
+    * `comp(d, label)`. Callers embed inside `WITH RECURSIVE …`. */
+  private def nearDupComponentsSql: String =
+    s"""kmin AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                                  GROUP BY lower(trim(text))),
+         sdocs AS (SELECT d.* FROM documents d JOIN kmin USING (doc_id)),
+         ${minHashPairsSqlOver("sdocs")},
+         hws AS (SELECT doc_id,
+                        list_distinct(list_transform(
+                          list_distinct(string_split(lower(trim(text)), ' ')),
+                          w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS ws
+                 FROM sdocs),
+         gp AS (SELECT p.a, p.b FROM pairs p
+                JOIN hws wa ON wa.doc_id = p.a
+                JOIN hws wb ON wb.doc_id = p.b
+                WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) /
+                            CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE), 6)
+                      >= 0.5),
+         ed AS (SELECT a AS src, b AS dst FROM gp UNION SELECT b, a FROM gp),
+         reach(d, r) AS (
+           SELECT src AS d, src AS r FROM ed
+           UNION
+           SELECT ed.src AS d, reach.r FROM ed JOIN reach ON ed.dst = reach.d),
+         comp AS (SELECT d, MIN(r) AS label FROM reach GROUP BY d)"""
 
   private lazy val minHashPairsSql: String = minHashPairsSqlOver("documents")
 
@@ -2762,7 +2814,8 @@ object SparkEntry {
     "q120_funnel", "q121_cohort_retention", "q122_transition_matrix",
     "q123_trailing_zscore", "q124_cooccurrence_topk", "q125_data_profile",
     "q126_semdedup_capped", "q127_band_index_nightly",
-    "q128_hash_index_nightly", "q129_weighted_neardup")
+    "q128_hash_index_nightly", "q129_weighted_neardup",
+    "q130_curation_composed")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4644,27 +4697,7 @@ object SparkEntry {
     // Keep-best near-dup dedup: q57's recursive-CTE closure, but the
     // per-component keeper is argmax(token count) with min-id tiebreak.
     "q105_neardup_keep_best" ->
-      s"""WITH RECURSIVE kmin AS (SELECT MIN(doc_id) AS doc_id FROM documents
-                                  GROUP BY lower(trim(text))),
-         sdocs AS (SELECT d.* FROM documents d JOIN kmin USING (doc_id)),
-         ${minHashPairsSqlOver("sdocs")},
-         hws AS (SELECT doc_id,
-                        list_distinct(list_transform(
-                          list_distinct(string_split(lower(trim(text)), ' ')),
-                          w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS ws
-                 FROM sdocs),
-         gp AS (SELECT p.a, p.b FROM pairs p
-                JOIN hws wa ON wa.doc_id = p.a
-                JOIN hws wb ON wb.doc_id = p.b
-                WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) /
-                            CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE), 6)
-                      >= 0.5),
-         ed AS (SELECT a AS src, b AS dst FROM gp UNION SELECT b, a FROM gp),
-         reach(d, r) AS (
-           SELECT src AS d, src AS r FROM ed
-           UNION
-           SELECT ed.src AS d, reach.r FROM ed JOIN reach ON ed.dst = reach.d),
-         comp AS (SELECT d, MIN(r) AS label FROM reach GROUP BY d),
+      s"""WITH RECURSIVE ${nearDupComponentsSql},
          q AS (SELECT doc_id,
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS qual
                FROM sdocs),
@@ -4963,27 +4996,7 @@ object SparkEntry {
                                     FROM documents GROUP BY 1),
          wk AS (SELECT d.doc_id, g.keeper FROM documents d
                 JOIN groups g ON lower(trim(d.text)) = g.k),
-         kmin AS (SELECT MIN(doc_id) AS doc_id FROM documents
-                  GROUP BY lower(trim(text))),
-         sdocs AS (SELECT d.* FROM documents d JOIN kmin USING (doc_id)),
-         ${minHashPairsSqlOver("sdocs")},
-         hws AS (SELECT doc_id,
-                        list_distinct(list_transform(
-                          list_distinct(string_split(lower(trim(text)), ' ')),
-                          w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS ws
-                 FROM sdocs),
-         gp AS (SELECT p.a, p.b FROM pairs p
-                JOIN hws wa ON wa.doc_id = p.a
-                JOIN hws wb ON wb.doc_id = p.b
-                WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) /
-                            CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE), 6)
-                      >= 0.5),
-         ed AS (SELECT a AS src, b AS dst FROM gp UNION SELECT b, a FROM gp),
-         reach(d, r) AS (
-           SELECT src AS d, src AS r FROM ed
-           UNION
-           SELECT ed.src AS d, reach.r FROM ed JOIN reach ON ed.dst = reach.d),
-         comp AS (SELECT d, MIN(r) AS label FROM reach GROUP BY d),
+         ${nearDupComponentsSql},
          rooted AS (SELECT wk.doc_id,
                            coalesce(comp.label, wk.keeper) AS root
                     FROM wk LEFT JOIN comp ON comp.d = wk.keeper),
@@ -5298,5 +5311,42 @@ object SparkEntry {
          LEFT JOIN sh ON sh.a = c.a AND sh.b = c.b
          JOIN tot sa ON sa.doc_id = c.a
          JOIN tot sb ON sb.doc_id = c.b
-         ORDER BY c.a, c.b""")
+         ORDER BY c.a, c.b""",
+    // Composed curation pass: ONE near-dup component pipeline feeds
+    // both the q105 keep-best rule and the q116 split rule; per-split
+    // doc + keep-best-survivor counts.
+    "q130_curation_composed" ->
+      s"""WITH RECURSIVE groups AS (SELECT lower(trim(text)) AS k,
+                                           MIN(doc_id) AS keeper
+                                    FROM documents GROUP BY 1),
+         wk AS (SELECT d.doc_id, g.keeper FROM documents d
+                JOIN groups g ON lower(trim(d.text)) = g.k),
+         ${nearDupComponentsSql},
+         q AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS qual
+               FROM sdocs),
+         losers AS (SELECT d AS doc_id FROM (
+             SELECT comp.d,
+                    row_number() OVER (PARTITION BY comp.label
+                      ORDER BY q.qual DESC, comp.d) AS rn
+             FROM comp JOIN q ON q.doc_id = comp.d) t
+           WHERE rn > 1),
+         kept AS (SELECT doc_id FROM sdocs
+                  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         rooted AS (SELECT wk.doc_id,
+                           coalesce(comp.label, wk.keeper) AS root
+                    FROM wk LEFT JOIN comp ON comp.d = wk.keeper),
+         sp AS (SELECT doc_id,
+                       ('0x' || substr(md5('split:' || CAST(root AS VARCHAR)), 1, 13))::BIGINT % 1000000 AS b
+                FROM rooted),
+         spl AS (SELECT doc_id,
+                        CASE WHEN b < 100000 THEN 'test'
+                             WHEN b < 200000 THEN 'val'
+                             ELSE 'train' END AS split
+                 FROM sp)
+         SELECT spl.split, count(*) AS n_docs,
+                CAST(sum(CASE WHEN kept.doc_id IS NULL THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_kept_best
+         FROM spl LEFT JOIN kept USING (doc_id)
+         GROUP BY spl.split ORDER BY split""")
 }
