@@ -2541,6 +2541,31 @@ object SparkEntry {
       .orderBy(col("split"))
   }
 
+  /** URL-level dedup (q131): four deterministic URL VARIANTS per page
+    * (scheme/host case, `www.`, default port, trailing slash, tracking
+    * params, param order, fragment — every normalization step
+    * exercised) derived from doc_id; all four must collapse to one
+    * canonical URL with the min-id keeper and an exact variant
+    * count. */
+  private def urlDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val g = expr("doc_id div 4").cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://www.example.com/d/"), g, lit("?b=2&a=1")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://EXAMPLE.COM:443/d/"), g, lit("/?a=1&b=2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://example.com/d/"), g,
+          lit("?utm_source=feed&b=2&fbclid=x&a=1")))
+      .otherwise(
+        concat(lit("https://www.example.com:443/d/"), g,
+          lit("/?a=1&utm_campaign=z&b=2#frag")))
+    TextDedup.urlDedup(
+        Tables.documents(s, dir).select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+      .orderBy(col("url"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2675,7 +2700,8 @@ object SparkEntry {
     "q127_band_index_nightly" -> (bandIndexNightlyQuery _),
     "q128_hash_index_nightly" -> (hashIndexNightlyQuery _),
     "q129_weighted_neardup" -> (weightedNearDupQuery _),
-    "q130_curation_composed" -> (curationComposedQuery _))
+    "q130_curation_composed" -> (curationComposedQuery _),
+    "q131_url_dedup" -> (urlDedupQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2815,7 +2841,7 @@ object SparkEntry {
     "q123_trailing_zscore", "q124_cooccurrence_topk", "q125_data_profile",
     "q126_semdedup_capped", "q127_band_index_nightly",
     "q128_hash_index_nightly", "q129_weighted_neardup",
-    "q130_curation_composed")
+    "q130_curation_composed", "q131_url_dedup")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5348,5 +5374,39 @@ object SparkEntry {
                 CAST(sum(CASE WHEN kept.doc_id IS NULL THEN 0 ELSE 1 END)
                   AS BIGINT) AS n_kept_best
          FROM spl LEFT JOIN kept USING (doc_id)
-         GROUP BY spl.split ORDER BY split""")
+         GROUP BY spl.split ORDER BY split""",
+    // URL dedup: same four deterministic variants, same normalization
+    // steps (lowercase scheme/authority, strip www./default port/
+    // trailing slash/tracking params/fragment, sort surviving params).
+    "q131_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'https://www.example.com/d/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1'
+             WHEN 1 THEN 'HTTPS://EXAMPLE.COM:443/d/' || CAST(doc_id // 4 AS VARCHAR) || '/?a=1&b=2'
+             WHEN 2 THEN 'https://example.com/d/' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&b=2&fbclid=x&a=1'
+             ELSE 'https://www.example.com:443/d/' || CAST(doc_id // 4 AS VARCHAR) || '/?a=1&utm_campaign=z&b=2#frag'
+           END AS url FROM documents),
+         n AS (SELECT doc_id,
+                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+                 regexp_replace(lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 2)), '^www\.', '') AS auth0,
+                 regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 3), '/+$', '') AS path,
+                 regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 4), '^\?', '') AS q
+               FROM u),
+         n2 AS (SELECT doc_id, scheme,
+                  CASE WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+                       WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+                       ELSE auth0 END AS auth,
+                  path,
+                  list_sort(list_filter(string_split(q, '&'),
+                    x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')
+                         AND x <> '')) AS ps
+                FROM n),
+         canon AS (SELECT doc_id,
+                     scheme || '://' || auth || path ||
+                     CASE WHEN len(ps) > 0
+                          THEN '?' || array_to_string(ps, '&')
+                          ELSE '' END AS url
+                   FROM n2)
+         SELECT url, MIN(doc_id) AS keeper, count(*) AS n_variants
+         FROM canon GROUP BY url ORDER BY url""")
 }

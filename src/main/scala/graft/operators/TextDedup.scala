@@ -200,6 +200,53 @@ object TextDedup {
   }
 
   // --------------------------------------------------------------------------
+  // URL-level dedup (crawl frontier / page-identity normalization)
+
+  /** Canonical URL normalization — the key function behind crawl-level
+    * URL dedup: the same page arrives under scheme/host case variants,
+    * `www.` prefixes, default ports, trailing slashes, tracking
+    * parameters and fragments, and a frontier that treats those as
+    * distinct re-crawls (and a corpus that keeps them all) wastes
+    * fetch and storage before content dedup ever runs. Steps, each a
+    * codegen'd regexp/array expression with an exact DuckDB mirror:
+    * scheme + authority lowercased; leading `www.` stripped; default
+    * port stripped (`:443` for https, `:80` for http); trailing path
+    * slashes trimmed; tracking params (`utm_*`, `fbclid`, `gclid`)
+    * dropped; surviving query params SORTED; fragment dropped.
+    * Non-URL input (no `scheme://`) normalizes to the degenerate
+    * `"://"` — callers feed URL columns.
+    *
+    * Map-only: one projection, no corpus state (unlike the content-
+    * hash family, URL identity needs no df/vocabulary pass). */
+  def normalizeUrl(url: Column): Column = {
+    val p = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$"
+    val scheme = lower(regexp_extract(url, p, 1))
+    val auth0 = regexp_replace(lower(regexp_extract(url, p, 2)), "^www\\.", "")
+    val auth = when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .otherwise(auth0)
+    val path = regexp_replace(regexp_extract(url, p, 3), "/+$", "")
+    val params = filter(
+      split(regexp_replace(regexp_extract(url, p, 4), "^\\?", ""), "&"),
+      kv => !kv.rlike("^(utm_[^=]*|fbclid|gclid)=") && kv =!= lit(""))
+    val qnorm = when(size(params) > 0,
+      concat(lit("?"), array_join(array_sort(params), "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), auth, path, qnorm)
+  }
+
+  /** URL-level dedup: one row per normalized URL (the min-id row, the
+    * [[exactDedup]] keeper rule) plus the variant count — the relation
+    * a crawl pipeline keys its frontier and its re-fetch budget on.
+    * One 8-byte-hash-equivalent shuffle on the normalized string;
+    * bodies never shuffle (project id + url first). */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val normed = df.select(col(idCol).as("id"),
+      normalizeUrl(col(urlCol)).as("url"))
+    normed.groupBy(col("url"))
+      .agg(min(col("id")).as("keeper"), count(lit(1)).as("n_variants"))
+  }
+
+  // --------------------------------------------------------------------------
   // df-weighted MinHash (boilerplate-robust near-dup)
 
   /** Global integer token weights from corpus document frequency:

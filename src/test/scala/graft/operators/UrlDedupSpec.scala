@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** URL normalization: equivalent page identities collapse, genuinely
+  * different ones never do. */
+class UrlDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("u").select(TextDedup.normalizeUrl($"u")).as[String].collect().toSeq
+
+  test("case, www., default port, trailing slash, tracking, order, fragment all collapse") {
+    val canonical = "https://example.com/d/7?a=1&b=2"
+    norm(
+      "https://www.example.com/d/7?b=2&a=1",
+      "HTTPS://EXAMPLE.COM:443/d/7/?a=1&b=2",
+      "https://example.com/d/7?utm_source=feed&b=2&fbclid=x&a=1",
+      "https://www.example.com:443/d/7/?a=1&utm_campaign=z&b=2#frag"
+    ) shouldBe Seq(canonical, canonical, canonical, canonical)
+  }
+
+  test("real differences never collapse") {
+    // different host, different scheme, different path, different
+    // param VALUE, non-default port — five distinct identities
+    norm(
+      "https://example.com/d/7?a=1",
+      "https://other.com/d/7?a=1",
+      "http://example.com/d/7?a=1",
+      "https://example.com/d/8?a=1",
+      "https://example.com/d/7?a=2",
+      "https://example.com:8443/d/7?a=1"
+    ).distinct.size shouldBe 6
+  }
+
+  test("http default port 80 strips; 443 on http does not") {
+    norm("http://example.com:80/x", "http://example.com:443/x") shouldBe
+      Seq("http://example.com/x", "http://example.com:443/x")
+  }
+
+  test("urlDedup keeps the min-id variant with an exact count") {
+    val rows = Seq(
+      (10L, "https://www.example.com/p?x=1"),
+      (11L, "https://example.com/p/?x=1"),
+      (12L, "https://example.com/q")
+    ).toDF("doc_id", "url")
+    val out = TextDedup.urlDedup(rows, "doc_id", "url")
+      .orderBy($"url").as[(String, Long, Long)].collect()
+    out shouldBe Array(
+      ("https://example.com/p?x=1", 10L, 2L),
+      ("https://example.com/q", 12L, 1L))
+  }
+}
