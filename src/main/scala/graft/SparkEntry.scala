@@ -2566,6 +2566,36 @@ object SparkEntry {
       .orderBy(col("url"))
   }
 
+  /** Streaming Bloom dedup gate (q132): docs with doc_id ≥ 400 REPLAY
+    * as a stream through the stateless membership gate against the
+    * index built over doc_id < 400 (broadcast sharded-Bloom prefilter
+    * + exact stream-static left_anti). Survivor ids must equal the
+    * batch anti-join the oracle computes directly. */
+  private def streamingBloomGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    import graft.util.TmpDirs
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val root = TmpDirs.fresh(s"q132_stream_$tag")
+    val d = Tables.documents(s, dir)
+    d.filter(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$root/docs")
+    val seen = d.filter(col("doc_id") < 400)
+      .select(TextDedup.md5Hash60(TextDedup.norm(col("text"))).as("h"))
+      .distinct()
+    val replayed = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .parquet(s"$root/docs")
+    val q = TextDedup.streamingDedupGate(replayed, "text", "doc_id", seen)
+      .select(col("doc_id"))
+      .writeStream
+      .format("memory").queryName(s"q132_gate_$tag").outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(s"q132_gate_$tag").orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2701,7 +2731,8 @@ object SparkEntry {
     "q128_hash_index_nightly" -> (hashIndexNightlyQuery _),
     "q129_weighted_neardup" -> (weightedNearDupQuery _),
     "q130_curation_composed" -> (curationComposedQuery _),
-    "q131_url_dedup" -> (urlDedupQuery _))
+    "q131_url_dedup" -> (urlDedupQuery _),
+    "q132_streaming_bloom_gate" -> (streamingBloomGate _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -5408,5 +5439,12 @@ object SparkEntry {
                           ELSE '' END AS url
                    FROM n2)
          SELECT url, MIN(doc_id) AS keeper, count(*) AS n_variants
-         FROM canon GROUP BY url ORDER BY url""")
+         FROM canon GROUP BY url ORDER BY url""",
+    // Streaming Bloom gate: the batch-equivalent membership anti-join
+    // (per-arrival semantics: batch-internal dups NOT collapsed).
+    "q132_streaming_bloom_gate" ->
+      """SELECT doc_id FROM documents
+         WHERE doc_id >= 400 AND lower(trim(text)) NOT IN
+           (SELECT lower(trim(text)) FROM documents WHERE doc_id < 400)
+         ORDER BY doc_id""")
 }

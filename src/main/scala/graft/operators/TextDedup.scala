@@ -199,6 +199,50 @@ object TextDedup {
         .otherwise(concat(col("key"), lit("!"), col("setkey"))).as("key"))
   }
 
+  /** STREAMING ingest dedup gate — the continuous-arrival twin of
+    * [[dedupAgainstIndexBloomSharded]]: documents stream in and any
+    * doc whose normalized-content hash is already in the persistent
+    * index is dropped ON ARRIVAL. Entirely STATELESS on the stream
+    * side (accepts a streaming OR batch DataFrame): the sharded Bloom
+    * sketches broadcast into a stream-static join for the cheap
+    * prefilter, and only probable hits pay the exact stream-static
+    * left_anti against the hash set — no watermark, no state store,
+    * so the gate runs at any trigger cadence and never accumulates
+    * streaming state (the K52/q92 stateless-gate discipline).
+    * Batch-internal duplicates are NOT collapsed here (that is the
+    * batch operator's job via exactDedup) — this is a pure membership
+    * gate against the index, which is exactly what per-arrival
+    * semantics mean. At 100 TB the static side is the maintained
+    * [[graft.jobs.IndexMaintenance]] hash index: sketches are
+    * shards×bits bounded, and the anti-join touches only the
+    * Bloom-positive sliver of the stream. */
+  def streamingDedupGate(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      seenHashes: DataFrame, // static (h)
+      shards: Int = 16,
+      numBitsPerShard: Int = 1 << 18,
+      numHashes: Int = 7): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val sketches = seenHashes
+      .groupBy(pmod(col("h"), lit(shards.toLong)).cast("int").as("_shard"))
+      .agg(call_function("graft_bloom",
+        col("h"), lit(numBitsPerShard), lit(numHashes)).as("_bf"))
+    val withH = newDocs
+      .withColumn("_h", md5Hash60(norm(col(textCol))))
+      .withColumn("_shard", pmod(col("_h"), lit(shards.toLong)).cast("int"))
+    val flagged = withH.join(broadcast(sketches), Seq("_shard"), "left")
+      .withColumn("_maybe", coalesce(
+        call_function("graft_bloom_contains", col("_bf"), col("_h")),
+        lit(false)))
+      .drop("_bf", "_shard")
+    flagged.filter(!col("_maybe")).drop("_maybe", "_h")
+      .unionByName(flagged.filter(col("_maybe")).drop("_maybe")
+        .join(seenHashes.select(col("h").as("_h")), Seq("_h"), "left_anti")
+        .drop("_h"))
+  }
+
   // --------------------------------------------------------------------------
   // URL-level dedup (crawl frontier / page-identity normalization)
 
