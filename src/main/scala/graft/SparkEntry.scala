@@ -2513,8 +2513,12 @@ object SparkEntry {
   private def weightedNearDupQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextDedup
     val d = Tables.documents(s, dir)
-    val pairs = TextDedup.weightedLshCandidatePairs(d, "doc_id", "text")
-    TextDedup.weightedJaccardPairs(d, "doc_id", "text", pairs)
+    // vocabulary df-aggregation once; sketch and exact gate share it
+    val weights = TextDedup.dfTokenWeights(d, "doc_id", "text")
+    val pairs = TextDedup.weightedLshCandidatePairs(d, "doc_id", "text",
+      weights, 64, 4, 100, TextDedup.normWordSet)
+    TextDedup.weightedJaccardPairs(d, "doc_id", "text", pairs, weights,
+        TextDedup.normWordSet)
       .orderBy(col("a"), col("b"))
   }
 

@@ -345,8 +345,25 @@ object TextDedup {
       bands: Int = 4,
       bucketCap: Int = 100,
       maxW: Int = 8,
-      shingler: Column => Column = normWordSet): DataFrame = {
-    val weights = dfTokenWeights(docs, idCol, textCol, maxW, shingler)
+      shingler: Column => Column = normWordSet): DataFrame =
+    weightedLshCandidatePairs(docs, idCol, textCol,
+      dfTokenWeights(docs, idCol, textCol, maxW, shingler),
+      numHashes, bands, bucketCap, shingler)
+
+  /** Weight-reuse form: `weights` is a precomputed `(tok, wt)`
+    * relation ([[dfTokenWeights]]'s output) — a pipeline that scores
+    * the candidates afterwards ([[weightedJaccardPairs]]) computes
+    * the vocabulary aggregation ONCE and feeds both stages (the q130
+    * label-reuse discipline applied to weights). */
+  def weightedLshCandidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      bucketCap: Int,
+      shingler: Column => Column): DataFrame = {
     val ex = docs
       .select(col(idCol).as("id"), explode(shingler(col(textCol))).as("tok"))
       .join(weights, Seq("tok"))
@@ -378,8 +395,19 @@ object TextDedup {
       textCol: String,
       pairs: DataFrame, // (a, b)
       maxW: Int = 8,
-      shingler: Column => Column = normWordSet): DataFrame = {
-    val weights = dfTokenWeights(docs, idCol, textCol, maxW, shingler)
+      shingler: Column => Column = normWordSet): DataFrame =
+    weightedJaccardPairs(docs, idCol, textCol, pairs,
+      dfTokenWeights(docs, idCol, textCol, maxW, shingler), shingler)
+
+  /** Weight-reuse form of [[weightedJaccardPairs]] — see the
+    * [[weightedLshCandidatePairs]] weights overload. */
+  def weightedJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame,
+      weights: DataFrame, // (tok, wt)
+      shingler: Column => Column): DataFrame = {
     val tw = docs
       .select(col(idCol).as("id"), explode(shingler(col(textCol))).as("tok"))
       .join(weights, Seq("tok")) // (id, tok, wt)
