@@ -145,4 +145,69 @@ object IndexMaintenance {
 
     IndexState(newBandIndex, newHashIndex, newBloom)
   }
+
+  /** Persisted-state layout under one state dir. */
+  private val Parts = Seq("band_index", "hash_index", "bloom_shards")
+
+  /** Load a persisted state (all three relations present) or None. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[IndexState] = {
+    val fs = new java.io.File(stateDir)
+    if (Parts.forall(p => new java.io.File(fs, p).exists()))
+      Some(IndexState(
+        spark.read.parquet(s"$stateDir/band_index"),
+        spark.read.parquet(s"$stateDir/hash_index"),
+        spark.read.parquet(s"$stateDir/bloom_shards")))
+    else None
+  }
+
+  /** Write a state dir atomically enough for a nightly job: ALL
+    * three relations materialize to fresh `.tmp` dirs FIRST — the
+    * next state's plans read the previous state's files, so no
+    * previous dir may move until every tmp write has finished — then
+    * the renames swap them in (a crashed tick leaves the previous
+    * state readable). */
+  def save(state: IndexState, stateDir: String): Unit = {
+    new java.io.File(stateDir).mkdirs()
+    val parts = Parts.zip(Seq(state.bandIndex, state.hashIndex, state.bloomShards))
+    parts.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$stateDir/$name.tmp")
+    }
+    parts.foreach { case (name, _) =>
+      val dst = new java.io.File(s"$stateDir/$name")
+      deleteRec(dst)
+      new java.io.File(s"$stateDir/$name.tmp").renameTo(dst): Unit
+    }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    if (f.exists()) f.delete()
+  }
+
+  /** CLI — the nightly job the way [[RunImport]] wires the reference
+    * pipelines: `IndexMaintenance <stateDir> <oldSnap.parquet>
+    * <newSnap.parquet> [idCol textCol]`. First run (no state at
+    * `stateDir`) bootstraps with a full [[rebuild]] of the OLD
+    * snapshot, so the tick that follows is exercised even on
+    * bootstrap; subsequent runs load the persisted state and pay only
+    * O(changed). */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: IndexMaintenance <stateDir> <oldSnap> <newSnap> [idCol textCol]")
+    val Array(stateDir, oldPath, newPath) = args.take(3)
+    val idCol = if (args.length > 3) args(3) else "doc_id"
+    val textCol = if (args.length > 4) args(4) else "text"
+    val spark = graft.GraftSession.forMain("graft-index-maintenance")
+    val oldSnap = spark.read.parquet(oldPath).select(col(idCol), col(textCol))
+    val newSnap = spark.read.parquet(newPath).select(col(idCol), col(textCol))
+    val state = load(spark, stateDir)
+      .getOrElse(rebuild(oldSnap, idCol, textCol))
+    val next = nightly(state, oldSnap, newSnap, idCol, textCol)
+    save(next, stateDir)
+    println(s"[index-maintenance] state at $stateDir: " +
+      s"bands=${next.bandIndex.count()} hashes=${next.hashIndex.count()} " +
+      s"shards=${next.bloomShards.count()}")
+    spark.stop()
+  }
 }

@@ -51,6 +51,25 @@ class IndexMaintenanceSpec extends SparkSpec {
     bloomSet(tick) shouldBe bloomSet(st)
   }
 
+  test("persisted job round-trip: save → load → tick → save ≡ rebuild of new snapshot") {
+    import graft.util.TmpDirs
+    val stateDir = TmpDirs.fresh("index_maint_state")
+    val (oldSnap, newSnap) = fixture()
+    IndexMaintenance.save(
+      IndexMaintenance.rebuild(oldSnap, "doc_id", "text", shards = 8), stateDir)
+    val loaded = IndexMaintenance.load(spark, stateDir)
+    loaded.isDefined shouldBe true
+    IndexMaintenance.save(
+      IndexMaintenance.nightly(loaded.get, oldSnap, newSnap, "doc_id", "text",
+        shards = 8),
+      stateDir)
+    val after = IndexMaintenance.load(spark, stateDir).get
+    val full = IndexMaintenance.rebuild(newSnap, "doc_id", "text", shards = 8)
+    bandSet(after) shouldBe bandSet(full)
+    hashSet(after) shouldBe hashSet(full)
+    bloomSet(after) shouldBe bloomSet(full)
+  }
+
   test("maintained hash set drives the q71 bloom dedup identically to a rebuilt one") {
     val (oldSnap, newSnap) = fixture()
     val st0 = IndexMaintenance.rebuild(oldSnap, "doc_id", "text", shards = 8)
