@@ -2600,6 +2600,35 @@ object SparkEntry {
     s.table(s"q132_gate_$tag").orderBy(col("doc_id"))
   }
 
+  /** Nightly VECTOR-index maintenance (q133): the IVF×SQ8 postings
+    * built over the old embedding snapshot, one
+    * [[graft.operators.Similarity.ivfSqIndexMaintain]] tick to the
+    * new snapshot (model PINNED: q50 seed centroids + scales trained
+    * on the OLD corpus). The oracle computes a full rebuild from the
+    * new snapshot with the same pinned model — equality is the
+    * delta≡rebuild gate, q127's discipline on the vector side. Codes
+    * emit as a comma-joined string (cross-engine integer formatting;
+    * array reprs differ between the compare's readers). */
+  private def vectorIndexNightlyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val seeds = seedVectors(e)
+    val oldV = e.filter(col("vec_id") % 10 =!= 3)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val newV = e.filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id").as("id"),
+        when(col("vec_id") % 10 === 5,
+          concat(array(-element_at(col("embedding"), 1)),
+            slice(col("embedding"), 2, 63)))
+          .otherwise(col("embedding")).as("vec"))
+    val scales = Similarity.sqTrain(oldV, "vec", dims = 64) // pinned on OLD
+    val index0 = Similarity.ivfSqIndexBuild(oldV, "id", "vec", seeds, scales)
+    Similarity.ivfSqIndexMaintain(index0, oldV, newV, "id", "vec", seeds, scales)
+      .select(col("id"), col("cell"),
+        concat_ws(",", col("code")).as("code_str"))
+      .orderBy(col("id"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2736,7 +2765,8 @@ object SparkEntry {
     "q129_weighted_neardup" -> (weightedNearDupQuery _),
     "q130_curation_composed" -> (curationComposedQuery _),
     "q131_url_dedup" -> (urlDedupQuery _),
-    "q132_streaming_bloom_gate" -> (streamingBloomGate _))
+    "q132_streaming_bloom_gate" -> (streamingBloomGate _),
+    "q133_vector_index_nightly" -> (vectorIndexNightlyQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2876,7 +2906,8 @@ object SparkEntry {
     "q123_trailing_zscore", "q124_cooccurrence_topk", "q125_data_profile",
     "q126_semdedup_capped", "q127_band_index_nightly",
     "q128_hash_index_nightly", "q129_weighted_neardup",
-    "q130_curation_composed", "q131_url_dedup")
+    "q130_curation_composed", "q131_url_dedup",
+    "q133_vector_index_nightly")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5450,5 +5481,39 @@ object SparkEntry {
       """SELECT doc_id FROM documents
          WHERE doc_id >= 400 AND lower(trim(text)) NOT IN
            (SELECT lower(trim(text)) FROM documents WHERE doc_id < 400)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    // Vector-index nightly upkeep: the oracle REBUILDS the IVF×SQ8
+    // postings from the new snapshot with the pinned model (seed
+    // centroids; scales = per-dim max|v| over the OLD snapshot) — the
+    // Spark side delta-maintains and must hash-match.
+    "q133_vector_index_nightly" ->
+      s"""WITH dims AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS i),
+         o AS (SELECT vec_id AS id, embedding AS vec
+               FROM embeddings WHERE vec_id % 10 <> 3),
+         nw AS (SELECT vec_id AS id,
+                       CASE WHEN vec_id % 10 = 5
+                            THEN list_concat([-embedding[1]], embedding[2:64])
+                            ELSE embedding END AS vec
+                FROM embeddings WHERE vec_id % 10 <> 7),
+         sc AS (SELECT i, max(abs(CAST(vec[i + 1] AS DOUBLE))) AS s
+                FROM o, dims GROUP BY i),
+         cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                 WHERE vec_id BETWEEN 20 AND 35),
+         asg AS (SELECT id, cell FROM (
+             SELECT nw.id, cen.cid AS cell,
+                    row_number() OVER (PARTITION BY nw.id
+                      ORDER BY ${cosSql("nw.vec", "cen.cvec")} DESC, cen.cid) AS rn
+             FROM nw CROSS JOIN cen) t WHERE rn = 1),
+         codes AS (SELECT id, sc.i,
+                          CASE WHEN s <= 0 THEN 0
+                               ELSE CAST(greatest(-127, least(127,
+                                 floor(CAST(vec[sc.i + 1] AS DOUBLE) / s * 127 + 0.5)))
+                                 AS BIGINT)
+                          END AS code
+                   FROM nw, sc),
+         cs AS (SELECT id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY i)
+                         AS code_str
+                FROM codes GROUP BY id)
+         SELECT asg.id, asg.cell, cs.code_str
+         FROM asg JOIN cs USING (id) ORDER BY asg.id""")
 }

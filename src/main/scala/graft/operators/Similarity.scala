@@ -630,6 +630,75 @@ object Similarity {
   }
 
   // --------------------------------------------------------------------------
+  // Maintained vector index (nightly upkeep of IVF×SQ8 postings)
+
+  /** Snapshot diff for VECTOR corpora: added / removed / changed /
+    * unchanged by direct array equality on a full-outer id join — no
+    * float-to-string digesting (engine float formatting is not
+    * portable), and the exchange carries the vectors themselves,
+    * which for embedding tables are fixed-width and narrow. */
+  def vectorSnapshotDiff(
+      oldV: DataFrame,
+      newV: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val o = oldV.select(col(idCol).as("id"), col(vecCol).as("_vo"))
+    val n = newV.select(col(idCol).as("id"), col(vecCol).as("_vn"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("_vo").isNull, lit("added"))
+          .when(col("_vn").isNull, lit("removed"))
+          .when(col("_vo") =!= col("_vn"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** Full build of the IVF×SQ8 postings relation `(id, cell, code)` —
+    * the persisted ANN index the search paths (q89) probe, and the
+    * equivalence baseline for [[ivfSqIndexMaintain]]. */
+  def ivfSqIndexBuild(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Long, Array[Float])],
+      scales: Array[Double]): DataFrame =
+    sqEncode(
+        ivfAssign(vecs.select(col(idCol).as("id"), col(vecCol).as("vec")),
+          "vec", centroids),
+        "vec", scales, "code")
+      .select(col("id"), col("cell"), col("code"))
+
+  /** Nightly upkeep of the IVF×SQ8 postings — the VECTOR-side twin of
+    * [[graft.jobs.IndexMaintenance]]'s text indexes: only
+    * added/changed vectors are re-assigned and re-encoded, removed
+    * and changed ids drop via one 8-byte anti-join, and the result
+    * provably equals [[ivfSqIndexBuild]] over the new snapshot.
+    *
+    * The MODEL is pinned: `centroids` and `scales` are frozen
+    * artifacts of the index (exactly like a FAISS index's trained
+    * quantizer) — a tick never retrains them, because retraining
+    * re-encodes the entire corpus by definition (that is a REBUILD,
+    * scheduled when the [[ivfAudit]]/[[centroidDrift]] monitors say
+    * the model has drifted, not nightly). */
+  def ivfSqIndexMaintain(
+      index: DataFrame, // (id, cell, code)
+      oldV: DataFrame,
+      newV: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Long, Array[Float])],
+      scales: Array[Double]): DataFrame = {
+    val diff = vectorSnapshotDiff(oldV, newV, idCol, vecCol).localCheckpoint()
+    def ids(ss: String*) =
+      diff.filter(col("status").isin(ss: _*)).select(col(idCol).as("id"))
+    val fresh = ivfSqIndexBuild(
+      newV.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .join(ids("added", "changed"), Seq("id")),
+      "id", "vec", centroids, scales)
+    index.join(ids("removed", "changed", "added"), Seq("id"), "left_anti")
+      .unionByName(fresh)
+  }
+
+  // --------------------------------------------------------------------------
   // Scalar quantization (SQ8)
 
   /** Per-dimension max-|v| scales for symmetric int8 scalar

@@ -53,6 +53,31 @@ class SemDedupCapSpec extends SparkSpec {
     capped shouldBe uncapped
   }
 
+  test("vector-index maintenance: one tick equals a pinned-model rebuild; no-change is identity") {
+    val e = graft.Tables.embeddings(spark, sfSmoke)
+    val cen = seeds(e)
+    val oldV = e.filter($"vec_id" % 10 =!= 3)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val newV = e.filter($"vec_id" % 10 =!= 7)
+      .select($"vec_id".as("id"),
+        when($"vec_id" % 10 === 5,
+          concat(array(-element_at($"embedding", 1)),
+            slice($"embedding", 2, 63)))
+          .otherwise($"embedding").as("vec"))
+    val scales = Similarity.sqTrain(oldV, "vec", dims = 64)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", $"cell", concat_ws(",", $"code").as("c"))
+      .as[(Long, Long, String)].collect().toSet
+    val index0 = Similarity.ivfSqIndexBuild(oldV, "id", "vec", cen, scales)
+    val ticked = Similarity
+      .ivfSqIndexMaintain(index0, oldV, newV, "id", "vec", cen, scales)
+    rows(ticked) shouldBe
+      rows(Similarity.ivfSqIndexBuild(newV, "id", "vec", cen, scales))
+    // no-change tick: identical snapshots leave the index untouched
+    rows(Similarity.ivfSqIndexMaintain(index0, oldV, oldV, "id", "vec",
+      cen, scales)) shouldBe rows(index0)
+  }
+
   test("capping only under-dedups: capped survivors are a superset") {
     val e = graft.Tables.embeddings(spark, sfSmoke)
     val corpus = e.select($"vec_id".as("id"), $"embedding".as("vec"))
