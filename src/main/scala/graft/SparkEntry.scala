@@ -2513,7 +2513,12 @@ object SparkEntry {
   private def weightedNearDupQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextDedup
     val d = Tables.documents(s, dir)
-    // vocabulary df-aggregation once; sketch and exact gate share it
+    // vocabulary df-aggregation shared by sketch and exact gate. The
+    // shared subtree plans once per reference; AQE's
+    // ReuseExchangeAndSubquery dedupes the identical exchanges at
+    // runtime, and forcing materialization via localCheckpoint
+    // measured no better at sf0.1 (within noise) while paying an
+    // extra eager job — so plain sharing wins on simplicity.
     val weights = TextDedup.dfTokenWeights(d, "doc_id", "text")
     val pairs = TextDedup.weightedLshCandidatePairs(d, "doc_id", "text",
       weights, 64, 4, 100, TextDedup.normWordSet)
