@@ -2634,6 +2634,27 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** HTML extraction (q134): every doc wrapped in a deterministic
+    * page shell exercising script/style content drop, comments, tags,
+    * all six entities (including the double-escape &amp;lt; case) and
+    * whitespace collapse — the stripped text must match the oracle's
+    * identical regexp ladder byte-for-byte. */
+  private def stripHtmlQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val html = concat(
+      lit("""<html><head><title>T</title><style type="text/css">p{x:1}</style>"""),
+      lit("""<script>if (a &amp;&amp; b) { f(); }</script></head><body><h1>"""),
+      col("source"),
+      lit("""</h1><!-- hidden --><p class="main">"""),
+      col("text"),
+      lit("""</p><p>Q &amp; A &lt;tag&gt; &quot;x&quot; &#39;y&#39;&nbsp;z &amp;lt;esc&gt;</p></body></html>"""))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean"))
+      .select(col("doc_id"), col("clean"),
+        length(col("clean")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2771,7 +2792,8 @@ object SparkEntry {
     "q130_curation_composed" -> (curationComposedQuery _),
     "q131_url_dedup" -> (urlDedupQuery _),
     "q132_streaming_bloom_gate" -> (streamingBloomGate _),
-    "q133_vector_index_nightly" -> (vectorIndexNightlyQuery _))
+    "q133_vector_index_nightly" -> (vectorIndexNightlyQuery _),
+    "q134_html_extract" -> (stripHtmlQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2912,7 +2934,7 @@ object SparkEntry {
     "q126_semdedup_capped", "q127_band_index_nightly",
     "q128_hash_index_nightly", "q129_weighted_neardup",
     "q130_curation_composed", "q131_url_dedup",
-    "q133_vector_index_nightly")
+    "q133_vector_index_nightly", "q134_html_extract")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5520,5 +5542,33 @@ object SparkEntry {
                          AS code_str
                 FROM codes GROUP BY id)
          SELECT asg.id, asg.cell, cs.code_str
-         FROM asg JOIN cs USING (id) ORDER BY asg.id""")
+         FROM asg JOIN cs USING (id) ORDER BY asg.id""",
+    // HTML extraction: the same regexp ladder (RE2 and Java regex
+    // agree on (?is) inline flags, \b, and non-greedy .*?); entities
+    // unescape with &amp; LAST for correct single-level unescaping.
+    "q134_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><title>T</title><style type="text/css">p{x:1}</style>'
+           || '<script>if (a &amp;&amp; b) { f(); }</script></head><body><h1>'
+           || source || '</h1><!-- hidden --><p class="main">' || text
+           || '</p><p>Q &amp; A &lt;tag&gt; &quot;x&quot; &#39;y&#39;&nbsp;z &amp;lt;esc&gt;</p></body></html>'
+             AS html
+         FROM documents),
+         t AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+             '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+             '(?s)<[^>]+>', ' ', 'g') AS x
+         FROM h),
+         e AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(x,
+             '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+             '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS x
+         FROM t)
+         SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS clean,
+                CAST(length(trim(regexp_replace(x, '\s+', ' ', 'g'))) AS BIGINT)
+                  AS n_chars
+         FROM e ORDER BY doc_id""")
 }

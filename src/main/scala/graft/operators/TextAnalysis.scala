@@ -405,6 +405,31 @@ object TextAnalysis {
     * flag is `bracket_ppm >= bracketPpmMin OR symbol_ppm >=
     * symbolPpmMin` — thresholds are parameters because the right cut
     * is corpus-dependent; the defaults mark heavy-markup rows. */
+  /** HTML → text extraction — the first stage every web-crawl corpus
+    * runs before any quality/dedup signal: script and style blocks
+    * drop WITH their content, comments and tags drop, the six
+    * ubiquitous entities unescape (amp LAST, so double-escaped
+    * `&amp;lt;` correctly yields `&lt;`, one level per pass — the
+    * HTML spec's unescape order), and whitespace collapses to single
+    * spaces. Pure codegen'd regexp chain (inline `(?is)` flags work
+    * identically in Java regex and RE2, so the DuckDB oracle mirrors
+    * bit-for-bit); a real extractor adds DOM-aware block handling,
+    * but the regexp ladder IS the shape production strippers use for
+    * the 99% path. Map-only, zero corpus state. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val ent = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) => regexp_replace(c, k, v) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   def charClassSignals(
       docs: DataFrame,
       idCol: String,

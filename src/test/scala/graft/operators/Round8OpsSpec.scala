@@ -93,6 +93,17 @@ class Round8OpsSpec extends SparkSpec {
     m(0L) shouldBe math.round(math.log(8.0) * 1e6) // uniform over 8 chars: ln 8
   }
 
+  test("stripHtml: script content drops, tags drop, entities single-unescape") {
+    val out = Seq(
+      """<html><script>if (a &amp;&amp; b) f();</script><p>A &amp;lt;b&gt; &quot;q&quot;</p></html>""",
+      """x<style>p { color: red }</style>y<!-- note -->z&nbsp;&#39;w&#39;""")
+      .toDF("h").select(TextAnalysis.stripHtml($"h")).as[String].collect()
+    // double-escaped &amp;lt; unescapes ONE level to &lt;; real &gt;
+    // and &quot; unescape fully; script body (incl. entities) is gone
+    out(0) shouldBe """A &lt;b> "q""""
+    out(1) shouldBe "x y z 'w'"
+  }
+
   test("charEntropy: plan is map-only — no per-char Generate, no Exchange") {
     // parquet-backed input so ConvertToLocalRelation can't pre-evaluate
     val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
