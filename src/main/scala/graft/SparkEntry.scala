@@ -2655,6 +2655,56 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end web ingest (q135): the crawl-side pipeline composed as
+    * ONE plan over the q131 URL variants and the q134 page shells —
+    * canonical-URL dedup keeps one page per identity, HTML extraction
+    * recovers the text, a token-length gate drops thin pages, exact
+    * dedup collapses byte-identical content, and the per-source audit
+    * reports every stage's survivor count. The integration proof that
+    * K99 → K102 → K8 → K1 compose as relations. */
+  private def webIngestQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis, TextDedup}
+    val g = expr("doc_id div 4").cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://www.example.com/d/"), g, lit("?b=2&a=1")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://EXAMPLE.COM:443/d/"), g, lit("/?a=1&b=2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://example.com/d/"), g,
+          lit("?utm_source=feed&b=2&fbclid=x&a=1")))
+      .otherwise(
+        concat(lit("https://www.example.com:443/d/"), g,
+          lit("/?a=1&utm_campaign=z&b=2#frag")))
+    val html = concat(
+      lit("""<html><head><title>T</title><style type="text/css">p{x:1}</style>"""),
+      lit("""<script>if (a &amp;&amp; b) { f(); }</script></head><body><h1>"""),
+      col("source"),
+      lit("""</h1><!-- hidden --><p class="main">"""),
+      col("text"),
+      lit("""</p><p>Q &amp; A &lt;tag&gt; &quot;x&quot; &#39;y&#39;&nbsp;z &amp;lt;esc&gt;</p></body></html>"""))
+    val pages = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), url.as("url"), html.as("html"))
+    val keepers = TextDedup.urlDedup(pages, "doc_id", "url")
+      .select(col("keeper").as("doc_id"))
+    val cleaned = pages.join(keepers, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.stripHtml(col("html")).as("clean"))
+    val gated = cleaned
+      .filter(size(TextDedup.words(col("clean"))) >= 25)
+    val unique = TextDedup.exactDedup(gated, "clean", "doc_id")
+    val perSrc = Seq(
+      cleaned.groupBy(col("source")).agg(count(lit(1)).as("n_pages")),
+      gated.groupBy(col("source")).agg(count(lit(1)).as("n_gated")),
+      unique.groupBy(col("source")).agg(count(lit(1)).as("n_unique"),
+        sum(size(TextDedup.words(col("clean")))).cast("long").as("n_tokens")))
+    perSrc.reduce((a, b) => a.join(b, Seq("source"), "left"))
+      .select(col("source"), col("n_pages"),
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2793,7 +2843,8 @@ object SparkEntry {
     "q131_url_dedup" -> (urlDedupQuery _),
     "q132_streaming_bloom_gate" -> (streamingBloomGate _),
     "q133_vector_index_nightly" -> (vectorIndexNightlyQuery _),
-    "q134_html_extract" -> (stripHtmlQuery _))
+    "q134_html_extract" -> (stripHtmlQuery _),
+    "q135_web_ingest" -> (webIngestQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -2836,6 +2887,63 @@ object SparkEntry {
     lshPairsSqlOverShingles(
       s"""SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
           FROM $docs""")
+
+  /** The q131/q135 URL-variant derivation (4 variants per page id). */
+  private val urlVariantSql: String =
+    """CASE doc_id % 4
+             WHEN 0 THEN 'https://www.example.com/d/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1'
+             WHEN 1 THEN 'HTTPS://EXAMPLE.COM:443/d/' || CAST(doc_id // 4 AS VARCHAR) || '/?a=1&b=2'
+             WHEN 2 THEN 'https://example.com/d/' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&b=2&fbclid=x&a=1'
+             ELSE 'https://www.example.com:443/d/' || CAST(doc_id // 4 AS VARCHAR) || '/?a=1&utm_campaign=z&b=2#frag'
+           END"""
+
+  /** URL canonicalization CTE block — expects a CTE `u(doc_id, url)`,
+    * yields `canon(doc_id, url)`; mirrors TextDedup.normalizeUrl. */
+  private val urlCanonSqlCtes: String =
+    """n AS (SELECT doc_id,
+                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+                 regexp_replace(lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 2)), '^www\.', '') AS auth0,
+                 regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 3), '/+$', '') AS path,
+                 regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 4), '^\?', '') AS q
+               FROM u),
+         n2 AS (SELECT doc_id, scheme,
+                  CASE WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+                       WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+                       ELSE auth0 END AS auth,
+                  path,
+                  list_sort(list_filter(string_split(q, '&'),
+                    x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')
+                         AND x <> '')) AS ps
+                FROM n),
+         canon AS (SELECT doc_id,
+                     scheme || '://' || auth || path ||
+                     CASE WHEN len(ps) > 0
+                          THEN '?' || array_to_string(ps, '&')
+                          ELSE '' END AS url
+                   FROM n2)"""
+
+  /** The q134/q135 HTML page shell around (source, text). */
+  private val htmlShellSql: String =
+    """'<html><head><title>T</title><style type="text/css">p{x:1}</style>'
+           || '<script>if (a &amp;&amp; b) { f(); }</script></head><body><h1>'
+           || source || '</h1><!-- hidden --><p class="main">' || text
+           || '</p><p>Q &amp; A &lt;tag&gt; &quot;x&quot; &#39;y&#39;&nbsp;z &amp;lt;esc&gt;</p></body></html>'"""
+
+  /** TextAnalysis.stripHtml mirrored as one SQL expression over `x`. */
+  private def stripHtmlSql(x: String): String = {
+    val tags =
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($x,
+             '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+             '(?s)<[^>]+>', ' ', 'g')"""
+    val ent =
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace($tags,
+             '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+             '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')"""
+    s"""trim(regexp_replace($ent, '\\s+', ' ', 'g'))"""
+  }
 
   /** Shared CTE block for the near-dup component pipeline over the
     * documents table (exact-dedup survivors → LSH candidates → exact
@@ -2934,7 +3042,8 @@ object SparkEntry {
     "q126_semdedup_capped", "q127_band_index_nightly",
     "q128_hash_index_nightly", "q129_weighted_neardup",
     "q130_curation_composed", "q131_url_dedup",
-    "q133_vector_index_nightly", "q134_html_extract")
+    "q133_vector_index_nightly", "q134_html_extract",
+    "q135_web_ingest")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5472,34 +5581,8 @@ object SparkEntry {
     // steps (lowercase scheme/authority, strip www./default port/
     // trailing slash/tracking params/fragment, sort surviving params).
     "q131_url_dedup" ->
-      """WITH u AS (SELECT doc_id,
-           CASE doc_id % 4
-             WHEN 0 THEN 'https://www.example.com/d/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1'
-             WHEN 1 THEN 'HTTPS://EXAMPLE.COM:443/d/' || CAST(doc_id // 4 AS VARCHAR) || '/?a=1&b=2'
-             WHEN 2 THEN 'https://example.com/d/' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&b=2&fbclid=x&a=1'
-             ELSE 'https://www.example.com:443/d/' || CAST(doc_id // 4 AS VARCHAR) || '/?a=1&utm_campaign=z&b=2#frag'
-           END AS url FROM documents),
-         n AS (SELECT doc_id,
-                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
-                 regexp_replace(lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 2)), '^www\.', '') AS auth0,
-                 regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 3), '/+$', '') AS path,
-                 regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 4), '^\?', '') AS q
-               FROM u),
-         n2 AS (SELECT doc_id, scheme,
-                  CASE WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
-                       WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
-                       ELSE auth0 END AS auth,
-                  path,
-                  list_sort(list_filter(string_split(q, '&'),
-                    x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')
-                         AND x <> '')) AS ps
-                FROM n),
-         canon AS (SELECT doc_id,
-                     scheme || '://' || auth || path ||
-                     CASE WHEN len(ps) > 0
-                          THEN '?' || array_to_string(ps, '&')
-                          ELSE '' END AS url
-                   FROM n2)
+      s"""WITH u AS (SELECT doc_id, $urlVariantSql AS url FROM documents),
+         $urlCanonSqlCtes
          SELECT url, MIN(doc_id) AS keeper, count(*) AS n_variants
          FROM canon GROUP BY url ORDER BY url""",
     // Streaming Bloom gate: the batch-equivalent membership anti-join
@@ -5547,28 +5630,33 @@ object SparkEntry {
     // agree on (?is) inline flags, \b, and non-greedy .*?); entities
     // unescape with &amp; LAST for correct single-level unescaping.
     "q134_html_extract" ->
-      """WITH h AS (SELECT doc_id,
-           '<html><head><title>T</title><style type="text/css">p{x:1}</style>'
-           || '<script>if (a &amp;&amp; b) { f(); }</script></head><body><h1>'
-           || source || '</h1><!-- hidden --><p class="main">' || text
-           || '</p><p>Q &amp; A &lt;tag&gt; &quot;x&quot; &#39;y&#39;&nbsp;z &amp;lt;esc&gt;</p></body></html>'
-             AS html
-         FROM documents),
-         t AS (SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-             '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-             '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-             '(?s)<!--.*?-->', ' ', 'g'),
-             '(?s)<[^>]+>', ' ', 'g') AS x
-         FROM h),
-         e AS (SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-           regexp_replace(regexp_replace(x,
-             '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
-             '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS x
-         FROM t)
-         SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS clean,
-                CAST(length(trim(regexp_replace(x, '\s+', ' ', 'g'))) AS BIGINT)
-                  AS n_chars
-         FROM e ORDER BY doc_id""")
+      s"""WITH h AS (SELECT doc_id, $htmlShellSql AS html FROM documents),
+         c AS (SELECT doc_id, ${stripHtmlSql("html")} AS clean FROM h)
+         SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars
+         FROM c ORDER BY doc_id""",
+    // End-to-end web ingest: canonical-URL keepers -> HTML extraction
+    // -> >= 25-token gate -> exact dedup -> per-source stage audit.
+    "q135_web_ingest" ->
+      s"""WITH u AS (SELECT doc_id, $urlVariantSql AS url FROM documents),
+         $urlCanonSqlCtes,
+         k AS (SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY url),
+         h AS (SELECT d.doc_id, d.source, $htmlShellSql AS html
+               FROM documents d JOIN k USING (doc_id)),
+         c AS (SELECT doc_id, source, ${stripHtmlSql("html")} AS clean FROM h),
+         gt AS (SELECT * FROM c WHERE len(string_split(clean, ' ')) >= 25),
+         dd AS (SELECT MIN(doc_id) AS doc_id FROM gt
+                GROUP BY lower(trim(clean))),
+         uq AS (SELECT gt.* FROM gt JOIN dd USING (doc_id)),
+         a1 AS (SELECT source, count(*) AS n_pages FROM c GROUP BY source),
+         a2 AS (SELECT source, count(*) AS n_gated FROM gt GROUP BY source),
+         a3 AS (SELECT source, count(*) AS n_unique,
+                       CAST(SUM(len(string_split(clean, ' '))) AS BIGINT)
+                         AS n_tokens
+                FROM uq GROUP BY source)
+         SELECT a1.source, a1.n_pages,
+                coalesce(a2.n_gated, 0) AS n_gated,
+                coalesce(a3.n_unique, 0) AS n_unique,
+                coalesce(a3.n_tokens, 0) AS n_tokens
+         FROM a1 LEFT JOIN a2 USING (source) LEFT JOIN a3 USING (source)
+         ORDER BY source""")
 }

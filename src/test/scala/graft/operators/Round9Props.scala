@@ -53,6 +53,17 @@ object Round9Props extends Properties("round9") {
       }
     }
 
+  property("stripHtml on markup-free text = whitespace collapse (and is idempotent)") =
+    Prop.forAll(Gen.listOfN(30, Gen.oneOf(word, Gen.const(" "), Gen.const("  ")))) { parts =>
+      import spark.implicits._
+      val raw = parts.mkString(" ")
+      val out = Seq(raw).toDF("t")
+        .select(TextAnalysis.stripHtml(col("t"))).as[String].head()
+      val again = Seq(out).toDF("t")
+        .select(TextAnalysis.stripHtml(col("t"))).as[String].head()
+      out == raw.trim.replaceAll("\\s+", " ") && again == out
+    }
+
   property("semDedup cellCap only under-dedups: capped survivors ⊇ uncapped") =
     Prop.forAll(Gen.choose(2, 30), Gen.choose(1, 6)) { (nVecs, cap) =>
       import spark.implicits._
