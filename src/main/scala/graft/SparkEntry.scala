@@ -2705,6 +2705,17 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Export manifest (q136): the per-shard receipt — doc count, token
+    * total, order-independent XOR content digest, dense-position
+    * check — a consumer re-derives from delivered files to detect any
+    * dropped/duplicated/altered document. */
+  private def exportManifestQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.exportManifest(Tables.documents(s, dir), "doc_id", "text",
+        nShards = 16)
+      .orderBy(col("shard"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2844,7 +2855,8 @@ object SparkEntry {
     "q132_streaming_bloom_gate" -> (streamingBloomGate _),
     "q133_vector_index_nightly" -> (vectorIndexNightlyQuery _),
     "q134_html_extract" -> (stripHtmlQuery _),
-    "q135_web_ingest" -> (webIngestQuery _))
+    "q135_web_ingest" -> (webIngestQuery _),
+    "q136_export_manifest" -> (exportManifestQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3043,7 +3055,7 @@ object SparkEntry {
     "q128_hash_index_nightly", "q129_weighted_neardup",
     "q130_curation_composed", "q131_url_dedup",
     "q133_vector_index_nightly", "q134_html_extract",
-    "q135_web_ingest")
+    "q135_web_ingest", "q136_export_manifest")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5658,5 +5670,18 @@ object SparkEntry {
                 coalesce(a3.n_unique, 0) AS n_unique,
                 coalesce(a3.n_tokens, 0) AS n_tokens
          FROM a1 LEFT JOIN a2 USING (source) LEFT JOIN a3 USING (source)
-         ORDER BY source""")
+         ORDER BY source""",
+    // Export manifest: q84's shard rule, XOR content digest (order-
+    // independent, overflow-free), dense-position audit as count-1.
+    "q136_export_manifest" ->
+      """WITH a AS (SELECT doc_id, text,
+           ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 16
+             AS shard,
+           ('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT AS ch
+         FROM documents)
+         SELECT shard, count(*) AS n_docs,
+                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+                bit_xor(ch) AS content_digest,
+                count(*) - 1 AS max_pos
+         FROM a GROUP BY shard ORDER BY shard""")
 }

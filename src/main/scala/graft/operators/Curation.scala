@@ -330,6 +330,34 @@ object Curation {
       .drop("_h")
   }
 
+  /** Verifiable export manifest — the receipt a training run checks
+    * before trusting a delivered corpus: per [[shuffleAssign]] shard,
+    * the doc count, token total, an order-independent content digest
+    * (`bit_xor` of the per-doc normalized-content hashes — XOR
+    * commutes, never overflows, and both engines compute it exactly,
+    * unlike a SUM that trips ANSI overflow at corpus scale), and the
+    * max position (must equal n_docs − 1: dense positions or the
+    * export is torn). A consumer re-derives the same relation from
+    * the delivered files and diffs — any dropped, duplicated, or
+    * altered document flips its shard's digest.
+    *
+    * Shape: one shuffle (the shard assignment's own), map-side
+    * partial aggregates, nShards output rows. */
+  def exportManifest(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int): DataFrame =
+    shuffleAssign(docs, idCol, nShards)
+      .withColumn("_ch",
+        TextDedup.md5Hash60(TextDedup.norm(col(textCol))))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextDedup.words(col(textCol)))).cast(LongType)
+          .as("n_tokens"),
+        expr("bit_xor(_ch)").as("content_digest"),
+        max(col("pos")).as("max_pos"))
+
   /** The materialization step [[packSequences]]'s docstring promises:
     * split each boundary-straddling doc at the bin edge. Every doc
     * gets `head_tokens = min(n_tokens, budget − bin_offset)` in its

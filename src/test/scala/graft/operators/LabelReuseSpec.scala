@@ -44,4 +44,23 @@ class LabelReuseSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet -- losers
     viaLabels shouldBe dedupSelf
   }
+
+  test("export manifest: row-order invariant; any altered doc flips exactly its shard's digest") {
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    def rows(df: org.apache.spark.sql.DataFrame) = Curation
+      .exportManifest(df, "doc_id", "text", nShards = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val base = rows(docs)
+    // dense positions: max_pos == n_docs - 1 on every shard
+    base.foreach { case (_, n, _, _, maxPos) => maxPos shouldBe n - 1 }
+    // reordering/partitioning the input must not move the manifest
+    rows(docs.repartition(13).orderBy($"text")) shouldBe base
+    // tamper with ONE doc: its shard's digest flips, all others hold
+    val tampered = rows(docs.withColumn("text",
+      when($"doc_id" === 123L, concat($"text", lit(" tampered")))
+        .otherwise($"text")))
+    val changed = base.diff(tampered).map(_._1)
+    changed.size shouldBe 1
+    tampered.diff(base).map(_._1) shouldBe changed
+  }
 }

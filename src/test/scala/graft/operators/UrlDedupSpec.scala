@@ -40,6 +40,21 @@ class UrlDedupSpec extends SparkSpec {
       Seq("http://example.com/x", "http://example.com:443/x")
   }
 
+  test("degenerate inputs: empty corpus and non-URL strings don't blow up") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "url")
+    TextDedup.urlDedup(empty, "doc_id", "url").count() shouldBe 0L
+    // non-URL input normalizes to the documented degenerate "://"
+    norm("not a url", "") shouldBe Seq("://", "://")
+
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    TextDedup.weightedLshCandidatePairs(emptyDocs, "doc_id", "text")
+      .count() shouldBe 0L
+    TextDedup.dfTokenWeights(emptyDocs, "doc_id", "text").count() shouldBe 0L
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    Similarity.semDedupCellAudit(emptyVecs,
+      Seq((0L, Array(1.0f))), cellCap = 5).count() shouldBe 0L
+  }
+
   test("urlDedup keeps the min-id variant with an exact count") {
     val rows = Seq(
       (10L, "https://www.example.com/p?x=1"),
