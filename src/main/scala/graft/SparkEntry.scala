@@ -2716,6 +2716,14 @@ object SparkEntry {
       .orderBy(col("shard"))
   }
 
+  /** Integer equi-width histogram (q137): doc-length distribution in
+    * 12 bins — q125's distribution twin, exact integer bin math. */
+  private def histogramQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.histogram(Tables.documents(s, dir), col("n_chars"), nBins = 12)
+      .orderBy(col("bin"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2856,7 +2864,8 @@ object SparkEntry {
     "q133_vector_index_nightly" -> (vectorIndexNightlyQuery _),
     "q134_html_extract" -> (stripHtmlQuery _),
     "q135_web_ingest" -> (webIngestQuery _),
-    "q136_export_manifest" -> (exportManifestQuery _))
+    "q136_export_manifest" -> (exportManifestQuery _),
+    "q137_histogram" -> (histogramQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3055,7 +3064,7 @@ object SparkEntry {
     "q128_hash_index_nightly", "q129_weighted_neardup",
     "q130_curation_composed", "q131_url_dedup",
     "q133_vector_index_nightly", "q134_html_extract",
-    "q135_web_ingest", "q136_export_manifest")
+    "q135_web_ingest", "q136_export_manifest", "q137_histogram")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5683,5 +5692,14 @@ object SparkEntry {
                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
                 bit_xor(ch) AS content_digest,
                 count(*) - 1 AS max_pos
-         FROM a GROUP BY shard ORDER BY shard""")
+         FROM a GROUP BY shard ORDER BY shard""",
+    // Integer equi-width histogram: same clamp((v-mn)*12 // span)
+    // bin rule; empty bins absent on both sides.
+    "q137_histogram" ->
+      """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+         mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM s)
+         SELECT CASE WHEN mx = mn THEN 0
+                     ELSE LEAST(11, (v - mn) * 12 // (mx - mn + 1)) END AS bin,
+                count(*) AS n_rows, mn, mx
+         FROM s, mm GROUP BY 1, mn, mx ORDER BY bin""")
 }

@@ -264,4 +264,27 @@ object Analytics {
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Equi-width integer histogram — [[profile]]'s distribution twin:
+    * `bin = clamp((v − mn)·nBins div (mx − mn + 1), 0, nBins−1)`,
+    * pure integer math so both engines bin identically (no float
+    * width, no rounding-mode hazard). The min/max relation is one
+    * row (the q72 one-row crossJoin shape); the histogram itself is
+    * one partial-aggregating pass; empty bins are absent rows by
+    * construction. Output: (bin, n_rows, mn, mx), ordered by bin. */
+  def histogram(df: DataFrame, value: Column, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val mm = df.agg(min(value.cast(LongType)).as("mn"),
+      max(value.cast(LongType)).as("mx"))
+    df.select(value.cast(LongType).as("v"))
+      .crossJoin(broadcast(mm))
+      .select(
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            expr(s"(v - mn) * $nBins div (mx - mn + 1)"))).as("bin"),
+        col("mn"), col("mx"))
+      .groupBy(col("bin"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("bin"), col("n_rows"), col("mn"), col("mx"))
+  }
 }

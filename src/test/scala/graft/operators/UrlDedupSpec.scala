@@ -55,6 +55,17 @@ class UrlDedupSpec extends SparkSpec {
       Seq((0L, Array(1.0f))), cellCap = 5).count() shouldBe 0L
   }
 
+  test("histogram: exact integer bins, clamped ends, single-value degenerate") {
+    val df = (0L to 99L).toDF("v")
+    val out = Analytics.histogram(df, $"v", nBins = 10)
+      .orderBy($"bin").as[(Long, Long, Long, Long)].collect()
+    // span 100, 10 bins of exactly 10; mn=0 mx=99 on every row
+    out shouldBe (0L until 10L).map(b => (b, 10L, 0L, 99L)).toArray
+    val one = Seq(7L, 7L, 7L).toDF("v")
+    Analytics.histogram(one, $"v", nBins = 5)
+      .as[(Long, Long, Long, Long)].collect() shouldBe Array((0L, 3L, 7L, 7L))
+  }
+
   test("urlDedup keeps the min-id variant with an exact count") {
     val rows = Seq(
       (10L, "https://www.example.com/p?x=1"),
