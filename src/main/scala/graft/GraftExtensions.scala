@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotProduct, BloomFilterAgg, BloomMightContain, CharEntropy, KMinValues, TopKByScore}
+import graft.functions.{ArrayDotProduct, ArraySqDistLong, BloomFilterAgg, BloomMightContain, CharEntropy, GramAgg, KMinValues, TopKByScore}
 
 /** Engine extensions. Deployable two ways:
   *  - cluster: `spark.sql.extensions=graft.GraftExtensions`
@@ -57,7 +57,17 @@ object GraftExtensions {
       new FunctionIdentifier("graft_char_entropy"),
       new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
       arity("graft_char_entropy", 1, "graft_char_entropy(text)")(
-        children => CharEntropy(children(0)))))
+        children => CharEntropy(children(0)))),
+    (
+      new FunctionIdentifier("graft_sqdist_long"),
+      new ExpressionInfo(classOf[ArraySqDistLong].getName, "graft_sqdist_long"),
+      arity("graft_sqdist_long", 2, "graft_sqdist_long(a, b)")(
+        children => ArraySqDistLong(children(0), children(1)))),
+    (
+      new FunctionIdentifier("graft_gram"),
+      new ExpressionInfo(classOf[GramAgg].getName, "graft_gram"),
+      arity("graft_gram", 2, "graft_gram(qvec, dims)")(
+        children => GramAgg(children(0), children(1)))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

@@ -2724,6 +2724,78 @@ object SparkEntry {
       .orderBy(col("bin"))
   }
 
+  /** Corpus-scale k-means fit (q138): 8 centroids × 3 full Lloyd
+    * iterations over the embeddings table in exact offset-micro
+    * integer arithmetic — the trainer that PRODUCES the pinned
+    * centroid artifacts the IVF family (q50/q70/q89/q133) consumes.
+    * Vectors never leave the executors: each iteration is a map-only
+    * codegen'd argmin pass plus one shuffle of 8-byte per-(cell, dim)
+    * partial sums; only the k×dims model reaches the driver. */
+  private def kmeansFitQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.kmeansFit(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 3)
+      .orderBy(col("cell"), col("d"))
+  }
+
+  /** Covariance sufficient statistics (q139): (n, Σxᵢ, Σxᵢxⱼ) for all
+    * 2,080 dim pairs of the embeddings table in ONE graft_gram
+    * aggregate pass — kilo-unit exact integers, corpus never shuffles
+    * (one flat long buffer per partition, merged by addition). The
+    * PCA/whitening front door; covariance numerator = n·s12 − s1·s2
+    * driver-side. */
+  private def covarianceStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.covarianceStats(Tables.embeddings(s, dir), "embedding", dims = 64)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Key-skew audit (q140): top-15 heaviest user_id keys in the events
+    * stream with exact ppm shares against the global bucket-size
+    * distribution (n_total/n_keys/max/p99) — the diagnostic run BEFORE
+    * committing a 100 TB shuffle to a key, deciding salting/AQE skew
+    * handling. One shuffle to the key-count relation; every window
+    * after runs over that rollup. */
+  private def keySkewAuditQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.keySkewAudit(Tables.events(s, dir), "user_id", topK = 15)
+      .orderBy(col("rank"))
+  }
+
+  /** Snapshot fixture for the card-maintenance tick (q141): the q98
+    * membership churn PLUS a metadata-only edit — doc_id%10==5 rows
+    * change text AND source, exercising the "same text, new tag" path
+    * a text-only digest would miss. */
+  private def cardSnapshotFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir)
+    val oldSnap = d.filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val newSnap = d.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("lang"),
+        when(col("doc_id") % 10 === 5, lit("patched"))
+          .otherwise(col("source")).as("source"))
+    (oldSnap, newSnap)
+  }
+
+  /** Delta-maintained data card (q141): the card state is BUILT over
+    * the old snapshot, one [[graft.jobs.CardMaintenance]] tick brings
+    * it to the new snapshot at O(changed) cost, and the output is the
+    * card derived from the MAINTAINED state. The DuckDB oracle
+    * computes the card directly over the new snapshot — the hash
+    * compare IS the delta≡rebuild gate for aggregate maintenance, the
+    * q127/q128 contract extended from indexes to views. */
+  private def cardNightlyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.CardMaintenance
+    val (o, n) = cardSnapshotFixture(s, dir)
+    val st = CardMaintenance.rebuild(o, "doc_id", "text")
+    CardMaintenance.card(CardMaintenance.nightly(st, o, n, "doc_id", "text"))
+      .orderBy(col("lang"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2865,7 +2937,11 @@ object SparkEntry {
     "q134_html_extract" -> (stripHtmlQuery _),
     "q135_web_ingest" -> (webIngestQuery _),
     "q136_export_manifest" -> (exportManifestQuery _),
-    "q137_histogram" -> (histogramQuery _))
+    "q137_histogram" -> (histogramQuery _),
+    "q138_kmeans_fit" -> (kmeansFitQuery _),
+    "q139_covariance_stats" -> (covarianceStatsQuery _),
+    "q140_key_skew_audit" -> (keySkewAuditQuery _),
+    "q141_card_nightly" -> (cardNightlyQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3064,7 +3140,9 @@ object SparkEntry {
     "q128_hash_index_nightly", "q129_weighted_neardup",
     "q130_curation_composed", "q131_url_dedup",
     "q133_vector_index_nightly", "q134_html_extract",
-    "q135_web_ingest", "q136_export_manifest", "q137_histogram")
+    "q135_web_ingest", "q136_export_manifest", "q137_histogram",
+    "q138_kmeans_fit", "q139_covariance_stats", "q140_key_skew_audit",
+    "q141_card_nightly")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5701,5 +5779,127 @@ object SparkEntry {
          SELECT CASE WHEN mx = mn THEN 0
                      ELSE LEAST(11, (v - mn) * 12 // (mx - mn + 1)) END AS bin,
                 count(*) AS n_rows, mn, mx
-         FROM s, mm GROUP BY 1, mn, mx ORDER BY bin""")
+         FROM s, mm GROUP BY 1, mn, mx ORDER BY bin""",
+    "q138_kmeans_fit" -> kmeansOracleSql(k = 8, iters = 3, dims = 64),
+    // Covariance sufficient stats: kilo-unit integer sums per dim pair
+    // (i <= j) — the graft_gram buffer, re-derived relationally.
+    "q139_covariance_stats" ->
+      """WITH q AS (SELECT list_transform(range(64), d ->
+                      CAST(round(embedding[CAST(d + 1 AS INTEGER)]::DOUBLE * 1e3) AS BIGINT)) AS qv
+                    FROM embeddings),
+         p AS (SELECT CAST(d1.d AS BIGINT) AS d1, CAST(d2.d AS BIGINT) AS d2,
+                      qv[CAST(d1.d + 1 AS INTEGER)] AS x1,
+                      qv[CAST(d2.d + 1 AS INTEGER)] AS x2
+               FROM q
+               CROSS JOIN (SELECT unnest(range(64)) AS d) d1
+               CROSS JOIN (SELECT unnest(range(64)) AS d) d2
+               WHERE d1.d <= d2.d)
+         SELECT d1, d2, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x1) AS BIGINT) AS s1,
+                CAST(sum(x2) AS BIGINT) AS s2,
+                CAST(sum(x1 * x2) AS BIGINT) AS s12
+         FROM p GROUP BY d1, d2 ORDER BY d1, d2""",
+    // Key-skew audit: exact order statistics over the per-key count
+    // relation; p99 = bucket size at ascending position ceil(0.99 * K).
+    "q140_key_skew_audit" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                           CAST(count(*) AS BIGINT) AS n_rows
+                    FROM events GROUP BY 1),
+         t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+                      CAST(count(*) AS BIGINT) AS n_keys,
+                      CAST(max(n_rows) AS BIGINT) AS max_n FROM c),
+         p AS (SELECT n_rows AS p99_n FROM (
+                 SELECT n_rows,
+                        row_number() OVER (ORDER BY n_rows ASC, key ASC) AS pos,
+                        count(*) OVER () AS nk
+                 FROM c)
+               WHERE pos = CAST(ceil(0.99 * nk) AS BIGINT)),
+         r AS (SELECT key, n_rows,
+                      row_number() OVER (ORDER BY n_rows DESC, key ASC) AS rnk
+               FROM c)
+         SELECT CAST(r.rnk AS BIGINT) AS "rank", r.key, r.n_rows,
+                CAST(r.n_rows * 1000000 // t.n_total AS BIGINT) AS share_ppm,
+                t.n_total, t.n_keys, t.max_n, p.p99_n,
+                (r.n_rows > 4 * (t.n_total // t.n_keys)) AS hot
+         FROM r, t, p WHERE r.rnk <= 15 ORDER BY "rank"""",
+    // Delta-maintained card: oracle = the q97 card computed DIRECTLY
+    // over the new snapshot (text+source edits on %10==5, membership
+    // churn as q98) — equality proves the maintained state.
+    "q141_card_nightly" ->
+      """WITH nsnap AS (SELECT doc_id,
+                CASE WHEN doc_id % 10 = 5 THEN text || ' v2' ELSE text END AS text,
+                lang,
+                CASE WHEN doc_id % 10 = 5 THEN 'patched' ELSE source END AS source
+              FROM documents WHERE doc_id % 10 <> 7),
+         df AS (SELECT lang, count(*) AS n_docs,
+                       count(DISTINCT lower(trim(text))) AS n_distinct_texts,
+                       count(DISTINCT source) AS n_sources,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+                FROM nsnap GROUP BY lang),
+         tf AS (SELECT lang, count(DISTINCT t) AS distinct_words
+                FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM nsnap) x
+                WHERE t <> '' GROUP BY lang)
+         SELECT df.lang, n_docs,
+                n_docs - n_distinct_texts AS n_exact_dups,
+                n_sources, total_tokens,
+                total_tokens * 1000 // n_docs AS mean_tokens_milli,
+                distinct_words
+         FROM df JOIN tf USING (lang) ORDER BY df.lang""")
+
+  /** q138 oracle generator — the iteration CTEs are unrolled
+    * mechanically from the same (k, iters) the Spark call uses (the
+    * minHashCoeffsSql pattern: one set of constants drives both
+    * sides). Mirrors kmeansFit exactly: offset-micro quantization,
+    * bottom-k-by-md5 seeding, exact-integer argmin with smaller-cell
+    * ties, `sum // n` centroid update with empty-cell carry. */
+  private def kmeansOracleSql(k: Int, iters: Int, dims: Int): String = {
+    def iterCtes(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""d$i AS (SELECT q.id, c.cell,
+                sum((q.qv[CAST(c.d + 1 AS INTEGER)] - c.c)
+                    * (q.qv[CAST(c.d + 1 AS INTEGER)] - c.c)) AS d2
+              FROM q CROSS JOIN $prev c GROUP BY q.id, c.cell),
+         a$i AS (SELECT id, cell FROM (
+                  SELECT id, cell,
+                         row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rn
+                  FROM d$i) WHERE rn = 1),
+         s$i AS (SELECT a.cell, dd.d,
+                        sum(q.qv[CAST(dd.d + 1 AS INTEGER)]) AS s, count(*) AS n
+              FROM q JOIN a$i a USING (id)
+              CROSS JOIN (SELECT CAST(unnest(range($dims)) AS BIGINT) AS d) dd
+              GROUP BY a.cell, dd.d),
+         c$i AS (SELECT p.cell, p.d, CAST(coalesce(s.s // s.n, p.c) AS BIGINT) AS c
+              FROM $prev p LEFT JOIN s$i s ON p.cell = s.cell AND p.d = s.d)"""
+    }
+    s"""WITH q AS (SELECT vec_id AS id,
+              list_transform(range($dims), d ->
+                CAST(round((embedding[CAST(d + 1 AS INTEGER)]::DOUBLE + 1.0) * 1e6) AS BIGINT)) AS qv
+            FROM embeddings),
+       sd AS (SELECT id, qv,
+                row_number() OVER (ORDER BY
+                  ('0x' || substr(md5('kmseed:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT,
+                  id) - 1 AS cell
+              FROM q),
+       c0 AS (SELECT CAST(sd.cell AS BIGINT) AS cell, CAST(dd.d AS BIGINT) AS d,
+                     qv[CAST(dd.d + 1 AS INTEGER)] AS c
+              FROM sd CROSS JOIN (SELECT unnest(range($dims)) AS d) dd
+              WHERE sd.cell < $k),
+       ${(1 to iters).map(iterCtes).mkString(",\n       ")},
+       dF AS (SELECT q.id, c.cell,
+                sum((q.qv[CAST(c.d + 1 AS INTEGER)] - c.c)
+                    * (q.qv[CAST(c.d + 1 AS INTEGER)] - c.c)) AS d2
+              FROM q CROSS JOIN c$iters c GROUP BY q.id, c.cell),
+       aF AS (SELECT id, cell, d2 FROM (
+                SELECT id, cell, d2,
+                       row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rn
+                FROM dF) WHERE rn = 1),
+       st AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+                     CAST(sum(d2) AS BIGINT) AS sum_d2
+              FROM aF GROUP BY cell)
+       SELECT c.cell, c.d, c.c,
+              coalesce(st.n_vectors, 0) AS n_vectors,
+              coalesce(st.sum_d2, 0) AS sum_d2
+       FROM c$iters c LEFT JOIN st USING (cell)
+       ORDER BY c.cell, c.d"""
+  }
 }

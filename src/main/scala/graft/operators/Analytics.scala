@@ -287,4 +287,54 @@ object Analytics {
       .agg(count(lit(1)).as("n_rows"))
       .select(col("bin"), col("n_rows"), col("mn"), col("mx"))
   }
+
+  /** Key-skew audit — the pre-join diagnostic that decides whether a
+    * key needs salting / AQE skew handling BEFORE the 100 TB shuffle
+    * runs: the top-k heaviest keys with exact ppm share, against the
+    * global bucket-size distribution (total rows, distinct keys, mean,
+    * p99 and max bucket size).
+    *
+    * Definitions (all exact integers, deterministic ties):
+    *  - mean_n = n_total div n_keys;
+    *  - p99_n  = the bucket size at position ceil(0.99 · n_keys) when
+    *    buckets are ordered (n ASC, key ASC) — an exact order
+    *    statistic, not an estimate;
+    *  - hot    = n_rows > 4 · mean_n (the classic skew rule of thumb).
+    *
+    * Shape at 100 TB: the input collapses to the per-key count
+    * relation in one shuffle (map-side partial counts); everything
+    * after — the global stats and both windows — runs over that
+    * key-count-sized relation. Top-k is a window over ONE ordered
+    * relation; for key cardinalities where even that relation is huge,
+    * the [[profile]] escape-hatch note applies (approx sketches), but
+    * the audit is usually run exactly BECAUSE the key count is
+    * suspected small. */
+  def keySkewAudit(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    // p99 = n_rows of the bucket whose ascending (n, key) position is
+    // ceil(0.99 * n_keys): rank every bucket once, keep the one whose
+    // position equals the target — both windows run over the same
+    // key-count-sized relation
+    val byN = Window.orderBy(col("n_rows").asc, col("key").asc)
+    val p99 = counts
+      .select(col("n_rows"), row_number().over(byN).as("_pos"),
+        count(lit(1)).over(Window.partitionBy()).as("_nk"))
+      .filter(col("_pos") === ceil(lit(0.99) * col("_nk")).cast(LongType))
+      .select(col("n_rows").as("p99_n"))
+    val totals = counts.agg(
+      sum(col("n_rows")).as("n_total"),
+      count(lit(1)).as("n_keys"),
+      max(col("n_rows")).as("max_n"))
+    val byTop = Window.orderBy(col("n_rows").desc, col("key").asc)
+    counts.withColumn("rank", row_number().over(byTop))
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(p99))
+      .select(col("rank"), col("key"), col("n_rows"),
+        expr("n_rows * 1000000 div n_total").as("share_ppm"),
+        col("n_total"), col("n_keys"), col("max_n"), col("p99_n"),
+        (col("n_rows") > lit(4L) * expr("n_total div n_keys")).as("hot"))
+  }
 }

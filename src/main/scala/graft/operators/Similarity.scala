@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -1034,5 +1034,140 @@ object Similarity {
           .otherwise(lit(null).cast("double")).as("cos_centroid"))
       .withColumn("outlier",
         coalesce(col("cos_centroid") < minCos, lit(true)))
+  }
+
+  /** Corpus-scale k-means fit — full Lloyd iterations over the WHOLE
+    * corpus in exact integer arithmetic: the trainer that produces the
+    * pinned centroid artifacts [[ivfAssign]] / the nightly maintained
+    * vector index consume. [[lloydStepDeterministic]] is the
+    * sample-bounded single refinement step (it collects per-cell
+    * member lists); this is the distributed form — vectors never
+    * collect anywhere. Each iteration is one map-only assignment pass
+    * (k codegen'd `graft_sqdist_long` evaluations per row against
+    * plan-literal centroids, argmin via `least(struct(d2, cell))` so
+    * ties go to the smaller cell) plus ONE shuffle of 8-byte
+    * per-(cell, dim) partial sums; only the k×dims integer sum
+    * relation reaches the driver (the model, not the data).
+    *
+    * Determinism / oracle contract (k-means is normally RNG-soup; this
+    * one is bit-reproducible cross-engine):
+    *  - coordinates quantize once to OFFSET-micro units
+    *    `q = round((v + 1) · 1e6)` — the +1 shift keeps every value,
+    *    sum, and division non-negative (so floor and truncating
+    *    integer division agree in every engine), and squared-L2
+    *    distances are shift-invariant;
+    *  - seeds = the k rows with the SMALLEST md5-derived hash of
+    *    `"kmseed:" + id` (id tie-break), cells numbered 0..k-1 in that
+    *    order — the bottom-k-by-hash sample, not an RNG;
+    *  - update = per-dim `sum div n`; a cell that ends an iteration
+    *    empty keeps its previous centroid;
+    *  - inertia = exact long sum of final min squared distances.
+    *
+    * Scale notes: the quantized projection is persisted because Lloyd
+    * re-reads it `iters + 1` times — the standard iterative-ML cache
+    * posture (Spark MLlib KMeans does the same). Long partial sums
+    * hold to ~10¹² rows per (cell, dim) at micro-unit scale.
+    *
+    * Output: (cell, d, c, n_vectors, sum_d2) — k×dims rows; `c` in
+    * offset-micro units; `n_vectors`/`sum_d2` from the final
+    * assignment (0/0 for a cell that ends empty). */
+  def kmeansFit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 2, "kmeansFit needs k >= 2")
+    require(iters >= 1, "kmeansFit needs iters >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          x => round((x.cast(DoubleType) + lit(1.0d)) * lit(1e6)).cast(LongType))
+          .as("qv"))
+      .persist()
+    val seedRows = q
+      .withColumn("_h",
+        TextDedup.md5Hash60(concat(lit("kmseed:"), col("id").cast("string"))))
+      .orderBy(col("_h"), col("id")).limit(k)
+      .select(col("qv")).collect()
+    require(seedRows.length == k, s"kmeansFit: corpus has < $k rows")
+    var cents: Seq[(Long, Array[Long])] = seedRows.toSeq.zipWithIndex.map {
+      case (r, i) => i.toLong -> r.getSeq[Long](0).toArray
+    }
+    // argmin over plan-literal centroids: least() on (d2, cell) structs
+    // — exact long compare, ties to the smaller cell id.
+    def best: Column = least(cents.map { case (cid, cv) =>
+      struct(
+        call_function("graft_sqdist_long", col("qv"), typedLit(cv.toSeq)).as("d2"),
+        lit(cid).as("cell"))
+    }: _*)
+    for (_ <- 1 to iters) {
+      val sums = q.withColumn("cell", best.getField("cell"))
+        .select(col("cell"), posexplode(col("qv")).as(Seq("d", "v")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val byCell = sums.groupBy(_._1)
+      cents = cents.map { case (cid, prev) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val arr = prev.clone()
+            rows.foreach { case (_, d, s, n) => arr(d) = s / n }
+            cid -> arr
+          case None => cid -> prev // empty cell keeps its centroid
+        }
+      }
+    }
+    val stats = q.withColumn("_b", best)
+      .groupBy(col("_b").getField("cell").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("_b").getField("d2")).as("sum_d2"))
+    val centDf = cents.flatMap { case (cid, arr) =>
+      arr.zipWithIndex.map { case (c, d) => (cid, d.toLong, c) }
+    }.toDF("cell", "d", "c")
+    centDf.join(stats, Seq("cell"), "left")
+      .select(col("cell"), col("d"), col("c"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+        coalesce(col("sum_d2"), lit(0L)).as("sum_d2"))
+  }
+
+  /** Covariance / PCA sufficient statistics for an embedding column —
+    * the whitening-and-PCA front door: one pass produces (n, Σxᵢ,
+    * Σxᵢxⱼ) for every dim pair i ≤ j, from which the consumer derives
+    * the exact integer covariance numerator `n·s12 − s1·s2`, Pearson
+    * correlations, or the Gramian a driver-side eigensolve turns into
+    * principal axes (d×d is model-sized — the eigensolve is never
+    * distributed, the SUMS are).
+    *
+    * Coordinates quantize to KILO-units (round(v·1e3)) — coarse enough
+    * that long cross-product sums hold to ~10¹² rows (micro-units
+    * would overflow at ~3e7), precise enough for covariance structure;
+    * exact integers make the result bit-identical on any engine and
+    * partitioning.
+    *
+    * Shape at 100 TB: the corpus never shuffles — each partition folds
+    * into ONE `1 + d + d(d+1)/2` long buffer inside the
+    * `graft_gram` native aggregate (the posexplode² encoding would
+    * generate ~2k rows per corpus row before aggregating; the buffer
+    * keeps that fan-out in registers), partials merge by vector
+    * addition, and only the final d²-sized row set is produced. */
+  def covarianceStats(df: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    val q = df.select(transform(col(vecCol),
+      x => round(x.cast(DoubleType) * lit(1e3)).cast(LongType)).as("qv"))
+    val g = q.agg(call_function("graft_gram", col("qv"), lit(dims)).as("g"))
+    // unpack the flat buffer into (d1, d2, n, s1, s2, s12) rows — one
+    // input row, pure plan-side index arithmetic
+    def tri(i: Column, j: Column): Column = // 1-based element_at position
+      lit(2 + dims) + i * lit(dims) - ((i * (i - lit(1))) / lit(2)).cast("int") +
+        (j - i)
+    val pairs = flatten(transform(sequence(lit(0), lit(dims - 1)), i =>
+      transform(sequence(i, lit(dims - 1)), j =>
+        struct(i.cast(LongType).as("d1"), j.cast(LongType).as("d2"),
+          element_at(col("g"), 1).as("n"),
+          element_at(col("g"), i + lit(2)).as("s1"),
+          element_at(col("g"), j + lit(2)).as("s2"),
+          element_at(col("g"), tri(i, j)).as("s12")))))
+    g.select(explode(pairs).as("p")).select(col("p.*"))
   }
 }
