@@ -2796,6 +2796,34 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** JL-projected ANN (q142): brute cosine top-5 in a 16-dim md5-sign
+    * Johnson–Lindenstrauss projection of the 64-dim embeddings — the
+    * model-free twin of q99's matryoshka prefix (any embedding gets
+    * the 4× search-cost cut, no retraining), with the same inline
+    * full-dim recall audit. Projection is map-only plan-literal ±1
+    * dots; the scored space pays outDims multiplies per pair. */
+  private def jlAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.jlTopK(q, c, dims = 64, outDims = 16, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Vocabulary coverage curve (q143): corpus-token coverage ppm of a
+    * top-V vocabulary at six size checkpoints — the tokenizer-sizing
+    * curve, computed from the count-class histogram (no vocab-wide
+    * window; the budgetSelect prefix trick over frequencies). */
+  private def vocabCoverageQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text",
+        Seq(16L, 64L, 256L, 1024L, 4096L, 16384L))
+      .orderBy(col("v"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2941,7 +2969,9 @@ object SparkEntry {
     "q138_kmeans_fit" -> (kmeansFitQuery _),
     "q139_covariance_stats" -> (covarianceStatsQuery _),
     "q140_key_skew_audit" -> (keySkewAuditQuery _),
-    "q141_card_nightly" -> (cardNightlyQuery _))
+    "q141_card_nightly" -> (cardNightlyQuery _),
+    "q142_jl_ann" -> (jlAnn _),
+    "q143_vocab_coverage" -> (vocabCoverageQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3074,6 +3104,16 @@ object SparkEntry {
 
   /** Ordered double dot product over the first n dims — mirrors
     * graft_array_dot's left-to-right summation. */
+  /** Shared oracle fragment: the q142 JL sign projection — md5-parity
+    * ±1 per (j, d), one double dot per output coordinate cast to
+    * FLOAT, mirroring Similarity.jlProject bit-for-bit. */
+  private def jlProjSql(vecExpr: String, outDims: Int, dims: Int): String =
+    s"""list_transform(range($outDims), j ->
+          CAST(list_sum(list_transform(range($dims), d ->
+            (CASE WHEN ('0x' || substr(md5('jl-' || j || '-' || d), 1, 15))::BIGINT % 2 = 1
+                  THEN 1.0 ELSE -1.0 END)
+            * $vecExpr[CAST(d + 1 AS INTEGER)]::DOUBLE)) AS FLOAT))"""
+
   private def dotSqlN(va: String, vb: String, n: Int): String =
     s"""list_sum(list_transform(range($n), d ->
          $va[CAST(d + 1 AS INTEGER)]::DOUBLE * $vb[CAST(d + 1 AS INTEGER)]::DOUBLE))"""
@@ -3142,7 +3182,7 @@ object SparkEntry {
     "q133_vector_index_nightly", "q134_html_extract",
     "q135_web_ingest", "q136_export_manifest", "q137_histogram",
     "q138_kmeans_fit", "q139_covariance_stats", "q140_key_skew_audit",
-    "q141_card_nightly")
+    "q141_card_nightly", "q142_jl_ann", "q143_vocab_coverage")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5844,7 +5884,57 @@ object SparkEntry {
                 n_sources, total_tokens,
                 total_tokens * 1000 // n_docs AS mean_tokens_milli,
                 distinct_words
-         FROM df JOIN tf USING (lang) ORDER BY df.lang""")
+         FROM df JOIN tf USING (lang) ORDER BY df.lang""",
+    // JL ANN: 16-dim md5-parity sign projection (same ±1 formula as
+    // the Spark plan literals), cosine rank in the reduced space,
+    // full-64-dim top-5 as the audit flag — the q99 contract.
+    "q142_jl_ann" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec,
+                           ${jlProjSql("embedding", 16, 64)} AS pq
+                    FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS id, embedding AS vec,
+                      ${jlProjSql("embedding", 16, 64)} AS pv
+               FROM embeddings WHERE vec_id >= 20),
+         ts AS (SELECT qid, id,
+                       round(${dotSqlN("pq", "pv", 16)} /
+                         (sqrt(${dotSqlN("pq", "pq", 16)}) *
+                          sqrt(${dotSqlN("pv", "pv", 16)})), 6) AS cos
+                FROM q JOIN c ON qid <> id),
+         tr AS (SELECT qid, id, cos,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, id) AS rank
+                FROM ts),
+         fs AS (SELECT qid, id FROM (
+                  SELECT qid, id,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY ${cosSql("qvec", "vec")} DESC, id) AS r
+                  FROM q JOIN c ON qid <> id) x WHERE r <= 5)
+         SELECT t.qid, CAST(t.rank AS BIGINT) AS rank, t.id,
+                t.cos AS cos_jl,
+                CAST(CASE WHEN f.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                  AS in_full_topk
+         FROM tr t LEFT JOIN fs f ON t.qid = f.qid AND t.id = f.id
+         WHERE t.rank <= 5 ORDER BY t.qid, t.rank""",
+    // Vocab coverage: direct ordered cumsum over the vocabulary (the
+    // count-class formula the Spark side uses is order-equivalent
+    // within a class, so rank-V cum matches exactly).
+    "q143_vocab_coverage" ->
+      """WITH tk AS (SELECT t FROM (SELECT unnest(string_split(text, ' ')) AS t
+                                    FROM documents) x WHERE t <> ''),
+         vb AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY t),
+         r AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rnk,
+                      sum(c) OVER (ORDER BY c DESC, t
+                        ROWS UNBOUNDED PRECEDING) AS cum
+               FROM vb),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab_total,
+                        CAST(sum(c) AS BIGINT) AS token_total FROM vb),
+         cp AS (SELECT CAST(unnest([16, 64, 256, 1024, 4096, 16384]) AS BIGINT) AS v)
+         SELECT cp.v, CAST(r.cum AS BIGINT) AS cov_tokens,
+                CAST(r.cum * 1000000 // t.token_total AS BIGINT) AS coverage_ppm,
+                r.c AS floor_count, t.vocab_total, t.token_total
+         FROM cp CROSS JOIN tot t
+         JOIN r ON r.rnk = least(cp.v, t.vocab_total)
+         ORDER BY cp.v""")
 
   /** q138 oracle generator — the iteration CTEs are unrolled
     * mechanically from the same (k, iters) the Spark call uses (the

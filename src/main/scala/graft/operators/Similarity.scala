@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -55,13 +55,15 @@ object Similarity {
     * once driver-side and folded into a literal array at plan time —
     * the round-2 form re-evaluated md5 per row per (bit, dim): 384
     * interpreted digests per vector for a 6-bit/64-dim signature. */
-  private def planeSign(b: Int, d: Int): Float = {
+  private def md5Sign(seed: String): Float = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"hp-$b-$d".getBytes("UTF-8"))
+    val hex = md.digest(seed.getBytes("UTF-8"))
       .map(x => f"$x%02x").mkString
     if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 1) 1.0f
     else -1.0f
   }
+
+  private def planeSign(b: Int, d: Int): Float = md5Sign(s"hp-$b-$d")
 
   /** Sign-random-projection bucket id (nbits-bit LSH signature): nbits
     * codegen'd dot products against plan-time ±1 literal arrays (±1 is
@@ -71,6 +73,62 @@ object Similarity {
       val signs = lit((0 until dims).map(d => planeSign(b, d)).toArray)
       when(dot(vec, signs) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Johnson–Lindenstrauss SIGN projection to `outDims` dense
+    * dimensions: out[j] = Σ_d sign(j,d)·v[d], signs the deterministic
+    * md5-parity ±1 of [[signRandomProjection]] under a distinct `jl-`
+    * seed family. The DENSE counterpart of the 1-bit SRP bucket — and
+    * the model-free twin of [[matryoshkaTopK]]'s trained prefix dims:
+    * any embedding column gets a dims/outDims search-cost reduction
+    * with JL-lemma distortion, no retraining.
+    *
+    * No 1/√outDims normalization: every consumer here is cosine,
+    * which is scale-free — dropping the constant keeps the oracle one
+    * multiply simpler per term.
+    *
+    * Determinism: the sign matrix is built driver-side and folded
+    * into outDims plan-literal ±1 arrays (exact in float), each
+    * output coordinate is ONE codegen'd [[dot]] in double summed
+    * left-to-right, cast to float (one exactly-rounded IEEE op) — a
+    * DuckDB oracle reproduces every bit. Map-only; at 100 TB this is
+    * a projection pass, no shuffle at all. */
+  def jlProject(
+      df: DataFrame,
+      vecCol: String,
+      dims: Int,
+      outDims: Int,
+      as: String): DataFrame = {
+    require(outDims >= 1 && outDims <= dims,
+      s"outDims must be in [1, $dims], got $outDims")
+    val comps = (0 until outDims).map { j =>
+      val signs = lit(Array.tabulate(dims)(d => md5Sign(s"jl-$j-$d")))
+      dot(col(vecCol), signs).cast(FloatType)
+    }
+    df.withColumn(as, array(comps: _*))
+  }
+
+  /** JL-reduced brute-force top-k with the inline full-dim recall
+    * audit — [[matryoshkaTopK]]'s contract over [[jlProject]]ed
+    * vectors: rank in the reduced space (outDims multiplies per pair
+    * instead of dims), flag each hit against the full-dim top-k. */
+  def jlTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (id, vec)
+      dims: Int,
+      outDims: Int,
+      k: Int): DataFrame = {
+    val pq = jlProject(queries, "qvec", dims, outDims, "_p")
+      .select(col("qid"), col("_p").as("qvec"))
+    val pc = jlProject(corpus, "vec", dims, outDims, "_p")
+      .select(col("id"), col("_p").as("vec"))
+    val red = bruteForceTopKAgg(pq, pc, k)
+    val full = bruteForceTopKAgg(queries, corpus, k)
+      .select(col("qid"), col("id"), lit(1L).as("in_full_topk"))
+    red.join(full, Seq("qid", "id"), "left")
+      .select(col("qid"), col("rank"), col("id"),
+        col("cos").as("cos_jl"),
+        coalesce(col("in_full_topk"), lit(0L)).as("in_full_topk"))
+  }
 
   /** [[bruteForceTopK]] with the per-query top-k done by the bounded
     * `graft_topk` heap aggregate instead of a window sort: partials

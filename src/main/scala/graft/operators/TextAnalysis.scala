@@ -669,4 +669,62 @@ object TextAnalysis {
       when(den > 0 && vy > 0, round(cov * cov / (den * vy), 6))
         .otherwise(lit(null).cast("double")).as("r2"))
   }
+
+  /** Vocabulary coverage curve — the tokenizer-sizing question "what
+    * share of corpus tokens does a top-V vocabulary cover?" answered
+    * at each checkpoint V: cumulative covered tokens, exact integer
+    * coverage ppm, and the frequency floor (the V-th token's count —
+    * everything below it becomes `<unk>`/byte-fallback).
+    *
+    * The trick that makes it 100 TB-shaped: coverage at rank V never
+    * needs a vocabulary-wide ordered window. Tokens ranked
+    * (count DESC, token ASC) partition into count-classes; within a
+    * class every token contributes the SAME count, so
+    * `cum(V) = tokens_before(class) + (V − vocab_before(class)) · c`
+    * — computable from the count-class HISTOGRAM (one row per
+    * distinct frequency, ~O(√corpus-tokens) rows) with one exclusive
+    * prefix window over that tiny relation, the K84 budgetSelect
+    * prefix trick pointed at vocabulary instead of documents. The
+    * corpus pays one token-count shuffle; token text never rides
+    * past the vocab rollup.
+    *
+    * Checkpoints past the vocabulary clamp to full coverage (10⁶ ppm
+    * with the smallest count as floor). Output: (v, cov_tokens,
+    * coverage_ppm, floor_count, vocab_total, token_total). */
+  def vocabCoverage(
+      docs: DataFrame,
+      textCol: String,
+      checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints.forall(_ >= 1),
+      s"checkpoints must be >= 1: $checkpoints")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(words(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val hist = vocab.groupBy(col("c")).agg(count(lit(1)).as("n_at"))
+      .select(col("c"), col("n_at"), (col("n_at") * col("c")).as("tok_at"))
+    val ex = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val pre = hist
+      .withColumn("vocab_before", coalesce(sum(col("n_at")).over(ex), lit(0L)))
+      .withColumn("tokens_before", coalesce(sum(col("tok_at")).over(ex), lit(0L)))
+    val totals = vocab.agg(count(lit(1)).as("vocab_total"),
+      sum(col("c")).as("token_total"))
+    checkpoints.toDF("v")
+      .crossJoin(broadcast(totals))
+      .withColumn("_veff", least(col("v"), col("vocab_total")))
+      .join(broadcast(pre),
+        col("vocab_before") < col("_veff") &&
+          col("_veff") <= col("vocab_before") + col("n_at"))
+      .select(col("v"),
+        (col("tokens_before") + (col("_veff") - col("vocab_before")) * col("c"))
+          .as("cov_tokens"),
+        expr("(tokens_before + (_veff - vocab_before) * c) * 1000000 div token_total")
+          .as("coverage_ppm"),
+        col("c").as("floor_count"),
+        col("vocab_total"), col("token_total"))
+  }
 }
