@@ -2824,6 +2824,70 @@ object SparkEntry {
       .orderBy(col("v"))
   }
 
+  /** Delta-maintained covariance (q144): the q139 sufficient-stats
+    * state built over the OLD embedding snapshot (vec_id%10≠3), one
+    * covarianceDelta tick to the NEW snapshot (vec_id%10≠7, %10==5
+    * vectors sign-flipped) — output is the MAINTAINED state, oracle
+    * computes the stats directly over the new snapshot. The q141
+    * tick≡rebuild contract on the Gram relation. */
+  private def covarianceNightlyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val oldSnap = e.filter(col("vec_id") % 10 =!= 3)
+      .select(col("vec_id"), col("embedding"))
+    val newSnap = e.filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id"),
+        when(col("vec_id") % 10 === 5,
+            transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+    val st = Similarity.covarianceStats(oldSnap, "embedding", dims = 64)
+    Similarity.covarianceDelta(st, oldSnap, newSnap,
+        "vec_id", "embedding", dims = 64)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Retrained vector index (q146): the loop K101 left open — "retrain
+    * = scheduled rebuild" — actually closed: kmeansFit TRAINS fresh
+    * centroids on the corpus (2 exact-integer Lloyd iterations), the
+    * trained model converts to the float quantizer the IVF family
+    * uses, and ivfSqIndexBuild rebuilds the postings (cosine cell
+    * assignment + SQ8 codes) under it. The oracle re-derives the
+    * WHOLE composition — training included — via the shared kmeans
+    * CTE generator, so the trained-model index is hash-gated end to
+    * end, not just the assignment step. */
+  private def retrainedIndexQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val fit = Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
+      .select(col("cell"), col("d"), col("c")).collect()
+    val cents: Seq[(Long, Array[Float])] = fit.groupBy(_.getLong(0)).toSeq
+      .sortBy(_._1)
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getLong(1))
+          .map(r => (r.getLong(2).toDouble / 1e6 - 1.0).toFloat).toArray
+      }
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val scales = Similarity.sqTrain(corpus, "vec", dims = 64)
+    Similarity.ivfSqIndexBuild(corpus, "id", "vec", cents, scales)
+      .select(col("id"), col("cell"),
+        concat_ws(",", col("code")).as("code_str"))
+      .orderBy(col("id"))
+  }
+
+  /** Near-dup cluster-size histogram (q145): the q34 component labels
+    * rolled to cluster sizes and binned by the q137 integer histogram
+    * — the "how bad is my duplication" distribution an operator reads
+    * before choosing dedup aggressiveness. Pure composition: one
+    * cascade, one rollup, one aggregate pass. */
+  private def clusterSizeHistogramQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Analytics, TextDedup}
+    val labels = TextDedup.nearDupLabels(Tables.documents(s, dir),
+      "doc_id", "text")
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    Analytics.histogram(sizes, col("csize"), nBins = 8)
+      .orderBy(col("bin"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2971,7 +3035,10 @@ object SparkEntry {
     "q140_key_skew_audit" -> (keySkewAuditQuery _),
     "q141_card_nightly" -> (cardNightlyQuery _),
     "q142_jl_ann" -> (jlAnn _),
-    "q143_vocab_coverage" -> (vocabCoverageQuery _))
+    "q143_vocab_coverage" -> (vocabCoverageQuery _),
+    "q144_covariance_nightly" -> (covarianceNightlyQuery _),
+    "q145_cluster_size_histogram" -> (clusterSizeHistogramQuery _),
+    "q146_retrained_index" -> (retrainedIndexQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3182,7 +3249,9 @@ object SparkEntry {
     "q133_vector_index_nightly", "q134_html_extract",
     "q135_web_ingest", "q136_export_manifest", "q137_histogram",
     "q138_kmeans_fit", "q139_covariance_stats", "q140_key_skew_audit",
-    "q141_card_nightly", "q142_jl_ann", "q143_vocab_coverage")
+    "q141_card_nightly", "q142_jl_ann", "q143_vocab_coverage",
+    "q144_covariance_nightly", "q145_cluster_size_histogram",
+    "q146_retrained_index")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5934,15 +6003,83 @@ object SparkEntry {
                 r.c AS floor_count, t.vocab_total, t.token_total
          FROM cp CROSS JOIN tot t
          JOIN r ON r.rnk = least(cp.v, t.vocab_total)
-         ORDER BY cp.v""")
+         ORDER BY cp.v""",
+    // Delta-maintained covariance: oracle = the q139 stats computed
+    // DIRECTLY over the new snapshot (membership churn + sign-flipped
+    // %10==5 vectors) — equality proves the maintained Gram state.
+    "q144_covariance_nightly" ->
+      """WITH ns AS (SELECT vec_id,
+                CASE WHEN vec_id % 10 = 5
+                     THEN list_transform(embedding, x -> -x)
+                     ELSE embedding END AS embedding
+              FROM embeddings WHERE vec_id % 10 <> 7),
+         q AS (SELECT list_transform(range(64), d ->
+                 CAST(round(embedding[CAST(d + 1 AS INTEGER)]::DOUBLE * 1e3) AS BIGINT)) AS qv
+               FROM ns),
+         p AS (SELECT CAST(d1.d AS BIGINT) AS d1, CAST(d2.d AS BIGINT) AS d2,
+                      qv[CAST(d1.d + 1 AS INTEGER)] AS x1,
+                      qv[CAST(d2.d + 1 AS INTEGER)] AS x2
+               FROM q
+               CROSS JOIN (SELECT unnest(range(64)) AS d) d1
+               CROSS JOIN (SELECT unnest(range(64)) AS d) d2
+               WHERE d1.d <= d2.d)
+         SELECT d1, d2, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x1) AS BIGINT) AS s1,
+                CAST(sum(x2) AS BIGINT) AS s2,
+                CAST(sum(x1 * x2) AS BIGINT) AS s12
+         FROM p GROUP BY d1, d2 ORDER BY d1, d2""",
+    // Cluster-size histogram: the q34 component fragment rolled to
+    // sizes, binned with the q137 integer-histogram formula.
+    "q145_cluster_size_histogram" ->
+      s"""WITH RECURSIVE ${nearDupComponentsSql},
+         sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS csize
+                   FROM comp GROUP BY label),
+         mm AS (SELECT MIN(csize) AS mn, MAX(csize) AS mx FROM sizes)
+         SELECT CASE WHEN mx = mn THEN 0
+                     ELSE LEAST(7, (csize - mn) * 8 // (mx - mn + 1)) END AS bin,
+                count(*) AS n_rows, mn, mx
+         FROM sizes, mm GROUP BY 1, mn, mx ORDER BY bin""",
+    // Retrained index: the SAME kmeans CTE chain as q138 (k=8,
+    // iters=2) trains centroids in-oracle; trained offset-micro
+    // integers convert to FLOAT vectors, cells assign by the q133
+    // rounded-cosine rule, codes by the q79 SQ8 formula.
+    "q146_retrained_index" ->
+      s"""WITH ${kmeansCtesSql(8, 2, 64)},
+         cf AS (SELECT cell,
+                       list(CAST(CAST(c AS DOUBLE) / 1000000.0 - 1.0 AS FLOAT)
+                            ORDER BY d) AS cvec
+                FROM c2 GROUP BY cell),
+         dims AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS i),
+         co AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         sc AS (SELECT i, max(abs(CAST(vec[i + 1] AS DOUBLE))) AS s
+                FROM co, dims GROUP BY i),
+         asg AS (SELECT id, cell FROM (
+             SELECT co.id, cf.cell,
+                    row_number() OVER (PARTITION BY co.id
+                      ORDER BY ${cosSql("co.vec", "cf.cvec")} DESC, cf.cell) AS rn
+             FROM co CROSS JOIN cf) t WHERE rn = 1),
+         codes AS (SELECT id, sc.i,
+                          CASE WHEN s <= 0 THEN 0
+                               ELSE CAST(greatest(-127, least(127,
+                                 floor(CAST(vec[sc.i + 1] AS DOUBLE) / s * 127 + 0.5)))
+                                 AS BIGINT)
+                          END AS code
+                   FROM co, sc),
+         cs AS (SELECT id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY i)
+                         AS code_str
+                FROM codes GROUP BY id)
+         SELECT asg.id, asg.cell, cs.code_str
+         FROM asg JOIN cs USING (id) ORDER BY asg.id""")
 
-  /** q138 oracle generator — the iteration CTEs are unrolled
-    * mechanically from the same (k, iters) the Spark call uses (the
-    * minHashCoeffsSql pattern: one set of constants drives both
-    * sides). Mirrors kmeansFit exactly: offset-micro quantization,
-    * bottom-k-by-md5 seeding, exact-integer argmin with smaller-cell
-    * ties, `sum // n` centroid update with empty-cell carry. */
-  private def kmeansOracleSql(k: Int, iters: Int, dims: Int): String = {
+  /** q138/q146 shared oracle fragment: the exact-integer Lloyd
+    * iteration CTEs, unrolled mechanically from the same (k, iters)
+    * the Spark calls use (the minHashCoeffsSql pattern: one set of
+    * constants drives both sides). Mirrors kmeansFit exactly:
+    * offset-micro quantization, bottom-k-by-md5 seeding, exact-integer
+    * argmin with smaller-cell ties, `sum // n` centroid update with
+    * empty-cell carry. Final trained centroids live in CTE
+    * `c<iters>`. */
+  private def kmeansCtesSql(k: Int, iters: Int, dims: Int): String = {
     def iterCtes(i: Int): String = {
       val prev = s"c${i - 1}"
       s"""d$i AS (SELECT q.id, c.cell,
@@ -5961,7 +6098,7 @@ object SparkEntry {
          c$i AS (SELECT p.cell, p.d, CAST(coalesce(s.s // s.n, p.c) AS BIGINT) AS c
               FROM $prev p LEFT JOIN s$i s ON p.cell = s.cell AND p.d = s.d)"""
     }
-    s"""WITH q AS (SELECT vec_id AS id,
+    s"""q AS (SELECT vec_id AS id,
               list_transform(range($dims), d ->
                 CAST(round((embedding[CAST(d + 1 AS INTEGER)]::DOUBLE + 1.0) * 1e6) AS BIGINT)) AS qv
             FROM embeddings),
@@ -5974,7 +6111,12 @@ object SparkEntry {
                      qv[CAST(dd.d + 1 AS INTEGER)] AS c
               FROM sd CROSS JOIN (SELECT unnest(range($dims)) AS d) dd
               WHERE sd.cell < $k),
-       ${(1 to iters).map(iterCtes).mkString(",\n       ")},
+       ${(1 to iters).map(iterCtes).mkString(",\n       ")}"""
+  }
+
+  /** q138 oracle generator — kmeans CTEs + final assignment stats. */
+  private def kmeansOracleSql(k: Int, iters: Int, dims: Int): String = {
+    s"""WITH ${kmeansCtesSql(k, iters, dims)},
        dF AS (SELECT q.id, c.cell,
                 sum((q.qv[CAST(c.d + 1 AS INTEGER)] - c.c)
                     * (q.qv[CAST(c.d + 1 AS INTEGER)] - c.c)) AS d2

@@ -1228,4 +1228,40 @@ object Similarity {
           element_at(col("g"), tri(i, j)).as("s12")))))
     g.select(explode(pairs).as("p")).select(col("p.*"))
   }
+
+  /** Delta maintenance for [[covarianceStats]] — incremental view
+    * maintenance of the corpus covariance state: every column of the
+    * sufficient-statistics relation (n, s1, s2, s12) is an abelian
+    * sum, so a snapshot tick is `state − stats(leaving) +
+    * stats(arriving)` — the CardMaintenance argument applied to the
+    * Gram relation. One [[vectorSnapshotDiff]] (array-equality,
+    * 8-byte-id full-outer join) picks the changed rows; two
+    * `graft_gram` passes run over ONLY those rows (an empty side
+    * still emits its zero-sum d² relation, so no missing-key
+    * handling); the merge is a union + re-aggregate of three
+    * d²-sized relations. Cost per tick: O(changed · d²/partition
+    * buffers), never O(corpus) — the drift monitors (K60/K80) read
+    * covariance structure nightly without re-scanning the corpus. */
+  def covarianceDelta(
+      state: DataFrame, // (d1, d2, n, s1, s2, s12) — covarianceStats output
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int): DataFrame = {
+    val diff = vectorSnapshotDiff(oldSnap, newSnap, idCol, vecCol)
+      .localCheckpoint()
+    def ids(statuses: String*) =
+      diff.filter(col("status").isin(statuses: _*)).select(col(idCol))
+    val leave = covarianceStats(
+        oldSnap.join(ids("removed", "changed"), Seq(idCol)), vecCol, dims)
+      .select(col("d1"), col("d2"), (-col("n")).as("n"),
+        (-col("s1")).as("s1"), (-col("s2")).as("s2"), (-col("s12")).as("s12"))
+    val arrive = covarianceStats(
+      newSnap.join(ids("added", "changed"), Seq(idCol)), vecCol, dims)
+    state.unionByName(leave).unionByName(arrive)
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"), sum(col("s12")).as("s12"))
+  }
 }
