@@ -205,9 +205,12 @@ object IndexMaintenance {
       .getOrElse(rebuild(oldSnap, idCol, textCol))
     val next = nightly(state, oldSnap, newSnap, idCol, textCol)
     save(next, stateDir)
+    // count the SAVED files, not `next`: its lazy plans still point at
+    // the previous state's dirs, which save's renames just replaced
+    val saved = load(spark, stateDir).get
     println(s"[index-maintenance] state at $stateDir: " +
-      s"bands=${next.bandIndex.count()} hashes=${next.hashIndex.count()} " +
-      s"shards=${next.bloomShards.count()}")
+      s"bands=${saved.bandIndex.count()} hashes=${saved.hashIndex.count()} " +
+      s"shards=${saved.bloomShards.count()}")
     spark.stop()
   }
 }

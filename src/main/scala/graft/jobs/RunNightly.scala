@@ -1,0 +1,163 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** The composed nightly refresh — ONE driver that brings every piece
+  * of persistent derived state current against the latest corpus
+  * snapshots, the way [[RunImport]] orchestrates the reference's
+  * import pipelines (SURVEY §2-J) for the maintenance side of the
+  * house:
+  *
+  *   1. text dedup indexes  — [[IndexMaintenance]] tick (band keys,
+  *      counted hashes, affected-shard Blooms);
+  *   2. release data card   — [[CardMaintenance]] tick (counters +
+  *      counted text/source/word indexes);
+  *   3. vector index        — [[Similarity.ivfSqIndexMaintain]] tick
+  *      under the PERSISTED quantizer model;
+  *   4. covariance state    — [[Similarity.covarianceDelta]] tick
+  *      (the drift monitors' nightly read).
+  *
+  * Model lifecycle: on bootstrap (no state dir) the quantizer is
+  * TRAINED — [[Similarity.kmeansFit]] centroids + [[Similarity.sqTrain]]
+  * scales over the old snapshot — then persisted and PINNED: later
+  * ticks load it unchanged, so maintained postings stay comparable
+  * night over night (the K101 contract); a scheduled retrain is just
+  * deleting `model/` so the next run re-trains and rebuilds.
+  *
+  * Each tick costs O(changed); all four share the same two snapshot
+  * reads. Every piece is individually tick≡rebuild-gated (q127/q128,
+  * q141, q133, q144); this driver is the orchestration that runs them
+  * as one nightly unit with one persisted-state layout.
+  */
+object RunNightly {
+
+  /** Persisted quantizer model: centroids in offset-micro integers
+    * (the kmeansFit output contract) + SQ8 scales. */
+  final case class VecModel(
+      centroids: Seq[(Long, Array[Float])],
+      scales: Array[Double])
+
+  def loadModel(spark: SparkSession, dir: String): Option[VecModel] = {
+    val cdir = new java.io.File(s"$dir/centroids")
+    val sdir = new java.io.File(s"$dir/scales")
+    if (!cdir.exists() || !sdir.exists()) return None
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), col("d"), col("c")).collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getLong(1))
+          .map(r => (r.getLong(2).toDouble / 1e6 - 1.0).toFloat).toArray
+      }
+    val scales = spark.read.parquet(s"$dir/scales")
+      .select(col("i"), col("s")).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    Some(VecModel(cents, scales))
+  }
+
+  def saveModel(spark: SparkSession, dir: String,
+      fit: DataFrame, scales: Array[Double]): Unit = {
+    import spark.implicits._
+    fit.select(col("cell"), col("d"), col("c"))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    scales.toSeq.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+      .write.mode("overwrite").parquet(s"$dir/scales")
+  }
+
+  /** One full nightly tick over a persisted state dir. Returns the
+    * summary line printed by main (counts per maintained relation). */
+  def tick(
+      spark: SparkSession,
+      stateDir: String,
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      oldVecs: DataFrame, // (vec_id, embedding)
+      newVecs: DataFrame,
+      k: Int = 8,
+      iters: Int = 2,
+      dims: Int = 64): String = {
+    // 1. text dedup indexes
+    val idxState = IndexMaintenance.load(spark, s"$stateDir/index")
+      .getOrElse(IndexMaintenance.rebuild(oldDocs, "doc_id", "text"))
+    val idxNext = IndexMaintenance.nightly(
+      idxState, oldDocs, newDocs, "doc_id", "text")
+    IndexMaintenance.save(idxNext, s"$stateDir/index")
+
+    // 2. release data card
+    val cardState = CardMaintenance.load(spark, s"$stateDir/card")
+      .getOrElse(CardMaintenance.rebuild(oldDocs, "doc_id", "text"))
+    val cardNext = CardMaintenance.nightly(
+      cardState, oldDocs, newDocs, "doc_id", "text")
+    CardMaintenance.save(cardNext, s"$stateDir/card")
+
+    // 3. vector index under the pinned (or bootstrap-trained) model
+    val ov = oldVecs.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val nv = newVecs.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val model = loadModel(spark, s"$stateDir/model").getOrElse {
+      val fit = Similarity.kmeansFit(oldVecs, "vec_id", "embedding", k, iters)
+        .localCheckpoint()
+      val scales = Similarity.sqTrain(ov, "vec", dims)
+      saveModel(spark, s"$stateDir/model", fit, scales)
+      loadModel(spark, s"$stateDir/model").get
+    }
+    val postDir = s"$stateDir/vecindex"
+    val postings =
+      if (new java.io.File(postDir).exists()) spark.read.parquet(postDir)
+      else Similarity.ivfSqIndexBuild(ov, "id", "vec",
+        model.centroids, model.scales)
+    val postNext = Similarity.ivfSqIndexMaintain(
+      postings, ov, nv, "id", "vec", model.centroids, model.scales)
+    postNext.write.mode("overwrite").parquet(s"$postDir.tmp")
+    swap(postDir)
+
+    // 4. covariance state (kilo-unit sufficient stats)
+    val covDir = s"$stateDir/cov"
+    val covState =
+      if (new java.io.File(covDir).exists()) spark.read.parquet(covDir)
+      else Similarity.covarianceStats(
+        oldVecs.select(col("embedding")), "embedding", dims)
+    val covNext = Similarity.covarianceDelta(
+      covState, oldVecs, newVecs, "vec_id", "embedding", dims)
+    covNext.write.mode("overwrite").parquet(s"$covDir.tmp")
+    swap(covDir)
+
+    // summary reads the SAVED state fresh from disk — the pre-save
+    // DataFrames' plans still point at the replaced previous files
+    val card = CardMaintenance.card(CardMaintenance.load(spark, s"$stateDir/card").get)
+    s"[nightly] index: hashes=${spark.read.parquet(s"$stateDir/index/hash_index").count()} " +
+      s"bands=${spark.read.parquet(s"$stateDir/index/band_index").count()} | " +
+      s"card: langs=${card.count()} | " +
+      s"vecindex: postings=${spark.read.parquet(postDir).count()} | " +
+      s"cov: pairs=${spark.read.parquet(covDir).count()}"
+  }
+
+  /** Promote `<dir>.tmp` to `<dir>` (write side already finished). */
+  private def swap(dir: String): Unit = {
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      if (f.exists()) f.delete()
+    }
+    deleteRec(new java.io.File(dir))
+    new java.io.File(s"$dir.tmp").renameTo(new java.io.File(dir)): Unit
+  }
+
+  /** CLI: `RunNightly <stateDir> <oldDocs> <newDocs> <oldVecs>
+    * <newVecs>` — parquet paths; docs carry (doc_id, text, lang,
+    * source), vectors (vec_id, embedding). */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 5,
+      "usage: RunNightly <stateDir> <oldDocs> <newDocs> <oldVecs> <newVecs>")
+    val Array(stateDir, odP, ndP, ovP, nvP) = args.take(5)
+    val spark = graft.GraftSession.forMain("graft-nightly")
+    val dCols = Seq(col("doc_id"), col("text"), col("lang"), col("source"))
+    val summary = tick(spark, stateDir,
+      spark.read.parquet(odP).select(dCols: _*),
+      spark.read.parquet(ndP).select(dCols: _*),
+      spark.read.parquet(ovP).select(col("vec_id"), col("embedding")),
+      spark.read.parquet(nvP).select(col("vec_id"), col("embedding")))
+    println(summary)
+    spark.stop()
+  }
+}
