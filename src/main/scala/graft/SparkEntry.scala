@@ -2888,6 +2888,17 @@ object SparkEntry {
       .orderBy(col("bin"))
   }
 
+  /** SAX time-series words (q147): each event type's 30-day count
+    * series → 6 integer PAA means → 4-symbol equi-width bins → one
+    * SAX word per type. Equality on the word buckets shape-similar
+    * metrics — the LSH pattern pointed at time series. */
+  private def saxWordsQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.saxWords(Tables.events(s, dir), "event_type", "ts",
+        windows = 6, alphabet = 4)
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -3038,7 +3049,8 @@ object SparkEntry {
     "q143_vocab_coverage" -> (vocabCoverageQuery _),
     "q144_covariance_nightly" -> (covarianceNightlyQuery _),
     "q145_cluster_size_histogram" -> (clusterSizeHistogramQuery _),
-    "q146_retrained_index" -> (retrainedIndexQuery _))
+    "q146_retrained_index" -> (retrainedIndexQuery _),
+    "q147_sax_words" -> (saxWordsQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3251,7 +3263,7 @@ object SparkEntry {
     "q138_kmeans_fit", "q139_covariance_stats", "q140_key_skew_audit",
     "q141_card_nightly", "q142_jl_ann", "q143_vocab_coverage",
     "q144_covariance_nightly", "q145_cluster_size_histogram",
-    "q146_retrained_index")
+    "q146_retrained_index", "q147_sax_words")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -6069,7 +6081,34 @@ object SparkEntry {
                          AS code_str
                 FROM codes GROUP BY id)
          SELECT asg.id, asg.cell, cs.code_str
-         FROM asg JOIN cs USING (id) ORDER BY asg.id""")
+         FROM asg JOIN cs USING (id) ORDER BY asg.id""",
+    // SAX words: integer PAA (win = idx*6 // n, sum // count) + q137
+    // equi-width symbol bins over each type's own PAA range.
+    "q147_sax_words" ->
+      """WITH daily AS (SELECT event_type AS typ, ts::DATE AS day,
+                               CAST(count(*) AS BIGINT) AS v
+                        FROM events GROUP BY 1, 2),
+         ix AS (SELECT typ, v,
+                       CAST(row_number() OVER (PARTITION BY typ ORDER BY day) - 1
+                            AS BIGINT) AS idx,
+                       CAST(count(*) OVER (PARTITION BY typ) AS BIGINT) AS n
+                FROM daily),
+         paa AS (SELECT typ, idx * 6 // n AS win,
+                        CAST(sum(v) // count(*) AS BIGINT) AS p,
+                        CAST(max(n) AS BIGINT) AS n_days
+                 FROM ix GROUP BY typ, idx * 6 // n),
+         sym AS (SELECT typ, win, n_days,
+                        CASE WHEN max(p) OVER (PARTITION BY typ)
+                                  = min(p) OVER (PARTITION BY typ) THEN 0
+                             ELSE (p - min(p) OVER (PARTITION BY typ)) * 4
+                                  // (max(p) OVER (PARTITION BY typ)
+                                      - min(p) OVER (PARTITION BY typ) + 1)
+                        END AS s
+                 FROM paa)
+         SELECT typ AS event_type, CAST(max(n_days) AS BIGINT) AS n_days,
+                CAST(count(*) AS BIGINT) AS n_windows,
+                string_agg(CAST(s AS VARCHAR), '' ORDER BY win) AS sax_word
+         FROM sym GROUP BY typ ORDER BY event_type""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

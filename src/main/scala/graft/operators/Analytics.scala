@@ -337,4 +337,56 @@ object Analytics {
         col("n_total"), col("n_keys"), col("max_n"), col("p99_n"),
         (col("n_rows") > lit(4L) * expr("n_total div n_keys")).as("hot"))
   }
+
+  /** SAX words over per-key daily count series — Symbolic Aggregate
+    * approXimation (Lin et al., DMKD 2007) in exact integer form: each
+    * key's day-ordered count series compresses to `windows` PAA means
+    * (classic index partition `win = idx·w div n`, integer `sum div
+    * count` per window), each mean bins to one of `alphabet` symbols
+    * by the q137 equi-width rule over THAT key's PAA range, and the
+    * symbols concatenate into the key's SAX word. Two keys with the
+    * same word have the same coarse shape — an equality join on
+    * `sax_word` is the shape-similarity candidate generator (the LSH
+    * band-bucket pattern pointed at time series), with no float
+    * z-normalization anywhere so both engines agree bit-for-bit.
+    *
+    * Shape at 100 TB: events collapse to the (key, day) count relation
+    * in ONE shuffle with map-side partials; every window after —
+    * indexing, PAA, binning, word assembly — runs over key×days-sized
+    * rollups partitioned BY KEY (the per-key windows are
+    * hash-partitioned, never global). Output: (event_type, n_days,
+    * n_windows, sax_word). */
+  def saxWords(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      windows: Int,
+      alphabet: Int): DataFrame = {
+    require(windows >= 1, s"windows must be >= 1, got $windows")
+    require(alphabet >= 2, s"alphabet must be >= 2, got $alphabet")
+    val daily = events
+      .groupBy(col(typeCol).as("typ"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("v"))
+    val byDay = Window.partitionBy(col("typ")).orderBy(col("day"))
+    val perTyp = Window.partitionBy(col("typ"))
+    val paa = daily
+      .withColumn("idx", (row_number().over(byDay) - 1).cast(LongType))
+      .withColumn("n", count(lit(1)).over(perTyp))
+      .withColumn("win", expr(s"idx * $windows div n"))
+      .groupBy(col("typ"), col("win"))
+      .agg(expr("sum(v) div count(1)").as("p"), max(col("n")).as("n_days"))
+    val mm = Window.partitionBy(col("typ"))
+    paa
+      .withColumn("mn", min(col("p")).over(mm))
+      .withColumn("mx", max(col("p")).over(mm))
+      .withColumn("sym",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(expr(s"(p - mn) * $alphabet div (mx - mn + 1)")))
+      .groupBy(col("typ").as("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        count(lit(1)).as("n_windows"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("win"), col("sym")))),
+          e => e.getField("sym").cast("string")), "").as("sax_word"))
+  }
 }
