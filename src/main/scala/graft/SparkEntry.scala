@@ -2888,6 +2888,72 @@ object SparkEntry {
       .orderBy(col("bin"))
   }
 
+  /** Streaming funnel (q148): the K89 funnel computed by the STATEFUL
+    * streaming operator — per-user first-touch state flushed by
+    * event-time timeout — replayed over day-partitioned storage with
+    * the q46/q58 two-tick watermark flush, then rolled to per-step
+    * rows and hash-compared against the SAME oracle as the batch
+    * q120. Order-proof: a late `signup` retroactively re-evaluates
+    * the whole chain, which is why this is state, not a windowed
+    * aggregate. */
+  private def streamingFunnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.store.DayPartitionedTable
+    import graft.streaming.StreamingFunnel
+    import graft.util.TmpDirs
+    import s.implicits._
+    val steps = Seq("signup", "view", "click", "purchase")
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val root = TmpDirs.fresh(s"q148_stream_$tag")
+    val e = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("event_type"), dayOf(col("ts")).as("day"))
+    val t = new DayPartitionedTable(root, "events_by_day", sortCol = Some("ts"))
+    t.writeDays(e)
+    val realFiles = t.read(s).select(input_file_name()).distinct().count().toInt
+    // q46/q58 two-tick flush; tick users are negative and filtered out
+    val maxDay = t.maxDay(s).get
+    def tickRows(n: Int, d: Long): DataFrame = {
+      val tick = maxDay.plusDays(d)
+      s.range(n.toLong).select(
+        lit(java.sql.Timestamp.valueOf(s"$tick 00:00:00")).as("ts"),
+        (col("id") - 1000000L).as("user_id"),
+        lit("tick").as("event_type"))
+    }
+    tickRows(realFiles, 3).repartition(realFiles)
+      .write.mode("append").parquet(s"${t.path}/day=${maxDay.plusDays(3)}")
+    tickRows(1, 6).coalesce(1)
+      .write.mode("append").parquet(s"${t.path}/day=${maxDay.plusDays(6)}")
+    val stream = s.readStream
+      .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, day DATE")
+      .option("maxFilesPerTrigger", realFiles)
+      .parquet(t.path)
+      .select("user_id", "ts", "event_type")
+      .as[StreamingFunnel.UserEvent]
+    val sink = s"q148_reach_$tag"
+    val q = StreamingFunnel.reach(steps)(stream)
+      .writeStream
+      .format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val reach = s.table(sink).filter(col("user_id") >= 0)
+    val cs = steps.indices.map(k =>
+      count(when(col("steps_reached") >= k + 1, 1)).as(s"_c$k"))
+    val counts = reach.agg(cs.head, cs.tail: _*)
+    val stepsDf = steps.zipWithIndex
+      .map { case (st, i) => (i.toLong + 1L, st) }.toDF("step_idx", "step")
+    counts.crossJoin(stepsDf)
+      .select(col("step_idx"), col("step"),
+        steps.indices.foldLeft(lit(null).cast("long")) { (acc, i) =>
+          when(col("step_idx") === (i + 1), col(s"_c$i")).otherwise(acc)
+        }.as("n_users"),
+        col("_c0").as("_base"))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        when(col("_base") > 0,
+          expr("n_users * 1000000 div _base")).as("conversion_ppm"))
+      .orderBy(col("step_idx"))
+  }
+
   /** SAX time-series words (q147): each event type's 30-day count
     * series → 6 integer PAA means → 4-symbol equi-width bins → one
     * SAX word per type. Equality on the word buckets shape-similar
@@ -3050,7 +3116,8 @@ object SparkEntry {
     "q144_covariance_nightly" -> (covarianceNightlyQuery _),
     "q145_cluster_size_histogram" -> (clusterSizeHistogramQuery _),
     "q146_retrained_index" -> (retrainedIndexQuery _),
-    "q147_sax_words" -> (saxWordsQuery _))
+    "q147_sax_words" -> (saxWordsQuery _),
+    "q148_streaming_funnel" -> (streamingFunnel _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3264,6 +3331,35 @@ object SparkEntry {
     "q141_card_nightly", "q142_jl_ann", "q143_vocab_coverage",
     "q144_covariance_nightly", "q145_cluster_size_histogram",
     "q146_retrained_index", "q147_sax_words")
+
+  /** Shared q120/q148 oracle: the batch funnel and the streaming
+    * stateful replay must produce the SAME per-step rows. */
+  private val funnelOracleSql: String =
+    """WITH m AS (SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'signup') AS m0,
+               min(ts) FILTER (WHERE event_type = 'view') AS m1,
+               min(ts) FILTER (WHERE event_type = 'click') AS m2,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS m3
+             FROM events GROUP BY user_id),
+         c AS (SELECT
+               count(*) FILTER (WHERE m0 IS NOT NULL) AS c0,
+               count(*) FILTER (WHERE m0 IS NOT NULL AND m0 < m1) AS c1,
+               count(*) FILTER (WHERE m0 IS NOT NULL AND m0 < m1
+                                  AND m1 < m2) AS c2,
+               count(*) FILTER (WHERE m0 IS NOT NULL AND m0 < m1
+                                  AND m1 < m2 AND m2 < m3) AS c3
+             FROM m),
+         s(step_idx, step) AS (VALUES (1, 'signup'), (2, 'view'),
+                                      (3, 'click'), (4, 'purchase')),
+         l AS (SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+                      CAST(CASE step_idx WHEN 1 THEN c0 WHEN 2 THEN c1
+                           WHEN 3 THEN c2 ELSE c3 END AS BIGINT) AS n_users,
+                      CAST(c0 AS BIGINT) AS base
+               FROM c CROSS JOIN s)
+         SELECT step_idx, step, n_users,
+                CASE WHEN base > 0 THEN n_users * 1000000 // base END
+                  AS conversion_ppm
+         FROM l ORDER BY step_idx"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5524,32 +5620,7 @@ object SparkEntry {
          WHERE r.rank <= 3 ORDER BY r.source, r.rank""",
     // Funnel: strict order of first touches (m0 < m1 < ... all
     // present); exact integer ppm vs step 1.
-    "q120_funnel" ->
-      """WITH m AS (SELECT user_id,
-               min(ts) FILTER (WHERE event_type = 'signup') AS m0,
-               min(ts) FILTER (WHERE event_type = 'view') AS m1,
-               min(ts) FILTER (WHERE event_type = 'click') AS m2,
-               min(ts) FILTER (WHERE event_type = 'purchase') AS m3
-             FROM events GROUP BY user_id),
-         c AS (SELECT
-               count(*) FILTER (WHERE m0 IS NOT NULL) AS c0,
-               count(*) FILTER (WHERE m0 IS NOT NULL AND m0 < m1) AS c1,
-               count(*) FILTER (WHERE m0 IS NOT NULL AND m0 < m1
-                                  AND m1 < m2) AS c2,
-               count(*) FILTER (WHERE m0 IS NOT NULL AND m0 < m1
-                                  AND m1 < m2 AND m2 < m3) AS c3
-             FROM m),
-         s(step_idx, step) AS (VALUES (1, 'signup'), (2, 'view'),
-                                      (3, 'click'), (4, 'purchase')),
-         l AS (SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
-                      CAST(CASE step_idx WHEN 1 THEN c0 WHEN 2 THEN c1
-                           WHEN 3 THEN c2 ELSE c3 END AS BIGINT) AS n_users,
-                      CAST(c0 AS BIGINT) AS base
-               FROM c CROSS JOIN s)
-         SELECT step_idx, step, n_users,
-                CASE WHEN base > 0 THEN n_users * 1000000 // base END
-                  AS conversion_ppm
-         FROM l ORDER BY step_idx""",
+    "q120_funnel" -> funnelOracleSql,
     // Cohort retention triangle: first-activity day x offset 0..14.
     "q121_cohort_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events),
@@ -6108,7 +6179,10 @@ object SparkEntry {
          SELECT typ AS event_type, CAST(max(n_days) AS BIGINT) AS n_days,
                 CAST(count(*) AS BIGINT) AS n_windows,
                 string_agg(CAST(s AS VARCHAR), '' ORDER BY win) AS sax_word
-         FROM sym GROUP BY typ ORDER BY event_type""")
+         FROM sym GROUP BY typ ORDER BY event_type""",
+    // Streaming funnel: SAME oracle as the batch q120 — the stateful
+    // replay must reproduce the batch per-step rows exactly.
+    "q148_streaming_funnel" -> funnelOracleSql)
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming form of the ordered first-occurrence funnel (the K89
+  * batch operator) — `flatMapGroupsWithState` keyed by user: per-user
+  * state holds the FIRST timestamp of each funnel step; once the
+  * watermark passes the user's lateness window, the state evaluates
+  * the strict-order chain (m₀ < m₁ < … — equal timestamps do NOT
+  * advance, the batch contract) and emits one (user, steps_reached)
+  * row, then frees itself.
+  *
+  * Why stateful and not a windowed aggregate: a funnel is an order
+  * predicate over FIRST OCCURRENCES — arrival order proves nothing
+  * (a late `signup` can retroactively un-reach a `view` that
+  * previously looked first), so per-user mins must be held until no
+  * more data can arrive. State is bounded: `steps` longs per ACTIVE
+  * user, freed by event-time timeout (the 25 h d+1-lookback analog,
+  * StreamingSessionizer's TTL argument).
+  *
+  * Downstream, `steps_reached ≥ k` counts reproduce the batch
+  * funnel's per-step rows exactly — the q148 gate replays the events
+  * table through this operator and hash-compares against the SAME
+  * DuckDB oracle as the batch q120. */
+// Serializable: the per-user update closure is nested inside reach()
+// (it captures the step list), so the lambda lifts a reference to this
+// object into the task
+object StreamingFunnel extends Serializable {
+
+  final case class UserEvent(user_id: Long, ts: Timestamp, event_type: String)
+
+  final case class FunnelState(mins: Seq[Long], maxEventMs: Long)
+
+  final case class UserReach(user_id: Long, steps_reached: Int)
+
+  private val Unseen = Long.MinValue
+  private val lateness: Long = 25L * 3600 * 1000
+
+  /** Per-user furthest-step stream. Users whose events never include
+    * step 0 emit steps_reached = 0 (the caller counts `≥ k`). */
+  def reach(steps: Seq[String])(events: Dataset[UserEvent]): Dataset[UserReach] = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"funnel steps must be non-empty and distinct: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+
+    def update(
+        uid: Long,
+        es: Iterator[UserEvent],
+        state: GroupState[FunnelState]): Iterator[UserReach] = {
+      if (state.hasTimedOut) {
+        val m = state.get.mins
+        state.remove()
+        var r = 0
+        if (m.head != Unseen) {
+          r = 1
+          var i = 1
+          while (i < m.length && m(i) != Unseen && m(i - 1) < m(i)) {
+            r += 1; i += 1
+          }
+        }
+        Iterator.single(UserReach(uid, r))
+      } else {
+        val s0 = state.getOption.getOrElse(
+          FunnelState(Seq.fill(steps.length)(Unseen), Long.MinValue))
+        val mins = s0.mins.toArray
+        var maxMs = s0.maxEventMs
+        es.foreach { e =>
+          val t = e.ts.getTime
+          stepIdx.get(e.event_type).foreach { i =>
+            if (mins(i) == Unseen || t < mins(i)) mins(i) = t
+          }
+          maxMs = math.max(maxMs, t)
+        }
+        state.update(FunnelState(mins.toSeq, maxMs))
+        state.setTimeoutTimestamp(maxMs + lateness)
+        Iterator.empty
+      }
+    }
+
+    events
+      .withWatermark("ts", "25 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Plan-shape guards for the round-8 operators — the properties that
+  * make them 100 TB-shaped, locked so a refactor can't silently
+  * reintroduce the slow encoding. */
+class NewOpPlanGuardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("covarianceStats has NO row-generating explode — the d² fan-out stays in the graft_gram buffer") {
+    val e = graft.Tables.embeddings(spark, sfSmoke)
+    val plan = planOf(Similarity.covarianceStats(e, "embedding", dims = 64))
+    plan should include("graft_gram")
+    // one Generate exists ABOVE the aggregate, unpacking the single
+    // result row into 2,080 pair rows; what must NOT exist is a
+    // Generate on the scan side BELOW the aggregate (pre-agg d²
+    // fan-out). The plan prints top-down, so everything after the
+    // LAST aggregate node is the scan side.
+    plan.substring(plan.lastIndexOf("Aggregate")) should not include "Generate"
+  }
+
+  test("kmeans assignment is a codegen'd literal-centroid argmin, no join") {
+    val pts = (0L until 50L).map(i => (i, Array.tabulate(8)(d => (d + i % 5).toFloat / 10f)))
+      .toDF("id", "vec")
+    // one iteration's assignment plan: capture via the final stats pass
+    val out = Similarity.kmeansFit(pts, "id", "vec", k = 3, iters = 1)
+    val plan = planOf(out)
+    plan should include("graft_sqdist_long")
+    // centroids are plan literals: the assignment side has no
+    // BroadcastHashJoin against a centroid relation (the only joins
+    // in the final output attach the tiny stats relation)
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("vocabCoverage's windows run over the count-class histogram, not the vocabulary") {
+    val d = graft.Tables.documents(spark, sfSmoke)
+    val plan = planOf(TextAnalysis.vocabCoverage(d, "text", Seq(16L, 256L)))
+    // no rank/row_number window anywhere: coverage derives from the
+    // histogram prefix (running sum over the tiny class relation)
+    plan should not include "row_number"
+    // every Generate in the plan is the token explode feeding the
+    // vocab rollup (the subtree prints once per consumer); no
+    // positional/posexplode pair encoding anywhere
+    plan should not include "posexplode"
+  }
+
+  test("jlProject is map-only: no exchange introduced by the projection") {
+    val e = graft.Tables.embeddings(spark, sfSmoke)
+    val plan = planOf(Similarity.jlProject(e, "embedding", 64, 16, "p"))
+    plan should not include "Exchange"
+    plan should include("graft_array_dot")
+  }
+}

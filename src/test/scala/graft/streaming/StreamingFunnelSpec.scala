@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.streaming.StreamingFunnel.UserEvent
+
+/** StreamingFunnel: the order-proof property (a LATE first-step
+  * arrival re-evaluates the chain), strict-< tie semantics, and
+  * multi-batch replay equality with the batch funnel evaluation. */
+class StreamingFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val steps = Seq("signup", "view", "click")
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ev(u: Long, t: String, typ: String) = UserEvent(u, ts(t), typ)
+
+  /** Run events through reach() in the given batches; a final far-
+    * future tick batch (user −1) advances the watermark past every
+    * timeout, then one more fires them. */
+  private def run(batches: Seq[Seq[UserEvent]]): Map[Long, Int] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val name = s"funnel_${System.nanoTime()}"
+    val q = StreamingFunnel.reach(steps)(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(ev(-1L, "2024-03-01 00:00:00", "tick"))
+      q.processAllAvailable()
+      input.addData(ev(-2L, "2024-03-09 00:00:00", "tick"))
+      q.processAllAvailable()
+      spark.table(name).filter($"user_id" >= 0)
+        .as[(Long, Int)].collect().toMap
+    } finally q.stop()
+  }
+
+  test("late-arriving first step retroactively completes the chain") {
+    // view and click arrive FIRST (processing order), the earlier
+    // signup arrives in a later batch — the funnel must still read
+    // signup < view < click in EVENT time and report 3
+    val out = run(Seq(
+      Seq(ev(1, "2024-01-01 11:00:00", "view"),
+        ev(1, "2024-01-01 12:00:00", "click")),
+      Seq(ev(1, "2024-01-01 10:00:00", "signup"))))
+    out(1L) shouldBe 3
+  }
+
+  test("equal first-touch timestamps do NOT advance (strict <)") {
+    val out = run(Seq(Seq(
+      ev(2, "2024-01-01 10:00:00", "signup"),
+      ev(2, "2024-01-01 10:00:00", "view"), // tie with signup
+      ev(2, "2024-01-01 11:00:00", "click"))))
+    out(2L) shouldBe 1
+  }
+
+  test("multi-batch replay equals the batch evaluation over many users") {
+    val all = (0 until 90).map { i =>
+      val u = (i % 9).toLong
+      val typ = Seq("signup", "view", "click", "other")(i % 4)
+      ev(u, f"2024-01-01 ${8 + i / 10}%02d:${i % 60}%02d:00", typ)
+    }
+    val out = run(all.grouped(30).toSeq.map(_.toSeq))
+    // independent batch evaluation of the same contract
+    val expected = all.groupBy(_.user_id).map { case (u, es) =>
+      val mins = steps.map(st =>
+        es.filter(_.event_type == st).map(_.ts.getTime).minOption)
+      var r = 0
+      if (mins.head.isDefined) {
+        r = 1
+        var i = 1
+        while (i < mins.length && mins(i).isDefined &&
+          mins(i - 1).get < mins(i).get) { r += 1; i += 1 }
+      }
+      u -> r
+    }
+    out shouldBe expected
+  }
+}
