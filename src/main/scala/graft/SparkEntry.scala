@@ -2954,6 +2954,16 @@ object SparkEntry {
       .orderBy(col("step_idx"))
   }
 
+  /** CUSUM changepoints (q149): per event type, the day the daily
+    * count series most likely level-shifted — exact scaled-integer
+    * cumulative sums (v·n − total, so the mean never divides), peak
+    * by |S| with earliest-day ties, break size in ppm. */
+  private def cusumQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.cusumChangepoint(Tables.events(s, dir), "event_type", "ts")
+      .orderBy(col("event_type"))
+  }
+
   /** SAX time-series words (q147): each event type's 30-day count
     * series → 6 integer PAA means → 4-symbol equi-width bins → one
     * SAX word per type. Equality on the word buckets shape-similar
@@ -3117,7 +3127,8 @@ object SparkEntry {
     "q145_cluster_size_histogram" -> (clusterSizeHistogramQuery _),
     "q146_retrained_index" -> (retrainedIndexQuery _),
     "q147_sax_words" -> (saxWordsQuery _),
-    "q148_streaming_funnel" -> (streamingFunnel _))
+    "q148_streaming_funnel" -> (streamingFunnel _),
+    "q149_cusum_changepoint" -> (cusumQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3330,7 +3341,7 @@ object SparkEntry {
     "q138_kmeans_fit", "q139_covariance_stats", "q140_key_skew_audit",
     "q141_card_nightly", "q142_jl_ann", "q143_vocab_coverage",
     "q144_covariance_nightly", "q145_cluster_size_histogram",
-    "q146_retrained_index", "q147_sax_words")
+    "q146_retrained_index", "q147_sax_words", "q149_cusum_changepoint")
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
     * stateful replay must produce the SAME per-step rows. */
@@ -6182,7 +6193,30 @@ object SparkEntry {
          FROM sym GROUP BY typ ORDER BY event_type""",
     // Streaming funnel: SAME oracle as the batch q120 — the stateful
     // replay must reproduce the batch per-step rows exactly.
-    "q148_streaming_funnel" -> funnelOracleSql)
+    "q148_streaming_funnel" -> funnelOracleSql,
+    // CUSUM: scaled-integer deviations (v*n - total), running sum,
+    // peak by |S| with earliest-day tie.
+    "q149_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type AS typ, ts::DATE AS day,
+                               CAST(count(*) AS BIGINT) AS v
+                        FROM events GROUP BY 1, 2),
+         t AS (SELECT typ, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(v) AS BIGINT) AS total
+               FROM daily GROUP BY typ),
+         c AS (SELECT d.typ, d.day, t.n, t.total,
+                      CAST(sum(d.v * t.n - t.total) OVER (
+                        PARTITION BY d.typ ORDER BY d.day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+               FROM daily d JOIN t USING (typ)),
+         p AS (SELECT typ, day, n, total, s,
+                      row_number() OVER (PARTITION BY typ
+                        ORDER BY abs(s) DESC, day ASC) AS r
+               FROM c)
+         SELECT typ AS event_type, n AS n_days,
+                CAST(day AS VARCHAR) AS change_day,
+                s AS peak_cusum, total,
+                CAST(abs(s) * 1000000 // (total * n) AS BIGINT) AS peak_share_ppm
+         FROM p WHERE r = 1 ORDER BY event_type""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

@@ -338,6 +338,44 @@ object Analytics {
         (col("n_rows") > lit(4L) * expr("n_total div n_keys")).as("hot"))
   }
 
+  /** CUSUM changepoint detection over per-key daily count series —
+    * "which day did this metric break": the classic cumulative-sum
+    * statistic `S_i = Σ_{j≤i} (v_j − mean)` peaks at the most likely
+    * level-shift point. Exact integers throughout: deviations are
+    * scaled by n (`d_j = v_j·n − total`, so Σd = 0 exactly and no
+    * division ever rounds), the peak is `argmax |S_i|` with the
+    * EARLIEST day winning ties, and `peak_share_ppm` reports the
+    * peak's magnitude against the series' total scaled volume —
+    * a dimensionless break-size score comparable across keys.
+    *
+    * Shape at 100 TB: one shuffle collapses events to the (key, day)
+    * count relation; the running sum and the argmax run over per-key
+    * windows on that days-sized rollup (hash-partitioned by key).
+    * Output: (event_type, n_days, change_day, peak_cusum, total). */
+  def cusumChangepoint(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("typ"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("v"))
+    val perTyp = Window.partitionBy(col("typ"))
+    val run = Window.partitionBy(col("typ")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cus = daily
+      .withColumn("n", count(lit(1)).over(perTyp))
+      .withColumn("total", sum(col("v")).over(perTyp))
+      .withColumn("s", sum(col("v") * col("n") - col("total")).over(run))
+    val byPeak = Window.partitionBy(col("typ"))
+      .orderBy(abs(col("s")).desc, col("day").asc)
+    cus.withColumn("_r", row_number().over(byPeak))
+      .filter(col("_r") === 1)
+      .select(col("typ").as("event_type"), col("n").as("n_days"),
+        col("day").cast("string").as("change_day"),
+        col("s").as("peak_cusum"), col("total"),
+        expr("abs(s) * 1000000 div (total * n)").as("peak_share_ppm"))
+  }
+
   /** SAX words over per-key daily count series — Symbolic Aggregate
     * approXimation (Lin et al., DMKD 2007) in exact integer form: each
     * key's day-ordered count series compresses to `windows` PAA means
