@@ -2954,6 +2954,16 @@ object SparkEntry {
       .orderBy(col("step_idx"))
   }
 
+  /** Theil–Sen robust trend (q150): per event type, the median of all
+    * pairwise daily-count slopes — the outlier-proof trend the K77
+    * least-squares fit isn't; pairs bounded by days², exact integer
+    * (dv, dd) median pair plus the rounded slope. */
+  private def theilSenQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.theilSenTrend(Tables.events(s, dir), "event_type", "ts")
+      .orderBy(col("event_type"))
+  }
+
   /** CUSUM changepoints (q149): per event type, the day the daily
     * count series most likely level-shifted — exact scaled-integer
     * cumulative sums (v·n − total, so the mean never divides), peak
@@ -3128,7 +3138,8 @@ object SparkEntry {
     "q146_retrained_index" -> (retrainedIndexQuery _),
     "q147_sax_words" -> (saxWordsQuery _),
     "q148_streaming_funnel" -> (streamingFunnel _),
-    "q149_cusum_changepoint" -> (cusumQuery _))
+    "q149_cusum_changepoint" -> (cusumQuery _),
+    "q150_theil_sen_trend" -> (theilSenQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3341,7 +3352,8 @@ object SparkEntry {
     "q138_kmeans_fit", "q139_covariance_stats", "q140_key_skew_audit",
     "q141_card_nightly", "q142_jl_ann", "q143_vocab_coverage",
     "q144_covariance_nightly", "q145_cluster_size_histogram",
-    "q146_retrained_index", "q147_sax_words", "q149_cusum_changepoint")
+    "q146_retrained_index", "q147_sax_words", "q149_cusum_changepoint",
+    "q150_theil_sen_trend")
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
     * stateful replay must produce the SAME per-step rows. */
@@ -6216,7 +6228,33 @@ object SparkEntry {
                 CAST(day AS VARCHAR) AS change_day,
                 s AS peak_cusum, total,
                 CAST(abs(s) * 1000000 // (total * n) AS BIGINT) AS peak_share_ppm
-         FROM p WHERE r = 1 ORDER BY event_type""")
+         FROM p WHERE r = 1 ORDER BY event_type""",
+    // Theil-Sen: lower median of pairwise slopes; order by the exact
+    // IEEE-double ratio then (dv, dd, i, j); no negative integer div.
+    "q150_theil_sen_trend" ->
+      """WITH daily AS (SELECT event_type AS typ, ts::DATE AS day,
+                               CAST(count(*) AS BIGINT) AS v
+                        FROM events GROUP BY 1, 2),
+         ix AS (SELECT typ, v,
+                       CAST(row_number() OVER (PARTITION BY typ ORDER BY day) - 1
+                            AS BIGINT) AS idx,
+                       CAST(count(*) OVER (PARTITION BY typ) AS BIGINT) AS n
+                FROM daily),
+         pr AS (SELECT a.typ, a.n,
+                       b.v - a.v AS dv, b.idx - a.idx AS dd,
+                       a.idx AS i, b.idx AS j
+                FROM ix a JOIN ix b
+                  ON a.typ = b.typ AND a.idx < b.idx),
+         rk AS (SELECT typ, n, dv, dd, i, j,
+                       row_number() OVER (PARTITION BY typ
+                         ORDER BY CAST(dv AS DOUBLE) / dd ASC, dv ASC,
+                                  dd ASC, i ASC, j ASC) AS r,
+                       count(*) OVER (PARTITION BY typ) AS m
+                FROM pr)
+         SELECT typ AS event_type, n AS n_days, CAST(m AS BIGINT) AS n_pairs,
+                dv, dd, round(CAST(dv AS DOUBLE) / dd, 6) AS slope
+         FROM rk WHERE r = CAST(ceil(m / 2.0) AS BIGINT)
+         ORDER BY event_type""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Product-analytics operators over the event stream: funnels, cohort
   * retention, Markov transitions, trailing-window anomaly flags,
@@ -374,6 +374,55 @@ object Analytics {
         col("day").cast("string").as("change_day"),
         col("s").as("peak_cusum"), col("total"),
         expr("abs(s) * 1000000 div (total * n)").as("peak_share_ppm"))
+  }
+
+  /** Theil–Sen robust trend over per-key daily count series: the
+    * slope estimate is the MEDIAN of all pairwise slopes
+    * (v_j − v_i)/(j − i), i < j — robust to ~29% outlier days where a
+    * least-squares fit (K77's regression) is pulled arbitrarily far by
+    * one bad ingest day. Deterministic selection: pairs order by the
+    * IEEE-double slope then (dv, dd, i, j) — the doubles are exactly
+    * rounded from small-integer ratios, identical in every engine —
+    * and the LOWER median (position ⌈m/2⌉) is reported as the exact
+    * integer pair (dv, dd) plus `round(dv/dd, 6)`. No integer
+    * division of possibly-negative numbers anywhere (the engines'
+    * floor-vs-truncate disagreement).
+    *
+    * Shape at 100 TB: the per-key pair set is days²-bounded — the
+    * TIME axis, not the data — so the self-join and the median window
+    * run over a (keys × days²)-sized relation, hash-partitioned by
+    * key; events themselves collapse to (key, day) in one shuffle.
+    * Keys with fewer than 2 days emit nothing (no slope exists).
+    * Output: (event_type, n_days, n_pairs, dv, dd, slope). */
+  def theilSenTrend(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("typ"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("v"))
+    val byDay = Window.partitionBy(col("typ")).orderBy(col("day"))
+    val ix = daily
+      .withColumn("idx", (row_number().over(byDay) - 1).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("typ"))))
+      .select(col("typ"), col("idx"), col("v"), col("n"))
+    val a = ix.select(col("typ"), col("idx").as("i"), col("v").as("vi"), col("n"))
+    val b = ix.select(col("typ"), col("idx").as("j"), col("v").as("vj"))
+    val pairs = a.join(b, Seq("typ")).filter(col("i") < col("j"))
+      .select(col("typ"), col("n"),
+        (col("vj") - col("vi")).as("dv"), (col("j") - col("i")).as("dd"),
+        col("i"), col("j"))
+      .withColumn("_sl", col("dv").cast(DoubleType) / col("dd"))
+    val byslope = Window.partitionBy(col("typ"))
+      .orderBy(col("_sl").asc, col("dv").asc, col("dd").asc,
+        col("i").asc, col("j").asc)
+    pairs
+      .withColumn("_r", row_number().over(byslope))
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy(col("typ"))))
+      .filter(col("_r") === ceil(col("_m") / lit(2.0)).cast(LongType))
+      .select(col("typ").as("event_type"), col("n").as("n_days"),
+        col("_m").as("n_pairs"), col("dv"), col("dd"),
+        round(col("dv").cast(DoubleType) / col("dd"), 6).as("slope"))
   }
 
   /** SAX words over per-key daily count series — Symbolic Aggregate
