@@ -2954,6 +2954,17 @@ object SparkEntry {
       .orderBy(col("step_idx"))
   }
 
+  /** Lag-7 autocorrelation (q151): weekly-rhythm detection per event
+    * type — exact scaled-integer numerator/denominator, one final
+    * rounded division. Completes the series family: anomaly (q123),
+    * break day (q149), trend (q150), periodicity (q151). */
+  private def autocorrQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.autocorrelation(Tables.events(s, dir), "event_type", "ts",
+        lag = 7)
+      .orderBy(col("event_type"))
+  }
+
   /** Theil–Sen robust trend (q150): per event type, the median of all
     * pairwise daily-count slopes — the outlier-proof trend the K77
     * least-squares fit isn't; pairs bounded by days², exact integer
@@ -3139,7 +3150,8 @@ object SparkEntry {
     "q147_sax_words" -> (saxWordsQuery _),
     "q148_streaming_funnel" -> (streamingFunnel _),
     "q149_cusum_changepoint" -> (cusumQuery _),
-    "q150_theil_sen_trend" -> (theilSenQuery _))
+    "q150_theil_sen_trend" -> (theilSenQuery _),
+    "q151_autocorrelation" -> (autocorrQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3353,7 +3365,7 @@ object SparkEntry {
     "q141_card_nightly", "q142_jl_ann", "q143_vocab_coverage",
     "q144_covariance_nightly", "q145_cluster_size_histogram",
     "q146_retrained_index", "q147_sax_words", "q149_cusum_changepoint",
-    "q150_theil_sen_trend")
+    "q150_theil_sen_trend", "q151_autocorrelation")
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
     * stateful replay must produce the SAME per-step rows. */
@@ -6254,7 +6266,30 @@ object SparkEntry {
          SELECT typ AS event_type, n AS n_days, CAST(m AS BIGINT) AS n_pairs,
                 dv, dd, round(CAST(dv AS DOUBLE) / dd, 6) AS slope
          FROM rk WHERE r = CAST(ceil(m / 2.0) AS BIGINT)
-         ORDER BY event_type""")
+         ORDER BY event_type""",
+    // Autocorrelation: scaled-integer deviations, exact num/den sums,
+    // one rounded division at the end.
+    "q151_autocorrelation" ->
+      """WITH daily AS (SELECT event_type AS typ, ts::DATE AS day,
+                               CAST(count(*) AS BIGINT) AS v
+                        FROM events GROUP BY 1, 2),
+         t AS (SELECT typ, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(v) AS BIGINT) AS total
+               FROM daily GROUP BY typ),
+         dv AS (SELECT d.typ, t.n,
+                       d.v * t.n - t.total AS dd,
+                       lead(d.v * t.n - t.total, 7) OVER (
+                         PARTITION BY d.typ ORDER BY d.day) AS dl
+                FROM daily d JOIN t USING (typ))
+         SELECT typ AS event_type, CAST(7 AS BIGINT) AS lag,
+                CAST(max(n) AS BIGINT) AS n_days,
+                CAST(coalesce(sum(dd * dl), 0) AS BIGINT) AS num,
+                CAST(sum(dd * dd) AS BIGINT) AS den,
+                CASE WHEN sum(dd * dd) > 0
+                     THEN round(CAST(coalesce(sum(dd * dl), 0) AS DOUBLE) /
+                                CAST(sum(dd * dd) AS DOUBLE), 6)
+                END AS r
+         FROM dv GROUP BY typ ORDER BY event_type""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

@@ -376,6 +376,48 @@ object Analytics {
         expr("abs(s) * 1000000 div (total * n)").as("peak_share_ppm"))
   }
 
+  /** Lag-k autocorrelation of per-key daily count series — the
+    * seasonality detector (lag 7 ≈ weekly rhythm) that completes the
+    * series-diagnostics family: K92 flags anomalies, K118 finds the
+    * break day, K119 the robust trend, this one the periodicity.
+    *
+    * Same exactness scheme as [[cusumChangepoint]]: deviations scale
+    * by n (`d_i = v_i·n − total`, Σd = 0 exactly — true mean-centering
+    * with no division), then `num = Σ dᵢ·dᵢ₊ₖ` and `den = Σ dᵢ²` are
+    * EXACT long sums; the only float op is the final `round(num/den,
+    * 6)` — one division of two exactly-represented integers, bit-equal
+    * in every engine. Flat series (den = 0) report a null r.
+    *
+    * Shape at 100 TB: one events→(key, day) shuffle; the lead() and
+    * the sums run per key over the days-sized rollup. Output:
+    * (event_type, lag, n_days, num, den, r). */
+  def autocorrelation(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      lag: Int): DataFrame = {
+    require(lag >= 1, s"lag must be >= 1, got $lag")
+    val daily = events
+      .groupBy(col(typeCol).as("typ"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("v"))
+    val perTyp = Window.partitionBy(col("typ"))
+    val byDay = Window.partitionBy(col("typ")).orderBy(col("day"))
+    daily
+      .withColumn("n", count(lit(1)).over(perTyp))
+      .withColumn("total", sum(col("v")).over(perTyp))
+      .withColumn("d", col("v") * col("n") - col("total"))
+      .withColumn("dlead", lead(col("d"), lag).over(byDay))
+      .groupBy(col("typ").as("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        coalesce(sum(col("d") * col("dlead")), lit(0L)).as("num"),
+        sum(col("d") * col("d")).as("den"))
+      .select(col("event_type"), lit(lag.toLong).as("lag"),
+        col("n_days"), col("num"), col("den"),
+        when(col("den") > 0,
+          round(col("num").cast(DoubleType) / col("den"), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("r"))
+  }
+
   /** Theil–Sen robust trend over per-key daily count series: the
     * slope estimate is the MEDIAN of all pairwise slopes
     * (v_j − v_i)/(j − i), i < j — robust to ~29% outlier days where a
