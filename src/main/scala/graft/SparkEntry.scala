@@ -2954,6 +2954,21 @@ object SparkEntry {
       .orderBy(col("step_idx"))
   }
 
+  /** Multi-probe SRP ANN (q152): each query probes its own 6-bit
+    * sign-projection bucket plus the two buckets across its
+    * lowest-margin hyperplanes — the recall knob q26's single-probe
+    * path lacks — with the standard inline brute-force audit flag. */
+  private def multiProbeAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.multiProbeTopK(q, c, dims = 64, nbits = 6, nprobe = 2, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Lag-7 autocorrelation (q151): weekly-rhythm detection per event
     * type — exact scaled-integer numerator/denominator, one final
     * rounded division. Completes the series family: anomaly (q123),
@@ -3151,7 +3166,8 @@ object SparkEntry {
     "q148_streaming_funnel" -> (streamingFunnel _),
     "q149_cusum_changepoint" -> (cusumQuery _),
     "q150_theil_sen_trend" -> (theilSenQuery _),
-    "q151_autocorrelation" -> (autocorrQuery _))
+    "q151_autocorrelation" -> (autocorrQuery _),
+    "q152_multiprobe_ann" -> (multiProbeAnn _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3365,7 +3381,7 @@ object SparkEntry {
     "q141_card_nightly", "q142_jl_ann", "q143_vocab_coverage",
     "q144_covariance_nightly", "q145_cluster_size_histogram",
     "q146_retrained_index", "q147_sax_words", "q149_cusum_changepoint",
-    "q150_theil_sen_trend", "q151_autocorrelation")
+    "q150_theil_sen_trend", "q151_autocorrelation", "q152_multiprobe_ann")
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
     * stateful replay must produce the SAME per-step rows. */
@@ -6289,7 +6305,62 @@ object SparkEntry {
                      THEN round(CAST(coalesce(sum(dd * dl), 0) AS DOUBLE) /
                                 CAST(sum(dd * dd) AS DOUBLE), 6)
                 END AS r
-         FROM dv GROUP BY typ ORDER BY event_type""")
+         FROM dv GROUP BY typ ORDER BY event_type""",
+    // Multi-probe SRP: per-bit md5-parity sign dots (the q26 bucket
+    // formula), flip the two lowest-|dot| bits, rank candidates from
+    // the three buckets by exact cosine, audit vs brute top-5.
+    "q152_multiprobe_ann" ->
+      s"""WITH bits AS (SELECT CAST(unnest(range(6)) AS BIGINT) AS b),
+         q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id >= 20),
+         qd AS (SELECT qid, b,
+                       list_sum(list_transform(range(64), d ->
+                         (CASE WHEN ('0x' || substr(md5('hp-' || b || '-' || d), 1, 15))::BIGINT % 2 = 1
+                               THEN 1.0 ELSE -1.0 END)
+                         * qvec[CAST(d + 1 AS INTEGER)]::DOUBLE)) AS dt
+                FROM q CROSS JOIN bits),
+         qb AS (SELECT qid,
+                       CAST(sum(CASE WHEN dt > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS base
+                FROM qd GROUP BY qid),
+         fl AS (SELECT qid, b FROM (
+                  SELECT qid, b,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY abs(dt) ASC, b ASC) AS r
+                  FROM qd) WHERE r <= 2),
+         pr AS (SELECT qid, base AS probe FROM qb
+                UNION ALL
+                SELECT fl.qid, xor(qb.base, CAST(1 AS BIGINT) << CAST(fl.b AS INTEGER))
+                FROM fl JOIN qb USING (qid)),
+         cb AS (SELECT id, vec,
+                       CAST(sum(CASE WHEN dt > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+                FROM (SELECT id, vec, b,
+                        list_sum(list_transform(range(64), d ->
+                          (CASE WHEN ('0x' || substr(md5('hp-' || b || '-' || d), 1, 15))::BIGINT % 2 = 1
+                                THEN 1.0 ELSE -1.0 END)
+                          * vec[CAST(d + 1 AS INTEGER)]::DOUBLE)) AS dt
+                      FROM c CROSS JOIN bits) x
+                GROUP BY id, vec),
+         cand AS (SELECT DISTINCT pr.qid, cb.id FROM pr JOIN cb ON cb.bucket = pr.probe
+                  WHERE pr.qid <> cb.id),
+         sc AS (SELECT cand.qid, cand.id,
+                       round(${cosSql("q.qvec", "cb.vec")}, 6) AS cos
+                FROM cand JOIN q ON q.qid = cand.qid
+                JOIN cb ON cb.id = cand.id),
+         mp AS (SELECT qid, id, cos,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, id) AS rank
+                FROM sc),
+         fs AS (SELECT qid, id FROM (
+                  SELECT q.qid, c.id,
+                         row_number() OVER (PARTITION BY q.qid
+                           ORDER BY ${cosSql("q.qvec", "c.vec")} DESC, c.id) AS r
+                  FROM q JOIN c ON q.qid <> c.id) x WHERE r <= 5)
+         SELECT m.qid, CAST(m.rank AS BIGINT) AS rank, m.id,
+                m.cos AS cos_mp,
+                CAST(CASE WHEN f.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                  AS in_full_topk
+         FROM mp m LEFT JOIN fs f ON f.qid = m.qid AND f.id = m.id
+         WHERE m.rank <= 5 ORDER BY m.qid, m.rank""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

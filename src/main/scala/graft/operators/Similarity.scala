@@ -74,6 +74,73 @@ object Similarity {
       when(dot(vec, signs) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Multi-probe SRP ANN: the standard recall repair for bucketed LSH
+    * (Lv et al., VLDB 2007) — a query probes its OWN sign-projection
+    * bucket plus the buckets reached by flipping its LOWEST-MARGIN
+    * bits (the hyperplanes it sits closest to, where its true
+    * neighbors most likely fell on the other side). Candidates from
+    * `1 + nprobe` buckets rank by exact cosine; the inline audit flag
+    * marks hits against the full brute-force top-k (the q26/q99/q142
+    * recall-audit contract).
+    *
+    * Determinism: per-bit margins are the SAME left-to-right double
+    * dots as [[signRandomProjection]]'s signs, flip order is
+    * (|dot| ASC, bit ASC) — exactly reproducible in SQL; the probe
+    * buckets of one query are distinct by construction (single-bit
+    * flips), so no candidate dedup is needed.
+    *
+    * Shape at 100 TB: the corpus is bucketed once (map-only); the
+    * probe set is queries × (1 + nprobe) rows and BROADCASTS; scoring
+    * touches only bucket-mates, and per-query top-k comes off the
+    * bounded `graft_topk` heap. nprobe trades recall for candidates
+    * scanned — the knob the q26 single-probe path lacks. */
+  def multiProbeTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (id, vec)
+      dims: Int,
+      nbits: Int,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nbits,
+      s"nprobe must be in [1, $nbits], got $nprobe")
+    val dots = (0 until nbits).map { b =>
+      val signs = lit((0 until dims).map(d => planeSign(b, d)).toArray)
+      dot(col("qvec"), signs)
+    }
+    val base = dots.zipWithIndex.map { case (d, b) =>
+      when(d > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val margins = array_sort(array(dots.zipWithIndex.map { case (d, b) =>
+      struct(abs(d).as("m"), lit(b).as("b"))
+    }: _*))
+    def pow2(bit: Column): Column =
+      (0 until nbits).foldLeft(lit(0L)) { (acc, bb) =>
+        when(bit === bb, lit(1L << bb)).otherwise(acc)
+      }
+    val flips = (1 to nprobe).map { i =>
+      base.bitwiseXOR(pow2(element_at(margins, i).getField("b")))
+    }
+    val probed = queries
+      .withColumn("probe", explode(array(base +: flips: _*)))
+      .select(col("qid"), col("qvec"), col("probe"))
+    val bucketed = corpus.withColumn("bucket",
+      signRandomProjection(col("vec"), dims, nbits))
+    val scored = bucketed.join(broadcast(probed),
+        col("bucket") === col("probe") && col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("qvec"), col("vec")), 6).as("cos"))
+    val mp = scored.groupBy(col("qid"))
+      .agg(call_function("graft_topk", col("cos"), col("id"), lit(k)).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("id"), col("e.ord").as("cos_mp"))
+    val full = bruteForceTopKAgg(queries, corpus, k)
+      .select(col("qid"), col("id"), lit(1L).as("in_full_topk"))
+    mp.join(full, Seq("qid", "id"), "left")
+      .select(col("qid"), col("rank"), col("id"), col("cos_mp"),
+        coalesce(col("in_full_topk"), lit(0L)).as("in_full_topk"))
+  }
+
   /** Johnson–Lindenstrauss SIGN projection to `outDims` dense
     * dimensions: out[j] = Σ_d sign(j,d)·v[d], signs the deterministic
     * md5-parity ±1 of [[signRandomProjection]] under a distinct `jl-`
