@@ -2954,6 +2954,19 @@ object SparkEntry {
       .orderBy(col("step_idx"))
   }
 
+  /** Last-touch attribution (q153): every purchase credits the most
+    * recent strictly-earlier signup/view/click of the same user — the
+    * as-of join folded into one per-user window pass, deterministic
+    * under timestamp ties via the range frame + order-independent
+    * max-string rule. */
+  private def attributionQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.lastTouchAttribution(Tables.events(s, dir), "user_id", "ts",
+        "event_type", conversionType = "purchase",
+        channelTypes = Seq("signup", "view", "click"))
+      .orderBy(col("channel"))
+  }
+
   /** Multi-probe SRP ANN (q152): each query probes its own 6-bit
     * sign-projection bucket plus the two buckets across its
     * lowest-margin hyperplanes — the recall knob q26's single-probe
@@ -3167,7 +3180,8 @@ object SparkEntry {
     "q149_cusum_changepoint" -> (cusumQuery _),
     "q150_theil_sen_trend" -> (theilSenQuery _),
     "q151_autocorrelation" -> (autocorrQuery _),
-    "q152_multiprobe_ann" -> (multiProbeAnn _))
+    "q152_multiprobe_ann" -> (multiProbeAnn _),
+    "q153_attribution" -> (attributionQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3381,7 +3395,8 @@ object SparkEntry {
     "q141_card_nightly", "q142_jl_ann", "q143_vocab_coverage",
     "q144_covariance_nightly", "q145_cluster_size_histogram",
     "q146_retrained_index", "q147_sax_words", "q149_cusum_changepoint",
-    "q150_theil_sen_trend", "q151_autocorrelation", "q152_multiprobe_ann")
+    "q150_theil_sen_trend", "q151_autocorrelation", "q152_multiprobe_ann",
+    "q153_attribution")
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
     * stateful replay must produce the SAME per-step rows. */
@@ -6360,7 +6375,27 @@ object SparkEntry {
                 CAST(CASE WHEN f.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
                   AS in_full_topk
          FROM mp m LEFT JOIN fs f ON f.qid = m.qid AND f.id = m.id
-         WHERE m.rank <= 5 ORDER BY m.qid, m.rank""")
+         WHERE m.rank <= 5 ORDER BY m.qid, m.rank""",
+    // Attribution: strictly-earlier range frame + order-independent
+    // max of the padded epoch#channel string; no-touch -> 'none'.
+    "q153_attribution" ->
+      """WITH t AS (SELECT user_id, ts, event_type,
+                max(CASE WHEN event_type IN ('signup', 'view', 'click')
+                         THEN lpad(CAST(epoch_ms(ts) AS VARCHAR), 20, '0')
+                              || '#' || event_type END)
+                  OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS touch
+              FROM events),
+         conv AS (SELECT CASE WHEN touch IS NULL THEN 'none'
+                              ELSE split_part(touch, '#', 2) END AS channel
+                  FROM t WHERE event_type = 'purchase'),
+         c AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions
+               FROM conv GROUP BY channel),
+         tot AS (SELECT CAST(sum(n_conversions) AS BIGINT) AS t FROM c)
+         SELECT channel, n_conversions,
+                CAST(n_conversions * 1000000 // tot.t AS BIGINT) AS share_ppm
+         FROM c, tot ORDER BY channel""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

@@ -376,6 +376,50 @@ object Analytics {
         expr("abs(s) * 1000000 div (total * n)").as("peak_share_ppm"))
   }
 
+  /** Last-touch attribution: every conversion event is credited to
+    * the most recent STRICTLY-EARLIER channel event of the same user —
+    * the marketing-attribution join, which is an as-of join folded
+    * into one pass over the stream.
+    *
+    * Determinism under timestamp ties (where a naive `last() over
+    * rows` is partition-order-dependent): the window orders by epoch
+    * millis with a RANGE frame ending at −1 — the frame contains
+    * exactly the strictly-earlier events regardless of row order —
+    * and the credited touch is the MAX of a fixed-width
+    * `zero-padded-epoch#channel` string, an order-independent
+    * aggregate (ties at the same millisecond go to the
+    * lexicographically larger channel, a stated rule, not an
+    * accident). Conversions with no prior touch credit 'none'.
+    *
+    * Shape at 100 TB: one shuffle on the user key; the window runs
+    * per user in arrival order; output is channels-sized. Output:
+    * (channel, n_conversions, share_ppm). */
+  def lastTouchAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      conversionType: String,
+      channelTypes: Seq[String]): DataFrame = {
+    require(channelTypes.nonEmpty, "need at least one channel type")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_millis(col(tsCol)))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val tagged = events.select(col(userCol), col(tsCol), col(typeCol))
+      .withColumn("_touch",
+        max(when(col(typeCol).isin(channelTypes: _*),
+          concat(lpad(unix_millis(col(tsCol)).cast("string"), 20, "0"),
+            lit("#"), col(typeCol)))).over(w))
+    val conv = tagged.filter(col(typeCol) === conversionType)
+      .select(coalesce(substring_index(col("_touch"), "#", -1), lit("none"))
+        .as("channel"))
+    val counts = conv.groupBy(col("channel")).agg(count(lit(1)).as("n_conversions"))
+    counts.crossJoin(broadcast(
+        counts.agg(sum(col("n_conversions")).as("_t"))))
+      .select(col("channel"), col("n_conversions"),
+        expr("n_conversions * 1000000 div _t").as("share_ppm"))
+  }
+
   /** Lag-k autocorrelation of per-key daily count series — the
     * seasonality detector (lag 7 ≈ weekly rhythm) that completes the
     * series-diagnostics family: K92 flags anomalies, K118 finds the
