@@ -2954,6 +2954,16 @@ object SparkEntry {
       .orderBy(col("step_idx"))
   }
 
+  /** MAD outlier gate (q154): per event type, the exact lower-median
+    * and median-absolute-deviation of daily counts plus the
+    * |v−med| > 3·MAD outlier count — the robust spread pairing
+    * q150's robust center; pure order statistics, no floats. */
+  private def madQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.madOutliers(Tables.events(s, dir), "event_type", "ts")
+      .orderBy(col("event_type"))
+  }
+
   /** Last-touch attribution (q153): every purchase credits the most
     * recent strictly-earlier signup/view/click of the same user — the
     * as-of join folded into one per-user window pass, deterministic
@@ -3181,7 +3191,8 @@ object SparkEntry {
     "q150_theil_sen_trend" -> (theilSenQuery _),
     "q151_autocorrelation" -> (autocorrQuery _),
     "q152_multiprobe_ann" -> (multiProbeAnn _),
-    "q153_attribution" -> (attributionQuery _))
+    "q153_attribution" -> (attributionQuery _),
+    "q154_mad_outliers" -> (madQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3396,7 +3407,7 @@ object SparkEntry {
     "q144_covariance_nightly", "q145_cluster_size_histogram",
     "q146_retrained_index", "q147_sax_words", "q149_cusum_changepoint",
     "q150_theil_sen_trend", "q151_autocorrelation", "q152_multiprobe_ann",
-    "q153_attribution")
+    "q153_attribution", "q154_mad_outliers")
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
     * stateful replay must produce the SAME per-step rows. */
@@ -6395,7 +6406,35 @@ object SparkEntry {
          tot AS (SELECT CAST(sum(n_conversions) AS BIGINT) AS t FROM c)
          SELECT channel, n_conversions,
                 CAST(n_conversions * 1000000 // tot.t AS BIGINT) AS share_ppm
-         FROM c, tot ORDER BY channel""")
+         FROM c, tot ORDER BY channel""",
+    // MAD: two exact lower-median selections ((value, day) order,
+    // position ceil(n/2)), then the 3*MAD outlier count.
+    "q154_mad_outliers" ->
+      """WITH daily AS (SELECT event_type AS typ, ts::DATE AS day,
+                               CAST(count(*) AS BIGINT) AS v
+                        FROM events GROUP BY 1, 2),
+         m1 AS (SELECT typ, v AS median_v FROM (
+                  SELECT typ, v,
+                         row_number() OVER (PARTITION BY typ
+                           ORDER BY v ASC, day ASC) AS r,
+                         count(*) OVER (PARTITION BY typ) AS n
+                  FROM daily) WHERE r = CAST(ceil(n / 2.0) AS BIGINT)),
+         dev AS (SELECT d.typ, d.day, d.v, m1.median_v,
+                        abs(d.v - m1.median_v) AS ad
+                 FROM daily d JOIN m1 USING (typ)),
+         m2 AS (SELECT typ, ad AS mad FROM (
+                  SELECT typ, ad,
+                         row_number() OVER (PARTITION BY typ
+                           ORDER BY ad ASC, day ASC) AS r,
+                         count(*) OVER (PARTITION BY typ) AS n
+                  FROM dev) WHERE r = CAST(ceil(n / 2.0) AS BIGINT))
+         SELECT dev.typ AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+                CAST(max(dev.median_v) AS BIGINT) AS median_v,
+                CAST(max(m2.mad) AS BIGINT) AS mad,
+                CAST(count(CASE WHEN dev.ad > 3 * m2.mad THEN 1 END) AS BIGINT)
+                  AS n_outliers
+         FROM dev JOIN m2 USING (typ)
+         GROUP BY dev.typ ORDER BY event_type""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

@@ -376,6 +376,49 @@ object Analytics {
         expr("abs(s) * 1000000 div (total * n)").as("peak_share_ppm"))
   }
 
+  /** Exact per-key MAD (median absolute deviation) of daily counts —
+    * the robust spread that pairs with [[theilSenTrend]]'s robust
+    * center: one wild day moves a stddev arbitrarily but barely
+    * touches the MAD, so `|v − median| > t·MAD` is the outlier gate
+    * that still works when the series already contains outliers.
+    *
+    * Exactness: all values are integers and both medians are the
+    * LOWER median — the value at ascending position ⌈n/2⌉ with
+    * (value, day) tie order — pure order statistics, no interpolation,
+    * no floats anywhere. Output per key: n_days, median, mad, and
+    * n_outliers under the classic |v − med| > 3·MAD rule (MAD = 0
+    * degenerates to counting any deviation ≠ 0, stated).
+    *
+    * Shape at 100 TB: one events→(key, day) shuffle; both selections
+    * are per-key windows over the days-sized rollup. */
+  def madOutliers(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("typ"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("v"))
+    val perTyp = Window.partitionBy(col("typ"))
+    def lowerMedian(df: DataFrame, valueCol: String, as: String): DataFrame = {
+      val byV = Window.partitionBy(col("typ"))
+        .orderBy(col(valueCol).asc, col("day").asc)
+      df.withColumn("_n", count(lit(1)).over(perTyp))
+        .withColumn("_r", row_number().over(byV))
+        .filter(col("_r") === ceil(col("_n") / lit(2.0)).cast(LongType))
+        .select(col("typ"), col(valueCol).as(as))
+    }
+    val med = lowerMedian(daily, "v", "median_v")
+    val dev = daily.join(med, Seq("typ"))
+      .withColumn("ad", abs(col("v") - col("median_v")))
+    val mad = lowerMedian(dev, "ad", "mad")
+    dev.join(mad, Seq("typ"))
+      .groupBy(col("typ").as("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("median_v")).as("median_v"),
+        max(col("mad")).as("mad"),
+        count(when(col("ad") > lit(3L) * col("mad"), 1)).as("n_outliers"))
+  }
+
   /** Last-touch attribution: every conversion event is credited to
     * the most recent STRICTLY-EARLIER channel event of the same user —
     * the marketing-attribution join, which is an as-of join folded
