@@ -2954,6 +2954,15 @@ object SparkEntry {
       .orderBy(col("step_idx"))
   }
 
+  /** Conversion latency (q155): integer seconds from each user's
+    * first signup to their first purchase (strict order), summarized
+    * by exact order statistics — n, min, lower-median, max. */
+  private def conversionLatencyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.conversionLatency(Tables.events(s, dir), "user_id", "ts",
+      "event_type", fromType = "signup", toType = "purchase")
+  }
+
   /** MAD outlier gate (q154): per event type, the exact lower-median
     * and median-absolute-deviation of daily counts plus the
     * |v−med| > 3·MAD outlier count — the robust spread pairing
@@ -3192,7 +3201,8 @@ object SparkEntry {
     "q151_autocorrelation" -> (autocorrQuery _),
     "q152_multiprobe_ann" -> (multiProbeAnn _),
     "q153_attribution" -> (attributionQuery _),
-    "q154_mad_outliers" -> (madQuery _))
+    "q154_mad_outliers" -> (madQuery _),
+    "q155_conversion_latency" -> (conversionLatencyQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3407,7 +3417,7 @@ object SparkEntry {
     "q144_covariance_nightly", "q145_cluster_size_histogram",
     "q146_retrained_index", "q147_sax_words", "q149_cusum_changepoint",
     "q150_theil_sen_trend", "q151_autocorrelation", "q152_multiprobe_ann",
-    "q153_attribution", "q154_mad_outliers")
+    "q153_attribution", "q154_mad_outliers", "q155_conversion_latency")
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
     * stateful replay must produce the SAME per-step rows. */
@@ -6434,7 +6444,27 @@ object SparkEntry {
                 CAST(count(CASE WHEN dev.ad > 3 * m2.mad THEN 1 END) AS BIGINT)
                   AS n_outliers
          FROM dev JOIN m2 USING (typ)
-         GROUP BY dev.typ ORDER BY event_type""")
+         GROUP BY dev.typ ORDER BY event_type""",
+    // Conversion latency: strict first-signup < first-purchase,
+    // integer seconds, lower-median by (secs, user).
+    "q155_conversion_latency" ->
+      """WITH m AS (SELECT user_id AS u,
+               min(CAST(floor(epoch(ts)) AS BIGINT))
+                 FILTER (WHERE event_type = 'signup') AS m0,
+               min(CAST(floor(epoch(ts)) AS BIGINT))
+                 FILTER (WHERE event_type = 'purchase') AS m1
+             FROM events GROUP BY user_id),
+         s AS (SELECT u, m1 - m0 AS secs FROM m
+               WHERE m0 IS NOT NULL AND m1 IS NOT NULL AND m0 < m1),
+         md AS (SELECT secs AS median_s FROM (
+                  SELECT secs, row_number() OVER (ORDER BY secs ASC, u ASC) AS r,
+                         count(*) OVER () AS n
+                  FROM s) WHERE r = CAST(ceil(n / 2.0) AS BIGINT))
+         SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                CAST(min(secs) AS BIGINT) AS min_s,
+                CAST(max(md.median_s) AS BIGINT) AS median_s,
+                CAST(max(secs) AS BIGINT) AS max_s
+         FROM s, md""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

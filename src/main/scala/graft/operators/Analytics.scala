@@ -376,6 +376,45 @@ object Analytics {
         expr("abs(s) * 1000000 div (total * n)").as("peak_share_ppm"))
   }
 
+  /** Conversion latency — "how long from first touch to first
+    * purchase": for every user whose FIRST `fromType` strictly
+    * precedes their FIRST `toType`, the integer seconds between the
+    * two, summarized as exact order statistics (n, min, lower-median
+    * with (secs, user) tie order, max) — the time-to-convert number
+    * product reviews quote next to the K89 funnel's conversion rate.
+    *
+    * Strict-< on first occurrences (the funnel contract: equal
+    * timestamps do not convert); all integer seconds, the median a
+    * position-⌈n/2⌉ selection — no interpolation, no floats.
+    *
+    * Shape at 100 TB: one per-user rollup shuffle (map-side partial
+    * mins); the order statistics run over the converted-users-sized
+    * relation. Output: one row (n_converted, min_s, median_s, max_s). */
+  def conversionLatency(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      fromType: String,
+      toType: String): DataFrame = {
+    val perUser = events.groupBy(col(userCol).as("u"))
+      .agg(
+        min(when(col(typeCol) === fromType, unix_seconds(col(tsCol)))).as("m0"),
+        min(when(col(typeCol) === toType, unix_seconds(col(tsCol)))).as("m1"))
+      .filter(col("m0").isNotNull && col("m1").isNotNull && col("m0") < col("m1"))
+      .select(col("u"), (col("m1") - col("m0")).as("secs"))
+    val byS = Window.orderBy(col("secs").asc, col("u").asc)
+    val med = perUser
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("_r", row_number().over(byS))
+      .filter(col("_r") === ceil(col("_n") / lit(2.0)).cast(LongType))
+      .select(col("secs").as("median_s"))
+    perUser.agg(count(lit(1)).as("n_converted"),
+        min(col("secs")).as("min_s"), max(col("secs")).as("max_s"))
+      .crossJoin(broadcast(med))
+      .select(col("n_converted"), col("min_s"), col("median_s"), col("max_s"))
+  }
+
   /** Exact per-key MAD (median absolute deviation) of daily counts —
     * the robust spread that pairs with [[theilSenTrend]]'s robust
     * center: one wild day moves a stddev arbitrarily but barely
