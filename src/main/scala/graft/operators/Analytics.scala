@@ -302,33 +302,57 @@ object Analytics {
     *  - hot    = n_rows > 4 · mean_n (the classic skew rule of thumb).
     *
     * Shape at 100 TB: the input collapses to the per-key count
-    * relation in one shuffle (map-side partial counts); everything
-    * after — the global stats and both windows — runs over that
-    * key-count-sized relation. Top-k is a window over ONE ordered
-    * relation; for key cardinalities where even that relation is huge,
-    * the [[profile]] escape-hatch note applies (approx sketches), but
-    * the audit is usually run exactly BECAUSE the key count is
-    * suspected small. */
+    * relation in one shuffle (map-side partial counts); that relation
+    * then collapses AGAIN to the bucket-SIZE histogram (distinct
+    * n_rows values — at most ~√(2·n_total) of them, since distinct
+    * positive integers summing to n_total are that few), and both
+    * order statistics derive from exclusive prefix sums over that
+    * histogram, never from a global sort of the key-count relation:
+    *  - p99: the value at ascending position P only depends on which
+    *    histogram bucket P falls in (the key tiebreak cannot change
+    *    the VALUE), so p99_n = the n_rows with
+    *    prefix(n_rows) < P ≤ prefix(n_rows) + class_count;
+    *  - top-k: a key's global rank under (n_rows DESC, key ASC) is
+    *    above(n_rows) + its row_number within its own n_rows class;
+    *    only classes with above(n_rows) < topK can reach the top-k, so
+    *    the within-class windows (hash-partitioned by n_rows — fully
+    *    parallel) see at most topK rows plus boundary ties.
+    * The only unpartitioned windows left run over the histogram — the
+    * budgetSelect bound: single-node over model-sized state, never
+    * over the corpus or the key-count relation. */
   def keySkewAudit(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("n_rows"))
-    // p99 = n_rows of the bucket whose ascending (n, key) position is
-    // ceil(0.99 * n_keys): rank every bucket once, keep the one whose
-    // position equals the target — both windows run over the same
-    // key-count-sized relation
-    val byN = Window.orderBy(col("n_rows").asc, col("key").asc)
-    val p99 = counts
-      .select(col("n_rows"), row_number().over(byN).as("_pos"),
-        count(lit(1)).over(Window.partitionBy()).as("_nk"))
-      .filter(col("_pos") === ceil(lit(0.99) * col("_nk")).cast(LongType))
-      .select(col("n_rows").as("p99_n"))
+    // bucket-size histogram: one more map-side-combined shuffle, then
+    // everything global runs over this bounded relation
+    val hist = counts.groupBy(col("n_rows")).agg(count(lit(1)).as("_c"))
+    val ascPrefix = Window.orderBy(col("n_rows").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val descPrefix = Window.orderBy(col("n_rows").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select(col("n_rows"), col("_c"),
+      coalesce(sum(col("_c")).over(ascPrefix), lit(0L)).as("_below"),
+      coalesce(sum(col("_c")).over(descPrefix), lit(0L)).as("_above"))
     val totals = counts.agg(
       sum(col("n_rows")).as("n_total"),
       count(lit(1)).as("n_keys"),
       max(col("n_rows")).as("max_n"))
-    val byTop = Window.orderBy(col("n_rows").desc, col("key").asc)
-    counts.withColumn("rank", row_number().over(byTop))
+    // p99 = the histogram class containing ascending position
+    // ceil(0.99 * n_keys) — an exact order statistic by prefix lookup
+    val p99 = cum.crossJoin(broadcast(totals.select(col("n_keys").as("_nk"))))
+      .withColumn("_p", ceil(lit(0.99) * col("_nk")).cast(LongType))
+      .filter(col("_below") < col("_p") && col("_p") <= col("_below") + col("_c"))
+      .select(col("n_rows").as("p99_n"))
+    // top-k: join each candidate key to its class's descending prefix;
+    // classes that cannot reach rank<=topK are pruned BEFORE the
+    // within-class window runs
+    val withinClass = Window.partitionBy(col("n_rows")).orderBy(col("key").asc)
+    counts
+      .join(broadcast(cum.filter(col("_above") < topK)
+        .select(col("n_rows"), col("_above"))), Seq("n_rows"))
+      .withColumn("rank", (col("_above") + row_number().over(withinClass))
+        .cast("int"))
       .filter(col("rank") <= topK)
       .crossJoin(broadcast(totals))
       .crossJoin(broadcast(p99))
@@ -388,8 +412,19 @@ object Analytics {
     * position-⌈n/2⌉ selection — no interpolation, no floats.
     *
     * Shape at 100 TB: one per-user rollup shuffle (map-side partial
-    * mins); the order statistics run over the converted-users-sized
-    * relation. Output: one row (n_converted, min_s, median_s, max_s). */
+    * mins); the converted-user relation then collapses to the
+    * latency-HISTOGRAM (distinct integer seconds — bounded by the time
+    * span, e.g. ≤ 7.8M classes for a 90-day window, regardless of user
+    * count), and the median is an exclusive-prefix lookup over that
+    * histogram: the value at ascending position ⌈n/2⌉ depends only on
+    * which class the position falls in (the user tiebreak cannot
+    * change the VALUE). No global sort of the converted-user relation
+    * ever runs — the one unpartitioned window is over the histogram
+    * (the budgetSelect bound: model-sized state, not the corpus).
+    *
+    * Empty input emits ONE row (n_converted=0, null statistics) — the
+    * SQL-aggregate shape, so dashboards see "zero conversions" rather
+    * than a missing row. Output: (n_converted, min_s, median_s, max_s). */
   def conversionLatency(
       events: DataFrame,
       userCol: String,
@@ -403,15 +438,20 @@ object Analytics {
         min(when(col(typeCol) === toType, unix_seconds(col(tsCol)))).as("m1"))
       .filter(col("m0").isNotNull && col("m1").isNotNull && col("m0") < col("m1"))
       .select(col("u"), (col("m1") - col("m0")).as("secs"))
-    val byS = Window.orderBy(col("secs").asc, col("u").asc)
-    val med = perUser
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("_r", row_number().over(byS))
-      .filter(col("_r") === ceil(col("_n") / lit(2.0)).cast(LongType))
-      .select(col("secs").as("median_s"))
+    val hist = perUser.groupBy(col("secs")).agg(count(lit(1)).as("_c"))
+    val ascPrefix = Window.orderBy(col("secs").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val med = hist
+      .select(col("secs"), col("_c"),
+        coalesce(sum(col("_c")).over(ascPrefix), lit(0L)).as("_below"))
+      .crossJoin(broadcast(hist.agg(sum(col("_c")).as("_n"))))
+      .withColumn("_p", ceil(col("_n") / lit(2.0)).cast(LongType))
+      .filter(col("_below") < col("_p") && col("_p") <= col("_below") + col("_c"))
+      .select(col("secs").as("median_s"), lit(1).as("_k"))
     perUser.agg(count(lit(1)).as("n_converted"),
         min(col("secs")).as("min_s"), max(col("secs")).as("max_s"))
-      .crossJoin(broadcast(med))
+      .withColumn("_k", lit(1))
+      .join(broadcast(med), Seq("_k"), "left")
       .select(col("n_converted"), col("min_s"), col("median_s"), col("max_s"))
   }
 

@@ -46,12 +46,18 @@ class ConversionLatencySpec extends SparkSpec {
     mn shouldBe 30L
   }
 
-  test("a purchase in the same second as the signup does not convert (empty summary)") {
+  test("a purchase in the same second as the signup does not convert (zero-row summary)") {
     val rows = Seq(
       (1L, ts("2024-01-01 10:00:00"), "signup"),
       (1L, ts("2024-01-01 10:00:00"), "purchase"))
-    Analytics.conversionLatency(rows.toDF("user_id", "ts", "event_type"),
-        "user_id", "ts", "event_type", "signup", "purchase")
-      .count() shouldBe 0L // no conversions -> no summary row (no median exists)
+    // no conversions -> ONE summary row with n=0 and null statistics
+    // (the SQL-aggregate shape the DuckDB oracle produces)
+    val out = Analytics.conversionLatency(rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", "signup", "purchase").collect()
+    out should have length 1
+    out.head.getLong(0) shouldBe 0L
+    out.head.isNullAt(1) shouldBe true
+    out.head.isNullAt(2) shouldBe true
+    out.head.isNullAt(3) shouldBe true
   }
 }

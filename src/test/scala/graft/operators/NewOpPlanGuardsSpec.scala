@@ -56,4 +56,44 @@ class NewOpPlanGuardsSpec extends SparkSpec {
     plan should not include "Exchange"
     plan should include("graft_array_dot")
   }
+
+  // Order-statistic de-globalization: the value at a global position
+  // depends only on its histogram class, so the exact p99/median come
+  // from exclusive-prefix lookups over the bounded distinct-value
+  // relation. The guard: every UNPARTITIONED window must run directly
+  // over an Aggregate (histogram-sized state, the budgetSelect bound),
+  // never over the raw key-count / converted-user relation — and
+  // row_number never appears unpartitioned.
+  import org.apache.spark.sql.catalyst.plans.logical.{
+    Aggregate, Filter, LogicalPlan, Project, Window => LWindow}
+
+  private def overHistogramOnly(df: org.apache.spark.sql.DataFrame): Unit = {
+    @annotation.tailrec
+    def strip(n: LogicalPlan): LogicalPlan = n match {
+      case Project(_, c)    => strip(c)
+      case Filter(_, c)     => strip(c)
+      case w: LWindow       => strip(w.child) // stacked specs over the same base
+      case other            => other
+    }
+    val unpartitioned = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    unpartitioned.foreach { w =>
+      assert(w.windowExpressions.forall(!_.sql.contains("row_number")),
+        s"unpartitioned row_number (global sort funnel):\n$w")
+      assert(strip(w.child).isInstanceOf[Aggregate],
+        s"unpartitioned window not over an aggregate (histogram) relation:\n$w")
+    }
+  }
+
+  test("keySkewAudit: no single-partition window over the key-count relation") {
+    val e = graft.Tables.events(spark, sfSmoke)
+    overHistogramOnly(Analytics.keySkewAudit(e, "user_id", topK = 15))
+  }
+
+  test("conversionLatency: no single-partition window over the converted-user relation") {
+    val e = graft.Tables.events(spark, sfSmoke)
+    overHistogramOnly(Analytics.conversionLatency(
+      e, "user_id", "ts", "event_type", "login", "purchase"))
+  }
 }
