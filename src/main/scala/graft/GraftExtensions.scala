@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDotProduct, ArraySqDistLong, BloomFilterAgg, BloomMightContain, CharEntropy, GramAgg, KMinValues, TopKByScore}
+import graft.functions.{ArrayDotProduct, ArraySqDistLong, BloomFilterAgg, BloomMightContain, CharEntropy, GramAgg, KMinValues, TopKByScore, VecSumAgg}
 
 /** Engine extensions. Deployable two ways:
   *  - cluster: `spark.sql.extensions=graft.GraftExtensions`
@@ -67,7 +67,12 @@ object GraftExtensions {
       new FunctionIdentifier("graft_gram"),
       new ExpressionInfo(classOf[GramAgg].getName, "graft_gram"),
       arity("graft_gram", 2, "graft_gram(qvec, dims)")(
-        children => GramAgg(children(0), children(1)))))
+        children => GramAgg(children(0), children(1)))),
+    (
+      new FunctionIdentifier("graft_vecsum"),
+      new ExpressionInfo(classOf[VecSumAgg].getName, "graft_vecsum"),
+      arity("graft_vecsum", 2, "graft_vecsum(qvec, dims)")(
+        children => VecSumAgg(children(0), children(1)))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

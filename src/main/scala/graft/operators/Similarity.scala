@@ -1190,8 +1190,18 @@ object Similarity {
     *
     * Scale notes: the quantized projection is persisted because Lloyd
     * re-reads it `iters + 1` times — the standard iterative-ML cache
-    * posture (Spark MLlib KMeans does the same). Long partial sums
-    * hold to ~10¹² rows per (cell, dim) at micro-unit scale.
+    * posture (Spark MLlib KMeans does the same) — and RELEASED before
+    * the fit returns (try/finally), so a long-lived session pays no
+    * storage-memory rent per retrain. The centroid update folds each
+    * row into a per-cell `graft_vecsum` buffer (d+1 longs) — no
+    * per-dim row fan-out ever materializes, the exchange carries k
+    * model-sized buffers. Long partial sums hold to ~10¹² rows per
+    * (cell, dim) at micro-unit scale.
+    *
+    * The fit is EAGER (the MLlib posture): only model-sized relations
+    * (k vecsum buffers per iteration, k stat rows) ever reach the
+    * driver, and the returned k×dims relation is local — downstream
+    * joins broadcast it for free.
     *
     * Output: (cell, d, c, n_vectors, sum_d2) — k×dims rows; `c` in
     * offset-micro units; `n_vectors`/`sum_d2` from the final
@@ -1206,56 +1216,66 @@ object Similarity {
     require(iters >= 1, "kmeansFit needs iters >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val q = df.select(col(idCol).cast("long").as("id"),
-        transform(col(vecCol),
-          x => round((x.cast(DoubleType) + lit(1.0d)) * lit(1e6)).cast(LongType))
-          .as("qv"))
-      .persist()
-    val seedRows = q
-      .withColumn("_h",
-        TextDedup.md5Hash60(concat(lit("kmseed:"), col("id").cast("string"))))
-      .orderBy(col("_h"), col("id")).limit(k)
-      .select(col("qv")).collect()
-    require(seedRows.length == k, s"kmeansFit: corpus has < $k rows")
-    var cents: Seq[(Long, Array[Long])] = seedRows.toSeq.zipWithIndex.map {
-      case (r, i) => i.toLong -> r.getSeq[Long](0).toArray
-    }
-    // argmin over plan-literal centroids: least() on (d2, cell) structs
-    // — exact long compare, ties to the smaller cell id.
-    def best: Column = least(cents.map { case (cid, cv) =>
+    val q = kmeansQuantize(df, idCol, vecCol).persist()
+    try {
+      val seedRows = q
+        .withColumn("_h",
+          TextDedup.md5Hash60(concat(lit("kmseed:"), col("id").cast("string"))))
+        .orderBy(col("_h"), col("id")).limit(k)
+        .select(col("qv")).collect()
+      require(seedRows.length == k, s"kmeansFit: corpus has < $k rows")
+      var cents: Seq[(Long, Array[Long])] = seedRows.toSeq.zipWithIndex.map {
+        case (r, i) => i.toLong -> r.getSeq[Long](0).toArray
+      }
+      val dims = cents.head._2.length
+      for (_ <- 1 to iters) {
+        val sums = kmeansAssign(q, cents)
+          .groupBy(col("_b").getField("cell").as("cell"))
+          .agg(call_function("graft_vecsum", col("qv"), lit(dims)).as("b"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
+        cents = cents.map { case (cid, prev) =>
+          sums.get(cid) match {
+            case Some(b) if b(0) > 0L =>
+              cid -> Array.tabulate(dims)(d => b(1 + d) / b(0))
+            case _ => cid -> prev // empty cell keeps its centroid
+          }
+        }
+      }
+      val stats = kmeansAssign(q, cents)
+        .groupBy(col("_b").getField("cell").as("cell"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("_b").getField("d2")).as("sum_d2"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      cents.flatMap { case (cid, arr) =>
+        val (n, s) = stats.getOrElse(cid, (0L, 0L))
+        arr.zipWithIndex.map { case (c, d) => (cid, d.toLong, c, n, s) }
+      }.toDF("cell", "d", "c", "n_vectors", "sum_d2")
+    } finally q.unpersist()
+  }
+
+  /** Offset-micro quantization shared by [[kmeansFit]]'s passes:
+    * `q = round((v + 1)·1e6)` per coordinate (see the fit's
+    * determinism contract). */
+  private[graft] def kmeansQuantize(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol),
+        x => round((x.cast(DoubleType) + lit(1.0d)) * lit(1e6)).cast(LongType))
+        .as("qv"))
+
+  /** One assignment pass: `_b = (d2, cell)` argmin over plan-literal
+    * centroids — `least()` on structs, exact long compare, ties to the
+    * smaller cell id; k codegen'd `graft_sqdist_long` evaluations per
+    * row, no join. Exposed package-side so plan audits can read the
+    * assignment/update stage of the otherwise-eager fit. */
+  private[graft] def kmeansAssign(
+      q: DataFrame, cents: Seq[(Long, Array[Long])]): DataFrame =
+    q.withColumn("_b", least(cents.map { case (cid, cv) =>
       struct(
         call_function("graft_sqdist_long", col("qv"), typedLit(cv.toSeq)).as("d2"),
         lit(cid).as("cell"))
-    }: _*)
-    for (_ <- 1 to iters) {
-      val sums = q.withColumn("cell", best.getField("cell"))
-        .select(col("cell"), posexplode(col("qv")).as(Seq("d", "v")))
-        .groupBy(col("cell"), col("d"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-      val byCell = sums.groupBy(_._1)
-      cents = cents.map { case (cid, prev) =>
-        byCell.get(cid) match {
-          case Some(rows) =>
-            val arr = prev.clone()
-            rows.foreach { case (_, d, s, n) => arr(d) = s / n }
-            cid -> arr
-          case None => cid -> prev // empty cell keeps its centroid
-        }
-      }
-    }
-    val stats = q.withColumn("_b", best)
-      .groupBy(col("_b").getField("cell").as("cell"))
-      .agg(count(lit(1)).as("n_vectors"), sum(col("_b").getField("d2")).as("sum_d2"))
-    val centDf = cents.flatMap { case (cid, arr) =>
-      arr.zipWithIndex.map { case (c, d) => (cid, d.toLong, c) }
-    }.toDF("cell", "d", "c")
-    centDf.join(stats, Seq("cell"), "left")
-      .select(col("cell"), col("d"), col("c"),
-        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
-        coalesce(col("sum_d2"), lit(0L)).as("sum_d2"))
-  }
+    }: _*))
 
   /** Covariance / PCA sufficient statistics for an embedding column —
     * the whitening-and-PCA front door: one pass produces (n, Σxᵢ,

@@ -25,17 +25,31 @@ class NewOpPlanGuardsSpec extends SparkSpec {
     plan.substring(plan.lastIndexOf("Aggregate")) should not include "Generate"
   }
 
-  test("kmeans assignment is a codegen'd literal-centroid argmin, no join") {
-    val pts = (0L until 50L).map(i => (i, Array.tabulate(8)(d => (d + i % 5).toFloat / 10f)))
-      .toDF("id", "vec")
-    // one iteration's assignment plan: capture via the final stats pass
-    val out = Similarity.kmeansFit(pts, "id", "vec", k = 3, iters = 1)
-    val plan = planOf(out)
+  test("kmeans update stage: literal-centroid codegen argmin into a vecsum buffer — no Generate, no join") {
+    // parquet-backed input so ConvertToLocalRelation can't pre-evaluate
+    val e = graft.Tables.embeddings(spark, sfSmoke)
+    val q = Similarity.kmeansQuantize(e, "vec_id", "embedding")
+    val cents = Seq(0L -> Array.fill(64)(1000000L), 1L -> Array.fill(64)(1100000L))
+    val upd = Similarity.kmeansAssign(q, cents)
+      .groupBy(col("_b").getField("cell").as("cell"))
+      .agg(call_function("graft_vecsum", col("qv"), lit(64)).as("b"))
+    val plan = planOf(upd)
     plan should include("graft_sqdist_long")
-    // centroids are plan literals: the assignment side has no
-    // BroadcastHashJoin against a centroid relation (the only joins
-    // in the final output attach the tiny stats relation)
-    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("graft_vecsum")
+    // the d× per-row fan-out must stay inside the aggregate buffer:
+    // no posexplode Generate anywhere in the update stage
+    plan should not include "Generate"
+    // centroids are plan literals, not a joined relation
+    plan should not include "Join"
+  }
+
+  test("kmeansFit releases its cached quantized corpus (no lingering RDD blocks)") {
+    val pts = (0L until 40L).map(i => (i, Array.tabulate(8)(d => (d + i % 4).toFloat / 10f)))
+      .toDF("id", "vec")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Similarity.kmeansFit(pts, "id", "vec", k = 3, iters = 2).count()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    (after -- before) shouldBe empty
   }
 
   test("vocabCoverage's windows run over the count-class histogram, not the vocabulary") {
