@@ -2954,6 +2954,38 @@ object SparkEntry {
       .orderBy(col("step_idx"))
   }
 
+  /** BPE encode (q158): apply the literal demonstration merge table to
+    * every document — real subword tokens, not whitespace words. The
+    * oracle unrolls the SAME table as a DuckDB replace chain; the
+    * `segmented` column (full token stream) makes the hash sensitive
+    * to the exact tokenization, not just counts. */
+  private def bpeEncodeQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id", "text",
+        TextAnalysis.defaultBpeMerges)
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_tokens"),
+        array_join(col("tokens"), " ").as("segmented"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE-budgeted selection (q159): q115's greedy-prefix budget cut,
+    * but budgeted in REAL tokens — [[bpeEncodeQuery]]'s counts feed
+    * [[Curation.budgetSelect]], closing the "token budgets were
+    * whitespace words" gap for the curation surface. */
+  private def bpeBudgetQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, TextAnalysis}
+    val docs = Tables.documents(s, dir)
+    val scored = TextAnalysis.hashedQualityScore(docs, "doc_id", "text",
+        buckets = 1024)
+      .select(col("doc_id"), col("score"))
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        TextAnalysis.defaultBpeMerges)
+      .select(col("doc_id"), col("n_tokens"))
+    Curation.budgetSelect(scored.join(enc, Seq("doc_id")),
+        "doc_id", "score", "n_tokens", budget = 60000L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Conversion latency (q155): integer seconds from each user's
     * first signup to their first purchase (strict order), summarized
     * by exact order statistics — n, min, lower-median, max. */
@@ -3202,13 +3234,39 @@ object SparkEntry {
     "q152_multiprobe_ann" -> (multiProbeAnn _),
     "q153_attribution" -> (attributionQuery _),
     "q154_mad_outliers" -> (madQuery _),
-    "q155_conversion_latency" -> (conversionLatencyQuery _))
+    "q155_conversion_latency" -> (conversionLatencyQuery _),
+    "q158_bpe_encode" -> (bpeEncodeQuery _),
+    "q159_bpe_budget_select" -> (bpeBudgetQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
   private def minHashCoeffsSql(numHashes: Int): String =
     graft.operators.TextDedup.minHashCoeffs(numHashes).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
+  /** Shared q158/q159 oracle fragment: the BPE merge chain unrolled
+    * from the SAME literal table the Spark plan folds (the
+    * minHashCoeffsSql pattern — one constant list drives both sides).
+    * DuckDB's `replace` shares Java's left-to-right non-overlap scan,
+    * and the double-separator wrapping makes that exactly BPE's
+    * leftmost pair pass (see TextAnalysis.bpeEncode). `inner` is the
+    * text expression to encode. */
+  private def bpeChainSql(inner: String): String = {
+    def w(t: String) = s"chr(1) || '$t' || chr(1)"
+    graft.operators.TextAnalysis.defaultBpeMerges.foldLeft(
+      s"regexp_replace($inner, '([^ ])', chr(1) || '\\1' || chr(1), 'g')") {
+      case (acc, (x, y)) => s"replace($acc, ${w(x)} || ${w(y)}, ${w(x + y)})"
+    }
+  }
+
+  /** q158/q159 shared token-list CTE body over `documents`. */
+  private def bpeToksSql: String =
+    s"""e AS (SELECT doc_id, ${bpeChainSql("text")} AS enc FROM documents),
+        tk AS (SELECT doc_id,
+                      list_filter(string_split(
+                        replace(replace(enc, chr(1) || chr(1), ' '), chr(1), ''),
+                        ' '), x -> x <> '') AS toks
+               FROM e)"""
 
   /** Shared oracle fragment: MinHash + banded LSH candidate pairs with
     * the bucket-size guard — mirrors TextDedup.lshCandidatePairs over
@@ -3417,7 +3475,8 @@ object SparkEntry {
     "q144_covariance_nightly", "q145_cluster_size_histogram",
     "q146_retrained_index", "q147_sax_words", "q149_cusum_changepoint",
     "q150_theil_sen_trend", "q151_autocorrelation", "q152_multiprobe_ann",
-    "q153_attribution", "q154_mad_outliers", "q155_conversion_latency")
+    "q153_attribution", "q154_mad_outliers", "q155_conversion_latency",
+    "q158_bpe_encode", "q159_bpe_budget_select")
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
     * stateful replay must produce the SAME per-step rows. */
@@ -6464,7 +6523,37 @@ object SparkEntry {
                 CAST(min(secs) AS BIGINT) AS min_s,
                 CAST(max(md.median_s) AS BIGINT) AS median_s,
                 CAST(max(secs) AS BIGINT) AS max_s
-         FROM s, md""")
+         FROM s, md""",
+    // BPE encode: the merge chain unrolled over the same literal
+    // table; segmented = the full token stream, so the hash checks
+    // the exact tokenization, not just counts.
+    "q158_bpe_encode" ->
+      s"""WITH $bpeToksSql
+         SELECT d.doc_id,
+                CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_ws_tokens,
+                CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+                array_to_string(tk.toks, ' ') AS segmented
+         FROM documents d JOIN tk USING (doc_id) ORDER BY doc_id""",
+    // BPE-budgeted greedy-prefix selection: q115's score CTEs with the
+    // token column swapped to real BPE counts.
+    "q159_bpe_budget_select" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         f AS (SELECT doc_id,
+                      (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024) * 2654435761 % 2001 - 1000 AS w
+               FROM t WHERE tok <> ''),
+         s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
+               FROM f GROUP BY doc_id),
+         $bpeToksSql,
+         j AS (SELECT s.doc_id, s.score,
+                      CAST(len(tk.toks) AS BIGINT) AS n_tokens
+               FROM s JOIN tk USING (doc_id)),
+         r AS (SELECT doc_id, score, n_tokens,
+                      CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+               FROM j)
+         SELECT doc_id, score, n_tokens, cum_tokens
+         FROM r WHERE cum_tokens <= 60000 ORDER BY doc_id""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

@@ -727,4 +727,82 @@ object TextAnalysis {
         col("c").as("floor_count"),
         col("vocab_total"), col("token_total"))
   }
+
+  /** Demonstration merge table for [[bpeEncode]] — 20 learned-style
+    * English merges in RANK order, with deliberate cascades ((t,h)→th
+    * then (th,e)→the; (t,i)/(ti,on)→tion; (a,n)/(an,d)→and) so the
+    * order-dependence of BPE application is exercised, not just
+    * single-pair substitution. Production use passes a learned table
+    * (e.g. the top pairs from [[bpePairCounts]] iterated to a real
+    * merge list); the encoder is table-agnostic. */
+  val defaultBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "an" -> "d", "o" -> "n", "e" -> "n", "r" -> "e", "a" -> "t",
+    "o" -> "r", "e" -> "s", "t" -> "i", "ti" -> "on", "s" -> "t",
+    "a" -> "r", "o" -> "u", "l" -> "l", "o" -> "o", "e" -> "e")
+
+  /** Separator for the in-flight BPE token encoding — a control char
+    * outside the corpus alphabet (the PII/HTML ops make the same
+    * printable-text assumption). */
+  private val BpeSep = "\u0001"
+
+  /** BPE ENCODE — apply a learned merge table to text, producing the
+    * real token stream every "budget in tokens" consumer actually
+    * means ([[bpePairCounts]] is the TRAINING side; this is the
+    * application side that was missing: chunking/packing/budget
+    * selection previously counted whitespace words).
+    *
+    * Algorithm: tokens start as characters; merges apply in RANK
+    * order, each replacing every left-to-right non-overlapping
+    * adjacent occurrence of its pair — the standard sequential
+    * application, exact for LEARNED tables because a merge's parts
+    * can only be produced by earlier-ranked merges.
+    *
+    * Encoding trick that keeps this a pure column chain (no UDF, no
+    * per-token explode): each token is wrapped as `␁tok␁`, so a doc is
+    * `␁h␁␁i␁ ␁y␁␁o␁` — adjacent tokens meet at a DOUBLE separator,
+    * word boundaries keep their space (no merge crosses one: patterns
+    * contain no space). Merge (x,y) is then the plain string replace
+    * `␁x␁␁y␁ → ␁xy␁`, whose left-to-right non-overlap semantics are
+    * IDENTICAL in Java and DuckDB — and, because adjacent matches
+    * share no characters under double-wrapping, equal to BPE's
+    * leftmost-greedy pair pass (single-wrapping would share the
+    * boundary separator and skip every other merge in a run). After
+    * the fold, `␁␁ → space`, strip `␁`, split, drop empties.
+    *
+    * Scale shape: map-only — one codegen'd string pipeline per row,
+    * merge table folded into plan literals (the centroid-literal
+    * pattern; table size bounds plan depth, the documented contract
+    * for plan-literal models). No shuffle, no state.
+    *
+    * Character-level contract: `.`-per-codepoint wrapping assumes BMP
+    * text (the corpus alphabet assumption above).
+    *
+    * Output: (doc_id, n_ws_tokens, tokens ARRAY<STRING>, n_tokens). */
+  def bpeEncode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeEncode needs a non-empty merge table")
+    merges.foreach { case (x, y) =>
+      require(x.nonEmpty && y.nonEmpty && !(x + y).exists(c => c == ' ' || c == '\u0001'),
+        s"merge parts must be non-empty and space/separator-free: ($x,$y)")
+    }
+    def wrap(t: String) = BpeSep + t + BpeSep
+    val wrapped = regexp_replace(col(textCol), "([^ ])", s"$BpeSep$$1$BpeSep")
+    val folded = merges.foldLeft(wrapped) { case (c, (x, y)) =>
+      replace(c, lit(wrap(x) + wrap(y)), lit(wrap(x + y)))
+    }
+    val tokens = filter(
+      split(translate(replace(folded, lit(BpeSep + BpeSep), lit(" ")),
+        BpeSep, ""), " "),
+      t => t =!= "")
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(filter(words(col(textCol)), w => w =!= "")).cast(LongType)
+          .as("n_ws_tokens"),
+        tokens.as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast(LongType))
+  }
 }
