@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
@@ -2986,6 +2986,87 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Skew-join equivalence (q156): the K14 scale patterns finally
+    * oracle-gated — the salted inner join (probe-side deterministic
+    * salt, build side replicated salt ways) and the bucketed
+    * co-located sort-merge join both run against a planted-skew
+    * fixture (events: 5 keys ≈ 2k rows each) and must produce row sets
+    * IDENTICAL to a plain join: the salt and the bucketing are pure
+    * execution-strategy choices, semantically invisible. The DuckDB
+    * oracle is the plain join, emitted once per strategy label. */
+  private def skewJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SkewJoin
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+    val dim = Tables.events(s, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("type_n"))
+    val salted = SkewJoin.saltedInner(ev, dim, Seq("event_type"), salt = 8)
+      .select(lit("salted").as("op"), col("event_id"),
+        col("event_type"), col("type_n"))
+    // bucketed twin: both sides written bucketed on the key, merge-join
+    // reads bucket-aligned (the no-exchange property is locked by
+    // ScalePatternsSpec; here the VALUES are gated)
+    Seq("q156_bk_ev", "q156_bk_dim").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      graft.util.TmpDirs.deleteRecursively(s"target/spark-warehouse/$t")
+    }
+    ev.write.mode("overwrite").bucketBy(8, "event_type").saveAsTable("q156_bk_ev")
+    dim.write.mode("overwrite").bucketBy(8, "event_type").saveAsTable("q156_bk_dim")
+    val bucketed = s.table("q156_bk_ev").hint("merge")
+      .join(s.table("q156_bk_dim").hint("merge"), Seq("event_type"))
+      .select(lit("bucketed").as("op"), col("event_id"),
+        col("event_type"), col("type_n"))
+    salted.unionByName(bucketed).orderBy(col("op"), col("event_id"))
+  }
+
+  /** Composed nightly tick (q157): ONE RunNightly.tick over a fresh
+    * state dir — bootstrap (index/card/model/postings/cov built from
+    * the OLD snapshots, quantizer TRAINED on old vectors) plus one
+    * old→new maintenance tick — then every persisted relation read
+    * back from disk and emitted under a `rel` tag. The DuckDB oracle
+    * REBUILDS all four relations directly from the new snapshots
+    * (training included, via the shared kmeans CTE generator): the
+    * hash compare is the tick≡rebuild gate for the whole composed
+    * driver, not just its parts (q127/q128/q141/q133/q144 gate the
+    * parts; this gates their orchestration). */
+  private def nightlyTickQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.{CardMaintenance, RunNightly}
+    val stateDir = "target/q157_nightly_state"
+    graft.util.TmpDirs.deleteRecursively(stateDir)
+    val (oldDocs, newDocs) = cardSnapshotFixture(s, dir)
+    val e = Tables.embeddings(s, dir)
+    val oldVecs = e.filter(col("vec_id") % 10 =!= 3)
+      .select(col("vec_id"), col("embedding"))
+    val newVecs = e.filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id"),
+        when(col("vec_id") % 10 === 5, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+    RunNightly.tick(s, stateDir, oldDocs, newDocs, oldVecs, newVecs)
+    def pad(df: DataFrame, rel: String, cols: Column*): DataFrame = {
+      val cs = cols.zipWithIndex.map { case (c, i) =>
+        c.cast("string").as(s"c${i + 1}") }
+      val nulls = (cols.size until 7).map(i =>
+        lit(null).cast("string").as(s"c${i + 1}"))
+      df.select((lit(rel).as("rel") +: (cs ++ nulls)): _*)
+    }
+    val band = pad(s.read.parquet(s"$stateDir/index/band_index"),
+      "band", col("id"), col("band"), col("key"))
+    val hash = pad(s.read.parquet(s"$stateDir/index/hash_index"),
+      "hash", col("h"), col("cnt"))
+    val card = pad(
+      CardMaintenance.card(CardMaintenance.load(s, s"$stateDir/card").get),
+      "card", col("lang"), col("n_docs"), col("n_exact_dups"),
+      col("n_sources"), col("total_tokens"), col("mean_tokens_milli"),
+      col("distinct_words"))
+    val post = pad(
+      s.read.parquet(s"$stateDir/vecindex")
+        .select(col("id"), col("cell"), concat_ws(",", col("code")).as("cs")),
+      "vecpost", col("id"), col("cell"), col("cs"))
+    val cov = pad(s.read.parquet(s"$stateDir/cov"),
+      "cov", col("d1"), col("d2"), col("n"), col("s1"), col("s2"), col("s12"))
+    band.unionByName(hash).unionByName(card).unionByName(post).unionByName(cov)
+      .orderBy(col("rel"), col("c1"), col("c2"))
+  }
+
   /** Conversion latency (q155): integer seconds from each user's
     * first signup to their first purchase (strict order), summarized
     * by exact order statistics — n, min, lower-median, max. */
@@ -3235,6 +3316,8 @@ object SparkEntry {
     "q153_attribution" -> (attributionQuery _),
     "q154_mad_outliers" -> (madQuery _),
     "q155_conversion_latency" -> (conversionLatencyQuery _),
+    "q156_skew_join" -> (skewJoinQuery _),
+    "q157_nightly_tick" -> (nightlyTickQuery _),
     "q158_bpe_encode" -> (bpeEncodeQuery _),
     "q159_bpe_budget_select" -> (bpeBudgetQuery _))
 
@@ -3476,6 +3559,7 @@ object SparkEntry {
     "q146_retrained_index", "q147_sax_words", "q149_cusum_changepoint",
     "q150_theil_sen_trend", "q151_autocorrelation", "q152_multiprobe_ann",
     "q153_attribution", "q154_mad_outliers", "q155_conversion_latency",
+    "q156_skew_join", "q157_nightly_tick",
     "q158_bpe_encode", "q159_bpe_budget_select")
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
@@ -6553,7 +6637,122 @@ object SparkEntry {
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
                FROM j)
          SELECT doc_id, score, n_tokens, cum_tokens
-         FROM r WHERE cum_tokens <= 60000 ORDER BY doc_id""")
+         FROM r WHERE cum_tokens <= 60000 ORDER BY doc_id""",
+    // Skew-join equivalence: salt and bucketing are execution-strategy
+    // choices only — the oracle is the PLAIN join, once per label.
+    "q156_skew_join" ->
+      """WITH dim AS (SELECT event_type, CAST(count(*) AS BIGINT) AS type_n
+                      FROM events GROUP BY 1),
+         j AS (SELECT e.event_id, e.event_type, d.type_n
+               FROM events e JOIN dim d USING (event_type))
+         SELECT 'salted' AS op, event_id, event_type, type_n FROM j
+         UNION ALL
+         SELECT 'bucketed' AS op, event_id, event_type, type_n FROM j
+         ORDER BY op, event_id""",
+    // Composed nightly tick: FULL REBUILDS of all four maintained
+    // relations from the new snapshots — band/hash index (q127/q128),
+    // data card (q141), vector postings under the old-snapshot-TRAINED
+    // model (q146's kmeans CTEs scoped to the old vec snapshot +
+    // q133's rebuild convention), covariance state (q144) — stacked
+    // under a rel tag with stringified payload columns.
+    "q157_nightly_tick" ->
+      s"""WITH ${kmeansCtesSql(8, 2, 64,
+            "(SELECT * FROM embeddings WHERE vec_id % 10 <> 3) emb")},
+         cf AS (SELECT cell,
+                       list(CAST(CAST(c AS DOUBLE) / 1000000.0 - 1.0 AS FLOAT)
+                            ORDER BY d) AS cvec
+                FROM c2 GROUP BY cell),
+         dims AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS i),
+         o AS (SELECT vec_id AS id, embedding AS vec
+               FROM embeddings WHERE vec_id % 10 <> 3),
+         nv AS (SELECT vec_id AS id,
+                       CASE WHEN vec_id % 10 = 5
+                            THEN list_transform(embedding, x -> -x)
+                            ELSE embedding END AS vec
+                FROM embeddings WHERE vec_id % 10 <> 7),
+         sc AS (SELECT i, max(abs(CAST(vec[i + 1] AS DOUBLE))) AS s
+                FROM o, dims GROUP BY i),
+         asg AS (SELECT id, cell FROM (
+             SELECT nv.id, cf.cell,
+                    row_number() OVER (PARTITION BY nv.id
+                      ORDER BY ${cosSql("nv.vec", "cf.cvec")} DESC, cf.cell) AS rn
+             FROM nv CROSS JOIN cf) t WHERE rn = 1),
+         codes AS (SELECT id, sc.i,
+                          CASE WHEN s <= 0 THEN 0
+                               ELSE CAST(greatest(-127, least(127,
+                                 floor(CAST(vec[sc.i + 1] AS DOUBLE) / s * 127 + 0.5)))
+                                 AS BIGINT)
+                          END AS code
+                   FROM nv, sc),
+         cspost AS (SELECT id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY i)
+                           AS code_str
+                    FROM codes GROUP BY id),
+         nw AS (SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 5 THEN text || ' v2' ELSE text END AS text,
+                       lang,
+                       CASE WHEN doc_id % 10 = 5 THEN 'patched' ELSE source END AS source
+                FROM documents WHERE doc_id % 10 <> 7),
+         w AS (SELECT doc_id,
+                      unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+               FROM nw),
+         hb AS (SELECT doc_id,
+                       ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS h
+                FROM w),
+         hs AS (SELECT doc_id, c.i AS i,
+                       MIN((h * c.a + c.b) % 2147483647) AS sig
+                FROM hb CROSS JOIN (VALUES ${minHashCoeffsSql(64)}) AS c(i, a, b)
+                GROUP BY doc_id, c.i),
+         bands AS (SELECT doc_id, i // 16 AS band,
+                          string_agg(CAST(sig AS VARCHAR), '|' ORDER BY i) AS key
+                   FROM hs GROUP BY doc_id, (i // 16)),
+         hidx AS (SELECT ('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT AS h,
+                         count(*) AS cnt
+                  FROM nw GROUP BY 1),
+         cdf AS (SELECT lang, count(*) AS n_docs,
+                        count(DISTINCT lower(trim(text))) AS n_distinct_texts,
+                        count(DISTINCT source) AS n_sources,
+                        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+                 FROM nw GROUP BY lang),
+         ctf AS (SELECT lang, count(DISTINCT t) AS distinct_words
+                 FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM nw) x
+                 WHERE t <> '' GROUP BY lang),
+         qc AS (SELECT list_transform(range(64), d ->
+                  CAST(round(vec[CAST(d + 1 AS INTEGER)]::DOUBLE * 1e3) AS BIGINT)) AS qv
+                FROM nv),
+         cp AS (SELECT CAST(e1.d AS BIGINT) AS d1, CAST(e2.d AS BIGINT) AS d2,
+                       qv[CAST(e1.d + 1 AS INTEGER)] AS x1,
+                       qv[CAST(e2.d + 1 AS INTEGER)] AS x2
+                FROM qc
+                CROSS JOIN (SELECT unnest(range(64)) AS d) e1
+                CROSS JOIN (SELECT unnest(range(64)) AS d) e2
+                WHERE e1.d <= e2.d),
+         covrel AS (SELECT d1, d2, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(x1) AS BIGINT) AS s1,
+                           CAST(sum(x2) AS BIGINT) AS s2,
+                           CAST(sum(x1 * x2) AS BIGINT) AS s12
+                    FROM cp GROUP BY d1, d2)
+         SELECT 'band' AS rel, CAST(doc_id AS VARCHAR) AS c1,
+                CAST(band AS VARCHAR) AS c2, key AS c3,
+                NULL AS c4, NULL AS c5, NULL AS c6, NULL AS c7 FROM bands
+         UNION ALL
+         SELECT 'hash', CAST(h AS VARCHAR), CAST(cnt AS VARCHAR),
+                NULL, NULL, NULL, NULL, NULL FROM hidx
+         UNION ALL
+         SELECT 'card', cdf.lang, CAST(n_docs AS VARCHAR),
+                CAST(n_docs - n_distinct_texts AS VARCHAR),
+                CAST(n_sources AS VARCHAR), CAST(total_tokens AS VARCHAR),
+                CAST(total_tokens * 1000 // n_docs AS VARCHAR),
+                CAST(distinct_words AS VARCHAR)
+         FROM cdf JOIN ctf USING (lang)
+         UNION ALL
+         SELECT 'vecpost', CAST(asg.id AS VARCHAR), CAST(asg.cell AS VARCHAR),
+                cspost.code_str, NULL, NULL, NULL, NULL
+         FROM asg JOIN cspost USING (id)
+         UNION ALL
+         SELECT 'cov', CAST(d1 AS VARCHAR), CAST(d2 AS VARCHAR),
+                CAST(n AS VARCHAR), CAST(s1 AS VARCHAR), CAST(s2 AS VARCHAR),
+                CAST(s12 AS VARCHAR), NULL FROM covrel
+         ORDER BY rel, c1, c2""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)
@@ -6563,7 +6762,8 @@ object SparkEntry {
     * argmin with smaller-cell ties, `sum // n` centroid update with
     * empty-cell carry. Final trained centroids live in CTE
     * `c<iters>`. */
-  private def kmeansCtesSql(k: Int, iters: Int, dims: Int): String = {
+  private def kmeansCtesSql(k: Int, iters: Int, dims: Int,
+      source: String = "embeddings"): String = {
     def iterCtes(i: Int): String = {
       val prev = s"c${i - 1}"
       s"""d$i AS (SELECT q.id, c.cell,
@@ -6585,7 +6785,7 @@ object SparkEntry {
     s"""q AS (SELECT vec_id AS id,
               list_transform(range($dims), d ->
                 CAST(round((embedding[CAST(d + 1 AS INTEGER)]::DOUBLE + 1.0) * 1e6) AS BIGINT)) AS qv
-            FROM embeddings),
+            FROM $source),
        sd AS (SELECT id, qv,
                 row_number() OVER (ORDER BY
                   ('0x' || substr(md5('kmseed:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT,
