@@ -147,8 +147,8 @@ object CardMaintenance {
 
   def load(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): Option[CardState] = {
-    val fs = new java.io.File(stateDir)
-    if (Parts.forall(p => new java.io.File(fs, p).exists()))
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (Parts.forall(p => graft.util.StateDirs.exists(conf, s"$stateDir/$p")))
       Some(CardState(
         spark.read.parquet(s"$stateDir/lang_sums"),
         spark.read.parquet(s"$stateDir/text_index"),
@@ -157,25 +157,20 @@ object CardMaintenance {
     else None
   }
 
-  /** Tmp-then-rename save, the [[IndexMaintenance.save]] discipline:
-    * nothing moves until every tmp write lands. */
+  /** Stage-then-promote save (the [[graft.util.StateDirs]] discipline):
+    * every part materializes under `<stateDir>.tmp` first — the
+    * previous state's files stay readable while the next state's plans
+    * still reference them — then ONE Hadoop-FS rename flips the whole
+    * directory, so a crash leaves the old state or the new, never a
+    * mix of parts; any Spark-writable scheme works, not just local. */
   def save(state: CardState, stateDir: String): Unit = {
-    new java.io.File(stateDir).mkdirs()
     val parts = Parts.zip(Seq(
       state.langSums, state.textIndex, state.sourceIndex, state.wordIndex))
     parts.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$stateDir/$name.tmp")
+      df.write.mode("overwrite").parquet(s"$stateDir.tmp/$name")
     }
-    parts.foreach { case (name, _) =>
-      val dst = new java.io.File(s"$stateDir/$name")
-      deleteRec(dst)
-      new java.io.File(s"$stateDir/$name.tmp").renameTo(dst): Unit
-    }
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    if (f.exists()) f.delete()
+    graft.util.StateDirs.promote(
+      state.langSums.sparkSession.sparkContext.hadoopConfiguration, stateDir)
   }
 
   /** CLI — `CardMaintenance <stateDir> <oldSnap> <newSnap> [idCol

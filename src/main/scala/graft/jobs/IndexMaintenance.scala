@@ -152,8 +152,8 @@ object IndexMaintenance {
   /** Load a persisted state (all three relations present) or None. */
   def load(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): Option[IndexState] = {
-    val fs = new java.io.File(stateDir)
-    if (Parts.forall(p => new java.io.File(fs, p).exists()))
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (Parts.forall(p => graft.util.StateDirs.exists(conf, s"$stateDir/$p")))
       Some(IndexState(
         spark.read.parquet(s"$stateDir/band_index"),
         spark.read.parquet(s"$stateDir/hash_index"),
@@ -161,28 +161,20 @@ object IndexMaintenance {
     else None
   }
 
-  /** Write a state dir atomically enough for a nightly job: ALL
-    * three relations materialize to fresh `.tmp` dirs FIRST — the
-    * next state's plans read the previous state's files, so no
-    * previous dir may move until every tmp write has finished — then
-    * the renames swap them in (a crashed tick leaves the previous
-    * state readable). */
+  /** Stage-then-promote save: ALL three relations materialize under
+    * `<stateDir>.tmp` FIRST — the next state's plans read the previous
+    * state's files, so nothing may move until every staged write has
+    * finished — then ONE Hadoop-FS rename flips the whole directory
+    * (the [[graft.util.StateDirs]] discipline: a crashed tick leaves
+    * the previous state fully readable, never a mix of parts, on any
+    * Spark-writable scheme). */
   def save(state: IndexState, stateDir: String): Unit = {
-    new java.io.File(stateDir).mkdirs()
     val parts = Parts.zip(Seq(state.bandIndex, state.hashIndex, state.bloomShards))
     parts.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$stateDir/$name.tmp")
+      df.write.mode("overwrite").parquet(s"$stateDir.tmp/$name")
     }
-    parts.foreach { case (name, _) =>
-      val dst = new java.io.File(s"$stateDir/$name")
-      deleteRec(dst)
-      new java.io.File(s"$stateDir/$name.tmp").renameTo(dst): Unit
-    }
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    if (f.exists()) f.delete()
+    graft.util.StateDirs.promote(
+      state.bandIndex.sparkSession.sparkContext.hadoopConfiguration, stateDir)
   }
 
   /** CLI — the nightly job the way [[RunImport]] wires the reference

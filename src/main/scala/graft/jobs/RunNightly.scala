@@ -41,9 +41,9 @@ object RunNightly {
       scales: Array[Double])
 
   def loadModel(spark: SparkSession, dir: String): Option[VecModel] = {
-    val cdir = new java.io.File(s"$dir/centroids")
-    val sdir = new java.io.File(s"$dir/scales")
-    if (!cdir.exists() || !sdir.exists()) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (!graft.util.StateDirs.exists(conf, s"$dir/centroids") ||
+        !graft.util.StateDirs.exists(conf, s"$dir/scales")) return None
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cell"), col("d"), col("c")).collect()
       .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
@@ -102,26 +102,27 @@ object RunNightly {
       saveModel(spark, s"$stateDir/model", fit, scales)
       loadModel(spark, s"$stateDir/model").get
     }
+    val conf = spark.sparkContext.hadoopConfiguration
     val postDir = s"$stateDir/vecindex"
     val postings =
-      if (new java.io.File(postDir).exists()) spark.read.parquet(postDir)
+      if (graft.util.StateDirs.exists(conf, postDir)) spark.read.parquet(postDir)
       else Similarity.ivfSqIndexBuild(ov, "id", "vec",
         model.centroids, model.scales)
     val postNext = Similarity.ivfSqIndexMaintain(
       postings, ov, nv, "id", "vec", model.centroids, model.scales)
     postNext.write.mode("overwrite").parquet(s"$postDir.tmp")
-    swap(postDir)
+    graft.util.StateDirs.promote(conf, postDir)
 
     // 4. covariance state (kilo-unit sufficient stats)
     val covDir = s"$stateDir/cov"
     val covState =
-      if (new java.io.File(covDir).exists()) spark.read.parquet(covDir)
+      if (graft.util.StateDirs.exists(conf, covDir)) spark.read.parquet(covDir)
       else Similarity.covarianceStats(
         oldVecs.select(col("embedding")), "embedding", dims)
     val covNext = Similarity.covarianceDelta(
       covState, oldVecs, newVecs, "vec_id", "embedding", dims)
     covNext.write.mode("overwrite").parquet(s"$covDir.tmp")
-    swap(covDir)
+    graft.util.StateDirs.promote(conf, covDir)
 
     // summary reads the SAVED state fresh from disk — the pre-save
     // DataFrames' plans still point at the replaced previous files
@@ -131,16 +132,6 @@ object RunNightly {
       s"card: langs=${card.count()} | " +
       s"vecindex: postings=${spark.read.parquet(postDir).count()} | " +
       s"cov: pairs=${spark.read.parquet(covDir).count()}"
-  }
-
-  /** Promote `<dir>.tmp` to `<dir>` (write side already finished). */
-  private def swap(dir: String): Unit = {
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRec)
-      if (f.exists()) f.delete()
-    }
-    deleteRec(new java.io.File(dir))
-    new java.io.File(s"$dir.tmp").renameTo(new java.io.File(dir)): Unit
   }
 
   /** CLI: `RunNightly <stateDir> <oldDocs> <newDocs> <oldVecs>

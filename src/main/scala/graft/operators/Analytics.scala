@@ -375,6 +375,16 @@ object Analytics {
     * Shape at 100 TB: one shuffle collapses events to the (key, day)
     * count relation; the running sum and the argmax run over per-key
     * windows on that days-sized rollup (hash-partitioned by key).
+    *
+    * Exactness envelope (the graft_gram discipline — state the bound,
+    * fail loud past it): |S| ≤ 2·total·n, so the running sum holds to
+    * total·n < ~4.6e18; the tighter cliff is `peak_share_ppm`'s
+    * |S|·10⁶, which wraps silently past |S| ≥ ~9.2e12 — guarded with
+    * an in-plan raise_error (Spark would wrap where the oracle engine
+    * promotes or errors — a silent cross-engine divergence otherwise).
+    * A key past the envelope needs coarser units (weekly rollup) or a
+    * pre-scaled series, not this operator's exact-ppm contract.
+    *
     * Output: (event_type, n_days, change_day, peak_cusum, total). */
   def cusumChangepoint(
       events: DataFrame,
@@ -397,7 +407,11 @@ object Analytics {
       .select(col("typ").as("event_type"), col("n").as("n_days"),
         col("day").cast("string").as("change_day"),
         col("s").as("peak_cusum"), col("total"),
-        expr("abs(s) * 1000000 div (total * n)").as("peak_share_ppm"))
+        when(abs(col("s")) >= lit(9223372036854L),
+          raise_error(lit("cusumChangepoint: |peak| * 1e6 exceeds the " +
+            "exact-long envelope (|S| >= ~9.2e12); use coarser time units")))
+          .otherwise(expr("abs(s) * 1000000 div (total * n)"))
+          .as("peak_share_ppm"))
   }
 
   /** Conversion latency — "how long from first touch to first
@@ -554,6 +568,14 @@ object Analytics {
     * 6)` — one division of two exactly-represented integers, bit-equal
     * in every engine. Flat series (den = 0) report a null r.
     *
+    * Exactness envelope (the graft_gram discipline): |d| ≤ total·n, so
+    * d·d products and their n-term sums wrap silently once
+    * |d| ≥ √(Long.MAX / n) — guarded per row with an in-plan
+    * raise_error at exactly that n-aware bound (Spark wraps where the
+    * oracle engine promotes or errors, a latent cross-engine
+    * divergence). A key past the envelope needs coarser time units,
+    * not this operator's exact-sum contract.
+    *
     * Shape at 100 TB: one events→(key, day) shuffle; the lead() and
     * the sums run per key over the days-sized rollup. Output:
     * (event_type, lag, n_days, num, den, r). */
@@ -572,6 +594,15 @@ object Analytics {
       .withColumn("n", count(lit(1)).over(perTyp))
       .withColumn("total", sum(col("v")).over(perTyp))
       .withColumn("d", col("v") * col("n") - col("total"))
+      // n-aware envelope: |d| < sqrt(Long.MAX / n) keeps every product
+      // AND the n-term sum exactly representable
+      .withColumn("d",
+        when(abs(col("d")) >=
+            floor(sqrt(lit(9.2233720368547e18) / col("n"))).cast(LongType),
+          raise_error(lit("autocorrelation: |v*n - total| exceeds the " +
+            "exact-long envelope (|d| >= sqrt(Long.MAX/n)); use coarser " +
+            "time units")))
+          .otherwise(col("d")))
       .withColumn("dlead", lead(col("d"), lag).over(byDay))
       .groupBy(col("typ").as("event_type"))
       .agg(max(col("n")).as("n_days"),

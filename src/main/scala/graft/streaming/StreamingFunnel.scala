@@ -24,7 +24,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Downstream, `steps_reached ≥ k` counts reproduce the batch
   * funnel's per-step rows exactly — the q148 gate replays the events
   * table through this operator and hash-compares against the SAME
-  * DuckDB oracle as the batch q120. */
+  * DuckDB oracle as the batch q120.
+  *
+  * DRAIN SEMANTICS (the stopped-stream contract): rows emit ONLY via
+  * event-time timeout — stopping a stream never flushes pending
+  * state, so a user whose lateness window the watermark has not yet
+  * passed emits NOTHING in that run (no partial/speculative row that
+  * a later first-touch could contradict). With a checkpoint, the
+  * held state survives the stop and drains normally after restart
+  * once the watermark passes; without one, the run simply
+  * undercounts open users. Locked by StreamingFunnelSpec's
+  * stop/restart test. */
 // Serializable: the per-user update closure is nested inside reach()
 // (it captures the step list), so the lambda lifts a reference to this
 // object into the task

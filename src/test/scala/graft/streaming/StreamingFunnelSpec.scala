@@ -56,6 +56,43 @@ class StreamingFunnelSpec extends SparkSpec {
     out(2L) shouldBe 1
   }
 
+  test("stop does not flush state; checkpointed state drains after restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val ckpt = graft.util.TmpDirs.fresh("funnel_drain_ckpt")
+    val got = scala.collection.mutable.Set[(Long, Int)]()
+    def start() = StreamingFunnel.reach(steps)(input.toDS())
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamingFunnel.UserReach], _: Long) =>
+          val rows = b.collect().map(r => (r.user_id, r.steps_reached))
+          got.synchronized { got ++= rows }: Unit
+      }
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      // user 5 completes the chain in event time, but the watermark
+      // never passes its 25 h lateness window in this run
+      input.addData(
+        ev(5, "2024-01-01 10:00:00", "signup"),
+        ev(5, "2024-01-01 11:00:00", "view"),
+        ev(5, "2024-01-01 12:00:00", "click"))
+      q1.processAllAvailable()
+      // stop ≠ flush: NO row may emit for the still-open user
+      got.synchronized(got.toSet) shouldBe Set.empty
+    } finally q1.stop()
+    // restart from the checkpoint; far-future ticks advance the
+    // watermark past user 5's timeout and the held state drains
+    val q2 = start()
+    try {
+      input.addData(ev(-1L, "2024-03-01 00:00:00", "tick"))
+      q2.processAllAvailable()
+      input.addData(ev(-2L, "2024-03-09 00:00:00", "tick"))
+      q2.processAllAvailable()
+      got.synchronized(got.toSet).filter(_._1 >= 0) shouldBe Set((5L, 3))
+    } finally q2.stop()
+  }
+
   test("multi-batch replay equals the batch evaluation over many users") {
     val all = (0 until 90).map { i =>
       val u = (i % 9).toLong
