@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+import graft.operators.TextDedup
+
+/** Scale-rehearsal fixture writer — synthesizes a documents/embeddings
+  * corpus with the SAME observable statistics as the driver's
+  * `/root/testdata` tables (measured at sf0.1: 31-word vocabulary,
+  * uniform 10–100-word doc lengths, ~0.32% of docs in exact-dup pairs,
+  * 5 langs at ~41/15/15/15/15%, 20 sources, 64-dim unit-norm
+  * embeddings in 10 clusters) at ANY row count — the driver's data
+  * tops out at sf0.1, and the heavy-tail scaling question ("is the
+  * cascade sublinear where data, not DAG latency, dominates") needs a
+  * 10× point beyond that.
+  *
+  * Everything is hash-derived (md5 of tagged ids — the repo's no-RNG
+  * determinism rule): same args → byte-identical corpus, any
+  * partitioning. NOT the driver's exact generator — equivalent
+  * statistics, stated in BASELINE.md where the measurements land.
+  *
+  * Usage: `ScaleFixture <nDocs> <nVecs> <outDir>` — writes
+  * `<outDir>/documents.parquet` and `<outDir>/embeddings.parquet`.
+  */
+object ScaleFixture {
+
+  private val vocab = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+
+  private def h(c: Column): Column = TextDedup.md5Hash60(c)
+  private def tag(t: String, c: Column): Column =
+    h(concat(lit(t + ":"), c.cast("string")))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ScaleFixture <nDocs> <nVecs> <outDir>")
+    val (nDocs, nVecs, out) = (args(0).toLong, args(1).toLong, args(2))
+    val spark = GraftSession.forMain("graft-scale-fixture")
+    import spark.implicits._
+
+    val vocabCol = array(vocab.map(lit): _*)
+    // exact-dup planting at the measured sf0.1 rate: every 625th doc
+    // copies its predecessor's text (8 pairs per 5,000 docs)
+    val eid = when(col("doc_id") % 625 === 624, col("doc_id") - 1)
+      .otherwise(col("doc_id"))
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+      .withColumn("_eid", eid)
+      .withColumn("_len", (pmod(tag("len", col("_eid")), lit(91L)) + 10).cast("int"))
+      .withColumn("text", array_join(
+        transform(sequence(lit(1), col("_len")), i =>
+          element_at(vocabCol,
+            (pmod(tag("w", concat(col("_eid"), lit("_"), i)), lit(31L)) + 1)
+              .cast("int"))), " "))
+      .withColumn("_lh", pmod(tag("lang", col("doc_id")), lit(1000L)))
+      .withColumn("lang",
+        when(col("_lh") < 412, "en").when(col("_lh") < 559, "de")
+          .when(col("_lh") < 706, "es").when(col("_lh") < 853, "fr")
+          .otherwise("zh"))
+      .withColumn("source",
+        concat(lit("src"), pmod(tag("src", col("doc_id")), lit(20L))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // 10 cluster centers on the unit sphere (hash-uniform components,
+    // normalized), each vector = unit-norm(center + 0.35 * noise)
+    def u(c: Column): Column = // hash-uniform in [-1, 1]
+      (pmod(c, lit(2001L)) - 1000L).cast("double") / 1000.0
+    val centers = spark.range(10).select(col("id").cast("int").as("label"))
+      .withColumn("_raw", transform(sequence(lit(0), lit(63)), d =>
+        u(tag("c", concat(col("label"), lit("_"), d)))))
+      .withColumn("_nrm", sqrt(aggregate(col("_raw"), lit(0.0d),
+        (acc, x) => acc + x * x)))
+      .select(col("label"), transform(col("_raw"), x => x / col("_nrm")).as("cvec"))
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"))
+      .withColumn("label", pmod(tag("lbl", col("vec_id")), lit(10L)).cast("int"))
+      .join(broadcast(centers), Seq("label"))
+      .withColumn("_raw", zip_with(col("cvec"),
+        transform(sequence(lit(0), lit(63)), d =>
+          u(tag("n", concat(col("vec_id"), lit("_"), d))) * 0.35),
+        (c, n) => c + n))
+      .withColumn("_nrm", sqrt(aggregate(col("_raw"), lit(0.0d),
+        (acc, x) => acc + x * x)))
+      .select(col("vec_id"),
+        transform(col("_raw"), x => (x / col("_nrm")).cast("float"))
+          .as("embedding"),
+        col("label"))
+    vecs.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"[scale-fixture] wrote $nDocs docs + $nVecs vecs to $out")
+    spark.stop()
+  }
+}

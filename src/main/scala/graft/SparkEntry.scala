@@ -3067,6 +3067,34 @@ object SparkEntry {
       .orderBy(col("rel"), col("c1"), col("c2"))
   }
 
+  /** BPE trainer (q160): learn a 10-merge table from the corpus — the
+    * weighted-argmax merge loop, each round's pick gated (rank, left,
+    * right, weighted count) against the oracle's unrolled rounds. */
+  private def bpeTrainQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TextAnalysis
+    TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", rounds = 10)
+      .zipWithIndex
+      .map { case ((l, r, np), i) => (i + 1L, l, r, np) }
+      .toDF("mrank", "l", "r", "n_pairs")
+      .orderBy(col("mrank"))
+  }
+
+  /** Train-then-encode (q161): the q146 retrain-to-index discipline
+    * applied to the tokenizer — the table LEARNED by bpeTrain feeds
+    * bpeEncode, and the oracle re-derives the whole composition
+    * (training rounds included) before segmenting. */
+  private def bpeTrainedEncodeQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(s, dir)
+    val learned = TextAnalysis.bpeTrain(docs, "text", rounds = 10)
+      .map(m => (m._1, m._2))
+    TextAnalysis.bpeEncode(docs, "doc_id", "text", learned)
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(col("tokens"), " ").as("segmented"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Conversion latency (q155): integer seconds from each user's
     * first signup to their first purchase (strict order), summarized
     * by exact order statistics — n, min, lower-median, max. */
@@ -3319,7 +3347,9 @@ object SparkEntry {
     "q156_skew_join" -> (skewJoinQuery _),
     "q157_nightly_tick" -> (nightlyTickQuery _),
     "q158_bpe_encode" -> (bpeEncodeQuery _),
-    "q159_bpe_budget_select" -> (bpeBudgetQuery _))
+    "q159_bpe_budget_select" -> (bpeBudgetQuery _),
+    "q160_bpe_train" -> (bpeTrainQuery _),
+    "q161_bpe_trained_encode" -> (bpeTrainedEncodeQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3340,6 +3370,33 @@ object SparkEntry {
       s"regexp_replace($inner, '([^ ])', chr(1) || '\\1' || chr(1), 'g')") {
       case (acc, (x, y)) => s"replace($acc, ${w(x)} || ${w(y)}, ${w(x + y)})"
     }
+  }
+
+  /** q160/q161 oracle fragment: the BPE TRAINING rounds unrolled
+    * mechanically (the kmeansCtesSql pattern). Round i CTEs: `tk$i`
+    * segments the frequency-weighted vocab under the merges so far,
+    * `pr$i` counts adjacent pairs weighted by word frequency, `m$i`
+    * is the (count DESC, l, r) argmax, `r$i` applies it. The learned
+    * table lives in m1..m$rounds. */
+  private def bpeTrainCtesSql(rounds: Int): String = {
+    def round(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""tk$i AS (SELECT string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS tk, n
+                   FROM $prev),
+         pr$i AS (SELECT tk[j] AS l, tk[j + 1] AS r, CAST(sum(n) AS BIGINT) AS np
+                  FROM tk$i, UNNEST(range(1, len(tk))) AS u(j) GROUP BY 1, 2),
+         m$i AS (SELECT CAST($i AS BIGINT) AS mrank, l, r, np
+                 FROM pr$i ORDER BY np DESC, l, r LIMIT 1),
+         r$i AS (SELECT replace(enc, chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+                                chr(1) || m.l || m.r || chr(1)) AS enc, n
+                 FROM $prev, m$i m)"""
+    }
+    s"""v AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+               SELECT unnest(string_split(text, ' ')) AS word FROM documents) z
+             WHERE word <> '' GROUP BY word),
+       r0 AS (SELECT regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g') AS enc, n
+              FROM v),
+       ${(1 to rounds).map(round).mkString(",\n       ")}"""
   }
 
   /** q158/q159 shared token-list CTE body over `documents`. */
@@ -3560,7 +3617,8 @@ object SparkEntry {
     "q150_theil_sen_trend", "q151_autocorrelation", "q152_multiprobe_ann",
     "q153_attribution", "q154_mad_outliers", "q155_conversion_latency",
     "q156_skew_join", "q157_nightly_tick",
-    "q158_bpe_encode", "q159_bpe_budget_select")
+    "q158_bpe_encode", "q159_bpe_budget_select",
+    "q160_bpe_train", "q161_bpe_trained_encode")
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
     * stateful replay must produce the SAME per-step rows. */
@@ -6752,7 +6810,33 @@ object SparkEntry {
          SELECT 'cov', CAST(d1 AS VARCHAR), CAST(d2 AS VARCHAR),
                 CAST(n AS VARCHAR), CAST(s1 AS VARCHAR), CAST(s2 AS VARCHAR),
                 CAST(s12 AS VARCHAR), NULL FROM covrel
-         ORDER BY rel, c1, c2""")
+         ORDER BY rel, c1, c2""",
+    // BPE trainer: each round's argmax merge, unrolled.
+    "q160_bpe_train" ->
+      s"""WITH ${bpeTrainCtesSql(10)}
+         SELECT mrank, l, r, np AS n_pairs FROM (
+           ${(1 to 10).map(i => s"SELECT * FROM m$i").mkString("\n           UNION ALL ")})
+         ORDER BY mrank""",
+    // Train-then-encode: the training rounds re-derived, the learned
+    // merges applied to the documents, segmentation as q158.
+    "q161_bpe_trained_encode" ->
+      s"""WITH ${bpeTrainCtesSql(10)},
+         a0 AS (SELECT doc_id,
+                       regexp_replace(text, '([^ ])', chr(1) || '\\1' || chr(1), 'g') AS enc
+                FROM documents),
+         ${(1 to 10).map(i =>
+            s"""a$i AS (SELECT doc_id,
+                   replace(enc, chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+                           chr(1) || m.l || m.r || chr(1)) AS enc
+                 FROM a${i - 1}, m$i m)""").mkString(",\n         ")},
+         tka AS (SELECT doc_id,
+                        list_filter(string_split(
+                          replace(replace(enc, chr(1) || chr(1), ' '), chr(1), ''),
+                          ' '), x -> x <> '') AS toks
+                 FROM a10)
+         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                array_to_string(toks, ' ') AS segmented
+         FROM tka ORDER BY doc_id""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

@@ -746,6 +746,66 @@ object TextAnalysis {
     * printable-text assumption). */
   private val BpeSep = "\u0001"
 
+  /** BPE TRAINER — the iterated form of [[bpePairCounts]] (which
+    * scores ONE round's candidates): learn a real merge table by
+    * repeatedly taking the corpus-frequency-weighted argmax adjacent
+    * token pair and merging it, `rounds` times — the standard BPE
+    * training loop (Sennrich et al., arXiv:1508.07909), closing the
+    * tokenizer loop end to end: TRAIN here → APPLY with [[bpeEncode]]
+    * → BUDGET with the real counts (the retrain-to-index discipline,
+    * q146, applied to the tokenizer).
+    *
+    * Scale shape: the corpus collapses to its VOCABULARY once (one
+    * word-sized shuffle, Zipf-bounded); every round then runs over the
+    * vocab relation only — per-word segmentations re-derive from the
+    * accumulated merge list as plan literals (bounded replay: round r
+    * re-applies r replaces over the vocab, never touching the corpus),
+    * pair counts weight by word frequency, and the argmax is a
+    * TakeOrdered over the pair rollup, never a full sort. Only the
+    * R-row merge table ever reaches the driver (the kmeansFit
+    * eager-model contract). A 100 TB corpus trains over its vocab (or
+    * a K23 hash-rate sample upstream), exactly like production BPE.
+    *
+    * Determinism: argmax ties break by (count DESC, left ASC,
+    * right ASC) — binary string order, identical cross-engine. Stops
+    * early if no adjacent pair remains. Returns (left, right,
+    * weighted_count) in merge-rank order, ready for [[bpeEncode]]. */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int): Seq[(String, String, Long)] = {
+    require(rounds >= 1, s"bpeTrain needs rounds >= 1, got $rounds")
+    def wrap(t: String) = BpeSep + t + BpeSep
+    val vocab = docs
+      .select(explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(regexp_replace(col("word"), "(.)", s"$BpeSep$$1$BpeSep").as("enc"),
+        col("n"))
+      .localCheckpoint() // the one corpus-sized pass; rounds replay merges only
+    val learned = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      val folded = learned.foldLeft(col("enc")) { case (c, (l, r, _)) =>
+        replace(c, lit(wrap(l) + wrap(r)), lit(wrap(l + r)))
+      }
+      val tk = split(trim(folded, BpeSep), BpeSep + BpeSep)
+      val pairs = when(size(tk) >= 2,
+          transform(sequence(lit(1), size(tk) - 1), i =>
+            struct(element_at(tk, i).as("l"), element_at(tk, i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      val top = vocab.select(explode(pairs).as("p"), col("n"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("np"))
+        .orderBy(col("np").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else learned += ((top.head.getString(0), top.head.getString(1),
+        top.head.getLong(2)))
+    }
+    learned.toSeq
+  }
+
   /** BPE ENCODE — apply a learned merge table to text, producing the
     * real token stream every "budget in tokens" consumer actually
     * means ([[bpePairCounts]] is the TRAINING side; this is the

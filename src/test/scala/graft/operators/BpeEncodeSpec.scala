@@ -68,6 +68,24 @@ class BpeEncodeSpec extends SparkSpec {
     kept("n_tokens") shouldBe Set(1L)
   }
 
+  test("bpeTrain learns the hand-checked merge sequence and stops when dry") {
+    // vocab: aab(2), aabb(1), ab(1)
+    // round 1: (a,a)=3 (a,b)=4 (b,b)=1        -> merge (a,b)  np=4
+    // round 2: (a,ab)=3 (ab,b)=1              -> merge (a,ab) np=3
+    // round 3: (aab,b)=1                      -> merge (aab,b) np=1
+    // round 4: no pairs left                  -> early stop
+    val docs = Seq((1L, "aab aab"), (2L, "aabb"), (3L, "ab")).toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeTrain(docs, "text", rounds = 10)
+    learned shouldBe Seq(("a", "b", 4L), ("a", "ab", 3L), ("aab", "b", 1L))
+    // trained table round-trips through the encoder
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        learned.map(m => (m._1, m._2)))
+      .orderBy("doc_id").select("tokens").as[Seq[String]].collect()
+    enc(0) shouldBe Seq("aab", "aab")
+    enc(1) shouldBe Seq("aabb")
+    enc(2) shouldBe Seq("ab")
+  }
+
   test("merge-table validation fails fast") {
     val docs = Seq((1L, "ab")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
