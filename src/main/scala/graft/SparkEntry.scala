@@ -3095,6 +3095,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Salted two-stage aggregation (q162): the hot-key rollup spread
+    * over (key, salt) reducers then re-aggregated — must equal the
+    * plain GROUP BY exactly (integer sums; the K14 salt-invisibility
+    * contract on the aggregation side). */
+  private def saltedAggQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SkewJoin
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+    SkewJoin.saltedAgg(li, "l_returnflag", Seq("qty"), salt = 16)
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Pre-join cardinality audit (q163): exact |lineitem ⋈ orders| plus
+    * the worst contributing key, from the key-count relations only —
+    * the explosion check an operator runs BEFORE the shuffle. */
+  private def joinCardinalityQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.joinCardinalityAudit(
+      Tables.lineitem(s, dir), "l_orderkey",
+      Tables.orders(s, dir), "o_orderkey")
+  }
+
   /** Conversion latency (q155): integer seconds from each user's
     * first signup to their first purchase (strict order), summarized
     * by exact order statistics — n, min, lower-median, max. */
@@ -3349,7 +3371,9 @@ object SparkEntry {
     "q158_bpe_encode" -> (bpeEncodeQuery _),
     "q159_bpe_budget_select" -> (bpeBudgetQuery _),
     "q160_bpe_train" -> (bpeTrainQuery _),
-    "q161_bpe_trained_encode" -> (bpeTrainedEncodeQuery _))
+    "q161_bpe_trained_encode" -> (bpeTrainedEncodeQuery _),
+    "q162_salted_agg" -> (saltedAggQuery _),
+    "q163_join_cardinality" -> (joinCardinalityQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3618,7 +3642,8 @@ object SparkEntry {
     "q153_attribution", "q154_mad_outliers", "q155_conversion_latency",
     "q156_skew_join", "q157_nightly_tick",
     "q158_bpe_encode", "q159_bpe_budget_select",
-    "q160_bpe_train", "q161_bpe_trained_encode")
+    "q160_bpe_train", "q161_bpe_trained_encode",
+    "q162_salted_agg", "q163_join_cardinality")
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
     * stateful replay must produce the SAME per-step rows. */
@@ -6836,7 +6861,34 @@ object SparkEntry {
                  FROM a10)
          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
                 array_to_string(toks, ' ') AS segmented
-         FROM tka ORDER BY doc_id""")
+         FROM tka ORDER BY doc_id""",
+    // Salted two-stage aggregation: must equal the plain GROUP BY.
+    "q162_salted_agg" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // Join-cardinality audit: exact sum-of-products over the two
+    // key-count relations, worst key by (contribution DESC, key DESC).
+    "q163_join_cardinality" ->
+      """WITH ca AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
+                            CAST(count(*) AS BIGINT) AS na
+                     FROM lineitem GROUP BY 1),
+         cb AS (SELECT CAST(o_orderkey AS VARCHAR) AS key,
+                       CAST(count(*) AS BIGINT) AS nb
+                FROM orders GROUP BY 1),
+         sh AS (SELECT key, na * nb AS prod FROM ca JOIN cb USING (key)),
+         sa AS (SELECT CAST(sum(na) AS BIGINT) AS n_rows_a,
+                       CAST(count(*) AS BIGINT) AS n_keys_a FROM ca),
+         sb AS (SELECT CAST(sum(nb) AS BIGINT) AS n_rows_b,
+                       CAST(count(*) AS BIGINT) AS n_keys_b FROM cb),
+         js AS (SELECT CAST(count(*) AS BIGINT) AS n_shared_keys,
+                       CAST(coalesce(sum(prod), 0) AS BIGINT) AS join_rows
+                FROM sh),
+         t AS (SELECT key AS top_key, CAST(prod AS BIGINT) AS top_rows
+               FROM sh ORDER BY prod DESC, key DESC LIMIT 1)
+         SELECT sa.n_rows_a, sa.n_keys_a, sb.n_rows_b, sb.n_keys_b,
+                js.n_shared_keys, js.join_rows, t.top_key, t.top_rows
+         FROM js CROSS JOIN sa CROSS JOIN sb LEFT JOIN t ON TRUE""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

@@ -362,6 +362,52 @@ object Analytics {
         (col("n_rows") > lit(4L) * expr("n_total div n_keys")).as("hot"))
   }
 
+  /** Pre-join cardinality audit — the "will this join explode"
+    * diagnostic that pairs with [[keySkewAudit]]: the EXACT inner-join
+    * output size |A ⋈ₖ B| = Σₖ cA(k)·cB(k), computed from the two
+    * key-count relations — the data itself never joins, never
+    * shuffles beyond its count rollup. One row out: per-side
+    * rows/keys, shared-key count, exact join cardinality, and the
+    * single worst (key, contribution) pair — the key to salt or
+    * filter BEFORE the real join runs.
+    *
+    * Determinism: the top key is the max (contribution, key) struct —
+    * ties to the LARGER key, stated. Exactness envelope: each
+    * cA·cB product is guarded against long wrap in-plan (raise_error
+    * past Long.MAX / cA — per-key counts beyond ~3e9 each need
+    * pre-aggregation, stated); the cross-key sum's headroom is the
+    * caller's data contract, same as graft_gram's.
+    *
+    * Shape at 100 TB: two count rollups (map-side combined), one join
+    * of key-count relations (AQE handles their sizes), aggregates over
+    * that — output is ONE row regardless of input size. */
+  def joinCardinalityAudit(
+      a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String): DataFrame = {
+    val ca = a.groupBy(col(aKey).cast("string").as("key"))
+      .agg(count(lit(1)).as("na"))
+    val cb = b.groupBy(col(bKey).cast("string").as("key"))
+      .agg(count(lit(1)).as("nb"))
+    val shared = ca.join(cb, Seq("key"))
+      .withColumn("prod",
+        when(col("nb") > lit(Long.MaxValue) / col("na"),
+          raise_error(lit("joinCardinalityAudit: per-key product exceeds " +
+            "the exact-long envelope; pre-aggregate the hot key")))
+          .otherwise(col("na") * col("nb")))
+    val sa = ca.agg(sum(col("na")).as("n_rows_a"), count(lit(1)).as("n_keys_a"))
+    val sb = cb.agg(sum(col("nb")).as("n_rows_b"), count(lit(1)).as("n_keys_b"))
+    shared
+      .agg(count(lit(1)).as("n_shared_keys"),
+        coalesce(sum(col("prod")), lit(0L)).as("join_rows"),
+        max(struct(col("prod"), col("key"))).as("_top"))
+      .crossJoin(broadcast(sa))
+      .crossJoin(broadcast(sb))
+      .select(col("n_rows_a"), col("n_keys_a"), col("n_rows_b"),
+        col("n_keys_b"), col("n_shared_keys"), col("join_rows"),
+        col("_top").getField("key").as("top_key"),
+        col("_top").getField("prod").as("top_rows"))
+  }
+
   /** CUSUM changepoint detection over per-key daily count series —
     * "which day did this metric break": the classic cumulative-sum
     * statistic `S_i = Σ_{j≤i} (v_j − mean)` peaks at the most likely

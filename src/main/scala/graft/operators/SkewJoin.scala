@@ -28,4 +28,43 @@ object SkewJoin {
       .withColumn("_salt", explode(sequence(lit(0L), lit(salt - 1L))))
     l.join(r, keys :+ "_salt").drop("_salt")
   }
+
+  /** Salted TWO-STAGE aggregation — the aggregation sibling of
+    * [[saltedInner]] for the hot-key rollup where even map-side
+    * partial aggregation leaves one reducer holding a single key's
+    * merged partials from every mapper: stage 1 aggregates by
+    * (key, salt) — the hot key's partials spread over `salt` reducers
+    * — stage 2 re-aggregates the salt×keys relation by key. Because
+    * count/sum are commutative monoids, the composition equals the
+    * plain GROUP BY exactly; the salt is execution strategy, not
+    * semantics (the K14 contract).
+    *
+    * The salt is a deterministic hash of the whole row (no RNG —
+    * reproducible plans, and NOT the grouping key's own hash, which
+    * would put every copy of the hot key back on one reducer).
+    *
+    * Aggregates supported: any (column, monoid) pair from `sums`
+    * (SUM) plus an implicit row COUNT — the shapes the skew audit
+    * (K108) flags in practice. Exactness contract: sum columns must
+    * be integer/decimal — float addition does not commute, so a
+    * salted double sum could differ from the plain one in the last
+    * ulp (callers cast to an exact type first).
+    * Output: key, n_rows, sum_<col>... */
+  def saltedAgg(
+      df: DataFrame,
+      keyCol: String,
+      sums: Seq[String],
+      salt: Int): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val stage1 = df
+      .withColumn("_salt",
+        pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salt)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("_n"),
+        sums.map(c => sum(col(c)).as(s"_s_$c")): _*)
+    stage1
+      .groupBy(col(keyCol))
+      .agg(sum(col("_n")).as("n_rows"),
+        sums.map(c => sum(col(s"_s_$c")).as(s"sum_$c")): _*)
+  }
 }

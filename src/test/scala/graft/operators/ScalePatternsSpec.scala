@@ -22,6 +22,42 @@ class ScalePatternsSpec extends SparkSpec {
     plain.length shouldBe 1000
   }
 
+  test("salted two-stage aggregation equals the plain GROUP BY on a skewed fixture") {
+    // one hot key (90% of rows) + a tail; integer measure
+    val rows = ((1 to 900).map(i => ("hot", i.toLong)) ++
+      (1 to 100).map(i => (s"k$i", i.toLong))).toDF("k", "v")
+    val plain = rows.groupBy("k")
+      .agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"))
+      .orderBy("k").collect()
+    val salted = SkewJoin.saltedAgg(rows, "k", Seq("v"), salt = 8)
+      .orderBy("k").collect()
+    salted shouldBe plain
+    // stage 1 genuinely spreads the hot key over multiple reducers
+    val spread = rows
+      .withColumn("_salt", pmod(xxhash64(struct(col("k"), col("v"))), lit(8)))
+      .filter(col("k") === "hot").select("_salt").distinct().count()
+    spread should be > 1L
+  }
+
+  test("joinCardinalityAudit: exact product sum and worst key, hand-checked") {
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("zA")).toDF("k")
+    val b = (Seq.fill(4)("x") ++ Seq("y") ++ Seq("zB")).toDF("k")
+    val r = Analytics.joinCardinalityAudit(a, "k", b, "k").collect().head
+    r.getLong(0) shouldBe 6L // n_rows_a
+    r.getLong(1) shouldBe 3L // n_keys_a
+    r.getLong(2) shouldBe 6L // n_rows_b
+    r.getLong(3) shouldBe 3L // n_keys_b
+    r.getLong(4) shouldBe 2L // shared: x, y
+    r.getLong(5) shouldBe 14L // 3*4 + 2*1
+    r.getString(6) shouldBe "x"
+    r.getLong(7) shouldBe 12L
+    // disjoint keys: zero cardinality, null top
+    val d = Analytics.joinCardinalityAudit(
+      Seq("p").toDF("k"), "k", Seq("q").toDF("k"), "k").collect().head
+    d.getLong(5) shouldBe 0L
+    d.isNullAt(6) shouldBe true
+  }
+
   test("bucketed tables sort-merge join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS bk_orders")
     spark.sql("DROP TABLE IF EXISTS bk_lineitem")
