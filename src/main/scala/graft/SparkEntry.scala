@@ -3117,6 +3117,15 @@ object SparkEntry {
       Tables.orders(s, dir), "o_orderkey")
   }
 
+  /** Top user paths (q164): each user's first five events as a
+    * `a>b>c` journey string, ranked by user count — the pathfinder
+    * view next to q122's one-step transition matrix. */
+  private def topPathsQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.topPaths(Tables.events(s, dir), "user_id", "ts", "event_type",
+      maxSteps = 5, topK = 20)
+  }
+
   /** Conversion latency (q155): integer seconds from each user's
     * first signup to their first purchase (strict order), summarized
     * by exact order statistics — n, min, lower-median, max. */
@@ -3373,7 +3382,8 @@ object SparkEntry {
     "q160_bpe_train" -> (bpeTrainQuery _),
     "q161_bpe_trained_encode" -> (bpeTrainedEncodeQuery _),
     "q162_salted_agg" -> (saltedAggQuery _),
-    "q163_join_cardinality" -> (joinCardinalityQuery _))
+    "q163_join_cardinality" -> (joinCardinalityQuery _),
+    "q164_top_paths" -> (topPathsQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3643,7 +3653,7 @@ object SparkEntry {
     "q156_skew_join", "q157_nightly_tick",
     "q158_bpe_encode", "q159_bpe_budget_select",
     "q160_bpe_train", "q161_bpe_trained_encode",
-    "q162_salted_agg", "q163_join_cardinality")
+    "q162_salted_agg", "q163_join_cardinality", "q164_top_paths")
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
     * stateful replay must produce the SAME per-step rows. */
@@ -6888,7 +6898,19 @@ object SparkEntry {
                FROM sh ORDER BY prod DESC, key DESC LIMIT 1)
          SELECT sa.n_rows_a, sa.n_keys_a, sb.n_rows_b, sb.n_keys_b,
                 js.n_shared_keys, js.join_rows, t.top_key, t.top_rows
-         FROM js CROSS JOIN sa CROSS JOIN sb LEFT JOIN t ON TRUE""")
+         FROM js CROSS JOIN sa CROSS JOIN sb LEFT JOIN t ON TRUE""",
+    // Top user paths: first-5-event journeys ranked by user count,
+    // ties (n DESC, path) — rn ties among identical (ts, type) rows
+    // cannot change the path string.
+    "q164_top_paths" ->
+      """WITH f AS (SELECT user_id AS u, event_type AS typ,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_type) AS rn
+                    FROM events),
+         p AS (SELECT u, string_agg(typ, '>' ORDER BY rn) AS path
+               FROM f WHERE rn <= 5 GROUP BY u)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_users
+         FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

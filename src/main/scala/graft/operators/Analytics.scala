@@ -408,6 +408,46 @@ object Analytics {
         col("_top").getField("prod").as("top_rows"))
   }
 
+  /** Top user PATHS — the journey rollup next to K91's one-step
+    * transition matrix: each user's first `maxSteps` events (event
+    * time order, ties by type — stated) join into a `a>b>c` path
+    * string, and the paths rank by user count. The "what do people
+    * actually do after signup" query every product-analytics tool
+    * ships as its pathfinder view.
+    *
+    * Shape at 100 TB: one user-key shuffle; the row_number window is
+    * hash-partitioned by user, the ≤ maxSteps surviving rows per user
+    * re-aggregate WITHOUT a second exchange (same partitioning), so
+    * the collected list is bounded by maxSteps — never a whole user
+    * history. Path ranking is a TakeOrdered over the path rollup
+    * (paths-sized, ≤ |types|^maxSteps but Zipf-tiny in practice),
+    * ties (n_users DESC, path ASC). */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      maxSteps: Int,
+      topK: Int): DataFrame = {
+    require(maxSteps >= 1 && topK >= 1,
+      s"need maxSteps >= 1 and topK >= 1, got $maxSteps/$topK")
+    val byUser = Window.partitionBy(col("u"))
+      .orderBy(col("ts"), col("typ"))
+    val firstN = events
+      .select(col(userCol).as("u"), col(tsCol).as("ts"),
+        col(typeCol).as("typ"))
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= maxSteps)
+    firstN
+      .groupBy(col("u"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("typ")))),
+          p => p.getField("typ")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topK)
+  }
+
   /** CUSUM changepoint detection over per-key daily count series —
     * "which day did this metric break": the classic cumulative-sum
     * statistic `S_i = Σ_{j≤i} (v_j − mean)` peaks at the most likely
