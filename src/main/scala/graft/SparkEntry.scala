@@ -3126,6 +3126,35 @@ object SparkEntry {
       maxSteps = 5, topK = 20)
   }
 
+  /** SCD2 merge (q165): one type-2 versioning pass over the customer
+    * dimension exercising all five cases — version (%10==3, with an
+    * older superseded update), equal no-op (%10==6), late-update
+    * no-op (%10==4, ts 900 ≤ valid_from 1000), untouched keys, and
+    * inserts (%10==9 under key+100000) — plus history passthrough
+    * (%10==0 carries a closed prior version). */
+  private def scd2Query(s: SparkSession, dir: String): DataFrame = {
+    import graft.store.Scd2
+    val c = Tables.customer(s, dir)
+    def nk(delta: Int) = (col("c_nationkey") + delta).cast("long").as("c_nationkey")
+    val current = c.select(col("c_custkey"), col("c_name"), nk(0),
+      lit(1000L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+    val history = c.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"), nk(100),
+        lit(500L).as("valid_from"), lit(1000L).as("valid_to"))
+    val dim = current.unionByName(history)
+    def upd(m: Int, delta: Int, ts: Long) = c.filter(col("c_custkey") % 10 === m)
+      .select(col("c_custkey"), col("c_name"), nk(delta), lit(ts).as("ts"))
+    val updates = upd(3, 1, 2000L)
+      .unionByName(upd(3, 50, 1500L)) // superseded by the collapse
+      .unionByName(upd(6, 0, 2000L)) // equal attrs: no-op
+      .unionByName(upd(4, 7, 900L)) // late: rejected
+      .unionByName(c.filter(col("c_custkey") % 10 === 9)
+        .select((col("c_custkey") + 100000L).as("c_custkey"), col("c_name"),
+          nk(0), lit(2000L).as("ts"))) // inserts
+    Scd2.merge(dim, updates, "c_custkey", Seq("c_name", "c_nationkey"), "ts")
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
   /** Conversion latency (q155): integer seconds from each user's
     * first signup to their first purchase (strict order), summarized
     * by exact order statistics — n, min, lower-median, max. */
@@ -3383,7 +3412,8 @@ object SparkEntry {
     "q161_bpe_trained_encode" -> (bpeTrainedEncodeQuery _),
     "q162_salted_agg" -> (saltedAggQuery _),
     "q163_join_cardinality" -> (joinCardinalityQuery _),
-    "q164_top_paths" -> (topPathsQuery _))
+    "q164_top_paths" -> (topPathsQuery _),
+    "q165_scd2_merge" -> (scd2Query _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3653,7 +3683,8 @@ object SparkEntry {
     "q156_skew_join", "q157_nightly_tick",
     "q158_bpe_encode", "q159_bpe_budget_select",
     "q160_bpe_train", "q161_bpe_trained_encode",
-    "q162_salted_agg", "q163_join_cardinality", "q164_top_paths")
+    "q162_salted_agg", "q163_join_cardinality", "q164_top_paths",
+    "q165_scd2_merge")
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
     * stateful replay must produce the SAME per-step rows. */
@@ -6910,7 +6941,69 @@ object SparkEntry {
          p AS (SELECT u, string_agg(typ, '>' ORDER BY rn) AS path
                FROM f WHERE rn <= 5 GROUP BY u)
          SELECT path, CAST(count(*) AS BIGINT) AS n_users
-         FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""")
+         FROM p GROUP BY 1 ORDER BY n_users DESC, path LIMIT 20""",
+    // SCD2 merge: the five cases re-derived relationally — full outer
+    // current×collapsed-updates, branch per outcome, history unioned.
+    "q165_scd2_merge" ->
+      """WITH cur AS (SELECT c_custkey, c_name,
+                             CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                             CAST(1000 AS BIGINT) AS valid_from
+                      FROM customer),
+         hist AS (SELECT c_custkey, c_name,
+                         CAST(c_nationkey + 100 AS BIGINT) AS c_nationkey,
+                         CAST(500 AS BIGINT) AS valid_from,
+                         CAST(1000 AS BIGINT) AS valid_to
+                  FROM customer WHERE c_custkey % 10 = 0),
+         ua AS (SELECT c_custkey, c_name,
+                       CAST(c_nationkey + 1 AS BIGINT) AS c_nationkey,
+                       CAST(2000 AS BIGINT) AS ts
+                FROM customer WHERE c_custkey % 10 = 3
+                UNION ALL
+                SELECT c_custkey, c_name, CAST(c_nationkey + 50 AS BIGINT),
+                       CAST(1500 AS BIGINT)
+                FROM customer WHERE c_custkey % 10 = 3
+                UNION ALL
+                SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT),
+                       CAST(2000 AS BIGINT)
+                FROM customer WHERE c_custkey % 10 = 6
+                UNION ALL
+                SELECT c_custkey, c_name, CAST(c_nationkey + 7 AS BIGINT),
+                       CAST(900 AS BIGINT)
+                FROM customer WHERE c_custkey % 10 = 4
+                UNION ALL
+                SELECT c_custkey + 100000, c_name, CAST(c_nationkey AS BIGINT),
+                       CAST(2000 AS BIGINT)
+                FROM customer WHERE c_custkey % 10 = 9),
+         upd AS (SELECT c_custkey, c_name, c_nationkey, ts FROM (
+                   SELECT *, row_number() OVER (PARTITION BY c_custkey
+                     ORDER BY ts DESC, c_name DESC, c_nationkey DESC) AS rn
+                   FROM ua) WHERE rn = 1),
+         j AS (SELECT cur.c_custkey AS ck, cur.c_name AS cn,
+                      cur.c_nationkey AS cnk, cur.valid_from AS vf,
+                      u.c_custkey AS uk, u.c_name AS un,
+                      u.c_nationkey AS unk, u.ts AS uts
+               FROM cur FULL OUTER JOIN upd u ON cur.c_custkey = u.c_custkey),
+         chg AS (SELECT *,
+                        (un IS DISTINCT FROM cn OR unk IS DISTINCT FROM cnk)
+                          AS changed,
+                        (uts IS NOT NULL AND uts > vf) AS applies
+                 FROM j)
+         SELECT c_custkey, c_name, c_nationkey, valid_from, valid_to FROM (
+           SELECT ck AS c_custkey, cn AS c_name, cnk AS c_nationkey,
+                  vf AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+           FROM chg WHERE ck IS NOT NULL AND NOT (applies AND changed)
+           UNION ALL
+           SELECT ck, cn, cnk, vf, uts
+           FROM chg WHERE ck IS NOT NULL AND applies AND changed
+           UNION ALL
+           SELECT ck, un, unk, uts, NULL
+           FROM chg WHERE ck IS NOT NULL AND applies AND changed
+           UNION ALL
+           SELECT uk, un, unk, uts, NULL FROM chg WHERE ck IS NULL
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, valid_from, valid_to
+           FROM hist)
+         ORDER BY c_custkey, valid_from""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)
