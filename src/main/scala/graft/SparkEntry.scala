@@ -3155,6 +3155,18 @@ object SparkEntry {
       .orderBy(col("c_custkey"), col("valid_from"))
   }
 
+  /** Windowed funnel (q166): signup → view → click → purchase with a
+    * 48 h per-step deadline — each step's qualifying minimum is
+    * conditional on the previous step's resolved time, the semantics
+    * the plain q120 funnel cannot express. */
+  private def windowedFunnelQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.windowedFunnel(Tables.events(s, dir), "user_id", "ts",
+        "event_type", Seq("signup", "view", "click", "purchase"),
+        windowSecs = 172800L)
+      .orderBy(col("step_idx"))
+  }
+
   /** Conversion latency (q155): integer seconds from each user's
     * first signup to their first purchase (strict order), summarized
     * by exact order statistics — n, min, lower-median, max. */
@@ -3413,7 +3425,8 @@ object SparkEntry {
     "q162_salted_agg" -> (saltedAggQuery _),
     "q163_join_cardinality" -> (joinCardinalityQuery _),
     "q164_top_paths" -> (topPathsQuery _),
-    "q165_scd2_merge" -> (scd2Query _))
+    "q165_scd2_merge" -> (scd2Query _),
+    "q166_windowed_funnel" -> (windowedFunnelQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3684,7 +3697,7 @@ object SparkEntry {
     "q158_bpe_encode", "q159_bpe_budget_select",
     "q160_bpe_train", "q161_bpe_trained_encode",
     "q162_salted_agg", "q163_join_cardinality", "q164_top_paths",
-    "q165_scd2_merge")
+    "q165_scd2_merge", "q166_windowed_funnel")
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
     * stateful replay must produce the SAME per-step rows. */
@@ -7003,7 +7016,35 @@ object SparkEntry {
            UNION ALL
            SELECT c_custkey, c_name, c_nationkey, valid_from, valid_to
            FROM hist)
-         ORDER BY c_custkey, valid_from""")
+         ORDER BY c_custkey, valid_from""",
+    // Windowed funnel: per-step 48 h deadline, each stage's minimum
+    // conditional on the previous stage's resolved time.
+    "q166_windowed_funnel" ->
+      """WITH e AS (SELECT user_id AS u,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                           event_type AS typ
+                    FROM events),
+         c0 AS (SELECT u, min(sec) AS m0 FROM e WHERE typ = 'signup' GROUP BY u),
+         c1 AS (SELECT e.u, min(sec) AS m1 FROM e JOIN c0 USING (u)
+                WHERE typ = 'view' AND sec > m0 AND sec <= m0 + 172800
+                GROUP BY e.u),
+         c2 AS (SELECT e.u, min(sec) AS m2 FROM e JOIN c1 USING (u)
+                WHERE typ = 'click' AND sec > m1 AND sec <= m1 + 172800
+                GROUP BY e.u),
+         c3 AS (SELECT e.u, min(sec) AS m3 FROM e JOIN c2 USING (u)
+                WHERE typ = 'purchase' AND sec > m2 AND sec <= m2 + 172800
+                GROUP BY e.u),
+         n AS (SELECT (SELECT count(*) FROM c0) AS n0,
+                      (SELECT count(*) FROM c1) AS n1,
+                      (SELECT count(*) FROM c2) AS n2,
+                      (SELECT count(*) FROM c3) AS n3)
+         SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+                CAST(n_users * 1000000 // n0 AS BIGINT) AS conversion_ppm
+         FROM (SELECT 0 AS step_idx, 'signup' AS step, n0 AS n_users, n0 FROM n
+               UNION ALL SELECT 1, 'view', n1, n0 FROM n
+               UNION ALL SELECT 2, 'click', n2, n0 FROM n
+               UNION ALL SELECT 3, 'purchase', n3, n0 FROM n)
+         ORDER BY step_idx""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

@@ -408,6 +408,60 @@ object Analytics {
         col("_top").getField("prod").as("top_rows"))
   }
 
+  /** WINDOWED funnel — [[funnel]] with a per-step conversion DEADLINE:
+    * step i counts only via its first occurrence that lands STRICTLY
+    * after step i−1's resolved time and within `windowSecs` of it
+    * ("signed up, then viewed within 48 h, then clicked within 48 h of
+    * that"). The plain funnel cannot express this: the deadline makes
+    * each step's qualifying minimum CONDITIONAL on the previous step's
+    * resolved time, so the per-user rollup runs one stage per step —
+    * m₀ = first step-0; mᵢ = min step-i time in (mᵢ₋₁, mᵢ₋₁ + W].
+    *
+    * Shape at 100 TB: stage i scans ONLY the step-i event slice (the
+    * type filter pushes to the scan) and joins the user-reach relation
+    * on the user key — k co-partitioned rollup-joins, reach rows carry
+    * k longs, and the final output is one steps-sized aggregate. No
+    * windows, no per-user event lists.
+    *
+    * Exact integers: epoch seconds, conversion_ppm vs step 0 by
+    * integer div. Equal timestamps do NOT advance (strict >, the K89
+    * contract). Output: (step_idx, step, n_users, conversion_ppm). */
+  def windowedFunnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      windowSecs: Long): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"steps must be non-empty and distinct: $steps")
+    require(windowSecs >= 1, s"windowSecs must be >= 1, got $windowSecs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col(userCol).as("u"),
+      unix_seconds(col(tsCol)).as("sec"), col(typeCol).as("typ"))
+    var reach = ev.filter(col("typ") === steps.head)
+      .groupBy(col("u")).agg(min(col("sec")).as("m0"))
+    for (i <- 1 until steps.length) {
+      val prev = s"m${i - 1}"
+      val nxt = ev.filter(col("typ") === steps(i))
+        .join(reach.select(col("u"), col(prev)), Seq("u"))
+        .filter(col("sec") > col(prev) &&
+          col("sec") <= col(prev) + windowSecs)
+        .groupBy(col("u")).agg(min(col("sec")).as(s"m$i"))
+      reach = reach.join(nxt, Seq("u"), "left")
+    }
+    val counts = reach.agg(
+      count(col("m0")).as("n0"),
+      steps.indices.tail.map(i => count(col(s"m$i")).as(s"n$i")): _*)
+    counts.select(explode(array(steps.zipWithIndex.map { case (st, i) =>
+        struct(lit(i.toLong).as("step_idx"), lit(st).as("step"),
+          col(s"n$i").as("n_users"))
+      }: _*)).as("s"), col("n0"))
+      .select(col("s.step_idx"), col("s.step"), col("s.n_users"),
+        expr("s.n_users * 1000000 div n0").as("conversion_ppm"))
+  }
+
   /** Top user PATHS — the journey rollup next to K91's one-step
     * transition matrix: each user's first `maxSteps` events (event
     * time order, ties by type — stated) join into a `a>b>c` path
