@@ -772,6 +772,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Video frame sampling (q167): concatenated-P6 frame streams (the
+    * ffmpeg image2pipe layout) walked by a real header-parsing
+    * decoder, every-2nd-frame sampling — the curation primitive that
+    * feeds a vision encoder. Media bytes never shuffle; only sampled
+    * feature rows leave the task. */
+  private def videoFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.sampleFrames(s,
+        Multimodal.attachVideo(s, Tables.documents(s, dir)), everyN = 2)
+      .toDF()
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("px_checksum"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Audio modality (q77): deterministic 16-bit PCM WAV payloads
     * decoded by a real RIFF chunk-walking parser; Σ|sample| is the
     * integer loudness proxy. Same batched extraction shape as q31. */
@@ -3426,7 +3442,8 @@ object SparkEntry {
     "q163_join_cardinality" -> (joinCardinalityQuery _),
     "q164_top_paths" -> (topPathsQuery _),
     "q165_scd2_merge" -> (scd2Query _),
-    "q166_windowed_funnel" -> (windowedFunnelQuery _))
+    "q166_windowed_funnel" -> (windowedFunnelQuery _),
+    "q167_video_frame_sample" -> (videoFrameSample _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3697,7 +3714,7 @@ object SparkEntry {
     "q158_bpe_encode", "q159_bpe_budget_select",
     "q160_bpe_train", "q161_bpe_trained_encode",
     "q162_salted_agg", "q163_join_cardinality", "q164_top_paths",
-    "q165_scd2_merge", "q166_windowed_funnel")
+    "q165_scd2_merge", "q166_windowed_funnel", "q167_video_frame_sample")
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
     * stateful replay must produce the SAME per-step rows. */
@@ -7044,7 +7061,30 @@ object SparkEntry {
                UNION ALL SELECT 1, 'view', n1, n0 FROM n
                UNION ALL SELECT 2, 'click', n2, n0 FROM n
                UNION ALL SELECT 3, 'purchase', n3, n0 FROM n)
-         ORDER BY step_idx""")
+         ORDER BY step_idx""",
+    // Video frame sampling: every sampled frame's raster is the doc's
+    // bytes rotated by the frame index — the checksum re-derives from
+    // text, pixel by pixel.
+    "q167_video_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text, strlen(text) AS len,
+                           strlen(text) % 13 + 2 AS w,
+                           strlen(text) % 7 + 2 AS h,
+                           strlen(text) % 5 + 2 AS nf
+                    FROM documents),
+         fr AS (SELECT doc_id, text, len, w, h, unnest(range(nf)) AS f FROM m),
+         sm AS (SELECT * FROM fr WHERE f % 2 = 0),
+         px AS (SELECT doc_id, f, w, h, len, text,
+                       unnest(range(w * h * 3)) AS i
+                FROM sm),
+         ck AS (SELECT doc_id, f, w, h,
+                       CAST(sum(ord(substr(text,
+                         CAST((i + f) % len AS INTEGER) + 1, 1))) AS BIGINT)
+                         AS px_checksum
+                FROM px GROUP BY 1, 2, 3, 4)
+         SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                px_checksum
+         FROM ck ORDER BY doc_id, frame_idx""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

@@ -303,4 +303,124 @@ object Multimodal {
       }
     }
   }
+
+  // ---- third modality: video (concatenated-P6 frame stream) ----
+
+  final case class VideoFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      px_checksum: Long)
+
+  /** Deterministic video encoder: a stream of back-to-back P6 PPM
+    * frames (ffmpeg's image2pipe ppm stream layout — a REAL container
+    * with zero codec dependencies). Frame f's raster is the document's
+    * bytes ROTATED by f (`px(i) = byte((i + f) mod len)`), so every
+    * frame differs, every pixel is mirrorable from `text` in SQL, and
+    * dims/frame-count derive from the byte length
+    * (w = len%13+2, h = len%7+2, frames = len%5+2). */
+  def encodeVideo(docId: Long, text: String): MediaDoc = {
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    val len = bytes.length
+    val w = len % 13 + 2
+    val h = len % 7 + 2
+    val nf = len % 5 + 2
+    val frames = (0 until nf).map { f =>
+      val header = s"P6\n$w $h\n255\n".getBytes(StandardCharsets.US_ASCII)
+      val px = Array.tabulate(w * h * 3)(i =>
+        if (len == 0) 0.toByte else bytes((i + f) % len))
+      header ++ px
+    }
+    val media = frames.reduce(_ ++ _)
+    MediaDoc(docId, media, "video/x-ppm-stream", media.length.toLong)
+  }
+
+  /** Attach a decodable video column standing in for crawled clips. */
+  def attachVideo(spark: SparkSession, df: DataFrame): Dataset[MediaDoc] = {
+    import spark.implicits._
+    df.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => encodeVideo(id, text) }
+  }
+
+  /** One P6 header parse at `start`: (width, height, rasterStart).
+    * Same spec handling as [[decodePpm]] (whitespace runs, `#`
+    * comments, exactly one whitespace byte before the raster). */
+  private def parseP6At(b: Array[Byte], start: Int, docId: Long): (Int, Int, Int) = {
+    require(b.length >= start + 2 && b(start) == 'P' && b(start + 1) == '6',
+      s"doc $docId: not a P6 frame at byte $start")
+    var pos = start + 2
+    def isWs(c: Byte): Boolean =
+      c == ' ' || c == '\n' || c == '\t' || c == '\r'
+    def skipWsAndComments(): Unit = {
+      var moving = true
+      while (moving) {
+        while (pos < b.length && isWs(b(pos))) pos += 1
+        if (pos < b.length && b(pos) == '#') {
+          while (pos < b.length && b(pos) != '\n') pos += 1
+        } else moving = false
+      }
+    }
+    def readInt(): Int = {
+      skipWsAndComments()
+      require(pos < b.length && b(pos) >= '0' && b(pos) <= '9',
+        s"doc $docId: malformed PPM header at byte $pos")
+      var v = 0
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = readInt()
+    val h = readInt()
+    val maxval = readInt()
+    require(maxval == 255, s"doc $docId: unsupported maxval $maxval")
+    (w, h, pos + 1) // one whitespace byte separates header and raster
+  }
+
+  /** REAL stream walker: parses frame headers back-to-back, validates
+    * every raster fits, and folds each raster into the unsigned-byte
+    * checksum — the per-frame features a real decoder would surface.
+    * (A production container carries a frame index for O(1) seeking;
+    * the ppm stream is walked — the cost model every image2pipe
+    * consumer accepts.) Throws on truncation like any decoder. */
+  def decodeVideoFrames(doc: MediaDoc): Seq[VideoFrame] = {
+    val b = doc.media
+    val out = scala.collection.mutable.ArrayBuffer[VideoFrame]()
+    var pos = 0
+    var f = 0
+    while (pos < b.length) {
+      val (w, h, rp) = parseP6At(b, pos, doc.doc_id)
+      val end = rp + w * h * 3
+      require(end <= b.length,
+        s"doc ${doc.doc_id}: frame $f truncated (${b.length - rp} of ${w * h * 3} raster bytes)")
+      var sum = 0L
+      var i = rp
+      while (i < end) { sum += (b(i) & 0xff); i += 1 }
+      out += VideoFrame(doc.doc_id, f, w, h, sum)
+      f += 1
+      pos = end
+    }
+    out.toSeq
+  }
+
+  /** FRAME SAMPLING — the video curation primitive (every-Nth-frame
+    * extraction feeding a vision encoder): batched partition-local
+    * decode, keep frames with `idx % everyN == 0`. Same mapPartitions
+    * batching shape as the other modalities — media bytes never
+    * shuffle, only the sampled feature rows leave the task. */
+  def sampleFrames(
+      spark: SparkSession,
+      media: Dataset[MediaDoc],
+      everyN: Int,
+      batchSize: Int = 64): Dataset[VideoFrame] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap(d =>
+          decodeVideoFrames(d).filter(_.frame_idx % everyN == 0))
+      }
+    }
+  }
 }
