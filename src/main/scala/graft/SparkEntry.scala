@@ -2913,13 +2913,44 @@ object SparkEntry {
     * the whole chain, which is why this is state, not a windowed
     * aggregate. */
   private def streamingFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val steps = Seq("signup", "view", "click", "purchase")
+    val reach = replayedFunnelReach(s, dir, "q148",
+      graft.streaming.StreamingFunnel.reach(steps))
+    val cs = steps.indices.map(k =>
+      count(when(col("steps_reached") >= k + 1, 1)).as(s"_c$k"))
+    val counts = reach.agg(cs.head, cs.tail: _*)
+    val stepsDf = steps.zipWithIndex
+      .map { case (st, i) => (i.toLong + 1L, st) }.toDF("step_idx", "step")
+    counts.crossJoin(stepsDf)
+      .select(col("step_idx"), col("step"),
+        steps.indices.foldLeft(lit(null).cast("long")) { (acc, i) =>
+          when(col("step_idx") === (i + 1), col(s"_c$i")).otherwise(acc)
+        }.as("n_users"),
+        col("_c0").as("_base"))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        when(col("_base") > 0,
+          expr("n_users * 1000000 div _base")).as("conversion_ppm"))
+      .orderBy(col("step_idx"))
+  }
+
+  /** Shared q148/q168 replay machinery: events → day-partitioned
+    * storage → file stream with the q46/q58 two-tick watermark flush →
+    * the given stateful reach operator → collected (user,
+    * steps_reached) relation (tick users filtered). */
+  private def replayedFunnelReach(
+      s: SparkSession,
+      dir: String,
+      qtag: String,
+      reachFn: org.apache.spark.sql.Dataset[graft.streaming.StreamingFunnel.UserEvent] =>
+        org.apache.spark.sql.Dataset[graft.streaming.StreamingFunnel.UserReach])
+      : DataFrame = {
     import graft.store.DayPartitionedTable
     import graft.streaming.StreamingFunnel
     import graft.util.TmpDirs
     import s.implicits._
-    val steps = Seq("signup", "view", "click", "purchase")
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val root = TmpDirs.fresh(s"q148_stream_$tag")
+    val root = TmpDirs.fresh(s"${qtag}_stream_$tag")
     val e = Tables.events(s, dir)
       .select(col("ts"), col("user_id"), col("event_type"), dayOf(col("ts")).as("day"))
     val t = new DayPartitionedTable(root, "events_by_day", sortCol = Some("ts"))
@@ -2944,29 +2975,39 @@ object SparkEntry {
       .parquet(t.path)
       .select("user_id", "ts", "event_type")
       .as[StreamingFunnel.UserEvent]
-    val sink = s"q148_reach_$tag"
-    val q = StreamingFunnel.reach(steps)(stream)
+    val sink = s"${qtag}_reach_$tag"
+    val q = reachFn(stream)
       .writeStream
       .format("memory").queryName(sink).outputMode("append")
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val reach = s.table(sink).filter(col("user_id") >= 0)
+    s.table(sink).filter(col("user_id") >= 0)
+  }
+
+  /** Streaming WINDOWED funnel (q168): the K134 per-step deadlines
+    * held as state (buffered per-step times — a late earlier-step
+    * arrival re-bases every later deadline), replayed to completion
+    * and hash-compared against the SAME oracle as the batch q166. */
+  private def streamingWindowedFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val steps = Seq("signup", "view", "click", "purchase")
+    val reach = replayedFunnelReach(s, dir, "q168",
+      graft.streaming.StreamingFunnel.windowedReach(steps, windowSecs = 172800L))
     val cs = steps.indices.map(k =>
       count(when(col("steps_reached") >= k + 1, 1)).as(s"_c$k"))
     val counts = reach.agg(cs.head, cs.tail: _*)
     val stepsDf = steps.zipWithIndex
-      .map { case (st, i) => (i.toLong + 1L, st) }.toDF("step_idx", "step")
+      .map { case (st, i) => (i.toLong, st) }.toDF("step_idx", "step")
     counts.crossJoin(stepsDf)
       .select(col("step_idx"), col("step"),
         steps.indices.foldLeft(lit(null).cast("long")) { (acc, i) =>
-          when(col("step_idx") === (i + 1), col(s"_c$i")).otherwise(acc)
+          when(col("step_idx") === i, col(s"_c$i")).otherwise(acc)
         }.as("n_users"),
         col("_c0").as("_base"))
       .select(col("step_idx"), col("step"), col("n_users"),
-        when(col("_base") > 0,
-          expr("n_users * 1000000 div _base")).as("conversion_ppm"))
+        expr("n_users * 1000000 div _base").as("conversion_ppm"))
       .orderBy(col("step_idx"))
   }
 
@@ -3443,7 +3484,8 @@ object SparkEntry {
     "q164_top_paths" -> (topPathsQuery _),
     "q165_scd2_merge" -> (scd2Query _),
     "q166_windowed_funnel" -> (windowedFunnelQuery _),
-    "q167_video_frame_sample" -> (videoFrameSample _))
+    "q167_video_frame_sample" -> (videoFrameSample _),
+    "q168_streaming_windowed_funnel" -> (streamingWindowedFunnel _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3715,6 +3757,36 @@ object SparkEntry {
     "q160_bpe_train", "q161_bpe_trained_encode",
     "q162_salted_agg", "q163_join_cardinality", "q164_top_paths",
     "q165_scd2_merge", "q166_windowed_funnel", "q167_video_frame_sample")
+
+  /** Shared q166/q168 oracle: the batch windowed funnel and its
+    * streaming stateful replay must produce the SAME per-step rows
+    * (the q120/q148 twin contract under per-step deadlines). */
+  private val windowedFunnelOracleSql: String =
+    """WITH e AS (SELECT user_id AS u,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                         event_type AS typ
+                  FROM events),
+       c0 AS (SELECT u, min(sec) AS m0 FROM e WHERE typ = 'signup' GROUP BY u),
+       c1 AS (SELECT e.u, min(sec) AS m1 FROM e JOIN c0 USING (u)
+              WHERE typ = 'view' AND sec > m0 AND sec <= m0 + 172800
+              GROUP BY e.u),
+       c2 AS (SELECT e.u, min(sec) AS m2 FROM e JOIN c1 USING (u)
+              WHERE typ = 'click' AND sec > m1 AND sec <= m1 + 172800
+              GROUP BY e.u),
+       c3 AS (SELECT e.u, min(sec) AS m3 FROM e JOIN c2 USING (u)
+              WHERE typ = 'purchase' AND sec > m2 AND sec <= m2 + 172800
+              GROUP BY e.u),
+       n AS (SELECT (SELECT count(*) FROM c0) AS n0,
+                    (SELECT count(*) FROM c1) AS n1,
+                    (SELECT count(*) FROM c2) AS n2,
+                    (SELECT count(*) FROM c3) AS n3)
+       SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+              CAST(n_users * 1000000 // n0 AS BIGINT) AS conversion_ppm
+       FROM (SELECT 0 AS step_idx, 'signup' AS step, n0 AS n_users, n0 FROM n
+             UNION ALL SELECT 1, 'view', n1, n0 FROM n
+             UNION ALL SELECT 2, 'click', n2, n0 FROM n
+             UNION ALL SELECT 3, 'purchase', n3, n0 FROM n)
+       ORDER BY step_idx"""
 
   /** Shared q120/q148 oracle: the batch funnel and the streaming
     * stateful replay must produce the SAME per-step rows. */
@@ -7035,33 +7107,10 @@ object SparkEntry {
            FROM hist)
          ORDER BY c_custkey, valid_from""",
     // Windowed funnel: per-step 48 h deadline, each stage's minimum
-    // conditional on the previous stage's resolved time.
-    "q166_windowed_funnel" ->
-      """WITH e AS (SELECT user_id AS u,
-                           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
-                           event_type AS typ
-                    FROM events),
-         c0 AS (SELECT u, min(sec) AS m0 FROM e WHERE typ = 'signup' GROUP BY u),
-         c1 AS (SELECT e.u, min(sec) AS m1 FROM e JOIN c0 USING (u)
-                WHERE typ = 'view' AND sec > m0 AND sec <= m0 + 172800
-                GROUP BY e.u),
-         c2 AS (SELECT e.u, min(sec) AS m2 FROM e JOIN c1 USING (u)
-                WHERE typ = 'click' AND sec > m1 AND sec <= m1 + 172800
-                GROUP BY e.u),
-         c3 AS (SELECT e.u, min(sec) AS m3 FROM e JOIN c2 USING (u)
-                WHERE typ = 'purchase' AND sec > m2 AND sec <= m2 + 172800
-                GROUP BY e.u),
-         n AS (SELECT (SELECT count(*) FROM c0) AS n0,
-                      (SELECT count(*) FROM c1) AS n1,
-                      (SELECT count(*) FROM c2) AS n2,
-                      (SELECT count(*) FROM c3) AS n3)
-         SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
-                CAST(n_users * 1000000 // n0 AS BIGINT) AS conversion_ppm
-         FROM (SELECT 0 AS step_idx, 'signup' AS step, n0 AS n_users, n0 FROM n
-               UNION ALL SELECT 1, 'view', n1, n0 FROM n
-               UNION ALL SELECT 2, 'click', n2, n0 FROM n
-               UNION ALL SELECT 3, 'purchase', n3, n0 FROM n)
-         ORDER BY step_idx""",
+    // conditional on the previous stage's resolved time. SHARED by the
+    // batch q166 and the streaming q168 (the q120/q148 twin contract).
+    "q166_windowed_funnel" -> windowedFunnelOracleSql,
+    "q168_streaming_windowed_funnel" -> windowedFunnelOracleSql,
     // Video frame sampling: every sampled frame's raster is the doc's
     // bytes rotated by the frame index — the checksum re-derives from
     // text, pixel by pixel.

@@ -97,4 +97,74 @@ object StreamingFunnel extends Serializable {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class WinFunnelState(times: Seq[Seq[Long]], maxEventMs: Long)
+
+  /** WINDOWED streaming funnel — the K134 deadline semantics held as
+    * state: step i qualifies only in (mᵢ₋₁, mᵢ₋₁ + W] seconds of the
+    * previous step's RESOLVED time.
+    *
+    * Why this buffers per-step event TIMES where [[reach]] kept one
+    * min per step: a late earlier-step arrival re-bases every later
+    * deadline, and the event that newly qualifies may not be any
+    * step's minimum — dropping non-minimal occurrences provably loses
+    * answers. State is the per-step sorted-on-eval distinct second
+    * sets, bounded by the user's funnel-step event count inside their
+    * activity horizon (the sessionizer's state argument); evaluation
+    * happens ONCE, at event-time timeout, exactly like the batch
+    * operator. Same drain contract as [[reach]]: stop never flushes,
+    * checkpointed state drains after restart. */
+  def windowedReach(steps: Seq[String], windowSecs: Long)(
+      events: Dataset[UserEvent]): Dataset[UserReach] = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"funnel steps must be non-empty and distinct: $steps")
+    require(windowSecs >= 1, s"windowSecs must be >= 1, got $windowSecs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+
+    def update(
+        uid: Long,
+        es: Iterator[UserEvent],
+        state: GroupState[WinFunnelState]): Iterator[UserReach] = {
+      if (state.hasTimedOut) {
+        val ts = state.get.times
+        state.remove()
+        var r = 0
+        var m = Long.MinValue
+        var i = 0
+        var open = true
+        while (open && i < ts.length) {
+          val qualifying =
+            if (i == 0) ts(0).minOption
+            else ts(i).filter(t => t > m && t <= m + windowSecs).minOption
+          qualifying match {
+            case Some(t) => m = t; r += 1; i += 1
+            case None => open = false
+          }
+        }
+        Iterator.single(UserReach(uid, r))
+      } else {
+        val s0 = state.getOption.getOrElse(
+          WinFunnelState(Seq.fill(steps.length)(Seq.empty), Long.MinValue))
+        val buf = s0.times.map(ts => scala.collection.mutable.Set(ts: _*))
+        var maxMs = s0.maxEventMs
+        es.foreach { e =>
+          val t = e.ts.getTime
+          stepIdx.get(e.event_type).foreach { i =>
+            buf(i) += Math.floorDiv(t, 1000L): Unit
+          }
+          maxMs = math.max(maxMs, t)
+        }
+        state.update(WinFunnelState(buf.map(_.toSeq), maxMs))
+        state.setTimeoutTimestamp(maxMs + lateness)
+        Iterator.empty
+      }
+    }
+
+    events
+      .withWatermark("ts", "25 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

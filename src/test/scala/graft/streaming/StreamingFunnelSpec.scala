@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.SparkSpec
+import graft.operators.Analytics
 import graft.streaming.StreamingFunnel.UserEvent
 
 /** StreamingFunnel: the order-proof property (a LATE first-step
@@ -91,6 +92,61 @@ class StreamingFunnelSpec extends SparkSpec {
       q2.processAllAvailable()
       got.synchronized(got.toSet).filter(_._1 >= 0) shouldBe Set((5L, 3))
     } finally q2.stop()
+  }
+
+  test("windowedReach: buffered state survives deadline re-basing by a late first step") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val name = s"wfunnel_${System.nanoTime()}"
+    val q = StreamingFunnel.windowedReach(Seq("signup", "view"), 3600L)(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // two views arrive BEFORE the signup; the early one (10:30) is
+      // the per-step MINIMUM but does not qualify once the late signup
+      // (12:00) lands — only buffered state can still find 12:30
+      input.addData(
+        ev(1, "2024-01-01 10:30:00", "view"),
+        ev(1, "2024-01-01 12:30:00", "view"))
+      q.processAllAvailable()
+      input.addData(ev(1, "2024-01-01 12:00:00", "signup"))
+      q.processAllAvailable()
+      input.addData(ev(-1L, "2024-03-01 00:00:00", "tick"))
+      q.processAllAvailable()
+      input.addData(ev(-2L, "2024-03-09 00:00:00", "tick"))
+      q.processAllAvailable()
+      spark.table(name).filter($"user_id" === 1L)
+        .as[(Long, Int)].collect().toSeq shouldBe Seq((1L, 2))
+    } finally q.stop()
+  }
+
+  test("windowedReach replay equals the batch windowedFunnel counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = (0 until 120).map { i =>
+      val u = (i % 10).toLong
+      val typ = Seq("signup", "view", "click", "other")(i % 4)
+      ev(u, f"2024-01-01 ${8 + i / 12}%02d:${i % 60}%02d:00", typ)
+    }
+    val w = 1800L // 30 min deadline binds at this event spacing
+    val input = MemoryStream[UserEvent]
+    val name = s"wfunnel_par_${System.nanoTime()}"
+    val q = StreamingFunnel.windowedReach(steps, w)(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val streamed = try {
+      all.grouped(40).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(ev(-1L, "2024-03-01 00:00:00", "tick"))
+      q.processAllAvailable()
+      input.addData(ev(-2L, "2024-03-09 00:00:00", "tick"))
+      q.processAllAvailable()
+      val reach = spark.table(name).filter($"user_id" >= 0)
+        .as[(Long, Int)].collect().toMap
+      steps.indices.map(k => reach.values.count(_ >= k + 1).toLong)
+    } finally q.stop()
+    val batch = Analytics.windowedFunnel(
+        all.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", steps, w)
+      .orderBy("step_idx").select("n_users")
+      .as[Long].collect().toSeq
+    streamed shouldBe batch
   }
 
   test("multi-batch replay equals the batch evaluation over many users") {
