@@ -3224,6 +3224,26 @@ object SparkEntry {
       .orderBy(col("step_idx"))
   }
 
+  /** Exact percentile bands (q169): p25/p50/p75 of cent-quantized
+    * event values per type — the histogram-prefix order statistic as
+    * a reusable operator (bounded memory where percentile() buffers
+    * every group value). */
+  private def exactPercentilesQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.exactPercentiles(Tables.events(s, dir), "event_type",
+        round(col("value") * 100), Seq(25, 50, 75))
+      .select(col("key").as("event_type"), col("pct"),
+        col("value").as("value_cents"))
+      .orderBy(col("event_type"), col("pct"))
+  }
+
+  /** Key entropy (q170): the shuffle-balance score of the user_id
+    * distribution in integer micro-nats vs the ln(K) maximum. */
+  private def keyEntropyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.keyEntropy(Tables.events(s, dir), "user_id")
+  }
+
   /** Conversion latency (q155): integer seconds from each user's
     * first signup to their first purchase (strict order), summarized
     * by exact order statistics — n, min, lower-median, max. */
@@ -3485,7 +3505,9 @@ object SparkEntry {
     "q165_scd2_merge" -> (scd2Query _),
     "q166_windowed_funnel" -> (windowedFunnelQuery _),
     "q167_video_frame_sample" -> (videoFrameSample _),
-    "q168_streaming_windowed_funnel" -> (streamingWindowedFunnel _))
+    "q168_streaming_windowed_funnel" -> (streamingWindowedFunnel _),
+    "q169_exact_percentiles" -> (exactPercentilesQuery _),
+    "q170_key_entropy" -> (keyEntropyQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3756,7 +3778,8 @@ object SparkEntry {
     "q158_bpe_encode", "q159_bpe_budget_select",
     "q160_bpe_train", "q161_bpe_trained_encode",
     "q162_salted_agg", "q163_join_cardinality", "q164_top_paths",
-    "q165_scd2_merge", "q166_windowed_funnel", "q167_video_frame_sample")
+    "q165_scd2_merge", "q166_windowed_funnel", "q167_video_frame_sample",
+    "q169_exact_percentiles", "q170_key_entropy")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7133,7 +7156,46 @@ object SparkEntry {
          SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
                 CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
                 px_checksum
-         FROM ck ORDER BY doc_id, frame_idx""")
+         FROM ck ORDER BY doc_id, frame_idx""",
+    // Exact percentile bands: per-key value histogram + per-key
+    // exclusive prefix, position (p*n + 99) // 100 — integer ceil.
+    "q169_exact_percentiles" ->
+      """WITH q AS (SELECT CAST(event_type AS VARCHAR) AS k,
+                           CAST(round(value * 100) AS BIGINT) AS v
+                    FROM events),
+         h AS (SELECT k, v, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY 1, 2),
+         w AS (SELECT k, v, c,
+                      CAST(coalesce(sum(c) OVER (PARTITION BY k ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS below
+               FROM h),
+         t AS (SELECT k, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY k),
+         p AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS pct)
+         SELECT w.k AS event_type, p.pct, w.v AS value_cents
+         FROM w JOIN t USING (k) CROSS JOIN p
+         WHERE below < (pct * n + 99) // 100
+           AND (pct * n + 99) // 100 <= below + c
+         ORDER BY event_type, pct""",
+    // Key entropy: micro-nat Shannon entropy of the key distribution
+    // vs its ln(K) maximum — per-key terms quantized before the sum.
+    "q170_key_entropy" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1),
+         a AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                      CAST(count(*) AS BIGINT) AS n_keys,
+                      CAST(sum(c * CAST(round(ln(c) * 1e6) AS BIGINT))
+                        AS BIGINT) AS t
+               FROM c)
+         SELECT n_rows, n_keys,
+                CAST(round(ln(n_rows) * 1e6) AS BIGINT) - t // n_rows
+                  AS entropy_micro,
+                CAST(round(ln(n_keys) * 1e6) AS BIGINT) AS max_entropy_micro,
+                CASE WHEN CAST(round(ln(n_keys) * 1e6) AS BIGINT) > 0
+                     THEN (CAST(round(ln(n_rows) * 1e6) AS BIGINT) - t // n_rows)
+                          * 1000000 // CAST(round(ln(n_keys) * 1e6) AS BIGINT)
+                     ELSE 1000000 END AS balance_ppm
+         FROM a""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

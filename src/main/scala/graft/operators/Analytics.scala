@@ -502,6 +502,77 @@ object Analytics {
       .limit(topK)
   }
 
+  /** Exact per-key percentile BANDS over integer-quantized values —
+    * the histogram-prefix order-statistic technique (keySkewAudit /
+    * conversionLatency / budgetSelect) packaged as the reusable
+    * operator: for each key and percentile p, the value at ascending
+    * position ⌈p·n/100⌉ (exact integer ceil: `(p·n + 99) div 100`) is
+    * the histogram class where that position falls — computed from
+    * per-(key, value) counts and a PER-KEY exclusive prefix window
+    * (hash-partitioned, parallel), never by buffering values.
+    *
+    * Why not `percentile()`: Spark's exact percentile aggregate holds
+    * every group value in its buffer — a hot key at 100 TB OOMs the
+    * executor. This histogram form carries one row per DISTINCT
+    * (key, value) — bounded by the quantized value support — and
+    * never materializes a group's values anywhere.
+    *
+    * Quantization is the caller's contract (cast to cents/millis
+    * upstream); percentiles are the LOWER order statistic, exact and
+    * interpolation-free. Output: (key, pct, value) rows. */
+  def exactPercentiles(
+      df: DataFrame,
+      keyCol: String,
+      value: Column,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100) &&
+      pcts.distinct == pcts, s"pcts must be distinct ints in [1,100]: $pcts")
+    val q = df.select(col(keyCol).cast("string").as("key"),
+      value.cast(LongType).as("v"))
+    val h = q.groupBy(col("key"), col("v")).agg(count(lit(1)).as("_c"))
+    val perKey = Window.partitionBy(col("key")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h.withColumn("_below",
+      coalesce(sum(col("_c")).over(perKey), lit(0L)))
+    val tot = h.groupBy(col("key")).agg(sum(col("_c")).as("_n"))
+    cum.join(tot, Seq("key"))
+      .select(col("key"), col("v"), col("_c"), col("_below"), col("_n"),
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"))
+      .filter(col("_below") < expr("(pct * _n + 99) div 100") &&
+        expr("(pct * _n + 99) div 100") <= col("_below") + col("_c"))
+      .select(col("key"), col("pct"), col("v").as("value"))
+  }
+
+  /** Key-distribution ENTROPY — the shuffle-balance score that pairs
+    * with [[keySkewAudit]] (which names the offenders) and
+    * [[joinCardinalityAudit]] (which sizes the blast radius): Shannon
+    * entropy of the key distribution in integer MICRO-nats,
+    * `H = ln(N) − (Σ c·ln c)/N`, against its `ln(K)` maximum —
+    * `balance_ppm = 10⁶` means perfectly uniform keys, small values
+    * mean one key owns the shuffle. Per-key terms quantize to
+    * micro-nats BEFORE the exact integer sum (the q67 convention;
+    * same accepted ~1-ulp libm caveat), every division integer.
+    *
+    * Shape at 100 TB: one count rollup, one aggregate over the
+    * key-count relation, one row out. */
+  def keyEntropy(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+        sum(col("c") * round(log(col("c").cast(DoubleType)) * 1e6)
+          .cast(LongType)).as("_t"))
+      .select(col("n_rows"), col("n_keys"),
+        (round(log(col("n_rows").cast(DoubleType)) * 1e6).cast(LongType) -
+          expr("_t div n_rows")).as("entropy_micro"),
+        round(log(col("n_keys").cast(DoubleType)) * 1e6).cast(LongType)
+          .as("max_entropy_micro"))
+      .withColumn("balance_ppm",
+        when(col("max_entropy_micro") > 0,
+          expr("entropy_micro * 1000000 div max_entropy_micro"))
+          .otherwise(lit(1000000L)))
+  }
+
   /** CUSUM changepoint detection over per-key daily count series —
     * "which day did this metric break": the classic cumulative-sum
     * statistic `S_i = Σ_{j≤i} (v_j − mean)` peaks at the most likely
