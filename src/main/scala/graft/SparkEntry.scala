@@ -3244,6 +3244,41 @@ object SparkEntry {
     Analytics.keyEntropy(Tables.events(s, dir), "user_id")
   }
 
+  /** Referential-integrity audit (q171): orphan-row counts for three
+    * FK edges of the warehouse star — lineitem→orders (clean),
+    * orders→customer with the parent restricted to `c_custkey % 7 <> 3`
+    * and every 13th order's FK nulled (exercises the orphan AND the
+    * null-FK paths), customer→nation restricted to `n_nationkey < 20`. */
+  private def fkIntegrityQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r1 = Analytics.fkIntegrityAudit(
+      li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+    val r2 = Analytics.fkIntegrityAudit(
+      o.select(when(col("o_orderkey") % 13 === 5, lit(null))
+        .otherwise(col("o_custkey")).as("o_custkey")),
+      "o_custkey",
+      c.filter(col("c_custkey") % 7 =!= 3), "c_custkey",
+      "orders->customer")
+    val r3 = Analytics.fkIntegrityAudit(
+      c, "c_nationkey",
+      n.filter(col("n_nationkey") < 20), "n_nationkey",
+      "customer->nation")
+    r1.unionByName(r2).unionByName(r3).orderBy(col("relation"))
+  }
+
+  /** Key-concentration Gini (q172): the 0…1e6-ppm concentration score
+    * of the user_id distribution, from the counts-of-counts histogram
+    * — completes the pre-shuffle triptych (q140 offenders, q170
+    * balance, q172 concentration). */
+  private def keyGiniQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.keyGini(Tables.events(s, dir), "user_id")
+  }
+
   /** Conversion latency (q155): integer seconds from each user's
     * first signup to their first purchase (strict order), summarized
     * by exact order statistics — n, min, lower-median, max. */
@@ -3507,7 +3542,9 @@ object SparkEntry {
     "q167_video_frame_sample" -> (videoFrameSample _),
     "q168_streaming_windowed_funnel" -> (streamingWindowedFunnel _),
     "q169_exact_percentiles" -> (exactPercentilesQuery _),
-    "q170_key_entropy" -> (keyEntropyQuery _))
+    "q170_key_entropy" -> (keyEntropyQuery _),
+    "q171_fk_integrity" -> (fkIntegrityQuery _),
+    "q172_key_gini" -> (keyGiniQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3779,7 +3816,8 @@ object SparkEntry {
     "q160_bpe_train", "q161_bpe_trained_encode",
     "q162_salted_agg", "q163_join_cardinality", "q164_top_paths",
     "q165_scd2_merge", "q166_windowed_funnel", "q167_video_frame_sample",
-    "q169_exact_percentiles", "q170_key_entropy")
+    "q169_exact_percentiles", "q170_key_entropy",
+    "q171_fk_integrity", "q172_key_gini")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7195,6 +7233,89 @@ object SparkEntry {
                      THEN (CAST(round(ln(n_rows) * 1e6) AS BIGINT) - t // n_rows)
                           * 1000000 // CAST(round(ln(n_keys) * 1e6) AS BIGINT)
                      ELSE 1000000 END AS balance_ppm
+         FROM a""",
+    // FK integrity: per-relation orphan audit re-derived with
+    // NOT EXISTS anti-joins over the key-count relations; NULL FKs
+    // counted separately, never as orphans.
+    "q171_fk_integrity" ->
+      """WITH
+         c1 AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+         p1 AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key
+                FROM orders WHERE o_orderkey IS NOT NULL),
+         n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_null_rows
+                FROM lineitem WHERE l_orderkey IS NULL),
+         o1 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_orphan_rows,
+                       CAST(count(*) AS BIGINT) AS n_orphan_keys
+                FROM c1 WHERE NOT EXISTS
+                  (SELECT 1 FROM p1 WHERE p1.key = c1.key)),
+         b1 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_child_rows,
+                       CAST(count(*) AS BIGINT) AS n_child_keys FROM c1),
+         r1 AS (SELECT 'lineitem->orders' AS relation, b1.*, n1.*, o1.*
+                FROM b1 CROSS JOIN n1 CROSS JOIN o1),
+         e2 AS (SELECT CASE WHEN o_orderkey % 13 = 5 THEN NULL
+                            ELSE o_custkey END AS fk FROM orders),
+         c2 AS (SELECT CAST(fk AS VARCHAR) AS key,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM e2 WHERE fk IS NOT NULL GROUP BY 1),
+         p2 AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key
+                FROM customer WHERE c_custkey % 7 <> 3),
+         n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_null_rows
+                FROM e2 WHERE fk IS NULL),
+         o2 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_orphan_rows,
+                       CAST(count(*) AS BIGINT) AS n_orphan_keys
+                FROM c2 WHERE NOT EXISTS
+                  (SELECT 1 FROM p2 WHERE p2.key = c2.key)),
+         b2 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_child_rows,
+                       CAST(count(*) AS BIGINT) AS n_child_keys FROM c2),
+         r2 AS (SELECT 'orders->customer' AS relation, b2.*, n2.*, o2.*
+                FROM b2 CROSS JOIN n2 CROSS JOIN o2),
+         c3 AS (SELECT CAST(c_nationkey AS VARCHAR) AS key,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1),
+         p3 AS (SELECT DISTINCT CAST(n_nationkey AS VARCHAR) AS key
+                FROM nation WHERE n_nationkey < 20),
+         n3 AS (SELECT CAST(count(*) AS BIGINT) AS n_null_rows
+                FROM customer WHERE c_nationkey IS NULL),
+         o3 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_orphan_rows,
+                       CAST(count(*) AS BIGINT) AS n_orphan_keys
+                FROM c3 WHERE NOT EXISTS
+                  (SELECT 1 FROM p3 WHERE p3.key = c3.key)),
+         b3 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_child_rows,
+                       CAST(count(*) AS BIGINT) AS n_child_keys FROM c3),
+         r3 AS (SELECT 'customer->nation' AS relation, b3.*, n3.*, o3.*
+                FROM b3 CROSS JOIN n3 CROSS JOIN o3),
+         u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+               UNION ALL SELECT * FROM r3)
+         SELECT relation, n_child_rows, n_child_keys, n_null_rows,
+                n_orphan_rows, n_orphan_keys,
+                CASE WHEN n_child_rows > 0
+                     THEN n_orphan_rows * 1000000 // n_child_rows
+                     ELSE 0 END AS orphan_ppm
+         FROM u ORDER BY relation""",
+    // Key Gini: rank-weighted sum via counts-of-counts classes —
+    // contiguous rank runs collapse to c*(m*r0 + m*(m+1)/2); the
+    // numerator 2S-(n+1)T is provably >= 0 so // == div here.
+    "q172_key_gini" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1),
+         cc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY 1),
+         w AS (SELECT c, m,
+                      CAST(coalesce(sum(m) OVER (ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS r0
+               FROM cc),
+         a AS (SELECT CAST(sum(c * m) AS BIGINT) AS n_rows,
+                      CAST(sum(m) AS BIGINT) AS n_keys,
+                      CAST(sum(c * (m * r0 + m * (m + 1) // 2))
+                        AS BIGINT) AS s
+               FROM w)
+         SELECT n_rows, n_keys,
+                CASE WHEN n_rows <= 0 OR n_keys <= 1 THEN 0
+                     ELSE (2 * s - (n_keys + 1) * n_rows) * 1000000
+                          // (n_keys * n_rows) END AS gini_ppm
          FROM a""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd

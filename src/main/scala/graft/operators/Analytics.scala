@@ -926,4 +926,92 @@ object Analytics {
           array_sort(collect_list(struct(col("win"), col("sym")))),
           e => e.getField("sym").cast("string")), "").as("sax_word"))
   }
+
+  /** Referential-integrity audit — "how many child rows point at a
+    * parent that does not exist": the warehouse-hygiene check a load
+    * pipeline runs after every ingest (the reference's import jobs
+    * assume clean FKs; this VERIFIES instead of assuming). NULL
+    * foreign keys are reported separately, not as orphans (a NULL FK
+    * is an absent reference, not a dangling one — the SQL convention).
+    *
+    * Shape at 100 TB: the child collapses to its key-count relation
+    * (one shuffle; map-side partials make the exchange key-sized),
+    * the parent to its distinct keys; the anti-join then carries ONLY
+    * keys and counts — the child bodies never move. One row out.
+    * `orphan_ppm` is integer against the non-null child rows. */
+  def fkIntegrityAudit(
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String,
+      relation: String): DataFrame = {
+    val ck = child.select(col(childKey).cast("string").as("key"))
+    val nulls = ck.filter(col("key").isNull)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_null_rows"))
+    val counts = ck.filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("c"))
+    val pk = parent.select(col(parentKey).cast("string").as("key"))
+      .filter(col("key").isNotNull).distinct()
+    val orphans = counts.join(pk, Seq("key"), "left_anti")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_orphan_rows"),
+        count(lit(1)).as("n_orphan_keys"))
+    val base = counts
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_child_rows"),
+        count(lit(1)).as("n_child_keys"))
+    base.crossJoin(orphans).crossJoin(nulls)
+      .select(lit(relation).as("relation"),
+        col("n_child_rows"), col("n_child_keys"), col("n_null_rows"),
+        col("n_orphan_rows"), col("n_orphan_keys"),
+        when(col("n_child_rows") > 0,
+          expr("n_orphan_rows * 1000000 div n_child_rows"))
+          .otherwise(lit(0L)).as("orphan_ppm"))
+  }
+
+  /** Key-concentration GINI — the third leg of the pre-shuffle
+    * diagnostics triptych ([[keySkewAudit]] names the offenders,
+    * [[keyEntropy]] scores balance, this scores CONCENTRATION on the
+    * classic 0 = uniform … 1 = one-key-owns-everything scale):
+    * `G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)` over the ascending
+    * per-key counts x₍ᵢ₎.
+    *
+    * The rank-weighted sum never sorts keys globally: keys with the
+    * SAME count form one histogram class whose ranks are a contiguous
+    * run, so `Σ i·x₍ᵢ₎` collapses to a per-class closed form
+    * `c·(m·r₀ + m·(m+1)/2)` over the counts-of-counts relation
+    * (r₀ = keys in strictly smaller classes, via an exclusive prefix
+    * window over that Aggregate-child histogram — bounded by the
+    * distinct count values, the q137 convention).
+    *
+    * Exactness envelope (the graft_gram discipline): the ppm scaling
+    * needs `|2S − (n+1)T| · 10⁶` inside a long, i.e. roughly
+    * `n_keys · n_rows < 9.2e12` — guarded with an in-plan raise_error
+    * (Spark wraps where the oracle engine promotes — a silent
+    * cross-engine divergence otherwise). Past the envelope, run over
+    * a deterministic key sample (the q51 sampler): Gini is
+    * sample-stable in the key dimension. */
+  def keyGini(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("c"))
+    val cc = counts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val byC = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cls = cc.withColumn("r0", coalesce(sum(col("m")).over(byC), lit(0L)))
+    cls
+      .agg(sum(col("c") * col("m")).as("n_rows"),
+        sum(col("m")).as("n_keys"),
+        sum(col("c") * (col("m") * col("r0") +
+          expr("m * (m + 1) div 2"))).as("_s"))
+      .select(col("n_rows"), col("n_keys"),
+        when(col("n_rows") <= 0 || col("n_keys") <= 1, lit(0L))
+          .otherwise(when(
+            abs(lit(2L) * col("_s") - (col("n_keys") + 1L) * col("n_rows"))
+              >= lit(9223372036854L),
+            raise_error(lit("keyGini: |2S - (n+1)T| * 1e6 exceeds the " +
+              "exact-long envelope (~9.2e12); audit a deterministic " +
+              "key sample instead")))
+            .otherwise(expr(
+              "(2 * _s - (n_keys + 1) * n_rows) * 1000000" +
+                " div (n_keys * n_rows)")))
+          .as("gini_ppm"))
+  }
 }

@@ -52,4 +52,66 @@ class DistributionDiagnosticsSpec extends SparkSpec {
     val one = Seq.fill(5)("only").toDF("k")
     Analytics.keyEntropy(one, "k").collect().head.getLong(4) shouldBe 1000000L
   }
+
+  test("fkIntegrityAudit: hand-checked orphans, nulls counted separately") {
+    val child = Seq(Some("1"), Some("1"), Some("1"), Some("2"), Some("2"),
+      None, Some("9"), Some("9"), Some("9"), Some("9")).toDF("fk")
+    val parent = Seq("1", "2").toDF("pk")
+    val r = Analytics.fkIntegrityAudit(child, "fk", parent, "pk", "c->p")
+      .collect().head
+    r.getString(0) shouldBe "c->p"
+    r.getLong(1) shouldBe 9L // non-null child rows
+    r.getLong(2) shouldBe 3L // distinct non-null child keys
+    r.getLong(3) shouldBe 1L // null FKs, NOT orphans
+    r.getLong(4) shouldBe 4L // orphan rows (key 9)
+    r.getLong(5) shouldBe 1L // orphan keys
+    r.getLong(6) shouldBe (4L * 1000000L) / 9L
+  }
+
+  test("fkIntegrityAudit: a clean edge reports zero orphans") {
+    val child = Seq("1", "2", "2").toDF("fk")
+    val parent = Seq("1", "2", "3").toDF("pk")
+    val r = Analytics.fkIntegrityAudit(child, "fk", parent, "pk", "ok")
+      .collect().head
+    r.getLong(4) shouldBe 0L
+    r.getLong(5) shouldBe 0L
+    r.getLong(6) shouldBe 0L
+  }
+
+  test("keyGini: hand-checked concentration; uniform and single-key degenerate to 0") {
+    // ascending counts [1,1,2,4]: S = 1+2+6+16 = 25,
+    // G = (2*25 - 5*8)/(4*8) = 10/32 -> 312500 ppm
+    val skewed = (Seq("a") ++ Seq("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(4)("d")).toDF("k")
+    val r = Analytics.keyGini(skewed, "k").collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((8L, 4L, 312500L))
+    val uniform = (0 until 20).map(i => s"k${i % 4}").toDF("k")
+    Analytics.keyGini(uniform, "k").collect().head.getLong(2) shouldBe 0L
+    val one = Seq.fill(5)("only").toDF("k")
+    Analytics.keyGini(one, "k").collect().head.getLong(2) shouldBe 0L
+  }
+
+  test("keyGini plan: the only unpartitioned window runs over the counts-of-counts aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Filter, LogicalPlan, Project, Window => LWindow}
+    @annotation.tailrec
+    def strip(n: LogicalPlan): LogicalPlan = n match {
+      case Project(_, c) => strip(c)
+      case Filter(_, c)  => strip(c)
+      case w: LWindow    => strip(w.child)
+      case other         => other
+    }
+    val e = graft.Tables.events(spark, sfSmoke)
+    val df = Analytics.keyGini(e, "user_id")
+    val unpartitioned = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    unpartitioned should not be empty // the histogram prefix itself
+    unpartitioned.foreach { w =>
+      assert(w.windowExpressions.forall(!_.sql.contains("row_number")),
+        s"unpartitioned row_number (global sort funnel):\n$w")
+      assert(strip(w.child).isInstanceOf[Aggregate],
+        s"unpartitioned window not over the counts-of-counts aggregate:\n$w")
+    }
+  }
 }
