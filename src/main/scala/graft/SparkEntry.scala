@@ -3279,6 +3279,25 @@ object SparkEntry {
     Analytics.keyGini(Tables.events(s, dir), "user_id")
   }
 
+  /** Weekday seasonality (q173): between-group variance share of the
+    * per-type daily series grouped by weekday, in ppm — "is this
+    * metric weekly-periodic, and which weekday peaks". */
+  private def weekdaySeasonalityQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.weekdaySeasonality(Tables.events(s, dir), "event_type", "ts")
+      .orderBy(col("event_type"))
+  }
+
+  /** Inter-event gap histogram (q174): per-user consecutive-event
+    * gaps in power-of-two second buckets — the empirical basis for
+    * every session-gap parameter. */
+  private def eventGapsQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.interEventGaps(Tables.events(s, dir), "user_id", "ts",
+        "event_type")
+      .orderBy(col("bucket"))
+  }
+
   /** Conversion latency (q155): integer seconds from each user's
     * first signup to their first purchase (strict order), summarized
     * by exact order statistics — n, min, lower-median, max. */
@@ -3544,7 +3563,9 @@ object SparkEntry {
     "q169_exact_percentiles" -> (exactPercentilesQuery _),
     "q170_key_entropy" -> (keyEntropyQuery _),
     "q171_fk_integrity" -> (fkIntegrityQuery _),
-    "q172_key_gini" -> (keyGiniQuery _))
+    "q172_key_gini" -> (keyGiniQuery _),
+    "q173_weekday_seasonality" -> (weekdaySeasonalityQuery _),
+    "q174_event_gaps" -> (eventGapsQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3817,7 +3838,8 @@ object SparkEntry {
     "q162_salted_agg", "q163_join_cardinality", "q164_top_paths",
     "q165_scd2_merge", "q166_windowed_funnel", "q167_video_frame_sample",
     "q169_exact_percentiles", "q170_key_entropy",
-    "q171_fk_integrity", "q172_key_gini")
+    "q171_fk_integrity", "q172_key_gini",
+    "q173_weekday_seasonality", "q174_event_gaps")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7316,7 +7338,58 @@ object SparkEntry {
                 CASE WHEN n_rows <= 0 OR n_keys <= 1 THEN 0
                      ELSE (2 * s - (n_keys + 1) * n_rows) * 1000000
                           // (n_keys * n_rows) END AS gini_ppm
-         FROM a""")
+         FROM a""",
+    // Weekday seasonality: one-way ANOVA between-group share with
+    // cusum-scaled integer deviations (d = v*n - total, sum d = 0);
+    // DuckDB dayofweek is 0=Sunday, Spark's is 1=Sunday -> +1.
+    // dg*dg // ng and ssb*1e6 // sst: numerators nonnegative so
+    // // == div.
+    "q173_weekday_seasonality" ->
+      """WITH daily AS (SELECT event_type AS typ, ts::DATE AS day,
+                               CAST(count(*) AS BIGINT) AS v
+                        FROM events GROUP BY 1, 2),
+         st AS (SELECT typ, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(v) AS BIGINT) AS total
+                FROM daily GROUP BY typ),
+         dev AS (SELECT d.typ, d.v * t.n - t.total AS dd,
+                        CAST(dayofweek(d.day) + 1 AS BIGINT) AS g, t.n
+                 FROM daily d JOIN st t USING (typ)),
+         bg AS (SELECT typ, g, CAST(sum(dd) AS BIGINT) AS dg,
+                       CAST(count(*) AS BIGINT) AS ng,
+                       CAST(sum(dd * dd) AS BIGINT) AS sstp,
+                       CAST(max(n) AS BIGINT) AS n_days
+                FROM dev GROUP BY 1, 2),
+         agg AS (SELECT typ AS event_type,
+                        CAST(max(n_days) AS BIGINT) AS n_days,
+                        CAST(sum(sstp) AS BIGINT) AS sst,
+                        CAST(sum(dg * dg // ng) AS BIGINT) AS ssb
+                 FROM bg GROUP BY 1),
+         pk AS (SELECT typ AS event_type, g AS peak_weekday FROM (
+                  SELECT typ, g, row_number() OVER (PARTITION BY typ
+                    ORDER BY dg DESC, g ASC) AS rn FROM bg) WHERE rn = 1)
+         SELECT a.event_type, a.n_days,
+                CASE WHEN sst > 0 THEN ssb * 1000000 // sst
+                     ELSE 0 END AS seasonality_ppm,
+                p.peak_weekday
+         FROM agg a JOIN pk p USING (event_type) ORDER BY a.event_type""",
+    // Inter-event gaps: consecutive order (second, type) per user;
+    // bucket = length of the binary string = floor(log2)+1, an
+    // integer log2 with no float boundary hazard.
+    "q174_event_gaps" ->
+      """WITH e AS (SELECT user_id AS u,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                           event_type AS typ
+                    FROM events),
+         g AS (SELECT sec - lag(sec) OVER (PARTITION BY u
+                 ORDER BY sec, typ) AS gap
+               FROM e)
+         SELECT CASE WHEN gap = 0 THEN 0
+                     ELSE CAST(length(bin(gap)) AS BIGINT) END AS bucket,
+                CAST(count(*) AS BIGINT) AS n_gaps,
+                CAST(min(gap) AS BIGINT) AS min_gap_secs,
+                CAST(max(gap) AS BIGINT) AS max_gap_secs
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY 1 ORDER BY 1""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

@@ -927,6 +927,98 @@ object Analytics {
           e => e.getField("sym").cast("string")), "").as("sax_word"))
   }
 
+  /** Weekday-seasonality strength — "is this metric weekly-periodic":
+    * the between-group share of variance (one-way ANOVA) with the
+    * days grouped by weekday, on the 0…10⁶-ppm scale. Completes the
+    * series-diagnostics family: K92 flags anomalies, K118 finds the
+    * break day, K119 the trend, K120 the rhythm at a CHOSEN lag —
+    * this scores the weekly rhythm without choosing one.
+    *
+    * Exact integers via the cusum scaling: deviations are scaled by n
+    * (`d_i = v_i·n − T`, Σd = 0 exactly), so SST = Σd², and a
+    * weekday's deviation mass D_g = Σ_{i∈g} d_i gives
+    * SSB = Σ_g D_g²/n_g — evaluated as `D_g² div n_g` (stated
+    * integer-division semantics, identical in both engines; error
+    * ≤ 1 per group against ~10⁶-scale sums). `peak_weekday` is the
+    * weekday with the largest positive deviation mass (smallest
+    * weekday wins ties), 1 = Sunday … 7 = Saturday.
+    *
+    * Shape at 100 TB: one shuffle to the (type, day) rollup; windows
+    * are per-type (hash-partitioned) over the days-sized relation;
+    * the weekday regroup is 7 rows per type.
+    *
+    * Exactness envelope (the graft_gram discipline): SST needs
+    * Σd² < 2⁶³, guaranteed when `T·n < 3.03e9` per type — guarded
+    * with an in-plan raise_error; past it, roll up to coarser units
+    * first (weekly counts have no weekday question left anyway). */
+  def weekdaySeasonality(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("typ"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("v"))
+    val perTyp = Window.partitionBy(col("typ"))
+    val dev = daily
+      .withColumn("n", count(lit(1)).over(perTyp))
+      .withColumn("total", sum(col("v")).over(perTyp))
+      .withColumn("_guard",
+        when(col("total") * col("n") >= lit(3030000000L),
+          raise_error(lit("weekdaySeasonality: total * n_days exceeds " +
+            "the exact-long envelope (~3.03e9); use coarser units")))
+          .otherwise(lit(0L)))
+      .withColumn("d", col("v") * col("n") - col("total") + col("_guard"))
+      .withColumn("g", dayofweek(col("day")).cast(LongType))
+    val byGroup = dev
+      .groupBy(col("typ"), col("g"))
+      .agg(sum(col("d")).as("dg"), count(lit(1)).as("ng"),
+        sum(col("d") * col("d")).as("sst_part"),
+        max(col("n")).as("n_days"))
+    byGroup
+      .groupBy(col("typ").as("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        sum(col("sst_part")).as("_sst"),
+        sum(expr("dg * dg div ng")).as("_ssb"),
+        max(struct(col("dg"), (-col("g")).as("ng"))).as("_pk"))
+      .select(col("event_type"), col("n_days"),
+        when(col("_sst") > 0, expr("_ssb * 1000000 div _sst"))
+          .otherwise(lit(0L)).as("seasonality_ppm"),
+        (-col("_pk").getField("ng")).as("peak_weekday"))
+  }
+
+  /** Inter-event gap histogram — "how bursty is the activity": the
+    * distribution of per-user gaps between CONSECUTIVE events, in
+    * power-of-two second buckets (`bucket = ⌊log₂ gap⌋ + 1` via the
+    * binary-string length — an INTEGER log₂, immune to the
+    * floor(ln/ln) boundary hazard; bucket 0 = same-second). The
+    * session-gap parameter every sessionizer guesses (q35's
+    * `session_window`, the streaming sessionizer's timeout) should be
+    * READ off this histogram instead.
+    *
+    * Determinism under ties: consecutive order is (second, type);
+    * fully-identical rows permute only among themselves, so the gap
+    * MULTISET is tie-invariant. Shape at 100 TB: one hash-partitioned
+    * per-user window pass, then a ≤64-row histogram rollup. */
+  def interEventGaps(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String): DataFrame = {
+    val e = events.select(col(userCol).as("u"),
+      unix_seconds(col(tsCol)).as("sec"), col(typeCol).as("typ"))
+    val byUser = Window.partitionBy(col("u"))
+      .orderBy(col("sec"), col("typ"))
+    e.withColumn("gap", col("sec") - lag(col("sec"), 1).over(byUser))
+      .filter(col("gap").isNotNull)
+      .withColumn("bucket",
+        when(col("gap") === 0, lit(0L))
+          .otherwise(length(bin(col("gap"))).cast(LongType)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_secs"),
+        max(col("gap")).as("max_gap_secs"))
+  }
+
   /** Referential-integrity audit — "how many child rows point at a
     * parent that does not exist": the warehouse-hygiene check a load
     * pipeline runs after every ingest (the reference's import jobs
