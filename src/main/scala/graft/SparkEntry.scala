@@ -3298,6 +3298,17 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** Linear attribution (q175): every purchase splits exactly 10⁶ ppm
+    * of credit equally across its prior signup/view/click touches
+    * (remainder to the last touch) — q153's fair-split twin. */
+  private def linearAttributionQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.linearAttribution(Tables.events(s, dir), "user_id", "ts",
+        "event_type", conversionType = "purchase",
+        channelTypes = Seq("signup", "view", "click"))
+      .orderBy(col("channel"))
+  }
+
   /** Conversion latency (q155): integer seconds from each user's
     * first signup to their first purchase (strict order), summarized
     * by exact order statistics — n, min, lower-median, max. */
@@ -3565,7 +3576,8 @@ object SparkEntry {
     "q171_fk_integrity" -> (fkIntegrityQuery _),
     "q172_key_gini" -> (keyGiniQuery _),
     "q173_weekday_seasonality" -> (weekdaySeasonalityQuery _),
-    "q174_event_gaps" -> (eventGapsQuery _))
+    "q174_event_gaps" -> (eventGapsQuery _),
+    "q175_linear_attribution" -> (linearAttributionQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3839,7 +3851,8 @@ object SparkEntry {
     "q165_scd2_merge", "q166_windowed_funnel", "q167_video_frame_sample",
     "q169_exact_percentiles", "q170_key_entropy",
     "q171_fk_integrity", "q172_key_gini",
-    "q173_weekday_seasonality", "q174_event_gaps")
+    "q173_weekday_seasonality", "q174_event_gaps",
+    "q175_linear_attribution")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7389,7 +7402,64 @@ object SparkEntry {
                 CAST(min(gap) AS BIGINT) AS min_gap_secs,
                 CAST(max(gap) AS BIGINT) AS max_gap_secs
          FROM g WHERE gap IS NOT NULL
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+    // Linear attribution: per-conversion per-channel touch counts via
+    // FILTERed windows (the frame excludes same-ms rows, the q153
+    // convention), credit = n_c * (1e6 // nt) with the remainder to
+    // the last touch, unpivoted through literal UNION arms.
+    "q175_linear_attribution" ->
+      """WITH t AS (SELECT user_id AS u, event_type AS typ,
+                count(*) FILTER (WHERE event_type = 'signup') OVER pw AS n0,
+                count(*) FILTER (WHERE event_type = 'view') OVER pw AS n1,
+                count(*) FILTER (WHERE event_type = 'click') OVER pw AS n2,
+                max(CASE WHEN event_type IN ('signup', 'view', 'click')
+                         THEN lpad(CAST(epoch_ms(ts) AS VARCHAR), 20, '0')
+                              || '#' || event_type END) OVER pw AS lastt
+              FROM events
+              WINDOW pw AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         c AS (SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+                      CAST(n2 AS BIGINT) AS n2,
+                      CAST(n0 + n1 + n2 AS BIGINT) AS nt,
+                      split_part(lastt, '#', 2) AS lastch
+               FROM t WHERE typ = 'purchase'),
+         arms AS (
+           SELECT 'signup' AS channel, n0 AS touches,
+                  CASE WHEN nt = 0 THEN 0
+                       ELSE n0 * (1000000 // nt) +
+                            CASE WHEN lastch = 'signup'
+                                 THEN 1000000 - nt * (1000000 // nt)
+                                 ELSE 0 END END AS credit FROM c
+           UNION ALL
+           SELECT 'view', n1,
+                  CASE WHEN nt = 0 THEN 0
+                       ELSE n1 * (1000000 // nt) +
+                            CASE WHEN lastch = 'view'
+                                 THEN 1000000 - nt * (1000000 // nt)
+                                 ELSE 0 END END FROM c
+           UNION ALL
+           SELECT 'click', n2,
+                  CASE WHEN nt = 0 THEN 0
+                       ELSE n2 * (1000000 // nt) +
+                            CASE WHEN lastch = 'click'
+                                 THEN 1000000 - nt * (1000000 // nt)
+                                 ELSE 0 END END FROM c
+           UNION ALL
+           SELECT 'none', CAST(0 AS BIGINT),
+                  CASE WHEN nt = 0 THEN 1000000 ELSE 0 END FROM c),
+         g AS (SELECT channel,
+                      CAST(count(*) FILTER (WHERE credit > 0) AS BIGINT)
+                        AS n_conversions,
+                      CAST(sum(touches) AS BIGINT) AS touches,
+                      CAST(sum(credit) AS BIGINT) AS credit_ppm
+               FROM arms GROUP BY 1),
+         tot AS (SELECT CAST(sum(credit) // 1000000 AS BIGINT) AS t
+                 FROM arms)
+         SELECT channel, n_conversions, touches, credit_ppm,
+                CASE WHEN t > 0 THEN credit_ppm // t ELSE 0 END AS share_ppm
+         FROM g CROSS JOIN tot
+         WHERE touches > 0 OR credit_ppm > 0
+         ORDER BY channel""")
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

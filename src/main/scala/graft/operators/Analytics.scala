@@ -927,6 +927,78 @@ object Analytics {
           e => e.getField("sym").cast("string")), "").as("sax_word"))
   }
 
+  /** Linear multi-touch attribution — [[lastTouchAttribution]]'s
+    * fair-split twin: every conversion distributes EXACTLY 10⁶ ppm of
+    * credit equally across its prior channel touches (each touch gets
+    * `10⁶ div n`; the LAST touch absorbs the division remainder so
+    * per-conversion credit sums to 10⁶ exactly — deterministic, no
+    * fractional drift). Conversions with no prior touch credit the
+    * 'none' channel in full.
+    *
+    * The per-conversion touch MULTISET never materializes: linear
+    * credit needs only per-channel touch COUNTS before each
+    * conversion — one running `count FILTER (type = c)` window per
+    * literal channel (the frame excludes same-millisecond rows, the
+    * last-touch convention) — so a user with a million touches costs
+    * columns, not rows. Credits then unpivot through a literal
+    * channel array (rows = conversions × channels, bounded by the
+    * literal list).
+    *
+    * Shape at 100 TB: one shuffle on the user key, per-user windows,
+    * channel-sized output. Output: (channel, n_conversions, touches,
+    * credit_ppm, share_ppm) — share_ppm is exact-integer credit
+    * against 10⁶ per conversion. */
+  def linearAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      conversionType: String,
+      channelTypes: Seq[String]): DataFrame = {
+    require(channelTypes.nonEmpty, "need at least one channel type")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_millis(col(tsCol)))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val counted = channelTypes.zipWithIndex.foldLeft(
+      events.select(col(userCol), col(tsCol), col(typeCol))
+        .withColumn("_last",
+          max(when(col(typeCol).isin(channelTypes: _*),
+            concat(lpad(unix_millis(col(tsCol)).cast("string"), 20, "0"),
+              lit("#"), col(typeCol)))).over(w))) {
+      case (d, (c, i)) =>
+        d.withColumn(s"_n$i",
+          coalesce(sum(when(col(typeCol) === c, 1L)).over(w), lit(0L)))
+    }
+    val conv = counted.filter(col(typeCol) === conversionType)
+      .withColumn("_nt",
+        channelTypes.indices.map(i => col(s"_n$i")).reduce(_ + _))
+      .withColumn("_lastCh", substring_index(col("_last"), "#", -1))
+    val credited = conv.select(
+      explode(array(channelTypes.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("channel"), col(s"_n$i").as("touches"),
+          when(col("_nt") === 0, lit(0L))
+            .otherwise(col(s"_n$i") * expr("1000000 div _nt") +
+              when(col("_lastCh") === c,
+                lit(1000000L) - col("_nt") * expr("1000000 div _nt"))
+                .otherwise(lit(0L))).as("credit"))
+      } :+ struct(lit("none").as("channel"), lit(0L).as("touches"),
+        when(col("_nt") === 0, lit(1000000L)).otherwise(lit(0L))
+          .as("credit")): _*)).as("e"))
+      .select(col("e.channel").as("channel"), col("e.touches").as("touches"),
+        col("e.credit").as("credit"))
+    val totals = credited.groupBy(col("channel"))
+      .agg(count(when(col("credit") > 0, 1)).as("n_conversions"),
+        sum(col("touches")).as("touches"),
+        sum(col("credit")).as("credit_ppm"))
+      .filter(col("touches") > 0 || col("credit_ppm") > 0)
+    totals.crossJoin(broadcast(
+        credited.agg(expr("sum(credit) div 1000000").as("_t"))))
+      .select(col("channel"), col("n_conversions"), col("touches"),
+        col("credit_ppm"),
+        when(col("_t") > 0, expr("credit_ppm div _t"))
+          .otherwise(lit(0L)).as("share_ppm"))
+  }
+
   /** Weekday-seasonality strength — "is this metric weekly-periodic":
     * the between-group share of variance (one-way ANOVA) with the
     * days grouped by weekday, on the 0…10⁶-ppm scale. Completes the
