@@ -3298,6 +3298,21 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** q176 shared constant: power-iteration count — drives BOTH the
+    * Spark loop and the unrolled oracle CTEs (the kmeansCtesSql
+    * pattern: one constant, two engines). */
+  private val stationaryIters = 8
+
+  /** Markov stationary distribution (q176): equilibrium state mass of
+    * the event-type transition chain in exact integer ppm — q122's
+    * one-step matrix run to its fixed point. */
+  private def stationaryQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.stationaryDistribution(Tables.events(s, dir), "user_id",
+        "ts", "event_type", "event_id", iters = stationaryIters)
+      .orderBy(col("event_type"))
+  }
+
   /** Linear attribution (q175): every purchase splits exactly 10⁶ ppm
     * of credit equally across its prior signup/view/click touches
     * (remainder to the last touch) — q153's fair-split twin. */
@@ -3577,7 +3592,8 @@ object SparkEntry {
     "q172_key_gini" -> (keyGiniQuery _),
     "q173_weekday_seasonality" -> (weekdaySeasonalityQuery _),
     "q174_event_gaps" -> (eventGapsQuery _),
-    "q175_linear_attribution" -> (linearAttributionQuery _))
+    "q175_linear_attribution" -> (linearAttributionQuery _),
+    "q176_stationary_distribution" -> (stationaryQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3852,7 +3868,7 @@ object SparkEntry {
     "q169_exact_percentiles", "q170_key_entropy",
     "q171_fk_integrity", "q172_key_gini",
     "q173_weekday_seasonality", "q174_event_gaps",
-    "q175_linear_attribution")
+    "q175_linear_attribution", "q176_stationary_distribution")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7459,7 +7475,57 @@ object SparkEntry {
                 CASE WHEN t > 0 THEN credit_ppm // t ELSE 0 END AS share_ppm
          FROM g CROSS JOIN tot
          WHERE touches > 0 OR credit_ppm > 0
-         ORDER BY channel""")
+         ORDER BY channel""",
+    // Stationary distribution: the power iteration unrolled to the
+    // same `stationaryIters` the Spark loop uses; per-edge
+    // pi*c // r truncation (nonnegative, so // == div), absorbing
+    // states hold their mass via the NOT EXISTS arm.
+    "q176_stationary_distribution" -> stationaryCtesSql(stationaryIters))
+
+  /** q176 oracle fragment: the power-iteration CTEs p0…p<iters>,
+    * unrolled mechanically from the same iteration count the Spark
+    * loop uses. Mirrors stationaryDistribution exactly: uniform start
+    * with the remainder pinned to the smallest state, per-edge
+    * `π·c div r` contributions, absorbing states hold their mass. */
+  private def stationaryCtesSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"p${i - 1}"
+      s"""in$i AS (SELECT tr.tt AS typ,
+                      CAST(sum(p.pi * tr.c // rs.r) AS BIGINT) AS v
+               FROM $prev p JOIN tr ON p.typ = tr.ft
+                    JOIN rs ON tr.ft = rs.ft
+               GROUP BY 1),
+         ab$i AS (SELECT p.typ, p.pi FROM $prev p
+                  WHERE NOT EXISTS (SELECT 1 FROM rs WHERE rs.ft = p.typ)),
+         p$i AS (SELECT st.typ,
+                        CAST(coalesce(i.v, 0) + coalesce(a.pi, 0)
+                          AS BIGINT) AS pi
+                 FROM st LEFT JOIN in$i i ON st.typ = i.typ
+                         LEFT JOIN ab$i a ON st.typ = a.typ)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT user_id AS u, ts, event_id AS eid,
+                          event_type AS typ
+                   FROM events),
+         pr AS (SELECT typ AS ft, lead(typ) OVER (PARTITION BY u
+                  ORDER BY ts, eid) AS tt FROM e),
+         tr AS (SELECT ft, tt, CAST(count(*) AS BIGINT) AS c
+                FROM pr WHERE tt IS NOT NULL GROUP BY 1, 2),
+         rs AS (SELECT ft, CAST(sum(c) AS BIGINT) AS r FROM tr GROUP BY 1),
+         st AS (SELECT DISTINCT typ FROM e),
+         sm AS (SELECT CAST(count(*) AS BIGINT) AS s, min(typ) AS m FROM st),
+         p0 AS (SELECT st.typ,
+                       CAST(1000000 // s + CASE WHEN st.typ = m
+                         THEN 1000000 - s * (1000000 // s)
+                         ELSE 0 END AS BIGINT) AS pi
+                FROM st CROSS JOIN sm),
+         $iterCtes
+         SELECT st.typ AS event_type,
+                CAST(coalesce(rs.r, 0) AS BIGINT) AS n_out,
+                p.pi AS pi_ppm
+         FROM st LEFT JOIN rs ON st.typ = rs.ft
+                 JOIN p$iters p ON st.typ = p.typ
+         ORDER BY event_type"""
+  }
 
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)

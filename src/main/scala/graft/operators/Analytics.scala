@@ -927,6 +927,66 @@ object Analytics {
           e => e.getField("sym").cast("string")), "").as("sax_word"))
   }
 
+  /** Markov stationary distribution — the EQUILIBRIUM view next to
+    * [[transitionMatrix]]'s one-step probabilities: where does a user
+    * spend their time if the observed dynamics run forever. Power
+    * iteration `π' = πP` in exact integer ppm, from the uniform
+    * vector (the division remainder pinned to the lexicographically
+    * smallest state so the start mass is exactly 10⁶); each edge
+    * contributes `π_i·c_ij div r_i` (per-edge truncation, identical
+    * in both engines — total mass decays by < states·iters units,
+    * stated, not hidden); states with NO outgoing transitions are
+    * absorbing and hold their mass.
+    *
+    * Shape at 100 TB: ONE shuffle of events into the per-user lead
+    * window builds the (from, to) count matrix — everything after is
+    * `iters` joins over that types²-sized rollup. The iteration
+    * subtrees repeat the matrix plan by construction; Spark's
+    * ReuseExchange collapses the identical shuffles physically, so
+    * the events scan happens once, not 3·iters times.
+    *
+    * Output: (event_type, n_out, pi_ppm), one row per state. */
+  def stationaryDistribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64]: $iters")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val trans = events
+      .select(col(typeCol).as("ft"), lead(col(typeCol), 1).over(w).as("tt"))
+      .filter(col("tt").isNotNull)
+      .groupBy(col("ft"), col("tt")).agg(count(lit(1)).as("c"))
+    val rowSum = trans.groupBy(col("ft")).agg(sum(col("c")).as("r"))
+    val states = events.select(col(typeCol).as("typ")).distinct()
+    val sm = states.agg(count(lit(1)).as("s"), min(col("typ")).as("m"))
+    var pi = states.crossJoin(broadcast(sm))
+      .select(col("typ"),
+        (expr("1000000 div s") +
+          when(col("typ") === col("m"),
+            lit(1000000L) - col("s") * expr("1000000 div s"))
+            .otherwise(lit(0L))).as("pi_ppm"))
+    val withR = trans.join(rowSum, Seq("ft"))
+    for (_ <- 1 to iters) {
+      val inflow = pi.join(withR, pi("typ") === withR("ft"))
+        .groupBy(col("tt")).agg(sum(expr("pi_ppm * c div r")).as("_in"))
+        .select(col("tt").as("typ"), col("_in"))
+      val absorb = pi
+        .join(rowSum.select(col("ft").as("typ")), Seq("typ"), "left_anti")
+        .select(col("typ"), col("pi_ppm").as("_keep"))
+      pi = states.join(inflow, Seq("typ"), "left")
+        .join(absorb, Seq("typ"), "left")
+        .select(col("typ"),
+          (coalesce(col("_in"), lit(0L)) +
+            coalesce(col("_keep"), lit(0L))).as("pi_ppm"))
+    }
+    pi.join(rowSum.select(col("ft").as("typ"), col("r")), Seq("typ"), "left")
+      .select(col("typ").as("event_type"),
+        coalesce(col("r"), lit(0L)).as("n_out"), col("pi_ppm"))
+  }
+
   /** Linear multi-touch attribution — [[lastTouchAttribution]]'s
     * fair-split twin: every conversion distributes EXACTLY 10⁶ ppm of
     * credit equally across its prior channel touches (each touch gets
