@@ -3313,6 +3313,16 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Weighted sample (q177): 100 documents drawn by n_chars weight —
+    * deterministic Efraimidis–Spirakis A-ES, the curation sampler
+    * between q51's uniform rate and q74's exact-N uniform. */
+  private def weightedSampleQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.weightedSample(Tables.documents(s, dir), "doc_id",
+        col("n_chars"), n = 100)
+      .orderBy(col("cost_nano"), col("doc_id"))
+  }
+
   /** Linear attribution (q175): every purchase splits exactly 10⁶ ppm
     * of credit equally across its prior signup/view/click touches
     * (remainder to the last touch) — q153's fair-split twin. */
@@ -3593,7 +3603,8 @@ object SparkEntry {
     "q173_weekday_seasonality" -> (weekdaySeasonalityQuery _),
     "q174_event_gaps" -> (eventGapsQuery _),
     "q175_linear_attribution" -> (linearAttributionQuery _),
-    "q176_stationary_distribution" -> (stationaryQuery _))
+    "q176_stationary_distribution" -> (stationaryQuery _),
+    "q177_weighted_sample" -> (weightedSampleQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3868,7 +3879,8 @@ object SparkEntry {
     "q169_exact_percentiles", "q170_key_entropy",
     "q171_fk_integrity", "q172_key_gini",
     "q173_weekday_seasonality", "q174_event_gaps",
-    "q175_linear_attribution", "q176_stationary_distribution")
+    "q175_linear_attribution", "q176_stationary_distribution",
+    "q177_weighted_sample")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7480,7 +7492,21 @@ object SparkEntry {
     // same `stationaryIters` the Spark loop uses; per-edge
     // pi*c // r truncation (nonnegative, so // == div), absorbing
     // states hold their mass via the NOT EXISTS arm.
-    "q176_stationary_distribution" -> stationaryCtesSql(stationaryIters))
+    "q176_stationary_distribution" -> stationaryCtesSql(stationaryIters),
+    // Weighted sample: A-ES in log space; the negated cost keeps the
+    // numerator nonnegative so // == div; same salted 60-bit hash,
+    // same single-ln libm caveat as q67/q170.
+    "q177_weighted_sample" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+                ('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),
+                  1, 15))::BIGINT % 1000000 + 1 AS u
+              FROM documents WHERE n_chars > 0),
+         c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                      (-CAST(round(ln(u / 1000000.0) * 1e6) AS BIGINT))
+                        * 1000 // n_chars AS cost_nano
+               FROM s)
+         SELECT doc_id, weight, CAST(cost_nano AS BIGINT) AS cost_nano
+         FROM c ORDER BY cost_nano, doc_id LIMIT 100""")
 
   /** q176 oracle fragment: the power-iteration CTEs p0…p<iters>,
     * unrolled mechanically from the same iteration count the Spark

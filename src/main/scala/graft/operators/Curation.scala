@@ -604,4 +604,40 @@ object Curation {
 
   def ipv4Count(text: Column): Column =
     size(regexp_extract_all(text, lit(ipv4Re), lit(0))).cast(LongType)
+
+  /** Deterministic weighted sample WITHOUT replacement — Efraimidis &
+    * Spirakis's A-ES (IPL 97(5), 2006) with the randomness replaced
+    * by the house md5 hash: row priority `u^(1/w)` becomes, in log
+    * space, minimizing `cost = (−ln u)·/w` — computed as the INTEGER
+    * `(−lnu_micro)·1000 div w` so both engines order identically
+    * (the negation keeps the numerator nonnegative: Spark's `div`
+    * truncates toward zero where the oracle engine's `//` floors —
+    * they agree only on nonnegative operands). `u` is the salted
+    * 60-bit hash folded to (0, 10⁶] millionths; the single `ln` rides
+    * the accepted ~1-ulp libm caveat (the q67 convention).
+    *
+    * Rows with weight ≤ 0 are never sampled (stated, filtered).
+    *
+    * Shape at 100 TB: map-only cost column + bounded top-n
+    * (TakeOrdered: per-partition heap then a driver merge of n·P
+    * candidates — no global sort, no full shuffle). Deterministic
+    * across runs, engines, and partitionings, unlike rand()-weighted
+    * reservoir implementations. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val u = md5Hash60(concat(lit("wsamp:"), col(idCol).cast("string"))) %
+      1000000L + 1L
+    df.withColumn("_w", weight.cast(LongType))
+      .filter(col("_w") > 0)
+      .withColumn("_lnu",
+        round(log(u.cast("double") / 1e6) * 1e6).cast(LongType))
+      .withColumn("cost_nano", expr("(-_lnu) * 1000 div _w"))
+      .orderBy(col("cost_nano").asc, col(idCol).asc)
+      .limit(n)
+      .select(col(idCol), col("_w").as("weight"), col("cost_nano"))
+  }
 }
