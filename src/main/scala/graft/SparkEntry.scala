@@ -3152,6 +3152,37 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility card (q178): per-language chars-per-token
+    * and tokens-per-word under the TRAINED merge table — the metric a
+    * tokenizer team reads before committing a vocab (a fertility
+    * spike flags an under-served language). q160's trainer feeds
+    * q161's encoder, then one language-sized rollup; every ratio is
+    * an exact integer ppm. */
+  private def bpeFertilityQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(s, dir)
+    val learned = TextAnalysis.bpeTrain(docs, "text", rounds = 10)
+      .map(m => (m._1, m._2))
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", learned)
+    docs.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("nch"))
+      .join(enc.select(col("doc_id"), col("n_ws_tokens"), col("n_tokens")),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nch")).as("n_chars"),
+        sum(col("n_ws_tokens")).as("n_ws_tokens"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_chars"),
+        col("n_ws_tokens"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          expr("n_chars * 1000000 div n_tokens")).otherwise(lit(0L))
+          .as("chars_per_token_ppm"),
+        when(col("n_ws_tokens") > 0,
+          expr("n_tokens * 1000000 div n_ws_tokens")).otherwise(lit(0L))
+          .as("fertility_ppm"))
+      .orderBy(col("lang"))
+  }
+
   /** Salted two-stage aggregation (q162): the hot-key rollup spread
     * over (key, salt) reducers then re-aggregated — must equal the
     * plain GROUP BY exactly (integer sums; the K14 salt-invisibility
@@ -3604,7 +3635,8 @@ object SparkEntry {
     "q174_event_gaps" -> (eventGapsQuery _),
     "q175_linear_attribution" -> (linearAttributionQuery _),
     "q176_stationary_distribution" -> (stationaryQuery _),
-    "q177_weighted_sample" -> (weightedSampleQuery _))
+    "q177_weighted_sample" -> (weightedSampleQuery _),
+    "q178_bpe_fertility" -> (bpeFertilityQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3880,7 +3912,7 @@ object SparkEntry {
     "q171_fk_integrity", "q172_key_gini",
     "q173_weekday_seasonality", "q174_event_gaps",
     "q175_linear_attribution", "q176_stationary_distribution",
-    "q177_weighted_sample")
+    "q177_weighted_sample", "q178_bpe_fertility")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7506,7 +7538,40 @@ object SparkEntry {
                         * 1000 // n_chars AS cost_nano
                FROM s)
          SELECT doc_id, weight, CAST(cost_nano AS BIGINT) AS cost_nano
-         FROM c ORDER BY cost_nano, doc_id LIMIT 100""")
+         FROM c ORDER BY cost_nano, doc_id LIMIT 100""",
+    // Tokenizer fertility: the q161 trained-encode chain joined back
+    // to language, rolled up with exact-integer ppm ratios.
+    "q178_bpe_fertility" ->
+      s"""WITH ${bpeTrainCtesSql(10)},
+         a0 AS (SELECT doc_id,
+                       regexp_replace(text, '([^ ])', chr(1) || '\\1' || chr(1), 'g') AS enc
+                FROM documents),
+         ${(1 to 10).map(i =>
+            s"""a$i AS (SELECT doc_id,
+                   replace(enc, chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+                           chr(1) || m.l || m.r || chr(1)) AS enc
+                 FROM a${i - 1}, m$i m)""").mkString(",\n         ")},
+         tka AS (SELECT doc_id,
+                        list_filter(string_split(
+                          replace(replace(enc, chr(1) || chr(1), ' '), chr(1), ''),
+                          ' '), x -> x <> '') AS toks
+                 FROM a10),
+         j AS (SELECT d.lang, CAST(length(d.text) AS BIGINT) AS nch,
+                      CAST(len(list_filter(string_split(d.text, ' '),
+                        x -> x <> '')) AS BIGINT) AS nws,
+                      CAST(len(t.toks) AS BIGINT) AS ntk
+               FROM documents d JOIN tka t USING (doc_id))
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nch) AS BIGINT) AS n_chars,
+                CAST(sum(nws) AS BIGINT) AS n_ws_tokens,
+                CAST(sum(ntk) AS BIGINT) AS n_tokens,
+                CASE WHEN sum(ntk) > 0
+                     THEN CAST(sum(nch) * 1000000 // sum(ntk) AS BIGINT)
+                     ELSE 0 END AS chars_per_token_ppm,
+                CASE WHEN sum(nws) > 0
+                     THEN CAST(sum(ntk) * 1000000 // sum(nws) AS BIGINT)
+                     ELSE 0 END AS fertility_ppm
+         FROM j GROUP BY lang ORDER BY lang""")
 
   /** q176 oracle fragment: the power-iteration CTEs p0…p<iters>,
     * unrolled mechanically from the same iteration count the Spark
