@@ -3183,6 +3183,18 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** k-anonymity audit (q179): how much of the corpus a
+    * (lang, source, length-bucket) quasi-identifier tuple still
+    * singles out at k = 5 — the release-gate companion to q54's PII
+    * redaction. */
+  private def kAnonymityQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.kAnonymityAudit(
+      Tables.documents(s, dir).select(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket")),
+      Seq("lang", "source", "len_bucket"), k = 5)
+  }
+
   /** Salted two-stage aggregation (q162): the hot-key rollup spread
     * over (key, salt) reducers then re-aggregated — must equal the
     * plain GROUP BY exactly (integer sums; the K14 salt-invisibility
@@ -3636,7 +3648,8 @@ object SparkEntry {
     "q175_linear_attribution" -> (linearAttributionQuery _),
     "q176_stationary_distribution" -> (stationaryQuery _),
     "q177_weighted_sample" -> (weightedSampleQuery _),
-    "q178_bpe_fertility" -> (bpeFertilityQuery _))
+    "q178_bpe_fertility" -> (bpeFertilityQuery _),
+    "q179_k_anonymity" -> (kAnonymityQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3912,7 +3925,7 @@ object SparkEntry {
     "q171_fk_integrity", "q172_key_gini",
     "q173_weekday_seasonality", "q174_event_gaps",
     "q175_linear_attribution", "q176_stationary_distribution",
-    "q177_weighted_sample", "q178_bpe_fertility")
+    "q177_weighted_sample", "q178_bpe_fertility", "q179_k_anonymity")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7571,7 +7584,30 @@ object SparkEntry {
                 CASE WHEN sum(nws) > 0
                      THEN CAST(sum(ntk) * 1000000 // sum(nws) AS BIGINT)
                      ELSE 0 END AS fertility_ppm
-         FROM j GROUP BY lang ORDER BY lang""")
+         FROM j GROUP BY lang ORDER BY lang""",
+    // k-anonymity: quasi-tuple class sizes, the violating mass and
+    // the smallest class; NULL quasi-values group together in both
+    // engines.
+    "q179_k_anonymity" ->
+      """WITH q AS (SELECT lang, source, n_chars // 100 AS len_bucket
+                    FROM documents),
+         g AS (SELECT lang, source, len_bucket,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM q GROUP BY 1, 2, 3),
+         a AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                      CAST(count(*) AS BIGINT) AS n_groups,
+                      CAST(coalesce(sum(c) FILTER (WHERE c < 5), 0)
+                        AS BIGINT) AS n_violating_rows,
+                      CAST(count(*) FILTER (WHERE c < 5) AS BIGINT)
+                        AS n_violating_groups,
+                      CAST(min(c) AS BIGINT) AS min_group
+               FROM g)
+         SELECT n_rows, n_groups, CAST(5 AS BIGINT) AS k,
+                n_violating_groups, n_violating_rows, min_group,
+                CASE WHEN n_rows > 0
+                     THEN n_violating_rows * 1000000 // n_rows
+                     ELSE 0 END AS violating_ppm
+         FROM a""")
 
   /** q176 oracle fragment: the power-iteration CTEs p0…p<iters>,
     * unrolled mechanically from the same iteration count the Spark

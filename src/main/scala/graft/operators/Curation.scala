@@ -605,6 +605,39 @@ object Curation {
   def ipv4Count(text: Column): Column =
     size(regexp_extract_all(text, lit(ipv4Re), lit(0))).cast(LongType)
 
+  /** k-anonymity audit — the governance check next to the PII
+    * redactor ([[piiSignals]] removes direct identifiers; this
+    * measures whether QUASI-identifier combinations still single
+    * people out): a released row is k-anonymous when at least k rows
+    * share its full quasi-identifier tuple. Reports how much of the
+    * dataset violates that, plus the smallest equivalence class.
+    * NULL quasi-values form their own class (GROUP BY NULL-equality,
+    * identical in both engines).
+    *
+    * Shape at 100 TB: one shuffle collapses rows to the
+    * quasi-tuple count relation (map-side partials make the exchange
+    * class-sized), then a one-row aggregate over it. Nothing ever
+    * materializes a class's rows. */
+  def kAnonymityAudit(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val g = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("c"))
+    g.agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("c") < k, col("c"))), lit(0L))
+          .as("n_violating_rows"),
+        count(when(col("c") < k, 1)).as("n_violating_groups"),
+        min(col("c")).as("min_group"))
+      .select(col("n_rows"), col("n_groups"), lit(k.toLong).as("k"),
+        col("n_violating_groups"), col("n_violating_rows"),
+        col("min_group"),
+        when(col("n_rows") > 0,
+          expr("n_violating_rows * 1000000 div n_rows"))
+          .otherwise(lit(0L)).as("violating_ppm"))
+  }
+
   /** Deterministic weighted sample WITHOUT replacement — Efraimidis &
     * Spirakis's A-ES (IPL 97(5), 2006) with the randomness replaced
     * by the house md5 hash: row priority `u^(1/w)` becomes, in log
