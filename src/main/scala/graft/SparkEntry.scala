@@ -2934,16 +2934,17 @@ object SparkEntry {
       .orderBy(col("step_idx"))
   }
 
-  /** Shared q148/q168 replay machinery: events → day-partitioned
+  /** Shared q148/q168/q180 replay machinery: events → day-partitioned
     * storage → file stream with the q46/q58 two-tick watermark flush →
-    * the given stateful reach operator → collected (user,
-    * steps_reached) relation (tick users filtered). */
-  private def replayedFunnelReach(
+    * the given stateful per-user operator → collected output relation
+    * (tick users filtered via their negative user_id, which every
+    * output type carries). */
+  private def replayedFunnelReach[T](
       s: SparkSession,
       dir: String,
       qtag: String,
       reachFn: org.apache.spark.sql.Dataset[graft.streaming.StreamingFunnel.UserEvent] =>
-        org.apache.spark.sql.Dataset[graft.streaming.StreamingFunnel.UserReach])
+        org.apache.spark.sql.Dataset[T])
       : DataFrame = {
     import graft.store.DayPartitionedTable
     import graft.streaming.StreamingFunnel
@@ -3009,6 +3010,25 @@ object SparkEntry {
       .select(col("step_idx"), col("step"), col("n_users"),
         expr("n_users * 1000000 div _base").as("conversion_ppm"))
       .orderBy(col("step_idx"))
+  }
+
+  /** Streaming gap histogram (q180): the K142 gap extraction held as
+    * per-user state (a late event splits an existing gap in two, so
+    * the event multiset buffers until timeout), replayed to
+    * completion and hash-compared against the SAME oracle as the
+    * batch q174. */
+  private def streamingGapsQuery(s: SparkSession, dir: String): DataFrame = {
+    val gapRows = replayedFunnelReach(s, dir, "q180",
+      graft.streaming.StreamingGaps.gaps _)
+    gapRows
+      .withColumn("bucket",
+        when(col("gap") === 0, lit(0L))
+          .otherwise(length(bin(col("gap"))).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_secs"),
+        max(col("gap")).as("max_gap_secs"))
+      .orderBy(col("bucket"))
   }
 
   /** BPE encode (q158): apply the literal demonstration merge table to
@@ -3649,7 +3669,8 @@ object SparkEntry {
     "q176_stationary_distribution" -> (stationaryQuery _),
     "q177_weighted_sample" -> (weightedSampleQuery _),
     "q178_bpe_fertility" -> (bpeFertilityQuery _),
-    "q179_k_anonymity" -> (kAnonymityQuery _))
+    "q179_k_anonymity" -> (kAnonymityQuery _),
+    "q180_streaming_gaps" -> (streamingGapsQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -7461,21 +7482,10 @@ object SparkEntry {
     // Inter-event gaps: consecutive order (second, type) per user;
     // bucket = length of the binary string = floor(log2)+1, an
     // integer log2 with no float boundary hazard.
-    "q174_event_gaps" ->
-      """WITH e AS (SELECT user_id AS u,
-                           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
-                           event_type AS typ
-                    FROM events),
-         g AS (SELECT sec - lag(sec) OVER (PARTITION BY u
-                 ORDER BY sec, typ) AS gap
-               FROM e)
-         SELECT CASE WHEN gap = 0 THEN 0
-                     ELSE CAST(length(bin(gap)) AS BIGINT) END AS bucket,
-                CAST(count(*) AS BIGINT) AS n_gaps,
-                CAST(min(gap) AS BIGINT) AS min_gap_secs,
-                CAST(max(gap) AS BIGINT) AS max_gap_secs
-         FROM g WHERE gap IS NOT NULL
-         GROUP BY 1 ORDER BY 1""",
+    "q174_event_gaps" -> eventGapsOracleSql,
+    // The streaming twin must reproduce the batch histogram exactly
+    // (the q120/q148 and q166/q168 twin contract).
+    "q180_streaming_gaps" -> eventGapsOracleSql,
     // Linear attribution: per-conversion per-channel touch counts via
     // FILTERed windows (the frame excludes same-ms rows, the q153
     // convention), credit = n_c * (1e6 // nt) with the remainder to
@@ -7608,6 +7618,24 @@ object SparkEntry {
                      THEN n_violating_rows * 1000000 // n_rows
                      ELSE 0 END AS violating_ppm
          FROM a""")
+
+  /** Shared q174/q180 oracle: the batch gap histogram and its
+    * streaming stateful replay must produce the SAME bucket rows. */
+  private val eventGapsOracleSql: String =
+    """WITH e AS (SELECT user_id AS u,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                         event_type AS typ
+                  FROM events),
+       g AS (SELECT sec - lag(sec) OVER (PARTITION BY u
+               ORDER BY sec, typ) AS gap
+             FROM e)
+       SELECT CASE WHEN gap = 0 THEN 0
+                   ELSE CAST(length(bin(gap)) AS BIGINT) END AS bucket,
+              CAST(count(*) AS BIGINT) AS n_gaps,
+              CAST(min(gap) AS BIGINT) AS min_gap_secs,
+              CAST(max(gap) AS BIGINT) AS max_gap_secs
+       FROM g WHERE gap IS NOT NULL
+       GROUP BY 1 ORDER BY 1"""
 
   /** q176 oracle fragment: the power-iteration CTEs p0…p<iters>,
     * unrolled mechanically from the same iteration count the Spark
