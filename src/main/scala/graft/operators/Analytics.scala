@@ -939,11 +939,16 @@ object Analytics {
     * absorbing and hold their mass.
     *
     * Shape at 100 TB: ONE shuffle of events into the per-user lead
-    * window builds the (from, to) count matrix — everything after is
-    * `iters` joins over that types²-sized rollup. The iteration
-    * subtrees repeat the matrix plan by construction; Spark's
-    * ReuseExchange collapses the identical shuffles physically, so
-    * the events scan happens once, not 3·iters times.
+    * window builds the (from, to) count matrix — the only
+    * corpus-sized work. The matrix itself is types²-sized (the state
+    * space is an enum by contract, like k centroids — bounded and
+    * require-guarded), so the iteration runs on the DRIVER over the
+    * collected rollup in exact longs: a first cut that iterated as
+    * `iters`×3 tiny joins spent 31–48 s at sf0.1 purely on
+    * per-iteration broadcast-job and planning overhead for work that
+    * is microseconds of arithmetic — the lloydStepDeterministic /
+    * bpeTrain boundary applies (distribute the corpus pass, collect
+    * the bounded rollup).
     *
     * Output: (event_type, n_out, pi_ppm), one row per state. */
   def stationaryDistribution(
@@ -959,32 +964,35 @@ object Analytics {
       .select(col(typeCol).as("ft"), lead(col(typeCol), 1).over(w).as("tt"))
       .filter(col("tt").isNotNull)
       .groupBy(col("ft"), col("tt")).agg(count(lit(1)).as("c"))
-    val rowSum = trans.groupBy(col("ft")).agg(sum(col("c")).as("r"))
-    val states = events.select(col(typeCol).as("typ")).distinct()
-    val sm = states.agg(count(lit(1)).as("s"), min(col("typ")).as("m"))
-    var pi = states.crossJoin(broadcast(sm))
-      .select(col("typ"),
-        (expr("1000000 div s") +
-          when(col("typ") === col("m"),
-            lit(1000000L) - col("s") * expr("1000000 div s"))
-            .otherwise(lit(0L))).as("pi_ppm"))
-    val withR = trans.join(rowSum, Seq("ft"))
+    val edges = trans.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = events.select(col(typeCol).cast("string").as("typ"))
+      .distinct().collect().map(_.getString(0)).sorted
+    require(states.length <= 10000,
+      s"stationaryDistribution: state space ${states.length} exceeds the " +
+        "enum bound (10000); this operator iterates a types^2 rollup")
+    val r = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pi: Map[String, Long] =
+      if (states.isEmpty) Map.empty
+      else {
+        val base = 1000000L / states.length
+        val rem = 1000000L - base * states.length
+        states.map(t =>
+          t -> (base + (if (t == states.head) rem else 0L))).toMap
+      }
     for (_ <- 1 to iters) {
-      val inflow = pi.join(withR, pi("typ") === withR("ft"))
-        .groupBy(col("tt")).agg(sum(expr("pi_ppm * c div r")).as("_in"))
-        .select(col("tt").as("typ"), col("_in"))
-      val absorb = pi
-        .join(rowSum.select(col("ft").as("typ")), Seq("typ"), "left_anti")
-        .select(col("typ"), col("pi_ppm").as("_keep"))
-      pi = states.join(inflow, Seq("typ"), "left")
-        .join(absorb, Seq("typ"), "left")
-        .select(col("typ"),
-          (coalesce(col("_in"), lit(0L)) +
-            coalesce(col("_keep"), lit(0L))).as("pi_ppm"))
+      val inflow = edges.groupBy(_._2).map { case (to, es) =>
+        to -> es.map { case (ft, _, c) => pi(ft) * c / r(ft) }.sum
+      }
+      pi = states.map { t =>
+        t -> (inflow.getOrElse(t, 0L) +
+          (if (r.contains(t)) 0L else pi(t))) // absorbing keeps its mass
+      }.toMap
     }
-    pi.join(rowSum.select(col("ft").as("typ"), col("r")), Seq("typ"), "left")
-      .select(col("typ").as("event_type"),
-        coalesce(col("r"), lit(0L)).as("n_out"), col("pi_ppm"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    states.map(t => (t, r.getOrElse(t, 0L), pi(t))).toSeq
+      .toDF("event_type", "n_out", "pi_ppm")
   }
 
   /** Linear multi-touch attribution — [[lastTouchAttribution]]'s
