@@ -3203,6 +3203,16 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Equi-depth histogram (q181): eight equal-count buckets of the
+    * cent-quantized event values — the exact quantile sheet, no
+    * global sort, no value buffering (q137's equi-width twin). */
+  private def equiDepthQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.equiDepthHistogram(Tables.events(s, dir),
+        round(col("value") * 100), buckets = 8)
+      .orderBy(col("bucket"))
+  }
+
   /** k-anonymity audit (q179): how much of the corpus a
     * (lang, source, length-bucket) quasi-identifier tuple still
     * singles out at k = 5 — the release-gate companion to q54's PII
@@ -3670,7 +3680,8 @@ object SparkEntry {
     "q177_weighted_sample" -> (weightedSampleQuery _),
     "q178_bpe_fertility" -> (bpeFertilityQuery _),
     "q179_k_anonymity" -> (kAnonymityQuery _),
-    "q180_streaming_gaps" -> (streamingGapsQuery _))
+    "q180_streaming_gaps" -> (streamingGapsQuery _),
+    "q181_equi_depth_histogram" -> (equiDepthQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3946,7 +3957,8 @@ object SparkEntry {
     "q171_fk_integrity", "q172_key_gini",
     "q173_weekday_seasonality", "q174_event_gaps",
     "q175_linear_attribution", "q176_stationary_distribution",
-    "q177_weighted_sample", "q178_bpe_fertility", "q179_k_anonymity")
+    "q177_weighted_sample", "q178_bpe_fertility", "q179_k_anonymity",
+    "q181_equi_depth_histogram")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7617,7 +7629,34 @@ object SparkEntry {
                 CASE WHEN n_rows > 0
                      THEN n_violating_rows * 1000000 // n_rows
                      ELSE 0 END AS violating_ppm
-         FROM a""")
+         FROM a""",
+    // Equi-depth histogram: position p -> bucket (p-1)*b // n; a
+    // value class spans buckets via generate_series, per-bucket count
+    // = exact interval overlap; all numerators nonnegative.
+    "q181_equi_depth_histogram" ->
+      """WITH q AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+                    FROM events WHERE value IS NOT NULL),
+         h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY 1),
+         w AS (SELECT v, c,
+                      CAST(coalesce(sum(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS below
+               FROM h),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+         x0 AS (SELECT v, c, below, n,
+                       generate_series(below * 8 // n,
+                         (below + c - 1) * 8 // n) AS bs
+                FROM w CROSS JOIN t),
+         x AS (SELECT v, c, below, n, unnest(bs) AS bucket FROM x0),
+         y AS (SELECT v, bucket,
+                      least(below + c, (bucket * n + n + 7) // 8) -
+                      greatest(below + 1, (bucket * n + 7) // 8 + 1) + 1 AS k
+               FROM x)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                CAST(sum(k) AS BIGINT) AS n_rows,
+                CAST(min(v) AS BIGINT) AS min_value,
+                CAST(max(v) AS BIGINT) AS max_value
+         FROM y WHERE k > 0 GROUP BY 1 ORDER BY 1""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

@@ -927,6 +927,49 @@ object Analytics {
           e => e.getField("sym").cast("string")), "").as("sax_word"))
   }
 
+  /** Equi-DEPTH histogram — [[histogram]]'s quantile twin (equi-width
+    * fixes the bin edges and lets counts vary; this fixes the counts
+    * and reads the edges off the data): ascending position p lands in
+    * bucket `(p−1)·b div n`, so bucket sizes differ by at most one.
+    * A value CLASS (all rows sharing a quantized value) may span
+    * buckets; its per-bucket row count is the exact interval overlap
+    * `[below+1, below+c] ∩ [p_lo(k), p_hi(k)]`, all closed-form
+    * integer arithmetic over the histogram — values never sort
+    * globally, rows never buffer (the exactPercentiles discipline;
+    * Spark's approx equivalent is sketch-approximate, this is exact).
+    *
+    * Shape at 100 TB: one shuffle to the value histogram; the only
+    * unpartitioned window runs over that Aggregate child (bounded by
+    * the quantized value support); the class→bucket explode fans out
+    * at most `buckets` rows per class. Output per bucket: n_rows,
+    * min/max value — the exact quantile sheet a profiler prints. */
+  def equiDepthHistogram(
+      df: DataFrame,
+      value: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= 10000,
+      s"buckets must be in [1,10000]: $buckets")
+    val q = df.select(value.cast(LongType).as("v")).filter(col("v").isNotNull)
+    val h = q.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val byV = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h.withColumn("below", coalesce(sum(col("c")).over(byV), lit(0L)))
+    val tot = h.agg(sum(col("c")).as("n"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("c"), col("below"), col("n"),
+        explode(sequence(expr(s"below * $buckets div n"),
+          expr(s"(below + c - 1) * $buckets div n"))).as("bucket"))
+      .withColumn("_plo", expr(s"(bucket * n + $buckets - 1) div $buckets + 1"))
+      .withColumn("_phi", expr(s"(bucket * n + n + $buckets - 1) div $buckets"))
+      .withColumn("_k",
+        least(col("below") + col("c"), col("_phi")) -
+          greatest(col("below") + 1, col("_plo")) + 1)
+      .filter(col("_k") > 0)
+      .groupBy(col("bucket").cast(LongType).as("bucket"))
+      .agg(sum(col("_k")).as("n_rows"),
+        min(col("v")).as("min_value"), max(col("v")).as("max_value"))
+  }
+
   /** Markov stationary distribution — the EQUILIBRIUM view next to
     * [[transitionMatrix]]'s one-step probabilities: where does a user
     * spend their time if the observed dynamics run forever. Power

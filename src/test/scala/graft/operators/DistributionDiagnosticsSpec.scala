@@ -91,6 +91,29 @@ class DistributionDiagnosticsSpec extends SparkSpec {
     Analytics.keyGini(one, "k").collect().head.getLong(2) shouldBe 0L
   }
 
+  test("equiDepthHistogram: hand-checked buckets, sizes differ by at most one") {
+    val rows = (1L to 10L).toDF("v")
+    val out = Analytics.equiDepthHistogram(rows, col("v"), buckets = 3)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect()
+    out shouldBe Array(
+      (0L, 4L, 1L, 4L), (1L, 3L, 5L, 7L), (2L, 3L, 8L, 10L))
+  }
+
+  test("equiDepthHistogram: a single value class spans every bucket with exact overlap counts") {
+    val rows = Seq.fill(10)(7L).toDF("v")
+    val out = Analytics.equiDepthHistogram(rows, col("v"), buckets = 3)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect()
+    out shouldBe Array(
+      (0L, 4L, 7L, 7L), (1L, 3L, 7L, 7L), (2L, 3L, 7L, 7L))
+  }
+
+  test("equiDepthHistogram: tied classes land whole in their bucket when counts align") {
+    val rows = (Seq.fill(5)(1L) ++ Seq.fill(5)(2L)).toDF("v")
+    val out = Analytics.equiDepthHistogram(rows, col("v"), buckets = 2)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect()
+    out shouldBe Array((0L, 5L, 1L, 1L), (1L, 5L, 2L, 2L))
+  }
+
   test("keyGini plan: the only unpartitioned window runs over the counts-of-counts aggregate") {
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, Filter, LogicalPlan, Project, Window => LWindow}
