@@ -3213,6 +3213,29 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** Delta-maintained key stats (q182): the diagnostics-state tick —
+    * counts/counts-of-counts/sufficient-stats are BUILT over an old
+    * events snapshot, one [[graft.jobs.KeyStatsMaintenance]] tick
+    * brings them to the new snapshot at O(changed) cost (deleted
+    * events, plus every id%10==5 event REASSIGNED to a new user — the
+    * key-change path), and the output sheet (entropy + Gini) derives
+    * from the MAINTAINED state. The DuckDB oracle computes both
+    * statistics directly over the new snapshot — the hash compare IS
+    * the delta≡rebuild gate (the q141 contract extended to the
+    * distribution diagnostics). */
+  private def keyStatsNightlyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.KeyStatsMaintenance
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+    val oldSnap = e.filter(col("event_id") % 10 =!= 3)
+    val newSnap = e.filter(col("event_id") % 10 =!= 7)
+      .select(col("event_id"),
+        when(col("event_id") % 10 === 5, col("user_id") + 1000000L)
+          .otherwise(col("user_id")).as("user_id"))
+    val st = KeyStatsMaintenance.rebuild(oldSnap, "user_id")
+    KeyStatsMaintenance.stats(
+      KeyStatsMaintenance.tick(st, oldSnap, newSnap, "event_id", "user_id"))
+  }
+
   /** k-anonymity audit (q179): how much of the corpus a
     * (lang, source, length-bucket) quasi-identifier tuple still
     * singles out at k = 5 — the release-gate companion to q54's PII
@@ -3681,7 +3704,8 @@ object SparkEntry {
     "q178_bpe_fertility" -> (bpeFertilityQuery _),
     "q179_k_anonymity" -> (kAnonymityQuery _),
     "q180_streaming_gaps" -> (streamingGapsQuery _),
-    "q181_equi_depth_histogram" -> (equiDepthQuery _))
+    "q181_equi_depth_histogram" -> (equiDepthQuery _),
+    "q182_key_stats_nightly" -> (keyStatsNightlyQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3958,7 +3982,7 @@ object SparkEntry {
     "q173_weekday_seasonality", "q174_event_gaps",
     "q175_linear_attribution", "q176_stationary_distribution",
     "q177_weighted_sample", "q178_bpe_fertility", "q179_k_anonymity",
-    "q181_equi_depth_histogram")
+    "q181_equi_depth_histogram", "q182_key_stats_nightly")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7656,7 +7680,46 @@ object SparkEntry {
                 CAST(sum(k) AS BIGINT) AS n_rows,
                 CAST(min(v) AS BIGINT) AS min_value,
                 CAST(max(v) AS BIGINT) AS max_value
-         FROM y WHERE k > 0 GROUP BY 1 ORDER BY 1""")
+         FROM y WHERE k > 0 GROUP BY 1 ORDER BY 1""",
+    // Maintained key stats: the oracle computes entropy + Gini
+    // DIRECTLY over the new snapshot — the hash compare is the
+    // delta≡rebuild gate for the maintained diagnostics state.
+    "q182_key_stats_nightly" ->
+      """WITH nsnap AS (SELECT CASE WHEN event_id % 10 = 5
+                               THEN user_id + 1000000
+                               ELSE user_id END AS user_id
+                        FROM events WHERE event_id % 10 <> 7),
+         c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM nsnap GROUP BY 1),
+         a AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                      CAST(count(*) AS BIGINT) AS n_keys,
+                      CAST(sum(c * CAST(round(ln(c) * 1e6) AS BIGINT))
+                        AS BIGINT) AS t
+               FROM c),
+         cc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY 1),
+         w AS (SELECT c, m,
+                      CAST(coalesce(sum(m) OVER (ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS r0
+               FROM cc),
+         g AS (SELECT CAST(sum(c * (m * r0 + m * (m + 1) // 2))
+                        AS BIGINT) AS s
+               FROM w)
+         SELECT a.n_rows, a.n_keys,
+                CAST(round(ln(a.n_rows) * 1e6) AS BIGINT) - a.t // a.n_rows
+                  AS entropy_micro,
+                CAST(round(ln(a.n_keys) * 1e6) AS BIGINT)
+                  AS max_entropy_micro,
+                CASE WHEN CAST(round(ln(a.n_keys) * 1e6) AS BIGINT) > 0
+                     THEN (CAST(round(ln(a.n_rows) * 1e6) AS BIGINT)
+                           - a.t // a.n_rows) * 1000000
+                          // CAST(round(ln(a.n_keys) * 1e6) AS BIGINT)
+                     ELSE 1000000 END AS balance_ppm,
+                CASE WHEN a.n_rows <= 0 OR a.n_keys <= 1 THEN 0
+                     ELSE (2 * g.s - (a.n_keys + 1) * a.n_rows) * 1000000
+                          // (a.n_keys * a.n_rows) END AS gini_ppm
+         FROM a CROSS JOIN g""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */
