@@ -3213,6 +3213,22 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** Edit-distance join (q183): customers fuzzy-matched against a
+    * mutated copy (every 7th name grows a trailing char) at ED ≤ 1
+    * via deletion neighborhoods — digit-neighbour key collisions
+    * ("…001" vs "…002") surface as genuine distance-1 pairs, the
+    * entity-resolution shape. */
+  private def editJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val c = Tables.customer(s, dir)
+    val left = c.select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val right = c.select(col("c_custkey").as("id"),
+      when(col("c_custkey") % 7 === 3, concat(col("c_name"), lit("x")))
+        .otherwise(col("c_name")).as("name"))
+    TextDedup.editDistanceJoin(left, right, "id", "name")
+      .orderBy(col("left_id"), col("right_id"))
+  }
+
   /** Delta-maintained key stats (q182): the diagnostics-state tick —
     * counts/counts-of-counts/sufficient-stats are BUILT over an old
     * events snapshot, one [[graft.jobs.KeyStatsMaintenance]] tick
@@ -3705,7 +3721,8 @@ object SparkEntry {
     "q179_k_anonymity" -> (kAnonymityQuery _),
     "q180_streaming_gaps" -> (streamingGapsQuery _),
     "q181_equi_depth_histogram" -> (equiDepthQuery _),
-    "q182_key_stats_nightly" -> (keyStatsNightlyQuery _))
+    "q182_key_stats_nightly" -> (keyStatsNightlyQuery _),
+    "q183_edit_distance_join" -> (editJoinQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -3982,7 +3999,8 @@ object SparkEntry {
     "q173_weekday_seasonality", "q174_event_gaps",
     "q175_linear_attribution", "q176_stationary_distribution",
     "q177_weighted_sample", "q178_bpe_fertility", "q179_k_anonymity",
-    "q181_equi_depth_histogram", "q182_key_stats_nightly")
+    "q181_equi_depth_histogram", "q182_key_stats_nightly",
+    "q183_edit_distance_join")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7719,7 +7737,40 @@ object SparkEntry {
                 CASE WHEN a.n_rows <= 0 OR a.n_keys <= 1 THEN 0
                      ELSE (2 * g.s - (a.n_keys + 1) * a.n_rows) * 1000000
                           // (a.n_keys * a.n_rows) END AS gini_ppm
-         FROM a CROSS JOIN g""")
+         FROM a CROSS JOIN g""",
+    // Edit-distance join: deletion-neighborhood candidates (a string
+    // plus its delete-one variants, hashed 60-bit) equi-joined, then
+    // the exact levenshtein verify — identical classic DP in both
+    // engines. unnest stands on its own level (the q181 binder note).
+    "q183_edit_distance_join" ->
+      """WITH l AS (SELECT c_custkey AS lid, c_name AS ls FROM customer),
+         r AS (SELECT c_custkey AS rid,
+                      CASE WHEN c_custkey % 7 = 3 THEN c_name || 'x'
+                           ELSE c_name END AS rs
+               FROM customer),
+         lv1 AS (SELECT lid, ls, list_prepend(ls,
+                   [substr(ls, 1, i - 1) || substr(ls, i + 1)
+                    FOR i IN generate_series(1, length(ls))]) AS vs
+                 FROM l),
+         lv2 AS (SELECT lid, ls, unnest(vs) AS v FROM lv1),
+         lv AS (SELECT DISTINCT lid, ls,
+                       ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+                FROM lv2),
+         rv1 AS (SELECT rid, rs, list_prepend(rs,
+                   [substr(rs, 1, i - 1) || substr(rs, i + 1)
+                    FOR i IN generate_series(1, length(rs))]) AS vs
+                 FROM r),
+         rv2 AS (SELECT rid, rs, unnest(vs) AS v FROM rv1),
+         rv AS (SELECT DISTINCT rid, rs,
+                       ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+                FROM rv2),
+         cand AS (SELECT DISTINCT lid, rid, ls, rs
+                  FROM lv JOIN rv USING (h) WHERE lid <> rid)
+         SELECT lid AS left_id, rid AS right_id,
+                ls AS left_str, rs AS right_str,
+                CAST(levenshtein(ls, rs) AS BIGINT) AS distance
+         FROM cand WHERE levenshtein(ls, rs) <= 1
+         ORDER BY left_id, right_id""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

@@ -1317,4 +1317,60 @@ object TextDedup {
             e => e.getField("tok")),
           " ").as("text"))
   }
+
+  /** Edit-distance similarity JOIN at threshold 1 — the fuzzy
+    * key-match every entity-resolution pass needs (misspelled names,
+    * fat-fingered codes), via DELETION NEIGHBORHOODS (the symmetric-
+    * delete dictionary trick; deletion-only variant families go back
+    * to Mor & Fraenkel, CACM 1982): two strings within edit distance
+    * 1 (substitute/insert/delete one char) necessarily share a member
+    * of {s} ∪ {s minus one char}, so candidates come from a banded
+    * equi-join on the ≤ len+1 variant HASHES per string — never an
+    * all-pairs product, the LSH-for-edit-distance analog. Candidates
+    * then verify with the exact `levenshtein` (identical classic DP
+    * in both engines) — the K4 band-then-verify discipline.
+    *
+    * Variants carry their length so the band key prunes cross-length
+    * collisions cheaply (|len(a) − len(b)| ≤ 1 is implied by sharing
+    * a variant, but hashing (variant) alone would merge unrelated
+    * bands of very different strings only at hash-collision rate;
+    * the exact verify keeps false positives harmless either way).
+    *
+    * Shape at 100 TB: fan-out ≤ maxLen+1 8-byte hashes per row
+    * (strings past maxLen are excluded — stated, filtered: fuzzy
+    * KEY matching is a short-string problem), one shuffle on the
+    * variant hash, per-bucket pairs bounded by bucket size, exact
+    * verify on the pair relation.
+    * Output: (left id, right id, left string, right string,
+    * distance), distance ≤ 1, self-pairs excluded by id. */
+  def editDistanceJoin(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxLen: Int = 64): DataFrame = {
+    def variants(side: DataFrame, ip: String, sp: String): DataFrame = {
+      val s = col(strCol)
+      side
+        .filter(length(s) <= maxLen && length(s) >= 1)
+        .select(col(idCol).as(ip), s.as(sp),
+          explode(array_distinct(concat(array(s),
+            transform(sequence(lit(1), length(s)), i =>
+              concat(call_function("substring", s, lit(1), i - 1),
+                call_function("substring", s, i + 1, length(s)))))))
+            .as("_v"))
+        .select(col(ip), col(sp), md5Hash60(col("_v")).as("_h"))
+        .distinct()
+    }
+    val lv = variants(left, "left_id", "left_str")
+    val rv = variants(right, "right_id", "right_str")
+    lv.join(rv, Seq("_h"))
+      .filter(col("left_id") =!= col("right_id"))
+      .select(col("left_id"), col("right_id"),
+        col("left_str"), col("right_str"))
+      .distinct()
+      .withColumn("distance",
+        levenshtein(col("left_str"), col("right_str")).cast("long"))
+      .filter(col("distance") <= 1)
+  }
 }
