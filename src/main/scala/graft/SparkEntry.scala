@@ -3213,6 +3213,15 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** Stickiness (q184): per-day DAU/WAU/MAU distinct actives and the
+    * DAU/WAU ratio — sliding-window distinct via the bounded
+    * 28-offset fan-out of the user-day rollup. */
+  private def stickinessQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.stickiness(Tables.events(s, dir), "user_id", "ts")
+      .orderBy(col("day"))
+  }
+
   /** Edit-distance join (q183): customers fuzzy-matched against a
     * mutated copy (every 7th name grows a trailing char) at ED ≤ 1
     * via deletion neighborhoods — digit-neighbour key collisions
@@ -3722,7 +3731,8 @@ object SparkEntry {
     "q180_streaming_gaps" -> (streamingGapsQuery _),
     "q181_equi_depth_histogram" -> (equiDepthQuery _),
     "q182_key_stats_nightly" -> (keyStatsNightlyQuery _),
-    "q183_edit_distance_join" -> (editJoinQuery _))
+    "q183_edit_distance_join" -> (editJoinQuery _),
+    "q184_stickiness" -> (stickinessQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4000,7 +4010,7 @@ object SparkEntry {
     "q175_linear_attribution", "q176_stationary_distribution",
     "q177_weighted_sample", "q178_bpe_fertility", "q179_k_anonymity",
     "q181_equi_depth_histogram", "q182_key_stats_nightly",
-    "q183_edit_distance_join")
+    "q183_edit_distance_join", "q184_stickiness")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7770,7 +7780,24 @@ object SparkEntry {
                 ls AS left_str, rs AS right_str,
                 CAST(levenshtein(ls, rs) AS BIGINT) AS distance
          FROM cand WHERE levenshtein(ls, rs) <= 1
-         ORDER BY left_id, right_id""")
+         ORDER BY left_id, right_id""",
+    // Stickiness: sliding distinct via the user-day rollup spread to
+    // its 28 target days; week/month split read off the offset.
+    "q184_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, ts::DATE AS day
+                     FROM events),
+         dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                 FROM ud GROUP BY 1),
+         os AS (SELECT CAST(unnest(generate_series(0, 27)) AS INTEGER) AS o),
+         t AS (SELECT u, o, day + o AS d FROM ud CROSS JOIN os),
+         w AS (SELECT d AS day,
+                      CAST(count(DISTINCT CASE WHEN o <= 6 THEN u END)
+                        AS BIGINT) AS wau,
+                      CAST(count(DISTINCT u) AS BIGINT) AS mau
+               FROM t GROUP BY 1)
+         SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, w.wau, w.mau,
+                dau.dau * 1000000 // w.wau AS stickiness_ppm
+         FROM dau JOIN w USING (day) ORDER BY day""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

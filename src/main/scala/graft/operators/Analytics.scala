@@ -927,6 +927,45 @@ object Analytics {
           e => e.getField("sym").cast("string")), "").as("sax_word"))
   }
 
+  /** DAU/WAU/MAU stickiness — the engagement sheet every product
+    * dashboard opens with: per day, the distinct actives that day
+    * (DAU), in the trailing 7 days (WAU), and in the trailing 28
+    * days (MAU), plus `stickiness_ppm = DAU·10⁶ div WAU` (how much
+    * of the weekly audience shows up daily).
+    *
+    * Sliding-window DISTINCT does not decompose into per-day partial
+    * counts (a user active twice in a window counts once), so the
+    * user-day rollup fans out to its ≤ 28 target days — the C1
+    * 7-day-self-join discipline with a bounded literal offset range,
+    * never a per-user state pass — and one aggregate per target day
+    * counts distinct carriers with the week/month split read off the
+    * offset. Days outside the observed set are dropped by the DAU
+    * inner join (a day nobody was active has no row, the dashboard
+    * convention).
+    *
+    * Shape at 100 TB: one shuffle to the user-day rollup, a 28×
+    * fan-out of THAT rollup (user-day-sized, not event-sized), one
+    * aggregate keyed by day. Output ordered by day. */
+  def stickiness(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val ud = events.select(col(userCol).as("u"),
+      to_date(col(tsCol)).as("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val spread = ud
+      .select(col("u"), explode(sequence(lit(0), lit(27))).as("o"),
+        col("day"))
+      .select(col("u"), col("o"), date_add(col("day"), col("o")).as("d"))
+    val win = spread.groupBy(col("d").as("day"))
+      .agg(count_distinct(when(col("o") <= 6, col("u"))).as("wau"),
+        count_distinct(col("u")).as("mau"))
+    dau.join(win, Seq("day"))
+      .select(col("day").cast("string").as("day"), col("dau"),
+        col("wau"), col("mau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+  }
+
   /** Equi-DEPTH histogram — [[histogram]]'s quantile twin (equi-width
     * fixes the bin edges and lets counts vary; this fixes the counts
     * and reads the edges off the data): ascending position p lands in

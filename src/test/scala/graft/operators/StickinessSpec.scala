@@ -1,0 +1,39 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** stickiness: hand-checked DAU/WAU/MAU on a designed calendar —
+  * window distinct counts each user once, the week boundary excludes
+  * day −7, and absent days emit no row. */
+class StickinessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(u: Long, d: String) =
+    (u, Timestamp.valueOf(s"2024-01-$d 12:00:00"))
+
+  test("hand-checked engagement sheet") {
+    // u1: Jan 1 (twice) + Jan 2; u2: Jan 1; u3: Jan 9
+    val rows = Seq(ev(1, "01"), ev(1, "01"), ev(1, "02"), ev(2, "01"),
+      ev(3, "09")).toDF("user_id", "ts")
+    val out = Analytics.stickiness(rows, "user_id", "ts")
+      .orderBy("day").as[(String, Long, Long, Long, Long)].collect()
+    out shouldBe Array(
+      ("2024-01-01", 2L, 2L, 2L, 1000000L),
+      ("2024-01-02", 1L, 2L, 2L, 500000L), // u2's Jan 1 is in the week
+      // Jan 9: the trailing week starts Jan 3 — u1/u2 fall out of WAU
+      // but stay in the 28-day MAU
+      ("2024-01-09", 1L, 1L, 3L, 1000000L))
+  }
+
+  test("the week window is exactly 7 days: day -7 is out, day -6 is in") {
+    val rows = Seq(ev(1, "01"), ev(2, "02"), ev(9, "08"))
+      .toDF("user_id", "ts")
+    val out = Analytics.stickiness(rows, "user_id", "ts")
+      .orderBy("day").as[(String, Long, Long, Long, Long)].collect()
+    val jan8 = out.find(_._1 == "2024-01-08").get
+    jan8._3 shouldBe 2L // u2 (Jan 2 = day -6) + u9; u1 (Jan 1 = day -7) out
+    jan8._4 shouldBe 3L // all three inside 28 days
+  }
+}
