@@ -788,6 +788,18 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Image center-crop (q185): the vision-preprocessor primitive over
+    * the P6 media column — centered 4×4 crop by pure byte indexing,
+    * checksummed; media bytes never shuffle. */
+  private def imageCropQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.centerCrop(s,
+        Multimodal.attachMedia(s, Tables.documents(s, dir)),
+        targetW = 4, targetH = 4)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** Audio modality (q77): deterministic 16-bit PCM WAV payloads
     * decoded by a real RIFF chunk-walking parser; Σ|sample| is the
     * integer loudness proxy. Same batched extraction shape as q31. */
@@ -3732,7 +3744,8 @@ object SparkEntry {
     "q181_equi_depth_histogram" -> (equiDepthQuery _),
     "q182_key_stats_nightly" -> (keyStatsNightlyQuery _),
     "q183_edit_distance_join" -> (editJoinQuery _),
-    "q184_stickiness" -> (stickinessQuery _))
+    "q184_stickiness" -> (stickinessQuery _),
+    "q185_image_crop" -> (imageCropQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4010,7 +4023,7 @@ object SparkEntry {
     "q175_linear_attribution", "q176_stationary_distribution",
     "q177_weighted_sample", "q178_bpe_fertility", "q179_k_anonymity",
     "q181_equi_depth_histogram", "q182_key_stats_nightly",
-    "q183_edit_distance_join", "q184_stickiness")
+    "q183_edit_distance_join", "q184_stickiness", "q185_image_crop")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7797,7 +7810,38 @@ object SparkEntry {
                FROM t GROUP BY 1)
          SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, w.wau, w.mau,
                 dau.dau * 1000000 // w.wau AS stickiness_ppm
-         FROM dau JOIN w USING (day) ORDER BY day""")
+         FROM dau JOIN w USING (day) ORDER BY day""",
+    // Center crop: the synthesized raster byte i is text byte i
+    // (zero-filled past the text), so the crop checksum mirrors as
+    // index arithmetic — the q31/q167 blob-mirroring convention.
+    "q185_image_crop" ->
+      """WITH m AS (SELECT doc_id, text, strlen(text) AS len,
+                           strlen(text) % 13 + 2 AS w,
+                           strlen(text) % 7 + 2 AS h
+                    FROM documents),
+         c AS (SELECT doc_id, text, len, w, h,
+                      least(4, w) AS cw, least(4, h) AS ch,
+                      (w - least(4, w)) // 2 AS x0,
+                      (h - least(4, h)) // 2 AS y0
+               FROM m),
+         ys AS (SELECT doc_id, text, len, w, h, cw, ch, x0, y0,
+                       unnest(range(ch)) AS dy
+                FROM c),
+         js AS (SELECT doc_id, text, len, w, h, cw, ch,
+                       ((y0 + dy) * w + x0) * 3 AS base,
+                       unnest(range(cw * 3)) AS j
+                FROM ys),
+         px AS (SELECT doc_id, w, h, cw, ch,
+                       CASE WHEN base + j < len
+                            THEN ord(substr(text,
+                              CAST(base + j AS INTEGER) + 1, 1))
+                            ELSE 0 END AS v
+                FROM js)
+         SELECT doc_id, CAST(w AS BIGINT) AS width,
+                CAST(h AS BIGINT) AS height,
+                CAST(cw AS BIGINT) AS crop_w, CAST(ch AS BIGINT) AS crop_h,
+                CAST(sum(v) AS BIGINT) AS px_checksum
+         FROM px GROUP BY doc_id, w, h, cw, ch ORDER BY doc_id""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

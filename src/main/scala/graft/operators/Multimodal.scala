@@ -423,4 +423,56 @@ object Multimodal {
       }
     }
   }
+
+  final case class CropFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      crop_w: Long,
+      crop_h: Long,
+      px_checksum: Long)
+
+  /** CENTER-CROP over the P6 payload — the resize-pipeline primitive
+    * a vision-encoder preprocessor runs before batching: parse the
+    * header (the real netpbm walker, comments and all), locate the
+    * centered `min(targetW,w) × min(targetH,h)` rectangle with
+    * integer-div offsets, and fold ONLY those raster bytes — pure
+    * byte indexing, no codec, which is exactly why the crop itself
+    * (unlike a JPEG decode) needs no stub. Emits the crop's
+    * dimensions + checksum; the cropped bytes stay in the task (the
+    * sampleFrames contract: media bytes never shuffle). */
+  def centerCrop(
+      spark: SparkSession,
+      media: Dataset[MediaDoc],
+      targetW: Int,
+      targetH: Int,
+      batchSize: Int = 64): Dataset[CropFeatures] = {
+    require(targetW >= 1 && targetH >= 1,
+      s"crop target must be positive: ${targetW}x$targetH")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { d =>
+          val b = d.media
+          val (w, h, raster) = parseP6At(b, 0, d.doc_id)
+          require(b.length - raster == w * h * 3,
+            s"doc ${d.doc_id}: raster is ${b.length - raster} bytes, " +
+              s"want ${w * h * 3}")
+          val cw = math.min(targetW, w)
+          val ch = math.min(targetH, h)
+          val x0 = (w - cw) / 2
+          val y0 = (h - ch) / 2
+          var sum = 0L
+          var y = 0
+          while (y < ch) {
+            var i = raster + ((y0 + y) * w + x0) * 3
+            val end = i + cw * 3
+            while (i < end) { sum += (b(i) & 0xff); i += 1 }
+            y += 1
+          }
+          CropFeatures(d.doc_id, w.toLong, h.toLong, cw.toLong, ch.toLong, sum)
+        }
+      }
+    }
+  }
 }
