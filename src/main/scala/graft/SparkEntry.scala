@@ -3234,6 +3234,26 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Weekday-adjusted anomalies (q186): each day scored against its
+    * own weekday's distribution — the seasonal repair of q123's
+    * trailing z-score (a quiet Sunday is normal; the same count on a
+    * Tuesday is an incident). */
+  private def weekdayZscoreQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.weekdayAdjustedZscore(Tables.events(s, dir), "ts", "event_type")
+      .orderBy(col("key"), col("day"))
+  }
+
+  /** Benford audit (q187): first-digit distribution of cent-quantized
+    * extended prices vs the log₁₀(1+1/d) expectation — the
+    * fraud/data-quality screen, literal-driven on both sides. */
+  private def benfordQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.benfordAudit(Tables.lineitem(s, dir),
+        round(col("l_extendedprice") * 100))
+      .orderBy(col("digit"))
+  }
+
   /** Edit-distance join (q183): customers fuzzy-matched against a
     * mutated copy (every 7th name grows a trailing char) at ED ≤ 1
     * via deletion neighborhoods — digit-neighbour key collisions
@@ -3745,7 +3765,9 @@ object SparkEntry {
     "q182_key_stats_nightly" -> (keyStatsNightlyQuery _),
     "q183_edit_distance_join" -> (editJoinQuery _),
     "q184_stickiness" -> (stickinessQuery _),
-    "q185_image_crop" -> (imageCropQuery _))
+    "q185_image_crop" -> (imageCropQuery _),
+    "q186_weekday_zscore" -> (weekdayZscoreQuery _),
+    "q187_benford_audit" -> (benfordQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4023,7 +4045,8 @@ object SparkEntry {
     "q175_linear_attribution", "q176_stationary_distribution",
     "q177_weighted_sample", "q178_bpe_fertility", "q179_k_anonymity",
     "q181_equi_depth_histogram", "q182_key_stats_nightly",
-    "q183_edit_distance_join", "q184_stickiness", "q185_image_crop")
+    "q183_edit_distance_join", "q184_stickiness", "q185_image_crop",
+    "q186_weekday_zscore", "q187_benford_audit")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7841,7 +7864,56 @@ object SparkEntry {
                 CAST(h AS BIGINT) AS height,
                 CAST(cw AS BIGINT) AS crop_w, CAST(ch AS BIGINT) AS crop_h,
                 CAST(sum(v) AS BIGINT) AS px_checksum
-         FROM px GROUP BY doc_id, w, h, cw, ch ORDER BY doc_id""")
+         FROM px GROUP BY doc_id, w, h, cw, ch ORDER BY doc_id""",
+    // Weekday-adjusted z: per-(key, weekday) group stats, exact
+    // integer numerator, one sqrt + one divide rounded to 6 (the
+    // q123 bit-identical-IEEE convention); DuckDB dayofweek + 1.
+    "q186_weekday_zscore" ->
+      """WITH daily AS (SELECT event_type AS key, ts::DATE AS d,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+         gd AS (SELECT key, d, n,
+                       CAST(dayofweek(d) + 1 AS BIGINT) AS g
+                FROM daily),
+         st AS (SELECT key, d, g, n,
+                       CAST(count(*) OVER pw AS BIGINT) AS ng,
+                       CAST(sum(n) OVER pw AS BIGINT) AS s,
+                       CAST(sum(n * n) OVER pw AS BIGINT) AS ss
+                FROM gd
+                WINDOW pw AS (PARTITION BY key, g)),
+         z AS (SELECT key, CAST(d AS VARCHAR) AS day, g AS weekday, n,
+                      CASE WHEN ng >= 2 AND ss * ng - s * s > 0
+                           THEN round((n * ng - s) / sqrt(ss * ng - s * s), 6)
+                           END AS z
+               FROM st)
+         SELECT key, day, weekday, n, z,
+                coalesce(abs(z) >= 3.0, false) AS anomaly
+         FROM z ORDER BY key, day""",
+    // Benford: the same Scala constants unroll to the VALUES list;
+    // first digit off the decimal string, never a float log10.
+    "q187_benford_audit" -> s"""
+         WITH exp AS (SELECT * FROM (VALUES ${
+           graft.operators.Analytics.benfordExpectedPpm
+             .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+         }) AS t(digit, expected_ppm)),
+         q AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS a
+               FROM lineitem),
+         dg AS (SELECT CAST(substr(CAST(a AS VARCHAR), 1, 1) AS BIGINT)
+                  AS digit
+                FROM q WHERE a > 0),
+         c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+               FROM dg GROUP BY 1),
+         t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tt FROM c),
+         j AS (SELECT e.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+                      CASE WHEN t.tt > 0
+                           THEN coalesce(c.n, 0) * 1000000 // t.tt
+                           ELSE 0 END AS observed_ppm,
+                      CAST(e.expected_ppm AS BIGINT) AS expected_ppm
+               FROM exp e LEFT JOIN c ON e.digit = c.digit CROSS JOIN t)
+         SELECT CAST(digit AS BIGINT) AS digit, n, observed_ppm,
+                expected_ppm,
+                abs(observed_ppm - expected_ppm) AS deviation_ppm
+         FROM j ORDER BY digit""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

@@ -188,6 +188,90 @@ object Analytics {
       .withColumn("anomaly", coalesce(abs(col("z")) >= flagAbove, lit(false)))
   }
 
+  /** WEEKDAY-ADJUSTED anomaly detection — [[trailingZscore]]'s
+    * seasonal repair: a quiet Sunday is normal, the same count on a
+    * Tuesday is an incident. Each day scores against its OWN
+    * WEEKDAY's distribution: `z = (v·n_g − S_g) / √(n_g·SS_g − S_g²)`
+    * — the numerator an exact integer (the cusum scaling, mean-free
+    * within weekday by construction), the denominator one IEEE sqrt
+    * of an exact integer, one divide, round 6 (the q123 convention:
+    * both engines produce identical bits for single correctly-rounded
+    * ops).
+    *
+    * Shape at 100 TB: one shuffle to the (key, day) rollup, per-
+    * (key, weekday) windows over that days-sized relation. Days in
+    * weekdays with fewer than 2 observations or zero variance emit a
+    * NULL z (not silently dropped). */
+  def weekdayAdjustedZscore(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      flagAbove: Double = 3.0): DataFrame = {
+    val daily = events
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("d"))
+      .groupBy(col("key"), col("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("g", dayofweek(col("d")).cast(LongType))
+    val w = Window.partitionBy(col("key"), col("g"))
+    val stats = daily.select(col("key"), col("d"), col("g"), col("n"),
+      count(lit(1)).over(w).as("_ng"),
+      sum(col("n")).over(w).as("_s"),
+      sum(col("n") * col("n")).over(w).as("_ss"))
+    val varNum = (col("_ss") * col("_ng") - col("_s") * col("_s"))
+      .cast(DoubleType)
+    stats.select(col("key"), col("d").cast("string").as("day"),
+        col("g").as("weekday"), col("n"),
+        when(col("_ng") >= 2 && varNum > 0,
+          round((col("n") * col("_ng") - col("_s")).cast(DoubleType) /
+            sqrt(varNum), 6)).as("z"))
+      .withColumn("anomaly", coalesce(abs(col("z")) >= flagAbove, lit(false)))
+  }
+
+  /** First-digit BENFORD audit — the fraud/data-quality screen over
+    * any naturally-spanning amount column: organically generated
+    * amounts follow `P(d) = log₁₀(1 + 1/d)`; fabricated or
+    * truncated ones don't. Reports, per leading digit, the observed
+    * count and ppm next to the Benford expectation (plan literals,
+    * generated from the same Scala constants the oracle unrolls —
+    * the minHashCoeffsSql discipline), plus each digit's absolute
+    * deviation; `Σ|obs − exp|` over the nine rows is the classic
+    * total-variation screen, left to the reader's rollup.
+    *
+    * The leading digit comes from the DECIMAL STRING of the
+    * cent-quantized positive amount — no float log₁₀ near a power
+    * boundary can misclassify (the integer-log₂ argument from the
+    * gap histogram, base 10). Non-positive amounts are excluded
+    * (stated: Benford speaks only about magnitudes).
+    *
+    * Shape at 100 TB: map-only digit extraction, one 9-row rollup. */
+  /** Benford expectations in ppm — ONE set of constants drives both
+    * the plan literals and the oracle's VALUES list (the
+    * minHashCoeffsSql discipline). */
+  val benfordExpectedPpm: Seq[(Long, Long)] = (1 to 9).map(d =>
+    (d.toLong, math.round(math.log10(1.0 + 1.0 / d) * 1e6)))
+
+  def benfordAudit(df: DataFrame, amountCents: Column): DataFrame = {
+    val q = df.select(amountCents.cast(LongType).as("a"))
+      .filter(col("a") > 0)
+      .select(substring(col("a").cast("string"), 1, 1).cast(LongType)
+        .as("digit"))
+    val counts = q.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val expected = benfordExpectedPpm
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exp = expected.toDF("digit", "expected_ppm")
+    counts.join(exp, Seq("digit"), "right") // all nine digits, even absent
+      .crossJoin(broadcast(counts.agg(
+        coalesce(sum(col("n")), lit(0L)).as("_t"))))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        when(col("_t") > 0,
+          expr("coalesce(n, 0) * 1000000 div _t")).otherwise(lit(0L))
+          .as("observed_ppm"),
+        col("expected_ppm"))
+      .withColumn("deviation_ppm",
+        abs(col("observed_ppm") - col("expected_ppm")))
+  }
+
   /** CO-OCCURRENCE similarity (the item-item collaborative-filtering
     * building block): for items appearing together in the same basket,
     * cosine = n_ab / sqrt(n_a · n_b) over distinct-basket counts, with

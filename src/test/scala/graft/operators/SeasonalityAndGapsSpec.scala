@@ -2,6 +2,8 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** weekdaySeasonality + interEventGaps: a planted weekly cycle scores
@@ -33,6 +35,44 @@ class SeasonalityAndGapsSpec extends SparkSpec {
         "event_type", "ts")
       .as[(String, Long, Long, Long)].collect().head
     r shouldBe (("b", 14L, 0L, 1L)) // all dg = 0: smallest weekday wins
+  }
+
+  test("weekdayAdjustedZscore: an outlier Monday flags; a uniformly-busy Sunday does not") {
+    // 11 Mondays at 5 with one at 50: z = 450/sqrt(20250) ~ 3.162 >= 3.
+    // Every Sunday at 20 (busier than Mondays, but NORMAL for Sundays):
+    // zero within-weekday variance -> z NULL, anomaly false.
+    def day(base: String, weeks: Int) = java.time.LocalDate.parse(base)
+      .plusDays(7L * weeks).toString
+    val rows =
+      (0 until 10).flatMap(k => Seq.fill(5)(("a", day("2024-01-01", k)))) ++
+        Seq.fill(50)(("a", day("2024-01-01", 10))) ++
+        (0 until 11).flatMap(k => Seq.fill(20)(("a", day("2024-01-07", k))))
+    val df = rows.map { case (t, d) =>
+      (t, Timestamp.valueOf(s"$d 12:00:00")) }.toDF("event_type", "ts")
+    val out = Analytics.weekdayAdjustedZscore(df, "ts", "event_type")
+      .as[(String, String, Long, Long, Option[Double], Boolean)].collect()
+    val flagged = out.filter(_._6)
+    flagged.map(_._2) shouldBe Array(day("2024-01-01", 10))
+    out.filter(_._3 == 1L).foreach { r => // Sundays: z NULL, no flag
+      r._5 shouldBe None
+      r._6 shouldBe false
+    }
+  }
+
+  test("benfordAudit: hand counts, absent digits emit zero rows, non-positives excluded") {
+    val rows = Seq(100L, 150L, 199L, 250L, 900L, 0L, -5L).toDF("cents")
+    val out = Analytics.benfordAudit(rows, col("cents"))
+      .orderBy("digit")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    out.length shouldBe 9
+    val byDigit = out.map(r => r._1 -> r).toMap
+    byDigit(1L)._2 shouldBe 3L // 100, 150, 199
+    byDigit(1L)._3 shouldBe 600000L
+    byDigit(1L)._4 shouldBe 301030L // round(log10(2) * 1e6)
+    byDigit(1L)._5 shouldBe 298970L
+    byDigit(2L)._2 shouldBe 1L
+    byDigit(9L)._2 shouldBe 1L
+    byDigit(3L)._2 shouldBe 0L // absent digit still reported
   }
 
   test("interEventGaps: hand-computed log2 buckets, same-second bucket 0") {
