@@ -3234,6 +3234,18 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Funnel step latency (q188): p25/p50/p75 of the per-user
+    * resolution gap for each consecutive step pair of the q166
+    * windowed funnel — where users stall, in exact order
+    * statistics. */
+  private def funnelLatencyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.funnelStepLatency(Tables.events(s, dir), "user_id", "ts",
+        "event_type", Seq("signup", "view", "click", "purchase"),
+        windowSecs = 172800L, pcts = Seq(25, 50, 75))
+      .orderBy(col("pair"), col("pct"))
+  }
+
   /** Weekday-adjusted anomalies (q186): each day scored against its
     * own weekday's distribution — the seasonal repair of q123's
     * trailing z-score (a quiet Sunday is normal; the same count on a
@@ -3767,7 +3779,8 @@ object SparkEntry {
     "q184_stickiness" -> (stickinessQuery _),
     "q185_image_crop" -> (imageCropQuery _),
     "q186_weekday_zscore" -> (weekdayZscoreQuery _),
-    "q187_benford_audit" -> (benfordQuery _))
+    "q187_benford_audit" -> (benfordQuery _),
+    "q188_funnel_latency" -> (funnelLatencyQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4046,7 +4059,7 @@ object SparkEntry {
     "q177_weighted_sample", "q178_bpe_fertility", "q179_k_anonymity",
     "q181_equi_depth_histogram", "q182_key_stats_nightly",
     "q183_edit_distance_join", "q184_stickiness", "q185_image_crop",
-    "q186_weekday_zscore", "q187_benford_audit")
+    "q186_weekday_zscore", "q187_benford_audit", "q188_funnel_latency")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7913,7 +7926,48 @@ object SparkEntry {
          SELECT CAST(digit AS BIGINT) AS digit, n, observed_ppm,
                 expected_ppm,
                 abs(observed_ppm - expected_ppm) AS deviation_ppm
-         FROM j ORDER BY digit""")
+         FROM j ORDER BY digit""",
+    // Funnel step latency: the q166 resolved-times chain, gaps per
+    // consecutive pair, then the q169 histogram-prefix percentile
+    // lookup per pair.
+    "q188_funnel_latency" ->
+      """WITH e AS (SELECT user_id AS u,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                           event_type AS typ
+                    FROM events),
+         c0 AS (SELECT u, min(sec) AS m0 FROM e WHERE typ = 'signup'
+                GROUP BY u),
+         c1 AS (SELECT e.u, min(sec) AS m1 FROM e JOIN c0 USING (u)
+                WHERE typ = 'view' AND sec > m0 AND sec <= m0 + 172800
+                GROUP BY e.u),
+         c2 AS (SELECT e.u, min(sec) AS m2 FROM e JOIN c1 USING (u)
+                WHERE typ = 'click' AND sec > m1 AND sec <= m1 + 172800
+                GROUP BY e.u),
+         c3 AS (SELECT e.u, min(sec) AS m3 FROM e JOIN c2 USING (u)
+                WHERE typ = 'purchase' AND sec > m2 AND sec <= m2 + 172800
+                GROUP BY e.u),
+         g AS (SELECT 'signup->view' AS pair, m1 - m0 AS gap
+               FROM c1 JOIN c0 USING (u)
+               UNION ALL
+               SELECT 'view->click', m2 - m1 FROM c2 JOIN c1 USING (u)
+               UNION ALL
+               SELECT 'click->purchase', m3 - m2 FROM c3 JOIN c2 USING (u)),
+         h AS (SELECT pair, gap, CAST(count(*) AS BIGINT) AS c
+               FROM g GROUP BY 1, 2),
+         w AS (SELECT pair, gap, c,
+                      CAST(coalesce(sum(c) OVER (PARTITION BY pair
+                        ORDER BY gap
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS below
+               FROM h),
+         t AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n
+               FROM h GROUP BY pair),
+         p AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS pct)
+         SELECT w.pair, p.pct, w.gap AS gap_secs
+         FROM w JOIN t USING (pair) CROSS JOIN p
+         WHERE below < (pct * n + 99) // 100
+           AND (pct * n + 99) // 100 <= below + c
+         ORDER BY pair, pct""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

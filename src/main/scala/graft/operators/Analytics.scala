@@ -510,7 +510,14 @@ object Analytics {
     * Exact integers: epoch seconds, conversion_ppm vs step 0 by
     * integer div. Equal timestamps do NOT advance (strict >, the K89
     * contract). Output: (step_idx, step, n_users, conversion_ppm). */
-  def windowedFunnel(
+  /** Per-user RESOLVED step times under the deadline semantics —
+    * [[windowedFunnel]]'s intermediate, exposed because the step
+    * LATENCY view needs the times, not just the counts: `m0` is the
+    * first `steps(0)`, and `m_i` the first `steps(i)` inside
+    * `(m_{i−1}, m_{i−1}+W]`. One column per step, NULL once the
+    * chain breaks. Shape: one min-rollup per step, each joined on
+    * the user key against the shrinking reached set. */
+  def windowedFunnelResolved(
       events: DataFrame,
       userCol: String,
       tsCol: String,
@@ -520,8 +527,6 @@ object Analytics {
     require(steps.nonEmpty && steps.distinct == steps,
       s"steps must be non-empty and distinct: $steps")
     require(windowSecs >= 1, s"windowSecs must be >= 1, got $windowSecs")
-    val spark = events.sparkSession
-    import spark.implicits._
     val ev = events.select(col(userCol).as("u"),
       unix_seconds(col(tsCol)).as("sec"), col(typeCol).as("typ"))
     var reach = ev.filter(col("typ") === steps.head)
@@ -535,6 +540,54 @@ object Analytics {
         .groupBy(col("u")).agg(min(col("sec")).as(s"m$i"))
       reach = reach.join(nxt, Seq("u"), "left")
     }
+    reach
+  }
+
+  /** Funnel STEP LATENCY — "where do users stall": exact percentile
+    * bands of the per-user resolution gap `m_i − m_{i−1}` for each
+    * consecutive step pair of the windowed funnel, via the
+    * histogram-prefix order statistic ([[exactPercentiles]] — no
+    * value buffering, no global sort). The companion read to
+    * [[windowedFunnel]]'s counts: conversion says HOW MANY make each
+    * step, this says HOW LONG the ones who make it took.
+    *
+    * Shape at 100 TB: the resolved-times relation (user-sized), a
+    * ≤ steps-wide unpivot, then the percentile histogram machinery.
+    * Output: (pair, pct, gap_secs). */
+  def funnelStepLatency(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      windowSecs: Long,
+      pcts: Seq[Int]): DataFrame = {
+    require(steps.length >= 2, s"need at least two steps: $steps")
+    val reach = windowedFunnelResolved(events, userCol, tsCol, typeCol,
+      steps, windowSecs)
+    val gaps = reach.select(explode(array((1 until steps.length).map { i =>
+        struct(lit(s"${steps(i - 1)}->${steps(i)}").as("pair"),
+          (col(s"m$i") - col(s"m${i - 1}")).as("gap"))
+      }: _*)).as("e"))
+      .select(col("e.pair").as("pair"), col("e.gap").as("gap"))
+      .filter(col("gap").isNotNull)
+    exactPercentiles(gaps, "pair", col("gap"), pcts)
+      .select(col("key").as("pair"), col("pct"),
+        col("value").as("gap_secs"))
+  }
+
+  def windowedFunnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      windowSecs: Long): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"steps must be non-empty and distinct: $steps")
+    require(windowSecs >= 1, s"windowSecs must be >= 1, got $windowSecs")
+    val reach = windowedFunnelResolved(events, userCol, tsCol, typeCol,
+      steps, windowSecs)
     val counts = reach.agg(
       count(col("m0")).as("n0"),
       steps.indices.tail.map(i => count(col(s"m$i")).as(s"n$i")): _*)
