@@ -3234,6 +3234,15 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Weekly retention triangle (q189): cohort week × week offset
+    * distinct returners in exact ppm — the growth chart, on ISO
+    * Monday weeks in both engines. */
+  private def weeklyRetentionQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.weeklyRetention(Tables.events(s, dir), "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Funnel step latency (q188): p25/p50/p75 of the per-user
     * resolution gap for each consecutive step pair of the q166
     * windowed funnel — where users stall, in exact order
@@ -3780,7 +3789,8 @@ object SparkEntry {
     "q185_image_crop" -> (imageCropQuery _),
     "q186_weekday_zscore" -> (weekdayZscoreQuery _),
     "q187_benford_audit" -> (benfordQuery _),
-    "q188_funnel_latency" -> (funnelLatencyQuery _))
+    "q188_funnel_latency" -> (funnelLatencyQuery _),
+    "q189_weekly_retention" -> (weeklyRetentionQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4059,7 +4069,8 @@ object SparkEntry {
     "q177_weighted_sample", "q178_bpe_fertility", "q179_k_anonymity",
     "q181_equi_depth_histogram", "q182_key_stats_nightly",
     "q183_edit_distance_join", "q184_stickiness", "q185_image_crop",
-    "q186_weekday_zscore", "q187_benford_audit", "q188_funnel_latency")
+    "q186_weekday_zscore", "q187_benford_audit", "q188_funnel_latency",
+    "q189_weekly_retention")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7967,7 +7978,25 @@ object SparkEntry {
          FROM w JOIN t USING (pair) CROSS JOIN p
          WHERE below < (pct * n + 99) // 100
            AND (pct * n + 99) // 100 <= below + c
-         ORDER BY pair, pct""")
+         ORDER BY pair, pct""",
+    // Weekly retention: ISO Monday weeks in both engines; date
+    // subtraction yields days, always a multiple of 7 here.
+    "q189_weekly_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+                            CAST(date_trunc('week', ts) AS DATE) AS wk
+                     FROM events),
+         ch AS (SELECT u, min(wk) AS cw FROM uw GROUP BY u),
+         sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+                FROM ch GROUP BY cw),
+         act AS (SELECT ch.cw, CAST((uw.wk - ch.cw) // 7 AS BIGINT)
+                        AS week_offset,
+                        CAST(count(*) AS BIGINT) AS n_active
+                 FROM uw JOIN ch USING (u) GROUP BY 1, 2)
+         SELECT CAST(act.cw AS VARCHAR) AS cohort_week, act.week_offset,
+                act.n_active, sz.cohort_size,
+                act.n_active * 1000000 // sz.cohort_size AS retention_ppm
+         FROM act JOIN sz USING (cw)
+         ORDER BY cohort_week, week_offset""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

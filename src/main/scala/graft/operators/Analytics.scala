@@ -1064,6 +1064,38 @@ object Analytics {
           e => e.getField("sym").cast("string")), "").as("sax_word"))
   }
 
+  /** Weekly retention TRIANGLE — the growth chart behind every
+    * cohort analysis deck: users bucket into their first-active ISO
+    * week, and each later week's distinct returners score against
+    * the cohort size in exact ppm. [[cohortRetention]]'s daily
+    * offsets answer "do they come back tomorrow"; the weekly
+    * triangle answers "does week-4 retention hold across cohorts" —
+    * the axis investors actually read.
+    *
+    * Weeks are `date_trunc(week)` Mondays in BOTH engines (ISO), so
+    * the offset `(week − cohort_week) div 7` is always an exact
+    * integer. Shape at 100 TB: one shuffle to the distinct user-week
+    * rollup, a user-key min for the cohort, one join back (user-key,
+    * same partitioning), one (cohort, offset) rollup. */
+  def weeklyRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val uw = events.select(col(userCol).as("u"),
+      date_trunc("week", col(tsCol)).cast("date").as("wk")).distinct()
+    val cohort = uw.groupBy(col("u")).agg(min(col("wk")).as("cw"))
+    val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, Seq("u"))
+      .select(col("cw"), (datediff(col("wk"), col("cw")) / 7)
+        .cast(LongType).as("week_offset"))
+      .groupBy(col("cw"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cw"))
+      .select(col("cw").cast("string").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        expr("n_active * 1000000 div cohort_size").as("retention_ppm"))
+  }
+
   /** DAU/WAU/MAU stickiness — the engagement sheet every product
     * dashboard opens with: per day, the distinct actives that day
     * (DAU), in the trailing 7 days (WAU), and in the trailing 28

@@ -27,6 +27,20 @@ class StickinessSpec extends SparkSpec {
       ("2024-01-09", 1L, 1L, 3L, 1000000L))
   }
 
+  test("weeklyRetention: hand-checked two-cohort triangle") {
+    // 2024-01-01 and 2024-01-08 are Mondays. Cohort W1: u1 (returns
+    // both weeks), u2 (week 1 only). Cohort W2: u3.
+    val rows = Seq(ev(1, "01"), ev(1, "02"), ev(1, "10"), ev(2, "03"),
+      ev(3, "09")).toDF("user_id", "ts")
+    val out = Analytics.weeklyRetention(rows, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .as[(String, Long, Long, Long, Long)].collect()
+    out shouldBe Array(
+      ("2024-01-01", 0L, 2L, 2L, 1000000L),
+      ("2024-01-01", 1L, 1L, 2L, 500000L), // u1 returned in week 2
+      ("2024-01-08", 0L, 1L, 1L, 1000000L))
+  }
+
   test("the week window is exactly 7 days: day -7 is out, day -6 is in") {
     val rows = Seq(ev(1, "01"), ev(2, "02"), ev(9, "08"))
       .toDF("user_id", "ts")
