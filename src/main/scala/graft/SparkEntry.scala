@@ -3234,6 +3234,45 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Fulfillment latency (q190): exact p25/p50/p75 of order-to-ship
+    * days per order priority — the warehouse-side twin of the q188
+    * funnel latency, over the orders⋈lineitem star (keys + two small
+    * columns shuffle, the histogram-prefix percentile machinery). */
+  private def fulfillmentLatencyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+    val gaps = li.join(o, Seq("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("days"))
+    Analytics.exactPercentiles(gaps, "o_orderpriority", col("days"),
+        Seq(25, 50, 75))
+      .select(col("key").as("o_orderpriority"), col("pct"),
+        col("value").as("days"))
+      .orderBy(col("o_orderpriority"), col("pct"))
+  }
+
+  /** CUBE rollup (q191): q38's ROLLUP twin — all four grouping
+    * combinations of (returnflag, linestatus) with grouping_id
+    * disambiguation, one pass. */
+  private def cubeQuery(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id(col("l_returnflag"), col("l_linestatus"))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** Weekly retention triangle (q189): cohort week × week offset
     * distinct returners in exact ppm — the growth chart, on ISO
     * Monday weeks in both engines. */
@@ -3790,7 +3829,9 @@ object SparkEntry {
     "q186_weekday_zscore" -> (weekdayZscoreQuery _),
     "q187_benford_audit" -> (benfordQuery _),
     "q188_funnel_latency" -> (funnelLatencyQuery _),
-    "q189_weekly_retention" -> (weeklyRetentionQuery _))
+    "q189_weekly_retention" -> (weeklyRetentionQuery _),
+    "q190_fulfillment_latency" -> (fulfillmentLatencyQuery _),
+    "q191_cube" -> (cubeQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4070,7 +4111,7 @@ object SparkEntry {
     "q181_equi_depth_histogram", "q182_key_stats_nightly",
     "q183_edit_distance_join", "q184_stickiness", "q185_image_crop",
     "q186_weekday_zscore", "q187_benford_audit", "q188_funnel_latency",
-    "q189_weekly_retention")
+    "q189_weekly_retention", "q190_fulfillment_latency", "q191_cube")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -7996,7 +8037,40 @@ object SparkEntry {
                 act.n_active, sz.cohort_size,
                 act.n_active * 1000000 // sz.cohort_size AS retention_ppm
          FROM act JOIN sz USING (cw)
-         ORDER BY cohort_week, week_offset""")
+         ORDER BY cohort_week, week_offset""",
+    // Fulfillment latency: order->ship day gaps per priority through
+    // the q169 per-key percentile machinery; DATE minus DATE is days.
+    "q190_fulfillment_latency" ->
+      """WITH g AS (SELECT o.o_orderpriority AS k,
+                           CAST(l.l_shipdate::DATE - o.o_orderdate::DATE
+                             AS BIGINT) AS v
+                    FROM lineitem l
+                    JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         h AS (SELECT k, v, CAST(count(*) AS BIGINT) AS c
+               FROM g GROUP BY 1, 2),
+         w AS (SELECT k, v, c,
+                      CAST(coalesce(sum(c) OVER (PARTITION BY k ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS below
+               FROM h),
+         t AS (SELECT k, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY k),
+         p AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS pct)
+         SELECT w.k AS o_orderpriority, p.pct, w.v AS days
+         FROM w JOIN t USING (k) CROSS JOIN p
+         WHERE below < (pct * n + 99) // 100
+           AND (pct * n + 99) // 100 <= below + c
+         ORDER BY o_orderpriority, pct""",
+    // CUBE: all four grouping combinations, grouping_id = bit order
+    // (returnflag, linestatus) in both engines.
+    "q191_cube" ->
+      """SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                  AS BIGINT) AS gid,
+                coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */
