@@ -3273,6 +3273,45 @@ object SparkEntry {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Session depth histogram (q192): how long and how deep sessions
+    * run — q35's session windows rolled into log₂ event-count
+    * buckets (the q174 integer-log₂ convention), with span extremes
+    * per bucket. */
+  private def sessionDepthQuery(s: SparkSession, dir: String): DataFrame = {
+    val perSession = Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_seconds(max(col("ts"))) - unix_seconds(min(col("ts"))))
+          .as("span_secs"))
+    perSession
+      .withColumn("bucket", length(bin(col("n_events"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        min(col("n_events")).as("min_events"),
+        max(col("n_events")).as("max_events"),
+        max(col("span_secs")).as("max_span_secs"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Week-over-week metrics (q193): per-type ISO-week counts with
+    * the WoW delta in exact ppm — the first derivative every metrics
+    * dashboard plots. */
+  private def wowQuery(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .agg(count(lit(1)).as("n"))
+    val byWk = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+    weekly
+      .withColumn("prev", lag(col("n"), 1).over(byWk))
+      .select(col("event_type"), col("wk").cast("string").as("week"),
+        col("n"), col("prev"),
+        when(col("prev").isNotNull && col("prev") > 0,
+          expr("(n - prev) * 1000000 div prev")).as("wow_delta_ppm"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
   /** Weekly retention triangle (q189): cohort week × week offset
     * distinct returners in exact ppm — the growth chart, on ISO
     * Monday weeks in both engines. */
@@ -3831,7 +3870,9 @@ object SparkEntry {
     "q188_funnel_latency" -> (funnelLatencyQuery _),
     "q189_weekly_retention" -> (weeklyRetentionQuery _),
     "q190_fulfillment_latency" -> (fulfillmentLatencyQuery _),
-    "q191_cube" -> (cubeQuery _))
+    "q191_cube" -> (cubeQuery _),
+    "q192_session_depth" -> (sessionDepthQuery _),
+    "q193_wow_metrics" -> (wowQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4111,7 +4152,8 @@ object SparkEntry {
     "q181_equi_depth_histogram", "q182_key_stats_nightly",
     "q183_edit_distance_join", "q184_stickiness", "q185_image_crop",
     "q186_weekday_zscore", "q187_benford_audit", "q188_funnel_latency",
-    "q189_weekly_retention", "q190_fulfillment_latency", "q191_cube")
+    "q189_weekly_retention", "q190_fulfillment_latency", "q191_cube",
+    "q192_session_depth", "q193_wow_metrics")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8070,7 +8112,51 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-         ORDER BY gid, l_returnflag, l_linestatus""")
+         ORDER BY gid, l_returnflag, l_linestatus""",
+    // Session depth: the q35 gap-islands derivation, rolled into
+    // integer-log2 event-count buckets with span extremes.
+    "q192_session_depth" ->
+      """WITH m AS (SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+         g AS (SELECT user_id, ts,
+                      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m),
+         sess AS (SELECT user_id, sid,
+                         CAST(count(*) AS BIGINT) AS n_events,
+                         CAST(floor(epoch(max(ts))) AS BIGINT) -
+                           CAST(floor(epoch(min(ts))) AS BIGINT) AS span
+                  FROM g GROUP BY 1, 2)
+         SELECT CAST(length(bin(n_events)) AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(min(n_events) AS BIGINT) AS min_events,
+                CAST(max(n_events) AS BIGINT) AS max_events,
+                CAST(max(span) AS BIGINT) AS max_span_secs
+         FROM sess GROUP BY 1 ORDER BY 1""",
+    // WoW: weekly counts + lag delta in exact ppm; delta may be
+    // negative, but DuckDB // floors while Spark div truncates —
+    // (n - prev) and prev are both handled via the same // on a
+    // nonneg... see note: deltas CAN be negative, so mirror Spark's
+    // truncate-toward-zero with a sign split.
+    "q193_wow_metrics" ->
+      """WITH w AS (SELECT event_type,
+                           CAST(date_trunc('week', ts) AS DATE) AS wk,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, wk, n,
+                      lag(n) OVER (PARTITION BY event_type ORDER BY wk)
+                        AS prev
+               FROM w)
+         SELECT event_type, CAST(wk AS VARCHAR) AS week, n, prev,
+                CASE WHEN prev IS NULL OR prev <= 0 THEN NULL
+                     WHEN n >= prev THEN (n - prev) * 1000000 // prev
+                     ELSE -((prev - n) * 1000000 // prev) END
+                  AS wow_delta_ppm
+         FROM l ORDER BY event_type, week""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */
