@@ -3273,6 +3273,33 @@ object SparkEntry {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Cohort-split funnel (q194): the q166 windowed funnel broken out
+    * by signup week — "did the new onboarding cohort convert better".
+    * The week comes from PURE integer arithmetic on the resolved
+    * epoch seconds (Monday-aligned days-since-epoch, 1970-01-05 was
+    * a Monday), so no engine timezone can skew the bucket. */
+  private def cohortFunnelQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    val steps = Seq("signup", "view", "click", "purchase")
+    val reach = Analytics.windowedFunnelResolved(Tables.events(s, dir),
+      "user_id", "ts", "event_type", steps, windowSecs = 172800L)
+    val cohort = reach.withColumn("cw",
+      date_add(lit("1970-01-01").cast("date"),
+        (lit(4L) + lit(7L) * expr("(m0 div 86400 - 4) div 7"))
+          .cast("int")))
+    val counts = cohort.groupBy(col("cw"))
+      .agg(count(col("m0")).as("n0"),
+        steps.indices.tail.map(i => count(col(s"m$i")).as(s"n$i")): _*)
+    counts.select(col("cw"), explode(array(steps.zipWithIndex.map {
+        case (st, i) => struct(lit(i.toLong).as("step_idx"),
+          lit(st).as("step"), col(s"n$i").as("n_users"))
+      }: _*)).as("s"), col("n0"))
+      .select(col("cw").cast("string").as("cohort_week"),
+        col("s.step_idx"), col("s.step"), col("s.n_users"),
+        expr("s.n_users * 1000000 div n0").as("conversion_ppm"))
+      .orderBy(col("cohort_week"), col("step_idx"))
+  }
+
   /** Session depth histogram (q192): how long and how deep sessions
     * run — q35's session windows rolled into log₂ event-count
     * buckets (the q174 integer-log₂ convention), with span extremes
@@ -3872,7 +3899,8 @@ object SparkEntry {
     "q190_fulfillment_latency" -> (fulfillmentLatencyQuery _),
     "q191_cube" -> (cubeQuery _),
     "q192_session_depth" -> (sessionDepthQuery _),
-    "q193_wow_metrics" -> (wowQuery _))
+    "q193_wow_metrics" -> (wowQuery _),
+    "q194_cohort_funnel" -> (cohortFunnelQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4153,7 +4181,7 @@ object SparkEntry {
     "q183_edit_distance_join", "q184_stickiness", "q185_image_crop",
     "q186_weekday_zscore", "q187_benford_audit", "q188_funnel_latency",
     "q189_weekly_retention", "q190_fulfillment_latency", "q191_cube",
-    "q192_session_depth", "q193_wow_metrics")
+    "q192_session_depth", "q193_wow_metrics", "q194_cohort_funnel")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8156,7 +8184,43 @@ object SparkEntry {
                      WHEN n >= prev THEN (n - prev) * 1000000 // prev
                      ELSE -((prev - n) * 1000000 // prev) END
                   AS wow_delta_ppm
-         FROM l ORDER BY event_type, week""")
+         FROM l ORDER BY event_type, week""",
+    // Cohort funnel: the q166 resolved chain bucketed by a PURE
+    // integer Monday-aligned week of m0 (no engine timezone in play).
+    "q194_cohort_funnel" ->
+      """WITH e AS (SELECT user_id AS u,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                           event_type AS typ
+                    FROM events),
+         c0 AS (SELECT u, min(sec) AS m0 FROM e WHERE typ = 'signup'
+                GROUP BY u),
+         c1 AS (SELECT e.u, min(sec) AS m1 FROM e JOIN c0 USING (u)
+                WHERE typ = 'view' AND sec > m0 AND sec <= m0 + 172800
+                GROUP BY e.u),
+         c2 AS (SELECT e.u, min(sec) AS m2 FROM e JOIN c1 USING (u)
+                WHERE typ = 'click' AND sec > m1 AND sec <= m1 + 172800
+                GROUP BY e.u),
+         c3 AS (SELECT e.u, min(sec) AS m3 FROM e JOIN c2 USING (u)
+                WHERE typ = 'purchase' AND sec > m2 AND sec <= m2 + 172800
+                GROUP BY e.u),
+         r AS (SELECT c0.u, c0.m0, c1.m1, c2.m2, c3.m3,
+                      DATE '1970-01-01' + CAST(4 + 7 *
+                        ((m0 // 86400 - 4) // 7) AS INTEGER) AS cw
+               FROM c0 LEFT JOIN c1 USING (u) LEFT JOIN c2 USING (u)
+                       LEFT JOIN c3 USING (u)),
+         g AS (SELECT cw, CAST(count(m0) AS BIGINT) AS n0,
+                      CAST(count(m1) AS BIGINT) AS n1,
+                      CAST(count(m2) AS BIGINT) AS n2,
+                      CAST(count(m3) AS BIGINT) AS n3
+               FROM r GROUP BY cw)
+         SELECT CAST(cw AS VARCHAR) AS cohort_week, step_idx, step,
+                n_users, n_users * 1000000 // n0 AS conversion_ppm
+         FROM (SELECT cw, 0 AS step_idx, 'signup' AS step,
+                      n0 AS n_users, n0 FROM g
+               UNION ALL SELECT cw, 1, 'view', n1, n0 FROM g
+               UNION ALL SELECT cw, 2, 'click', n2, n0 FROM g
+               UNION ALL SELECT cw, 3, 'purchase', n3, n0 FROM g)
+         ORDER BY cohort_week, step_idx""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */
