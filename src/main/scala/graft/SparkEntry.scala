@@ -3273,6 +3273,15 @@ object SparkEntry {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** A/B test harness (q195): deterministic hash-split arms, purchase
+    * conversion per arm, pooled two-proportion z — the
+    * experimentation primitive with no framework dependency. */
+  private def abTestQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.abTestHarness(Tables.events(s, dir), "user_id",
+      "event_type", conversionType = "purchase", salt = "exp1")
+  }
+
   /** Cohort-split funnel (q194): the q166 windowed funnel broken out
     * by signup week — "did the new onboarding cohort convert better".
     * The week comes from PURE integer arithmetic on the resolved
@@ -3900,7 +3909,8 @@ object SparkEntry {
     "q191_cube" -> (cubeQuery _),
     "q192_session_depth" -> (sessionDepthQuery _),
     "q193_wow_metrics" -> (wowQuery _),
-    "q194_cohort_funnel" -> (cohortFunnelQuery _))
+    "q194_cohort_funnel" -> (cohortFunnelQuery _),
+    "q195_ab_test" -> (abTestQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4181,7 +4191,8 @@ object SparkEntry {
     "q183_edit_distance_join", "q184_stickiness", "q185_image_crop",
     "q186_weekday_zscore", "q187_benford_audit", "q188_funnel_latency",
     "q189_weekly_retention", "q190_fulfillment_latency", "q191_cube",
-    "q192_session_depth", "q193_wow_metrics", "q194_cohort_funnel")
+    "q192_session_depth", "q193_wow_metrics", "q194_cohort_funnel",
+    "q195_ab_test")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8220,7 +8231,50 @@ object SparkEntry {
                UNION ALL SELECT cw, 1, 'view', n1, n0 FROM g
                UNION ALL SELECT cw, 2, 'click', n2, n0 FROM g
                UNION ALL SELECT cw, 3, 'purchase', n3, n0 FROM g)
-         ORDER BY cohort_week, step_idx""")
+         ORDER BY cohort_week, step_idx""",
+    // A/B harness: same salted hash split, exact counts; z evaluates
+    // in the SAME left-assoc IEEE op order as the Spark chain
+    // ((X/N)*(N-X))*n_a)*n_b then sqrt then divide, round 6.
+    "q195_ab_test" ->
+      """WITH pu AS (SELECT CAST(user_id AS VARCHAR) AS u,
+                     CASE WHEN max(CASE WHEN event_type = 'purchase'
+                                        THEN 1 END) IS NULL THEN 0
+                          ELSE 1 END AS conv
+               FROM events GROUP BY 1),
+         a AS (SELECT ('0x' || substr(md5('ab:exp1:' || u), 1, 15))::BIGINT
+                        % 2 AS arm, conv
+               FROM pu),
+         arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(conv) AS BIGINT) AS x
+                  FROM a GROUP BY 1),
+         w AS (SELECT
+                 CAST(coalesce(sum(CASE WHEN arm = 0 THEN n END), 0)
+                   AS BIGINT) AS n_a,
+                 CAST(coalesce(sum(CASE WHEN arm = 0 THEN x END), 0)
+                   AS BIGINT) AS x_a,
+                 CAST(coalesce(sum(CASE WHEN arm = 1 THEN n END), 0)
+                   AS BIGINT) AS n_b,
+                 CAST(coalesce(sum(CASE WHEN arm = 1 THEN x END), 0)
+                   AS BIGINT) AS x_b
+               FROM arms),
+         z AS (SELECT n_a, x_a, n_b, x_b,
+                      x_a * 1000000 // n_a AS rate_a_ppm,
+                      x_b * 1000000 // n_b AS rate_b_ppm,
+                      CASE WHEN n_a > 0 AND n_b > 0
+                             AND x_a + x_b > 0
+                             AND x_a + x_b < n_a + n_b
+                           THEN round(
+                             CAST(x_a * n_b - x_b * n_a AS DOUBLE) /
+                             sqrt(CAST(x_a + x_b AS DOUBLE) /
+                                  CAST(n_a + n_b AS DOUBLE) *
+                                  CAST(n_a + n_b - x_a - x_b AS DOUBLE) *
+                                  CAST(n_a AS DOUBLE) *
+                                  CAST(n_b AS DOUBLE)), 6)
+                           END AS z
+               FROM w)
+         SELECT n_a, x_a, n_b, x_b, rate_a_ppm, rate_b_ppm, z,
+                coalesce(abs(z) >= 1.96, false) AS significant
+         FROM z""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

@@ -1064,6 +1064,63 @@ object Analytics {
           e => e.getField("sym").cast("string")), "").as("sax_word"))
   }
 
+  /** Two-proportion z-test A/B harness — the experimentation
+    * primitive: users split into arms by the deterministic salted
+    * hash (the q51 sampler — same assignment on every engine, every
+    * run, every partitioning; no experiment framework needed), each
+    * arm counts its converted users, and the pooled two-proportion
+    * z-statistic scores the difference.
+    *
+    * Arithmetic contract: counts are exact integers; the statistic
+    * `z = (x₁n₂ − x₂n₁) / √(X(N−X)·n₁n₂/N)` evaluates in the STATED
+    * IEEE op order — numerator exact integer, denominator
+    * `(X/N)·(N−X)·n₁·n₂` as double mult/div chain then one sqrt —
+    * identical bits in both engines (each single op is correctly
+    * rounded), rounded to 6. The double detour exists because
+    * `X(N−X)n₁n₂` overflows a long at population scale; the division
+    * interleaves FIRST by design, and the order is part of the
+    * contract.
+    *
+    * Shape at 100 TB: one user-key rollup (assignment is map-side),
+    * a 2-row aggregate, one row out. */
+  def abTestHarness(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      conversionType: String,
+      salt: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).cast("string").as("u"))
+      .agg(max(when(col(typeCol) === conversionType, 1L))
+        .as("_conv"))
+      .select(col("u"),
+        (TextDedup.md5Hash60(concat(lit(s"ab:$salt:"), col("u"))) % 2)
+          .as("arm"),
+        coalesce(col("_conv"), lit(0L)).as("conv"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+    val wide = arms.agg(
+      coalesce(sum(when(col("arm") === 0, col("n"))), lit(0L)).as("n_a"),
+      coalesce(sum(when(col("arm") === 0, col("x"))), lit(0L)).as("x_a"),
+      coalesce(sum(when(col("arm") === 1, col("n"))), lit(0L)).as("n_b"),
+      coalesce(sum(when(col("arm") === 1, col("x"))), lit(0L)).as("x_b"))
+    wide.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        expr("x_a * 1000000 div n_a").as("rate_a_ppm"),
+        expr("x_b * 1000000 div n_b").as("rate_b_ppm"),
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+          (col("x_a") + col("x_b")) > 0 &&
+          (col("x_a") + col("x_b")) < (col("n_a") + col("n_b")),
+          round((col("x_a") * col("n_b") - col("x_b") * col("n_a"))
+            .cast(DoubleType) /
+            sqrt((col("x_a") + col("x_b")).cast(DoubleType) /
+              (col("n_a") + col("n_b")).cast(DoubleType) *
+              (col("n_a") + col("n_b") - col("x_a") - col("x_b"))
+                .cast(DoubleType) *
+              col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)),
+            6)).as("z"))
+      .withColumn("significant", coalesce(abs(col("z")) >= 1.96, lit(false)))
+  }
+
   /** Weekly retention TRIANGLE — the growth chart behind every
     * cohort analysis deck: users bucket into their first-active ISO
     * week, and each later week's distinct returners score against

@@ -41,6 +41,35 @@ class StickinessSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L, 1L, 1000000L))
   }
 
+  test("abTestHarness: arms partition users, z matches the stated op order, degenerate z is NULL") {
+    val rows = (1 to 200).map { i =>
+      val typ = if (i % 3 == 0) "purchase" else "view"
+      (i.toLong, Timestamp.valueOf("2024-01-01 10:00:00"), typ)
+    }.toDF("user_id", "ts", "event_type")
+      .drop("ts")
+    val r = Analytics.abTestHarness(rows, "user_id", "event_type",
+        "purchase", "exp1")
+      .collect().head
+    val (na, xa, nb, xb) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    na + nb shouldBe 200L
+    xa + xb shouldBe 66L // i % 3 == 0 converters
+    xa should be <= na
+    xb should be <= nb
+    // the z the operator reports must equal the stated IEEE op chain
+    val z = (xa * nb - xb * na).toDouble /
+      math.sqrt((xa + xb).toDouble / (na + nb).toDouble *
+        (na + nb - xa - xb).toDouble * na.toDouble * nb.toDouble)
+    r.getDouble(6) shouldBe (math.rint(z * 1e6) / 1e6 +- 1e-9)
+    // all-converted arm pair: pooled variance is 0 -> z NULL, not inf
+    val all = (1 to 40).map(i => (i.toLong, "purchase"))
+      .toDF("user_id", "event_type")
+    val d = Analytics.abTestHarness(all, "user_id", "event_type",
+      "purchase", "exp1").collect().head
+    d.isNullAt(6) shouldBe true
+    d.getBoolean(7) shouldBe false
+  }
+
   test("the week window is exactly 7 days: day -7 is out, day -6 is in") {
     val rows = Seq(ev(1, "01"), ev(2, "02"), ev(9, "08"))
       .toDF("user_id", "ts")
