@@ -3273,6 +3273,22 @@ object SparkEntry {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Revenue Pareto (q196): the Lorenz curve of per-customer revenue
+    * in ten equal-count buckets — "the top decile drives what share",
+    * exact cumulative ppm, no global sort of customers. */
+  private def revenueParetoQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    val rev = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        Seq("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("revenue"))
+    Analytics.lorenzCurve(rev, col("revenue"), buckets = 10)
+      .orderBy(col("bucket"))
+  }
+
   /** A/B test harness (q195): deterministic hash-split arms, purchase
     * conversion per arm, pooled two-proportion z — the
     * experimentation primitive with no framework dependency. */
@@ -3910,7 +3926,8 @@ object SparkEntry {
     "q192_session_depth" -> (sessionDepthQuery _),
     "q193_wow_metrics" -> (wowQuery _),
     "q194_cohort_funnel" -> (cohortFunnelQuery _),
-    "q195_ab_test" -> (abTestQuery _))
+    "q195_ab_test" -> (abTestQuery _),
+    "q196_revenue_pareto" -> (revenueParetoQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4192,7 +4209,7 @@ object SparkEntry {
     "q186_weekday_zscore", "q187_benford_audit", "q188_funnel_latency",
     "q189_weekly_retention", "q190_fulfillment_latency", "q191_cube",
     "q192_session_depth", "q193_wow_metrics", "q194_cohort_funnel",
-    "q195_ab_test")
+    "q195_ab_test", "q196_revenue_pareto")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8274,7 +8291,46 @@ object SparkEntry {
                FROM w)
          SELECT n_a, x_a, n_b, x_b, rate_a_ppm, rate_b_ppm, z,
                 coalesce(abs(z) >= 1.96, false) AS significant
-         FROM z""")
+         FROM z""",
+    // Lorenz: the q181 bucket machinery with value mass v*overlap
+    // and a cumulative share; unnest on its own level (q181 note).
+    "q196_revenue_pareto" ->
+      """WITH rev AS (SELECT o.o_custkey,
+                             CAST(sum(CAST(round(l.l_extendedprice * 100)
+                               AS BIGINT)) AS BIGINT) AS v
+                      FROM orders o
+                      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                      GROUP BY 1),
+         h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM rev GROUP BY 1),
+         w AS (SELECT v, c,
+                      CAST(coalesce(sum(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS below
+               FROM h),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                      CAST(sum(v * c) AS BIGINT) AS tv FROM h),
+         x0 AS (SELECT v, c, below, n, tv,
+                       generate_series(below * 10 // n,
+                         (below + c - 1) * 10 // n) AS bs
+                FROM w CROSS JOIN t),
+         x AS (SELECT v, c, below, n, tv, unnest(bs) AS bucket FROM x0),
+         y AS (SELECT v, tv, bucket,
+                      least(below + c, (bucket * n + n + 9) // 10) -
+                      greatest(below + 1, (bucket * n + 9) // 10 + 1) + 1 AS k
+               FROM x),
+         pb AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+                       CAST(sum(k) AS BIGINT) AS n_rows,
+                       CAST(sum(v * k) AS BIGINT) AS value_sum,
+                       CAST(max(tv) AS BIGINT) AS tv
+                FROM y WHERE k > 0 GROUP BY 1),
+         cu AS (SELECT bucket, n_rows, value_sum,
+                       CAST(sum(value_sum) OVER (ORDER BY bucket
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, tv
+                FROM pb)
+         SELECT bucket, n_rows, value_sum,
+                CASE WHEN tv > 0 THEN cum * 1000000 // tv
+                     ELSE 0 END AS cum_value_ppm
+         FROM cu ORDER BY bucket""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

@@ -1235,6 +1235,57 @@ object Analytics {
         min(col("v")).as("min_value"), max(col("v")).as("max_value"))
   }
 
+  /** LORENZ curve — "the top decile drives what share of revenue":
+    * [[equiDepthHistogram]]'s buckets carrying VALUE MASS as well as
+    * counts, plus the cumulative share that IS the Lorenz curve (and
+    * whose complement reads off as the Pareto statement). A value
+    * class spanning buckets contributes `v · overlap` to each — the
+    * same closed-form interval arithmetic, so holders never sort
+    * globally and no aggregate buffers a group.
+    *
+    * `cum_value_ppm` is an exact integer against the total mass; the
+    * only unpartitioned windows run over the value histogram and the
+    * buckets-sized rollup (both Aggregate children, the established
+    * exception). Output: (bucket, n_rows, value_sum, cum_value_ppm),
+    * buckets ascending by value. */
+  def lorenzCurve(
+      df: DataFrame,
+      value: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= 10000,
+      s"buckets must be in [1,10000]: $buckets")
+    val q = df.select(value.cast(LongType).as("v")).filter(col("v").isNotNull)
+    val h = q.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val byV = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h.withColumn("below", coalesce(sum(col("c")).over(byV), lit(0L)))
+    val tot = h.agg(sum(col("c")).as("n"),
+      sum(col("v") * col("c")).as("t"))
+    val perBucket = cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("c"), col("below"), col("n"), col("t"),
+        explode(sequence(expr(s"below * $buckets div n"),
+          expr(s"(below + c - 1) * $buckets div n"))).as("bucket"))
+      .withColumn("_plo", expr(s"(bucket * n + $buckets - 1) div $buckets + 1"))
+      .withColumn("_phi", expr(s"(bucket * n + n + $buckets - 1) div $buckets"))
+      .withColumn("_k",
+        least(col("below") + col("c"), col("_phi")) -
+          greatest(col("below") + 1, col("_plo")) + 1)
+      .filter(col("_k") > 0)
+      .groupBy(col("bucket").cast(LongType).as("bucket"))
+      .agg(sum(col("_k")).as("n_rows"),
+        sum(col("v") * col("_k")).as("value_sum"), max(col("t")).as("_t"))
+    val byBucket = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket
+      .withColumn("_cum", sum(col("value_sum")).over(byBucket))
+      .select(col("bucket"), col("n_rows"), col("value_sum"),
+        when(col("_t") >= lit(9223372036854L),
+          raise_error(lit("lorenzCurve: cum * 1e6 exceeds the exact-long " +
+            "envelope (total mass >= ~9.2e12); use coarser value units")))
+          .otherwise(when(col("_t") > 0, expr("_cum * 1000000 div _t"))
+            .otherwise(lit(0L))).as("cum_value_ppm"))
+  }
+
   /** Markov stationary distribution — the EQUILIBRIUM view next to
     * [[transitionMatrix]]'s one-step probabilities: where does a user
     * spend their time if the observed dynamics run forever. Power
