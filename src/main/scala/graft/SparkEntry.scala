@@ -3273,6 +3273,25 @@ object SparkEntry {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Schema drift (q197): two generations of an events extract —
+    * a column dropped, one added, one type-widened to string, and
+    * null-rate movement on the kept ones. */
+  private def schemaDriftQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val e = Tables.events(s, dir)
+    val oldSnap = e.select(col("event_id"), col("user_id"),
+      col("event_type"),
+      when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))
+        .as("value"),
+      col("props").as("legacy"))
+    val newSnap = e.select(col("event_id"),
+      when(col("event_id") % 5 === 0, lit(null)).otherwise(col("user_id"))
+        .as("user_id"),
+      col("event_type"), col("value").cast("string").as("value"),
+      col("props").as("extra"))
+    Curation.schemaDriftAudit(oldSnap, newSnap).orderBy(col("column"))
+  }
+
   /** Revenue Pareto (q196): the Lorenz curve of per-customer revenue
     * in ten equal-count buckets — "the top decile drives what share",
     * exact cumulative ppm, no global sort of customers. */
@@ -3927,7 +3946,8 @@ object SparkEntry {
     "q193_wow_metrics" -> (wowQuery _),
     "q194_cohort_funnel" -> (cohortFunnelQuery _),
     "q195_ab_test" -> (abTestQuery _),
-    "q196_revenue_pareto" -> (revenueParetoQuery _))
+    "q196_revenue_pareto" -> (revenueParetoQuery _),
+    "q197_schema_drift" -> (schemaDriftQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4209,7 +4229,7 @@ object SparkEntry {
     "q186_weekday_zscore", "q187_benford_audit", "q188_funnel_latency",
     "q189_weekly_retention", "q190_fulfillment_latency", "q191_cube",
     "q192_session_depth", "q193_wow_metrics", "q194_cohort_funnel",
-    "q195_ab_test", "q196_revenue_pareto")
+    "q195_ab_test", "q196_revenue_pareto", "q197_schema_drift")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8330,7 +8350,57 @@ object SparkEntry {
          SELECT bucket, n_rows, value_sum,
                 CASE WHEN tv > 0 THEN cum * 1000000 // tv
                      ELSE 0 END AS cum_value_ppm
-         FROM cu ORDER BY bucket""")
+         FROM cu ORDER BY bucket""",
+    // Schema drift: the fixture's generation rules re-derived as null
+    // predicates; statuses/types are literal (the fixture IS the
+    // schema change).
+    "q197_schema_drift" ->
+      """WITH o AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN event_id IS NULL THEN 1 END)
+                 AS BIGINT) AS eid,
+               CAST(count(CASE WHEN user_id IS NULL THEN 1 END)
+                 AS BIGINT) AS uid,
+               CAST(count(CASE WHEN event_type IS NULL THEN 1 END)
+                 AS BIGINT) AS typ,
+               CAST(count(CASE WHEN event_id % 7 = 0 OR value IS NULL
+                 THEN 1 END) AS BIGINT) AS val,
+               CAST(count(CASE WHEN props IS NULL THEN 1 END)
+                 AS BIGINT) AS pr
+             FROM events),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN event_id IS NULL THEN 1 END)
+                 AS BIGINT) AS eid,
+               CAST(count(CASE WHEN event_id % 5 = 0 OR user_id IS NULL
+                 THEN 1 END) AS BIGINT) AS uid,
+               CAST(count(CASE WHEN event_type IS NULL THEN 1 END)
+                 AS BIGINT) AS typ,
+               CAST(count(CASE WHEN value IS NULL THEN 1 END)
+                 AS BIGINT) AS val,
+               CAST(count(CASE WHEN props IS NULL THEN 1 END)
+                 AS BIGINT) AS pr
+             FROM events)
+         SELECT * FROM (
+           SELECT 'event_id' AS "column", 'kept' AS status,
+                  'bigint' AS old_type, 'bigint' AS new_type,
+                  o.eid * 1000000 // o.n AS old_null_ppm,
+                  nn.eid * 1000000 // nn.n AS new_null_ppm
+           FROM o, nn
+           UNION ALL SELECT 'event_type', 'kept', 'string', 'string',
+                  o.typ * 1000000 // o.n, nn.typ * 1000000 // nn.n
+           FROM o, nn
+           UNION ALL SELECT 'extra', 'added', NULL, 'string',
+                  NULL, nn.pr * 1000000 // nn.n
+           FROM o, nn
+           UNION ALL SELECT 'legacy', 'removed', 'string', NULL,
+                  o.pr * 1000000 // o.n, NULL
+           FROM o, nn
+           UNION ALL SELECT 'user_id', 'kept', 'bigint', 'bigint',
+                  o.uid * 1000000 // o.n, nn.uid * 1000000 // nn.n
+           FROM o, nn
+           UNION ALL SELECT 'value', 'type_changed', 'double', 'string',
+                  o.val * 1000000 // o.n, nn.val * 1000000 // nn.n
+           FROM o, nn)
+         ORDER BY "column"""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

@@ -605,6 +605,58 @@ object Curation {
   def ipv4Count(text: Column): Column =
     size(regexp_extract_all(text, lit(ipv4Re), lit(0))).cast(LongType)
 
+  /** Schema-DRIFT audit — what changed between two snapshot
+    * generations of the same table: columns added, removed, or
+    * type-changed, plus each side's null rate (the silent killer —
+    * a column that "still exists" but went 40% null broke upstream
+    * without a schema change). Rounds out the warehouse-ops family:
+    * the profiler describes ONE snapshot, the snapshot diff counts
+    * row churn, the FK audit checks references — this watches the
+    * CONTRACT.
+    *
+    * Shape at 100 TB: ONE single-row aggregate per side computes
+    * every null count in the same pass (no per-column scans); the
+    * verdict table unpivots through a plan-literal column list
+    * (schema introspection is driver-side metadata, exactly where it
+    * belongs). Output: (column, status, old_type, new_type,
+    * old_null_ppm, new_null_ppm), columns sorted. */
+  def schemaDriftAudit(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val oT = oldDf.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val nT = newDf.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val cols = (oldDf.schema.map(_.name) ++ newDf.schema.map(_.name))
+      .distinct.sorted
+    def stats(df: DataFrame, prefix: String): DataFrame = {
+      val names = df.schema.map(_.name)
+      df.agg(count(lit(1)).as(s"${prefix}_n"),
+        names.map(c =>
+          count(when(col(c).isNull, 1)).as(s"${prefix}_nc_$c")): _*)
+    }
+    val joined = stats(oldDf, "o").crossJoin(broadcast(stats(newDf, "n")))
+    def ppm(prefix: String, c: String): Column =
+      if ((if (prefix == "o") oT else nT).contains(c))
+        when(col(s"${prefix}_n") > 0,
+          expr(s"${prefix}_nc_$c * 1000000 div ${prefix}_n"))
+          .otherwise(lit(0L))
+      else lit(null).cast(LongType)
+    val rows = cols.map { c =>
+      val status = (oT.get(c), nT.get(c)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a != b => "type_changed"
+        case _ => "kept"
+      }
+      struct(lit(c).as("column"), lit(status).as("status"),
+        lit(oT.get(c).orNull).cast("string").as("old_type"),
+        lit(nT.get(c).orNull).cast("string").as("new_type"),
+        ppm("o", c).as("old_null_ppm"), ppm("n", c).as("new_null_ppm"))
+    }
+    joined.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.column").as("column"), col("r.status").as("status"),
+        col("r.old_type").as("old_type"), col("r.new_type").as("new_type"),
+        col("r.old_null_ppm").as("old_null_ppm"),
+        col("r.new_null_ppm").as("new_null_ppm"))
+  }
+
   /** k-anonymity audit — the governance check next to the PII
     * redactor ([[piiSignals]] removes direct identifiers; this
     * measures whether QUASI-identifier combinations still single
