@@ -647,6 +647,32 @@ object SparkEntry {
       .limit(100)
   }
 
+  /** Near-dup threshold sweep (q198): the tuning sheet for the
+    * dedup threshold — ONE LSH cascade verifies its candidates once
+    * (exact integer Jaccard ppm on word hashes), and every
+    * threshold reads off the same pair relation (the q130
+    * label-reuse discipline: sweeping must not re-run the cascade).
+    * Coverage is the banding's candidate recall, stated. */
+  private def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val docs = Tables.documents(s, dir)
+    val ws = docs.select(col("doc_id"),
+      transform(TextDedup.normWordSet(col("text")),
+        w => TextDedup.md5Hash60(w)).as("ws"))
+    val jp = TextDedup.lshCandidatePairs(docs, "doc_id", "text")
+      .join(ws.select(col("doc_id").as("a"), col("ws").as("wa")), Seq("a"))
+      .join(ws.select(col("doc_id").as("b"), col("ws").as("wb")), Seq("b"))
+      .filter(size(array_union(col("wa"), col("wb"))) > 0)
+      .select(expr("cast(size(array_intersect(wa, wb)) as bigint) * 1000000" +
+        " div cast(size(array_union(wa, wb)) as bigint)").as("jppm"))
+    val thresholds = Seq(500000L, 700000L, 800000L, 900000L)
+    jp.select(col("jppm"),
+        explode(array(thresholds.map(lit(_)): _*)).as("threshold_ppm"))
+      .groupBy(col("threshold_ppm"))
+      .agg(count(when(col("jppm") >= col("threshold_ppm"), 1)).as("n_pairs"))
+      .orderBy(col("threshold_ppm"))
+  }
+
   /** Embedding cosine near-dup pairs (brute force — correct baseline;
     * the LSH-bucketed path in q26 is the 100 TB shape). */
   private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -3273,6 +3299,15 @@ object SparkEntry {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** KS drift (q199): the supremum CDF gap between English and
+    * German document lengths in exact ppm — the covariate-shift
+    * screen between any two corpus slices. */
+  private def ksDriftQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.ksDrift(Tables.documents(s, dir), "lang", col("n_chars"),
+      groupA = "en", groupB = "de")
+  }
+
   /** Schema drift (q197): two generations of an events extract —
     * a column dropped, one added, one type-widened to string, and
     * null-rate movement on the kept ones. */
@@ -3947,7 +3982,9 @@ object SparkEntry {
     "q194_cohort_funnel" -> (cohortFunnelQuery _),
     "q195_ab_test" -> (abTestQuery _),
     "q196_revenue_pareto" -> (revenueParetoQuery _),
-    "q197_schema_drift" -> (schemaDriftQuery _))
+    "q197_schema_drift" -> (schemaDriftQuery _),
+    "q198_dedup_threshold_sweep" -> (dedupThresholdSweep _),
+    "q199_ks_drift" -> (ksDriftQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4229,7 +4266,8 @@ object SparkEntry {
     "q186_weekday_zscore", "q187_benford_audit", "q188_funnel_latency",
     "q189_weekly_retention", "q190_fulfillment_latency", "q191_cube",
     "q192_session_depth", "q193_wow_metrics", "q194_cohort_funnel",
-    "q195_ab_test", "q196_revenue_pareto", "q197_schema_drift")
+    "q195_ab_test", "q196_revenue_pareto", "q197_schema_drift",
+    "q198_dedup_threshold_sweep", "q199_ks_drift")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8400,7 +8438,59 @@ object SparkEntry {
            UNION ALL SELECT 'value', 'type_changed', 'double', 'string',
                   o.val * 1000000 // o.n, nn.val * 1000000 // nn.n
            FROM o, nn)
-         ORDER BY "column"""")
+         ORDER BY "column"""",
+    // Threshold sweep: the q23 candidate CTEs verified once in
+    // integer ppm; every threshold reads the same pair relation.
+    "q198_dedup_threshold_sweep" ->
+      s"""WITH $minHashPairsSql,
+         ws AS (SELECT doc_id,
+                       list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                FROM documents),
+         j AS (SELECT CAST(len(list_intersect(wa.ws, wb.ws)) AS BIGINT)
+                        * 1000000
+                        // CAST(len(list_distinct(wa.ws || wb.ws)) AS BIGINT)
+                        AS jppm
+               FROM pairs p
+               JOIN ws wa ON wa.doc_id = p.a
+               JOIN ws wb ON wb.doc_id = p.b
+               WHERE len(list_distinct(wa.ws || wb.ws)) > 0),
+         th AS (SELECT CAST(unnest([500000, 700000, 800000, 900000])
+                  AS BIGINT) AS threshold_ppm)
+         SELECT th.threshold_ppm,
+                CAST(count(CASE WHEN j.jppm >= th.threshold_ppm THEN 1 END)
+                  AS BIGINT) AS n_pairs
+         FROM th CROSS JOIN j GROUP BY 1 ORDER BY 1""",
+    // KS: both CDFs advance on ONE shared value histogram, the
+    // scaled gap |cumA*nB - cumB*nA| exact, smallest-v supremum.
+    "q199_ks_drift" ->
+      """WITH q AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+                    FROM documents
+                    WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL),
+         h AS (SELECT v,
+                      CAST(count(CASE WHEN g = 'en' THEN 1 END)
+                        AS BIGINT) AS ca,
+                      CAST(count(CASE WHEN g = 'de' THEN 1 END)
+                        AS BIGINT) AS cb
+               FROM q GROUP BY 1),
+         c AS (SELECT v,
+                      CAST(sum(ca) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+                      CAST(sum(cb) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+               FROM h),
+         t AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS na,
+                      CAST(coalesce(sum(cb), 0) AS BIGINT) AS nb
+               FROM h),
+         d AS (SELECT na, nb, abs(cuma * nb - cumb * na) AS d, v
+               FROM c CROSS JOIN t),
+         m AS (SELECT na, nb, d, v,
+                      row_number() OVER (ORDER BY d DESC, v ASC) AS rn
+               FROM d)
+         SELECT na AS n_a, nb AS n_b,
+                CASE WHEN na = 0 OR nb = 0 THEN 0
+                     ELSE d * 1000000 // (na * nb) END AS ks_ppm,
+                CAST(v AS BIGINT) AS at_value
+         FROM m WHERE rn = 1""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

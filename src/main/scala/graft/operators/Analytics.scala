@@ -1235,6 +1235,63 @@ object Analytics {
         min(col("v")).as("min_value"), max(col("v")).as("max_value"))
   }
 
+  /** Two-sample KOLMOGOROV–SMIRNOV drift — "did this feature's
+    * distribution move between two cohorts": the supremum CDF gap
+    * `D = max_v |F_A(v) − F_B(v)|` in exact integer ppm, the
+    * covariate-shift screen a training pipeline runs between train
+    * and validation slices (or yesterday's corpus and today's).
+    *
+    * Both empirical CDFs come from ONE value histogram with
+    * per-group conditional counts — the carry-forward problem of
+    * merging two separately-built histograms never arises, because
+    * every distinct value is a row in the shared histogram and both
+    * cumulative sums advance on it together. The scaled gap
+    * `|cumA·n_B − cumB·n_A|` is exact; `at_value` is the smallest
+    * value attaining the supremum (struct-max ties).
+    *
+    * Exactness envelope (the graft_gram discipline): the ppm scaling
+    * needs `n_A·n_B < 9.2e12` — raise_error-guarded; past it,
+    * compare q51-sampled slices (the KS statistic is sample-stable).
+    *
+    * Shape at 100 TB: one shuffle to the value histogram, an
+    * exclusive-prefix window over that Aggregate child, a one-row
+    * aggregate. */
+  def ksDrift(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      groupA: String,
+      groupB: String): DataFrame = {
+    require(groupA != groupB, "KS needs two distinct groups")
+    val q = df.select(col(groupCol).cast("string").as("g"),
+      value.cast(LongType).as("v"))
+      .filter(col("v").isNotNull && col("g").isin(groupA, groupB))
+    val h = q.groupBy(col("v"))
+      .agg(count(when(col("g") === groupA, 1)).as("ca"),
+        count(when(col("g") === groupB, 1)).as("cb"))
+    val byV = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = h
+      .withColumn("cuma", sum(col("ca")).over(byV))
+      .withColumn("cumb", sum(col("cb")).over(byV))
+    val tot = h.agg(coalesce(sum(col("ca")), lit(0L)).as("na"),
+      coalesce(sum(col("cb")), lit(0L)).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("d"),
+        col("v"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(struct(col("d"), (-col("v")).as("nv"))).as("_m"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(0L))
+          .otherwise(when(col("n_a") * col("n_b") >= lit(9223372036854L),
+            raise_error(lit("ksDrift: n_a * n_b exceeds the exact-long " +
+              "ppm envelope (~9.2e12); compare sampled slices")))
+            .otherwise(expr("_m.d * 1000000 div (n_a * n_b)")))
+          .as("ks_ppm"),
+        (-col("_m").getField("nv")).as("at_value"))
+  }
+
   /** LORENZ curve — "the top decile drives what share of revenue":
     * [[equiDepthHistogram]]'s buckets carrying VALUE MASS as well as
     * counts, plus the cumulative share that IS the Lorenz curve (and

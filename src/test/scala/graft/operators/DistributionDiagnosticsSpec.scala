@@ -114,6 +114,20 @@ class DistributionDiagnosticsSpec extends SparkSpec {
     out shouldBe Array((0L, 5L, 1L, 1L), (1L, 5L, 2L, 2L))
   }
 
+  test("ksDrift: hand-checked supremum, identical groups score zero") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: D = 0.5 at v = 2 (F_A = .5, F_B = 0)
+    val rows = (Seq(1L, 2L, 3L, 4L).map(("A", _)) ++
+      Seq(3L, 4L, 5L, 6L).map(("B", _))).toDF("g", "v")
+    val r = Analytics.ksDrift(rows, "g", col("v"), "A", "B")
+      .as[(Long, Long, Long, Long)].collect().head
+    r shouldBe ((4L, 4L, 500000L, 2L))
+    val same = (Seq(1L, 2L).map(("A", _)) ++ Seq(1L, 2L).map(("B", _)))
+      .toDF("g", "v")
+    val z = Analytics.ksDrift(same, "g", col("v"), "A", "B")
+      .as[(Long, Long, Long, Long)].collect().head
+    (z._3, z._4) shouldBe ((0L, 1L))
+  }
+
   test("keyGini plan: the only unpartitioned window runs over the counts-of-counts aggregate") {
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, Filter, LogicalPlan, Project, Window => LWindow}
