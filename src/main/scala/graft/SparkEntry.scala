@@ -3299,6 +3299,48 @@ object SparkEntry {
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Corpus health report (q200): the composed daily sheet — six
+    * headline audits reduced to one (metric, value) long-format
+    * relation: shuffle balance (q170), key concentration (q172),
+    * FK orphan rate on the real lineitem→orders edge (q171's
+    * operator, clean data ⇒ 0), Benford total deviation (q187),
+    * k-anonymity violating rate (q179), en↔de length drift (q199),
+    * plus the exact-dup document rate. Every number reuses a gated
+    * operator; the report is pure composition. */
+  private def healthReportQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Analytics, Curation, TextDedup}
+    val e = Tables.events(s, dir)
+    val docs = Tables.documents(s, dir)
+    def one(name: String, df: DataFrame, valueCol: String): DataFrame =
+      df.select(lit(name).as("metric"), col(valueCol).cast("long").as("value"))
+    val balance = one("key_balance_ppm",
+      Analytics.keyEntropy(e, "user_id"), "balance_ppm")
+    val gini = one("key_gini_ppm", Analytics.keyGini(e, "user_id"),
+      "gini_ppm")
+    val fk = one("fk_orphan_ppm",
+      Analytics.fkIntegrityAudit(Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey", "lineitem->orders"),
+      "orphan_ppm")
+    val benford = one("benford_deviation_ppm",
+      Analytics.benfordAudit(Tables.lineitem(s, dir),
+          round(col("l_extendedprice") * 100))
+        .agg(sum(col("deviation_ppm")).as("v")), "v")
+    val kanon = one("k_anonymity_violating_ppm",
+      Curation.kAnonymityAudit(docs.select(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket")),
+        Seq("lang", "source", "len_bucket"), k = 5), "violating_ppm")
+    val ks = one("ks_en_de_ppm",
+      Analytics.ksDrift(docs, "lang", col("n_chars"), "en", "de"),
+      "ks_ppm")
+    val dups = one("exact_dup_ppm",
+      docs.agg(count(lit(1)).as("n"),
+          count_distinct(md5(col("text"))).as("d"))
+        .select(expr("(n - d) * 1000000 div n").as("v")), "v")
+    Seq(balance, gini, fk, benford, kanon, ks, dups)
+      .reduce(_ unionByName _)
+      .orderBy(col("metric"))
+  }
+
   /** KS drift (q199): the supremum CDF gap between English and
     * German document lengths in exact ppm — the covariate-shift
     * screen between any two corpus slices. */
@@ -3984,7 +4026,8 @@ object SparkEntry {
     "q196_revenue_pareto" -> (revenueParetoQuery _),
     "q197_schema_drift" -> (schemaDriftQuery _),
     "q198_dedup_threshold_sweep" -> (dedupThresholdSweep _),
-    "q199_ks_drift" -> (ksDriftQuery _))
+    "q199_ks_drift" -> (ksDriftQuery _),
+    "q200_health_report" -> (healthReportQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4267,7 +4310,7 @@ object SparkEntry {
     "q189_weekly_retention", "q190_fulfillment_latency", "q191_cube",
     "q192_session_depth", "q193_wow_metrics", "q194_cohort_funnel",
     "q195_ab_test", "q196_revenue_pareto", "q197_schema_drift",
-    "q198_dedup_threshold_sweep", "q199_ks_drift")
+    "q198_dedup_threshold_sweep", "q199_ks_drift", "q200_health_report")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8490,7 +8533,126 @@ object SparkEntry {
                 CASE WHEN na = 0 OR nb = 0 THEN 0
                      ELSE d * 1000000 // (na * nb) END AS ks_ppm,
                 CAST(v AS BIGINT) AS at_value
-         FROM m WHERE rn = 1""")
+         FROM m WHERE rn = 1""",
+    // Health report: every fragment is the corresponding gated
+    // oracle reduced to its scalar, unioned long-format.
+    "q200_health_report" -> s"""
+         WITH c1 AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM events GROUP BY 1),
+         a1 AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                       CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(sum(c * CAST(round(ln(c) * 1e6) AS BIGINT))
+                         AS BIGINT) AS t
+                FROM c1),
+         cc2 AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM c1 GROUP BY 1),
+         w2 AS (SELECT c, m,
+                       CAST(coalesce(sum(m) OVER (ORDER BY c
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS BIGINT) AS r0
+                FROM cc2),
+         a2 AS (SELECT CAST(sum(c * m) AS BIGINT) AS n_rows,
+                       CAST(sum(m) AS BIGINT) AS n_keys,
+                       CAST(sum(c * (m * r0 + m * (m + 1) // 2))
+                         AS BIGINT) AS s2
+                FROM w2),
+         cf AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+         pf AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key
+                FROM orders WHERE o_orderkey IS NOT NULL),
+         ofk AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS orows
+                 FROM cf WHERE NOT EXISTS
+                   (SELECT 1 FROM pf WHERE pf.key = cf.key)),
+         bfk AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS crows
+                 FROM cf),
+         expb AS (SELECT * FROM (VALUES ${
+           graft.operators.Analytics.benfordExpectedPpm
+             .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+         }) AS t(digit, expected_ppm)),
+         qb AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS a
+                FROM lineitem),
+         dgb AS (SELECT CAST(substr(CAST(a AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit
+                 FROM qb WHERE a > 0),
+         cb AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                FROM dgb GROUP BY 1),
+         tb AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tt FROM cb),
+         jb AS (SELECT CASE WHEN tb.tt > 0
+                            THEN coalesce(cb.n, 0) * 1000000 // tb.tt
+                            ELSE 0 END AS observed_ppm,
+                       CAST(e.expected_ppm AS BIGINT) AS expected_ppm
+                FROM expb e LEFT JOIN cb ON e.digit = cb.digit
+                     CROSS JOIN tb),
+         qk AS (SELECT lang, source, n_chars // 100 AS len_bucket
+                FROM documents),
+         gk AS (SELECT lang, source, len_bucket,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM qk GROUP BY 1, 2, 3),
+         ak AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                       CAST(coalesce(sum(c) FILTER (WHERE c < 5), 0)
+                         AS BIGINT) AS vrows
+                FROM gk),
+         qs AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+                FROM documents
+                WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL),
+         hs AS (SELECT v,
+                       CAST(count(CASE WHEN g = 'en' THEN 1 END)
+                         AS BIGINT) AS ca,
+                       CAST(count(CASE WHEN g = 'de' THEN 1 END)
+                         AS BIGINT) AS cb2
+                FROM qs GROUP BY 1),
+         cs AS (SELECT v,
+                       CAST(sum(ca) OVER (ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+                       CAST(sum(cb2) OVER (ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+                FROM hs),
+         ts AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS na,
+                       CAST(coalesce(sum(cb2), 0) AS BIGINT) AS nb
+                FROM hs),
+         ds AS (SELECT na, nb, abs(cuma * nb - cumb * na) AS d
+                FROM cs CROSS JOIN ts),
+         mks AS (SELECT CASE WHEN max(na) = 0 OR max(nb) = 0 THEN 0
+                             ELSE max(d) * 1000000 // (max(na) * max(nb))
+                        END AS ksv
+                 FROM ds),
+         dup AS (SELECT (count(*) - count(DISTINCT md5(text)))
+                          * 1000000 // count(*) AS dv
+                 FROM documents)
+         SELECT metric, CAST(value AS BIGINT) AS value FROM (
+           SELECT 'key_balance_ppm' AS metric,
+                  CASE WHEN CAST(round(ln(n_keys) * 1e6) AS BIGINT) > 0
+                       THEN (CAST(round(ln(n_rows) * 1e6) AS BIGINT)
+                             - t // n_rows) * 1000000
+                            // CAST(round(ln(n_keys) * 1e6) AS BIGINT)
+                       ELSE 1000000 END AS value
+           FROM a1
+           UNION ALL
+           SELECT 'key_gini_ppm',
+                  CASE WHEN n_rows <= 0 OR n_keys <= 1 THEN 0
+                       ELSE (2 * s2 - (n_keys + 1) * n_rows) * 1000000
+                            // (n_keys * n_rows) END
+           FROM a2
+           UNION ALL
+           SELECT 'fk_orphan_ppm',
+                  CASE WHEN crows > 0 THEN orows * 1000000 // crows
+                       ELSE 0 END
+           FROM bfk CROSS JOIN ofk
+           UNION ALL
+           SELECT 'benford_deviation_ppm',
+                  CAST(sum(abs(observed_ppm - expected_ppm)) AS BIGINT)
+           FROM jb
+           UNION ALL
+           SELECT 'k_anonymity_violating_ppm',
+                  CASE WHEN n_rows > 0 THEN vrows * 1000000 // n_rows
+                       ELSE 0 END
+           FROM ak
+           UNION ALL
+           SELECT 'ks_en_de_ppm', ksv FROM mks
+           UNION ALL
+           SELECT 'exact_dup_ppm', dv FROM dup)
+         ORDER BY metric""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */
