@@ -3341,6 +3341,14 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Heavy hitters (q201): every event type holding ≥ 5% of the
+    * events, exact counts, via the Count–Min candidate pass — the
+    * bounded-exchange alternative to a full key rollup. */
+  private def heavyHittersQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.heavyHitters(
+        Tables.events(s, dir), "event_type", minSharePpm = 50000L)
+      .orderBy(col("n_rows").desc, col("key"))
+
   /** KS drift (q199): the supremum CDF gap between English and
     * German document lengths in exact ppm — the covariate-shift
     * screen between any two corpus slices. */
@@ -4027,7 +4035,8 @@ object SparkEntry {
     "q197_schema_drift" -> (schemaDriftQuery _),
     "q198_dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "q199_ks_drift" -> (ksDriftQuery _),
-    "q200_health_report" -> (healthReportQuery _))
+    "q200_health_report" -> (healthReportQuery _),
+    "q201_heavy_hitters" -> (heavyHittersQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4310,7 +4319,8 @@ object SparkEntry {
     "q189_weekly_retention", "q190_fulfillment_latency", "q191_cube",
     "q192_session_depth", "q193_wow_metrics", "q194_cohort_funnel",
     "q195_ab_test", "q196_revenue_pareto", "q197_schema_drift",
-    "q198_dedup_threshold_sweep", "q199_ks_drift", "q200_health_report")
+    "q198_dedup_threshold_sweep", "q199_ks_drift", "q200_health_report",
+    "q201_heavy_hitters")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8652,7 +8662,36 @@ object SparkEntry {
            SELECT 'ks_en_de_ppm', ksv FROM mks
            UNION ALL
            SELECT 'exact_dup_ppm', dv FROM dup)
-         ORDER BY metric""")
+         ORDER BY metric""",
+    // Heavy hitters: the same Count-Min candidate pass + exact verify,
+    // re-derived over the same salted md5 buckets.
+    "q201_heavy_hitters" -> """
+         WITH r AS (SELECT CAST(event_type AS VARCHAR) AS key FROM events
+                    WHERE event_type IS NOT NULL),
+         t AS (SELECT greatest(1, count(*) * 50000 // 1000000) AS thr FROM r),
+         s0 AS (SELECT ('0x' || substr(md5('cm0:' || key), 1, 15))::BIGINT
+                         % 1024 AS b, CAST(count(*) AS BIGINT) AS c
+                FROM r GROUP BY 1),
+         s1 AS (SELECT ('0x' || substr(md5('cm1:' || key), 1, 15))::BIGINT
+                         % 1024 AS b, CAST(count(*) AS BIGINT) AS c
+                FROM r GROUP BY 1),
+         s2 AS (SELECT ('0x' || substr(md5('cm2:' || key), 1, 15))::BIGINT
+                         % 1024 AS b, CAST(count(*) AS BIGINT) AS c
+                FROM r GROUP BY 1),
+         surv AS (SELECT r.key FROM r
+                  JOIN s0 ON ('0x' || substr(md5('cm0:' || r.key), 1, 15))
+                               ::BIGINT % 1024 = s0.b
+                  JOIN s1 ON ('0x' || substr(md5('cm1:' || r.key), 1, 15))
+                               ::BIGINT % 1024 = s1.b
+                  JOIN s2 ON ('0x' || substr(md5('cm2:' || r.key), 1, 15))
+                               ::BIGINT % 1024 = s2.b
+                  CROSS JOIN t
+                  WHERE s0.c >= t.thr AND s1.c >= t.thr AND s2.c >= t.thr),
+         ex AS (SELECT key, CAST(count(*) AS BIGINT) AS n_rows
+                FROM surv GROUP BY 1)
+         SELECT key, n_rows FROM ex CROSS JOIN t
+         WHERE n_rows >= thr
+         ORDER BY n_rows DESC, key""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

@@ -1662,4 +1662,61 @@ object Analytics {
                 " div (n_keys * n_rows)")))
           .as("gini_ppm"))
   }
+
+  /** Count–Min HEAVY HITTERS (Cormode & Muthukrishnan, J. Algorithms
+    * 2005, determinized on the house hash): every key holding at least
+    * `minSharePpm` of the rows, with its EXACT count — without ever
+    * shuffling the full distinct-key relation.
+    *
+    * Why not `groupBy(key).count().filter(...)`: that exchange is
+    * distinct-keys-sized — at 10¹⁰ keys of which a dozen are heavy,
+    * the shuffle IS the cost, and it is all spent on keys the answer
+    * discards. Here every exchange is bounded by construction:
+    * `depth` bucket-count rollups of `width` rows each (map-side
+    * combine collapses the data to ≤ width partials per task), then a
+    * row-level probe through `depth` BROADCAST joins against those
+    * tiny sketches — a row survives only if every one of its buckets
+    * clears the threshold, and a heavy key's buckets always do
+    * (c_bucket ≥ c_key: no false negatives) — and finally an exact
+    * count over the SURVIVORS only (heavy keys + hash-collision false
+    * positives), which the exact filter then removes. Correctness is
+    * width-INDEPENDENT (width=1 degrades to the plain rollup's
+    * answer at the plain rollup's cost); width only buys selectivity.
+    * The trade, stated: depth+1 scans of one projected column —
+    * scans being the cheap resource where exchanges are the scarce
+    * one. Threshold is a SHARE (ppm), resolved in-plan against the
+    * row count, so the same call is meaningful at every scale. NULL
+    * keys are excluded (a NULL is not a key, and `GROUP BY` engines
+    * disagree on its identity). Salt `cm<i>:` decouples the rows from
+    * every other house-hash use. */
+  def heavyHitters(
+      df: DataFrame,
+      keyCol: String,
+      minSharePpm: Long,
+      depth: Int = 3,
+      width: Int = 1024): DataFrame = {
+    require(minSharePpm >= 1 && minSharePpm <= 1000000,
+      s"minSharePpm must be in [1, 1e6]: $minSharePpm")
+    require(depth >= 1 && width >= 1, s"need depth, width >= 1: $depth/$width")
+    val rows = df.select(col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull)
+    val thr = rows.agg(count(lit(1)).as("_n"))
+      .select(greatest(lit(1L),
+        expr(s"_n * $minSharePpm div 1000000")).as("_t"))
+    def bucket(i: Int): Column =
+      TextDedup.md5Hash60(concat(lit(s"cm$i:"), col("key"))) % width
+    val probed = (0 until depth).foldLeft(rows) { (acc, i) =>
+      val sketch = rows.groupBy(bucket(i).as(s"_b$i"))
+        .agg(count(lit(1)).as(s"_c$i"))
+      acc.withColumn(s"_b$i", bucket(i))
+        .join(broadcast(sketch), Seq(s"_b$i"))
+    }
+    val survivors = probed.crossJoin(broadcast(thr))
+      .filter((0 until depth).map(i => col(s"_c$i") >= col("_t"))
+        .reduce(_ && _))
+    survivors.groupBy(col("key")).agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(thr))
+      .filter(col("n_rows") >= col("_t"))
+      .select(col("key"), col("n_rows"))
+  }
 }
