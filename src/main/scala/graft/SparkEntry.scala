@@ -826,6 +826,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Image resize (q202): nearest-neighbor scale of the P6 media to
+    * the encoder's fixed 8×8 grid — floor index mapping, work per
+    * image independent of source size; media bytes never shuffle. */
+  private def imageResizeQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.resizeNearest(s,
+        Multimodal.attachMedia(s, Tables.documents(s, dir)),
+        targetW = 8, targetH = 8)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** Audio modality (q77): deterministic 16-bit PCM WAV payloads
     * decoded by a real RIFF chunk-walking parser; Σ|sample| is the
     * integer loudness proxy. Same batched extraction shape as q31. */
@@ -4036,7 +4048,8 @@ object SparkEntry {
     "q198_dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "q199_ks_drift" -> (ksDriftQuery _),
     "q200_health_report" -> (healthReportQuery _),
-    "q201_heavy_hitters" -> (heavyHittersQuery _))
+    "q201_heavy_hitters" -> (heavyHittersQuery _),
+    "q202_image_resize" -> (imageResizeQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4320,7 +4333,7 @@ object SparkEntry {
     "q192_session_depth", "q193_wow_metrics", "q194_cohort_funnel",
     "q195_ab_test", "q196_revenue_pareto", "q197_schema_drift",
     "q198_dedup_threshold_sweep", "q199_ks_drift", "q200_health_report",
-    "q201_heavy_hitters")
+    "q201_heavy_hitters", "q202_image_resize")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8691,7 +8704,35 @@ object SparkEntry {
                 FROM surv GROUP BY 1)
          SELECT key, n_rows FROM ex CROSS JOIN t
          WHERE n_rows >= thr
-         ORDER BY n_rows DESC, key""")
+         ORDER BY n_rows DESC, key""",
+    // Nearest-neighbor resize: the q185 index-arithmetic mirror with
+    // the floor source mapping (dx*w//8, dy*h//8) instead of the crop
+    // window.
+    "q202_image_resize" -> """
+         WITH m AS (SELECT doc_id, text, strlen(text) AS len,
+                           strlen(text) % 13 + 2 AS w,
+                           strlen(text) % 7 + 2 AS h
+                    FROM documents),
+         ys AS (SELECT doc_id, text, len, w, h, unnest(range(8)) AS dy
+                FROM m),
+         xs AS (SELECT doc_id, text, len, w, h, (dy * h) // 8 AS sy,
+                       unnest(range(8)) AS dx
+                FROM ys),
+         js AS (SELECT doc_id, text, len, w, h,
+                       (sy * w + (dx * w) // 8) * 3 AS base,
+                       unnest(range(3)) AS j
+                FROM xs),
+         px AS (SELECT doc_id, w, h,
+                       CASE WHEN base + j < len
+                            THEN ord(substr(text,
+                              CAST(base + j AS INTEGER) + 1, 1))
+                            ELSE 0 END AS v
+                FROM js)
+         SELECT doc_id, CAST(w AS BIGINT) AS width,
+                CAST(h AS BIGINT) AS height,
+                CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+                CAST(sum(v) AS BIGINT) AS px_checksum
+         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

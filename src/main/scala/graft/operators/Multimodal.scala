@@ -475,4 +475,61 @@ object Multimodal {
       }
     }
   }
+
+  final case class ResizeFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      out_w: Long,
+      out_h: Long,
+      px_checksum: Long)
+
+  /** NEAREST-NEIGHBOR RESIZE over the P6 payload — the other half of
+    * the vision-preprocessor pair ([[centerCrop]] cuts, this scales to
+    * the encoder's fixed input grid): output pixel (x, y) of the
+    * `targetW × targetH` grid reads source pixel
+    * `(x·w div targetW, y·h div targetH)` — the floor mapping, stated
+    * as the contract (no center-offset rounding, no interpolation:
+    * nearest-neighbor IS the integer-exact resize, which is what makes
+    * it oracle-mirrorable as pure index arithmetic). Upscales repeat
+    * source pixels, downscales stride them; either way the work is
+    * `targetW·targetH` byte reads per image, independent of source
+    * size. Emits dimensions + the resized raster's checksum; resized
+    * bytes stay in the task (media never shuffles). */
+  def resizeNearest(
+      spark: SparkSession,
+      media: Dataset[MediaDoc],
+      targetW: Int,
+      targetH: Int,
+      batchSize: Int = 64): Dataset[ResizeFeatures] = {
+    require(targetW >= 1 && targetH >= 1,
+      s"resize target must be positive: ${targetW}x$targetH")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { d =>
+          val b = d.media
+          val (w, h, raster) = parseP6At(b, 0, d.doc_id)
+          require(b.length - raster == w * h * 3,
+            s"doc ${d.doc_id}: raster is ${b.length - raster} bytes, " +
+              s"want ${w * h * 3}")
+          var sum = 0L
+          var y = 0
+          while (y < targetH) {
+            val sy = y * h / targetH
+            var x = 0
+            while (x < targetW) {
+              val sx = x * w / targetW
+              val i = raster + (sy * w + sx) * 3
+              sum += (b(i) & 0xff) + (b(i + 1) & 0xff) + (b(i + 2) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ResizeFeatures(d.doc_id, w.toLong, h.toLong,
+            targetW.toLong, targetH.toLong, sum)
+        }
+      }
+    }
+  }
 }
