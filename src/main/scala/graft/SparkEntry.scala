@@ -3353,6 +3353,17 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Contribution analysis (q203): why did the metric move — each
+    * event type's share of the total absolute odd-vs-even-day volume
+    * change, conserving exactly 10⁶ ppm across segments. */
+  private def contributionQuery(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+    graft.operators.Analytics.contributionAnalysis(
+        Tables.events(s, dir), "event_type",
+        day % 2 === 0, day % 2 === 1)
+      .orderBy(col("segment"))
+  }
+
   /** Heavy hitters (q201): every event type holding ≥ 5% of the
     * events, exact counts, via the Count–Min candidate pass — the
     * bounded-exchange alternative to a full key rollup. */
@@ -4049,7 +4060,8 @@ object SparkEntry {
     "q199_ks_drift" -> (ksDriftQuery _),
     "q200_health_report" -> (healthReportQuery _),
     "q201_heavy_hitters" -> (heavyHittersQuery _),
-    "q202_image_resize" -> (imageResizeQuery _))
+    "q202_image_resize" -> (imageResizeQuery _),
+    "q203_contribution" -> (contributionQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4333,7 +4345,7 @@ object SparkEntry {
     "q192_session_depth", "q193_wow_metrics", "q194_cohort_funnel",
     "q195_ab_test", "q196_revenue_pareto", "q197_schema_drift",
     "q198_dedup_threshold_sweep", "q199_ks_drift", "q200_health_report",
-    "q201_heavy_hitters", "q202_image_resize")
+    "q201_heavy_hitters", "q202_image_resize", "q203_contribution")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8732,7 +8744,37 @@ object SparkEntry {
                 CAST(h AS BIGINT) AS height,
                 CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
                 CAST(sum(v) AS BIGINT) AS px_checksum
-         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")
+         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+    // Contribution analysis: same floor-share + winner-absorbs-the-
+    // remainder arithmetic; the winner picked by ORDER BY ... LIMIT 1
+    // mirrors the struct-min (largest |delta|, then smallest name).
+    "q203_contribution" -> """
+         WITH e AS (SELECT event_type AS segment,
+                           (ts::DATE - DATE '1970-01-01') % 2 AS par
+                    FROM events),
+         seg AS (SELECT CAST(segment AS VARCHAR) AS segment,
+                        CAST(count(*) FILTER (WHERE par = 0) AS BIGINT)
+                          AS n_a,
+                        CAST(count(*) FILTER (WHERE par = 1) AS BIGINT)
+                          AS n_b
+                 FROM e GROUP BY 1),
+         d AS (SELECT segment, n_a, n_b, n_b - n_a AS delta FROM seg),
+         t AS (SELECT CAST(coalesce(sum(abs(delta)), 0) AS BIGINT) AS s
+               FROM d),
+         w AS (SELECT segment AS wseg FROM d
+               ORDER BY abs(delta) DESC, segment LIMIT 1),
+         b AS (SELECT segment, n_a, n_b, delta,
+                      CASE WHEN t.s > 0
+                           THEN abs(delta) * 1000000 // t.s
+                           ELSE 0 END AS base
+               FROM d CROSS JOIN t),
+         fs AS (SELECT CAST(coalesce(sum(base), 0) AS BIGINT) AS f FROM b)
+         SELECT segment, n_a, n_b, CAST(delta AS BIGINT) AS delta,
+                CAST(base + CASE WHEN t.s > 0 AND segment = w.wseg
+                                 THEN 1000000 - fs.f
+                                 ELSE 0 END AS BIGINT) AS share_ppm
+         FROM b CROSS JOIN t CROSS JOIN w CROSS JOIN fs
+         ORDER BY segment""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

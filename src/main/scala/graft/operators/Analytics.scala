@@ -1689,6 +1689,53 @@ object Analytics {
     * keys are excluded (a NULL is not a key, and `GROUP BY` engines
     * disagree on its identity). Salt `cm<i>:` decouples the rows from
     * every other house-hash use. */
+  /** CONTRIBUTION ANALYSIS — the "why did the metric move" drill-down
+    * behind every week-over-week dashboard ([[Analytics]] q193 plots
+    * the first derivative; this DECOMPOSES it): per-segment row counts
+    * under two period predicates, the signed delta, and each segment's
+    * share of the TOTAL ABSOLUTE movement in exact ppm.
+    *
+    * Shares CONSERVE exactly: each segment takes
+    * `|Δ|·10⁶ div Σ|Δ|` and the remainder from truncation is absorbed
+    * by the LARGEST mover (ties: smallest segment name — via struct-
+    * min, no ordered window), so `Σ share_ppm = 10⁶` whenever anything
+    * moved at all — the linearAttribution conservation discipline.
+    * `Σ|Δ| = 0` (nothing moved) emits all-zero shares, never a
+    * division by zero. Rows matching neither predicate are ignored;
+    * rows matching both count on both sides (the predicates define
+    * the two periods, the operator does not require them disjoint).
+    *
+    * Shape at 100 TB: one filter + one shuffle of (segment) partial
+    * counts into the segment rollup, then three tiny aggregates over
+    * that rollup (total movement, winner, floor-share sum) broadcast
+    * back — no ordered or unpartitioned window anywhere. */
+  def contributionAnalysis(
+      df: DataFrame,
+      segmentCol: String,
+      inA: Column,
+      inB: Column): DataFrame = {
+    val seg = df.filter(inA || inB)
+      .groupBy(col(segmentCol).cast("string").as("segment"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inB, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("delta", col("n_b") - col("n_a"))
+    val tot = seg.agg(
+      coalesce(sum(abs(col("delta"))), lit(0L)).as("_s"),
+      min(struct((-abs(col("delta"))).as("_negabs"),
+        col("segment").as("_w"))).as("_win"))
+      .select(col("_s"), col("_win._w").as("_w"))
+    val based = seg.crossJoin(broadcast(tot))
+      .withColumn("_base", when(col("_s") > 0,
+        expr("abs(delta) * 1000000 div _s")).otherwise(lit(0L)))
+    val floorSum = based.agg(
+      coalesce(sum(col("_base")), lit(0L)).as("_fs"))
+    based.crossJoin(broadcast(floorSum))
+      .select(col("segment"), col("n_a"), col("n_b"), col("delta"),
+        (col("_base") + when(col("_s") > 0 && col("segment") === col("_w"),
+          lit(1000000L) - col("_fs")).otherwise(lit(0L)))
+          .as("share_ppm"))
+  }
+
   def heavyHitters(
       df: DataFrame,
       keyCol: String,
