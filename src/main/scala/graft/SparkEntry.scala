@@ -3353,6 +3353,16 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Chi-square independence (q204): is the event mix associated with
+    * the weekday — Pearson X² over the full type×weekday grid,
+    * per-cell micro terms summed exactly. */
+  private def chiSquareQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.chiSquareIndependence(
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          dayofweek(to_date(col("ts"))).as("weekday")),
+      "event_type", "weekday")
+
   /** Contribution analysis (q203): why did the metric move — each
     * event type's share of the total absolute odd-vs-even-day volume
     * change, conserving exactly 10⁶ ppm across segments. */
@@ -4061,7 +4071,8 @@ object SparkEntry {
     "q200_health_report" -> (healthReportQuery _),
     "q201_heavy_hitters" -> (heavyHittersQuery _),
     "q202_image_resize" -> (imageResizeQuery _),
-    "q203_contribution" -> (contributionQuery _))
+    "q203_contribution" -> (contributionQuery _),
+    "q204_chi_square" -> (chiSquareQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4345,7 +4356,8 @@ object SparkEntry {
     "q192_session_depth", "q193_wow_metrics", "q194_cohort_funnel",
     "q195_ab_test", "q196_revenue_pareto", "q197_schema_drift",
     "q198_dedup_threshold_sweep", "q199_ks_drift", "q200_health_report",
-    "q201_heavy_hitters", "q202_image_resize", "q203_contribution")
+    "q201_heavy_hitters", "q202_image_resize", "q203_contribution",
+    "q204_chi_square")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8774,7 +8786,40 @@ object SparkEntry {
                                  THEN 1000000 - fs.f
                                  ELSE 0 END AS BIGINT) AS share_ppm
          FROM b CROSS JOIN t CROSS JOIN w CROSS JOIN fs
-         ORDER BY segment""")
+         ORDER BY segment""",
+    // Chi-square: the same full-grid construction; each cell's micro
+    // term is the identical stated IEEE chain (long-exact d, cast,
+    // d*d / ((r*c)::DOUBLE * n::DOUBLE) * 1e6, round), then an exact
+    // integer sum. DuckDB dayofweek is 0-based (q186 convention).
+    "q204_chi_square" -> """
+         WITH e AS (SELECT CAST(event_type AS VARCHAR) AS a,
+                           CAST(dayofweek(ts::DATE) + 1 AS VARCHAR) AS b
+                    FROM events
+                    WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+                   FROM e GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+         ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                      CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+                      CAST(count(DISTINCT b) AS BIGINT) AS n_b
+               FROM cells),
+         grid AS (SELECT rt.a, ct.b, rt.r, ct.c,
+                         CAST(coalesce(cells.o, 0) AS BIGINT) AS o
+                  FROM rt CROSS JOIN ct
+                  LEFT JOIN cells ON rt.a = cells.a AND ct.b = cells.b),
+         dd AS (SELECT r, c, o, n, n_a, n_b,
+                       CAST(o * n - r * c AS BIGINT) AS d
+                FROM grid CROSS JOIN t),
+         terms AS (SELECT n, n_a, n_b,
+                          CAST(round(d::DOUBLE * d::DOUBLE
+                            / ((r * c)::DOUBLE * n::DOUBLE) * 1000000)
+                            AS BIGINT) AS term
+                   FROM dd)
+         SELECT n AS n_rows, n_a, n_b,
+                CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+                CAST(sum(term) AS BIGINT) AS chi2_micro
+         FROM terms GROUP BY n, n_a, n_b""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

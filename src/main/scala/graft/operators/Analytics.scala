@@ -1709,6 +1709,65 @@ object Analytics {
     * counts into the segment rollup, then three tiny aggregates over
     * that rollup (total movement, winner, floor-share sum) broadcast
     * back — no ordered or unpartitioned window anywhere. */
+  /** CHI-SQUARE INDEPENDENCE audit — are two categorical columns
+    * associated (event mix shifts by weekday, language mix by source):
+    * Pearson's X² = Σ_cells (O−E)²/E over the FULL r×c contingency
+    * grid, zero-observed cells included (they carry E>0 mass; a
+    * cells-present-only sum understates the statistic).
+    *
+    * Cross-engine arithmetic (the q67 quantize-then-exact-sum
+    * convention): each cell's term is ONE stated IEEE chain —
+    * `d = O·N − R·C` exact in longs, then `round(d·d / ((R·C)·N) ·
+    * 10⁶)` with the casts and op order fixed — rounded to an integer
+    * MICRO term per cell, then summed exactly, so no float ever
+    * crosses cells and summation order cannot matter. Exactness
+    * envelope: `d` must stay double-exact (|d| ≤ N² < 2⁵³), guarded
+    * in-plan at N ≤ 9.4·10⁷ rows with raise_error — past it, run over
+    * a deterministic sample (the q51 sampler) or pre-aggregated
+    * periods; the statistic is sample-stable. NULL categories are
+    * excluded (stated).
+    *
+    * Shape at 100 TB: one shuffle to the (a, b) cell rollup; row and
+    * column totals re-aggregate the rollup; the grid is the r×c
+    * broadcast cross of the two marginal relations left-joined back
+    * to the cells — everything past the first rollup is
+    * marginal-sized. Output one row: n_rows, n_a, n_b, dof,
+    * chi2_micro. */
+  def chiSquareIndependence(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df
+      .select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("a")).agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy(col("b")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("n_a"),
+      countDistinct(col("b")).as("n_b"))
+    val grid = rowT.crossJoin(colT)
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val guarded = grid.withColumn("_n",
+      when(col("n") > 94000000L,
+        raise_error(lit("chiSquareIndependence: N exceeds the " +
+          "double-exact envelope (9.4e7 rows); audit a deterministic " +
+          "sample instead"))).otherwise(col("n")))
+    val d = (col("o") * col("_n") - col("r") * col("c")).cast(DoubleType)
+    val denom = (col("r") * col("c")).cast(DoubleType) *
+      col("_n").cast(DoubleType)
+    guarded
+      .withColumn("_term", round(d * d / denom * 1e6).cast(LongType))
+      .groupBy(col("n"), col("n_a"), col("n_b"))
+      .agg(sum(col("_term")).as("chi2_micro"))
+      .select(col("n").as("n_rows"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        col("chi2_micro"))
+  }
+
   def contributionAnalysis(
       df: DataFrame,
       segmentCol: String,
