@@ -673,6 +673,26 @@ object SparkEntry {
       .orderBy(col("threshold_ppm"))
   }
 
+  /** Dup-graph triangle census (q205): how cliquish is the near-dup
+    * relation — the ONE verified pair relation (q198's label-reuse
+    * cascade at ≥ 0.5 Jaccard) read as a graph: wedges, triangles,
+    * global clustering coefficient in exact ppm. */
+  private def dupGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val docs = Tables.documents(s, dir)
+    val ws = docs.select(col("doc_id"),
+      transform(TextDedup.normWordSet(col("text")),
+        w => TextDedup.md5Hash60(w)).as("ws"))
+    val vp = TextDedup.lshCandidatePairs(docs, "doc_id", "text")
+      .join(ws.select(col("doc_id").as("a"), col("ws").as("wa")), Seq("a"))
+      .join(ws.select(col("doc_id").as("b"), col("ws").as("wb")), Seq("b"))
+      .filter(size(array_union(col("wa"), col("wb"))) > 0 &&
+        expr("cast(size(array_intersect(wa, wb)) as bigint) * 1000000" +
+          " div cast(size(array_union(wa, wb)) as bigint)") >= 500000L)
+      .select(col("a"), col("b"))
+    graft.operators.Analytics.triangleCensus(vp)
+  }
+
   /** Embedding cosine near-dup pairs (brute force — correct baseline;
     * the LSH-bucketed path in q26 is the 100 TB shape). */
   private def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -4072,7 +4092,8 @@ object SparkEntry {
     "q201_heavy_hitters" -> (heavyHittersQuery _),
     "q202_image_resize" -> (imageResizeQuery _),
     "q203_contribution" -> (contributionQuery _),
-    "q204_chi_square" -> (chiSquareQuery _))
+    "q204_chi_square" -> (chiSquareQuery _),
+    "q205_dup_triangles" -> (dupGraphTriangles _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4357,7 +4378,7 @@ object SparkEntry {
     "q195_ab_test", "q196_revenue_pareto", "q197_schema_drift",
     "q198_dedup_threshold_sweep", "q199_ks_drift", "q200_health_report",
     "q201_heavy_hitters", "q202_image_resize", "q203_contribution",
-    "q204_chi_square")
+    "q204_chi_square", "q205_dup_triangles")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8819,7 +8840,43 @@ object SparkEntry {
          SELECT n AS n_rows, n_a, n_b,
                 CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
                 CAST(sum(term) AS BIGINT) AS chi2_micro
-         FROM terms GROUP BY n, n_a, n_b""")
+         FROM terms GROUP BY n, n_a, n_b""",
+    // Triangle census: the q198 verified-pair relation at >= 0.5
+    // Jaccard, canonicalized, wedges via degrees, each triangle
+    // counted once through its middle vertex.
+    "q205_dup_triangles" ->
+      s"""WITH $minHashPairsSql,
+         ws AS (SELECT doc_id,
+                       list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                FROM documents),
+         vp AS (SELECT p.a, p.b
+                FROM pairs p
+                JOIN ws wa ON wa.doc_id = p.a
+                JOIN ws wb ON wb.doc_id = p.b
+                WHERE len(list_distinct(wa.ws || wb.ws)) > 0
+                  AND CAST(len(list_intersect(wa.ws, wb.ws)) AS BIGINT)
+                        * 1000000
+                        // CAST(len(list_distinct(wa.ws || wb.ws)) AS BIGINT)
+                        >= 500000),
+         e AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+               FROM vp WHERE a <> b),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+                 FROM (SELECT x AS v FROM e UNION ALL SELECT y FROM e) u
+                 GROUP BY 1),
+         shape AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                          CAST(coalesce(sum(d * (d - 1) // 2), 0)
+                            AS BIGINT) AS n_wedges
+                   FROM deg),
+         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         tr AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                FROM e e1 JOIN e e2 ON e1.y = e2.x
+                WHERE EXISTS (SELECT 1 FROM e e3
+                              WHERE e3.x = e1.x AND e3.y = e2.y))
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                CASE WHEN n_wedges > 0
+                     THEN 3 * n_triangles * 1000000 // n_wedges
+                     ELSE 0 END AS clustering_ppm
+         FROM shape CROSS JOIN ne CROSS JOIN tr""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

@@ -1709,6 +1709,54 @@ object Analytics {
     * counts into the segment rollup, then three tiny aggregates over
     * that rollup (total movement, winner, floor-share sum) broadcast
     * back — no ordered or unpartitioned window anywhere. */
+  /** TRIANGLE CENSUS over an undirected edge list — the graph-shape
+    * read on the near-dup pair graph (how CLIQUISH is the duplication:
+    * boilerplate families close their triangles, chains of drifting
+    * revisions don't): node/edge counts, wedges `Σ d·(d−1)/2`,
+    * closed triangles, and the global clustering coefficient
+    * `3·Δ·10⁶ div wedges` in exact ppm.
+    *
+    * Edges are canonicalized in-plan (least/greatest, self-loops
+    * dropped, duplicates and reversals collapsed by DISTINCT), so the
+    * caller can hand over any pair relation. Each triangle x<y<z is
+    * counted exactly once through its middle vertex: wedges come from
+    * joining canonical edges (x,y)⋈(y,z) on the shared middle, closed
+    * ones survive the semi-join against (x,z).
+    *
+    * Shape at 100 TB: the wedge join's output is Σ d² — the census is
+    * only as scalable as the graph's degree bound, which is exactly
+    * why it belongs on the LSH pair graph: bucket caps bound the
+    * degree by construction (K2), so the wedge relation is
+    * cap²-per-bucket bounded. On an uncapped graph, cap degrees
+    * first (the K24 per-domain-cap shape). Exchanges shuffle 16-byte
+    * edges on their join keys; nothing is ever collected. */
+  def triangleCensus(
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    val e = pairs
+      .select(least(col(aCol), col(bCol)).as("x"),
+        greatest(col(aCol), col(bCol)).as("y"))
+      .filter(col("x") < col("y"))
+      .distinct()
+    val deg = e.select(explode(array(col("x"), col("y"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val shape = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.y") === col("e2.x"))
+      .select(col("e1.x").as("x"), col("e2.y").as("y"))
+      .join(e, Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    shape.crossJoin(edges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          expr("3 * n_triangles * 1000000 div n_wedges"))
+          .otherwise(lit(0L)).as("clustering_ppm"))
+  }
+
   /** CHI-SQUARE INDEPENDENCE audit — are two categorical columns
     * associated (event mix shifts by weekday, language mix by source):
     * Pearson's X² = Σ_cells (O−E)²/E over the FULL r×c contingency
