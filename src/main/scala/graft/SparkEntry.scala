@@ -869,6 +869,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio silence trim (q206): strip below-threshold samples from
+    * both ends of each PCM clip — the pre-transcription curation
+    * pass; interior quiet is kept, all-quiet clips report n_kept=0. */
+  private def audioTrimQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.trimSilence(s,
+        Multimodal.attachAudio(s, Tables.documents(s, dir)),
+        threshold = 2048)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash over character 8-gram shingles — the fine-grained
     * shingling variant (boilerplate-heavy corpora). */
   private def minHashCharShingles(s: SparkSession, dir: String): DataFrame = {
@@ -4093,7 +4105,8 @@ object SparkEntry {
     "q202_image_resize" -> (imageResizeQuery _),
     "q203_contribution" -> (contributionQuery _),
     "q204_chi_square" -> (chiSquareQuery _),
-    "q205_dup_triangles" -> (dupGraphTriangles _))
+    "q205_dup_triangles" -> (dupGraphTriangles _),
+    "q206_audio_trim" -> (audioTrimQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4378,7 +4391,7 @@ object SparkEntry {
     "q195_ab_test", "q196_revenue_pareto", "q197_schema_drift",
     "q198_dedup_threshold_sweep", "q199_ks_drift", "q200_health_report",
     "q201_heavy_hitters", "q202_image_resize", "q203_contribution",
-    "q204_chi_square", "q205_dup_triangles")
+    "q204_chi_square", "q205_dup_triangles", "q206_audio_trim")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8876,7 +8889,42 @@ object SparkEntry {
                 CASE WHEN n_wedges > 0
                      THEN 3 * n_triangles * 1000000 // n_wedges
                      ELSE 0 END AS clustering_ppm
-         FROM shape CROSS JOIN ne CROSS JOIN tr""")
+         FROM shape CROSS JOIN ne CROSS JOIN tr""",
+    // Silence trim: the q85 cyclic-sample synthesis mirrored; the
+    // loud-index list gives lead/trail, the 1-based inclusive slice
+    // sums the kept span.
+    "q206_audio_trim" -> """
+         WITH m AS (SELECT doc_id, text, strlen(text) AS len,
+                           strlen(text) % 50 + 10 AS n
+                    FROM documents),
+         s AS (SELECT doc_id, n,
+                      list_transform(range(n),
+                        i -> abs(CAST((CASE WHEN len = 0 THEN 0
+                               ELSE ord(substr(text,
+                                 CAST(i % len AS INTEGER) + 1, 1))
+                               END - 128) * 128 AS BIGINT))) AS a
+               FROM m),
+         idx AS (SELECT doc_id, n, a,
+                        list_filter(range(n),
+                          i -> a[CAST(i AS INTEGER) + 1] >= 2048) AS loud
+                 FROM s),
+         t AS (SELECT doc_id, n,
+                      CASE WHEN len(loud) = 0 THEN n
+                           ELSE loud[1] END AS lead,
+                      CASE WHEN len(loud) = 0 THEN 0
+                           ELSE n - 1 - loud[len(loud)] END AS trail,
+                      CASE WHEN len(loud) = 0 THEN 0
+                           ELSE list_sum(a[CAST(loud[1] AS INTEGER) + 1
+                                           : CAST(loud[len(loud)]
+                                               AS INTEGER) + 1])
+                      END AS kept
+               FROM idx)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+                CAST(lead AS BIGINT) AS n_leading,
+                CAST(trail AS BIGINT) AS n_trailing,
+                CAST(n - lead - trail AS BIGINT) AS n_kept,
+                CAST(kept AS BIGINT) AS kept_abs_sum
+         FROM t ORDER BY doc_id""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

@@ -476,6 +476,59 @@ object Multimodal {
     }
   }
 
+  final case class TrimFeatures(
+      doc_id: Long,
+      n_samples: Long,
+      n_leading: Long,
+      n_trailing: Long,
+      n_kept: Long,
+      kept_abs_sum: Long)
+
+  /** SILENCE TRIM over 16-bit PCM — the audio-curation primitive that
+    * runs before any transcription or embedding pass (leading/trailing
+    * room tone is wasted encoder input): strip samples with
+    * `|s| < threshold` from both ends, keep everything between the
+    * first and last loud sample (interior quiet passages are signal,
+    * not silence — only the EDGES trim). Emits the trim accounting +
+    * Σ|sample| over the kept span; an all-quiet clip reports
+    * `n_kept = 0` with the whole length as leading trim (the
+    * "drop this clip" signal downstream curation filters on). Decoded
+    * through the same real RIFF walker as K46; batched mapPartitions,
+    * samples never leave the task. */
+  def trimSilence(
+      spark: SparkSession,
+      media: Dataset[MediaDoc],
+      threshold: Int,
+      batchSize: Int = 64): Dataset[TrimFeatures] = {
+    require(threshold >= 1, s"threshold must be positive: $threshold")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { d =>
+          val samples = decodeWavPcm(d)._2
+          val n = samples.length
+          var lead = 0
+          while (lead < n && math.abs(samples(lead).toInt) < threshold)
+            lead += 1
+          if (lead == n)
+            TrimFeatures(d.doc_id, n.toLong, n.toLong, 0L, 0L, 0L)
+          else {
+            var trail = 0
+            while (math.abs(samples(n - 1 - trail).toInt) < threshold)
+              trail += 1
+            var sum = 0L
+            var i = lead
+            while (i < n - trail) {
+              sum += math.abs(samples(i).toInt); i += 1
+            }
+            TrimFeatures(d.doc_id, n.toLong, lead.toLong, trail.toLong,
+              (n - lead - trail).toLong, sum)
+          }
+        }
+      }
+    }
+  }
+
   final case class ResizeFeatures(
       doc_id: Long,
       width: Long,
