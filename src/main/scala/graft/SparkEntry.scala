@@ -3385,6 +3385,14 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Cross-correlation (q207): does the signup series lead purchases
+    * by a week — lag-7 cross-correlation of the two daily series on
+    * the shared day axis, exact sums, one stated IEEE tail. */
+  private def crossCorrQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.crossCorrelation(
+      Tables.events(s, dir), "event_type", "ts",
+      typeX = "signup", typeY = "purchase", lag = 7)
+
   /** Chi-square independence (q204): is the event mix associated with
     * the weekday — Pearson X² over the full type×weekday grid,
     * per-cell micro terms summed exactly. */
@@ -4106,7 +4114,8 @@ object SparkEntry {
     "q203_contribution" -> (contributionQuery _),
     "q204_chi_square" -> (chiSquareQuery _),
     "q205_dup_triangles" -> (dupGraphTriangles _),
-    "q206_audio_trim" -> (audioTrimQuery _))
+    "q206_audio_trim" -> (audioTrimQuery _),
+    "q207_cross_correlation" -> (crossCorrQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4391,7 +4400,8 @@ object SparkEntry {
     "q195_ab_test", "q196_revenue_pareto", "q197_schema_drift",
     "q198_dedup_threshold_sweep", "q199_ks_drift", "q200_health_report",
     "q201_heavy_hitters", "q202_image_resize", "q203_contribution",
-    "q204_chi_square", "q205_dup_triangles", "q206_audio_trim")
+    "q204_chi_square", "q205_dup_triangles", "q206_audio_trim",
+    "q207_cross_correlation")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8924,7 +8934,40 @@ object SparkEntry {
                 CAST(trail AS BIGINT) AS n_trailing,
                 CAST(n - lead - trail AS BIGINT) AS n_kept,
                 CAST(kept AS BIGINT) AS kept_abs_sum
-         FROM t ORDER BY doc_id""")
+         FROM t ORDER BY doc_id""",
+    // Cross-correlation: the q151 exact-centering scheme on the
+    // shared day axis; the IEEE tail (two sqrts, multiply, divide,
+    // round 6) mirrors the Spark chain op for op.
+    "q207_cross_correlation" -> """
+         WITH daily AS (SELECT ts::DATE AS day,
+                               CAST(count(*) FILTER (WHERE event_type
+                                 = 'signup') AS BIGINT) AS x,
+                               CAST(count(*) FILTER (WHERE event_type
+                                 = 'purchase') AS BIGINT) AS y
+                        FROM events
+                        WHERE event_type IN ('signup', 'purchase')
+                        GROUP BY 1),
+         w AS (SELECT day, x, y,
+                      CAST(count(*) OVER () AS BIGINT) AS n,
+                      CAST(sum(x) OVER () AS BIGINT) AS tx,
+                      CAST(sum(y) OVER () AS BIGINT) AS ty
+               FROM daily),
+         d AS (SELECT day, n, x * n - tx AS dx, y * n - ty AS dy FROM w),
+         l AS (SELECT n, dx, dy,
+                      lead(dy, 7) OVER (ORDER BY day) AS dyl
+               FROM d),
+         a AS (SELECT CAST(max(n) AS BIGINT) AS n_days,
+                      CAST(coalesce(sum(dx * dyl), 0) AS BIGINT) AS num,
+                      CAST(sum(dx * dx) AS BIGINT) AS den_x,
+                      CAST(sum(dy * dy) AS BIGINT) AS den_y
+               FROM l)
+         SELECT 'signup' AS type_x, 'purchase' AS type_y,
+                CAST(7 AS BIGINT) AS lag, n_days, num, den_x, den_y,
+                CASE WHEN den_x > 0 AND den_y > 0
+                     THEN round(num::DOUBLE
+                       / (sqrt(den_x::DOUBLE) * sqrt(den_y::DOUBLE)), 6)
+                     ELSE NULL END AS r
+         FROM a""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

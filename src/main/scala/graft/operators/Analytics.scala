@@ -963,6 +963,71 @@ object Analytics {
           .otherwise(lit(null).cast(DoubleType)).as("r"))
   }
 
+  /** Lag-k CROSS-correlation between two daily count series — the
+    * lead–lag detector ([[autocorrelation]] finds a series' own
+    * rhythm; this asks whether series X leads series Y by k days:
+    * does a signup wave today predict a purchase wave next week).
+    *
+    * Both series live on the SHARED day axis (days where either type
+    * appears; the absent side counts 0 — a day X fired and Y didn't
+    * is exactly the signal, not a gap). Same exactness scheme as
+    * [[autocorrelation]]: deviations scale by n (`dx = x·n − totX`,
+    * Σdx = 0 exactly), `num = Σ dxᵢ·dyᵢ₊ₖ` and both denominators are
+    * exact long sums under the same n-aware raise_error envelope; the
+    * only float ops are the final two correctly-rounded sqrts, one
+    * multiply, one divide, round 6 — a STATED chain, identical bits
+    * in both engines. Either flat series (den = 0) reports null r.
+    *
+    * Shape at 100 TB: one events→day rollup (two conditional sums in
+    * the same pass), then the lead() and sums over the days-sized
+    * Aggregate child — the one unpartitioned-window shape the plan
+    * guards allow. Output one row: (type_x, type_y, lag, n_days,
+    * num, den_x, den_y, r). */
+  def crossCorrelation(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      typeX: String,
+      typeY: String,
+      lag: Int): DataFrame = {
+    require(lag >= 1, s"lag must be >= 1, got $lag")
+    require(typeX != typeY, "use autocorrelation for a series vs itself")
+    val daily = events
+      .filter(col(typeCol).isin(typeX, typeY))
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(when(col(typeCol) === typeX, 1L).otherwise(0L)).as("x"),
+        sum(when(col(typeCol) === typeY, 1L).otherwise(0L)).as("y"))
+    val all = Window.partitionBy(lit(1))
+    val byDay = Window.partitionBy(lit(1)).orderBy(col("day"))
+    def centered(vc: String, tot: Column, n: Column): Column = {
+      val d = col(vc) * n - tot
+      when(abs(d) >=
+          floor(sqrt(lit(9.2233720368547e18) / n)).cast(LongType),
+        raise_error(lit("crossCorrelation: |v*n - total| exceeds the " +
+          "exact-long envelope (|d| >= sqrt(Long.MAX/n)); use coarser " +
+          "time units")))
+        .otherwise(d)
+    }
+    daily
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("dx", centered("x", sum(col("x")).over(all), col("n")))
+      .withColumn("dy", centered("y", sum(col("y")).over(all), col("n")))
+      .withColumn("dylead", lead(col("dy"), lag).over(byDay))
+      .groupBy()
+      .agg(max(col("n")).as("n_days"),
+        coalesce(sum(col("dx") * col("dylead")), lit(0L)).as("num"),
+        sum(col("dx") * col("dx")).as("den_x"),
+        sum(col("dy") * col("dy")).as("den_y"))
+      .select(lit(typeX).as("type_x"), lit(typeY).as("type_y"),
+        lit(lag.toLong).as("lag"), col("n_days"), col("num"),
+        col("den_x"), col("den_y"),
+        when(col("den_x") > 0 && col("den_y") > 0,
+          round(col("num").cast(DoubleType) /
+            (sqrt(col("den_x").cast(DoubleType)) *
+              sqrt(col("den_y").cast(DoubleType))), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("r"))
+  }
+
   /** Theil–Sen robust trend over per-key daily count series: the
     * slope estimate is the MEDIAN of all pairwise slopes
     * (v_j − v_i)/(j − i), i < j — robust to ~29% outlier days where a
