@@ -3385,6 +3385,14 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Audience overlap (q208): the pairwise Jaccard of event-type
+    * audiences — one distinct (user, type) shuffle, types²-bounded
+    * everything after. */
+  private def audienceOverlapQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.audienceOverlap(
+        Tables.events(s, dir), "event_type", "user_id")
+      .orderBy(col("type_a"), col("type_b"))
+
   /** Cross-correlation (q207): does the signup series lead purchases
     * by a week — lag-7 cross-correlation of the two daily series on
     * the shared day axis, exact sums, one stated IEEE tail. */
@@ -4115,7 +4123,8 @@ object SparkEntry {
     "q204_chi_square" -> (chiSquareQuery _),
     "q205_dup_triangles" -> (dupGraphTriangles _),
     "q206_audio_trim" -> (audioTrimQuery _),
-    "q207_cross_correlation" -> (crossCorrQuery _))
+    "q207_cross_correlation" -> (crossCorrQuery _),
+    "q208_audience_overlap" -> (audienceOverlapQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4401,7 +4410,7 @@ object SparkEntry {
     "q198_dedup_threshold_sweep", "q199_ks_drift", "q200_health_report",
     "q201_heavy_hitters", "q202_image_resize", "q203_contribution",
     "q204_chi_square", "q205_dup_triangles", "q206_audio_trim",
-    "q207_cross_correlation")
+    "q207_cross_correlation", "q208_audience_overlap")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8967,7 +8976,30 @@ object SparkEntry {
                      THEN round(num::DOUBLE
                        / (sqrt(den_x::DOUBLE) * sqrt(den_y::DOUBLE)), 6)
                      ELSE NULL END AS r
-         FROM a""")
+         FROM a""",
+    // Audience overlap: the same distinct (user, type) relation
+    // self-joined, grid zero-filled, exact ppm Jaccard.
+    "q208_audience_overlap" -> """
+         WITH ut AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+                            CAST(event_type AS VARCHAR) AS t
+                     FROM events
+                     WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         tot AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+                 FROM ut GROUP BY 1),
+         b AS (SELECT a.t AS type_a, c.t AS type_b,
+                      CAST(count(*) AS BIGINT) AS n_both
+               FROM ut a JOIN ut c ON a.u = c.u AND a.t < c.t
+               GROUP BY 1, 2),
+         grid AS (SELECT ta.t AS type_a, tb.t AS type_b,
+                         ta.n AS n_a, tb.n AS n_b,
+                         CAST(coalesce(b.n_both, 0) AS BIGINT) AS n_both
+                  FROM tot ta CROSS JOIN tot tb
+                  LEFT JOIN b ON b.type_a = ta.t AND b.type_b = tb.t
+                  WHERE ta.t < tb.t)
+         SELECT type_a, type_b, n_a, n_b, n_both,
+                CAST(n_both * 1000000 // (n_a + n_b - n_both) AS BIGINT)
+                  AS jaccard_ppm
+         FROM grid ORDER BY type_a, type_b""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

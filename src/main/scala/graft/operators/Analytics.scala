@@ -1774,6 +1774,49 @@ object Analytics {
     * counts into the segment rollup, then three tiny aggregates over
     * that rollup (total movement, winner, floor-share sum) broadcast
     * back — no ordered or unpartitioned window anywhere. */
+  /** AUDIENCE OVERLAP matrix — do the same users fire both event
+    * types (feature adoption overlap, the segmentation read behind
+    * "viewers also purchase"): for every unordered type pair, the
+    * exact distinct-user counts, the intersection, and the Jaccard of
+    * the two audiences in exact ppm.
+    *
+    * Shape at 100 TB: ONE shuffle to the distinct (user, type)
+    * relation — the only data-sized exchange; the intersection counts
+    * come from self-joining that relation on the user key (both sides
+    * hash-partition the same way, AQE plans a co-partitioned join)
+    * with `type_a < type_b` keeping each pair once, and the per-user
+    * fan-out is C(T_u, 2) ≤ types² — enum-bounded, so the pair
+    * exchange collapses to types² partial counts under map-side
+    * combine. The grid is the types×types broadcast cross of the
+    * totals left-joined to the intersections, zero-filled: pairs with
+    * NO shared user still emit their row (that absence is the
+    * finding). NULL users/types excluded, stated. */
+  def audienceOverlap(
+      events: DataFrame,
+      typeCol: String,
+      userCol: String): DataFrame = {
+    val ut = events
+      .select(col(userCol).cast("string").as("u"),
+        col(typeCol).cast("string").as("t"))
+      .filter(col("u").isNotNull && col("t").isNotNull)
+      .distinct()
+    val totals = ut.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val both = ut.select(col("u"), col("t").as("type_a"))
+      .join(ut.select(col("u"), col("t").as("type_b")), Seq("u"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    totals.select(col("t").as("type_a"), col("n").as("n_a"))
+      .crossJoin(totals.select(col("t").as("type_b"), col("n").as("n_b")))
+      .filter(col("type_a") < col("type_b"))
+      .join(both, Seq("type_a", "type_b"), "left")
+      .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("n_both * 1000000 div (n_a + n_b - n_both)")
+          .as("jaccard_ppm"))
+  }
+
   /** TRIANGLE CENSUS over an undirected edge list — the graph-shape
     * read on the near-dup pair graph (how CLIQUISH is the duplication:
     * boilerplate families close their triangles, chains of drifting
