@@ -3385,6 +3385,15 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** EWMA baseline (q209): the exact-integer smoothed expected volume
+    * per event type (α = 0.3) with per-day deviations — the monitor
+    * primitive; driver fold over the days-sized rollup, recursive-CTE
+    * oracle. */
+  private def ewmaQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.ewmaBaseline(
+        Tables.events(s, dir), "event_type", "ts", alphaPpm = 300000L)
+      .orderBy(col("event_type"), col("day"))
+
   /** Audience overlap (q208): the pairwise Jaccard of event-type
     * audiences — one distinct (user, type) shuffle, types²-bounded
     * everything after. */
@@ -4124,7 +4133,8 @@ object SparkEntry {
     "q205_dup_triangles" -> (dupGraphTriangles _),
     "q206_audio_trim" -> (audioTrimQuery _),
     "q207_cross_correlation" -> (crossCorrQuery _),
-    "q208_audience_overlap" -> (audienceOverlapQuery _))
+    "q208_audience_overlap" -> (audienceOverlapQuery _),
+    "q209_ewma_baseline" -> (ewmaQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4410,7 +4420,8 @@ object SparkEntry {
     "q198_dedup_threshold_sweep", "q199_ks_drift", "q200_health_report",
     "q201_heavy_hitters", "q202_image_resize", "q203_contribution",
     "q204_chi_square", "q205_dup_triangles", "q206_audio_trim",
-    "q207_cross_correlation", "q208_audience_overlap")
+    "q207_cross_correlation", "q208_audience_overlap",
+    "q209_ewma_baseline")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -8999,7 +9010,32 @@ object SparkEntry {
          SELECT type_a, type_b, n_a, n_b, n_both,
                 CAST(n_both * 1000000 // (n_a + n_b - n_both) AS BIGINT)
                   AS jaccard_ppm
-         FROM grid ORDER BY type_a, type_b""")
+         FROM grid ORDER BY type_a, type_b""",
+    // EWMA: the identical integer recurrence as a recursive CTE —
+    // the oracle engine walks day i from day i-1 exactly as the
+    // driver fold does.
+    "q209_ewma_baseline" -> """
+         WITH RECURSIVE daily AS (
+           SELECT CAST(event_type AS VARCHAR) AS typ, ts::DATE AS day,
+                  CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         ord AS (SELECT typ, day, v,
+                        CAST(row_number() OVER (PARTITION BY typ
+                          ORDER BY day) AS BIGINT) AS i
+                 FROM daily),
+         rec AS (
+           SELECT typ, day, v, i,
+                  v * 1000000 AS s, CAST(0 AS BIGINT) AS dev
+           FROM ord WHERE i = 1
+           UNION ALL
+           SELECT o.typ, o.day, o.v, o.i,
+                  300000 * o.v + (1000000 - 300000) * r.s // 1000000,
+                  o.v * 1000000 - r.s
+           FROM ord o JOIN rec r ON o.typ = r.typ AND o.i = r.i + 1)
+         SELECT typ AS event_type, CAST(day AS VARCHAR) AS day, v,
+                CAST(s AS BIGINT) AS ewma_micro,
+                CAST(dev AS BIGINT) AS dev_micro
+         FROM rec ORDER BY event_type, day""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

@@ -1476,6 +1476,62 @@ object Analytics {
       .toDF("event_type", "n_out", "pi_ppm")
   }
 
+  /** EWMA BASELINE over per-type daily counts — the smoothed
+    * "expected volume" every alerting rule subtracts from ([[zscore
+    * anomalies|weekdayAdjustedZscore]] need a distribution; an EWMA
+    * needs only yesterday's state, which is why production monitors
+    * run it): `s₁ = v₁·10⁶`, `s_t = α·v_t + (10⁶−α)·s_{t−1} div 10⁶`
+    * in exact integer MICRO units (α in ppm), plus each day's
+    * deviation from the standing baseline `v_t·10⁶ − s_{t−1}`
+    * (0 for the first day, stated).
+    *
+    * The recurrence is inherently sequential per type, so it runs at
+    * the lloydStepDeterministic/stationaryDistribution boundary: ONE
+    * shuffle builds the days-sized (type, day, v) rollup, the fold
+    * runs on the DRIVER over the collected rollup (require-guarded ≤
+    * 10⁵ rows — a types×days relation, nowhere near data-sized), and
+    * the result returns as a local relation. The oracle mirrors the
+    * identical recurrence as a recursive CTE. Envelope: `(10⁶−α)·s`
+    * must stay in a long, i.e. daily v < 9.2·10⁶ — require-guarded;
+    * coarser units past it. */
+  def ewmaBaseline(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      alphaPpm: Long,
+      maxRows: Int = 100000): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000,
+      s"alphaPpm must be in [1, 1e6]: $alphaPpm")
+    val daily = events
+      .groupBy(col(typeCol).cast("string").as("typ"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("v"))
+      .select(col("typ"), col("day").cast("string").as("day"), col("v"))
+    val rows = daily.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(rows.length <= maxRows,
+      s"ewmaBaseline: ${rows.length} (type, day) rows exceed the driver " +
+        s"fold bound ($maxRows); aggregate to coarser time units")
+    rows.foreach { case (_, _, v) =>
+      require(v < 9200000L,
+        "ewmaBaseline: daily count exceeds the exact-long micro " +
+          "envelope (9.2e6); use coarser units")
+    }
+    val out = rows.groupBy(_._1).toSeq.flatMap { case (typ, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var s = 0L
+      sorted.zipWithIndex.map { case ((_, day, v), i) =>
+        val dev = if (i == 0) 0L else v * 1000000L - s
+        s = if (i == 0) v * 1000000L
+            else alphaPpm * v + (1000000L - alphaPpm) * s / 1000000L
+        (typ, day, v, s, dev)
+      }
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    out.toDF("event_type", "day", "v", "ewma_micro", "dev_micro")
+  }
+
   /** Linear multi-touch attribution — [[lastTouchAttribution]]'s
     * fair-split twin: every conversion distributes EXACTLY 10⁶ ppm of
     * credit equally across its prior channel touches (each touch gets
