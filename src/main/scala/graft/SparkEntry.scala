@@ -3385,6 +3385,25 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Mann–Whitney U (q210): does German length stochastically
+    * dominate English — doubled rank sums off the shared value
+    * histogram, AUC effect size in exact ppm (the q199 pair). */
+  private def mannWhitneyQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.mannWhitneyU(
+      Tables.documents(s, dir), "lang", col("n_chars"), "en", "de")
+
+  /** KL divergence (q211): weekday vs weekend event-type mix — the
+    * categorical drift screen, per-category micro terms summed
+    * exactly, NULL on disjoint support. */
+  private def klDivergenceQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("slice",
+        when(dayofweek(to_date(col("ts"))).between(2, 6), "weekday")
+          .otherwise("weekend"))
+    graft.operators.Analytics.klDivergence(
+      e, "event_type", "slice", "weekday", "weekend")
+  }
+
   /** EWMA baseline (q209): the exact-integer smoothed expected volume
     * per event type (α = 0.3) with per-day deviations — the monitor
     * primitive; driver fold over the days-sized rollup, recursive-CTE
@@ -4134,7 +4153,9 @@ object SparkEntry {
     "q206_audio_trim" -> (audioTrimQuery _),
     "q207_cross_correlation" -> (crossCorrQuery _),
     "q208_audience_overlap" -> (audienceOverlapQuery _),
-    "q209_ewma_baseline" -> (ewmaQuery _))
+    "q209_ewma_baseline" -> (ewmaQuery _),
+    "q210_mann_whitney" -> (mannWhitneyQuery _),
+    "q211_kl_divergence" -> (klDivergenceQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4421,7 +4442,7 @@ object SparkEntry {
     "q201_heavy_hitters", "q202_image_resize", "q203_contribution",
     "q204_chi_square", "q205_dup_triangles", "q206_audio_trim",
     "q207_cross_correlation", "q208_audience_overlap",
-    "q209_ewma_baseline")
+    "q209_ewma_baseline", "q210_mann_whitney", "q211_kl_divergence")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9035,7 +9056,74 @@ object SparkEntry {
          SELECT typ AS event_type, CAST(day AS VARCHAR) AS day, v,
                 CAST(s AS BIGINT) AS ewma_micro,
                 CAST(dev AS BIGINT) AS dev_micro
-         FROM rec ORDER BY event_type, day""")
+         FROM rec ORDER BY event_type, day""",
+    // Mann-Whitney: doubled midranks off the q199 shared histogram;
+    // 2R_A = sum ca*(2*r0 + m + 1) with the exclusive prefix.
+    "q210_mann_whitney" -> """
+         WITH q AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+                    FROM documents
+                    WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL),
+         h AS (SELECT v,
+                      CAST(count(CASE WHEN g = 'en' THEN 1 END)
+                        AS BIGINT) AS ca,
+                      CAST(count(CASE WHEN g = 'de' THEN 1 END)
+                        AS BIGINT) AS cb
+               FROM q GROUP BY 1),
+         c AS (SELECT v, ca, cb, ca + cb AS m,
+                      CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS r0
+               FROM h),
+         t AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS na,
+                      CAST(coalesce(sum(cb), 0) AS BIGINT) AS nb,
+                      CAST(coalesce(sum(ca * (2 * r0 + m + 1)), 0)
+                        AS BIGINT) AS r2a
+               FROM c)
+         SELECT na AS n_a, nb AS n_b,
+                CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+                CAST(2 * na * nb - (r2a - na * (na + 1)) AS BIGINT)
+                  AS u2_b,
+                CASE WHEN na = 0 OR nb = 0 THEN 0
+                     ELSE (r2a - na * (na + 1)) * 1000000
+                          // (2 * na * nb) END AS auc_ppm
+         FROM t""",
+    // KL: per-category micro terms via the identical stated chain
+    // (exact-long ratios through one ln), summed exactly; weekday =
+    // Spark dayofweek 2..6 = DuckDB dayofweek+1 in 2..6.
+    "q211_kl_divergence" -> """
+         WITH e AS (SELECT CAST(event_type AS VARCHAR) AS cat,
+                           CASE WHEN dayofweek(ts::DATE) + 1 BETWEEN 2
+                                  AND 6
+                                THEN 'weekday' ELSE 'weekend' END AS g
+                    FROM events WHERE event_type IS NOT NULL),
+         cells AS (SELECT cat,
+                          CAST(count(CASE WHEN g = 'weekday' THEN 1 END)
+                            AS BIGINT) AS a,
+                          CAST(count(CASE WHEN g = 'weekend' THEN 1 END)
+                            AS BIGINT) AS b
+                   FROM e GROUP BY 1),
+         t AS (SELECT CAST(coalesce(sum(a), 0) AS BIGINT) AS ta,
+                      CAST(coalesce(sum(b), 0) AS BIGINT) AS tb
+               FROM cells),
+         terms AS (SELECT a, b, ta, tb,
+                          CASE WHEN a = 0 THEN 0
+                               WHEN b = 0 THEN NULL
+                               ELSE CAST(round(a::DOUBLE / ta::DOUBLE
+                                 * ln((a * tb)::DOUBLE / (b * ta)::DOUBLE)
+                                 * 1000000) AS BIGINT)
+                          END AS term
+                   FROM cells CROSS JOIN t),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+                        CAST(count(CASE WHEN a > 0 AND b = 0 THEN 1 END)
+                          AS BIGINT) AS n_a_only,
+                        CAST(coalesce(max(ta), 0) AS BIGINT) AS n_rows_a,
+                        CAST(coalesce(max(tb), 0) AS BIGINT) AS n_rows_b,
+                        CAST(sum(term) AS BIGINT) AS kl
+                 FROM terms)
+         SELECT n_categories, n_a_only, n_rows_a, n_rows_b,
+                CASE WHEN n_a_only > 0 OR n_rows_a = 0 OR n_rows_b = 0
+                     THEN NULL ELSE kl END AS kl_micro
+         FROM agg""")
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */

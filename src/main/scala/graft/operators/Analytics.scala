@@ -1357,6 +1357,119 @@ object Analytics {
         (-col("_m").getField("nv")).as("at_value"))
   }
 
+  /** KL DIVERGENCE between two CATEGORICAL mixes — the drift screen
+    * for enum-valued columns ([[ksDrift]] and [[mannWhitneyU]] need
+    * an ordered value; the event-type mix, language mix, or source
+    * mix has no order): `KL(P‖Q) = Σ pᵢ·ln(pᵢ/qᵢ)` over the shared
+    * category set, P = slice A's mix, Q = slice B's.
+    *
+    * Cross-engine arithmetic (the q67 convention): each category's
+    * term is ONE stated chain — `a·B` and `b·A` exact longs, their
+    * double ratio through one libm `ln` (the accepted ~1-ulp caveat),
+    * times `a/A`, times 10⁶, rounded to an integer micro term — then
+    * summed exactly, so float summation order never exists. KL is
+    * INFINITE when P has mass where Q has none: those categories are
+    * COUNTED (`n_a_only`) and kl_micro reports NULL rather than a
+    * smoothed fiction — the caller chooses the smoothing, not the
+    * engine. Either empty slice also reports NULL. Envelope:
+    * `a·B < 9.2·10¹⁸` holds to ~3·10⁹ rows/slice, past any enum
+    * rollup this operator sees (inputs are category-rollup-sized
+    * after one shuffle).
+    *
+    * Shape at 100 TB: one shuffle to the category rollup with two
+    * conditional counts; everything after is categories-sized. */
+  def klDivergence(
+      df: DataFrame,
+      catCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    require(groupA != groupB, "KL needs two distinct slices")
+    val cells = df
+      .select(col(catCol).cast("string").as("cat"),
+        col(groupCol).cast("string").as("g"))
+      .filter(col("cat").isNotNull && col("g").isin(groupA, groupB))
+      .groupBy(col("cat"))
+      .agg(count(when(col("g") === groupA, 1)).as("a"),
+        count(when(col("g") === groupB, 1)).as("b"))
+    val tot = cells.agg(coalesce(sum(col("a")), lit(0L)).as("ta"),
+      coalesce(sum(col("b")), lit(0L)).as("tb"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("_term",
+        when(col("a") === 0, lit(0L))
+          .when(col("b") === 0, lit(null).cast(LongType))
+          .otherwise(round(
+            col("a").cast(DoubleType) / col("ta").cast(DoubleType) *
+              log((col("a") * col("tb")).cast(DoubleType) /
+                (col("b") * col("ta")).cast(DoubleType)) * 1e6)
+            .cast(LongType)))
+      .agg(count(lit(1)).as("n_categories"),
+        count(when(col("a") > 0 && col("b") === 0, 1)).as("n_a_only"),
+        coalesce(max(col("ta")), lit(0L)).as("n_rows_a"),
+        coalesce(max(col("tb")), lit(0L)).as("n_rows_b"),
+        sum(col("_term")).as("_kl"))
+      .select(col("n_categories"), col("n_a_only"),
+        col("n_rows_a"), col("n_rows_b"),
+        when(col("n_a_only") > 0 || col("n_rows_a") === 0 ||
+            col("n_rows_b") === 0, lit(null).cast(LongType))
+          .otherwise(col("_kl")).as("kl_micro"))
+  }
+
+  /** MANN–WHITNEY U — [[ksDrift]]'s rank-sum sibling: KS answers "did
+    * the distribution change anywhere", U answers "does one slice
+    * STOCHASTICALLY DOMINATE the other", and `U/(n_a·n_b)` is the
+    * probability-of-superiority effect size (the AUC) every
+    * experiment readout wants next to its p-value.
+    *
+    * Everything is exact integers on the SAME shared value histogram
+    * as KS: a tie class of size m occupying ranks r₀+1..r₀+m has
+    * midrank (2r₀+m+1)/2, so DOUBLED rank sums stay integral —
+    * `2R_A = Σ ca·(2r₀+m+1)` via the exclusive prefix over the
+    * histogram (the established Aggregate-child window), then
+    * `2U_A = 2R_A − n_a(n_a+1)` and `auc_ppm = 2U_A·10⁶ div
+    * (2·n_a·n_b)`. No sort of the data, no per-row ranks — ranks of a
+    * class are a closed form of the histogram prefix. Envelope:
+    * `n_a·n_b < 4.6·10¹²` for the ppm scaling, raise_error-guarded
+    * (the KS discipline); empty slices report auc 0. Output one row:
+    * (n_a, n_b, u2_a, u2_b, auc_ppm) — u2 values are DOUBLED U
+    * statistics, stated, so ties never force a float. */
+  def mannWhitneyU(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      groupA: String,
+      groupB: String): DataFrame = {
+    require(groupA != groupB, "U needs two distinct groups")
+    val q = df.select(col(groupCol).cast("string").as("g"),
+      value.cast(LongType).as("v"))
+      .filter(col("v").isNotNull && col("g").isin(groupA, groupB))
+    val h = q.groupBy(col("v"))
+      .agg(count(when(col("g") === groupA, 1)).as("ca"),
+        count(when(col("g") === groupB, 1)).as("cb"))
+      .withColumn("m", col("ca") + col("cb"))
+    val byV = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h.withColumn("r0",
+      coalesce(sum(col("m")).over(byV), lit(0L)))
+    cum
+      .agg(coalesce(sum(col("ca")), lit(0L)).as("n_a"),
+        coalesce(sum(col("cb")), lit(0L)).as("n_b"),
+        coalesce(sum(col("ca") * (lit(2L) * col("r0") + col("m") + 1L)),
+          lit(0L)).as("_r2a"))
+      .select(col("n_a"), col("n_b"),
+        (col("_r2a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"),
+        (lit(2L) * col("n_a") * col("n_b") -
+          (col("_r2a") - col("n_a") * (col("n_a") + 1L))).as("u2_b"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(0L))
+          .otherwise(when(col("n_a") * col("n_b") >= lit(4611686018427L),
+            raise_error(lit("mannWhitneyU: n_a * n_b exceeds the " +
+              "exact-long ppm envelope (~4.6e12); compare sampled " +
+              "slices")))
+            .otherwise(expr(
+              "(_r2a - n_a * (n_a + 1)) * 1000000 div (2 * n_a * n_b)")))
+          .as("auc_ppm"))
+  }
+
   /** LORENZ curve — "the top decile drives what share of revenue":
     * [[equiDepthHistogram]]'s buckets carrying VALUE MASS as well as
     * counts, plus the cumulative share that IS the Lorenz curve (and
