@@ -3027,6 +3027,19 @@ object SparkEntry {
       qtag: String,
       reachFn: org.apache.spark.sql.Dataset[graft.streaming.StreamingFunnel.UserEvent] =>
         org.apache.spark.sql.Dataset[T])
+      : DataFrame =
+    replayedStreamTable(s, dir, qtag, reachFn)
+      .filter(col("user_id") >= 0)
+
+  /** The replay machinery itself, UNFILTERED — for gates whose output
+    * carries no user_id (the q212 type-keyed EWMA filters its tick
+    * rows by event_type instead). */
+  private def replayedStreamTable[T](
+      s: SparkSession,
+      dir: String,
+      qtag: String,
+      reachFn: org.apache.spark.sql.Dataset[graft.streaming.StreamingFunnel.UserEvent] =>
+        org.apache.spark.sql.Dataset[T])
       : DataFrame = {
     import graft.store.DayPartitionedTable
     import graft.streaming.StreamingFunnel
@@ -3066,7 +3079,7 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sink).filter(col("user_id") >= 0)
+    s.table(sink)
   }
 
   /** Streaming WINDOWED funnel (q168): the K134 per-step deadlines
@@ -3112,6 +3125,16 @@ object SparkEntry {
         max(col("gap")).as("max_gap_secs"))
       .orderBy(col("bucket"))
   }
+
+  /** Streaming EWMA (q212): the K177 baseline held as per-TYPE state
+    * (the first non-user-keyed gate), folded once at event-time
+    * timeout, replayed to completion and hash-compared against the
+    * SAME oracle as the batch q209. */
+  private def streamingEwmaQuery(s: SparkSession, dir: String): DataFrame =
+    replayedStreamTable(s, dir, "q212",
+      graft.streaming.StreamingEwma.ewma(_, alphaPpm = 300000L))
+      .filter(col("event_type") =!= "tick")
+      .orderBy(col("event_type"), col("day"))
 
   /** BPE encode (q158): apply the literal demonstration merge table to
     * every document — real subword tokens, not whitespace words. The
@@ -4155,7 +4178,8 @@ object SparkEntry {
     "q208_audience_overlap" -> (audienceOverlapQuery _),
     "q209_ewma_baseline" -> (ewmaQuery _),
     "q210_mann_whitney" -> (mannWhitneyQuery _),
-    "q211_kl_divergence" -> (klDivergenceQuery _))
+    "q211_kl_divergence" -> (klDivergenceQuery _),
+    "q212_streaming_ewma" -> (streamingEwmaQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -9034,29 +9058,10 @@ object SparkEntry {
          FROM grid ORDER BY type_a, type_b""",
     // EWMA: the identical integer recurrence as a recursive CTE —
     // the oracle engine walks day i from day i-1 exactly as the
-    // driver fold does.
-    "q209_ewma_baseline" -> """
-         WITH RECURSIVE daily AS (
-           SELECT CAST(event_type AS VARCHAR) AS typ, ts::DATE AS day,
-                  CAST(count(*) AS BIGINT) AS v
-           FROM events GROUP BY 1, 2),
-         ord AS (SELECT typ, day, v,
-                        CAST(row_number() OVER (PARTITION BY typ
-                          ORDER BY day) AS BIGINT) AS i
-                 FROM daily),
-         rec AS (
-           SELECT typ, day, v, i,
-                  v * 1000000 AS s, CAST(0 AS BIGINT) AS dev
-           FROM ord WHERE i = 1
-           UNION ALL
-           SELECT o.typ, o.day, o.v, o.i,
-                  300000 * o.v + (1000000 - 300000) * r.s // 1000000,
-                  o.v * 1000000 - r.s
-           FROM ord o JOIN rec r ON o.typ = r.typ AND o.i = r.i + 1)
-         SELECT typ AS event_type, CAST(day AS VARCHAR) AS day, v,
-                CAST(s AS BIGINT) AS ewma_micro,
-                CAST(dev AS BIGINT) AS dev_micro
-         FROM rec ORDER BY event_type, day""",
+    // driver fold does. SHARED by the batch q209 and the streaming
+    // q212 (the gate: replay-to-completion must equal the batch).
+    "q209_ewma_baseline" -> ewmaOracleSql,
+    "q212_streaming_ewma" -> ewmaOracleSql,
     // Mann-Whitney: doubled midranks off the q199 shared histogram;
     // 2R_A = sum ca*(2*r0 + m + 1) with the exclusive prefix.
     "q210_mann_whitney" -> """
@@ -9124,6 +9129,32 @@ object SparkEntry {
                 CASE WHEN n_a_only > 0 OR n_rows_a = 0 OR n_rows_b = 0
                      THEN NULL ELSE kl END AS kl_micro
          FROM agg""")
+
+  /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
+    * type-keyed replay must produce the SAME per-day rows — the
+    * identical integer recurrence walked as a recursive CTE. */
+  private val ewmaOracleSql: String = """
+         WITH RECURSIVE daily AS (
+           SELECT CAST(event_type AS VARCHAR) AS typ, ts::DATE AS day,
+                  CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         ord AS (SELECT typ, day, v,
+                        CAST(row_number() OVER (PARTITION BY typ
+                          ORDER BY day) AS BIGINT) AS i
+                 FROM daily),
+         rec AS (
+           SELECT typ, day, v, i,
+                  v * 1000000 AS s, CAST(0 AS BIGINT) AS dev
+           FROM ord WHERE i = 1
+           UNION ALL
+           SELECT o.typ, o.day, o.v, o.i,
+                  300000 * o.v + (1000000 - 300000) * r.s // 1000000,
+                  o.v * 1000000 - r.s
+           FROM ord o JOIN rec r ON o.typ = r.typ AND o.i = r.i + 1)
+         SELECT typ AS event_type, CAST(day AS VARCHAR) AS day, v,
+                CAST(s AS BIGINT) AS ewma_micro,
+                CAST(dev AS BIGINT) AS dev_micro
+         FROM rec ORDER BY event_type, day"""
 
   /** Shared q174/q180 oracle: the batch gap histogram and its
     * streaming stateful replay must produce the SAME bucket rows. */
