@@ -3408,6 +3408,14 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Spearman correlation (q213): do quantity and price move together
+    * on the order line — tie-aware midrank correlation in exact
+    * integers off the two value histograms. */
+  private def spearmanQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.spearmanCorrelation(
+      Tables.lineitem(s, dir), col("l_quantity"),
+      round(col("l_extendedprice") * 100))
+
   /** Mann–Whitney U (q210): does German length stochastically
     * dominate English — doubled rank sums off the shared value
     * histogram, AUC effect size in exact ppm (the q199 pair). */
@@ -4179,7 +4187,8 @@ object SparkEntry {
     "q209_ewma_baseline" -> (ewmaQuery _),
     "q210_mann_whitney" -> (mannWhitneyQuery _),
     "q211_kl_divergence" -> (klDivergenceQuery _),
-    "q212_streaming_ewma" -> (streamingEwmaQuery _))
+    "q212_streaming_ewma" -> (streamingEwmaQuery _),
+    "q213_spearman" -> (spearmanQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4466,7 +4475,8 @@ object SparkEntry {
     "q201_heavy_hitters", "q202_image_resize", "q203_contribution",
     "q204_chi_square", "q205_dup_triangles", "q206_audio_trim",
     "q207_cross_correlation", "q208_audience_overlap",
-    "q209_ewma_baseline", "q210_mann_whitney", "q211_kl_divergence")
+    "q209_ewma_baseline", "q210_mann_whitney", "q211_kl_divergence",
+    "q213_spearman")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9128,7 +9138,43 @@ object SparkEntry {
          SELECT n_categories, n_a_only, n_rows_a, n_rows_b,
                 CASE WHEN n_a_only > 0 OR n_rows_a = 0 OR n_rows_b = 0
                      THEN NULL ELSE kl END AS kl_micro
-         FROM agg""")
+         FROM agg""",
+    // Spearman: both columns' doubled midranks joined back on the
+    // value, centered by the exact integer mean rank n+1, Pearson
+    // tail in the stated IEEE chain.
+    "q213_spearman" -> """
+         WITH q AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                           CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS y
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL
+                      AND l_extendedprice IS NOT NULL),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+         hx AS (SELECT x, CAST(count(*) AS BIGINT) AS m FROM q GROUP BY 1),
+         rx AS (SELECT x,
+                       2 * CAST(coalesce(sum(m) OVER (ORDER BY x
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) + m + 1 AS r2x
+                FROM hx),
+         hy AS (SELECT y, CAST(count(*) AS BIGINT) AS m FROM q GROUP BY 1),
+         ry AS (SELECT y,
+                       2 * CAST(coalesce(sum(m) OVER (ORDER BY y
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) + m + 1 AS r2y
+                FROM hy),
+         c AS (SELECT r2x - (n + 1) AS cx, r2y - (n + 1) AS cy, n
+               FROM q JOIN rx USING (x) JOIN ry USING (y) CROSS JOIN t),
+         a AS (SELECT n,
+                      CAST(coalesce(sum(cx * cy), 0) AS BIGINT) AS sxy,
+                      CAST(coalesce(sum(cx * cx), 0) AS BIGINT) AS sxx,
+                      CAST(coalesce(sum(cy * cy), 0) AS BIGINT) AS syy
+               FROM c GROUP BY n)
+         SELECT n, sxy, sxx, syy,
+                CASE WHEN sxx > 0 AND syy > 0
+                     THEN round(sxy::DOUBLE
+                       / (sqrt(sxx::DOUBLE) * sqrt(syy::DOUBLE)), 6)
+                     ELSE NULL END AS rho
+         FROM a""")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the

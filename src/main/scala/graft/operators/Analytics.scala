@@ -1357,6 +1357,63 @@ object Analytics {
         (-col("_m").getField("nv")).as("at_value"))
   }
 
+  /** SPEARMAN RANK CORRELATION — the monotone-association read
+    * ([[mannWhitneyU]] compares two slices of one value; this asks
+    * whether two VALUES move together without assuming linearity):
+    * Pearson's formula over tie-aware midranks.
+    *
+    * All-integer construction: each column's DOUBLED midranks come
+    * off its own value histogram (`2r₀+m+1`, the K178 closed form —
+    * no per-row sort, ranks join back to rows on the value), and the
+    * key identity is that doubled midranks always sum to `n(n+1)`, so
+    * the mean rank is the EXACT integer `n+1` and centered ranks
+    * `c = 2R − (n+1)` need no division. `Σ cx·cy`, `Σ cx²`, `Σ cy²`
+    * are exact long sums (|c| ≤ n ⇒ the sums bound by n³ — guarded
+    * at n ≤ 2·10⁶ with raise_error; Spearman is sample-stable, use
+    * the q51 sampler past it); the only floats are the stated
+    * two-sqrt/multiply/divide/round-6 tail (the K175 convention).
+    * Constant columns (zero rank variance) report null rho. NULLs in
+    * either column drop the row, stated.
+    *
+    * Shape at 100 TB: two histogram rollups, two value-keyed joins
+    * back to the rows, one global aggregate. Output one row:
+    * (n, sxy, sxx, syy, rho). */
+  def spearmanCorrelation(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val q = df.select(xCol.cast(LongType).as("x"),
+      yCol.cast(LongType).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val tot = q.agg(count(lit(1)).as("n"))
+      .select(when(col("n") > 2000000L,
+        raise_error(lit("spearmanCorrelation: n exceeds the exact-long " +
+          "rank-sum envelope (2e6); correlate a deterministic sample")))
+        .otherwise(col("n")).as("n"))
+    def ranks(c: String): DataFrame = {
+      val h = q.groupBy(col(c)).agg(count(lit(1)).as("m"))
+      val byV = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("r0", coalesce(sum(col("m")).over(byV), lit(0L)))
+        .select(col(c),
+          (lit(2L) * col("r0") + col("m") + 1L).as(s"r2$c"))
+    }
+    q.join(ranks("x"), Seq("x")).join(ranks("y"), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select((col("r2x") - (col("n") + 1L)).as("cx"),
+        (col("r2y") - (col("n") + 1L)).as("cy"), col("n"))
+      .groupBy(col("n"))
+      .agg(coalesce(sum(col("cx") * col("cy")), lit(0L)).as("sxy"),
+        coalesce(sum(col("cx") * col("cx")), lit(0L)).as("sxx"),
+        coalesce(sum(col("cy") * col("cy")), lit(0L)).as("syy"))
+      .select(col("n"), col("sxy"), col("sxx"), col("syy"),
+        when(col("sxx") > 0 && col("syy") > 0,
+          round(col("sxy").cast(DoubleType) /
+            (sqrt(col("sxx").cast(DoubleType)) *
+              sqrt(col("syy").cast(DoubleType))), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("rho"))
+  }
+
   /** KL DIVERGENCE between two CATEGORICAL mixes — the drift screen
     * for enum-valued columns ([[ksDrift]] and [[mannWhitneyU]] need
     * an ordered value; the event-type mix, language mix, or source
