@@ -3408,6 +3408,27 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Q–Q decile table (q214): en vs de document lengths aligned
+    * quantile by quantile — K137's exact order statistic per slice,
+    * joined on the decile, with the per-decile length ratio; the
+    * distribution-shape read that says WHERE the drift q199 detects
+    * actually lives. Pure composition of the gated q169 machinery. */
+  private def qqTableQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    val docs = Tables.documents(s, dir).filter(col("lang").isin("en", "de"))
+    val bands = Analytics.exactPercentiles(docs, "lang", col("n_chars"),
+      (1 to 9).map(_ * 10))
+    val en = bands.filter(col("key") === "en")
+      .select(col("pct"), col("value").as("v_en"))
+    val de = bands.filter(col("key") === "de")
+      .select(col("pct"), col("value").as("v_de"))
+    en.join(de, Seq("pct"))
+      .select(col("pct"), col("v_en"), col("v_de"),
+        when(col("v_de") =!= 0, expr("v_en * 1000000 div v_de"))
+          .otherwise(lit(null).cast("long")).as("ratio_ppm"))
+      .orderBy(col("pct"))
+  }
+
   /** Spearman correlation (q213): do quantity and price move together
     * on the order line — tie-aware midrank correlation in exact
     * integers off the two value histograms. */
@@ -4188,7 +4209,8 @@ object SparkEntry {
     "q210_mann_whitney" -> (mannWhitneyQuery _),
     "q211_kl_divergence" -> (klDivergenceQuery _),
     "q212_streaming_ewma" -> (streamingEwmaQuery _),
-    "q213_spearman" -> (spearmanQuery _))
+    "q213_spearman" -> (spearmanQuery _),
+    "q214_qq_table" -> (qqTableQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4476,7 +4498,7 @@ object SparkEntry {
     "q204_chi_square", "q205_dup_triangles", "q206_audio_trim",
     "q207_cross_correlation", "q208_audience_overlap",
     "q209_ewma_baseline", "q210_mann_whitney", "q211_kl_divergence",
-    "q213_spearman")
+    "q213_spearman", "q214_qq_table")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9174,7 +9196,32 @@ object SparkEntry {
                      THEN round(sxy::DOUBLE
                        / (sqrt(sxx::DOUBLE) * sqrt(syy::DOUBLE)), 6)
                      ELSE NULL END AS rho
-         FROM a""")
+         FROM a""",
+    // Q-Q: the q169 per-group position selection, en joined to de on
+    // the decile.
+    "q214_qq_table" -> """
+         WITH q AS (SELECT lang AS k, CAST(n_chars AS BIGINT) AS v
+                    FROM documents WHERE lang IN ('en', 'de')),
+         h AS (SELECT k, v, CAST(count(*) AS BIGINT) AS c
+               FROM q GROUP BY 1, 2),
+         w AS (SELECT k, v, c,
+                      CAST(coalesce(sum(c) OVER (PARTITION BY k ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS below
+               FROM h),
+         t AS (SELECT k, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY k),
+         p AS (SELECT CAST(unnest([10, 20, 30, 40, 50, 60, 70, 80, 90])
+                 AS BIGINT) AS pct),
+         sel AS (SELECT w.k, p.pct, w.v
+                 FROM w JOIN t USING (k) CROSS JOIN p
+                 WHERE below < (pct * n + 99) // 100
+                   AND (pct * n + 99) // 100 <= below + c)
+         SELECT e.pct, e.v AS v_en, d.v AS v_de,
+                CASE WHEN d.v <> 0 THEN e.v * 1000000 // d.v
+                     ELSE NULL END AS ratio_ppm
+         FROM sel e JOIN sel d ON e.pct = d.pct
+         WHERE e.k = 'en' AND d.k = 'de'
+         ORDER BY e.pct""")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the
