@@ -3408,6 +3408,17 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Peak concurrency (q215): how many user-day sessions were open AT
+    * ONCE, per day — the day-partitioned +1/−1 boundary sweep; the
+    * capacity read next to q192's depth histogram. */
+  private def peakConcurrencyQuery(s: SparkSession, dir: String): DataFrame = {
+    val sess = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+    graft.operators.Analytics.peakConcurrency(sess, "start_ts", "end_ts")
+      .orderBy(col("day"))
+  }
+
   /** Q–Q decile table (q214): en vs de document lengths aligned
     * quantile by quantile — K137's exact order statistic per slice,
     * joined on the decile, with the per-decile length ratio; the
@@ -4210,7 +4221,8 @@ object SparkEntry {
     "q211_kl_divergence" -> (klDivergenceQuery _),
     "q212_streaming_ewma" -> (streamingEwmaQuery _),
     "q213_spearman" -> (spearmanQuery _),
-    "q214_qq_table" -> (qqTableQuery _))
+    "q214_qq_table" -> (qqTableQuery _),
+    "q215_peak_concurrency" -> (peakConcurrencyQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4498,7 +4510,7 @@ object SparkEntry {
     "q204_chi_square", "q205_dup_triangles", "q206_audio_trim",
     "q207_cross_correlation", "q208_audience_overlap",
     "q209_ewma_baseline", "q210_mann_whitney", "q211_kl_divergence",
-    "q213_spearman", "q214_qq_table")
+    "q213_spearman", "q214_qq_table", "q215_peak_concurrency")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9221,7 +9233,35 @@ object SparkEntry {
                      ELSE NULL END AS ratio_ppm
          FROM sel e JOIN sel d ON e.pct = d.pct
          WHERE e.k = 'en' AND d.k = 'de'
-         ORDER BY e.pct""")
+         ORDER BY e.pct""",
+    // Peak concurrency: the same +1/-1 sweep per day; the first
+    // second attaining the peak mirrors the struct-max.
+    "q215_peak_concurrency" -> """
+         WITH sess AS (SELECT user_id, ts::DATE AS d,
+                              CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
+                              CAST(floor(epoch(max(ts))) AS BIGINT) AS e
+                       FROM events GROUP BY 1, 2),
+         del AS (SELECT d AS day, s AS sec, 1 AS delta FROM sess
+                 UNION ALL
+                 SELECT d, e + 1, -1 FROM sess),
+         h AS (SELECT day, sec, CAST(sum(delta) AS BIGINT) AS dl,
+                      CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ns
+               FROM del GROUP BY 1, 2),
+         c AS (SELECT day, sec, ns,
+                      CAST(sum(dl) OVER (PARTITION BY day ORDER BY sec
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM h),
+         t AS (SELECT day, CAST(sum(ns) AS BIGINT) AS n_intervals
+               FROM c GROUP BY 1),
+         r AS (SELECT day, cum, sec,
+                      row_number() OVER (PARTITION BY day
+                        ORDER BY cum DESC, sec ASC) AS rn
+               FROM c)
+         SELECT CAST(r.day AS VARCHAR) AS day, t.n_intervals,
+                r.cum AS peak_concurrent, r.sec AS at_second
+         FROM r JOIN t USING (day)
+         WHERE rn = 1 ORDER BY day""")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the

@@ -1357,6 +1357,63 @@ object Analytics {
         (-col("_m").getField("nv")).as("at_value"))
   }
 
+  /** PEAK CONCURRENCY per day — the capacity-planning read (how many
+    * sessions were open AT ONCE, not how many happened): classic
+    * +1/−1 boundary sweep, kept 100 TB-shaped by DAY-PARTITIONING
+    * the sweep instead of ordering the world.
+    *
+    * An interval [start, end] (second granularity, inclusive) fans
+    * out to its touched days (`sequence` of dates — require-guarded
+    * at ≤ 31 days per interval, a session longer than a month is a
+    * data bug, stated): +1 at the start second on the first day, +1
+    * at midnight on every later day (the carry-in), −1 after the end
+    * second on the last day only. Deltas roll up to a per-(day,
+    * second) histogram — the only exchange after the fan-out — and
+    * the running sum + argmax run per DAY over that Aggregate child
+    * (hash-partitioned by day, never global). `at_second` is the
+    * FIRST second attaining the peak (struct-max on (cum, −sec), the
+    * K167 supremum trick). Output per day: (day, n_intervals,
+    * peak_concurrent, at_second). */
+  def peakConcurrency(
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val iv = intervals.select(
+      unix_timestamp(col(startCol)).as("s"),
+      unix_timestamp(col(endCol)).as("e"),
+      to_date(col(startCol)).as("d0"),
+      to_date(col(endCol)).as("d1"))
+      .filter(col("s").isNotNull && col("e").isNotNull &&
+        col("s") <= col("e"))
+      .withColumn("d1",
+        when(datediff(col("d1"), col("d0")) > 31,
+          raise_error(lit("peakConcurrency: interval spans more than " +
+            "31 days — not a session; clean the input")))
+          .otherwise(col("d1")))
+    val seg = iv.select(col("s"), col("e"), col("d0"), col("d1"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val deltas = seg.select(col("day"),
+      when(col("day") === col("d0"), col("s"))
+        .otherwise(unix_timestamp(col("day").cast("timestamp")))
+        .as("sec"),
+      lit(1L).as("delta"))
+      .unionByName(seg.filter(col("day") === col("d1"))
+        .select(col("day"), (col("e") + 1L).as("sec"),
+          lit(-1L).as("delta")))
+    val h = deltas.groupBy(col("day"), col("sec"))
+      .agg(sum(col("delta")).as("dl"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("n_starts"))
+    val bySec = Window.partitionBy(col("day")).orderBy(col("sec"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    h.withColumn("cum", sum(col("dl")).over(bySec))
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(sum(col("n_starts")).as("n_intervals"),
+        max(struct(col("cum"), (-col("sec")).as("nv"))).as("_m"))
+      .select(col("day"), col("n_intervals"),
+        col("_m.cum").as("peak_concurrent"),
+        (-col("_m.nv")).as("at_second"))
+  }
+
   /** SPEARMAN RANK CORRELATION — the monotone-association read
     * ([[mannWhitneyU]] compares two slices of one value; this asks
     * whether two VALUES move together without assuming linearity):
