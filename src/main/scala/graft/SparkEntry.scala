@@ -3408,6 +3408,16 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Winsorize (q216): clamp document lengths to each language's
+    * exact [p10, p90] band — the outlier-taming transform upstream of
+    * robust statistics; row-level output, hash-sensitive to the
+    * exact clamping. */
+  private def winsorizeQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.winsorize(
+        Tables.documents(s, dir), "doc_id", "lang", col("n_chars"),
+        pLow = 10, pHigh = 90)
+      .orderBy(col("doc_id"))
+
   /** Peak concurrency (q215): how many user-day sessions were open AT
     * ONCE, per day — the day-partitioned +1/−1 boundary sweep; the
     * capacity read next to q192's depth histogram. */
@@ -4222,7 +4232,8 @@ object SparkEntry {
     "q212_streaming_ewma" -> (streamingEwmaQuery _),
     "q213_spearman" -> (spearmanQuery _),
     "q214_qq_table" -> (qqTableQuery _),
-    "q215_peak_concurrency" -> (peakConcurrencyQuery _))
+    "q215_peak_concurrency" -> (peakConcurrencyQuery _),
+    "q216_winsorize" -> (winsorizeQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4510,7 +4521,8 @@ object SparkEntry {
     "q204_chi_square", "q205_dup_triangles", "q206_audio_trim",
     "q207_cross_correlation", "q208_audience_overlap",
     "q209_ewma_baseline", "q210_mann_whitney", "q211_kl_divergence",
-    "q213_spearman", "q214_qq_table", "q215_peak_concurrency")
+    "q213_spearman", "q214_qq_table", "q215_peak_concurrency",
+    "q216_winsorize")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9261,7 +9273,34 @@ object SparkEntry {
          SELECT CAST(r.day AS VARCHAR) AS day, t.n_intervals,
                 r.cum AS peak_concurrent, r.sec AS at_second
          FROM r JOIN t USING (day)
-         WHERE rn = 1 ORDER BY day""")
+         WHERE rn = 1 ORDER BY day""",
+    // Winsorize: the q169 position selection pivoted to per-group
+    // (lo, hi), clamped row-level.
+    "q216_winsorize" -> """
+         WITH q AS (SELECT doc_id, CAST(lang AS VARCHAR) AS key,
+                           CAST(n_chars AS BIGINT) AS v
+                    FROM documents WHERE n_chars IS NOT NULL),
+         h AS (SELECT key, v, CAST(count(*) AS BIGINT) AS c
+               FROM q GROUP BY 1, 2),
+         w AS (SELECT key, v, c,
+                      CAST(coalesce(sum(c) OVER (PARTITION BY key
+                        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS below
+               FROM h),
+         t AS (SELECT key, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+         p AS (SELECT CAST(unnest([10, 90]) AS BIGINT) AS pct),
+         sel AS (SELECT w.key, p.pct, w.v
+                 FROM w JOIN t USING (key) CROSS JOIN p
+                 WHERE below < (pct * n + 99) // 100
+                   AND (pct * n + 99) // 100 <= below + c),
+         lim AS (SELECT key,
+                        max(CASE WHEN pct = 10 THEN v END) AS lo,
+                        max(CASE WHEN pct = 90 THEN v END) AS hi
+                 FROM sel GROUP BY 1)
+         SELECT q.doc_id, q.key, q.v,
+                greatest(lim.lo, least(lim.hi, q.v)) AS v_clipped,
+                lim.lo, lim.hi
+         FROM q JOIN lim USING (key) ORDER BY q.doc_id""")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the

@@ -725,4 +725,43 @@ object Curation {
       .limit(n)
       .select(col(idCol), col("_w").as("weight"), col("cost_nano"))
   }
+
+  /** WINSORIZE — clamp a value to its group's exact [pLow, pHigh]
+    * percentile band: the outlier-taming transform every robust
+    * statistic wants upstream (a mean over winsorized lengths is not
+    * dragged by one pathological document; dropping the outliers
+    * instead would bias the count). Calibration ([[calibrateScores]])
+    * re-maps the whole distribution; this touches ONLY the tails,
+    * and the row count never changes.
+    *
+    * Thresholds are the EXACT per-group order statistics from the
+    * K137 histogram-prefix machinery (`Analytics.exactPercentiles` —
+    * label reuse, not a reimplementation), pivoted to a
+    * groups-sized (lo, hi) relation and broadcast back onto the
+    * rows: one histogram shuffle, one map-only clamp, no sort, no
+    * per-group buffering. Output: every input row with its original
+    * and clamped value plus the band — hash-sensitive to the exact
+    * clamping, not just counts. */
+  def winsorize(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      value: Column,
+      pLow: Int,
+      pHigh: Int): DataFrame = {
+    require(1 <= pLow && pLow < pHigh && pHigh <= 100,
+      s"need 1 <= pLow < pHigh <= 100: $pLow/$pHigh")
+    val rows = df.select(col(idCol),
+      col(keyCol).cast("string").as("key"), value.cast(LongType).as("v"))
+      .filter(col("v").isNotNull)
+    val bands = Analytics.exactPercentiles(rows, "key", col("v"),
+      Seq(pLow, pHigh))
+    val lim = bands.groupBy(col("key"))
+      .agg(max(when(col("pct") === pLow, col("value"))).as("lo"),
+        max(when(col("pct") === pHigh, col("value"))).as("hi"))
+    rows.join(broadcast(lim), Seq("key"))
+      .select(col(idCol), col("key"), col("v"),
+        greatest(col("lo"), least(col("hi"), col("v"))).as("v_clipped"),
+        col("lo"), col("hi"))
+  }
 }
