@@ -3408,6 +3408,27 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Scene-change detection (q217): consecutive-frame checksum deltas
+    * over the full decoded frame stream — a cut is a frame whose
+    * brightness mass moved ≥ 10% (|Δ| ≥ max(1, prev div 10)); the
+    * shot-boundary primitive video curation samples around. Pure
+    * composition: q167's decoder + a per-doc window. */
+  private def sceneChangeQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val fr = Multimodal.sampleFrames(s,
+      Multimodal.attachVideo(s, Tables.documents(s, dir)), everyN = 1).toDF()
+    val byF = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    fr.withColumn("prev", lag(col("px_checksum"), 1).over(byF))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        count(when(col("prev").isNotNull &&
+          abs(col("px_checksum") - col("prev")) >=
+            greatest(lit(1L), expr("prev div 10")), 1)).as("n_cuts"),
+        coalesce(max(abs(col("px_checksum") - col("prev"))), lit(0L))
+          .as("max_delta"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winsorize (q216): clamp document lengths to each language's
     * exact [p10, p90] band — the outlier-taming transform upstream of
     * robust statistics; row-level output, hash-sensitive to the
@@ -4233,7 +4254,8 @@ object SparkEntry {
     "q213_spearman" -> (spearmanQuery _),
     "q214_qq_table" -> (qqTableQuery _),
     "q215_peak_concurrency" -> (peakConcurrencyQuery _),
-    "q216_winsorize" -> (winsorizeQuery _))
+    "q216_winsorize" -> (winsorizeQuery _),
+    "q217_scene_changes" -> (sceneChangeQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4522,7 +4544,7 @@ object SparkEntry {
     "q207_cross_correlation", "q208_audience_overlap",
     "q209_ewma_baseline", "q210_mann_whitney", "q211_kl_divergence",
     "q213_spearman", "q214_qq_table", "q215_peak_concurrency",
-    "q216_winsorize")
+    "q216_winsorize", "q217_scene_changes")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9300,7 +9322,38 @@ object SparkEntry {
          SELECT q.doc_id, q.key, q.v,
                 greatest(lim.lo, least(lim.hi, q.v)) AS v_clipped,
                 lim.lo, lim.hi
-         FROM q JOIN lim USING (key) ORDER BY q.doc_id""")
+         FROM q JOIN lim USING (key) ORDER BY q.doc_id""",
+    // Scene changes: q167's frame checksums (every frame, no
+    // sampling) + per-doc lag; a cut moves >= 10% of the previous
+    // frame's mass.
+    "q217_scene_changes" -> """
+         WITH m AS (SELECT doc_id, text, strlen(text) AS len,
+                           strlen(text) % 13 + 2 AS w,
+                           strlen(text) % 7 + 2 AS h,
+                           strlen(text) % 5 + 2 AS nf
+                    FROM documents),
+         fr AS (SELECT doc_id, text, len, w, h, unnest(range(nf)) AS f
+                FROM m),
+         px AS (SELECT doc_id, f, w, h, len, text,
+                       unnest(range(w * h * 3)) AS i
+                FROM fr),
+         ck AS (SELECT doc_id, f,
+                       CAST(sum(ord(substr(text,
+                         CAST((i + f) % len AS INTEGER) + 1, 1)))
+                         AS BIGINT) AS px_checksum
+                FROM px GROUP BY 1, 2),
+         d AS (SELECT doc_id, f, px_checksum,
+                      lag(px_checksum) OVER (PARTITION BY doc_id
+                        ORDER BY f) AS prev
+               FROM ck)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+                CAST(count(CASE WHEN prev IS NOT NULL
+                           AND abs(px_checksum - prev)
+                               >= greatest(1, prev // 10)
+                           THEN 1 END) AS BIGINT) AS n_cuts,
+                CAST(coalesce(max(abs(px_checksum - prev)), 0) AS BIGINT)
+                  AS max_delta
+         FROM d GROUP BY doc_id ORDER BY doc_id""")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the
