@@ -3408,6 +3408,14 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Pettitt changepoint (q218): the nonparametric split-day per
+    * event type — rank algebra along time, robust where q149's CUSUM
+    * is outlier-dragged. */
+  private def pettittQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.pettittChangepoint(
+        Tables.events(s, dir), "event_type", "ts")
+      .orderBy(col("event_type"))
+
   /** Scene-change detection (q217): consecutive-frame checksum deltas
     * over the full decoded frame stream — a cut is a frame whose
     * brightness mass moved ≥ 10% (|Δ| ≥ max(1, prev div 10)); the
@@ -4255,7 +4263,8 @@ object SparkEntry {
     "q214_qq_table" -> (qqTableQuery _),
     "q215_peak_concurrency" -> (peakConcurrencyQuery _),
     "q216_winsorize" -> (winsorizeQuery _),
-    "q217_scene_changes" -> (sceneChangeQuery _))
+    "q217_scene_changes" -> (sceneChangeQuery _),
+    "q218_pettitt" -> (pettittQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4544,7 +4553,7 @@ object SparkEntry {
     "q207_cross_correlation", "q208_audience_overlap",
     "q209_ewma_baseline", "q210_mann_whitney", "q211_kl_divergence",
     "q213_spearman", "q214_qq_table", "q215_peak_concurrency",
-    "q216_winsorize", "q217_scene_changes")
+    "q216_winsorize", "q217_scene_changes", "q218_pettitt")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9353,7 +9362,43 @@ object SparkEntry {
                            THEN 1 END) AS BIGINT) AS n_cuts,
                 CAST(coalesce(max(abs(px_checksum - prev)), 0) AS BIGINT)
                   AS max_delta
-         FROM d GROUP BY doc_id ORDER BY doc_id""")
+         FROM d GROUP BY doc_id ORDER BY doc_id""",
+    // Pettitt: U_t = cum(2R) - t*(n+1) over per-type doubled
+    // midranks; the first day maximizing |U| is the split.
+    "q218_pettitt" -> """
+         WITH daily AS (SELECT CAST(event_type AS VARCHAR) AS typ,
+                               ts::DATE AS day,
+                               CAST(count(*) AS BIGINT) AS v
+                        FROM events GROUP BY 1, 2),
+         h AS (SELECT typ, v, CAST(count(*) AS BIGINT) AS m
+               FROM daily GROUP BY 1, 2),
+         r AS (SELECT typ, v,
+                      2 * CAST(coalesce(sum(m) OVER (PARTITION BY typ
+                        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) + m + 1 AS r2
+               FROM h),
+         j AS (SELECT d.typ, d.day,
+                      CAST(count(*) OVER (PARTITION BY d.typ) AS BIGINT)
+                        AS n,
+                      CAST(row_number() OVER (PARTITION BY d.typ
+                        ORDER BY d.day) AS BIGINT) AS t,
+                      CAST(sum(r.r2) OVER (PARTITION BY d.typ
+                        ORDER BY d.day ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum
+               FROM daily d JOIN r ON d.typ = r.typ AND d.v = r.v),
+         u AS (SELECT typ, day, n, abs(cum - t * (n + 1)) AS a
+               FROM j WHERE t < n),
+         mx AS (SELECT typ, day, n, a,
+                       row_number() OVER (PARTITION BY typ
+                         ORDER BY a DESC, day ASC) AS rn
+                FROM u)
+         SELECT typ AS event_type, n AS n_days, a AS k2,
+                CAST(day AS VARCHAR) AS at_day
+         FROM mx WHERE rn = 1
+         UNION ALL
+         SELECT typ, CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), NULL
+         FROM daily GROUP BY typ HAVING count(*) < 2
+         ORDER BY event_type""")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the

@@ -1703,6 +1703,65 @@ object Analytics {
       .toDF("event_type", "n_out", "pi_ppm")
   }
 
+  /** PETTITT CHANGEPOINT — [[cusumChangepoint]]'s NONPARAMETRIC twin
+    * (CUSUM finds a mean shift and is dragged by one outlier day;
+    * Pettitt, AMS 1979, asks at which day the rank distribution
+    * splits — robust to any monotone rescaling of the counts): the
+    * statistic is `K = max_{t<n} |U_t|`, `U_t = Σ_{i≤t}Σ_{j>t}
+    * sgn(xᵢ−xⱼ)`, and the load-bearing identity is
+    * `U_t = Σ_{i≤t} 2Rᵢ − t·(n+1)` over DOUBLED midranks — ties
+    * contribute their exact zero through the midrank, and everything
+    * stays an integer (the K178 rank algebra applied along time).
+    *
+    * Per type: the daily-count histogram yields each day's doubled
+    * midrank (no sort of days by value), a day-ordered per-type
+    * window accumulates `Σ 2R`, and the split maximizing |U| (first
+    * day on ties — struct-max) is the changepoint candidate. All
+    * windows hash-partition on the type; the relation is days-sized
+    * after one shuffle. Output per type: (event_type, n_days, k2 =
+    * max|U_t| in doubled units, at_day). Series shorter than 2 days
+    * emit k2 = 0 with a null at_day. */
+  def pettittChangepoint(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).cast("string").as("typ"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("v"))
+    val h = daily.groupBy(col("typ"), col("v"))
+      .agg(count(lit(1)).as("m"))
+    val byV = Window.partitionBy(col("typ")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = h
+      .withColumn("r0", coalesce(sum(col("m")).over(byV), lit(0L)))
+      .select(col("typ"), col("v"),
+        (lit(2L) * col("r0") + col("m") + 1L).as("r2"))
+    val perTyp = Window.partitionBy(col("typ"))
+    val byDay = Window.partitionBy(col("typ")).orderBy(col("day"))
+    daily.join(ranks, Seq("typ", "v"))
+      .withColumn("n", count(lit(1)).over(perTyp))
+      .withColumn("t", row_number().over(byDay).cast(LongType))
+      .withColumn("cum", sum(col("r2")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("t") < col("n"))
+      .withColumn("u2", col("cum") - col("t") * (col("n") + 1L))
+      .groupBy(col("typ").as("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        max(struct(abs(col("u2")).as("a"),
+          (-unix_date(col("day"))).as("nd"))).as("_m"))
+      .select(col("event_type"), col("n_days"),
+        col("_m.a").as("k2"),
+        date_from_unix_date((-col("_m.nd")).cast("int"))
+          .cast("string").as("at_day"))
+      .unionByName(
+        daily.groupBy(col("typ").as("event_type"))
+          .agg(count(lit(1)).as("n_days"))
+          .filter(col("n_days") < 2)
+          .select(col("event_type"), col("n_days"),
+            lit(0L).as("k2"), lit(null).cast("string").as("at_day")))
+  }
+
   /** EWMA BASELINE over per-type daily counts — the smoothed
     * "expected volume" every alerting rule subtracts from ([[zscore
     * anomalies|weekdayAdjustedZscore]] need a distribution; an EWMA
