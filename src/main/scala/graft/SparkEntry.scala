@@ -3408,6 +3408,15 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Functional dependencies (q219): which order columns determine
+    * which — candidate keys and near-held invariants over a literal
+    * 4-column list, violating-group ppm per ordered pair. */
+  private def fdAuditQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.functionalDependencies(
+        Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy(col("determinant"), col("dependent"))
+
   /** Pettitt changepoint (q218): the nonparametric split-day per
     * event type — rank algebra along time, robust where q149's CUSUM
     * is outlier-dragged. */
@@ -4264,7 +4273,8 @@ object SparkEntry {
     "q215_peak_concurrency" -> (peakConcurrencyQuery _),
     "q216_winsorize" -> (winsorizeQuery _),
     "q217_scene_changes" -> (sceneChangeQuery _),
-    "q218_pettitt" -> (pettittQuery _))
+    "q218_pettitt" -> (pettittQuery _),
+    "q219_fd_audit" -> (fdAuditQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4553,7 +4563,8 @@ object SparkEntry {
     "q207_cross_correlation", "q208_audience_overlap",
     "q209_ewma_baseline", "q210_mann_whitney", "q211_kl_divergence",
     "q213_spearman", "q214_qq_table", "q215_peak_concurrency",
-    "q216_winsorize", "q217_scene_changes", "q218_pettitt")
+    "q216_winsorize", "q217_scene_changes", "q218_pettitt",
+    "q219_fd_audit")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9398,7 +9409,30 @@ object SparkEntry {
          UNION ALL
          SELECT typ, CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), NULL
          FROM daily GROUP BY typ HAVING count(*) < 2
-         ORDER BY event_type""")
+         ORDER BY event_type""",
+    // FD audit: the pair list is generated from the SAME Scala
+    // literal as the Spark plan (the minHashCoeffsSql discipline).
+    "q219_fd_audit" -> {
+      val fdCols =
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val parts = for { a <- fdCols; b <- fdCols if a != b } yield
+        s"""SELECT '$a' AS determinant, '$b' AS dependent,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(count(CASE WHEN d > 1 THEN 1 END) AS BIGINT)
+                     AS n_violating,
+                   CASE WHEN count(*) > 0
+                        THEN count(CASE WHEN d > 1 THEN 1 END)
+                             * 1000000 // count(*)
+                        ELSE 0 END AS violating_ppm
+            FROM (SELECT _a, CAST(count(DISTINCT _b) AS BIGINT) AS d
+                  FROM (SELECT CAST($a AS VARCHAR) AS _a,
+                               CAST($b AS VARCHAR) AS _b
+                        FROM orders
+                        WHERE $a IS NOT NULL AND $b IS NOT NULL) z
+                  GROUP BY _a) g"""
+      s"""SELECT * FROM (${parts.mkString(" UNION ALL ")}) u
+          ORDER BY determinant, dependent"""
+    })
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the

@@ -1703,6 +1703,45 @@ object Analytics {
       .toDF("event_type", "n_out", "pi_ppm")
   }
 
+  /** FUNCTIONAL-DEPENDENCY audit — the profiler piece K94 (describe)
+    * and K165 (drift) leave open: which columns DETERMINE which
+    * (candidate keys, denormalization opportunities, silently broken
+    * invariants like "order → one status"). For every ordered pair
+    * (A, B) from a literal column list: A → B holds iff every
+    * A-group carries exactly one distinct B; reported as group
+    * counts + violating-group ppm, so a 99.9%-held dependency (a
+    * data bug, not a modeling fact) is visible rather than boolean-
+    * rounded away.
+    *
+    * Rows with a NULL on either side are excluded per pair (NULL
+    * neither determines nor violates, and engines disagree on NULL
+    * distinctness — stated). Shape at 100 TB: one distinct-A rollup
+    * per pair (the pair list is literal and small — require-capped at
+    * 8 columns = 56 rollups); each rollup's exchange carries
+    * (A, countDistinct-partial) only; the unioned verdict is
+    * pairs-sized. */
+  def functionalDependencies(
+      df: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"need 2..8 literal columns, got ${cols.size}")
+    require(cols.distinct == cols, s"duplicate columns in $cols")
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    pairs.map { case (a, b) =>
+      df.select(col(a).cast("string").as("_a"),
+        col(b).cast("string").as("_b"))
+        .filter(col("_a").isNotNull && col("_b").isNotNull)
+        .groupBy(col("_a")).agg(countDistinct(col("_b")).as("_d"))
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("_d") > 1, 1)).as("n_violating"))
+        .select(lit(a).as("determinant"), lit(b).as("dependent"),
+          col("n_groups"), col("n_violating"),
+          when(col("n_groups") > 0,
+            expr("n_violating * 1000000 div n_groups"))
+            .otherwise(lit(0L)).as("violating_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** PETTITT CHANGEPOINT — [[cusumChangepoint]]'s NONPARAMETRIC twin
     * (CUSUM finds a mean shift and is dragged by one outlier day;
     * Pettitt, AMS 1979, asks at which day the rank distribution
