@@ -3408,6 +3408,16 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Readability (q220): Flesch reading ease per document —
+    * dictionary-free vowel-run syllables, punctuation-run sentences,
+    * one micro-quantized IEEE chain; the audience-level quality
+    * signal. */
+  private def readabilityQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.readabilityScore(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Functional dependencies (q219): which order columns determine
     * which — candidate keys and near-held invariants over a literal
     * 4-column list, violating-group ppm per ordered pair. */
@@ -4274,7 +4284,8 @@ object SparkEntry {
     "q216_winsorize" -> (winsorizeQuery _),
     "q217_scene_changes" -> (sceneChangeQuery _),
     "q218_pettitt" -> (pettittQuery _),
-    "q219_fd_audit" -> (fdAuditQuery _))
+    "q219_fd_audit" -> (fdAuditQuery _),
+    "q220_readability" -> (readabilityQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4564,7 +4575,7 @@ object SparkEntry {
     "q209_ewma_baseline", "q210_mann_whitney", "q211_kl_divergence",
     "q213_spearman", "q214_qq_table", "q215_peak_concurrency",
     "q216_winsorize", "q217_scene_changes", "q218_pettitt",
-    "q219_fd_audit")
+    "q219_fd_audit", "q220_readability")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9432,7 +9443,32 @@ object SparkEntry {
                   GROUP BY _a) g"""
       s"""SELECT * FROM (${parts.mkString(" UNION ALL ")}) u
           ORDER BY determinant, dependent"""
-    })
+    },
+    // Readability: the identical marker-collapse runs counting and
+    // the identical IEEE chain (DuckDB regexp_replace needs 'g').
+    "q220_readability" -> """
+         WITH m AS (SELECT doc_id, text,
+                           regexp_replace(lower(text), '[aeiouy]+', 'V',
+                             'g') AS r1,
+                           regexp_replace(lower(text), '[.!?]+', 'S',
+                             'g') AS r2
+                    FROM documents WHERE strlen(text) > 0),
+         x AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT)
+                        AS n_words,
+                      greatest(1, CAST(strlen(r2)
+                        - strlen(regexp_replace(r2, 'S', '', 'g'))
+                        AS BIGINT)) AS n_sentences,
+                      CAST(strlen(r1)
+                        - strlen(regexp_replace(r1, 'V', '', 'g'))
+                        AS BIGINT) AS n_vowel_runs
+               FROM m)
+         SELECT doc_id, n_words, n_sentences, n_vowel_runs,
+                CAST(round((206.835
+                  - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                  - 84.6 * (n_vowel_runs::DOUBLE / n_words::DOUBLE))
+                  * 1000000) AS BIGINT) AS flesch_micro
+         FROM x ORDER BY doc_id""")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import TextDedup.{md5Hash60, wordSet, words}
 
@@ -864,5 +864,48 @@ object TextAnalysis {
           .as("n_ws_tokens"),
         tokens.as("tokens"))
       .withColumn("n_tokens", size(col("tokens")).cast(LongType))
+  }
+
+  /** READABILITY score (Flesch reading ease, 1948) — the
+    * audience-level signal the quality family ([[highQuality]],
+    * [[charClassSignals]], the hashed scorer) doesn't carry: length
+    * says HOW MUCH text, this says how HARD it reads.
+    *
+    * Deterministic proxies, stated: syllables ≈ maximal vowel runs
+    * (`[aeiouy]+` over the lowered text — each run collapses to one
+    * marker the lowered text cannot contain, then markers are
+    * counted; the standard dictionary-free approximation), sentences
+    * = maximal `[.!?]+` runs floored at 1 (an unterminated fragment
+    * is one sentence), words = the house whitespace splitter (K9's
+    * tokenCount). The score `206.835 − 1.015·(W/S) − 84.6·(Sy/W)` is
+    * ONE stated IEEE chain micro-quantized per document (the q195
+    * convention) — integer output, no cross-row float ever. Empty
+    * documents are excluded (W ≥ 1 guaranteed by the splitter on
+    * non-empty text). Map-only; no exchange at all. */
+  def readabilityScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val t = col("_t")
+    val r1 = regexp_replace(lower(t), "[aeiouy]+", "V")
+    val r2 = regexp_replace(lower(t), "[.!?]+", "S")
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .filter(length(t) > 0)
+      .select(col("doc_id"),
+        size(split(t, " ")).cast(LongType).as("n_words"),
+        greatest(lit(1L),
+          (length(r2) - length(regexp_replace(r2, "S", "")))
+            .cast(LongType)).as("n_sentences"),
+        (length(r1) - length(regexp_replace(r1, "V", "")))
+          .cast(LongType).as("n_vowel_runs"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_vowel_runs"),
+        round((lit(206.835) -
+          lit(1.015) * (col("n_words").cast(DoubleType) /
+            col("n_sentences").cast(DoubleType)) -
+          lit(84.6) * (col("n_vowel_runs").cast(DoubleType) /
+            col("n_words").cast(DoubleType))) * 1e6)
+          .cast(LongType).as("flesch_micro"))
   }
 }
