@@ -3408,6 +3408,23 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Behavioral diversity (q221): per-user event-mix entropy in
+    * exact micro-nats, published as the quarter-nat bucket
+    * histogram — the exploration-vs-routine segmentation. */
+  private def diversityQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.behavioralDiversity(
+        Tables.events(s, dir), "user_id", "event_type")
+      .orderBy(col("bucket"))
+
+  /** Frequency response (q222): conversion rate by pre-conversion
+    * view count — the diminishing-returns curve behind frequency
+    * capping; strict-before tie rule. */
+  private def frequencyQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.frequencyResponse(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        touchType = "view", convType = "purchase", cap = 10)
+      .orderBy(col("touch_bucket"))
+
   /** Readability (q220): Flesch reading ease per document —
     * dictionary-free vowel-run syllables, punctuation-run sentences,
     * one micro-quantized IEEE chain; the audience-level quality
@@ -4285,7 +4302,9 @@ object SparkEntry {
     "q217_scene_changes" -> (sceneChangeQuery _),
     "q218_pettitt" -> (pettittQuery _),
     "q219_fd_audit" -> (fdAuditQuery _),
-    "q220_readability" -> (readabilityQuery _))
+    "q220_readability" -> (readabilityQuery _),
+    "q221_behavioral_diversity" -> (diversityQuery _),
+    "q222_frequency_response" -> (frequencyQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4575,7 +4594,8 @@ object SparkEntry {
     "q209_ewma_baseline", "q210_mann_whitney", "q211_kl_divergence",
     "q213_spearman", "q214_qq_table", "q215_peak_concurrency",
     "q216_winsorize", "q217_scene_changes", "q218_pettitt",
-    "q219_fd_audit", "q220_readability")
+    "q219_fd_audit", "q220_readability", "q221_behavioral_diversity",
+    "q222_frequency_response")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9468,7 +9488,63 @@ object SparkEntry {
                   - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
                   - 84.6 * (n_vowel_runs::DOUBLE / n_words::DOUBLE))
                   * 1000000) AS BIGINT) AS flesch_micro
-         FROM x ORDER BY doc_id""")
+         FROM x ORDER BY doc_id""",
+    // Behavioral diversity: the q170 entropy arithmetic per user,
+    // bucketed quarter-nat; h_micro stays in the min/max columns so
+    // the hash is sensitive to the exact per-user values.
+    "q221_behavioral_diversity" -> """
+         WITH ut AS (SELECT CAST(user_id AS VARCHAR) AS u,
+                            CAST(event_type AS VARCHAR) AS t,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM events
+                     WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                     GROUP BY 1, 2),
+         per AS (SELECT u,
+                        CAST(sum(c) AS BIGINT) AS n,
+                        CAST(count(*) AS BIGINT) AS n_types,
+                        CAST(sum(c * CAST(round(ln(c) * 1e6) AS BIGINT))
+                          AS BIGINT) AS t
+                 FROM ut GROUP BY 1),
+         h AS (SELECT u, n_types,
+                      CAST(round(ln(n) * 1e6) AS BIGINT) - t // n
+                        AS h_micro
+               FROM per)
+         SELECT greatest(h_micro, 0) // 250000 AS bucket,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(min(h_micro) AS BIGINT) AS min_h_micro,
+                CAST(max(h_micro) AS BIGINT) AS max_h_micro,
+                CAST(max(n_types) AS BIGINT) AS max_types
+         FROM h GROUP BY 1 ORDER BY 1""",
+    // Frequency response: strict-before touch counts, cap+1 buckets,
+    // exact conversion ppm.
+    "q222_frequency_response" -> """
+         WITH e AS (SELECT CAST(user_id AS VARCHAR) AS u, ts,
+                           CAST(event_type AS VARCHAR) AS t
+                    FROM events WHERE user_id IS NOT NULL),
+         per AS (SELECT u,
+                        min(CASE WHEN t = 'purchase' THEN ts END)
+                          AS conv_ts,
+                        CAST(count(CASE WHEN t = 'view' THEN 1 END)
+                          AS BIGINT) AS all_touches
+                 FROM e GROUP BY 1),
+         pre AS (SELECT e.u, CAST(count(*) AS BIGINT) AS pre_touches
+                 FROM e JOIN per ON e.u = per.u
+                 WHERE e.t = 'view' AND per.conv_ts IS NOT NULL
+                   AND e.ts < per.conv_ts
+                 GROUP BY 1),
+         j AS (SELECT per.u,
+                      per.conv_ts IS NOT NULL AS converted,
+                      CASE WHEN per.conv_ts IS NOT NULL
+                           THEN coalesce(pre.pre_touches, 0)
+                           ELSE per.all_touches END AS touches
+               FROM per LEFT JOIN pre ON per.u = pre.u)
+         SELECT least(touches, 10) AS touch_bucket,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(count(CASE WHEN converted THEN 1 END) AS BIGINT)
+                  AS n_converted,
+                CAST(count(CASE WHEN converted THEN 1 END) * 1000000
+                  // count(*) AS BIGINT) AS conversion_ppm
+         FROM j GROUP BY 1 ORDER BY 1""")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the

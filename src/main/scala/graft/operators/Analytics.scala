@@ -1703,6 +1703,92 @@ object Analytics {
       .toDF("event_type", "n_out", "pi_ppm")
   }
 
+  /** BEHAVIORAL DIVERSITY — [[keyEntropy]] turned inward: per-USER
+    * Shannon entropy over the event-type mix (0 = does one thing,
+    * ln(types) = samples everything), rolled into quarter-nat
+    * buckets — the exploration-vs-routine segmentation a product
+    * team reads next to [[stickiness]].
+    *
+    * Per-user terms use the exact keyEntropy arithmetic (micro-nat
+    * quantization BEFORE the integer sum, H = ln(n)·10⁶ −
+    * Σc·ln(c)micro div n — a single-type user scores exactly 0, no
+    * float residue). The per-user relation is users-sized (one
+    * shuffle); the published relation is the BUCKET histogram
+    * (≤ ~40 rows for any realistic type count), so output stays
+    * bounded at any corpus size. */
+  def behavioralDiversity(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String): DataFrame = {
+    val ut = events
+      .select(col(userCol).cast("string").as("u"),
+        col(typeCol).cast("string").as("t"))
+      .filter(col("u").isNotNull && col("t").isNotNull)
+      .groupBy(col("u"), col("t")).agg(count(lit(1)).as("c"))
+    val per = ut.groupBy(col("u"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+        sum(col("c") * round(log(col("c")) * 1e6).cast(LongType))
+          .as("_t"))
+      .select(col("u"), col("n_types"),
+        (round(log(col("n")) * 1e6).cast(LongType) -
+          expr("_t div n")).as("h_micro"))
+    // greatest(·,0): quantization can leave a −1 residue on a
+    // near-zero entropy, and the engines' div/floor disagree there
+    per.groupBy(expr("greatest(h_micro, 0) div 250000").as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("h_micro")).as("min_h_micro"),
+        max(col("h_micro")).as("max_h_micro"),
+        max(col("n_types")).as("max_types"))
+  }
+
+  /** FREQUENCY-RESPONSE curve — "how many touches does a conversion
+    * take": per user, the count of `touchType` events STRICTLY before
+    * their first `convType` event (all touches if they never
+    * convert), bucketed with a cap, with the exact conversion rate
+    * per bucket — the diminishing-returns read behind every
+    * frequency-capping decision ([[lastTouchAttribution]] says which
+    * channel; this says how much exposure).
+    *
+    * Strict-before is the deterministic tie rule (a same-timestamp
+    * touch does not count toward its own conversion — stated; the
+    * K89 equal-timestamps-don't-advance convention). One user-key
+    * rollup (two conditional aggregates in one pass), then a
+    * cap+1-sized histogram. */
+  def frequencyResponse(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      touchType: String,
+      convType: String,
+      cap: Int = 10): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val per = events
+      .select(col(userCol).cast("string").as("u"), col(tsCol).as("ts"),
+        col(typeCol).cast("string").as("t"))
+      .filter(col("u").isNotNull)
+      .groupBy(col("u"))
+      .agg(min(when(col("t") === convType, col("ts"))).as("conv_ts"),
+        count(when(col("t") === touchType, 1)).as("all_touches"))
+    val touches = events
+      .select(col(userCol).cast("string").as("u"), col(tsCol).as("ts"),
+        col(typeCol).cast("string").as("t"))
+      .filter(col("t") === touchType)
+      .join(per.select(col("u"), col("conv_ts")), Seq("u"))
+      .filter(col("conv_ts").isNotNull && col("ts") < col("conv_ts"))
+      .groupBy(col("u")).agg(count(lit(1)).as("pre_touches"))
+    per.join(touches, Seq("u"), "left")
+      .select(col("u"), col("conv_ts").isNotNull.as("converted"),
+        when(col("conv_ts").isNotNull,
+          coalesce(col("pre_touches"), lit(0L)))
+          .otherwise(col("all_touches")).as("touches"))
+      .groupBy(least(col("touches"), lit(cap.toLong)).as("touch_bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        count(when(col("converted"), 1)).as("n_converted"))
+      .select(col("touch_bucket"), col("n_users"), col("n_converted"),
+        expr("n_converted * 1000000 div n_users").as("conversion_ppm"))
+  }
+
   /** FUNCTIONAL-DEPENDENCY audit — the profiler piece K94 (describe)
     * and K165 (drift) leave open: which columns DETERMINE which
     * (candidate keys, denormalization opportunities, silently broken
