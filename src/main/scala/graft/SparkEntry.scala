@@ -3408,6 +3408,23 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Aggregate consistency (q223): does the stored order total match
+    * the line sum — denormalization drift at cent precision, 5%
+    * tolerance; childless parents counted separately. */
+  private def aggConsistencyQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.aggregateConsistencyAudit(
+      Tables.orders(s, dir), "o_orderkey", round(col("o_totalprice") * 100),
+      Tables.lineitem(s, dir), "l_orderkey",
+      round(col("l_extendedprice") * 100), tolerancePpm = 50000L)
+
+  /** Calendar densification (q224): the dense per-type day axis with
+    * explicit zero days — the gapless basis every series window
+    * assumes. */
+  private def densifyQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.densifyDays(
+        Tables.events(s, dir), "event_type", "ts")
+      .orderBy(col("event_type"), col("day"))
+
   /** Behavioral diversity (q221): per-user event-mix entropy in
     * exact micro-nats, published as the quarter-nat bucket
     * histogram — the exploration-vs-routine segmentation. */
@@ -4304,7 +4321,9 @@ object SparkEntry {
     "q219_fd_audit" -> (fdAuditQuery _),
     "q220_readability" -> (readabilityQuery _),
     "q221_behavioral_diversity" -> (diversityQuery _),
-    "q222_frequency_response" -> (frequencyQuery _))
+    "q222_frequency_response" -> (frequencyQuery _),
+    "q223_agg_consistency" -> (aggConsistencyQuery _),
+    "q224_densify_days" -> (densifyQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4595,7 +4614,8 @@ object SparkEntry {
     "q213_spearman", "q214_qq_table", "q215_peak_concurrency",
     "q216_winsorize", "q217_scene_changes", "q218_pettitt",
     "q219_fd_audit", "q220_readability", "q221_behavioral_diversity",
-    "q222_frequency_response")
+    "q222_frequency_response", "q223_agg_consistency",
+    "q224_densify_days")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9544,7 +9564,64 @@ object SparkEntry {
                   AS n_converted,
                 CAST(count(CASE WHEN converted THEN 1 END) * 1000000
                   // count(*) AS BIGINT) AS conversion_ppm
-         FROM j GROUP BY 1 ORDER BY 1""")
+         FROM j GROUP BY 1 ORDER BY 1""",
+    // Aggregate consistency: cent-quantized parent total vs child
+    // rollup, relative gap in exact ppm, childless split out.
+    "q223_agg_consistency" -> """
+         WITH p AS (SELECT CAST(o_orderkey AS VARCHAR) AS key,
+                           CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS pv
+                    FROM orders
+                    WHERE o_orderkey IS NOT NULL
+                      AND o_totalprice IS NOT NULL),
+         c AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
+                      CAST(sum(CAST(round(l_extendedprice * 100)
+                        AS BIGINT)) AS BIGINT) AS cs
+               FROM lineitem
+               WHERE l_orderkey IS NOT NULL
+                 AND l_extendedprice IS NOT NULL
+               GROUP BY 1),
+         j AS (SELECT p.key, c.cs IS NULL AS childless,
+                      CASE WHEN c.cs IS NULL THEN 0
+                           ELSE abs(p.pv - c.cs) * 1000000
+                                // greatest(1, abs(p.pv)) END
+                        AS rel_gap_ppm
+               FROM p LEFT JOIN c ON p.key = c.key),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_parents,
+                      CAST(count(CASE WHEN childless THEN 1 END)
+                        AS BIGINT) AS n_childless,
+                      CAST(count(CASE WHEN NOT childless
+                                 AND rel_gap_ppm > 50000 THEN 1 END)
+                        AS BIGINT) AS n_violating,
+                      CAST(coalesce(max(CASE WHEN NOT childless
+                                        THEN rel_gap_ppm END), 0)
+                        AS BIGINT) AS max_rel_gap_ppm
+               FROM j)
+         SELECT n_parents, n_childless, n_violating,
+                CASE WHEN n_parents > 0
+                     THEN n_violating * 1000000 // n_parents
+                     ELSE 0 END AS violating_ppm,
+                max_rel_gap_ppm
+         FROM a""",
+    // Densify: generate_series over each type's span, left join,
+    // explicit zero days.
+    "q224_densify_days" -> """
+         WITH daily AS (SELECT CAST(event_type AS VARCHAR) AS typ,
+                               ts::DATE AS day,
+                               CAST(count(*) AS BIGINT) AS v
+                        FROM events GROUP BY 1, 2),
+         span AS (SELECT typ, min(day) AS d0, max(day) AS d1
+                  FROM daily GROUP BY 1),
+         axis AS (SELECT typ,
+                         CAST(unnest(generate_series(d0, d1,
+                           INTERVAL 1 DAY)) AS DATE) AS day
+                  FROM span)
+         SELECT axis.typ AS event_type, CAST(axis.day AS VARCHAR) AS day,
+                CAST(coalesce(daily.v, 0) AS BIGINT) AS v,
+                daily.v IS NULL AS is_gap
+         FROM axis LEFT JOIN daily
+           ON axis.typ = daily.typ AND axis.day = daily.day
+         ORDER BY event_type, day""")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the

@@ -1703,6 +1703,91 @@ object Analytics {
       .toDF("event_type", "n_out", "pi_ppm")
   }
 
+  /** AGGREGATE-CONSISTENCY audit — the warehouse invariant
+    * [[fkIntegrityAudit]] doesn't check: the parent's STORED total vs
+    * the sum of its child rows (order header total vs line sum,
+    * account balance vs ledger) — the denormalization-drift detector.
+    * Values compare in caller-chosen integer units (cents); the
+    * relative gap is `|parent − Σchild|·10⁶ div max(1,|parent|)` in
+    * exact ppm, a parent with NO child rows is counted separately
+    * (childless is a different bug than inconsistent), and the
+    * verdict is one row: parent/childless/violating counts,
+    * violating ppm, and the worst relative gap. Envelope: |parent
+    * value| < 9.2·10¹² units for the ppm scaling, the keyGini
+    * discipline (raise_error, use coarser units past it).
+    *
+    * Shape at 100 TB: one child rollup on the key, one key join, one
+    * global aggregate — keys and two longs on the wire, never rows. */
+  def aggregateConsistencyAudit(
+      parent: DataFrame,
+      parentKey: String,
+      parentValue: Column,
+      child: DataFrame,
+      childKey: String,
+      childValue: Column,
+      tolerancePpm: Long): DataFrame = {
+    require(tolerancePpm >= 0, s"tolerancePpm must be >= 0: $tolerancePpm")
+    val p = parent.select(col(parentKey).cast("string").as("key"),
+      parentValue.cast(LongType).as("pv"))
+      .filter(col("key").isNotNull && col("pv").isNotNull)
+      .withColumn("pv",
+        when(abs(col("pv")) >= lit(9223372036854L),
+          raise_error(lit("aggregateConsistencyAudit: |parent value| " +
+            "exceeds the exact-long ppm envelope (~9.2e12); use " +
+            "coarser units"))).otherwise(col("pv")))
+    val c = child.select(col(childKey).cast("string").as("key"),
+      childValue.cast(LongType).as("cv"))
+      .filter(col("key").isNotNull && col("cv").isNotNull)
+      .groupBy(col("key")).agg(sum(col("cv")).as("cs"))
+    p.join(c, Seq("key"), "left")
+      .select(col("key"), col("cs").isNull.as("childless"),
+        when(col("cs").isNull, lit(0L))
+          .otherwise(expr(
+            "abs(pv - cs) * 1000000 div greatest(1, abs(pv))"))
+          .as("rel_gap_ppm"))
+      .agg(count(lit(1)).as("n_parents"),
+        count(when(col("childless"), 1)).as("n_childless"),
+        count(when(!col("childless") &&
+          col("rel_gap_ppm") > tolerancePpm, 1)).as("n_violating"),
+        coalesce(max(when(!col("childless"), col("rel_gap_ppm"))),
+          lit(0L)).as("max_rel_gap_ppm"))
+      .select(col("n_parents"), col("n_childless"), col("n_violating"),
+        when(col("n_parents") > 0,
+          expr("n_violating * 1000000 div n_parents"))
+          .otherwise(lit(0L)).as("violating_ppm"),
+        col("max_rel_gap_ppm"))
+  }
+
+  /** CALENDAR DENSIFICATION — make the missing days EXIST: every
+    * series operator here defines its own absent-day stance
+    * ([[crossCorrelation]] zero-fills, [[autocorrelation]] skips);
+    * this op materializes the dense per-type day axis once — every
+    * day in the type's [min, max] span, observed count or an
+    * explicit zero with `is_gap` — so downstream windows can assume
+    * a gapless axis, plus the per-type gap accounting.
+    *
+    * Shape at 100 TB: one events→(type, day) rollup; the fan-out is
+    * `sequence(min_day, max_day)` per TYPE (span-sized, not
+    * data-sized) left-joined back to the rollup. */
+  def densifyDays(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).cast("string").as("typ"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("v"))
+    val span = daily.groupBy(col("typ"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    span.select(col("typ"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("typ", "day"), "left")
+      .select(col("typ").as("event_type"),
+        col("day").cast("string").as("day"),
+        coalesce(col("v"), lit(0L)).as("v"),
+        col("v").isNull.as("is_gap"))
+  }
+
   /** BEHAVIORAL DIVERSITY — [[keyEntropy]] turned inward: per-USER
     * Shannon entropy over the event-type mix (0 = does one thing,
     * ln(types) = samples everything), rolled into quarter-nat
