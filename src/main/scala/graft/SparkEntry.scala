@@ -677,21 +677,33 @@ object SparkEntry {
     * relation — the ONE verified pair relation (q198's label-reuse
     * cascade at ≥ 0.5 Jaccard) read as a graph: wedges, triangles,
     * global clustering coefficient in exact ppm. */
-  private def dupGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+  /** The verified near-dup pair relation (the q198/q205/q225 base):
+    * one LSH cascade, exact integer Jaccard verify at ≥ 0.5. */
+  private def verifiedDupPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextDedup
     val docs = Tables.documents(s, dir)
     val ws = docs.select(col("doc_id"),
       transform(TextDedup.normWordSet(col("text")),
         w => TextDedup.md5Hash60(w)).as("ws"))
-    val vp = TextDedup.lshCandidatePairs(docs, "doc_id", "text")
+    TextDedup.lshCandidatePairs(docs, "doc_id", "text")
       .join(ws.select(col("doc_id").as("a"), col("ws").as("wa")), Seq("a"))
       .join(ws.select(col("doc_id").as("b"), col("ws").as("wb")), Seq("b"))
       .filter(size(array_union(col("wa"), col("wb"))) > 0 &&
         expr("cast(size(array_intersect(wa, wb)) as bigint) * 1000000" +
           " div cast(size(array_union(wa, wb)) as bigint)") >= 500000L)
       .select(col("a"), col("b"))
-    graft.operators.Analytics.triangleCensus(vp)
   }
+
+  private def dupGraphTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.triangleCensus(verifiedDupPairs(s, dir))
+
+  /** Degree-capped census (q225): the dense-graph path — each node
+    * keeps its 2 smallest-id neighbors, an edge survives on BOTH
+    * endpoints; the bound that kept the 10× fixture census from
+    * going quadratic, oracle-exercised on the real corpus. */
+  private def dupTrianglesCapped(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.triangleCensus(verifiedDupPairs(s, dir),
+      maxDegree = 2)
 
   /** Embedding cosine near-dup pairs (brute force — correct baseline;
     * the LSH-bucketed path in q26 is the 100 TB shape). */
@@ -4323,7 +4335,8 @@ object SparkEntry {
     "q221_behavioral_diversity" -> (diversityQuery _),
     "q222_frequency_response" -> (frequencyQuery _),
     "q223_agg_consistency" -> (aggConsistencyQuery _),
-    "q224_densify_days" -> (densifyQuery _))
+    "q224_densify_days" -> (densifyQuery _),
+    "q225_triangles_capped" -> (dupTrianglesCapped _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4615,7 +4628,7 @@ object SparkEntry {
     "q216_winsorize", "q217_scene_changes", "q218_pettitt",
     "q219_fd_audit", "q220_readability", "q221_behavioral_diversity",
     "q222_frequency_response", "q223_agg_consistency",
-    "q224_densify_days")
+    "q224_densify_days", "q225_triangles_capped")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9621,7 +9634,52 @@ object SparkEntry {
                 daily.v IS NULL AS is_gap
          FROM axis LEFT JOIN daily
            ON axis.typ = daily.typ AND axis.day = daily.day
-         ORDER BY event_type, day""")
+         ORDER BY event_type, day""",
+    // Capped census: the q205 graph with the both-endpoint degree-2
+    // cap applied before the same census arithmetic.
+    "q225_triangles_capped" ->
+      s"""WITH $minHashPairsSql,
+         ws AS (SELECT doc_id,
+                       list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                FROM documents),
+         vp AS (SELECT p.a, p.b
+                FROM pairs p
+                JOIN ws wa ON wa.doc_id = p.a
+                JOIN ws wb ON wb.doc_id = p.b
+                WHERE len(list_distinct(wa.ws || wb.ws)) > 0
+                  AND CAST(len(list_intersect(wa.ws, wb.ws)) AS BIGINT)
+                        * 1000000
+                        // CAST(len(list_distinct(wa.ws || wb.ws)) AS BIGINT)
+                        >= 500000),
+         e0 AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+                FROM vp WHERE a <> b),
+         half AS (SELECT x AS v, y AS w FROM e0
+                  UNION ALL SELECT y, x FROM e0),
+         rk AS (SELECT v, w,
+                       row_number() OVER (PARTITION BY v ORDER BY w) AS r
+                FROM half),
+         e AS (SELECT x, y FROM (
+                 SELECT least(v, w) AS x, greatest(v, w) AS y,
+                        count(*) AS k
+                 FROM rk WHERE r <= 2 GROUP BY 1, 2) z
+               WHERE k = 2),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+                 FROM (SELECT x AS v FROM e UNION ALL SELECT y FROM e) u
+                 GROUP BY 1),
+         shape AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                          CAST(coalesce(sum(d * (d - 1) // 2), 0)
+                            AS BIGINT) AS n_wedges
+                   FROM deg),
+         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         tr AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                FROM e e1 JOIN e e2 ON e1.y = e2.x
+                WHERE EXISTS (SELECT 1 FROM e e3
+                              WHERE e3.x = e1.x AND e3.y = e2.y))
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                CASE WHEN n_wedges > 0
+                     THEN 3 * n_triangles * 1000000 // n_wedges
+                     ELSE 0 END AS clustering_ppm
+         FROM shape CROSS JOIN ne CROSS JOIN tr""")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the

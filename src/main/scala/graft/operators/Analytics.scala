@@ -2393,12 +2393,35 @@ object Analytics {
   def triangleCensus(
       pairs: DataFrame,
       aCol: String = "a",
-      bCol: String = "b"): DataFrame = {
-    val e = pairs
+      bCol: String = "b",
+      maxDegree: Int = Int.MaxValue): DataFrame = {
+    require(maxDegree >= 1, s"maxDegree must be >= 1: $maxDegree")
+    val e0 = pairs
       .select(least(col(aCol), col(bCol)).as("x"),
         greatest(col(aCol), col(bCol)).as("y"))
       .filter(col("x") < col("y"))
       .distinct()
+    // Degree cap (the K24 shape, now first-class): on a DENSE dup
+    // graph the wedge join's Σd² goes quadratic — measured: the 10×
+    // scale-fixture corpus (31-word vocab ⇒ near-clique dup graph)
+    // took the uncapped census from 3.9 s to >600 s. Each node keeps
+    // its maxDegree smallest-id neighbors; an edge survives only if
+    // BOTH endpoints keep it — deterministic, engine-mirrorable, and
+    // the census cost drops to cap²·nodes. Uncapped (the default)
+    // preserves exact semantics for bounded graphs like the
+    // LSH-capped near-dup relation at real-corpus densities.
+    val e = if (maxDegree == Int.MaxValue) e0 else {
+      val half = e0.select(col("x").as("v"), col("y").as("w"))
+        .unionByName(e0.select(col("y").as("v"), col("x").as("w")))
+      val byN = Window.partitionBy(col("v")).orderBy(col("w"))
+      half.withColumn("_r", row_number().over(byN))
+        .filter(col("_r") <= maxDegree)
+        .groupBy(least(col("v"), col("w")).as("x"),
+          greatest(col("v"), col("w")).as("y"))
+        .agg(count(lit(1)).as("_k"))
+        .filter(col("_k") === 2)
+        .select(col("x"), col("y"))
+    }
     val deg = e.select(explode(array(col("x"), col("y"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val shape = deg.agg(count(lit(1)).as("n_nodes"),

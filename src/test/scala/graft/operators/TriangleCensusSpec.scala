@@ -38,4 +38,28 @@ class TriangleCensusSpec extends SparkSpec {
   test("edgeless input: zero everything, no division") {
     census(Seq((5L, 5L))) shouldBe ((0L, 0L, 0L, 0L, 0L))
   }
+
+  private def capped(edges: Seq[(Long, Long)], cap: Int) =
+    Analytics.triangleCensus(edges.toDF("a", "b"), maxDegree = cap)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+
+  test("degree cap: a star keeps only the smallest-id spokes") {
+    // hub 1 with spokes 2..6 at cap 2: hub keeps (1,2),(1,3); every
+    // spoke keeps its only edge, so survivors = both-endpoint kept.
+    capped((2L to 6L).map(s => (1L, s)), cap = 2) shouldBe
+      ((3L, 2L, 1L, 0L, 0L))
+  }
+
+  test("cap that never binds changes nothing") {
+    val k4 = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    capped(k4, cap = 10) shouldBe census(k4)
+  }
+
+  test("cap must survive BOTH endpoints: asymmetric keep drops the edge") {
+    // path 1-2, 2-3, 3-4 plus hub edges 2-5, 2-6 at cap 2: node 2's
+    // neighbors {1,3,5,6} keep {1,3}; 5 and 6 keep their only edge
+    // but 2 dropped them -> edges (2,5),(2,6) die.
+    capped(Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (2L, 6L)),
+      cap = 2) shouldBe ((4L, 3L, 2L, 0L, 0L))
+  }
 }
