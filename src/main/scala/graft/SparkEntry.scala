@@ -3420,6 +3420,15 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Holt smoothing (q226): level + trend per event type — the
+    * forecast that stops trailing a ramp; truncation direction on the
+    * signed trend is contractual and mirrored sign-split. */
+  private def holtQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.holtSmoothing(
+        Tables.events(s, dir), "event_type", "ts",
+        alphaPpm = 300000L, betaPpm = 200000L)
+      .orderBy(col("event_type"), col("day"))
+
   /** Aggregate consistency (q223): does the stored order total match
     * the line sum — denormalization drift at cent precision, 5%
     * tolerance; childless parents counted separately. */
@@ -4336,7 +4345,8 @@ object SparkEntry {
     "q222_frequency_response" -> (frequencyQuery _),
     "q223_agg_consistency" -> (aggConsistencyQuery _),
     "q224_densify_days" -> (densifyQuery _),
-    "q225_triangles_capped" -> (dupTrianglesCapped _))
+    "q225_triangles_capped" -> (dupTrianglesCapped _),
+    "q226_holt" -> (holtQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4628,7 +4638,7 @@ object SparkEntry {
     "q216_winsorize", "q217_scene_changes", "q218_pettitt",
     "q219_fd_audit", "q220_readability", "q221_behavioral_diversity",
     "q222_frequency_response", "q223_agg_consistency",
-    "q224_densify_days", "q225_triangles_capped")
+    "q224_densify_days", "q225_triangles_capped", "q226_holt")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9679,7 +9689,40 @@ object SparkEntry {
                 CASE WHEN n_wedges > 0
                      THEN 3 * n_triangles * 1000000 // n_wedges
                      ELSE 0 END AS clustering_ppm
-         FROM shape CROSS JOIN ne CROSS JOIN tr""")
+         FROM shape CROSS JOIN ne CROSS JOIN tr""",
+    // Holt: the identical two-state recurrence as a recursive CTE;
+    // every micro division truncates TOWARD ZERO (sign-split) to
+    // mirror the driver fold's Long division on the signed trend.
+    "q226_holt" -> {
+      def tdiv(x: String): String =
+        s"(CASE WHEN ($x) >= 0 THEN ($x) // 1000000" +
+          s" ELSE -((-($x)) // 1000000) END)"
+      val l2 = s"(300000 * o.v + ${tdiv("(1000000 - 300000) * (r.l + r.b)")})"
+      s"""WITH RECURSIVE daily AS (
+           SELECT CAST(event_type AS VARCHAR) AS typ, ts::DATE AS day,
+                  CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         ord AS (SELECT typ, day, v,
+                        CAST(row_number() OVER (PARTITION BY typ
+                          ORDER BY day) AS BIGINT) AS i
+                 FROM daily),
+         rec AS (
+           SELECT typ, day, v, i,
+                  CAST(v * 1000000 AS BIGINT) AS l,
+                  CAST(0 AS BIGINT) AS b
+           FROM ord WHERE i = 1
+           UNION ALL
+           SELECT o.typ, o.day, o.v, o.i,
+                  CAST($l2 AS BIGINT),
+                  CAST(${tdiv(s"200000 * ($l2 - r.l)")}
+                    + ${tdiv("(1000000 - 200000) * r.b")} AS BIGINT)
+           FROM ord o JOIN rec r ON o.typ = r.typ AND o.i = r.i + 1)
+         SELECT typ AS event_type, CAST(day AS VARCHAR) AS day, v,
+                CAST(l AS BIGINT) AS level_micro,
+                CAST(b AS BIGINT) AS trend_micro,
+                CAST(l + b AS BIGINT) AS forecast_micro
+         FROM rec ORDER BY event_type, day"""
+    })
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the

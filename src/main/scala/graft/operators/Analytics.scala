@@ -1913,6 +1913,75 @@ object Analytics {
     }.reduce(_ unionByName _)
   }
 
+  /** HOLT double-exponential smoothing — [[ewmaBaseline]] plus a
+    * TREND state (an EWMA lags a ramping series forever; Holt's
+    * second recurrence learns the slope and the one-step forecast
+    * `level + trend` stops trailing): per type over daily counts, in
+    * exact integer micro units,
+    * `l₁ = v₁·10⁶, b₁ = 0`,
+    * `l_t = α·v_t + (10⁶−α)·(l_{t−1}+b_{t−1}) div 10⁶`,
+    * `b_t = trunc(β·(l_t−l_{t−1}), 10⁶) + trunc((10⁶−β)·b_{t−1}, 10⁶)`
+    * where trunc is division TRUNCATED TOWARD ZERO on both sides —
+    * the trend is the one signed quantity in the family, so the
+    * truncation direction is contractual (the q193 sign-split
+    * convention; the oracle mirrors it explicitly, floor-div would
+    * silently differ on falling series).
+    *
+    * Runs at the [[ewmaBaseline]] driver boundary (same ≤ 10⁵-row
+    * guard, same v < 9.2·10⁶ envelope — |b| ≤ level scale keeps every
+    * product long-exact); oracle = the identical recurrence as a
+    * recursive CTE. Output per (type, day): v, level_micro,
+    * trend_micro, forecast_micro (= next day's l+b, the number a
+    * monitor compares tomorrow against). */
+  def holtSmoothing(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      alphaPpm: Long,
+      betaPpm: Long,
+      maxRows: Int = 100000): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000,
+      s"alphaPpm must be in [1, 1e6]: $alphaPpm")
+    require(betaPpm >= 1 && betaPpm <= 1000000,
+      s"betaPpm must be in [1, 1e6]: $betaPpm")
+    val daily = events
+      .groupBy(col(typeCol).cast("string").as("typ"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("v"))
+      .select(col("typ"), col("day").cast("string").as("day"), col("v"))
+    val rows = daily.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(rows.length <= maxRows,
+      s"holtSmoothing: ${rows.length} (type, day) rows exceed the " +
+        s"driver fold bound ($maxRows); aggregate to coarser time units")
+    rows.foreach { case (_, _, v) =>
+      // half the ewma envelope: the trend state can overshoot the
+      // level past max(v)·10⁶ transiently, so keep 2× headroom
+      require(v < 4600000L,
+        "holtSmoothing: daily count exceeds the exact-long micro " +
+          "envelope (4.6e6); use coarser units")
+    }
+    val out = rows.groupBy(_._1).toSeq.flatMap { case (typ, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var l = 0L
+      var b = 0L
+      sorted.zipWithIndex.map { case ((_, day, v), i) =>
+        if (i == 0) { l = v * 1000000L; b = 0L }
+        else {
+          val lPrev = l
+          l = alphaPpm * v + (1000000L - alphaPpm) * (l + b) / 1000000L
+          b = betaPpm * (l - lPrev) / 1000000L +
+            (1000000L - betaPpm) * b / 1000000L
+        }
+        (typ, day, v, l, b, l + b)
+      }
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    out.toDF("event_type", "day", "v", "level_micro", "trend_micro",
+      "forecast_micro")
+  }
+
   /** PETTITT CHANGEPOINT — [[cusumChangepoint]]'s NONPARAMETRIC twin
     * (CUSUM finds a mean shift and is dragged by one outlier day;
     * Pettitt, AMS 1979, asks at which day the rank distribution
