@@ -3420,6 +3420,22 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** q227's iteration constant — drives BOTH the Spark driver loop
+    * and the unrolled oracle CTE chain (determinism does not require
+    * convergence; iters is part of the contract). */
+  private val PcaPowerIters = 12
+
+  /** Top principal component (q227): the embedding-collapse audit —
+    * exact-integer power iteration on the graft_gram covariance,
+    * sign-canonicalized; explained_ppm is the one-number collapse
+    * score. */
+  private def topPcQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.topPrincipalComponent(Tables.embeddings(s, dir),
+        "embedding", dims = 64, iters = PcaPowerIters)
+      .orderBy(col("dim"))
+  }
+
   /** Holt smoothing (q226): level + trend per event type — the
     * forecast that stops trailing a ramp; truncation direction on the
     * signed trend is contractual and mirrored sign-split. */
@@ -4346,7 +4362,8 @@ object SparkEntry {
     "q223_agg_consistency" -> (aggConsistencyQuery _),
     "q224_densify_days" -> (densifyQuery _),
     "q225_triangles_capped" -> (dupTrianglesCapped _),
-    "q226_holt" -> (holtQuery _))
+    "q226_holt" -> (holtQuery _),
+    "q227_top_pc" -> (topPcQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4638,7 +4655,8 @@ object SparkEntry {
     "q216_winsorize", "q217_scene_changes", "q218_pettitt",
     "q219_fd_audit", "q220_readability", "q221_behavioral_diversity",
     "q222_frequency_response", "q223_agg_consistency",
-    "q224_densify_days", "q225_triangles_capped", "q226_holt")
+    "q224_densify_days", "q225_triangles_capped", "q226_holt",
+    "q227_top_pc")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9722,6 +9740,72 @@ object SparkEntry {
                 CAST(b AS BIGINT) AS trend_micro,
                 CAST(l + b AS BIGINT) AS forecast_micro
          FROM rec ORDER BY event_type, day"""
+    },
+    // Top PC: the q139 sufficient-stats mirror feeding an unrolled
+    // power-iteration CTE chain generated from PcaPowerIters; every
+    // signed division truncates toward zero (the q226 convention).
+    "q227_top_pc" -> {
+      def tz(x: String, d: String): String =
+        s"(CASE WHEN ($x) >= 0 THEN ($x) // ($d)" +
+          s" ELSE -((-($x)) // ($d)) END)"
+      val chain = (1 to PcaPowerIters).map { k =>
+        val p = k - 1
+        s"""y$k AS MATERIALIZED (SELECT cs.i AS d,
+                     CAST(sum(cs.cv * x$p.x) AS BIGINT) AS y
+              FROM cs JOIN x$p ON cs.j = x$p.d GROUP BY cs.i),
+         m$k AS MATERIALIZED (SELECT greatest(1, max(abs(y)) // 1000000) AS dv,
+                        CAST(max(abs(y)) AS BIGINT) AS my FROM y$k),
+         mp$k AS MATERIALIZED (SELECT greatest(1, max(abs(x))) AS m FROM x$p),
+         x$k AS MATERIALIZED (SELECT d, ${tz("y", "dv")} AS x
+                 FROM y$k CROSS JOIN m$k)"""
+      }.mkString(",\n         ")
+      val n = PcaPowerIters
+      s"""WITH q AS MATERIALIZED (SELECT list_transform(range(64), d ->
+                      CAST(round(embedding[CAST(d + 1 AS INTEGER)]::DOUBLE
+                        * 1e3) AS BIGINT)) AS qv
+                    FROM embeddings),
+         pp AS MATERIALIZED (SELECT CAST(d1.d AS BIGINT) AS d1,
+                       CAST(d2.d AS BIGINT) AS d2,
+                       qv[CAST(d1.d + 1 AS INTEGER)] AS x1,
+                       qv[CAST(d2.d + 1 AS INTEGER)] AS x2
+                FROM q
+                CROSS JOIN (SELECT unnest(range(64)) AS d) d1
+                CROSS JOIN (SELECT unnest(range(64)) AS d) d2
+                WHERE d1.d <= d2.d),
+         st AS MATERIALIZED (SELECT d1, d2, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x1) AS BIGINT) AS s1,
+                       CAST(sum(x2) AS BIGINT) AS s2,
+                       CAST(sum(x1 * x2) AS BIGINT) AS s12
+                FROM pp GROUP BY d1, d2),
+         cf AS MATERIALIZED (SELECT d1 AS i, d2 AS j, n * s12 - s1 * s2 AS cv FROM st
+                UNION ALL
+                SELECT d2, d1, n * s12 - s1 * s2 FROM st WHERE d1 <> d2),
+         sc AS MATERIALIZED (SELECT greatest(1, max(abs(cv)) // 1000000) AS s FROM cf),
+         cs AS MATERIALIZED (SELECT i, j, ${tz("cv", "s")} AS cv
+                FROM cf CROSS JOIN sc),
+         x0 AS MATERIALIZED (SELECT CAST(unnest(range(64)) AS BIGINT) AS d,
+                       CAST(1000000 AS BIGINT) AS x),
+         $chain,
+         lam AS MATERIALIZED (SELECT m$n.my // greatest(1, mp$n.m // 1000000)
+                   AS lambda
+                 FROM m$n CROSS JOIN mp$n),
+         tr AS MATERIALIZED (SELECT CAST(sum(cv) AS BIGINT) AS t FROM cs WHERE i = j),
+         mxf AS MATERIALIZED (SELECT max(abs(x)) AS m FROM x$n),
+         ld AS MATERIALIZED (SELECT min(d) AS d FROM x$n CROSS JOIN mxf
+                WHERE abs(x) = m),
+         sg AS MATERIALIZED (SELECT CASE WHEN xf.x < 0 THEN -1 ELSE 1 END AS s
+                FROM x$n xf JOIN ld ON xf.d = ld.d),
+         ex AS MATERIALIZED (SELECT CASE WHEN tr.t > 0
+                            THEN lam.lambda // greatest(1, tr.t)
+                            ELSE 0 END AS e
+                FROM lam CROSS JOIN tr)
+         SELECT xf.d AS dim, CAST(xf.x * sg.s AS BIGINT) AS component_ppm,
+                CAST(lam.lambda AS BIGINT) AS lambda_scaled,
+                CAST(tr.t AS BIGINT) AS trace_scaled,
+                CAST(ex.e AS BIGINT) AS explained_ppm
+         FROM x$n xf CROSS JOIN lam CROSS JOIN tr CROSS JOIN sg
+              CROSS JOIN ex
+         ORDER BY dim"""
     })
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming

@@ -1329,6 +1329,76 @@ object Similarity {
     * d²-sized relations. Cost per tick: O(changed · d²/partition
     * buffers), never O(corpus) — the drift monitors (K60/K80) read
     * covariance structure nightly without re-scanning the corpus. */
+  /** TOP PRINCIPAL COMPONENT of the embedding covariance — the
+    * anisotropy/collapse audit ([[centroidDrift]] watches WHERE the
+    * cloud moves; this watches whether it is degenerating onto one
+    * axis, the classic embedding-collapse failure): exact-integer
+    * POWER ITERATION on [[covarianceStats]]' sufficient statistics.
+    *
+    * Everything after the one `graft_gram` pass is model-sized and
+    * runs at the lloydStepDeterministic/q176 driver boundary: the
+    * d×d integer covariance numerator `n·s12 − s1·s2` is scaled once
+    * by `max(1, max|C| div 10⁶)`, then `iters` rounds of `y = C·x`
+    * with per-round renormalization by `max(1, max|y| div 10⁶)` —
+    * every division TRUNCATES TOWARD ZERO on signed values (the q226
+    * contract; the oracle mirrors each round as an unrolled CTE
+    * chain generated from the same iteration constant). The sign is
+    * canonicalized by the smallest dim attaining max|x| (power
+    * iteration is sign-blind; the contract isn't). Determinism does
+    * NOT require convergence — iters is part of the contract.
+    *
+    * Output per dim: (dim, component_ppm, lambda_scaled = the last
+    * round's Rayleigh-style ratio, trace_scaled, explained_ppm ≈
+    * λ/trace — the one-number collapse score). */
+  def topPrincipalComponent(
+      df: DataFrame,
+      vecCol: String,
+      dims: Int,
+      iters: Int): DataFrame = {
+    require(dims >= 1 && dims <= 256, s"dims must be in [1,256]: $dims")
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64]: $iters")
+    val stats = covarianceStats(df, vecCol, dims).collect()
+    val c = Array.ofDim[Long](dims, dims)
+    stats.foreach { r =>
+      val i = r.getLong(0).toInt
+      val j = r.getLong(1).toInt
+      val cv = r.getLong(2) * r.getLong(5) - r.getLong(3) * r.getLong(4)
+      c(i)(j) = cv
+      c(j)(i) = cv
+    }
+    val scale = math.max(1L, c.flatten.map(math.abs).max / 1000000L)
+    val cs = c.map(_.map(_ / scale))
+    var x = Array.fill(dims)(1000000L)
+    var lambdaScaled = 0L
+    for (_ <- 1 to iters) {
+      val mxPrev = math.max(1L, x.map(math.abs).max)
+      val y = Array.tabulate(dims) { i =>
+        var s = 0L; var j = 0
+        while (j < dims) { s += cs(i)(j) * x(j); j += 1 }
+        s
+      }
+      val my = y.map(math.abs).max
+      lambdaScaled = my / math.max(1L, mxPrev / 1000000L)
+      val dv = math.max(1L, my / 1000000L)
+      x = y.map(_ / dv)
+    }
+    val mx = x.map(math.abs).max
+    val lead = x.indexWhere(v => math.abs(v) == mx)
+    val sgn = if (x(lead) < 0) -1L else 1L
+    val trace = (0 until dims).map(i => cs(i)(i)).sum
+    // lambdaScaled carries a ×10⁶ factor from the x-normalization
+    // (my ≈ λ·mxPrev with mxPrev ≈ 10⁶), so λ·10⁶/trace is a plain
+    // integer division by the trace
+    val explained =
+      if (trace > 0) lambdaScaled / math.max(1L, trace) else 0L
+    val spark = df.sparkSession
+    import spark.implicits._
+    (0 until dims).map(d =>
+      (d.toLong, x(d) * sgn, lambdaScaled, trace, explained))
+      .toDF("dim", "component_ppm", "lambda_scaled", "trace_scaled",
+        "explained_ppm")
+  }
+
   def covarianceDelta(
       state: DataFrame, // (d1, d2, n, s1, s2, s12) — covarianceStats output
       oldSnap: DataFrame,
