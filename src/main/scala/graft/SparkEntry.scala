@@ -3420,6 +3420,15 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Cohort LTV (q228): cumulative cent-exact revenue per first-order
+    * cohort week and weeks-since-first — the payback-period curve;
+    * timezone-proof integer weeks. */
+  private def cohortLtvQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.cohortLtv(
+        Tables.orders(s, dir), "o_custkey", "o_orderdate",
+        round(col("o_totalprice") * 100))
+      .orderBy(col("cohort_week"), col("offset_weeks"))
+
   /** q227's iteration constant — drives BOTH the Spark driver loop
     * and the unrolled oracle CTE chain (determinism does not require
     * convergence; iters is part of the contract). */
@@ -4363,7 +4372,8 @@ object SparkEntry {
     "q224_densify_days" -> (densifyQuery _),
     "q225_triangles_capped" -> (dupTrianglesCapped _),
     "q226_holt" -> (holtQuery _),
-    "q227_top_pc" -> (topPcQuery _))
+    "q227_top_pc" -> (topPcQuery _),
+    "q228_cohort_ltv" -> (cohortLtvQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4656,7 +4666,7 @@ object SparkEntry {
     "q219_fd_audit", "q220_readability", "q221_behavioral_diversity",
     "q222_frequency_response", "q223_agg_consistency",
     "q224_densify_days", "q225_triangles_capped", "q226_holt",
-    "q227_top_pc")
+    "q227_top_pc", "q228_cohort_ltv")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9806,7 +9816,41 @@ object SparkEntry {
          FROM x$n xf CROSS JOIN lam CROSS JOIN tr CROSS JOIN sg
               CROSS JOIN ex
          ORDER BY dim"""
-    })
+    },
+    // Cohort LTV: the q194 integer-week arithmetic; epoch days via
+    // the date-difference form (both engines agree on DATE - DATE).
+    "q228_cohort_ltv" -> """
+         WITH q AS (SELECT CAST(o_custkey AS VARCHAR) AS e,
+                           (o_orderdate::DATE - DATE '1970-01-01') AS ed,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                    FROM orders
+                    WHERE o_custkey IS NOT NULL
+                      AND o_orderdate IS NOT NULL
+                      AND o_totalprice IS NOT NULL),
+         qw AS (SELECT e, (ed - 4) // 7 AS w, v FROM q),
+         first AS (SELECT e, CAST(min(w) AS BIGINT) AS w0
+                   FROM qw GROUP BY 1),
+         sizes AS (SELECT w0, CAST(count(*) AS BIGINT) AS n_entities
+                   FROM first GROUP BY 1),
+         rev AS (SELECT f.w0, CAST(qw.w - f.w0 AS BIGINT)
+                          AS offset_weeks,
+                        CAST(sum(qw.v) AS BIGINT) AS revenue
+                 FROM qw JOIN first f ON qw.e = f.e
+                 GROUP BY 1, 2),
+         cum AS (SELECT w0, offset_weeks, revenue,
+                        CAST(sum(revenue) OVER (PARTITION BY w0
+                          ORDER BY offset_weeks
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                          AS cum_revenue
+                 FROM rev)
+         SELECT CAST(DATE '1970-01-01' + CAST(4 + 7 * cum.w0 AS INTEGER)
+                  AS VARCHAR) AS cohort_week,
+                cum.offset_weeks, sizes.n_entities, cum.revenue,
+                cum.cum_revenue,
+                CAST(cum.cum_revenue // sizes.n_entities AS BIGINT)
+                  AS cum_per_entity
+         FROM cum JOIN sizes ON cum.w0 = sizes.w0
+         ORDER BY cohort_week, offset_weeks""")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the

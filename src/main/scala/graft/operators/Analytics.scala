@@ -1703,6 +1703,49 @@ object Analytics {
       .toDF("event_type", "n_out", "pi_ppm")
   }
 
+  /** COHORT LTV curve — the revenue twin of [[weeklyRetention]]
+    * (retention asks "do they come back", LTV asks "what are they
+    * WORTH over time"): entities cohort by the Monday-aligned integer
+    * week of their FIRST transaction (the q194 timezone-proof
+    * arithmetic — pure days-since-epoch, 1970-01-05 anchor), revenue
+    * accumulates per (cohort, weeks-since-first) in exact integer
+    * units, and `cum_per_entity` divides by the FIXED cohort size —
+    * the number a payback-period decision reads. Offsets with no
+    * revenue emit no row (stated; [[densifyDays]] is the gap-filling
+    * tool when a gapless axis is wanted).
+    *
+    * Shape at 100 TB: one entity-key rollup for the first week, one
+    * join back, one (cohort, offset) rollup; the cumulative window
+    * partitions on the cohort over the offsets-sized relation. */
+  def cohortLtv(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      value: Column): DataFrame = {
+    val q = df.select(col(entityCol).cast("string").as("e"),
+      unix_date(to_date(col(tsCol))).cast(LongType).as("ed"),
+      value.cast(LongType).as("v"))
+      .filter(col("e").isNotNull && col("ed").isNotNull &&
+        col("v").isNotNull)
+      .withColumn("w", expr("(ed - 4) div 7"))
+    val first = q.groupBy(col("e")).agg(min(col("w")).as("w0"))
+    val sizes = first.groupBy(col("w0")).agg(count(lit(1)).as("n_entities"))
+    val rev = q.join(first, Seq("e"))
+      .groupBy(col("w0"), (col("w") - col("w0")).as("offset_weeks"))
+      .agg(sum(col("v")).as("revenue"))
+    val byOff = Window.partitionBy(col("w0")).orderBy(col("offset_weeks"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.withColumn("cum_revenue", sum(col("revenue")).over(byOff))
+      .join(sizes, Seq("w0"))
+      .select(
+        date_add(lit("1970-01-01").cast("date"),
+          (lit(4L) + lit(7L) * col("w0")).cast("int"))
+          .cast("string").as("cohort_week"),
+        col("offset_weeks"), col("n_entities"), col("revenue"),
+        col("cum_revenue"),
+        expr("cum_revenue div n_entities").as("cum_per_entity"))
+  }
+
   /** AGGREGATE-CONSISTENCY audit — the warehouse invariant
     * [[fkIntegrityAudit]] doesn't check: the parent's STORED total vs
     * the sum of its child rows (order header total vs line sum,
