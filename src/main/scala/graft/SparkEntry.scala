@@ -3420,6 +3420,21 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** q229's decay table: half-life 7 days over a 31-day window — ONE
+    * Scala constant drives the plan literal and the oracle VALUES. */
+  private val DecayWeightsPpm: Seq[Long] =
+    (0 to 30).map(g => math.round(1e6 * math.pow(0.5, g / 7.0)))
+
+  /** Time-decay attribution (q229): the recency-weighted member of
+    * the attribution family — exact 10⁶-ppm conservation per
+    * conversion, remainder to the most recent touch's channel. */
+  private def timeDecayQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.timeDecayAttribution(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        convType = "purchase", channels = Seq("signup", "view", "click"),
+        weights = DecayWeightsPpm)
+      .orderBy(col("channel"))
+
   /** Cohort LTV (q228): cumulative cent-exact revenue per first-order
     * cohort week and weeks-since-first — the payback-period curve;
     * timezone-proof integer weeks. */
@@ -4373,7 +4388,8 @@ object SparkEntry {
     "q225_triangles_capped" -> (dupTrianglesCapped _),
     "q226_holt" -> (holtQuery _),
     "q227_top_pc" -> (topPcQuery _),
-    "q228_cohort_ltv" -> (cohortLtvQuery _))
+    "q228_cohort_ltv" -> (cohortLtvQuery _),
+    "q229_time_decay_attribution" -> (timeDecayQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4666,7 +4682,7 @@ object SparkEntry {
     "q219_fd_audit", "q220_readability", "q221_behavioral_diversity",
     "q222_frequency_response", "q223_agg_consistency",
     "q224_densify_days", "q225_triangles_capped", "q226_holt",
-    "q227_top_pc", "q228_cohort_ltv")
+    "q227_top_pc", "q228_cohort_ltv", "q229_time_decay_attribution")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9850,7 +9866,69 @@ object SparkEntry {
                 CAST(cum.cum_revenue // sizes.n_entities AS BIGINT)
                   AS cum_per_entity
          FROM cum JOIN sizes ON cum.w0 = sizes.w0
-         ORDER BY cohort_week, offset_weeks""")
+         ORDER BY cohort_week, offset_weeks""",
+    // Time-decay attribution: the same decay VALUES, floor shares,
+    // and most-recent-touch remainder pinning (micros precision,
+    // ties to the smallest channel name).
+    "q229_time_decay_attribution" -> {
+      val vals = DecayWeightsPpm.zipWithIndex
+        .map { case (w, g) => s"($g, $w)" }.mkString(", ")
+      s"""WITH w(g, wt) AS (SELECT * FROM (VALUES $vals)),
+         e AS (SELECT CAST(user_id AS VARCHAR) AS u, ts,
+                      CAST(event_type AS VARCHAR) AS t,
+                      (ts::DATE - DATE '1970-01-01') AS d
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         conv AS (SELECT DISTINCT u, epoch_us(ts) AS cus, d AS cd
+                  FROM e WHERE t = 'purchase'),
+         touch AS (SELECT u, epoch_us(ts) AS tus, d AS td,
+                          t AS channel
+                   FROM e WHERE t IN ('signup', 'view', 'click')),
+         j AS (SELECT c.u, c.cus, tch.channel, tch.tus,
+                      CAST(w.wt AS BIGINT) AS wv
+               FROM conv c
+               JOIN touch tch ON c.u = tch.u AND tch.tus < c.cus
+                 AND c.cd - tch.td BETWEEN 0 AND 30
+               JOIN w ON w.g = c.cd - tch.td),
+         perchan AS (SELECT u, cus, channel,
+                            CAST(sum(wv) AS BIGINT) AS ws,
+                            max(tus) AS lastT
+                     FROM j GROUP BY 1, 2, 3),
+         perconv AS (SELECT u, cus, CAST(sum(ws) AS BIGINT) AS wtot
+                     FROM perchan GROUP BY 1, 2),
+         win AS (SELECT u, cus, channel AS winner FROM (
+                   SELECT u, cus, channel,
+                          row_number() OVER (PARTITION BY u, cus
+                            ORDER BY lastT DESC, channel ASC) AS rn
+                   FROM perchan) z
+                 WHERE rn = 1),
+         based AS (SELECT pc.u, pc.cus, pc.channel, pc.ws, p.wtot,
+                          wn.winner,
+                          CASE WHEN p.wtot > 0
+                               THEN pc.ws * 1000000 // p.wtot
+                               ELSE 0 END AS base
+                   FROM perchan pc
+                   JOIN perconv p ON pc.u = p.u AND pc.cus = p.cus
+                   JOIN win wn ON pc.u = wn.u AND pc.cus = wn.cus),
+         fs AS (SELECT u, cus, CAST(sum(base) AS BIGINT) AS f
+                FROM based GROUP BY 1, 2),
+         cr AS (SELECT b.channel,
+                       b.base + CASE WHEN b.wtot > 0
+                                     AND b.channel = b.winner
+                                THEN 1000000 - fs.f ELSE 0 END AS credit
+                FROM based b
+                JOIN fs ON b.u = fs.u AND b.cus = fs.cus),
+         nt AS (SELECT 'none' AS channel,
+                       CAST(1000000 AS BIGINT) AS credit
+                FROM conv c
+                WHERE NOT EXISTS (SELECT 1 FROM j
+                                  WHERE j.u = c.u AND j.cus = c.cus)),
+         al AS (SELECT channel, credit FROM cr
+                UNION ALL SELECT channel, credit FROM nt)
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+                CAST(sum(credit) AS BIGINT) AS credit_ppm_total
+         FROM al GROUP BY 1 ORDER BY channel"""
+    })
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the

@@ -1703,6 +1703,83 @@ object Analytics {
       .toDF("event_type", "n_out", "pi_ppm")
   }
 
+  /** TIME-DECAY ATTRIBUTION — the third member of the attribution
+    * family ([[lastTouchAttribution]] gives the closer everything,
+    * [[linearAttribution]] splits equally; this weights each touch by
+    * HOW RECENTLY it happened): a touch `g` days before the
+    * conversion carries literal weight `weights(g)` (the caller's
+    * decay table — one Scala constant drives both the plan and the
+    * oracle, the minHashCoeffs discipline), each conversion
+    * distributes EXACTLY 10⁶ ppm as floor shares
+    * `w_c·10⁶ div Σw` with the remainder absorbed by the channel of
+    * the MOST RECENT touch (micros precision; ties: smallest channel
+    * name, via struct-min — the conservation discipline).
+    * Conversions with no touch inside the window credit 'none' in
+    * full. Same-microsecond duplicate conversions collapse to one
+    * (stated).
+    *
+    * Shape at 100 TB: the conversion⋈touch join is per-user and
+    * day-bounded by the weight table's length (the C1 range-join
+    * shape) — fan-out ≤ touches-in-window per conversion; everything
+    * after is (conversion, channel)-rollup-sized, and the published
+    * relation is channels+1 rows. */
+  def timeDecayAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      convType: String,
+      channels: Seq[String],
+      weights: Seq[Long]): DataFrame = {
+    require(channels.nonEmpty && !channels.contains(convType),
+      s"channels must exclude the conversion type: $channels")
+    require(weights.nonEmpty && weights.forall(w => w >= 0),
+      "weights must be nonnegative, indexed by day gap")
+    val maxDays = weights.size - 1
+    val e = events.select(col(userCol).cast("string").as("u"),
+      col(tsCol).as("ts"), col(typeCol).cast("string").as("t"),
+      unix_date(to_date(col(tsCol))).cast(LongType).as("d"))
+      .filter(col("u").isNotNull && col("ts").isNotNull)
+    val conv = e.filter(col("t") === convType)
+      .select(col("u"), unix_micros(col("ts")).as("cus"),
+        col("d").as("cd")).distinct()
+    val touch = e.filter(col("t").isin(channels: _*))
+      .select(col("u"), unix_micros(col("ts")).as("tus"),
+        col("d").as("td"), col("t").as("channel"))
+    val wArr = array(weights.map(lit): _*)
+    val j = conv.join(touch,
+      Seq("u")).filter(col("tus") < col("cus") &&
+        col("cd") - col("td") <= maxDays && col("cd") >= col("td"))
+      .withColumn("w",
+        element_at(wArr, (col("cd") - col("td") + 1).cast("int")))
+    val perChan = j.groupBy(col("u"), col("cus"), col("channel"))
+      .agg(sum(col("w")).as("ws"), max(col("tus")).as("lastT"))
+    val perConv = perChan.groupBy(col("u"), col("cus"))
+      .agg(sum(col("ws")).as("wtot"),
+        min(struct((-col("lastT")).as("nt"),
+          col("channel").as("ch"))).as("_win"))
+      .select(col("u"), col("cus"), col("wtot"),
+        col("_win.ch").as("winner"))
+    val based = perChan.join(perConv, Seq("u", "cus"))
+      .withColumn("base", when(col("wtot") > 0,
+        expr("ws * 1000000 div wtot")).otherwise(lit(0L)))
+    val floorSum = based.groupBy(col("u"), col("cus"))
+      .agg(sum(col("base")).as("fs"))
+    val credited = based.join(floorSum, Seq("u", "cus"))
+      .withColumn("credit", col("base") +
+        when(col("wtot") > 0 && col("channel") === col("winner"),
+          lit(1000000L) - col("fs")).otherwise(lit(0L)))
+    val noTouch = conv.join(
+        j.select(col("u"), col("cus")).distinct(),
+        Seq("u", "cus"), "left_anti")
+      .select(lit("none").as("channel"), lit(1000000L).as("credit"))
+    credited.select(col("channel"), col("credit"))
+      .unionByName(noTouch)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("credit")).as("credit_ppm_total"))
+  }
+
   /** COHORT LTV curve — the revenue twin of [[weeklyRetention]]
     * (retention asks "do they come back", LTV asks "what are they
     * WORTH over time"): entities cohort by the Monday-aligned integer
