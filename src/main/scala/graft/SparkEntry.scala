@@ -3420,6 +3420,13 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Next-event accuracy (q230): the transition matrix scored as the
+    * predictor it implicitly is — in-sample ceiling, stated. */
+  private def nextEventQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.nextEventAccuracy(
+        Tables.events(s, dir), "user_id", "ts", "event_type", "event_id")
+      .orderBy(col("from_type"))
+
   /** q229's decay table: half-life 7 days over a 31-day window — ONE
     * Scala constant drives the plan literal and the oracle VALUES. */
   private val DecayWeightsPpm: Seq[Long] =
@@ -4389,7 +4396,8 @@ object SparkEntry {
     "q226_holt" -> (holtQuery _),
     "q227_top_pc" -> (topPcQuery _),
     "q228_cohort_ltv" -> (cohortLtvQuery _),
-    "q229_time_decay_attribution" -> (timeDecayQuery _))
+    "q229_time_decay_attribution" -> (timeDecayQuery _),
+    "q230_next_event_accuracy" -> (nextEventQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4682,7 +4690,8 @@ object SparkEntry {
     "q219_fd_audit", "q220_readability", "q221_behavioral_diversity",
     "q222_frequency_response", "q223_agg_consistency",
     "q224_densify_days", "q225_triangles_capped", "q226_holt",
-    "q227_top_pc", "q228_cohort_ltv", "q229_time_decay_attribution")
+    "q227_top_pc", "q228_cohort_ltv", "q229_time_decay_attribution",
+    "q230_next_event_accuracy")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9928,7 +9937,44 @@ object SparkEntry {
          SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
                 CAST(sum(credit) AS BIGINT) AS credit_ppm_total
          FROM al GROUP BY 1 ORDER BY channel"""
-    })
+    },
+    // Next-event accuracy: the q122 pair extraction, argmax by
+    // (n desc, name asc), scored against actual successors.
+    "q230_next_event_accuracy" -> """
+         WITH pairs AS (SELECT event_type AS from_type,
+                               lead(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS to_type
+                        FROM events),
+         p2 AS (SELECT from_type, to_type FROM pairs
+                WHERE to_type IS NOT NULL),
+         counts AS (SELECT from_type, to_type,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM p2 GROUP BY 1, 2),
+         pred AS (SELECT from_type, to_type AS predicted FROM (
+                    SELECT from_type, to_type,
+                           row_number() OVER (PARTITION BY from_type
+                             ORDER BY n DESC, to_type ASC) AS rn
+                    FROM counts) z
+                  WHERE rn = 1),
+         scored AS (SELECT p2.from_type, pred.predicted,
+                           CAST(count(*) AS BIGINT) AS n_transitions,
+                           CAST(count(CASE WHEN p2.to_type
+                                      = pred.predicted THEN 1 END)
+                             AS BIGINT) AS n_correct
+                    FROM p2 JOIN pred ON p2.from_type = pred.from_type
+                    GROUP BY 1, 2),
+         al AS (SELECT from_type, predicted, n_transitions, n_correct
+                FROM scored
+                UNION ALL
+                SELECT '__overall__', NULL,
+                       CAST(coalesce(sum(n_transitions), 0) AS BIGINT),
+                       CAST(coalesce(sum(n_correct), 0) AS BIGINT)
+                FROM scored)
+         SELECT from_type, predicted, n_transitions, n_correct,
+                CASE WHEN n_transitions > 0
+                     THEN n_correct * 1000000 // n_transitions
+                     ELSE 0 END AS accuracy_ppm
+         FROM al ORDER BY from_type""")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the

@@ -144,6 +144,61 @@ object Analytics {
         expr("n_trans * 1000000 div _tot").as("prob_ppm"))
   }
 
+  /** NEXT-EVENT PREDICTION accuracy — [[transitionMatrix]] EVALUATED
+    * as the predictor it implicitly is (a transition matrix nobody
+    * scores is a wall decoration): predict each event's successor as
+    * the argmax row of the matrix (ties: smallest type name,
+    * struct-max on (n, reversed-name) via struct-min on (−n, name)),
+    * then measure against the actual successors. In-sample by
+    * construction, stated — the ceiling, not a generalization claim;
+    * split evaluation composes from [[Curation]]'s deterministic
+    * samplers.
+    *
+    * Shape at 100 TB: the same one user-key shuffle as the matrix
+    * (the pair extraction is shared work), a types²-sized argmax
+    * rollup broadcast back onto the pair relation, one types-sized
+    * verdict. Output per from-type: (from_type, predicted,
+    * n_transitions, n_correct, accuracy_ppm) plus an '__overall__'
+    * row. */
+  def nextEventAccuracy(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val pred = counts.groupBy(col("from_type"))
+      .agg(min(struct((-col("n")).as("nn"),
+        col("to_type").as("t"))).as("_p"))
+      .select(col("from_type"), col("_p.t").as("predicted"))
+    val scored = pairs.join(broadcast(pred), Seq("from_type"))
+      .groupBy(col("from_type"), col("predicted"))
+      .agg(count(lit(1)).as("n_transitions"),
+        count(when(col("to_type") === col("predicted"), 1))
+          .as("n_correct"))
+    val overall = scored.agg(
+      coalesce(sum(col("n_transitions")), lit(0L)).as("n_transitions"),
+      coalesce(sum(col("n_correct")), lit(0L)).as("n_correct"))
+      .select(lit("__overall__").as("from_type"),
+        lit(null).cast("string").as("predicted"),
+        col("n_transitions"), col("n_correct"))
+    scored.select(col("from_type"), col("predicted"),
+        col("n_transitions"), col("n_correct"))
+      .unionByName(overall)
+      .select(col("from_type"), col("predicted"), col("n_transitions"),
+        col("n_correct"),
+        when(col("n_transitions") > 0,
+          expr("n_correct * 1000000 div n_transitions"))
+          .otherwise(lit(0L)).as("accuracy_ppm"))
+  }
+
   /** TRAILING-WINDOW Z-SCORE anomaly flags: per (key, day) event
     * counts scored against the mean/std of the previous `window`
     * PRESENT days (rows-based, strictly before today — today never
