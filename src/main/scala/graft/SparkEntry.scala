@@ -3420,6 +3420,18 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Classification report (q231): per-language precision/recall/F1
+    * of the K9 language-ID against the labeled lang column — what
+    * the q27 confusion matrix's errors actually COST. */
+  private def classReportQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+    graft.operators.Analytics.classificationReport(scored, "lang",
+        "predicted")
+      .orderBy(col("cls"))
+  }
+
   /** Next-event accuracy (q230): the transition matrix scored as the
     * predictor it implicitly is — in-sample ceiling, stated. */
   private def nextEventQuery(s: SparkSession, dir: String): DataFrame =
@@ -4397,7 +4409,8 @@ object SparkEntry {
     "q227_top_pc" -> (topPcQuery _),
     "q228_cohort_ltv" -> (cohortLtvQuery _),
     "q229_time_decay_attribution" -> (timeDecayQuery _),
-    "q230_next_event_accuracy" -> (nextEventQuery _))
+    "q230_next_event_accuracy" -> (nextEventQuery _),
+    "q231_classification_report" -> (classReportQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4691,7 +4704,7 @@ object SparkEntry {
     "q222_frequency_response", "q223_agg_consistency",
     "q224_densify_days", "q225_triangles_capped", "q226_holt",
     "q227_top_pc", "q228_cohort_ltv", "q229_time_decay_attribution",
-    "q230_next_event_accuracy")
+    "q230_next_event_accuracy", "q231_classification_report")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -9974,7 +9987,76 @@ object SparkEntry {
                 CASE WHEN n_transitions > 0
                      THEN n_correct * 1000000 // n_transitions
                      ELSE 0 END AS accuracy_ppm
-         FROM al ORDER BY from_type""")
+         FROM al ORDER BY from_type""",
+    // Classification report: the q27 prediction CTEs feeding exact
+    // ppm P/R/F1 per class plus the floor-mean macro row.
+    "q231_classification_report" -> """
+         WITH s AS (SELECT lang,
+                           list_distinct(string_split(text, ' ')) AS ws
+                    FROM documents),
+         sc AS (SELECT lang,
+             len(list_intersect(ws, ['the','a','of','and','to'])) AS s_en,
+             len(list_intersect(ws, ['der','die','das','und','ist'])) AS s_de,
+             len(list_intersect(ws, ['el','la','los','y','es'])) AS s_es,
+             len(list_intersect(ws, ['le','la','les','et','est'])) AS s_fr,
+             len(list_intersect(ws, ['de','shi','zhe','he','bu'])) AS s_zh
+           FROM s),
+         pr AS (SELECT lang AS a, CASE
+             WHEN s_en = g AND g > 0 THEN 'en'
+             WHEN s_de = g AND g > 0 THEN 'de'
+             WHEN s_es = g AND g > 0 THEN 'es'
+             WHEN s_fr = g AND g > 0 THEN 'fr'
+             WHEN s_zh = g AND g > 0 THEN 'zh'
+             ELSE 'und' END AS pdt
+           FROM (SELECT *, GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS g
+                 FROM sc) t),
+         cells AS (SELECT a, pdt, CAST(count(*) AS BIGINT) AS n
+                   FROM pr GROUP BY 1, 2),
+         classes AS (SELECT a AS cls FROM cells
+                     UNION SELECT pdt FROM cells),
+         act AS (SELECT a AS cls, CAST(sum(n) AS BIGINT) AS n_actual
+                 FROM cells GROUP BY 1),
+         prd AS (SELECT pdt AS cls, CAST(sum(n) AS BIGINT) AS n_predicted
+                 FROM cells GROUP BY 1),
+         tp AS (SELECT a AS cls, n AS n_correct FROM cells WHERE a = pdt),
+         per AS (SELECT classes.cls,
+                        CAST(coalesce(act.n_actual, 0) AS BIGINT)
+                          AS n_actual,
+                        CAST(coalesce(prd.n_predicted, 0) AS BIGINT)
+                          AS n_predicted,
+                        CAST(coalesce(tp.n_correct, 0) AS BIGINT)
+                          AS n_correct
+                 FROM classes
+                 LEFT JOIN act USING (cls)
+                 LEFT JOIN prd USING (cls)
+                 LEFT JOIN tp USING (cls)),
+         m AS (SELECT cls, n_actual, n_predicted, n_correct,
+                      CASE WHEN n_predicted > 0
+                           THEN n_correct * 1000000 // n_predicted
+                           ELSE 0 END AS precision_ppm,
+                      CASE WHEN n_actual > 0
+                           THEN n_correct * 1000000 // n_actual
+                           ELSE 0 END AS recall_ppm
+               FROM per),
+         f AS (SELECT *, CASE WHEN precision_ppm + recall_ppm > 0
+                              THEN 2 * precision_ppm * recall_ppm
+                                   // (precision_ppm + recall_ppm)
+                              ELSE 0 END AS f1_ppm
+               FROM m),
+         mac AS (SELECT '__macro__' AS cls,
+                        CAST(sum(n_actual) AS BIGINT) AS n_actual,
+                        CAST(sum(n_predicted) AS BIGINT) AS n_predicted,
+                        CAST(sum(n_correct) AS BIGINT) AS n_correct,
+                        CAST(sum(precision_ppm) // count(*) AS BIGINT)
+                          AS precision_ppm,
+                        CAST(sum(recall_ppm) // count(*) AS BIGINT)
+                          AS recall_ppm,
+                        CAST(sum(f1_ppm) // count(*) AS BIGINT) AS f1_ppm
+                 FROM f)
+         SELECT cls, n_actual, n_predicted, n_correct, precision_ppm,
+                recall_ppm, f1_ppm
+         FROM (SELECT * FROM f UNION ALL SELECT * FROM mac) u
+         ORDER BY cls""")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the

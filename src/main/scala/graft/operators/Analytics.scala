@@ -144,6 +144,61 @@ object Analytics {
         expr("n_trans * 1000000 div _tot").as("prob_ppm"))
   }
 
+  /** CLASSIFICATION REPORT — per-class precision/recall/F1 over any
+    * (actual, predicted) pair relation (the K9 language-ID confusion
+    * matrix says WHERE the errors go; this says what they COST): all
+    * exact ppm — `P = tp·10⁶ div predicted`, `R = tp·10⁶ div actual`,
+    * `F1 = 2·P·R div (P+R)` (exact in longs: P,R ≤ 10⁶ so the
+    * numerator caps at 2·10¹²), zero-denominator classes report 0.
+    * The '__macro__' row is the unweighted mean of per-class ppm
+    * (floor division by the class count, stated). A class appearing
+    * only in predictions still gets its row (recall 0 over 0 actual
+    * — the hallucinated-class signal).
+    *
+    * Shape at 100 TB: one (actual, predicted) cell rollup; every
+    * later relation is classes-sized. */
+  def classificationReport(
+      df: DataFrame,
+      actualCol: String,
+      predictedCol: String): DataFrame = {
+    val cells = df.select(col(actualCol).cast("string").as("a"),
+      col(predictedCol).cast("string").as("p"))
+      .filter(col("a").isNotNull && col("p").isNotNull)
+      .groupBy(col("a"), col("p")).agg(count(lit(1)).as("n"))
+    val classes = cells.select(col("a").as("cls"))
+      .unionByName(cells.select(col("p").as("cls"))).distinct()
+    val act = cells.groupBy(col("a").as("cls")).agg(sum(col("n")).as("n_actual"))
+    val prd = cells.groupBy(col("p").as("cls")).agg(sum(col("n")).as("n_predicted"))
+    val tp = cells.filter(col("a") === col("p"))
+      .select(col("a").as("cls"), col("n").as("n_correct"))
+    val per = classes
+      .join(act, Seq("cls"), "left").join(prd, Seq("cls"), "left")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .withColumn("precision_ppm", when(col("n_predicted") > 0,
+        expr("n_correct * 1000000 div n_predicted")).otherwise(lit(0L)))
+      .withColumn("recall_ppm", when(col("n_actual") > 0,
+        expr("n_correct * 1000000 div n_actual")).otherwise(lit(0L)))
+      .withColumn("f1_ppm",
+        when(col("precision_ppm") + col("recall_ppm") > 0,
+          expr("2 * precision_ppm * recall_ppm" +
+            " div (precision_ppm + recall_ppm)")).otherwise(lit(0L)))
+    val macroRow = per.agg(count(lit(1)).as("k"),
+      sum(col("n_actual")).as("na"), sum(col("n_predicted")).as("np"),
+      sum(col("n_correct")).as("nc"),
+      sum(col("precision_ppm")).as("sp"), sum(col("recall_ppm")).as("sr"),
+      sum(col("f1_ppm")).as("sf"))
+      .select(lit("__macro__").as("cls"), col("na").as("n_actual"),
+        col("np").as("n_predicted"), col("nc").as("n_correct"),
+        expr("sp div k").as("precision_ppm"),
+        expr("sr div k").as("recall_ppm"),
+        expr("sf div k").as("f1_ppm"))
+    per.unionByName(macroRow)
+  }
+
   /** NEXT-EVENT PREDICTION accuracy — [[transitionMatrix]] EVALUATED
     * as the predictor it implicitly is (a transition matrix nobody
     * scores is a wall decoration): predict each event's successor as
