@@ -3420,6 +3420,27 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Forecast backtest (q232): is the q209 smoother actually better
+    * than naive-yesterday — per-type MAE of the EWMA's standing
+    * one-step error (its dev_micro IS the forecast error) vs the
+    * naive |v_t − v_{t−1}|·10⁶, exact integers, over days ≥ 2. Pure
+    * composition over the q209 relation. */
+  private def forecastBacktestQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.operators.Analytics.ewmaBaseline(
+      Tables.events(s, dir), "event_type", "ts", alphaPpm = 300000L)
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    e.withColumn("vprev", lag(col("v"), 1).over(byDay))
+      .filter(col("vprev").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(abs(dev_micro)) div count(1)").as("mae_ewma_micro"),
+        expr("sum(abs(v - vprev) * 1000000) div count(1)")
+          .as("mae_naive_micro"))
+      .withColumn("ewma_wins",
+        col("mae_ewma_micro") < col("mae_naive_micro"))
+      .orderBy(col("event_type"))
+  }
+
   /** Classification report (q231): per-language precision/recall/F1
     * of the K9 language-ID against the labeled lang column — what
     * the q27 confusion matrix's errors actually COST. */
@@ -4410,7 +4431,8 @@ object SparkEntry {
     "q228_cohort_ltv" -> (cohortLtvQuery _),
     "q229_time_decay_attribution" -> (timeDecayQuery _),
     "q230_next_event_accuracy" -> (nextEventQuery _),
-    "q231_classification_report" -> (classReportQuery _))
+    "q231_classification_report" -> (classReportQuery _),
+    "q232_forecast_backtest" -> (forecastBacktestQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4704,7 +4726,8 @@ object SparkEntry {
     "q222_frequency_response", "q223_agg_consistency",
     "q224_densify_days", "q225_triangles_capped", "q226_holt",
     "q227_top_pc", "q228_cohort_ltv", "q229_time_decay_attribution",
-    "q230_next_event_accuracy", "q231_classification_report")
+    "q230_next_event_accuracy", "q231_classification_report",
+    "q232_forecast_backtest")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -10056,7 +10079,41 @@ object SparkEntry {
          SELECT cls, n_actual, n_predicted, n_correct, precision_ppm,
                 recall_ppm, f1_ppm
          FROM (SELECT * FROM f UNION ALL SELECT * FROM mac) u
-         ORDER BY cls""")
+         ORDER BY cls""",
+    // Forecast backtest: the q209 recurrence + the MAE tail over
+    // days >= 2 (the EWMA's dev IS its standing one-step error).
+    "q232_forecast_backtest" -> """
+         WITH RECURSIVE daily AS (
+           SELECT CAST(event_type AS VARCHAR) AS typ, ts::DATE AS day,
+                  CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         ord AS (SELECT typ, day, v,
+                        CAST(row_number() OVER (PARTITION BY typ
+                          ORDER BY day) AS BIGINT) AS i
+                 FROM daily),
+         rec AS (
+           SELECT typ, day, v, i,
+                  v * 1000000 AS s, CAST(0 AS BIGINT) AS dev
+           FROM ord WHERE i = 1
+           UNION ALL
+           SELECT o.typ, o.day, o.v, o.i,
+                  300000 * o.v + (1000000 - 300000) * r.s // 1000000,
+                  o.v * 1000000 - r.s
+           FROM ord o JOIN rec r ON o.typ = r.typ AND o.i = r.i + 1),
+         l AS (SELECT typ, day, v, dev,
+                      lag(v) OVER (PARTITION BY typ ORDER BY day)
+                        AS vprev
+               FROM rec),
+         a AS (SELECT typ AS event_type,
+                      CAST(count(*) AS BIGINT) AS n_days,
+                      CAST(sum(abs(dev)) // count(*) AS BIGINT)
+                        AS mae_ewma_micro,
+                      CAST(sum(abs(v - vprev) * 1000000) // count(*)
+                        AS BIGINT) AS mae_naive_micro
+               FROM l WHERE vprev IS NOT NULL GROUP BY 1)
+         SELECT event_type, n_days, mae_ewma_micro, mae_naive_micro,
+                mae_ewma_micro < mae_naive_micro AS ewma_wins
+         FROM a ORDER BY event_type""")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the
