@@ -3420,6 +3420,14 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Kaplan–Meier survival (q233): the retention curve with
+    * right-censoring — users last seen within 14 days of the corpus
+    * end are censored, not churned; exact ppm product. */
+  private def kaplanMeierQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.kaplanMeier(
+        Tables.events(s, dir), "user_id", "ts", censorDays = 14)
+      .orderBy(col("offset_days"))
+
   /** Forecast backtest (q232): is the q209 smoother actually better
     * than naive-yesterday — per-type MAE of the EWMA's standing
     * one-step error (its dev_micro IS the forecast error) vs the
@@ -4432,7 +4440,8 @@ object SparkEntry {
     "q229_time_decay_attribution" -> (timeDecayQuery _),
     "q230_next_event_accuracy" -> (nextEventQuery _),
     "q231_classification_report" -> (classReportQuery _),
-    "q232_forecast_backtest" -> (forecastBacktestQuery _))
+    "q232_forecast_backtest" -> (forecastBacktestQuery _),
+    "q233_kaplan_meier" -> (kaplanMeierQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4727,7 +4736,7 @@ object SparkEntry {
     "q224_densify_days", "q225_triangles_capped", "q226_holt",
     "q227_top_pc", "q228_cohort_ltv", "q229_time_decay_attribution",
     "q230_next_event_accuracy", "q231_classification_report",
-    "q232_forecast_backtest")
+    "q232_forecast_backtest", "q233_kaplan_meier")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -10113,7 +10122,52 @@ object SparkEntry {
                FROM l WHERE vprev IS NOT NULL GROUP BY 1)
          SELECT event_type, n_days, mae_ewma_micro, mae_naive_micro,
                 mae_ewma_micro < mae_naive_micro AS ewma_wins
-         FROM a ORDER BY event_type""")
+         FROM a ORDER BY event_type""",
+    // Kaplan-Meier: risk set by suffix sum over the lifetimes
+    // histogram, the survival product as the q209-style recursive
+    // recurrence with per-step ppm truncation.
+    "q233_kaplan_meier" -> """
+         WITH RECURSIVE e AS (SELECT CAST(user_id AS VARCHAR) AS u,
+                                     (ts::DATE - DATE '1970-01-01') AS d
+                              FROM events
+                              WHERE user_id IS NOT NULL
+                                AND ts IS NOT NULL),
+         mx AS (SELECT max(d) AS md FROM e),
+         per AS (SELECT u, min(d) AS f, max(d) AS l FROM e GROUP BY 1),
+         du AS (SELECT CAST(l - f AS BIGINT) AS t,
+                       (l > md - 14) AS cen
+                FROM per CROSS JOIN mx),
+         h AS (SELECT t,
+                      CAST(count(CASE WHEN NOT cen THEN 1 END)
+                        AS BIGINT) AS d,
+                      CAST(count(CASE WHEN cen THEN 1 END) AS BIGINT)
+                        AS c
+               FROM du GROUP BY 1),
+         r AS (SELECT t, d, c,
+                      CAST(sum(d + c) OVER (ORDER BY t DESC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                        AS n_at_risk
+               FROM h),
+         o AS (SELECT t, d, c, n_at_risk,
+                      CAST(row_number() OVER (ORDER BY t) AS BIGINT)
+                        AS i
+               FROM r),
+         s AS (SELECT i, t, d, c, n_at_risk,
+                      CAST((1000000 * (CASE WHEN n_at_risk > 0
+                             THEN (n_at_risk - d) * 1000000 // n_at_risk
+                             ELSE 1000000 END)) // 1000000 AS BIGINT)
+                        AS surv
+               FROM o WHERE i = 1
+               UNION ALL
+               SELECT o.i, o.t, o.d, o.c, o.n_at_risk,
+                      (s.surv * (CASE WHEN o.n_at_risk > 0
+                         THEN (o.n_at_risk - o.d) * 1000000
+                              // o.n_at_risk
+                         ELSE 1000000 END)) // 1000000
+               FROM o JOIN s ON o.i = s.i + 1)
+         SELECT t AS offset_days, n_at_risk, d AS n_events,
+                c AS n_censored, CAST(surv AS BIGINT) AS survival_ppm
+         FROM s ORDER BY offset_days""")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the

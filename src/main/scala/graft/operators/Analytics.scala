@@ -144,6 +144,65 @@ object Analytics {
         expr("n_trans * 1000000 div _tot").as("prob_ppm"))
   }
 
+  /** KAPLAN–MEIER survival — retention done RIGHT (the K90/K157
+    * grids silently treat "still here at the end of the data" as
+    * churn-in-waiting; the KM estimator, JASA 1958, CENSORS those
+    * users instead, which is the difference between a retention curve
+    * and an artifact of when you pulled the data): per user, lifetime
+    * = days between first and last event; users last seen within
+    * `censorDays` of the corpus' final day are right-censored, the
+    * rest churn at their lifetime. `Ŝ(t) = Π_{u≤t} (1 − d_u/n_u)` in
+    * exact integer ppm with per-step truncation — each factor is
+    * `(n−d)·10⁶ div n`, the running product re-truncates div 10⁶ —
+    * the q209 sequential-recurrence contract, folded on the DRIVER
+    * over the collected lifetimes HISTOGRAM (days-sized, never
+    * users-sized) and mirrored as a recursive CTE.
+    *
+    * Shape at 100 TB: one user-key rollup (min/max day), one shuffle
+    * to the (lifetime, censored) histogram, the suffix-sum risk
+    * counts and the fold over that bounded table. Output one row per
+    * distinct lifetime: (offset_days, n_at_risk, n_events,
+    * n_censored, survival_ppm). */
+  def kaplanMeier(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      censorDays: Int): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0: $censorDays")
+    val e = events.select(col(userCol).cast("string").as("u"),
+      unix_date(to_date(col(tsCol))).cast(LongType).as("d"))
+      .filter(col("u").isNotNull && col("d").isNotNull)
+    val mx = e.agg(max(col("d")).as("md"))
+    val per = e.groupBy(col("u"))
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val h = per.crossJoin(broadcast(mx))
+      .select((col("l") - col("f")).as("t"),
+        (col("l") > col("md") - censorDays).as("cen"))
+      .groupBy(col("t"))
+      .agg(count(when(!col("cen"), 1)).as("d"),
+        count(when(col("cen"), 1)).as("c"))
+    val rows = h.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(rows.length <= 100000,
+      s"kaplanMeier: ${rows.length} lifetime classes exceed the driver " +
+        "fold bound (1e5); aggregate to coarser time units")
+    var atRisk = rows.map(r => r._2 + r._3).sum
+    var s = 1000000L
+    val out = rows.map { case (t, d, c) =>
+      val factor = if (atRisk > 0) (atRisk - d) * 1000000L / atRisk
+                   else 1000000L
+      s = s * factor / 1000000L
+      val row = (t, atRisk, d, c, s)
+      atRisk -= d + c
+      row
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("offset_days", "n_at_risk", "n_events", "n_censored",
+      "survival_ppm")
+  }
+
   /** CLASSIFICATION REPORT — per-class precision/recall/F1 over any
     * (actual, predicted) pair relation (the K9 language-ID confusion
     * matrix says WHERE the errors go; this says what they COST): all
