@@ -3198,15 +3198,19 @@ object SparkEntry {
         col("event_type"), col("type_n"))
     // bucketed twin: both sides written bucketed on the key, merge-join
     // reads bucket-aligned (the no-exchange property is locked by
-    // ScalePatternsSpec; here the VALUES are gated)
-    Seq("q156_bk_ev", "q156_bk_dim").foreach { t =>
+    // ScalePatternsSpec; here the VALUES are gated). Table names carry
+    // the input-dir tag so concurrent runs sharing a warehouse don't
+    // collide (same discipline as the streaming gates' TmpDirs tags).
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val (evT, dimT) = (s"q156_bk_ev_$tag", s"q156_bk_dim_$tag")
+    Seq(evT, dimT).foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
       graft.util.TmpDirs.deleteRecursively(s"target/spark-warehouse/$t")
     }
-    ev.write.mode("overwrite").bucketBy(8, "event_type").saveAsTable("q156_bk_ev")
-    dim.write.mode("overwrite").bucketBy(8, "event_type").saveAsTable("q156_bk_dim")
-    val bucketed = s.table("q156_bk_ev").hint("merge")
-      .join(s.table("q156_bk_dim").hint("merge"), Seq("event_type"))
+    ev.write.mode("overwrite").bucketBy(8, "event_type").saveAsTable(evT)
+    dim.write.mode("overwrite").bucketBy(8, "event_type").saveAsTable(dimT)
+    val bucketed = s.table(evT).hint("merge")
+      .join(s.table(dimT).hint("merge"), Seq("event_type"))
       .select(lit("bucketed").as("op"), col("event_id"),
         col("event_type"), col("type_n"))
     salted.unionByName(bucketed).orderBy(col("op"), col("event_id"))
@@ -3224,7 +3228,9 @@ object SparkEntry {
     * parts; this gates their orchestration). */
   private def nightlyTickQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.jobs.{CardMaintenance, RunNightly}
-    val stateDir = "target/q157_nightly_state"
+    // dir-tagged state path: concurrent runs must not share (ADVICE r9)
+    val stateDir =
+      s"target/q157_nightly_state_${java.lang.Integer.toHexString(dir.hashCode)}"
     graft.util.TmpDirs.deleteRecursively(stateDir)
     val (oldDocs, newDocs) = cardSnapshotFixture(s, dir)
     val e = Tables.embeddings(s, dir)
@@ -4761,7 +4767,8 @@ object SparkEntry {
                     (SELECT count(*) FROM c2) AS n2,
                     (SELECT count(*) FROM c3) AS n3)
        SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
-              CAST(n_users * 1000000 // n0 AS BIGINT) AS conversion_ppm
+              CAST(CASE WHEN n0 > 0 THEN n_users * 1000000 // n0 END
+                   AS BIGINT) AS conversion_ppm
        FROM (SELECT 0 AS step_idx, 'signup' AS step, n0 AS n_users, n0 FROM n
              UNION ALL SELECT 1, 'view', n1, n0 FROM n
              UNION ALL SELECT 2, 'click', n2, n0 FROM n

@@ -765,7 +765,11 @@ object Analytics {
           col(s"n$i").as("n_users"))
       }: _*)).as("s"), col("n0"))
       .select(col("s.step_idx"), col("s.step"), col("s.n_users"),
-        expr("s.n_users * 1000000 div n0").as("conversion_ppm"))
+        // n0 = 0 (empty input) → NULL ppm, same as the plain funnel's
+        // _base guard: Spark's div yields NULL there but DuckDB's //
+        // raises, so the guard is also a cross-engine contract
+        when(col("n0") > 0,
+          expr("s.n_users * 1000000 div n0")).as("conversion_ppm"))
   }
 
   /** Top user PATHS — the journey rollup next to K91's one-step

@@ -1359,7 +1359,12 @@ object TextDedup {
               concat(call_function("substring", s, lit(1), i - 1),
                 call_function("substring", s, i + 1, length(s)))))))
             .as("_v"))
-        .select(col(ip), col(sp), md5Hash60(col("_v")).as("_h"))
+        // band key = hash of (variant length, variant): the length
+        // component prunes cross-length hash-collision merges, as the
+        // scaladoc promises (exact verify keeps any residue harmless)
+        .select(col(ip), col(sp),
+          md5Hash60(concat(length(col("_v")).cast("string"),
+            lit("\u0001"), col("_v"))).as("_h"))
         .distinct()
     }
     val lv = variants(left, "left_id", "left_str")

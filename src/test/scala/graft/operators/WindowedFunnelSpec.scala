@@ -55,6 +55,21 @@ class WindowedFunnelSpec extends SparkSpec {
     plain.toSeq shouldBe Seq(1L, 0L, 0L)
   }
 
+  test("empty input: zero counts, NULL ppm (no division by zero)") {
+    // ADVICE r9: with n0 = 0 the unguarded `div` diverged from the
+    // DuckDB oracle's raising `//` — the guard makes ppm NULL, the
+    // same degenerate-input convention as the plain funnel's _base
+    val out = Analytics.windowedFunnel(
+        Seq.empty[(Long, Timestamp, String)]
+          .toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", steps, 3600L)
+      .orderBy("step_idx")
+      .select("n_users", "conversion_ppm")
+      .collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(0L, 0L, 0L)
+    all(out.map(_.isNullAt(1))) shouldBe true
+  }
+
   test("unbounded window reaches at least the plain funnel at every step") {
     val rows = (0 until 120).map { i =>
       (i % 12L, ts(f"2024-01-01 ${8 + i / 15}%02d:${i % 60}%02d:00"),
