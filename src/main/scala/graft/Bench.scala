@@ -1,6 +1,7 @@
 package graft
 
-/** Benchmark main — prints ONE JSON line the driver parses.
+/** Benchmark main — prints a TRUNCATION-PROOF block of JSON lines the
+  * driver parses from a fixed-size stdout TAIL.
   *
   * Each query runs `SPARK_GRAFT_BENCH_REPEATS` times (default 3) and
   * reports the per-query MINIMUM: a shared-box bench is noisy (the
@@ -9,24 +10,114 @@ package graft
   * engine rather than the neighbors. The max-min spread is emitted per
   * query so variance is visible in the artifact itself.
   *
-  * A query that throws is recorded as `null` in "queries", listed in
-  * "errors", EXCLUDED from the total, and fails the run (nonzero exit)
+  * A query that throws is recorded as `null`, listed in an error
+  * chunk, EXCLUDED from the total, and fails the run (nonzero exit)
   * — a broken query must never silently deflate the benchmark.
   *
-  * Output layout is load-bearing: the driver archives only a
-  * fixed-size TAIL of stdout. At 126 queries a single line carrying
-  * full names + mins + spreads overflows that tail FROM THE FRONT
-  * (round 6 lost its minimums to field ordering; round 7's reorder
-  * saved q53–q125 but the line had outgrown the tail and q01–q52's
-  * minimums vanished). So the bench now prints TWO lines:
-  *   1. a full diagnostic line (full names, spreads, errors, mins) —
-  *      truncation may eat its front, that's acceptable;
-  *   2. LAST, a compact line with short keys ("q105" for
-  *      "q105_neardup_keep_best" — the qNN prefix is unique by
-  *      construction) and minimums only, ~15 bytes/query, so every
-  *      query's min survives any plausible tail size.
+  * Output layout is load-bearing. The driver archives only the LAST
+  * ~2000 characters of stdout (measured from the round-8/9 artifacts),
+  * and the single compact line outgrew that tail at ~200 queries
+  * (round 9 lost q01–q79, headline included; rounds 6/7 had smaller
+  * versions of the same failure). So the bench now prints, in order:
+  *   1. `detail` chunks — full names + min + spread (+ errors), ~16
+  *      queries per line. Front-truncation eats these first; fine.
+  *   2. `mins` chunks — short qNN keys + minima, ~50 queries per line,
+  *      ascending q order (a mid-size tail keeps the later chunks).
+  *   3. `mins_packed` — EVERY query's minimum as a millisecond-int
+  *      array plus a range-encoded id list ("1-10,19-38,…"): ~6 bytes
+  *      per query, so all 200+ minima fit in ONE ≤1.5 KB line.
+  *   4. LAST, `total` — the small summary the driver's parser keys on:
+  *      total, errors_n, the shared-8 headline aggregate, top-10
+  *      heaviest queries.
+  * Lines 3+4 together stay under ~1.8 KB, so BOTH always survive the
+  * 2000-char tail: every minimum is reconstructible from any capture.
+  * BenchRenderSpec locks the ≤1.5 KB per-line bound and the
+  * round-trip (packed line → every minimum) at 250 queries.
   */
 object Bench {
+
+  type QResult = (String, Either[String, (Double, Double)]) // name -> err | (min, spread)
+
+  private def jstr(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  // Millisecond precision keeps lines short (less to truncate) without
+  // losing anything a seconds-scale bench can measure.
+  private def jnum(d: Double) =
+    BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+  private def shortKey(name: String) = name.takeWhile(_ != '_')
+
+  /** "q105_neardup_keep_best" -> 105. Bench names carry the unique qNN
+    * prefix by construction; anything else fails fast here. */
+  private def qNum(name: String): Int = {
+    require(name.startsWith("q") && name.drop(1).takeWhile(_.isDigit).nonEmpty,
+      s"bench query name without qNN prefix: $name")
+    name.drop(1).takeWhile(_.isDigit).toInt
+  }
+
+  /** Range-encode sorted ids: 1,2,3,7,9,10 -> "1-3,7,9-10". */
+  private def rangeEncode(ids: Seq[Int]): String = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < ids.length) {
+      var j = i
+      while (j + 1 < ids.length && ids(j + 1) == ids(j) + 1) j += 1
+      out += (if (j == i) ids(i).toString else s"${ids(i)}-${ids(j)}")
+      i = j + 1
+    }
+    out.mkString(",")
+  }
+
+  /** Pure renderer (unit-tested): ALL stdout lines, sacrificial
+    * diagnostics first, packed minima + summary LAST. */
+  def renderLines(sfDir: String, repeats: Int,
+      results: Seq[QResult]): Seq[String] = {
+    val detailChunks = results.grouped(16).zipWithIndex.toSeq
+    val nDetail = detailChunks.size
+    val detail = detailChunks.map { case (chunk, i) =>
+      val qs = chunk.map {
+        case (k, Right((mn, _))) => s"${jstr(k)}:${jnum(mn)}"
+        case (k, Left(_)) => s"${jstr(k)}:null"
+      }.mkString("{", ",", "}")
+      val spreads = chunk.collect {
+        case (k, Right((_, sp))) => s"${jstr(shortKey(k))}:${jnum(sp)}"
+      }.mkString("{", ",", "}")
+      val errors = chunk.collect {
+        case (k, Left(e)) => s"${jstr(k)}:${jstr(e.take(120))}"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"detail","part":${i + 1},"parts":$nDetail,""" +
+        s""""errors":$errors,"spread_sec":$spreads,"queries":$qs}"""
+    }
+    val minChunks = results.grouped(50).zipWithIndex.toSeq
+    val nMin = minChunks.size
+    val mins = minChunks.map { case (chunk, i) =>
+      val qs = chunk.map {
+        case (k, Right((mn, _))) => s"${jstr(shortKey(k))}:${jnum(mn)}"
+        case (k, Left(_)) => s"${jstr(shortKey(k))}:null"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"mins","part":${i + 1},"parts":$nMin,"queries":$qs}"""
+    }
+    val ids = rangeEncode(results.map { case (k, _) => qNum(k) })
+    val ms = results.map {
+      case (_, Right((mn, _))) => math.round(mn * 1000).toString
+      case (_, Left(_)) => "null"
+    }.mkString("[", ",", "]")
+    val packed = s"""{"metric":"mins_packed","unit":"ms","n":${results.size},""" +
+      s""""ids":${jstr(ids)},"ms":$ms}"""
+    val total = results.collect { case (_, Right((mn, _))) => mn }.sum
+    val shared8 = results.collect {
+      case (k, Right((mn, _))) if qNum(k) <= 8 => mn
+    }.sum
+    val top10 = results.collect { case (k, Right((mn, _))) => (k, mn) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, mn) => s"${jstr(shortKey(k))}:${jnum(mn)}" }
+      .mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+      s""""repeats":$repeats,"errors_n":${results.count(_._2.isLeft)},""" +
+      s""""shared8_sec":${jnum(shared8)},"top10_sec":$top10,""" +
+      s""""value":${jnum(total)}}"""
+    detail ++ mins ++ Seq(packed, summary)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
@@ -45,7 +136,7 @@ object Bench {
     // Warm the JVM/codegen/IO paths once so the first measured query
     // doesn't absorb session startup (measures queries, not JIT).
     Tables.lineitem(spark, sfDir).limit(1).collect()
-    val results: Seq[(String, Either[String, (Double, Double)])] =
+    val results: Seq[QResult] =
       SparkEntry.benchQueries.filter(n => only.forall(_.contains(n))).map { name =>
         val fn = SparkEntry.queries(name)
         val runs = (1 to repeats).map { _ =>
@@ -66,30 +157,7 @@ object Bench {
         res.left.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
         name -> res
       }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    // Millisecond precision keeps the line short (less to truncate)
-    // without losing anything a seconds-scale bench can measure.
-    def jnum(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map {
-      case (k, Right((mn, _))) => s"${jstr(k)}:${jnum(mn)}"
-      case (k, Left(_)) => s"${jstr(k)}:null"
-    }.mkString("{", ",", "}")
-    val spreads = results.collect { case (k, Right((_, sp))) => s"${jstr(k)}:${jnum(sp)}" }
-      .mkString("{", ",", "}")
-    val errors = results.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, Right((mn, _))) => mn }.sum
-    // Short key = the unique qNN prefix; mins only. ~15 bytes/query
-    // keeps the WHOLE final line inside the driver's stdout tail.
-    val qsShort = results.map {
-      case (k, Right((mn, _))) => s"${jstr(k.takeWhile(_ != '_'))}:${jnum(mn)}"
-      case (k, Left(_)) => s"${jstr(k.takeWhile(_ != '_'))}:null"
-    }.mkString("{", ",", "}")
-    // full diagnostic first (front-truncation acceptable), compact last
-    println(s"""{"metric":"total_detail","unit":"sec","sf":"$sfDir","repeats":$repeats,""" +
-      s""""errors":$errors,"spread_sec":$spreads,"queries":$qs,"value":${jnum(total)}}""")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","repeats":$repeats,""" +
-      s""""errors_n":${results.count(_._2.isLeft)},"queries":$qsShort,"value":${jnum(total)}}""")
+    renderLines(sfDir, repeats, results).foreach(println)
     spark.stop()
     if (results.exists(_._2.isLeft)) sys.exit(1)
   }

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The bench artifact contract: the driver preserves only the last
+  * ~2000 characters of stdout, so (a) no single line may exceed
+  * 1.5 KB, and (b) the final two lines — the packed minima and the
+  * summary — must together reconstruct EVERY query minimum and the
+  * headline aggregates inside that tail. Locked at 250 synthetic
+  * queries (above the current 212) so growth has headroom. */
+class BenchRenderSpec extends AnyFunSuite with Matchers {
+
+  // 250 queries mirroring the real naming (qNN prefix + long suffix),
+  // with the real id gaps and a couple of failures mixed in.
+  private val ids = (1 to 262).filterNot(Set(11, 12, 92, 148, 168, 180, 210,
+    211, 240, 241, 242, 243)).take(250)
+  private val results: Seq[Bench.QResult] = ids.zipWithIndex.map {
+    case (id, i) =>
+      val name = f"q$id%02d_synthetic_operator_name_of_typical_length"
+      if (id == 33 || id == 199)
+        name -> Left("java.lang.RuntimeException: planted bench failure " + i)
+      else
+        name -> Right((0.123 + (i % 40) * 0.517, 0.05 + (i % 7) * 0.01))
+  }
+  private val lines = Bench.renderLines("/root/testdata/sf0.1", 3, results)
+
+  test("no emitted line exceeds 1.5 KB") {
+    val over = lines.filter(_.getBytes("UTF-8").length > 1536)
+    withClue(s"lines over 1.5KB: ${over.map(_.take(60))}") {
+      over shouldBe empty
+    }
+  }
+
+  test("the last two lines fit the 2000-char driver tail together") {
+    // +~80 chars of sbt [info]/[success] framing still leaves slack
+    lines.takeRight(2).map(_.length).sum should be < 1800
+  }
+
+  test("packed line reconstructs every minimum in ascending-q order") {
+    val packed = lines(lines.size - 2)
+    packed should startWith("""{"metric":"mins_packed"""")
+    // parse ids: "1-10,13-..." and ms array back out with a dumb parser
+    val idsStr = """"ids":"([^"]*)"""".r.findFirstMatchIn(packed).get.group(1)
+    val decoded = idsStr.split(",").flatMap { tok =>
+      tok.split("-") match {
+        case Array(a) => Seq(a.toInt)
+        case Array(a, b) => a.toInt to b.toInt
+      }
+    }.toSeq
+    decoded shouldBe ids
+    val msStr = """"ms":\[([^\]]*)\]""".r.findFirstMatchIn(packed).get.group(1)
+    val ms = msStr.split(",").toSeq
+    ms.size shouldBe results.size
+    results.zip(ms).foreach {
+      case ((_, Right((mn, _))), m) => m.toLong shouldBe math.round(mn * 1000)
+      case ((_, Left(_)), m) => m shouldBe "null"
+    }
+  }
+
+  test("summary line is last and carries total, errors_n, shared8, top10") {
+    val s = lines.last
+    s should startWith("""{"metric":"total"""")
+    s should include(""""errors_n":2""")
+    val shared8 = results.collect {
+      case (k, Right((mn, _))) if k.drop(1).takeWhile(_.isDigit).toInt <= 8 => mn
+    }.sum
+    s should include(s""""shared8_sec":${BigDecimal(shared8)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP)}""")
+    s should include(""""top10_sec":{""")
+    // top10 keys are short qNN form
+    """"top10_sec":\{([^}]*)\}""".r.findFirstMatchIn(s).get.group(1)
+      .split(",").length shouldBe 10
+  }
+
+  test("every query appears in exactly one mins chunk, ascending") {
+    val chunkQs = lines.filter(_.startsWith("""{"metric":"mins","""))
+      .flatMap(l => """"(q\d+)":""".r.findAllMatchIn(l).map(_.group(1)))
+    chunkQs shouldBe ids.map(i => f"q$i%02d")
+  }
+}
