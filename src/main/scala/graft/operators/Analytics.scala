@@ -24,6 +24,22 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object Analytics {
 
+  /** Driver-fold intake for the sequential-recurrence operators
+    * (EWMA/Holt/stationary/Kaplan–Meier): materialize AT MOST
+    * `bound + 1` rows and raise when the relation exceeds the stated
+    * contract. The `limit` runs inside the plan, so when the keying
+    * column is NOT the enum the contract assumes, the guard fires
+    * instead of the driver OOMing on an unbounded `.collect()`
+    * (round-9 verdict: the old order collected first, required after). */
+  private def boundedCollect(df: DataFrame, bound: Int, what: String)
+      : Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(bound + 1).collect()
+    require(rows.length <= bound,
+      s"$what: driver-fold relation exceeds the bound ($bound rows); " +
+        "aggregate to coarser units or a smaller key space")
+    rows
+  }
+
   /** Ordered first-occurrence FUNNEL: for each prefix of `steps`,
     * count users whose FIRST occurrences of the steps happen in strict
     * timestamp order (m₁ < m₂ < … < m_k, all present).
@@ -181,12 +197,10 @@ object Analytics {
       .groupBy(col("t"))
       .agg(count(when(!col("cen"), 1)).as("d"),
         count(when(col("cen"), 1)).as("c"))
-    val rows = h.collect()
+    val rows = boundedCollect(h, 100000,
+      "kaplanMeier: lifetime classes")
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
-    require(rows.length <= 100000,
-      s"kaplanMeier: ${rows.length} lifetime classes exceed the driver " +
-        "fold bound (1e5); aggregate to coarser time units")
     var atRisk = rows.map(r => r._2 + r._3).sum
     var s = 1000000L
     val out = rows.map { case (t, d, c) =>
@@ -1845,13 +1859,16 @@ object Analytics {
       .select(col(typeCol).as("ft"), lead(col(typeCol), 1).over(w).as("tt"))
       .filter(col("tt").isNotNull)
       .groupBy(col("ft"), col("tt")).agg(count(lit(1)).as("c"))
-    val edges = trans.collect()
+    // state-space bound FIRST: it is the contract that keeps the types²
+    // edge rollup collectable at all, so it must fire before any collect
+    val states = boundedCollect(
+      events.select(col(typeCol).cast("string").as("typ")).distinct(),
+      10000, "stationaryDistribution: state space (enum bound, the " +
+        "operator iterates a types^2 rollup)")
+      .map(_.getString(0)).sorted
+    val edges = boundedCollect(trans, 4000000,
+      "stationaryDistribution: transition edges")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val states = events.select(col(typeCol).cast("string").as("typ"))
-      .distinct().collect().map(_.getString(0)).sorted
-    require(states.length <= 10000,
-      s"stationaryDistribution: state space ${states.length} exceeds the " +
-        "enum bound (10000); this operator iterates a types^2 rollup")
     val r = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     var pi: Map[String, Long] =
       if (states.isEmpty) Map.empty
@@ -2242,11 +2259,9 @@ object Analytics {
         to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("v"))
       .select(col("typ"), col("day").cast("string").as("day"), col("v"))
-    val rows = daily.collect()
+    val rows = boundedCollect(daily, maxRows,
+      "holtSmoothing: (type, day) rows")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    require(rows.length <= maxRows,
-      s"holtSmoothing: ${rows.length} (type, day) rows exceed the " +
-        s"driver fold bound ($maxRows); aggregate to coarser time units")
     rows.foreach { case (_, _, v) =>
       // half the ewma envelope: the trend state can overshoot the
       // level past max(v)·10⁶ transiently, so keep 2× headroom
@@ -2365,11 +2380,9 @@ object Analytics {
         to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("v"))
       .select(col("typ"), col("day").cast("string").as("day"), col("v"))
-    val rows = daily.collect()
+    val rows = boundedCollect(daily, maxRows,
+      "ewmaBaseline: (type, day) rows")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    require(rows.length <= maxRows,
-      s"ewmaBaseline: ${rows.length} (type, day) rows exceed the driver " +
-        s"fold bound ($maxRows); aggregate to coarser time units")
     rows.foreach { case (_, _, v) =>
       require(v < 9200000L,
         "ewmaBaseline: daily count exceeds the exact-long micro " +
