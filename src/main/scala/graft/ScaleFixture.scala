@@ -25,7 +25,7 @@ import graft.operators.TextDedup
   */
 object ScaleFixture {
 
-  private val vocab = Seq(
+  private[graft] val vocab = Seq(
     "a", "agg", "batch", "big", "column", "customer", "data", "dup",
     "fast", "filter", "group", "hash", "join", "key", "line", "merge",
     "order", "part", "query", "row", "scan", "slow", "small", "sort",
@@ -35,18 +35,17 @@ object ScaleFixture {
   private def tag(t: String, c: Column): Column =
     h(concat(lit(t + ":"), c.cast("string")))
 
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: ScaleFixture <nDocs> <nVecs> <outDir>")
-    val (nDocs, nVecs, out) = (args(0).toLong, args(1).toLong, args(2))
-    val spark = GraftSession.forMain("graft-scale-fixture")
-    import spark.implicits._
-
+  /** The documents relation at any row count — exposed (not just the
+    * CLI) so q235 can gate the writer's observable statistics against
+    * a DuckDB re-derivation of the same hash definitions. */
+  def documents(spark: org.apache.spark.sql.SparkSession,
+      nDocs: Long): org.apache.spark.sql.DataFrame = {
     val vocabCol = array(vocab.map(lit): _*)
     // exact-dup planting at the measured sf0.1 rate: every 625th doc
     // copies its predecessor's text (8 pairs per 5,000 docs)
     val eid = when(col("doc_id") % 625 === 624, col("doc_id") - 1)
       .otherwise(col("doc_id"))
-    val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+    spark.range(nDocs).select(col("id").as("doc_id"))
       .withColumn("_eid", eid)
       .withColumn("_len", (pmod(tag("len", col("_eid")), lit(91L)) + 10).cast("int"))
       .withColumn("text", array_join(
@@ -63,8 +62,11 @@ object ScaleFixture {
         concat(lit("src"), pmod(tag("src", col("doc_id")), lit(20L))))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
-    docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
 
+  /** The embeddings relation at any row count (see [[documents]]). */
+  def embeddings(spark: org.apache.spark.sql.SparkSession,
+      nVecs: Long): org.apache.spark.sql.DataFrame = {
     // 10 cluster centers on the unit sphere (hash-uniform components,
     // normalized), each vector = unit-norm(center + 0.35 * noise)
     def u(c: Column): Column = // hash-uniform in [-1, 1]
@@ -75,7 +77,7 @@ object ScaleFixture {
       .withColumn("_nrm", sqrt(aggregate(col("_raw"), lit(0.0d),
         (acc, x) => acc + x * x)))
       .select(col("label"), transform(col("_raw"), x => x / col("_nrm")).as("cvec"))
-    val vecs = spark.range(nVecs).select(col("id").as("vec_id"))
+    spark.range(nVecs).select(col("id").as("vec_id"))
       .withColumn("label", pmod(tag("lbl", col("vec_id")), lit(10L)).cast("int"))
       .join(broadcast(centers), Seq("label"))
       .withColumn("_raw", zip_with(col("cvec"),
@@ -88,8 +90,16 @@ object ScaleFixture {
         transform(col("_raw"), x => (x / col("_nrm")).cast("float"))
           .as("embedding"),
         col("label"))
-    vecs.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
 
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ScaleFixture <nDocs> <nVecs> <outDir>")
+    val (nDocs, nVecs, out) = (args(0).toLong, args(1).toLong, args(2))
+    val spark = GraftSession.forMain("graft-scale-fixture")
+    documents(spark, nDocs).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    embeddings(spark, nVecs).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
     println(s"[scale-fixture] wrote $nDocs docs + $nVecs vecs to $out")
     spark.stop()
   }

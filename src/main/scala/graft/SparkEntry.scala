@@ -234,6 +234,25 @@ object SparkEntry {
          ts::DATE AS day
        FROM events"""
 
+  /** Shared q41/q234 oracle: the Makefile-final multi-device rollup
+    * recomputed declaratively from the retention-filtered staging —
+    * the SAME expected relation whether the landing wire format was
+    * CSV (q41) or JSON-lines (q234); format-blindness is the gate. */
+  private lazy val runImportOracleSql: String =
+    s"""WITH staging AS ($activityStagingSql),
+         P AS (SELECT MAX(day) AS max_day FROM staging),
+         dev AS (SELECT DISTINCT day, uid, device_id
+                 FROM staging CROSS JOIN P
+                 WHERE device_id <> '' AND day >= max_day - INTERVAL 18 DAY),
+         pairs AS (
+           SELECT DISTINCT p.day, p.uid, p.device_id AS device_now, q.device_id AS device_prev
+           FROM dev p JOIN dev q
+             ON p.uid = q.uid AND p.device_id <> q.device_id
+            AND q.day <= p.day AND q.day >= p.day - INTERVAL 7 DAY)
+         SELECT CAST(day AS VARCHAR) AS day, COUNT(*) AS n_pairs,
+                COUNT(DISTINCT uid) AS n_users
+         FROM pairs GROUP BY 1 ORDER BY 1"""
+
   /** A1/A2/A6/A7 — the CSV ingestion layer end to end: derive activity
     * CSV day files from `events`, corrupt one file with blocklist /
     * malformed / over-long lines, ingest every day through the
@@ -1063,15 +1082,32 @@ object SparkEntry {
     * 100%/18-day tier. The gate is the Makefile-final artifact — the
     * 7-day multi-device rollup — recomputed declaratively by the
     * oracle (device pairs over the retention-filtered staging). */
-  private def runImportE2E(s: SparkSession, dir: String): DataFrame = {
+  private def runImportE2E(s: SparkSession, dir: String): DataFrame =
+    runImportE2EImpl(s, dir, "q41", json = false)
+
+  /** K40 oracle gate (q234): the SAME Makefile-order orchestration over
+    * a JSON-LINES landing, hash-compared against the SAME DuckDB
+    * re-derivation as the CSV path (q41) — format-blindness as a
+    * CORRECTNESS row, not just the JSON≡CSV parity spec. */
+  private def runImportJsonE2E(s: SparkSession, dir: String): DataFrame =
+    runImportE2EImpl(s, dir, "q234", json = true)
+
+  private def runImportE2EImpl(
+      s: SparkSession, dir: String, qtag: String, json: Boolean): DataFrame = {
     import graft.jobs.RunImport
-    import graft.sources.CsvEventSource
+    import graft.sources.{CsvEventSource, JsonEventSource, LandingFormat}
     import graft.util.TmpDirs
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val root = TmpDirs.fresh(s"q41_landing_$tag")
-    CsvEventSource.writeLanding(s, activityStaging(s, dir), s"$root/activity", "activity")
-    CsvEventSource.writeLanding(s, flowStaging(s, dir), s"$root/flow", "flow")
-    CsvEventSource.writeLanding(s, emailStaging(s, dir), s"$root/email", "email-events")
+    val root = TmpDirs.fresh(s"${qtag}_landing_$tag")
+    if (json) {
+      JsonEventSource.writeLanding(s, activityStaging(s, dir), s"$root/activity", "activity")
+      JsonEventSource.writeLanding(s, flowStaging(s, dir), s"$root/flow", "flow")
+      JsonEventSource.writeLanding(s, emailStaging(s, dir), s"$root/email", "email-events")
+    } else {
+      CsvEventSource.writeLanding(s, activityStaging(s, dir), s"$root/activity", "activity")
+      CsvEventSource.writeLanding(s, flowStaging(s, dir), s"$root/flow", "flow")
+      CsvEventSource.writeLanding(s, emailStaging(s, dir), s"$root/email", "email-events")
+    }
     Tables.events(s, dir)
       .groupBy(dayOf(col("ts")).cast("string").as("day"))
       .agg(countDistinct(col("user_id")).as("accounts"),
@@ -1082,8 +1118,13 @@ object SparkEntry {
           Seq(s"${r.getString(0)},${r.getLong(1)},${r.getLong(2)}"))
       }
     val oneTier = dayTiers.filter(_.suffix == "")
-    val job = new RunImport(TmpDirs.fresh(s"q41_wh_$tag"), root, oneTier,
-      countsBegin = java.time.LocalDate.parse("2024-01-10"))
+    val formats: Map[String, LandingFormat] =
+      if (json) Map("activity" -> LandingFormat.Json,
+        "flow" -> LandingFormat.Json, "email" -> LandingFormat.Json)
+      else Map.empty
+    val job = new RunImport(TmpDirs.fresh(s"${qtag}_wh_$tag"), root, oneTier,
+      countsBegin = java.time.LocalDate.parse("2024-01-10"),
+      formats = formats)
     job.run(s)
     job.summaries.multiDeviceTable(oneTier.head).read(s)
       .groupBy(col("day").cast("string").as("day"))
@@ -3434,6 +3475,41 @@ object SparkEntry {
         Tables.events(s, dir), "user_id", "ts", censorDays = 14)
       .orderBy(col("offset_days"))
 
+  /** Fixture-stats gate (q235): K129's scale-rehearsal writer finally
+    * oracle-gated — its OBSERVABLE statistics (language mix, exact-dup
+    * mass, source mix, word-length histogram, total word mass, vector
+    * cluster mix) measured from the relations the writer EMITS
+    * (dup/word stats read the text column itself, not the generator's
+    * internals) and hash-compared against a DuckDB re-derivation of
+    * the same md5 definitions from nothing but range(n). Sizes are
+    * fixed constants: the generator is input-blind by design. */
+  private def fixtureStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = ScaleFixture.documents(s, 5000L)
+    val vecs = ScaleFixture.embeddings(s, 2000L)
+    val d = docs.select(col("lang"), col("source"), col("text"),
+      size(split(col("text"), " ")).cast("long").as("w"))
+    def rel(df: DataFrame, tag: String): DataFrame =
+      df.select(lit(tag).as("rel"), col("key").cast("string").as("key"),
+        col("n").cast("long").as("n"))
+    val langMix = rel(d.groupBy(col("lang").as("key"))
+      .agg(count(lit(1)).as("n")), "lang")
+    val wordMass = rel(d.groupBy(col("lang").as("key"))
+      .agg(sum(col("w")).as("n")), "words")
+    val dupDocs = rel(
+      d.withColumn("_c", count(lit(1)).over(Window.partitionBy(col("text"))))
+        .filter(col("_c") >= 2)
+        .groupBy(col("lang").as("key")).agg(count(lit(1)).as("n")), "dup")
+    val srcMix = rel(d.groupBy(col("source").as("key"))
+      .agg(count(lit(1)).as("n")), "src")
+    val lenHist = rel(d.groupBy(col("w").as("key"))
+      .agg(count(lit(1)).as("n")), "len")
+    val labelMix = rel(vecs.groupBy(col("label").as("key"))
+      .agg(count(lit(1)).as("n")), "label")
+    Seq(langMix, wordMass, dupDocs, srcMix, lenHist, labelMix)
+      .reduce(_ unionByName _)
+      .orderBy(col("rel"), col("key"))
+  }
+
   /** Forecast backtest (q232): is the q209 smoother actually better
     * than naive-yesterday — per-type MAE of the EWMA's standing
     * one-step error (its dev_micro IS the forecast error) vs the
@@ -4447,7 +4523,9 @@ object SparkEntry {
     "q230_next_event_accuracy" -> (nextEventQuery _),
     "q231_classification_report" -> (classReportQuery _),
     "q232_forecast_backtest" -> (forecastBacktestQuery _),
-    "q233_kaplan_meier" -> (kaplanMeierQuery _))
+    "q233_kaplan_meier" -> (kaplanMeierQuery _),
+    "q234_run_import_json" -> (runImportJsonE2E _),
+    "q235_fixture_stats" -> (fixtureStatsQuery _))
 
   /** SQL VALUES list of the MinHash coefficients — generated from the
     * same Scala constants the operators use. */
@@ -4742,7 +4820,10 @@ object SparkEntry {
     "q224_densify_days", "q225_triangles_capped", "q226_holt",
     "q227_top_pc", "q228_cohort_ltv", "q229_time_decay_attribution",
     "q230_next_event_accuracy", "q231_classification_report",
-    "q232_forecast_backtest", "q233_kaplan_meier")
+    "q232_forecast_backtest", "q233_kaplan_meier",
+    // q234 joins q41 in the write-path exclusion (bench measures
+    // engine plans, not tmp-dir file IO); q235 is compute-only
+    "q235_fixture_stats")
 
   /** Shared q166/q168 oracle: the batch windowed funnel and its
     * streaming stateful replay must produce the SAME per-step rows
@@ -5321,20 +5402,8 @@ object SparkEntry {
                 CAST(SUM(event_id) AS BIGINT) AS sum_event_id
          FROM events WHERE ts::DATE = DATE '2024-01-15'
          GROUP BY 1 ORDER BY 1""",
-    "q41_run_import_e2e" ->
-      s"""WITH staging AS ($activityStagingSql),
-         P AS (SELECT MAX(day) AS max_day FROM staging),
-         dev AS (SELECT DISTINCT day, uid, device_id
-                 FROM staging CROSS JOIN P
-                 WHERE device_id <> '' AND day >= max_day - INTERVAL 18 DAY),
-         pairs AS (
-           SELECT DISTINCT p.day, p.uid, p.device_id AS device_now, q.device_id AS device_prev
-           FROM dev p JOIN dev q
-             ON p.uid = q.uid AND p.device_id <> q.device_id
-            AND q.day <= p.day AND q.day >= p.day - INTERVAL 7 DAY)
-         SELECT CAST(day AS VARCHAR) AS day, COUNT(*) AS n_pairs,
-                COUNT(DISTINCT uid) AS n_users
-         FROM pairs GROUP BY 1 ORDER BY 1""",
+    "q41_run_import_e2e" -> runImportOracleSql,
+    "q234_run_import_json" -> runImportOracleSql,
     "q42_value_percentiles_approx" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50_exact,
                 true AS approx_ok
@@ -10174,7 +10243,65 @@ object SparkEntry {
                FROM o JOIN s ON o.i = s.i + 1)
          SELECT t AS offset_days, n_at_risk, d AS n_events,
                 c AS n_censored, CAST(surv AS BIGINT) AS survival_ppm
-         FROM s ORDER BY offset_days""")
+         FROM s ORDER BY offset_days""",
+
+    // Fixture stats: re-derive the K129 writer's hash-defined corpus
+    // from nothing but range(n) — the vocab literal and every md5
+    // tag below are generated from the SAME Scala constants the
+    // writer uses (literal-driven both-sides).
+    "q235_fixture_stats" -> s"""
+         WITH ids AS (SELECT range AS doc_id FROM range(5000)),
+         e AS (SELECT doc_id,
+                      CASE WHEN doc_id % 625 = 624 THEN doc_id - 1
+                           ELSE doc_id END AS eid
+               FROM ids),
+         b AS (SELECT doc_id, eid,
+                      (('0x' || substr(md5('len:' || eid), 1, 15))::BIGINT
+                        % 91) + 10 AS len,
+                      ('0x' || substr(md5('lang:' || doc_id), 1, 15))::BIGINT
+                        % 1000 AS lh,
+                      'src' || (('0x' || substr(md5('src:' || doc_id), 1, 15))::BIGINT
+                        % 20) AS source
+               FROM e),
+         d AS (SELECT doc_id, eid, len, source,
+                      CASE WHEN lh < 412 THEN 'en' WHEN lh < 559 THEN 'de'
+                           WHEN lh < 706 THEN 'es' WHEN lh < 853 THEN 'fr'
+                           ELSE 'zh' END AS lang
+               FROM b),
+         wi AS (SELECT doc_id, eid, unnest(generate_series(1, len)) AS i
+                FROM d),
+         w AS (SELECT doc_id, i,
+                      ($fixtureVocabSql)[
+                        CAST((('0x' || substr(md5('w:' || eid || '_' || i),
+                          1, 15))::BIGINT % 31) + 1 AS INT)] AS word
+               FROM wi),
+         txt AS (SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text
+                 FROM w GROUP BY doc_id),
+         dj AS (SELECT d.lang, txt.text FROM d JOIN txt USING (doc_id)),
+         dup AS (SELECT lang FROM dj
+                 QUALIFY count(*) OVER (PARTITION BY text) >= 2),
+         vl AS (SELECT range AS vec_id,
+                       ('0x' || substr(md5('lbl:' || range), 1, 15))::BIGINT
+                         % 10 AS label
+                FROM range(2000))
+         SELECT rel, key, CAST(n AS BIGINT) AS n FROM (
+           SELECT 'lang' AS rel, lang AS key, count(*) AS n FROM d GROUP BY 2
+           UNION ALL
+           SELECT 'words', lang, sum(len) FROM d GROUP BY 2
+           UNION ALL
+           SELECT 'dup', lang, count(*) FROM dup GROUP BY 2
+           UNION ALL
+           SELECT 'src', source, count(*) FROM d GROUP BY 2
+           UNION ALL
+           SELECT 'len', CAST(len AS VARCHAR), count(*) FROM d GROUP BY 2
+           UNION ALL
+           SELECT 'label', CAST(label AS VARCHAR), count(*) FROM vl GROUP BY 2)
+         ORDER BY rel, key""")
+
+  /** The q235 vocab as a DuckDB list literal — generated from the SAME
+    * Scala constant [[ScaleFixture.vocab]] the writer builds text from. */
+  private lazy val fixtureVocabSql: String =
+    ScaleFixture.vocab.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
     * type-keyed replay must produce the SAME per-day rows — the
