@@ -1,0 +1,992 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+/** Maintenance-tick, composed-driver and streaming-gate query
+  * definitions (delta-maintained indexes, nightly compositions, the
+  * replayed streaming twins).
+  *
+  * Part of the [[SparkEntry]] registry split (round 10): each trait is
+  * one compilation unit; SparkEntry composes them unchanged.
+  */
+private[graft] trait EntryMaintenanceStreamDefs extends EntryCurationTextDefs {
+  /** The one column list both q125 sides derive from: the Spark query
+    * projects exactly these columns before profiling and the oracle's
+    * UNION ALL branches are generated from the same Seq, so schema
+    * drift in the documents parquet breaks both sides together
+    * instead of silently diverging. */
+  private[graft] val documentsProfileCols =
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  private[graft] def profileQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.profile(
+        Tables.documents(s, dir).select(documentsProfileCols.map(col): _*))
+      .orderBy(col("column"))
+  }
+
+  /** Cap-guarded SemDeDup (q126): the q73 cell assignment with
+    * cellCap=12, so every over-cap cell splits into id%nsub sub-cells
+    * and pairwise cosine runs only within a sub-cell. Output is the
+    * per-cell audit (population, split factor, capped flag) joined
+    * with the survivor count — the relation an operator reads to see
+    * exactly what the cap did. */
+  private[graft] def semDedupCappedQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val seeds = seedVectors(e)
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val kept = Similarity.semDedup(corpus, seeds, minCos = 0.4, cellCap = 12)
+    val audit = Similarity.semDedupCellAudit(corpus, seeds, cellCap = 12)
+    val keptPerCell = Similarity.ivfAssign(kept, "vec", seeds)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_kept"))
+    audit.join(keptPerCell, Seq("cell"), "left")
+      .select(col("cell"), col("n"), col("nsub"), col("capped"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("cell"))
+  }
+
+  /** The q103/q127/q128 two-snapshot fixture: old = docs where
+    * doc_id%10≠3; new = docs where doc_id%10≠7, with the %10=5 group's
+    * text changed — so the diff has added, removed, changed and
+    * unchanged docs. */
+  private[graft] def snapshotFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir)
+    val oldSnap = d.filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"), col("text"))
+    val newSnap = d.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    (oldSnap, newSnap)
+  }
+
+  /** Nightly band-key index maintenance (q127): the index is BUILT
+    * over the old snapshot, one [[graft.jobs.IndexMaintenance]] tick
+    * brings it to the new snapshot at O(changed) cost, and the output
+    * is the maintained index itself. The DuckDB oracle computes a
+    * FULL REBUILD from the new snapshot — the driver's hash compare
+    * of the two relations IS the delta≡rebuild gate, cross-engine. */
+  private[graft] def bandIndexNightlyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.IndexMaintenance
+    val (oldSnap, newSnap) = snapshotFixture(s, dir)
+    val st = IndexMaintenance.rebuild(oldSnap, "doc_id", "text")
+    IndexMaintenance.nightly(st, oldSnap, newSnap, "doc_id", "text")
+      .bandIndex
+      .orderBy(col("id"), col("band"))
+  }
+
+  /** Nightly exact-hash index maintenance (q128): same tick as q127;
+    * output is the maintained (h, cnt) multiplicity relation, the
+    * oracle is a direct GROUP BY over the new snapshot. */
+  private[graft] def hashIndexNightlyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.IndexMaintenance
+    val (oldSnap, newSnap) = snapshotFixture(s, dir)
+    val st = IndexMaintenance.rebuild(oldSnap, "doc_id", "text")
+    IndexMaintenance.nightly(st, oldSnap, newSnap, "doc_id", "text")
+      .hashIndex
+      .orderBy(col("h"))
+  }
+
+  /** Df-weighted near-dup pairs (q129): weighted-MinHash candidates
+    * (token replicated by its integer rarity weight, banding + bucket
+    * cap as q21) scored by exact df-weighted Jaccard — the
+    * boilerplate-robust twin of the q21→q24 family. */
+  private[graft] def weightedNearDupQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val d = Tables.documents(s, dir)
+    // vocabulary df-aggregation shared by sketch and exact gate. The
+    // shared subtree plans once per reference; AQE's
+    // ReuseExchangeAndSubquery dedupes the identical exchanges at
+    // runtime, and forcing materialization via localCheckpoint
+    // measured no better at sf0.1 (within noise) while paying an
+    // extra eager job — so plain sharing wins on simplicity.
+    val weights = TextDedup.dfTokenWeights(d, "doc_id", "text")
+    val pairs = TextDedup.weightedLshCandidatePairs(d, "doc_id", "text",
+      weights, 64, 4, 100, TextDedup.normWordSet)
+    TextDedup.weightedJaccardPairs(d, "doc_id", "text", pairs, weights,
+        TextDedup.normWordSet)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Composed curation pass (q130): the realistic dedup-then-split
+    * pipeline — near-dup component labels computed ONCE
+    * ([[graft.operators.TextDedup.nearDupLabels]]), then keep-best
+    * dedup AND the leakage-safe split consume the same labels via
+    * their label-reuse overloads. Output: per split, its doc count
+    * and keep-best survivor count. One LSH cascade instead of the
+    * two q105/q116 pay separately (bench: q130 ≪ q105 + q116). */
+  private[graft] def curationComposedQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val d = Tables.documents(s, dir)
+    val labels = TextDedup.nearDupLabels(d, "doc_id", "text")
+    val kept = TextDedup.nearDupDedupKeepBest(d, "doc_id", "text",
+        size(TextDedup.words(col("text"))), labels)
+      .select(col("doc_id"), lit(1L).as("_kept"))
+    val split = TextDedup.leakageSafeSplit(d, "doc_id", "text",
+      100000L, 100000L, labels)
+    split.join(kept, Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("_kept"), lit(0L))).as("n_kept_best"))
+      .orderBy(col("split"))
+  }
+
+  /** URL-level dedup (q131): four deterministic URL VARIANTS per page
+    * (scheme/host case, `www.`, default port, trailing slash, tracking
+    * params, param order, fragment — every normalization step
+    * exercised) derived from doc_id; all four must collapse to one
+    * canonical URL with the min-id keeper and an exact variant
+    * count. */
+  private[graft] def urlDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val g = expr("doc_id div 4").cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://www.example.com/d/"), g, lit("?b=2&a=1")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://EXAMPLE.COM:443/d/"), g, lit("/?a=1&b=2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://example.com/d/"), g,
+          lit("?utm_source=feed&b=2&fbclid=x&a=1")))
+      .otherwise(
+        concat(lit("https://www.example.com:443/d/"), g,
+          lit("/?a=1&utm_campaign=z&b=2#frag")))
+    TextDedup.urlDedup(
+        Tables.documents(s, dir).select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+      .orderBy(col("url"))
+  }
+
+  /** Streaming Bloom dedup gate (q132): docs with doc_id ≥ 400 REPLAY
+    * as a stream through the stateless membership gate against the
+    * index built over doc_id < 400 (broadcast sharded-Bloom prefilter
+    * + exact stream-static left_anti). Survivor ids must equal the
+    * batch anti-join the oracle computes directly. */
+  private[graft] def streamingBloomGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    import graft.util.TmpDirs
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val root = TmpDirs.fresh(s"q132_stream_$tag")
+    val d = Tables.documents(s, dir)
+    d.filter(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$root/docs")
+    val seen = d.filter(col("doc_id") < 400)
+      .select(TextDedup.md5Hash60(TextDedup.norm(col("text"))).as("h"))
+      .distinct()
+    val replayed = s.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .parquet(s"$root/docs")
+    val q = TextDedup.streamingDedupGate(replayed, "text", "doc_id", seen)
+      .select(col("doc_id"))
+      .writeStream
+      .format("memory").queryName(s"q132_gate_$tag").outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(s"q132_gate_$tag").orderBy(col("doc_id"))
+  }
+
+  /** Nightly VECTOR-index maintenance (q133): the IVF×SQ8 postings
+    * built over the old embedding snapshot, one
+    * [[graft.operators.Similarity.ivfSqIndexMaintain]] tick to the
+    * new snapshot (model PINNED: q50 seed centroids + scales trained
+    * on the OLD corpus). The oracle computes a full rebuild from the
+    * new snapshot with the same pinned model — equality is the
+    * delta≡rebuild gate, q127's discipline on the vector side. Codes
+    * emit as a comma-joined string (cross-engine integer formatting;
+    * array reprs differ between the compare's readers). */
+  private[graft] def vectorIndexNightlyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val seeds = seedVectors(e)
+    val oldV = e.filter(col("vec_id") % 10 =!= 3)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val newV = e.filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id").as("id"),
+        when(col("vec_id") % 10 === 5,
+          concat(array(-element_at(col("embedding"), 1)),
+            slice(col("embedding"), 2, 63)))
+          .otherwise(col("embedding")).as("vec"))
+    val scales = Similarity.sqTrain(oldV, "vec", dims = 64) // pinned on OLD
+    val index0 = Similarity.ivfSqIndexBuild(oldV, "id", "vec", seeds, scales)
+    Similarity.ivfSqIndexMaintain(index0, oldV, newV, "id", "vec", seeds, scales)
+      .select(col("id"), col("cell"),
+        concat_ws(",", col("code")).as("code_str"))
+      .orderBy(col("id"))
+  }
+
+  /** HTML extraction (q134): every doc wrapped in a deterministic
+    * page shell exercising script/style content drop, comments, tags,
+    * all six entities (including the double-escape &amp;lt; case) and
+    * whitespace collapse — the stripped text must match the oracle's
+    * identical regexp ladder byte-for-byte. */
+  private[graft] def stripHtmlQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val html = concat(
+      lit("""<html><head><title>T</title><style type="text/css">p{x:1}</style>"""),
+      lit("""<script>if (a &amp;&amp; b) { f(); }</script></head><body><h1>"""),
+      col("source"),
+      lit("""</h1><!-- hidden --><p class="main">"""),
+      col("text"),
+      lit("""</p><p>Q &amp; A &lt;tag&gt; &quot;x&quot; &#39;y&#39;&nbsp;z &amp;lt;esc&gt;</p></body></html>"""))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean"))
+      .select(col("doc_id"), col("clean"),
+        length(col("clean")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** End-to-end web ingest (q135): the crawl-side pipeline composed as
+    * ONE plan over the q131 URL variants and the q134 page shells —
+    * canonical-URL dedup keeps one page per identity, HTML extraction
+    * recovers the text, a token-length gate drops thin pages, exact
+    * dedup collapses byte-identical content, and the per-source audit
+    * reports every stage's survivor count. The integration proof that
+    * K99 → K102 → K8 → K1 compose as relations. */
+  private[graft] def webIngestQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis, TextDedup}
+    val g = expr("doc_id div 4").cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://www.example.com/d/"), g, lit("?b=2&a=1")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://EXAMPLE.COM:443/d/"), g, lit("/?a=1&b=2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://example.com/d/"), g,
+          lit("?utm_source=feed&b=2&fbclid=x&a=1")))
+      .otherwise(
+        concat(lit("https://www.example.com:443/d/"), g,
+          lit("/?a=1&utm_campaign=z&b=2#frag")))
+    val html = concat(
+      lit("""<html><head><title>T</title><style type="text/css">p{x:1}</style>"""),
+      lit("""<script>if (a &amp;&amp; b) { f(); }</script></head><body><h1>"""),
+      col("source"),
+      lit("""</h1><!-- hidden --><p class="main">"""),
+      col("text"),
+      lit("""</p><p>Q &amp; A &lt;tag&gt; &quot;x&quot; &#39;y&#39;&nbsp;z &amp;lt;esc&gt;</p></body></html>"""))
+    val pages = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), url.as("url"), html.as("html"))
+    val keepers = TextDedup.urlDedup(pages, "doc_id", "url")
+      .select(col("keeper").as("doc_id"))
+    val cleaned = pages.join(keepers, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.stripHtml(col("html")).as("clean"))
+    val gated = cleaned
+      .filter(size(TextDedup.words(col("clean"))) >= 25)
+    val unique = TextDedup.exactDedup(gated, "clean", "doc_id")
+    val perSrc = Seq(
+      cleaned.groupBy(col("source")).agg(count(lit(1)).as("n_pages")),
+      gated.groupBy(col("source")).agg(count(lit(1)).as("n_gated")),
+      unique.groupBy(col("source")).agg(count(lit(1)).as("n_unique"),
+        sum(size(TextDedup.words(col("clean")))).cast("long").as("n_tokens")))
+    perSrc.reduce((a, b) => a.join(b, Seq("source"), "left"))
+      .select(col("source"), col("n_pages"),
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Export manifest (q136): the per-shard receipt — doc count, token
+    * total, order-independent XOR content digest, dense-position
+    * check — a consumer re-derives from delivered files to detect any
+    * dropped/duplicated/altered document. */
+  private[graft] def exportManifestQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.exportManifest(Tables.documents(s, dir), "doc_id", "text",
+        nShards = 16)
+      .orderBy(col("shard"))
+  }
+
+  /** Integer equi-width histogram (q137): doc-length distribution in
+    * 12 bins — q125's distribution twin, exact integer bin math. */
+  private[graft] def histogramQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.histogram(Tables.documents(s, dir), col("n_chars"), nBins = 12)
+      .orderBy(col("bin"))
+  }
+
+  /** Corpus-scale k-means fit (q138): 8 centroids × 3 full Lloyd
+    * iterations over the embeddings table in exact offset-micro
+    * integer arithmetic — the trainer that PRODUCES the pinned
+    * centroid artifacts the IVF family (q50/q70/q89/q133) consumes.
+    * Vectors never leave the executors: each iteration is a map-only
+    * codegen'd argmin pass plus one shuffle of 8-byte per-(cell, dim)
+    * partial sums; only the k×dims model reaches the driver. */
+  private[graft] def kmeansFitQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.kmeansFit(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 3)
+      .orderBy(col("cell"), col("d"))
+  }
+
+  /** Covariance sufficient statistics (q139): (n, Σxᵢ, Σxᵢxⱼ) for all
+    * 2,080 dim pairs of the embeddings table in ONE graft_gram
+    * aggregate pass — kilo-unit exact integers, corpus never shuffles
+    * (one flat long buffer per partition, merged by addition). The
+    * PCA/whitening front door; covariance numerator = n·s12 − s1·s2
+    * driver-side. */
+  private[graft] def covarianceStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.covarianceStats(Tables.embeddings(s, dir), "embedding", dims = 64)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Key-skew audit (q140): top-15 heaviest user_id keys in the events
+    * stream with exact ppm shares against the global bucket-size
+    * distribution (n_total/n_keys/max/p99) — the diagnostic run BEFORE
+    * committing a 100 TB shuffle to a key, deciding salting/AQE skew
+    * handling. One shuffle to the key-count relation; every window
+    * after runs over that rollup. */
+  private[graft] def keySkewAuditQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.keySkewAudit(Tables.events(s, dir), "user_id", topK = 15)
+      .orderBy(col("rank"))
+  }
+
+  /** Snapshot fixture for the card-maintenance tick (q141): the q98
+    * membership churn PLUS a metadata-only edit — doc_id%10==5 rows
+    * change text AND source, exercising the "same text, new tag" path
+    * a text-only digest would miss. */
+  private[graft] def cardSnapshotFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir)
+    val oldSnap = d.filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val newSnap = d.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("lang"),
+        when(col("doc_id") % 10 === 5, lit("patched"))
+          .otherwise(col("source")).as("source"))
+    (oldSnap, newSnap)
+  }
+
+  /** Delta-maintained data card (q141): the card state is BUILT over
+    * the old snapshot, one [[graft.jobs.CardMaintenance]] tick brings
+    * it to the new snapshot at O(changed) cost, and the output is the
+    * card derived from the MAINTAINED state. The DuckDB oracle
+    * computes the card directly over the new snapshot — the hash
+    * compare IS the delta≡rebuild gate for aggregate maintenance, the
+    * q127/q128 contract extended from indexes to views. */
+  private[graft] def cardNightlyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.CardMaintenance
+    val (o, n) = cardSnapshotFixture(s, dir)
+    val st = CardMaintenance.rebuild(o, "doc_id", "text")
+    CardMaintenance.card(CardMaintenance.nightly(st, o, n, "doc_id", "text"))
+      .orderBy(col("lang"))
+  }
+
+  /** JL-projected ANN (q142): brute cosine top-5 in a 16-dim md5-sign
+    * Johnson–Lindenstrauss projection of the 64-dim embeddings — the
+    * model-free twin of q99's matryoshka prefix (any embedding gets
+    * the 4× search-cost cut, no retraining), with the same inline
+    * full-dim recall audit. Projection is map-only plan-literal ±1
+    * dots; the scored space pays outDims multiplies per pair. */
+  private[graft] def jlAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.jlTopK(q, c, dims = 64, outDims = 16, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Vocabulary coverage curve (q143): corpus-token coverage ppm of a
+    * top-V vocabulary at six size checkpoints — the tokenizer-sizing
+    * curve, computed from the count-class histogram (no vocab-wide
+    * window; the budgetSelect prefix trick over frequencies). */
+  private[graft] def vocabCoverageQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text",
+        Seq(16L, 64L, 256L, 1024L, 4096L, 16384L))
+      .orderBy(col("v"))
+  }
+
+  /** Delta-maintained covariance (q144): the q139 sufficient-stats
+    * state built over the OLD embedding snapshot (vec_id%10≠3), one
+    * covarianceDelta tick to the NEW snapshot (vec_id%10≠7, %10==5
+    * vectors sign-flipped) — output is the MAINTAINED state, oracle
+    * computes the stats directly over the new snapshot. The q141
+    * tick≡rebuild contract on the Gram relation. */
+  private[graft] def covarianceNightlyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val oldSnap = e.filter(col("vec_id") % 10 =!= 3)
+      .select(col("vec_id"), col("embedding"))
+    val newSnap = e.filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id"),
+        when(col("vec_id") % 10 === 5,
+            transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+    val st = Similarity.covarianceStats(oldSnap, "embedding", dims = 64)
+    Similarity.covarianceDelta(st, oldSnap, newSnap,
+        "vec_id", "embedding", dims = 64)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Retrained vector index (q146): the loop K101 left open — "retrain
+    * = scheduled rebuild" — actually closed: kmeansFit TRAINS fresh
+    * centroids on the corpus (2 exact-integer Lloyd iterations), the
+    * trained model converts to the float quantizer the IVF family
+    * uses, and ivfSqIndexBuild rebuilds the postings (cosine cell
+    * assignment + SQ8 codes) under it. The oracle re-derives the
+    * WHOLE composition — training included — via the shared kmeans
+    * CTE generator, so the trained-model index is hash-gated end to
+    * end, not just the assignment step. */
+  private[graft] def retrainedIndexQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val fit = Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
+      .select(col("cell"), col("d"), col("c")).collect()
+    val cents: Seq[(Long, Array[Float])] = fit.groupBy(_.getLong(0)).toSeq
+      .sortBy(_._1)
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getLong(1))
+          .map(r => (r.getLong(2).toDouble / 1e6 - 1.0).toFloat).toArray
+      }
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val scales = Similarity.sqTrain(corpus, "vec", dims = 64)
+    Similarity.ivfSqIndexBuild(corpus, "id", "vec", cents, scales)
+      .select(col("id"), col("cell"),
+        concat_ws(",", col("code")).as("code_str"))
+      .orderBy(col("id"))
+  }
+
+  /** Near-dup cluster-size histogram (q145): the q34 component labels
+    * rolled to cluster sizes and binned by the q137 integer histogram
+    * — the "how bad is my duplication" distribution an operator reads
+    * before choosing dedup aggressiveness. Pure composition: one
+    * cascade, one rollup, one aggregate pass. */
+  private[graft] def clusterSizeHistogramQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Analytics, TextDedup}
+    val labels = TextDedup.nearDupLabels(Tables.documents(s, dir),
+      "doc_id", "text")
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    Analytics.histogram(sizes, col("csize"), nBins = 8)
+      .orderBy(col("bin"))
+  }
+
+  /** Streaming funnel (q148): the K89 funnel computed by the STATEFUL
+    * streaming operator — per-user first-touch state flushed by
+    * event-time timeout — replayed over day-partitioned storage with
+    * the q46/q58 two-tick watermark flush, then rolled to per-step
+    * rows and hash-compared against the SAME oracle as the batch
+    * q120. Order-proof: a late `signup` retroactively re-evaluates
+    * the whole chain, which is why this is state, not a windowed
+    * aggregate. */
+  private[graft] def streamingFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val steps = Seq("signup", "view", "click", "purchase")
+    val reach = replayedFunnelReach(s, dir, "q148",
+      graft.streaming.StreamingFunnel.reach(steps))
+    val cs = steps.indices.map(k =>
+      count(when(col("steps_reached") >= k + 1, 1)).as(s"_c$k"))
+    val counts = reach.agg(cs.head, cs.tail: _*)
+    val stepsDf = steps.zipWithIndex
+      .map { case (st, i) => (i.toLong + 1L, st) }.toDF("step_idx", "step")
+    counts.crossJoin(stepsDf)
+      .select(col("step_idx"), col("step"),
+        steps.indices.foldLeft(lit(null).cast("long")) { (acc, i) =>
+          when(col("step_idx") === (i + 1), col(s"_c$i")).otherwise(acc)
+        }.as("n_users"),
+        col("_c0").as("_base"))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        when(col("_base") > 0,
+          expr("n_users * 1000000 div _base")).as("conversion_ppm"))
+      .orderBy(col("step_idx"))
+  }
+
+  /** Shared q148/q168/q180 replay machinery: events → day-partitioned
+    * storage → file stream with the q46/q58 two-tick watermark flush →
+    * the given stateful per-user operator → collected output relation
+    * (tick users filtered via their negative user_id, which every
+    * output type carries). */
+  private[graft] def replayedFunnelReach[T](
+      s: SparkSession,
+      dir: String,
+      qtag: String,
+      reachFn: org.apache.spark.sql.Dataset[graft.streaming.StreamingFunnel.UserEvent] =>
+        org.apache.spark.sql.Dataset[T])
+      : DataFrame =
+    replayedStreamTable(s, dir, qtag, reachFn)
+      .filter(col("user_id") >= 0)
+
+  /** The replay machinery itself, UNFILTERED — for gates whose output
+    * carries no user_id (the q212 type-keyed EWMA filters its tick
+    * rows by event_type instead). */
+  private[graft] def replayedStreamTable[T](
+      s: SparkSession,
+      dir: String,
+      qtag: String,
+      reachFn: org.apache.spark.sql.Dataset[graft.streaming.StreamingFunnel.UserEvent] =>
+        org.apache.spark.sql.Dataset[T])
+      : DataFrame = {
+    import graft.store.DayPartitionedTable
+    import graft.streaming.StreamingFunnel
+    import graft.util.TmpDirs
+    import s.implicits._
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val root = TmpDirs.fresh(s"${qtag}_stream_$tag")
+    val e = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("event_type"), dayOf(col("ts")).as("day"))
+    val t = new DayPartitionedTable(root, "events_by_day", sortCol = Some("ts"))
+    t.writeDays(e)
+    val realFiles = t.read(s).select(input_file_name()).distinct().count().toInt
+    // q46/q58 two-tick flush; tick users are negative and filtered out
+    val maxDay = t.maxDay(s).get
+    def tickRows(n: Int, d: Long): DataFrame = {
+      val tick = maxDay.plusDays(d)
+      s.range(n.toLong).select(
+        lit(java.sql.Timestamp.valueOf(s"$tick 00:00:00")).as("ts"),
+        (col("id") - 1000000L).as("user_id"),
+        lit("tick").as("event_type"))
+    }
+    tickRows(realFiles, 3).repartition(realFiles)
+      .write.mode("append").parquet(s"${t.path}/day=${maxDay.plusDays(3)}")
+    tickRows(1, 6).coalesce(1)
+      .write.mode("append").parquet(s"${t.path}/day=${maxDay.plusDays(6)}")
+    val stream = s.readStream
+      .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING, day DATE")
+      .option("maxFilesPerTrigger", realFiles)
+      .parquet(t.path)
+      .select("user_id", "ts", "event_type")
+      .as[StreamingFunnel.UserEvent]
+    val sink = s"${qtag}_reach_$tag"
+    val q = reachFn(stream)
+      .writeStream
+      .format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  /** Streaming WINDOWED funnel (q168): the K134 per-step deadlines
+    * held as state (buffered per-step times — a late earlier-step
+    * arrival re-bases every later deadline), replayed to completion
+    * and hash-compared against the SAME oracle as the batch q166. */
+  private[graft] def streamingWindowedFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val steps = Seq("signup", "view", "click", "purchase")
+    val reach = replayedFunnelReach(s, dir, "q168",
+      graft.streaming.StreamingFunnel.windowedReach(steps, windowSecs = 172800L))
+    val cs = steps.indices.map(k =>
+      count(when(col("steps_reached") >= k + 1, 1)).as(s"_c$k"))
+    val counts = reach.agg(cs.head, cs.tail: _*)
+    val stepsDf = steps.zipWithIndex
+      .map { case (st, i) => (i.toLong, st) }.toDF("step_idx", "step")
+    counts.crossJoin(stepsDf)
+      .select(col("step_idx"), col("step"),
+        steps.indices.foldLeft(lit(null).cast("long")) { (acc, i) =>
+          when(col("step_idx") === i, col(s"_c$i")).otherwise(acc)
+        }.as("n_users"),
+        col("_c0").as("_base"))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        expr("n_users * 1000000 div _base").as("conversion_ppm"))
+      .orderBy(col("step_idx"))
+  }
+
+  /** Streaming gap histogram (q180): the K142 gap extraction held as
+    * per-user state (a late event splits an existing gap in two, so
+    * the event multiset buffers until timeout), replayed to
+    * completion and hash-compared against the SAME oracle as the
+    * batch q174. */
+  private[graft] def streamingGapsQuery(s: SparkSession, dir: String): DataFrame = {
+    val gapRows = replayedFunnelReach(s, dir, "q180",
+      graft.streaming.StreamingGaps.gaps _)
+    gapRows
+      .withColumn("bucket",
+        when(col("gap") === 0, lit(0L))
+          .otherwise(length(bin(col("gap"))).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_secs"),
+        max(col("gap")).as("max_gap_secs"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Streaming EWMA (q212): the K177 baseline held as per-TYPE state
+    * (the first non-user-keyed gate), folded once at event-time
+    * timeout, replayed to completion and hash-compared against the
+    * SAME oracle as the batch q209. */
+  private[graft] def streamingEwmaQuery(s: SparkSession, dir: String): DataFrame =
+    replayedStreamTable(s, dir, "q212",
+      graft.streaming.StreamingEwma.ewma(_, alphaPpm = 300000L))
+      .filter(col("event_type") =!= "tick")
+      .orderBy(col("event_type"), col("day"))
+
+  /** BPE encode (q158): apply the literal demonstration merge table to
+    * every document — real subword tokens, not whitespace words. The
+    * oracle unrolls the SAME table as a DuckDB replace chain; the
+    * `segmented` column (full token stream) makes the hash sensitive
+    * to the exact tokenization, not just counts. */
+  private[graft] def bpeEncodeQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.bpeEncode(Tables.documents(s, dir), "doc_id", "text",
+        TextAnalysis.defaultBpeMerges)
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_tokens"),
+        array_join(col("tokens"), " ").as("segmented"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE-budgeted selection (q159): q115's greedy-prefix budget cut,
+    * but budgeted in REAL tokens — [[bpeEncodeQuery]]'s counts feed
+    * [[Curation.budgetSelect]], closing the "token budgets were
+    * whitespace words" gap for the curation surface. */
+  private[graft] def bpeBudgetQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, TextAnalysis}
+    val docs = Tables.documents(s, dir)
+    val scored = TextAnalysis.hashedQualityScore(docs, "doc_id", "text",
+        buckets = 1024)
+      .select(col("doc_id"), col("score"))
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        TextAnalysis.defaultBpeMerges)
+      .select(col("doc_id"), col("n_tokens"))
+    Curation.budgetSelect(scored.join(enc, Seq("doc_id")),
+        "doc_id", "score", "n_tokens", budget = 60000L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Skew-join equivalence (q156): the K14 scale patterns finally
+    * oracle-gated — the salted inner join (probe-side deterministic
+    * salt, build side replicated salt ways) and the bucketed
+    * co-located sort-merge join both run against a planted-skew
+    * fixture (events: 5 keys ≈ 2k rows each) and must produce row sets
+    * IDENTICAL to a plain join: the salt and the bucketing are pure
+    * execution-strategy choices, semantically invisible. The DuckDB
+    * oracle is the plain join, emitted once per strategy label. */
+  private[graft] def skewJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SkewJoin
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+    val dim = Tables.events(s, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("type_n"))
+    val salted = SkewJoin.saltedInner(ev, dim, Seq("event_type"), salt = 8)
+      .select(lit("salted").as("op"), col("event_id"),
+        col("event_type"), col("type_n"))
+    // bucketed twin: both sides written bucketed on the key, merge-join
+    // reads bucket-aligned (the no-exchange property is locked by
+    // ScalePatternsSpec; here the VALUES are gated). Table names carry
+    // the input-dir tag so concurrent runs sharing a warehouse don't
+    // collide (same discipline as the streaming gates' TmpDirs tags).
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val (evT, dimT) = (s"q156_bk_ev_$tag", s"q156_bk_dim_$tag")
+    Seq(evT, dimT).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      graft.util.TmpDirs.deleteRecursively(s"target/spark-warehouse/$t")
+    }
+    ev.write.mode("overwrite").bucketBy(8, "event_type").saveAsTable(evT)
+    dim.write.mode("overwrite").bucketBy(8, "event_type").saveAsTable(dimT)
+    val bucketed = s.table(evT).hint("merge")
+      .join(s.table(dimT).hint("merge"), Seq("event_type"))
+      .select(lit("bucketed").as("op"), col("event_id"),
+        col("event_type"), col("type_n"))
+    salted.unionByName(bucketed).orderBy(col("op"), col("event_id"))
+  }
+
+  /** Composed nightly tick (q157): ONE RunNightly.tick over a fresh
+    * state dir — bootstrap (index/card/model/postings/cov built from
+    * the OLD snapshots, quantizer TRAINED on old vectors) plus one
+    * old→new maintenance tick — then every persisted relation read
+    * back from disk and emitted under a `rel` tag. The DuckDB oracle
+    * REBUILDS all four relations directly from the new snapshots
+    * (training included, via the shared kmeans CTE generator): the
+    * hash compare is the tick≡rebuild gate for the whole composed
+    * driver, not just its parts (q127/q128/q141/q133/q144 gate the
+    * parts; this gates their orchestration). */
+  private[graft] def nightlyTickQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.{CardMaintenance, RunNightly}
+    // dir-tagged state path: concurrent runs must not share (ADVICE r9)
+    val stateDir =
+      s"target/q157_nightly_state_${java.lang.Integer.toHexString(dir.hashCode)}"
+    graft.util.TmpDirs.deleteRecursively(stateDir)
+    val (oldDocs, newDocs) = cardSnapshotFixture(s, dir)
+    val e = Tables.embeddings(s, dir)
+    val oldVecs = e.filter(col("vec_id") % 10 =!= 3)
+      .select(col("vec_id"), col("embedding"))
+    val newVecs = e.filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id"),
+        when(col("vec_id") % 10 === 5, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+    RunNightly.tick(s, stateDir, oldDocs, newDocs, oldVecs, newVecs)
+    def pad(df: DataFrame, rel: String, cols: Column*): DataFrame = {
+      val cs = cols.zipWithIndex.map { case (c, i) =>
+        c.cast("string").as(s"c${i + 1}") }
+      val nulls = (cols.size until 7).map(i =>
+        lit(null).cast("string").as(s"c${i + 1}"))
+      df.select((lit(rel).as("rel") +: (cs ++ nulls)): _*)
+    }
+    val band = pad(s.read.parquet(s"$stateDir/index/band_index"),
+      "band", col("id"), col("band"), col("key"))
+    val hash = pad(s.read.parquet(s"$stateDir/index/hash_index"),
+      "hash", col("h"), col("cnt"))
+    val card = pad(
+      CardMaintenance.card(CardMaintenance.load(s, s"$stateDir/card").get),
+      "card", col("lang"), col("n_docs"), col("n_exact_dups"),
+      col("n_sources"), col("total_tokens"), col("mean_tokens_milli"),
+      col("distinct_words"))
+    val post = pad(
+      s.read.parquet(s"$stateDir/vecindex")
+        .select(col("id"), col("cell"), concat_ws(",", col("code")).as("cs")),
+      "vecpost", col("id"), col("cell"), col("cs"))
+    val cov = pad(s.read.parquet(s"$stateDir/cov"),
+      "cov", col("d1"), col("d2"), col("n"), col("s1"), col("s2"), col("s12"))
+    band.unionByName(hash).unionByName(card).unionByName(post).unionByName(cov)
+      .orderBy(col("rel"), col("c1"), col("c2"))
+  }
+
+  /** BPE trainer (q160): learn a 10-merge table from the corpus — the
+    * weighted-argmax merge loop, each round's pick gated (rank, left,
+    * right, weighted count) against the oracle's unrolled rounds. */
+  private[graft] def bpeTrainQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TextAnalysis
+    TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", rounds = 10)
+      .zipWithIndex
+      .map { case ((l, r, np), i) => (i + 1L, l, r, np) }
+      .toDF("mrank", "l", "r", "n_pairs")
+      .orderBy(col("mrank"))
+  }
+
+  /** Train-then-encode (q161): the q146 retrain-to-index discipline
+    * applied to the tokenizer — the table LEARNED by bpeTrain feeds
+    * bpeEncode, and the oracle re-derives the whole composition
+    * (training rounds included) before segmenting. */
+  private[graft] def bpeTrainedEncodeQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(s, dir)
+    val learned = TextAnalysis.bpeTrain(docs, "text", rounds = 10)
+      .map(m => (m._1, m._2))
+    TextAnalysis.bpeEncode(docs, "doc_id", "text", learned)
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(col("tokens"), " ").as("segmented"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokenizer fertility card (q178): per-language chars-per-token
+    * and tokens-per-word under the TRAINED merge table — the metric a
+    * tokenizer team reads before committing a vocab (a fertility
+    * spike flags an under-served language). q160's trainer feeds
+    * q161's encoder, then one language-sized rollup; every ratio is
+    * an exact integer ppm. */
+  private[graft] def bpeFertilityQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(s, dir)
+    val learned = TextAnalysis.bpeTrain(docs, "text", rounds = 10)
+      .map(m => (m._1, m._2))
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", learned)
+    docs.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("nch"))
+      .join(enc.select(col("doc_id"), col("n_ws_tokens"), col("n_tokens")),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nch")).as("n_chars"),
+        sum(col("n_ws_tokens")).as("n_ws_tokens"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_chars"),
+        col("n_ws_tokens"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          expr("n_chars * 1000000 div n_tokens")).otherwise(lit(0L))
+          .as("chars_per_token_ppm"),
+        when(col("n_ws_tokens") > 0,
+          expr("n_tokens * 1000000 div n_ws_tokens")).otherwise(lit(0L))
+          .as("fertility_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  /** Equi-depth histogram (q181): eight equal-count buckets of the
+    * cent-quantized event values — the exact quantile sheet, no
+    * global sort, no value buffering (q137's equi-width twin). */
+  private[graft] def equiDepthQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.equiDepthHistogram(Tables.events(s, dir),
+        round(col("value") * 100), buckets = 8)
+      .orderBy(col("bucket"))
+  }
+
+  /** Stickiness (q184): per-day DAU/WAU/MAU distinct actives and the
+    * DAU/WAU ratio — sliding-window distinct via the bounded
+    * 28-offset fan-out of the user-day rollup. */
+  private[graft] def stickinessQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    Analytics.stickiness(Tables.events(s, dir), "user_id", "ts")
+      .orderBy(col("day"))
+  }
+
+  /** Fulfillment latency (q190): exact p25/p50/p75 of order-to-ship
+    * days per order priority — the warehouse-side twin of the q188
+    * funnel latency, over the orders⋈lineitem star (keys + two small
+    * columns shuffle, the histogram-prefix percentile machinery). */
+  private[graft] def fulfillmentLatencyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+    val gaps = li.join(o, Seq("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("days"))
+    Analytics.exactPercentiles(gaps, "o_orderpriority", col("days"),
+        Seq(25, 50, 75))
+      .select(col("key").as("o_orderpriority"), col("pct"),
+        col("value").as("days"))
+      .orderBy(col("o_orderpriority"), col("pct"))
+  }
+
+  /** CUBE rollup (q191): q38's ROLLUP twin — all four grouping
+    * combinations of (returnflag, linestatus) with grouping_id
+    * disambiguation, one pass. */
+  private[graft] def cubeQuery(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id(col("l_returnflag"), col("l_linestatus"))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Corpus health report (q200): the composed daily sheet — six
+    * headline audits reduced to one (metric, value) long-format
+    * relation: shuffle balance (q170), key concentration (q172),
+    * FK orphan rate on the real lineitem→orders edge (q171's
+    * operator, clean data ⇒ 0), Benford total deviation (q187),
+    * k-anonymity violating rate (q179), en↔de length drift (q199),
+    * plus the exact-dup document rate. Every number reuses a gated
+    * operator; the report is pure composition. */
+  private[graft] def healthReportQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Analytics, Curation, TextDedup}
+    val e = Tables.events(s, dir)
+    val docs = Tables.documents(s, dir)
+    def one(name: String, df: DataFrame, valueCol: String): DataFrame =
+      df.select(lit(name).as("metric"), col(valueCol).cast("long").as("value"))
+    val balance = one("key_balance_ppm",
+      Analytics.keyEntropy(e, "user_id"), "balance_ppm")
+    val gini = one("key_gini_ppm", Analytics.keyGini(e, "user_id"),
+      "gini_ppm")
+    val fk = one("fk_orphan_ppm",
+      Analytics.fkIntegrityAudit(Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey", "lineitem->orders"),
+      "orphan_ppm")
+    val benford = one("benford_deviation_ppm",
+      Analytics.benfordAudit(Tables.lineitem(s, dir),
+          round(col("l_extendedprice") * 100))
+        .agg(sum(col("deviation_ppm")).as("v")), "v")
+    val kanon = one("k_anonymity_violating_ppm",
+      Curation.kAnonymityAudit(docs.select(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket")),
+        Seq("lang", "source", "len_bucket"), k = 5), "violating_ppm")
+    val ks = one("ks_en_de_ppm",
+      Analytics.ksDrift(docs, "lang", col("n_chars"), "en", "de"),
+      "ks_ppm")
+    val dups = one("exact_dup_ppm",
+      docs.agg(count(lit(1)).as("n"),
+          count_distinct(md5(col("text"))).as("d"))
+        .select(expr("(n - d) * 1000000 div n").as("v")), "v")
+    Seq(balance, gini, fk, benford, kanon, ks, dups)
+      .reduce(_ unionByName _)
+      .orderBy(col("metric"))
+  }
+
+  /** Kaplan–Meier survival (q233): the retention curve with
+    * right-censoring — users last seen within 14 days of the corpus
+    * end are censored, not churned; exact ppm product. */
+  private[graft] def kaplanMeierQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.kaplanMeier(
+        Tables.events(s, dir), "user_id", "ts", censorDays = 14)
+      .orderBy(col("offset_days"))
+
+  /** Fixture-stats gate (q235): K129's scale-rehearsal writer finally
+    * oracle-gated — its OBSERVABLE statistics (language mix, exact-dup
+    * mass, source mix, word-length histogram, total word mass, vector
+    * cluster mix) measured from the relations the writer EMITS
+    * (dup/word stats read the text column itself, not the generator's
+    * internals) and hash-compared against a DuckDB re-derivation of
+    * the same md5 definitions from nothing but range(n). Sizes are
+    * fixed constants: the generator is input-blind by design. */
+  private[graft] def fixtureStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = ScaleFixture.documents(s, 5000L)
+    val vecs = ScaleFixture.embeddings(s, 2000L)
+    val d = docs.select(col("lang"), col("source"), col("text"),
+      size(split(col("text"), " ")).cast("long").as("w"))
+    def rel(df: DataFrame, tag: String): DataFrame =
+      df.select(lit(tag).as("rel"), col("key").cast("string").as("key"),
+        col("n").cast("long").as("n"))
+    val langMix = rel(d.groupBy(col("lang").as("key"))
+      .agg(count(lit(1)).as("n")), "lang")
+    val wordMass = rel(d.groupBy(col("lang").as("key"))
+      .agg(sum(col("w")).as("n")), "words")
+    val dupDocs = rel(
+      d.withColumn("_c", count(lit(1)).over(Window.partitionBy(col("text"))))
+        .filter(col("_c") >= 2)
+        .groupBy(col("lang").as("key")).agg(count(lit(1)).as("n")), "dup")
+    val srcMix = rel(d.groupBy(col("source").as("key"))
+      .agg(count(lit(1)).as("n")), "src")
+    val lenHist = rel(d.groupBy(col("w").as("key"))
+      .agg(count(lit(1)).as("n")), "len")
+    val labelMix = rel(vecs.groupBy(col("label").as("key"))
+      .agg(count(lit(1)).as("n")), "label")
+    Seq(langMix, wordMass, dupDocs, srcMix, lenHist, labelMix)
+      .reduce(_ unionByName _)
+      .orderBy(col("rel"), col("key"))
+  }
+
+  /** Forecast backtest (q232): is the q209 smoother actually better
+    * than naive-yesterday — per-type MAE of the EWMA's standing
+    * one-step error (its dev_micro IS the forecast error) vs the
+    * naive |v_t − v_{t−1}|·10⁶, exact integers, over days ≥ 2. Pure
+    * composition over the q209 relation. */
+  private[graft] def forecastBacktestQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.operators.Analytics.ewmaBaseline(
+      Tables.events(s, dir), "event_type", "ts", alphaPpm = 300000L)
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    e.withColumn("vprev", lag(col("v"), 1).over(byDay))
+      .filter(col("vprev").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(abs(dev_micro)) div count(1)").as("mae_ewma_micro"),
+        expr("sum(abs(v - vprev) * 1000000) div count(1)")
+          .as("mae_naive_micro"))
+      .withColumn("ewma_wins",
+        col("mae_ewma_micro") < col("mae_naive_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Classification report (q231): per-language precision/recall/F1
+    * of the K9 language-ID against the labeled lang column — what
+    * the q27 confusion matrix's errors actually COST. */
+  private[graft] def classReportQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+    graft.operators.Analytics.classificationReport(scored, "lang",
+        "predicted")
+      .orderBy(col("cls"))
+  }
+
+  /** Next-event accuracy (q230): the transition matrix scored as the
+    * predictor it implicitly is — in-sample ceiling, stated. */
+  private[graft] def nextEventQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.nextEventAccuracy(
+        Tables.events(s, dir), "user_id", "ts", "event_type", "event_id")
+      .orderBy(col("from_type"))
+
+  /** q229's decay table: half-life 7 days over a 31-day window — ONE
+    * Scala constant drives the plan literal and the oracle VALUES. */
+  private[graft] val DecayWeightsPpm: Seq[Long] =
+    (0 to 30).map(g => math.round(1e6 * math.pow(0.5, g / 7.0)))
+
+}

@@ -1,0 +1,440 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+/** Shared DuckDB-oracle SQL fragments and generators — the
+  * literal-driven both-sides helpers (one Scala constant drives the
+  * Spark plan AND the unrolled oracle SQL).
+  *
+  * Part of the [[SparkEntry]] registry split (round 10).
+  */
+private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
+
+  /** SQL VALUES list of the MinHash coefficients — generated from the
+    * same Scala constants the operators use. */
+  private[graft] def minHashCoeffsSql(numHashes: Int): String =
+    graft.operators.TextDedup.minHashCoeffs(numHashes).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
+  /** Shared q158/q159 oracle fragment: the BPE merge chain unrolled
+    * from the SAME literal table the Spark plan folds (the
+    * minHashCoeffsSql pattern — one constant list drives both sides).
+    * DuckDB's `replace` shares Java's left-to-right non-overlap scan,
+    * and the double-separator wrapping makes that exactly BPE's
+    * leftmost pair pass (see TextAnalysis.bpeEncode). `inner` is the
+    * text expression to encode. */
+  private[graft] def bpeChainSql(inner: String): String = {
+    def w(t: String) = s"chr(1) || '$t' || chr(1)"
+    graft.operators.TextAnalysis.defaultBpeMerges.foldLeft(
+      s"regexp_replace($inner, '([^ ])', chr(1) || '\\1' || chr(1), 'g')") {
+      case (acc, (x, y)) => s"replace($acc, ${w(x)} || ${w(y)}, ${w(x + y)})"
+    }
+  }
+
+  /** q160/q161 oracle fragment: the BPE TRAINING rounds unrolled
+    * mechanically (the kmeansCtesSql pattern). Round i CTEs: `tk$i`
+    * segments the frequency-weighted vocab under the merges so far,
+    * `pr$i` counts adjacent pairs weighted by word frequency, `m$i`
+    * is the (count DESC, l, r) argmax, `r$i` applies it. The learned
+    * table lives in m1..m$rounds. */
+  private[graft] def bpeTrainCtesSql(rounds: Int): String = {
+    def round(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""tk$i AS (SELECT string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS tk, n
+                   FROM $prev),
+         pr$i AS (SELECT tk[j] AS l, tk[j + 1] AS r, CAST(sum(n) AS BIGINT) AS np
+                  FROM tk$i, UNNEST(range(1, len(tk))) AS u(j) GROUP BY 1, 2),
+         m$i AS (SELECT CAST($i AS BIGINT) AS mrank, l, r, np
+                 FROM pr$i ORDER BY np DESC, l, r LIMIT 1),
+         r$i AS (SELECT replace(enc, chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+                                chr(1) || m.l || m.r || chr(1)) AS enc, n
+                 FROM $prev, m$i m)"""
+    }
+    s"""v AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+               SELECT unnest(string_split(text, ' ')) AS word FROM documents) z
+             WHERE word <> '' GROUP BY word),
+       r0 AS (SELECT regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g') AS enc, n
+              FROM v),
+       ${(1 to rounds).map(round).mkString(",\n       ")}"""
+  }
+
+  /** q158/q159 shared token-list CTE body over `documents`. */
+  private[graft] def bpeToksSql: String =
+    s"""e AS (SELECT doc_id, ${bpeChainSql("text")} AS enc FROM documents),
+        tk AS (SELECT doc_id,
+                      list_filter(string_split(
+                        replace(replace(enc, chr(1) || chr(1), ' '), chr(1), ''),
+                        ' '), x -> x <> '') AS toks
+               FROM e)"""
+
+  /** Shared oracle fragment: MinHash + banded LSH candidate pairs with
+    * the bucket-size guard — mirrors TextDedup.lshCandidatePairs over
+    * any `w(doc_id, word)` shingle CTE. Buckets over 100 docs are
+    * refined by the exact shingle-set hash, exactly like the Spark
+    * side. */
+  private[graft] def lshPairsSqlOverShingles(
+      wCte: String, numHashes: Int = 64, rowsPerBand: Int = 16,
+      pairPred: String = "a.doc_id < b.doc_id"): String =
+    s"""w AS ($wCte),
+       hb AS (SELECT doc_id,
+                     ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS h
+              FROM w),
+       hs AS (SELECT doc_id, c.i AS i,
+                     MIN((h * c.a + c.b) % 2147483647) AS sig
+              FROM hb CROSS JOIN (VALUES ${minHashCoeffsSql(numHashes)}) AS c(i, a, b)
+              GROUP BY doc_id, c.i),
+       sk AS (SELECT doc_id, md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS setkey
+              FROM (SELECT DISTINCT doc_id, h FROM hb) GROUP BY doc_id),
+       bands AS (SELECT doc_id, i // $rowsPerBand AS band,
+                        string_agg(CAST(sig AS VARCHAR), '|' ORDER BY i) AS key
+                 FROM hs GROUP BY doc_id, (i // $rowsPerBand)),
+       bsz AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key),
+       rb AS (SELECT b.doc_id, b.band,
+                     CASE WHEN s.n <= 100 THEN b.key
+                          ELSE b.key || '!' || k.setkey END AS key
+              FROM bands b JOIN bsz s USING (band, key) JOIN sk k USING (doc_id)),
+       pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                 FROM rb a JOIN rb b
+                   ON a.band = b.band AND a.key = b.key AND $pairPred)"""
+
+  /** Word-set shingles over a docs relation (the default shingler). */
+  private[graft] def minHashPairsSqlOver(docs: String): String =
+    lshPairsSqlOverShingles(
+      s"""SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+          FROM $docs""")
+
+  /** The q131/q135 URL-variant derivation (4 variants per page id). */
+  private[graft] val urlVariantSql: String =
+    """CASE doc_id % 4
+             WHEN 0 THEN 'https://www.example.com/d/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1'
+             WHEN 1 THEN 'HTTPS://EXAMPLE.COM:443/d/' || CAST(doc_id // 4 AS VARCHAR) || '/?a=1&b=2'
+             WHEN 2 THEN 'https://example.com/d/' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&b=2&fbclid=x&a=1'
+             ELSE 'https://www.example.com:443/d/' || CAST(doc_id // 4 AS VARCHAR) || '/?a=1&utm_campaign=z&b=2#frag'
+           END"""
+
+  /** URL canonicalization CTE block — expects a CTE `u(doc_id, url)`,
+    * yields `canon(doc_id, url)`; mirrors TextDedup.normalizeUrl. */
+  private[graft] val urlCanonSqlCtes: String =
+    """n AS (SELECT doc_id,
+                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+                 regexp_replace(lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 2)), '^www\.', '') AS auth0,
+                 regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 3), '/+$', '') AS path,
+                 regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 4), '^\?', '') AS q
+               FROM u),
+         n2 AS (SELECT doc_id, scheme,
+                  CASE WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+                       WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+                       ELSE auth0 END AS auth,
+                  path,
+                  list_sort(list_filter(string_split(q, '&'),
+                    x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=')
+                         AND x <> '')) AS ps
+                FROM n),
+         canon AS (SELECT doc_id,
+                     scheme || '://' || auth || path ||
+                     CASE WHEN len(ps) > 0
+                          THEN '?' || array_to_string(ps, '&')
+                          ELSE '' END AS url
+                   FROM n2)"""
+
+  /** The q134/q135 HTML page shell around (source, text). */
+  private[graft] val htmlShellSql: String =
+    """'<html><head><title>T</title><style type="text/css">p{x:1}</style>'
+           || '<script>if (a &amp;&amp; b) { f(); }</script></head><body><h1>'
+           || source || '</h1><!-- hidden --><p class="main">' || text
+           || '</p><p>Q &amp; A &lt;tag&gt; &quot;x&quot; &#39;y&#39;&nbsp;z &amp;lt;esc&gt;</p></body></html>'"""
+
+  /** TextAnalysis.stripHtml mirrored as one SQL expression over `x`. */
+  private[graft] def stripHtmlSql(x: String): String = {
+    val tags =
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($x,
+             '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+             '(?s)<[^>]+>', ' ', 'g')"""
+    val ent =
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace($tags,
+             '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+             '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')"""
+    s"""trim(regexp_replace($ent, '\\s+', ' ', 'g'))"""
+  }
+
+  /** Shared CTE block for the near-dup component pipeline over the
+    * documents table (exact-dedup survivors → LSH candidates → exact
+    * Jaccard gate ≥ 0.5 → connected components) — the q34/q57 stages
+    * that q105, q116 and q130 all build on; ends with
+    * `comp(d, label)`. Callers embed inside `WITH RECURSIVE …`. */
+  private[graft] def nearDupComponentsSql: String =
+    s"""kmin AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                                  GROUP BY lower(trim(text))),
+         sdocs AS (SELECT d.* FROM documents d JOIN kmin USING (doc_id)),
+         ${minHashPairsSqlOver("sdocs")},
+         hws AS (SELECT doc_id,
+                        list_distinct(list_transform(
+                          list_distinct(string_split(lower(trim(text)), ' ')),
+                          w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS ws
+                 FROM sdocs),
+         gp AS (SELECT p.a, p.b FROM pairs p
+                JOIN hws wa ON wa.doc_id = p.a
+                JOIN hws wb ON wb.doc_id = p.b
+                WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) /
+                            CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE), 6)
+                      >= 0.5),
+         ed AS (SELECT a AS src, b AS dst FROM gp UNION SELECT b, a FROM gp),
+         reach(d, r) AS (
+           SELECT src AS d, src AS r FROM ed
+           UNION
+           SELECT ed.src AS d, reach.r FROM ed JOIN reach ON ed.dst = reach.d),
+         comp AS (SELECT d, MIN(r) AS label FROM reach GROUP BY d)"""
+
+  private[graft] lazy val minHashPairsSql: String = minHashPairsSqlOver("documents")
+
+  /** Ordered double dot product over the first n dims — mirrors
+    * graft_array_dot's left-to-right summation. */
+  /** Shared oracle fragment: the q142 JL sign projection — md5-parity
+    * ±1 per (j, d), one double dot per output coordinate cast to
+    * FLOAT, mirroring Similarity.jlProject bit-for-bit. */
+  private[graft] def jlProjSql(vecExpr: String, outDims: Int, dims: Int): String =
+    s"""list_transform(range($outDims), j ->
+          CAST(list_sum(list_transform(range($dims), d ->
+            (CASE WHEN ('0x' || substr(md5('jl-' || j || '-' || d), 1, 15))::BIGINT % 2 = 1
+                  THEN 1.0 ELSE -1.0 END)
+            * $vecExpr[CAST(d + 1 AS INTEGER)]::DOUBLE)) AS FLOAT))"""
+
+  private[graft] def dotSqlN(va: String, vb: String, n: Int): String =
+    s"""list_sum(list_transform(range($n), d ->
+         $va[CAST(d + 1 AS INTEGER)]::DOUBLE * $vb[CAST(d + 1 AS INTEGER)]::DOUBLE))"""
+
+  /** Shared oracle fragment: rounded cosine between two 64-dim FLOAT[]
+    * columns — same double math and summation order as Similarity. */
+  private[graft] def cosSql(va: String, vb: String): String =
+    s"""round(
+         list_sum(list_transform(range(64), d ->
+           $va[CAST(d + 1 AS INTEGER)]::DOUBLE * $vb[CAST(d + 1 AS INTEGER)]::DOUBLE)) /
+         (sqrt(list_sum(list_transform($va, x -> x::DOUBLE * x::DOUBLE))) *
+          sqrt(list_sum(list_transform($vb, x -> x::DOUBLE * x::DOUBLE)))), 6)"""
+
+
+  /** Shared q166/q168 oracle: the batch windowed funnel and its
+    * streaming stateful replay must produce the SAME per-step rows
+    * (the q120/q148 twin contract under per-step deadlines). */
+  private[graft] val windowedFunnelOracleSql: String =
+    """WITH e AS (SELECT user_id AS u,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                         event_type AS typ
+                  FROM events),
+       c0 AS (SELECT u, min(sec) AS m0 FROM e WHERE typ = 'signup' GROUP BY u),
+       c1 AS (SELECT e.u, min(sec) AS m1 FROM e JOIN c0 USING (u)
+              WHERE typ = 'view' AND sec > m0 AND sec <= m0 + 172800
+              GROUP BY e.u),
+       c2 AS (SELECT e.u, min(sec) AS m2 FROM e JOIN c1 USING (u)
+              WHERE typ = 'click' AND sec > m1 AND sec <= m1 + 172800
+              GROUP BY e.u),
+       c3 AS (SELECT e.u, min(sec) AS m3 FROM e JOIN c2 USING (u)
+              WHERE typ = 'purchase' AND sec > m2 AND sec <= m2 + 172800
+              GROUP BY e.u),
+       n AS (SELECT (SELECT count(*) FROM c0) AS n0,
+                    (SELECT count(*) FROM c1) AS n1,
+                    (SELECT count(*) FROM c2) AS n2,
+                    (SELECT count(*) FROM c3) AS n3)
+       SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+              CAST(CASE WHEN n0 > 0 THEN n_users * 1000000 // n0 END
+                   AS BIGINT) AS conversion_ppm
+       FROM (SELECT 0 AS step_idx, 'signup' AS step, n0 AS n_users, n0 FROM n
+             UNION ALL SELECT 1, 'view', n1, n0 FROM n
+             UNION ALL SELECT 2, 'click', n2, n0 FROM n
+             UNION ALL SELECT 3, 'purchase', n3, n0 FROM n)
+       ORDER BY step_idx"""
+
+  /** Shared q120/q148 oracle: the batch funnel and the streaming
+    * stateful replay must produce the SAME per-step rows. */
+  private[graft] val funnelOracleSql: String =
+    """WITH m AS (SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'signup') AS m0,
+               min(ts) FILTER (WHERE event_type = 'view') AS m1,
+               min(ts) FILTER (WHERE event_type = 'click') AS m2,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS m3
+             FROM events GROUP BY user_id),
+         c AS (SELECT
+               count(*) FILTER (WHERE m0 IS NOT NULL) AS c0,
+               count(*) FILTER (WHERE m0 IS NOT NULL AND m0 < m1) AS c1,
+               count(*) FILTER (WHERE m0 IS NOT NULL AND m0 < m1
+                                  AND m1 < m2) AS c2,
+               count(*) FILTER (WHERE m0 IS NOT NULL AND m0 < m1
+                                  AND m1 < m2 AND m2 < m3) AS c3
+             FROM m),
+         s(step_idx, step) AS (VALUES (1, 'signup'), (2, 'view'),
+                                      (3, 'click'), (4, 'purchase')),
+         l AS (SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+                      CAST(CASE step_idx WHEN 1 THEN c0 WHEN 2 THEN c1
+                           WHEN 3 THEN c2 ELSE c3 END AS BIGINT) AS n_users,
+                      CAST(c0 AS BIGINT) AS base
+               FROM c CROSS JOIN s)
+         SELECT step_idx, step, n_users,
+                CASE WHEN base > 0 THEN n_users * 1000000 // base END
+                  AS conversion_ppm
+         FROM l ORDER BY step_idx"""
+
+
+  /** The q235 vocab as a DuckDB list literal — generated from the SAME
+    * Scala constant [[ScaleFixture.vocab]] the writer builds text from. */
+  private[graft] lazy val fixtureVocabSql: String =
+    ScaleFixture.vocab.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Shared q209/q212 oracle: the batch EWMA fold and its streaming
+    * type-keyed replay must produce the SAME per-day rows — the
+    * identical integer recurrence walked as a recursive CTE. */
+  private[graft] val ewmaOracleSql: String = """
+         WITH RECURSIVE daily AS (
+           SELECT CAST(event_type AS VARCHAR) AS typ, ts::DATE AS day,
+                  CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         ord AS (SELECT typ, day, v,
+                        CAST(row_number() OVER (PARTITION BY typ
+                          ORDER BY day) AS BIGINT) AS i
+                 FROM daily),
+         rec AS (
+           SELECT typ, day, v, i,
+                  v * 1000000 AS s, CAST(0 AS BIGINT) AS dev
+           FROM ord WHERE i = 1
+           UNION ALL
+           SELECT o.typ, o.day, o.v, o.i,
+                  300000 * o.v + (1000000 - 300000) * r.s // 1000000,
+                  o.v * 1000000 - r.s
+           FROM ord o JOIN rec r ON o.typ = r.typ AND o.i = r.i + 1)
+         SELECT typ AS event_type, CAST(day AS VARCHAR) AS day, v,
+                CAST(s AS BIGINT) AS ewma_micro,
+                CAST(dev AS BIGINT) AS dev_micro
+         FROM rec ORDER BY event_type, day"""
+
+  /** Shared q174/q180 oracle: the batch gap histogram and its
+    * streaming stateful replay must produce the SAME bucket rows. */
+  private[graft] val eventGapsOracleSql: String =
+    """WITH e AS (SELECT user_id AS u,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                         event_type AS typ
+                  FROM events),
+       g AS (SELECT sec - lag(sec) OVER (PARTITION BY u
+               ORDER BY sec, typ) AS gap
+             FROM e)
+       SELECT CASE WHEN gap = 0 THEN 0
+                   ELSE CAST(length(bin(gap)) AS BIGINT) END AS bucket,
+              CAST(count(*) AS BIGINT) AS n_gaps,
+              CAST(min(gap) AS BIGINT) AS min_gap_secs,
+              CAST(max(gap) AS BIGINT) AS max_gap_secs
+       FROM g WHERE gap IS NOT NULL
+       GROUP BY 1 ORDER BY 1"""
+
+  /** q176 oracle fragment: the power-iteration CTEs p0…p<iters>,
+    * unrolled mechanically from the same iteration count the Spark
+    * loop uses. Mirrors stationaryDistribution exactly: uniform start
+    * with the remainder pinned to the smallest state, per-edge
+    * `π·c div r` contributions, absorbing states hold their mass. */
+  private[graft] def stationaryCtesSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"p${i - 1}"
+      s"""in$i AS (SELECT tr.tt AS typ,
+                      CAST(sum(p.pi * tr.c // rs.r) AS BIGINT) AS v
+               FROM $prev p JOIN tr ON p.typ = tr.ft
+                    JOIN rs ON tr.ft = rs.ft
+               GROUP BY 1),
+         ab$i AS (SELECT p.typ, p.pi FROM $prev p
+                  WHERE NOT EXISTS (SELECT 1 FROM rs WHERE rs.ft = p.typ)),
+         p$i AS (SELECT st.typ,
+                        CAST(coalesce(i.v, 0) + coalesce(a.pi, 0)
+                          AS BIGINT) AS pi
+                 FROM st LEFT JOIN in$i i ON st.typ = i.typ
+                         LEFT JOIN ab$i a ON st.typ = a.typ)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT user_id AS u, ts, event_id AS eid,
+                          event_type AS typ
+                   FROM events),
+         pr AS (SELECT typ AS ft, lead(typ) OVER (PARTITION BY u
+                  ORDER BY ts, eid) AS tt FROM e),
+         tr AS (SELECT ft, tt, CAST(count(*) AS BIGINT) AS c
+                FROM pr WHERE tt IS NOT NULL GROUP BY 1, 2),
+         rs AS (SELECT ft, CAST(sum(c) AS BIGINT) AS r FROM tr GROUP BY 1),
+         st AS (SELECT DISTINCT typ FROM e),
+         sm AS (SELECT CAST(count(*) AS BIGINT) AS s, min(typ) AS m FROM st),
+         p0 AS (SELECT st.typ,
+                       CAST(1000000 // s + CASE WHEN st.typ = m
+                         THEN 1000000 - s * (1000000 // s)
+                         ELSE 0 END AS BIGINT) AS pi
+                FROM st CROSS JOIN sm),
+         $iterCtes
+         SELECT st.typ AS event_type,
+                CAST(coalesce(rs.r, 0) AS BIGINT) AS n_out,
+                p.pi AS pi_ppm
+         FROM st LEFT JOIN rs ON st.typ = rs.ft
+                 JOIN p$iters p ON st.typ = p.typ
+         ORDER BY event_type"""
+  }
+
+  /** q138/q146 shared oracle fragment: the exact-integer Lloyd
+    * iteration CTEs, unrolled mechanically from the same (k, iters)
+    * the Spark calls use (the minHashCoeffsSql pattern: one set of
+    * constants drives both sides). Mirrors kmeansFit exactly:
+    * offset-micro quantization, bottom-k-by-md5 seeding, exact-integer
+    * argmin with smaller-cell ties, `sum // n` centroid update with
+    * empty-cell carry. Final trained centroids live in CTE
+    * `c<iters>`. */
+  private[graft] def kmeansCtesSql(k: Int, iters: Int, dims: Int,
+      source: String = "embeddings"): String = {
+    def iterCtes(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""d$i AS (SELECT q.id, c.cell,
+                sum((q.qv[CAST(c.d + 1 AS INTEGER)] - c.c)
+                    * (q.qv[CAST(c.d + 1 AS INTEGER)] - c.c)) AS d2
+              FROM q CROSS JOIN $prev c GROUP BY q.id, c.cell),
+         a$i AS (SELECT id, cell FROM (
+                  SELECT id, cell,
+                         row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rn
+                  FROM d$i) WHERE rn = 1),
+         s$i AS (SELECT a.cell, dd.d,
+                        sum(q.qv[CAST(dd.d + 1 AS INTEGER)]) AS s, count(*) AS n
+              FROM q JOIN a$i a USING (id)
+              CROSS JOIN (SELECT CAST(unnest(range($dims)) AS BIGINT) AS d) dd
+              GROUP BY a.cell, dd.d),
+         c$i AS (SELECT p.cell, p.d, CAST(coalesce(s.s // s.n, p.c) AS BIGINT) AS c
+              FROM $prev p LEFT JOIN s$i s ON p.cell = s.cell AND p.d = s.d)"""
+    }
+    s"""q AS (SELECT vec_id AS id,
+              list_transform(range($dims), d ->
+                CAST(round((embedding[CAST(d + 1 AS INTEGER)]::DOUBLE + 1.0) * 1e6) AS BIGINT)) AS qv
+            FROM $source),
+       sd AS (SELECT id, qv,
+                row_number() OVER (ORDER BY
+                  ('0x' || substr(md5('kmseed:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT,
+                  id) - 1 AS cell
+              FROM q),
+       c0 AS (SELECT CAST(sd.cell AS BIGINT) AS cell, CAST(dd.d AS BIGINT) AS d,
+                     qv[CAST(dd.d + 1 AS INTEGER)] AS c
+              FROM sd CROSS JOIN (SELECT unnest(range($dims)) AS d) dd
+              WHERE sd.cell < $k),
+       ${(1 to iters).map(iterCtes).mkString(",\n       ")}"""
+  }
+
+  /** q138 oracle generator — kmeans CTEs + final assignment stats. */
+  private[graft] def kmeansOracleSql(k: Int, iters: Int, dims: Int): String = {
+    s"""WITH ${kmeansCtesSql(k, iters, dims)},
+       dF AS (SELECT q.id, c.cell,
+                sum((q.qv[CAST(c.d + 1 AS INTEGER)] - c.c)
+                    * (q.qv[CAST(c.d + 1 AS INTEGER)] - c.c)) AS d2
+              FROM q CROSS JOIN c$iters c GROUP BY q.id, c.cell),
+       aF AS (SELECT id, cell, d2 FROM (
+                SELECT id, cell, d2,
+                       row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rn
+                FROM dF) WHERE rn = 1),
+       st AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+                     CAST(sum(d2) AS BIGINT) AS sum_d2
+              FROM aF GROUP BY cell)
+       SELECT c.cell, c.d, c.c,
+              coalesce(st.n_vectors, 0) AS n_vectors,
+              coalesce(st.sum_d2, 0) AS sum_d2
+       FROM c$iters c LEFT JOIN st USING (cell)
+       ORDER BY c.cell, c.d"""
+  }
+}

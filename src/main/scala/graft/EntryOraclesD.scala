@@ -1,0 +1,1956 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+/** DuckDB oracle SQL, part D — see [[SparkEntry.oracleSql]].
+  * Part of the registry split (round 10). */
+private[graft] trait EntryOraclesD extends EntryOraclesC {
+  private[graft] def oraclesPartD: Map[String, String] = Map(
+    // Linear attribution: per-conversion per-channel touch counts via
+    // FILTERed windows (the frame excludes same-ms rows, the q153
+    // convention), credit = n_c * (1e6 // nt) with the remainder to
+    // the last touch, unpivoted through literal UNION arms.
+    "q175_linear_attribution" ->
+      """WITH t AS (SELECT user_id AS u, event_type AS typ,
+                count(*) FILTER (WHERE event_type = 'signup') OVER pw AS n0,
+                count(*) FILTER (WHERE event_type = 'view') OVER pw AS n1,
+                count(*) FILTER (WHERE event_type = 'click') OVER pw AS n2,
+                max(CASE WHEN event_type IN ('signup', 'view', 'click')
+                         THEN lpad(CAST(epoch_ms(ts) AS VARCHAR), 20, '0')
+                              || '#' || event_type END) OVER pw AS lastt
+              FROM events
+              WINDOW pw AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         c AS (SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+                      CAST(n2 AS BIGINT) AS n2,
+                      CAST(n0 + n1 + n2 AS BIGINT) AS nt,
+                      split_part(lastt, '#', 2) AS lastch
+               FROM t WHERE typ = 'purchase'),
+         arms AS (
+           SELECT 'signup' AS channel, n0 AS touches,
+                  CASE WHEN nt = 0 THEN 0
+                       ELSE n0 * (1000000 // nt) +
+                            CASE WHEN lastch = 'signup'
+                                 THEN 1000000 - nt * (1000000 // nt)
+                                 ELSE 0 END END AS credit FROM c
+           UNION ALL
+           SELECT 'view', n1,
+                  CASE WHEN nt = 0 THEN 0
+                       ELSE n1 * (1000000 // nt) +
+                            CASE WHEN lastch = 'view'
+                                 THEN 1000000 - nt * (1000000 // nt)
+                                 ELSE 0 END END FROM c
+           UNION ALL
+           SELECT 'click', n2,
+                  CASE WHEN nt = 0 THEN 0
+                       ELSE n2 * (1000000 // nt) +
+                            CASE WHEN lastch = 'click'
+                                 THEN 1000000 - nt * (1000000 // nt)
+                                 ELSE 0 END END FROM c
+           UNION ALL
+           SELECT 'none', CAST(0 AS BIGINT),
+                  CASE WHEN nt = 0 THEN 1000000 ELSE 0 END FROM c),
+         g AS (SELECT channel,
+                      CAST(count(*) FILTER (WHERE credit > 0) AS BIGINT)
+                        AS n_conversions,
+                      CAST(sum(touches) AS BIGINT) AS touches,
+                      CAST(sum(credit) AS BIGINT) AS credit_ppm
+               FROM arms GROUP BY 1),
+         tot AS (SELECT CAST(sum(credit) // 1000000 AS BIGINT) AS t
+                 FROM arms)
+         SELECT channel, n_conversions, touches, credit_ppm,
+                CASE WHEN t > 0 THEN credit_ppm // t ELSE 0 END AS share_ppm
+         FROM g CROSS JOIN tot
+         WHERE touches > 0 OR credit_ppm > 0
+         ORDER BY channel""",
+    // Stationary distribution: the power iteration unrolled to the
+    // same `stationaryIters` the Spark loop uses; per-edge
+    // pi*c // r truncation (nonnegative, so // == div), absorbing
+    // states hold their mass via the NOT EXISTS arm.
+    "q176_stationary_distribution" -> stationaryCtesSql(stationaryIters),
+    // Weighted sample: A-ES in log space; the negated cost keeps the
+    // numerator nonnegative so // == div; same salted 60-bit hash,
+    // same single-ln libm caveat as q67/q170.
+    "q177_weighted_sample" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+                ('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)),
+                  1, 15))::BIGINT % 1000000 + 1 AS u
+              FROM documents WHERE n_chars > 0),
+         c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                      (-CAST(round(ln(u / 1000000.0) * 1e6) AS BIGINT))
+                        * 1000 // n_chars AS cost_nano
+               FROM s)
+         SELECT doc_id, weight, CAST(cost_nano AS BIGINT) AS cost_nano
+         FROM c ORDER BY cost_nano, doc_id LIMIT 100""",
+    // Tokenizer fertility: the q161 trained-encode chain joined back
+    // to language, rolled up with exact-integer ppm ratios.
+    "q178_bpe_fertility" ->
+      s"""WITH ${bpeTrainCtesSql(10)},
+         a0 AS (SELECT doc_id,
+                       regexp_replace(text, '([^ ])', chr(1) || '\\1' || chr(1), 'g') AS enc
+                FROM documents),
+         ${(1 to 10).map(i =>
+            s"""a$i AS (SELECT doc_id,
+                   replace(enc, chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+                           chr(1) || m.l || m.r || chr(1)) AS enc
+                 FROM a${i - 1}, m$i m)""").mkString(",\n         ")},
+         tka AS (SELECT doc_id,
+                        list_filter(string_split(
+                          replace(replace(enc, chr(1) || chr(1), ' '), chr(1), ''),
+                          ' '), x -> x <> '') AS toks
+                 FROM a10),
+         j AS (SELECT d.lang, CAST(length(d.text) AS BIGINT) AS nch,
+                      CAST(len(list_filter(string_split(d.text, ' '),
+                        x -> x <> '')) AS BIGINT) AS nws,
+                      CAST(len(t.toks) AS BIGINT) AS ntk
+               FROM documents d JOIN tka t USING (doc_id))
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nch) AS BIGINT) AS n_chars,
+                CAST(sum(nws) AS BIGINT) AS n_ws_tokens,
+                CAST(sum(ntk) AS BIGINT) AS n_tokens,
+                CASE WHEN sum(ntk) > 0
+                     THEN CAST(sum(nch) * 1000000 // sum(ntk) AS BIGINT)
+                     ELSE 0 END AS chars_per_token_ppm,
+                CASE WHEN sum(nws) > 0
+                     THEN CAST(sum(ntk) * 1000000 // sum(nws) AS BIGINT)
+                     ELSE 0 END AS fertility_ppm
+         FROM j GROUP BY lang ORDER BY lang""",
+    // k-anonymity: quasi-tuple class sizes, the violating mass and
+    // the smallest class; NULL quasi-values group together in both
+    // engines.
+    "q179_k_anonymity" ->
+      """WITH q AS (SELECT lang, source, n_chars // 100 AS len_bucket
+                    FROM documents),
+         g AS (SELECT lang, source, len_bucket,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM q GROUP BY 1, 2, 3),
+         a AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                      CAST(count(*) AS BIGINT) AS n_groups,
+                      CAST(coalesce(sum(c) FILTER (WHERE c < 5), 0)
+                        AS BIGINT) AS n_violating_rows,
+                      CAST(count(*) FILTER (WHERE c < 5) AS BIGINT)
+                        AS n_violating_groups,
+                      CAST(min(c) AS BIGINT) AS min_group
+               FROM g)
+         SELECT n_rows, n_groups, CAST(5 AS BIGINT) AS k,
+                n_violating_groups, n_violating_rows, min_group,
+                CASE WHEN n_rows > 0
+                     THEN n_violating_rows * 1000000 // n_rows
+                     ELSE 0 END AS violating_ppm
+         FROM a""",
+    // Equi-depth histogram: position p -> bucket (p-1)*b // n; a
+    // value class spans buckets via generate_series, per-bucket count
+    // = exact interval overlap; all numerators nonnegative.
+    "q181_equi_depth_histogram" ->
+      """WITH q AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+                    FROM events WHERE value IS NOT NULL),
+         h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY 1),
+         w AS (SELECT v, c,
+                      CAST(coalesce(sum(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS below
+               FROM h),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+         x0 AS (SELECT v, c, below, n,
+                       generate_series(below * 8 // n,
+                         (below + c - 1) * 8 // n) AS bs
+                FROM w CROSS JOIN t),
+         x AS (SELECT v, c, below, n, unnest(bs) AS bucket FROM x0),
+         y AS (SELECT v, bucket,
+                      least(below + c, (bucket * n + n + 7) // 8) -
+                      greatest(below + 1, (bucket * n + 7) // 8 + 1) + 1 AS k
+               FROM x)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                CAST(sum(k) AS BIGINT) AS n_rows,
+                CAST(min(v) AS BIGINT) AS min_value,
+                CAST(max(v) AS BIGINT) AS max_value
+         FROM y WHERE k > 0 GROUP BY 1 ORDER BY 1""",
+    // Maintained key stats: the oracle computes entropy + Gini
+    // DIRECTLY over the new snapshot — the hash compare is the
+    // delta≡rebuild gate for the maintained diagnostics state.
+    "q182_key_stats_nightly" ->
+      """WITH nsnap AS (SELECT CASE WHEN event_id % 10 = 5
+                               THEN user_id + 1000000
+                               ELSE user_id END AS user_id
+                        FROM events WHERE event_id % 10 <> 7),
+         c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM nsnap GROUP BY 1),
+         a AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                      CAST(count(*) AS BIGINT) AS n_keys,
+                      CAST(sum(c * CAST(round(ln(c) * 1e6) AS BIGINT))
+                        AS BIGINT) AS t
+               FROM c),
+         cc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY 1),
+         w AS (SELECT c, m,
+                      CAST(coalesce(sum(m) OVER (ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS r0
+               FROM cc),
+         g AS (SELECT CAST(sum(c * (m * r0 + m * (m + 1) // 2))
+                        AS BIGINT) AS s
+               FROM w)
+         SELECT a.n_rows, a.n_keys,
+                CAST(round(ln(a.n_rows) * 1e6) AS BIGINT) - a.t // a.n_rows
+                  AS entropy_micro,
+                CAST(round(ln(a.n_keys) * 1e6) AS BIGINT)
+                  AS max_entropy_micro,
+                CASE WHEN CAST(round(ln(a.n_keys) * 1e6) AS BIGINT) > 0
+                     THEN (CAST(round(ln(a.n_rows) * 1e6) AS BIGINT)
+                           - a.t // a.n_rows) * 1000000
+                          // CAST(round(ln(a.n_keys) * 1e6) AS BIGINT)
+                     ELSE 1000000 END AS balance_ppm,
+                CASE WHEN a.n_rows <= 0 OR a.n_keys <= 1 THEN 0
+                     ELSE (2 * g.s - (a.n_keys + 1) * a.n_rows) * 1000000
+                          // (a.n_keys * a.n_rows) END AS gini_ppm
+         FROM a CROSS JOIN g""",
+    // Edit-distance join: deletion-neighborhood candidates (a string
+    // plus its delete-one variants, hashed 60-bit) equi-joined, then
+    // the exact levenshtein verify — identical classic DP in both
+    // engines. unnest stands on its own level (the q181 binder note).
+    "q183_edit_distance_join" ->
+      """WITH l AS (SELECT c_custkey AS lid, c_name AS ls FROM customer),
+         r AS (SELECT c_custkey AS rid,
+                      CASE WHEN c_custkey % 7 = 3 THEN c_name || 'x'
+                           ELSE c_name END AS rs
+               FROM customer),
+         lv1 AS (SELECT lid, ls, list_prepend(ls,
+                   [substr(ls, 1, i - 1) || substr(ls, i + 1)
+                    FOR i IN generate_series(1, length(ls))]) AS vs
+                 FROM l),
+         lv2 AS (SELECT lid, ls, unnest(vs) AS v FROM lv1),
+         lv AS (SELECT DISTINCT lid, ls,
+                       ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+                FROM lv2),
+         rv1 AS (SELECT rid, rs, list_prepend(rs,
+                   [substr(rs, 1, i - 1) || substr(rs, i + 1)
+                    FOR i IN generate_series(1, length(rs))]) AS vs
+                 FROM r),
+         rv2 AS (SELECT rid, rs, unnest(vs) AS v FROM rv1),
+         rv AS (SELECT DISTINCT rid, rs,
+                       ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+                FROM rv2),
+         cand AS (SELECT DISTINCT lid, rid, ls, rs
+                  FROM lv JOIN rv USING (h) WHERE lid <> rid)
+         SELECT lid AS left_id, rid AS right_id,
+                ls AS left_str, rs AS right_str,
+                CAST(levenshtein(ls, rs) AS BIGINT) AS distance
+         FROM cand WHERE levenshtein(ls, rs) <= 1
+         ORDER BY left_id, right_id""",
+    // Stickiness: sliding distinct via the user-day rollup spread to
+    // its 28 target days; week/month split read off the offset.
+    "q184_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, ts::DATE AS day
+                     FROM events),
+         dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                 FROM ud GROUP BY 1),
+         os AS (SELECT CAST(unnest(generate_series(0, 27)) AS INTEGER) AS o),
+         t AS (SELECT u, o, day + o AS d FROM ud CROSS JOIN os),
+         w AS (SELECT d AS day,
+                      CAST(count(DISTINCT CASE WHEN o <= 6 THEN u END)
+                        AS BIGINT) AS wau,
+                      CAST(count(DISTINCT u) AS BIGINT) AS mau
+               FROM t GROUP BY 1)
+         SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, w.wau, w.mau,
+                dau.dau * 1000000 // w.wau AS stickiness_ppm
+         FROM dau JOIN w USING (day) ORDER BY day""",
+    // Center crop: the synthesized raster byte i is text byte i
+    // (zero-filled past the text), so the crop checksum mirrors as
+    // index arithmetic — the q31/q167 blob-mirroring convention.
+    "q185_image_crop" ->
+      """WITH m AS (SELECT doc_id, text, strlen(text) AS len,
+                           strlen(text) % 13 + 2 AS w,
+                           strlen(text) % 7 + 2 AS h
+                    FROM documents),
+         c AS (SELECT doc_id, text, len, w, h,
+                      least(4, w) AS cw, least(4, h) AS ch,
+                      (w - least(4, w)) // 2 AS x0,
+                      (h - least(4, h)) // 2 AS y0
+               FROM m),
+         ys AS (SELECT doc_id, text, len, w, h, cw, ch, x0, y0,
+                       unnest(range(ch)) AS dy
+                FROM c),
+         js AS (SELECT doc_id, text, len, w, h, cw, ch,
+                       ((y0 + dy) * w + x0) * 3 AS base,
+                       unnest(range(cw * 3)) AS j
+                FROM ys),
+         px AS (SELECT doc_id, w, h, cw, ch,
+                       CASE WHEN base + j < len
+                            THEN ord(substr(text,
+                              CAST(base + j AS INTEGER) + 1, 1))
+                            ELSE 0 END AS v
+                FROM js)
+         SELECT doc_id, CAST(w AS BIGINT) AS width,
+                CAST(h AS BIGINT) AS height,
+                CAST(cw AS BIGINT) AS crop_w, CAST(ch AS BIGINT) AS crop_h,
+                CAST(sum(v) AS BIGINT) AS px_checksum
+         FROM px GROUP BY doc_id, w, h, cw, ch ORDER BY doc_id""",
+    // Weekday-adjusted z: per-(key, weekday) group stats, exact
+    // integer numerator, one sqrt + one divide rounded to 6 (the
+    // q123 bit-identical-IEEE convention); DuckDB dayofweek + 1.
+    "q186_weekday_zscore" ->
+      """WITH daily AS (SELECT event_type AS key, ts::DATE AS d,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+         gd AS (SELECT key, d, n,
+                       CAST(dayofweek(d) + 1 AS BIGINT) AS g
+                FROM daily),
+         st AS (SELECT key, d, g, n,
+                       CAST(count(*) OVER pw AS BIGINT) AS ng,
+                       CAST(sum(n) OVER pw AS BIGINT) AS s,
+                       CAST(sum(n * n) OVER pw AS BIGINT) AS ss
+                FROM gd
+                WINDOW pw AS (PARTITION BY key, g)),
+         z AS (SELECT key, CAST(d AS VARCHAR) AS day, g AS weekday, n,
+                      CASE WHEN ng >= 2 AND ss * ng - s * s > 0
+                           THEN round((n * ng - s) / sqrt(ss * ng - s * s), 6)
+                           END AS z
+               FROM st)
+         SELECT key, day, weekday, n, z,
+                coalesce(abs(z) >= 3.0, false) AS anomaly
+         FROM z ORDER BY key, day""",
+    // Benford: the same Scala constants unroll to the VALUES list;
+    // first digit off the decimal string, never a float log10.
+    "q187_benford_audit" -> s"""
+         WITH exp AS (SELECT * FROM (VALUES ${
+           graft.operators.Analytics.benfordExpectedPpm
+             .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+         }) AS t(digit, expected_ppm)),
+         q AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS a
+               FROM lineitem),
+         dg AS (SELECT CAST(substr(CAST(a AS VARCHAR), 1, 1) AS BIGINT)
+                  AS digit
+                FROM q WHERE a > 0),
+         c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+               FROM dg GROUP BY 1),
+         t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tt FROM c),
+         j AS (SELECT e.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+                      CASE WHEN t.tt > 0
+                           THEN coalesce(c.n, 0) * 1000000 // t.tt
+                           ELSE 0 END AS observed_ppm,
+                      CAST(e.expected_ppm AS BIGINT) AS expected_ppm
+               FROM exp e LEFT JOIN c ON e.digit = c.digit CROSS JOIN t)
+         SELECT CAST(digit AS BIGINT) AS digit, n, observed_ppm,
+                expected_ppm,
+                abs(observed_ppm - expected_ppm) AS deviation_ppm
+         FROM j ORDER BY digit""",
+    // Funnel step latency: the q166 resolved-times chain, gaps per
+    // consecutive pair, then the q169 histogram-prefix percentile
+    // lookup per pair.
+    "q188_funnel_latency" ->
+      """WITH e AS (SELECT user_id AS u,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                           event_type AS typ
+                    FROM events),
+         c0 AS (SELECT u, min(sec) AS m0 FROM e WHERE typ = 'signup'
+                GROUP BY u),
+         c1 AS (SELECT e.u, min(sec) AS m1 FROM e JOIN c0 USING (u)
+                WHERE typ = 'view' AND sec > m0 AND sec <= m0 + 172800
+                GROUP BY e.u),
+         c2 AS (SELECT e.u, min(sec) AS m2 FROM e JOIN c1 USING (u)
+                WHERE typ = 'click' AND sec > m1 AND sec <= m1 + 172800
+                GROUP BY e.u),
+         c3 AS (SELECT e.u, min(sec) AS m3 FROM e JOIN c2 USING (u)
+                WHERE typ = 'purchase' AND sec > m2 AND sec <= m2 + 172800
+                GROUP BY e.u),
+         g AS (SELECT 'signup->view' AS pair, m1 - m0 AS gap
+               FROM c1 JOIN c0 USING (u)
+               UNION ALL
+               SELECT 'view->click', m2 - m1 FROM c2 JOIN c1 USING (u)
+               UNION ALL
+               SELECT 'click->purchase', m3 - m2 FROM c3 JOIN c2 USING (u)),
+         h AS (SELECT pair, gap, CAST(count(*) AS BIGINT) AS c
+               FROM g GROUP BY 1, 2),
+         w AS (SELECT pair, gap, c,
+                      CAST(coalesce(sum(c) OVER (PARTITION BY pair
+                        ORDER BY gap
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS below
+               FROM h),
+         t AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n
+               FROM h GROUP BY pair),
+         p AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS pct)
+         SELECT w.pair, p.pct, w.gap AS gap_secs
+         FROM w JOIN t USING (pair) CROSS JOIN p
+         WHERE below < (pct * n + 99) // 100
+           AND (pct * n + 99) // 100 <= below + c
+         ORDER BY pair, pct""",
+    // Weekly retention: ISO Monday weeks in both engines; date
+    // subtraction yields days, always a multiple of 7 here.
+    "q189_weekly_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+                            CAST(date_trunc('week', ts) AS DATE) AS wk
+                     FROM events),
+         ch AS (SELECT u, min(wk) AS cw FROM uw GROUP BY u),
+         sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+                FROM ch GROUP BY cw),
+         act AS (SELECT ch.cw, CAST((uw.wk - ch.cw) // 7 AS BIGINT)
+                        AS week_offset,
+                        CAST(count(*) AS BIGINT) AS n_active
+                 FROM uw JOIN ch USING (u) GROUP BY 1, 2)
+         SELECT CAST(act.cw AS VARCHAR) AS cohort_week, act.week_offset,
+                act.n_active, sz.cohort_size,
+                act.n_active * 1000000 // sz.cohort_size AS retention_ppm
+         FROM act JOIN sz USING (cw)
+         ORDER BY cohort_week, week_offset""",
+    // Fulfillment latency: order->ship day gaps per priority through
+    // the q169 per-key percentile machinery; DATE minus DATE is days.
+    "q190_fulfillment_latency" ->
+      """WITH g AS (SELECT o.o_orderpriority AS k,
+                           CAST(l.l_shipdate::DATE - o.o_orderdate::DATE
+                             AS BIGINT) AS v
+                    FROM lineitem l
+                    JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         h AS (SELECT k, v, CAST(count(*) AS BIGINT) AS c
+               FROM g GROUP BY 1, 2),
+         w AS (SELECT k, v, c,
+                      CAST(coalesce(sum(c) OVER (PARTITION BY k ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS below
+               FROM h),
+         t AS (SELECT k, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY k),
+         p AS (SELECT CAST(unnest([25, 50, 75]) AS BIGINT) AS pct)
+         SELECT w.k AS o_orderpriority, p.pct, w.v AS days
+         FROM w JOIN t USING (k) CROSS JOIN p
+         WHERE below < (pct * n + 99) // 100
+           AND (pct * n + 99) // 100 <= below + c
+         ORDER BY o_orderpriority, pct""",
+    // CUBE: all four grouping combinations, grouping_id = bit order
+    // (returnflag, linestatus) in both engines.
+    "q191_cube" ->
+      """SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                  AS BIGINT) AS gid,
+                coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
+    // Session depth: the q35 gap-islands derivation, rolled into
+    // integer-log2 event-count buckets with span extremes.
+    "q192_session_depth" ->
+      """WITH m AS (SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+         g AS (SELECT user_id, ts,
+                      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m),
+         sess AS (SELECT user_id, sid,
+                         CAST(count(*) AS BIGINT) AS n_events,
+                         CAST(floor(epoch(max(ts))) AS BIGINT) -
+                           CAST(floor(epoch(min(ts))) AS BIGINT) AS span
+                  FROM g GROUP BY 1, 2)
+         SELECT CAST(length(bin(n_events)) AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(min(n_events) AS BIGINT) AS min_events,
+                CAST(max(n_events) AS BIGINT) AS max_events,
+                CAST(max(span) AS BIGINT) AS max_span_secs
+         FROM sess GROUP BY 1 ORDER BY 1""",
+    // WoW: weekly counts + lag delta in exact ppm; delta may be
+    // negative, but DuckDB // floors while Spark div truncates —
+    // (n - prev) and prev are both handled via the same // on a
+    // nonneg... see note: deltas CAN be negative, so mirror Spark's
+    // truncate-toward-zero with a sign split.
+    "q193_wow_metrics" ->
+      """WITH w AS (SELECT event_type,
+                           CAST(date_trunc('week', ts) AS DATE) AS wk,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, wk, n,
+                      lag(n) OVER (PARTITION BY event_type ORDER BY wk)
+                        AS prev
+               FROM w)
+         SELECT event_type, CAST(wk AS VARCHAR) AS week, n, prev,
+                CASE WHEN prev IS NULL OR prev <= 0 THEN NULL
+                     WHEN n >= prev THEN (n - prev) * 1000000 // prev
+                     ELSE -((prev - n) * 1000000 // prev) END
+                  AS wow_delta_ppm
+         FROM l ORDER BY event_type, week""",
+    // Cohort funnel: the q166 resolved chain bucketed by a PURE
+    // integer Monday-aligned week of m0 (no engine timezone in play).
+    "q194_cohort_funnel" ->
+      """WITH e AS (SELECT user_id AS u,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                           event_type AS typ
+                    FROM events),
+         c0 AS (SELECT u, min(sec) AS m0 FROM e WHERE typ = 'signup'
+                GROUP BY u),
+         c1 AS (SELECT e.u, min(sec) AS m1 FROM e JOIN c0 USING (u)
+                WHERE typ = 'view' AND sec > m0 AND sec <= m0 + 172800
+                GROUP BY e.u),
+         c2 AS (SELECT e.u, min(sec) AS m2 FROM e JOIN c1 USING (u)
+                WHERE typ = 'click' AND sec > m1 AND sec <= m1 + 172800
+                GROUP BY e.u),
+         c3 AS (SELECT e.u, min(sec) AS m3 FROM e JOIN c2 USING (u)
+                WHERE typ = 'purchase' AND sec > m2 AND sec <= m2 + 172800
+                GROUP BY e.u),
+         r AS (SELECT c0.u, c0.m0, c1.m1, c2.m2, c3.m3,
+                      DATE '1970-01-01' + CAST(4 + 7 *
+                        ((m0 // 86400 - 4) // 7) AS INTEGER) AS cw
+               FROM c0 LEFT JOIN c1 USING (u) LEFT JOIN c2 USING (u)
+                       LEFT JOIN c3 USING (u)),
+         g AS (SELECT cw, CAST(count(m0) AS BIGINT) AS n0,
+                      CAST(count(m1) AS BIGINT) AS n1,
+                      CAST(count(m2) AS BIGINT) AS n2,
+                      CAST(count(m3) AS BIGINT) AS n3
+               FROM r GROUP BY cw)
+         SELECT CAST(cw AS VARCHAR) AS cohort_week, step_idx, step,
+                n_users, n_users * 1000000 // n0 AS conversion_ppm
+         FROM (SELECT cw, 0 AS step_idx, 'signup' AS step,
+                      n0 AS n_users, n0 FROM g
+               UNION ALL SELECT cw, 1, 'view', n1, n0 FROM g
+               UNION ALL SELECT cw, 2, 'click', n2, n0 FROM g
+               UNION ALL SELECT cw, 3, 'purchase', n3, n0 FROM g)
+         ORDER BY cohort_week, step_idx""",
+    // A/B harness: same salted hash split, exact counts; z evaluates
+    // in the SAME left-assoc IEEE op order as the Spark chain
+    // ((X/N)*(N-X))*n_a)*n_b then sqrt then divide, round 6.
+    "q195_ab_test" ->
+      """WITH pu AS (SELECT CAST(user_id AS VARCHAR) AS u,
+                     CASE WHEN max(CASE WHEN event_type = 'purchase'
+                                        THEN 1 END) IS NULL THEN 0
+                          ELSE 1 END AS conv
+               FROM events GROUP BY 1),
+         a AS (SELECT ('0x' || substr(md5('ab:exp1:' || u), 1, 15))::BIGINT
+                        % 2 AS arm, conv
+               FROM pu),
+         arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(conv) AS BIGINT) AS x
+                  FROM a GROUP BY 1),
+         w AS (SELECT
+                 CAST(coalesce(sum(CASE WHEN arm = 0 THEN n END), 0)
+                   AS BIGINT) AS n_a,
+                 CAST(coalesce(sum(CASE WHEN arm = 0 THEN x END), 0)
+                   AS BIGINT) AS x_a,
+                 CAST(coalesce(sum(CASE WHEN arm = 1 THEN n END), 0)
+                   AS BIGINT) AS n_b,
+                 CAST(coalesce(sum(CASE WHEN arm = 1 THEN x END), 0)
+                   AS BIGINT) AS x_b
+               FROM arms),
+         z AS (SELECT n_a, x_a, n_b, x_b,
+                      x_a * 1000000 // n_a AS rate_a_ppm,
+                      x_b * 1000000 // n_b AS rate_b_ppm,
+                      CASE WHEN n_a > 0 AND n_b > 0
+                             AND x_a + x_b > 0
+                             AND x_a + x_b < n_a + n_b
+                           THEN round(
+                             CAST(x_a * n_b - x_b * n_a AS DOUBLE) /
+                             sqrt(CAST(x_a + x_b AS DOUBLE) /
+                                  CAST(n_a + n_b AS DOUBLE) *
+                                  CAST(n_a + n_b - x_a - x_b AS DOUBLE) *
+                                  CAST(n_a AS DOUBLE) *
+                                  CAST(n_b AS DOUBLE)), 6)
+                           END AS z
+               FROM w)
+         SELECT n_a, x_a, n_b, x_b, rate_a_ppm, rate_b_ppm, z,
+                coalesce(abs(z) >= 1.96, false) AS significant
+         FROM z""",
+    // Lorenz: the q181 bucket machinery with value mass v*overlap
+    // and a cumulative share; unnest on its own level (q181 note).
+    "q196_revenue_pareto" ->
+      """WITH rev AS (SELECT o.o_custkey,
+                             CAST(sum(CAST(round(l.l_extendedprice * 100)
+                               AS BIGINT)) AS BIGINT) AS v
+                      FROM orders o
+                      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                      GROUP BY 1),
+         h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM rev GROUP BY 1),
+         w AS (SELECT v, c,
+                      CAST(coalesce(sum(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS below
+               FROM h),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                      CAST(sum(v * c) AS BIGINT) AS tv FROM h),
+         x0 AS (SELECT v, c, below, n, tv,
+                       generate_series(below * 10 // n,
+                         (below + c - 1) * 10 // n) AS bs
+                FROM w CROSS JOIN t),
+         x AS (SELECT v, c, below, n, tv, unnest(bs) AS bucket FROM x0),
+         y AS (SELECT v, tv, bucket,
+                      least(below + c, (bucket * n + n + 9) // 10) -
+                      greatest(below + 1, (bucket * n + 9) // 10 + 1) + 1 AS k
+               FROM x),
+         pb AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+                       CAST(sum(k) AS BIGINT) AS n_rows,
+                       CAST(sum(v * k) AS BIGINT) AS value_sum,
+                       CAST(max(tv) AS BIGINT) AS tv
+                FROM y WHERE k > 0 GROUP BY 1),
+         cu AS (SELECT bucket, n_rows, value_sum,
+                       CAST(sum(value_sum) OVER (ORDER BY bucket
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, tv
+                FROM pb)
+         SELECT bucket, n_rows, value_sum,
+                CASE WHEN tv > 0 THEN cum * 1000000 // tv
+                     ELSE 0 END AS cum_value_ppm
+         FROM cu ORDER BY bucket""",
+    // Schema drift: the fixture's generation rules re-derived as null
+    // predicates; statuses/types are literal (the fixture IS the
+    // schema change).
+    "q197_schema_drift" ->
+      """WITH o AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN event_id IS NULL THEN 1 END)
+                 AS BIGINT) AS eid,
+               CAST(count(CASE WHEN user_id IS NULL THEN 1 END)
+                 AS BIGINT) AS uid,
+               CAST(count(CASE WHEN event_type IS NULL THEN 1 END)
+                 AS BIGINT) AS typ,
+               CAST(count(CASE WHEN event_id % 7 = 0 OR value IS NULL
+                 THEN 1 END) AS BIGINT) AS val,
+               CAST(count(CASE WHEN props IS NULL THEN 1 END)
+                 AS BIGINT) AS pr
+             FROM events),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN event_id IS NULL THEN 1 END)
+                 AS BIGINT) AS eid,
+               CAST(count(CASE WHEN event_id % 5 = 0 OR user_id IS NULL
+                 THEN 1 END) AS BIGINT) AS uid,
+               CAST(count(CASE WHEN event_type IS NULL THEN 1 END)
+                 AS BIGINT) AS typ,
+               CAST(count(CASE WHEN value IS NULL THEN 1 END)
+                 AS BIGINT) AS val,
+               CAST(count(CASE WHEN props IS NULL THEN 1 END)
+                 AS BIGINT) AS pr
+             FROM events)
+         SELECT * FROM (
+           SELECT 'event_id' AS "column", 'kept' AS status,
+                  'bigint' AS old_type, 'bigint' AS new_type,
+                  o.eid * 1000000 // o.n AS old_null_ppm,
+                  nn.eid * 1000000 // nn.n AS new_null_ppm
+           FROM o, nn
+           UNION ALL SELECT 'event_type', 'kept', 'string', 'string',
+                  o.typ * 1000000 // o.n, nn.typ * 1000000 // nn.n
+           FROM o, nn
+           UNION ALL SELECT 'extra', 'added', NULL, 'string',
+                  NULL, nn.pr * 1000000 // nn.n
+           FROM o, nn
+           UNION ALL SELECT 'legacy', 'removed', 'string', NULL,
+                  o.pr * 1000000 // o.n, NULL
+           FROM o, nn
+           UNION ALL SELECT 'user_id', 'kept', 'bigint', 'bigint',
+                  o.uid * 1000000 // o.n, nn.uid * 1000000 // nn.n
+           FROM o, nn
+           UNION ALL SELECT 'value', 'type_changed', 'double', 'string',
+                  o.val * 1000000 // o.n, nn.val * 1000000 // nn.n
+           FROM o, nn)
+         ORDER BY "column"""",
+    // Threshold sweep: the q23 candidate CTEs verified once in
+    // integer ppm; every threshold reads the same pair relation.
+    "q198_dedup_threshold_sweep" ->
+      s"""WITH $minHashPairsSql,
+         ws AS (SELECT doc_id,
+                       list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                FROM documents),
+         j AS (SELECT CAST(len(list_intersect(wa.ws, wb.ws)) AS BIGINT)
+                        * 1000000
+                        // CAST(len(list_distinct(wa.ws || wb.ws)) AS BIGINT)
+                        AS jppm
+               FROM pairs p
+               JOIN ws wa ON wa.doc_id = p.a
+               JOIN ws wb ON wb.doc_id = p.b
+               WHERE len(list_distinct(wa.ws || wb.ws)) > 0),
+         th AS (SELECT CAST(unnest([500000, 700000, 800000, 900000])
+                  AS BIGINT) AS threshold_ppm)
+         SELECT th.threshold_ppm,
+                CAST(count(CASE WHEN j.jppm >= th.threshold_ppm THEN 1 END)
+                  AS BIGINT) AS n_pairs
+         FROM th CROSS JOIN j GROUP BY 1 ORDER BY 1""",
+    // KS: both CDFs advance on ONE shared value histogram, the
+    // scaled gap |cumA*nB - cumB*nA| exact, smallest-v supremum.
+    "q199_ks_drift" ->
+      """WITH q AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+                    FROM documents
+                    WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL),
+         h AS (SELECT v,
+                      CAST(count(CASE WHEN g = 'en' THEN 1 END)
+                        AS BIGINT) AS ca,
+                      CAST(count(CASE WHEN g = 'de' THEN 1 END)
+                        AS BIGINT) AS cb
+               FROM q GROUP BY 1),
+         c AS (SELECT v,
+                      CAST(sum(ca) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+                      CAST(sum(cb) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+               FROM h),
+         t AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS na,
+                      CAST(coalesce(sum(cb), 0) AS BIGINT) AS nb
+               FROM h),
+         d AS (SELECT na, nb, abs(cuma * nb - cumb * na) AS d, v
+               FROM c CROSS JOIN t),
+         m AS (SELECT na, nb, d, v,
+                      row_number() OVER (ORDER BY d DESC, v ASC) AS rn
+               FROM d)
+         SELECT na AS n_a, nb AS n_b,
+                CASE WHEN na = 0 OR nb = 0 THEN 0
+                     ELSE d * 1000000 // (na * nb) END AS ks_ppm,
+                CAST(v AS BIGINT) AS at_value
+         FROM m WHERE rn = 1""",
+    // Health report: every fragment is the corresponding gated
+    // oracle reduced to its scalar, unioned long-format.
+    "q200_health_report" -> s"""
+         WITH c1 AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM events GROUP BY 1),
+         a1 AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                       CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(sum(c * CAST(round(ln(c) * 1e6) AS BIGINT))
+                         AS BIGINT) AS t
+                FROM c1),
+         cc2 AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM c1 GROUP BY 1),
+         w2 AS (SELECT c, m,
+                       CAST(coalesce(sum(m) OVER (ORDER BY c
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS BIGINT) AS r0
+                FROM cc2),
+         a2 AS (SELECT CAST(sum(c * m) AS BIGINT) AS n_rows,
+                       CAST(sum(m) AS BIGINT) AS n_keys,
+                       CAST(sum(c * (m * r0 + m * (m + 1) // 2))
+                         AS BIGINT) AS s2
+                FROM w2),
+         cf AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+         pf AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key
+                FROM orders WHERE o_orderkey IS NOT NULL),
+         ofk AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS orows
+                 FROM cf WHERE NOT EXISTS
+                   (SELECT 1 FROM pf WHERE pf.key = cf.key)),
+         bfk AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS crows
+                 FROM cf),
+         expb AS (SELECT * FROM (VALUES ${
+           graft.operators.Analytics.benfordExpectedPpm
+             .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+         }) AS t(digit, expected_ppm)),
+         qb AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS a
+                FROM lineitem),
+         dgb AS (SELECT CAST(substr(CAST(a AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit
+                 FROM qb WHERE a > 0),
+         cb AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                FROM dgb GROUP BY 1),
+         tb AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tt FROM cb),
+         jb AS (SELECT CASE WHEN tb.tt > 0
+                            THEN coalesce(cb.n, 0) * 1000000 // tb.tt
+                            ELSE 0 END AS observed_ppm,
+                       CAST(e.expected_ppm AS BIGINT) AS expected_ppm
+                FROM expb e LEFT JOIN cb ON e.digit = cb.digit
+                     CROSS JOIN tb),
+         qk AS (SELECT lang, source, n_chars // 100 AS len_bucket
+                FROM documents),
+         gk AS (SELECT lang, source, len_bucket,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM qk GROUP BY 1, 2, 3),
+         ak AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                       CAST(coalesce(sum(c) FILTER (WHERE c < 5), 0)
+                         AS BIGINT) AS vrows
+                FROM gk),
+         qs AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+                FROM documents
+                WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL),
+         hs AS (SELECT v,
+                       CAST(count(CASE WHEN g = 'en' THEN 1 END)
+                         AS BIGINT) AS ca,
+                       CAST(count(CASE WHEN g = 'de' THEN 1 END)
+                         AS BIGINT) AS cb2
+                FROM qs GROUP BY 1),
+         cs AS (SELECT v,
+                       CAST(sum(ca) OVER (ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+                       CAST(sum(cb2) OVER (ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+                FROM hs),
+         ts AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS na,
+                       CAST(coalesce(sum(cb2), 0) AS BIGINT) AS nb
+                FROM hs),
+         ds AS (SELECT na, nb, abs(cuma * nb - cumb * na) AS d
+                FROM cs CROSS JOIN ts),
+         mks AS (SELECT CASE WHEN max(na) = 0 OR max(nb) = 0 THEN 0
+                             ELSE max(d) * 1000000 // (max(na) * max(nb))
+                        END AS ksv
+                 FROM ds),
+         dup AS (SELECT (count(*) - count(DISTINCT md5(text)))
+                          * 1000000 // count(*) AS dv
+                 FROM documents)
+         SELECT metric, CAST(value AS BIGINT) AS value FROM (
+           SELECT 'key_balance_ppm' AS metric,
+                  CASE WHEN CAST(round(ln(n_keys) * 1e6) AS BIGINT) > 0
+                       THEN (CAST(round(ln(n_rows) * 1e6) AS BIGINT)
+                             - t // n_rows) * 1000000
+                            // CAST(round(ln(n_keys) * 1e6) AS BIGINT)
+                       ELSE 1000000 END AS value
+           FROM a1
+           UNION ALL
+           SELECT 'key_gini_ppm',
+                  CASE WHEN n_rows <= 0 OR n_keys <= 1 THEN 0
+                       ELSE (2 * s2 - (n_keys + 1) * n_rows) * 1000000
+                            // (n_keys * n_rows) END
+           FROM a2
+           UNION ALL
+           SELECT 'fk_orphan_ppm',
+                  CASE WHEN crows > 0 THEN orows * 1000000 // crows
+                       ELSE 0 END
+           FROM bfk CROSS JOIN ofk
+           UNION ALL
+           SELECT 'benford_deviation_ppm',
+                  CAST(sum(abs(observed_ppm - expected_ppm)) AS BIGINT)
+           FROM jb
+           UNION ALL
+           SELECT 'k_anonymity_violating_ppm',
+                  CASE WHEN n_rows > 0 THEN vrows * 1000000 // n_rows
+                       ELSE 0 END
+           FROM ak
+           UNION ALL
+           SELECT 'ks_en_de_ppm', ksv FROM mks
+           UNION ALL
+           SELECT 'exact_dup_ppm', dv FROM dup)
+         ORDER BY metric""",
+    // Heavy hitters: the same Count-Min candidate pass + exact verify,
+    // re-derived over the same salted md5 buckets.
+    "q201_heavy_hitters" -> """
+         WITH r AS (SELECT CAST(event_type AS VARCHAR) AS key FROM events
+                    WHERE event_type IS NOT NULL),
+         t AS (SELECT greatest(1, count(*) * 50000 // 1000000) AS thr FROM r),
+         s0 AS (SELECT ('0x' || substr(md5('cm0:' || key), 1, 15))::BIGINT
+                         % 1024 AS b, CAST(count(*) AS BIGINT) AS c
+                FROM r GROUP BY 1),
+         s1 AS (SELECT ('0x' || substr(md5('cm1:' || key), 1, 15))::BIGINT
+                         % 1024 AS b, CAST(count(*) AS BIGINT) AS c
+                FROM r GROUP BY 1),
+         s2 AS (SELECT ('0x' || substr(md5('cm2:' || key), 1, 15))::BIGINT
+                         % 1024 AS b, CAST(count(*) AS BIGINT) AS c
+                FROM r GROUP BY 1),
+         surv AS (SELECT r.key FROM r
+                  JOIN s0 ON ('0x' || substr(md5('cm0:' || r.key), 1, 15))
+                               ::BIGINT % 1024 = s0.b
+                  JOIN s1 ON ('0x' || substr(md5('cm1:' || r.key), 1, 15))
+                               ::BIGINT % 1024 = s1.b
+                  JOIN s2 ON ('0x' || substr(md5('cm2:' || r.key), 1, 15))
+                               ::BIGINT % 1024 = s2.b
+                  CROSS JOIN t
+                  WHERE s0.c >= t.thr AND s1.c >= t.thr AND s2.c >= t.thr),
+         ex AS (SELECT key, CAST(count(*) AS BIGINT) AS n_rows
+                FROM surv GROUP BY 1)
+         SELECT key, n_rows FROM ex CROSS JOIN t
+         WHERE n_rows >= thr
+         ORDER BY n_rows DESC, key""",
+    // Nearest-neighbor resize: the q185 index-arithmetic mirror with
+    // the floor source mapping (dx*w//8, dy*h//8) instead of the crop
+    // window.
+    "q202_image_resize" -> """
+         WITH m AS (SELECT doc_id, text, strlen(text) AS len,
+                           strlen(text) % 13 + 2 AS w,
+                           strlen(text) % 7 + 2 AS h
+                    FROM documents),
+         ys AS (SELECT doc_id, text, len, w, h, unnest(range(8)) AS dy
+                FROM m),
+         xs AS (SELECT doc_id, text, len, w, h, (dy * h) // 8 AS sy,
+                       unnest(range(8)) AS dx
+                FROM ys),
+         js AS (SELECT doc_id, text, len, w, h,
+                       (sy * w + (dx * w) // 8) * 3 AS base,
+                       unnest(range(3)) AS j
+                FROM xs),
+         px AS (SELECT doc_id, w, h,
+                       CASE WHEN base + j < len
+                            THEN ord(substr(text,
+                              CAST(base + j AS INTEGER) + 1, 1))
+                            ELSE 0 END AS v
+                FROM js)
+         SELECT doc_id, CAST(w AS BIGINT) AS width,
+                CAST(h AS BIGINT) AS height,
+                CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+                CAST(sum(v) AS BIGINT) AS px_checksum
+         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+    // Contribution analysis: same floor-share + winner-absorbs-the-
+    // remainder arithmetic; the winner picked by ORDER BY ... LIMIT 1
+    // mirrors the struct-min (largest |delta|, then smallest name).
+    "q203_contribution" -> """
+         WITH e AS (SELECT event_type AS segment,
+                           (ts::DATE - DATE '1970-01-01') % 2 AS par
+                    FROM events),
+         seg AS (SELECT CAST(segment AS VARCHAR) AS segment,
+                        CAST(count(*) FILTER (WHERE par = 0) AS BIGINT)
+                          AS n_a,
+                        CAST(count(*) FILTER (WHERE par = 1) AS BIGINT)
+                          AS n_b
+                 FROM e GROUP BY 1),
+         d AS (SELECT segment, n_a, n_b, n_b - n_a AS delta FROM seg),
+         t AS (SELECT CAST(coalesce(sum(abs(delta)), 0) AS BIGINT) AS s
+               FROM d),
+         w AS (SELECT segment AS wseg FROM d
+               ORDER BY abs(delta) DESC, segment LIMIT 1),
+         b AS (SELECT segment, n_a, n_b, delta,
+                      CASE WHEN t.s > 0
+                           THEN abs(delta) * 1000000 // t.s
+                           ELSE 0 END AS base
+               FROM d CROSS JOIN t),
+         fs AS (SELECT CAST(coalesce(sum(base), 0) AS BIGINT) AS f FROM b)
+         SELECT segment, n_a, n_b, CAST(delta AS BIGINT) AS delta,
+                CAST(base + CASE WHEN t.s > 0 AND segment = w.wseg
+                                 THEN 1000000 - fs.f
+                                 ELSE 0 END AS BIGINT) AS share_ppm
+         FROM b CROSS JOIN t CROSS JOIN w CROSS JOIN fs
+         ORDER BY segment""",
+    // Chi-square: the same full-grid construction; each cell's micro
+    // term is the identical stated IEEE chain (long-exact d, cast,
+    // d*d / ((r*c)::DOUBLE * n::DOUBLE) * 1e6, round), then an exact
+    // integer sum. DuckDB dayofweek is 0-based (q186 convention).
+    "q204_chi_square" -> """
+         WITH e AS (SELECT CAST(event_type AS VARCHAR) AS a,
+                           CAST(dayofweek(ts::DATE) + 1 AS VARCHAR) AS b
+                    FROM events
+                    WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+                   FROM e GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+         ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                      CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+                      CAST(count(DISTINCT b) AS BIGINT) AS n_b
+               FROM cells),
+         grid AS (SELECT rt.a, ct.b, rt.r, ct.c,
+                         CAST(coalesce(cells.o, 0) AS BIGINT) AS o
+                  FROM rt CROSS JOIN ct
+                  LEFT JOIN cells ON rt.a = cells.a AND ct.b = cells.b),
+         dd AS (SELECT r, c, o, n, n_a, n_b,
+                       CAST(o * n - r * c AS BIGINT) AS d
+                FROM grid CROSS JOIN t),
+         terms AS (SELECT n, n_a, n_b,
+                          CAST(round(d::DOUBLE * d::DOUBLE
+                            / ((r * c)::DOUBLE * n::DOUBLE) * 1000000)
+                            AS BIGINT) AS term
+                   FROM dd)
+         SELECT n AS n_rows, n_a, n_b,
+                CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+                CAST(sum(term) AS BIGINT) AS chi2_micro
+         FROM terms GROUP BY n, n_a, n_b""",
+    // Triangle census: the q198 verified-pair relation at >= 0.5
+    // Jaccard, canonicalized, wedges via degrees, each triangle
+    // counted once through its middle vertex.
+    "q205_dup_triangles" ->
+      s"""WITH $minHashPairsSql,
+         ws AS (SELECT doc_id,
+                       list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                FROM documents),
+         vp AS (SELECT p.a, p.b
+                FROM pairs p
+                JOIN ws wa ON wa.doc_id = p.a
+                JOIN ws wb ON wb.doc_id = p.b
+                WHERE len(list_distinct(wa.ws || wb.ws)) > 0
+                  AND CAST(len(list_intersect(wa.ws, wb.ws)) AS BIGINT)
+                        * 1000000
+                        // CAST(len(list_distinct(wa.ws || wb.ws)) AS BIGINT)
+                        >= 500000),
+         e AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+               FROM vp WHERE a <> b),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+                 FROM (SELECT x AS v FROM e UNION ALL SELECT y FROM e) u
+                 GROUP BY 1),
+         shape AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                          CAST(coalesce(sum(d * (d - 1) // 2), 0)
+                            AS BIGINT) AS n_wedges
+                   FROM deg),
+         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         tr AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                FROM e e1 JOIN e e2 ON e1.y = e2.x
+                WHERE EXISTS (SELECT 1 FROM e e3
+                              WHERE e3.x = e1.x AND e3.y = e2.y))
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                CASE WHEN n_wedges > 0
+                     THEN 3 * n_triangles * 1000000 // n_wedges
+                     ELSE 0 END AS clustering_ppm
+         FROM shape CROSS JOIN ne CROSS JOIN tr""",
+    // Silence trim: the q85 cyclic-sample synthesis mirrored; the
+    // loud-index list gives lead/trail, the 1-based inclusive slice
+    // sums the kept span.
+    "q206_audio_trim" -> """
+         WITH m AS (SELECT doc_id, text, strlen(text) AS len,
+                           strlen(text) % 50 + 10 AS n
+                    FROM documents),
+         s AS (SELECT doc_id, n,
+                      list_transform(range(n),
+                        i -> abs(CAST((CASE WHEN len = 0 THEN 0
+                               ELSE ord(substr(text,
+                                 CAST(i % len AS INTEGER) + 1, 1))
+                               END - 128) * 128 AS BIGINT))) AS a
+               FROM m),
+         idx AS (SELECT doc_id, n, a,
+                        list_filter(range(n),
+                          i -> a[CAST(i AS INTEGER) + 1] >= 2048) AS loud
+                 FROM s),
+         t AS (SELECT doc_id, n,
+                      CASE WHEN len(loud) = 0 THEN n
+                           ELSE loud[1] END AS lead,
+                      CASE WHEN len(loud) = 0 THEN 0
+                           ELSE n - 1 - loud[len(loud)] END AS trail,
+                      CASE WHEN len(loud) = 0 THEN 0
+                           ELSE list_sum(a[CAST(loud[1] AS INTEGER) + 1
+                                           : CAST(loud[len(loud)]
+                                               AS INTEGER) + 1])
+                      END AS kept
+               FROM idx)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+                CAST(lead AS BIGINT) AS n_leading,
+                CAST(trail AS BIGINT) AS n_trailing,
+                CAST(n - lead - trail AS BIGINT) AS n_kept,
+                CAST(kept AS BIGINT) AS kept_abs_sum
+         FROM t ORDER BY doc_id""",
+    // Cross-correlation: the q151 exact-centering scheme on the
+    // shared day axis; the IEEE tail (two sqrts, multiply, divide,
+    // round 6) mirrors the Spark chain op for op.
+    "q207_cross_correlation" -> """
+         WITH daily AS (SELECT ts::DATE AS day,
+                               CAST(count(*) FILTER (WHERE event_type
+                                 = 'signup') AS BIGINT) AS x,
+                               CAST(count(*) FILTER (WHERE event_type
+                                 = 'purchase') AS BIGINT) AS y
+                        FROM events
+                        WHERE event_type IN ('signup', 'purchase')
+                        GROUP BY 1),
+         w AS (SELECT day, x, y,
+                      CAST(count(*) OVER () AS BIGINT) AS n,
+                      CAST(sum(x) OVER () AS BIGINT) AS tx,
+                      CAST(sum(y) OVER () AS BIGINT) AS ty
+               FROM daily),
+         d AS (SELECT day, n, x * n - tx AS dx, y * n - ty AS dy FROM w),
+         l AS (SELECT n, dx, dy,
+                      lead(dy, 7) OVER (ORDER BY day) AS dyl
+               FROM d),
+         a AS (SELECT CAST(max(n) AS BIGINT) AS n_days,
+                      CAST(coalesce(sum(dx * dyl), 0) AS BIGINT) AS num,
+                      CAST(sum(dx * dx) AS BIGINT) AS den_x,
+                      CAST(sum(dy * dy) AS BIGINT) AS den_y
+               FROM l)
+         SELECT 'signup' AS type_x, 'purchase' AS type_y,
+                CAST(7 AS BIGINT) AS lag, n_days, num, den_x, den_y,
+                CASE WHEN den_x > 0 AND den_y > 0
+                     THEN round(num::DOUBLE
+                       / (sqrt(den_x::DOUBLE) * sqrt(den_y::DOUBLE)), 6)
+                     ELSE NULL END AS r
+         FROM a""",
+    // Audience overlap: the same distinct (user, type) relation
+    // self-joined, grid zero-filled, exact ppm Jaccard.
+    "q208_audience_overlap" -> """
+         WITH ut AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+                            CAST(event_type AS VARCHAR) AS t
+                     FROM events
+                     WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         tot AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+                 FROM ut GROUP BY 1),
+         b AS (SELECT a.t AS type_a, c.t AS type_b,
+                      CAST(count(*) AS BIGINT) AS n_both
+               FROM ut a JOIN ut c ON a.u = c.u AND a.t < c.t
+               GROUP BY 1, 2),
+         grid AS (SELECT ta.t AS type_a, tb.t AS type_b,
+                         ta.n AS n_a, tb.n AS n_b,
+                         CAST(coalesce(b.n_both, 0) AS BIGINT) AS n_both
+                  FROM tot ta CROSS JOIN tot tb
+                  LEFT JOIN b ON b.type_a = ta.t AND b.type_b = tb.t
+                  WHERE ta.t < tb.t)
+         SELECT type_a, type_b, n_a, n_b, n_both,
+                CAST(n_both * 1000000 // (n_a + n_b - n_both) AS BIGINT)
+                  AS jaccard_ppm
+         FROM grid ORDER BY type_a, type_b""",
+    // EWMA: the identical integer recurrence as a recursive CTE —
+    // the oracle engine walks day i from day i-1 exactly as the
+    // driver fold does. SHARED by the batch q209 and the streaming
+    // q212 (the gate: replay-to-completion must equal the batch).
+    "q209_ewma_baseline" -> ewmaOracleSql,
+    "q212_streaming_ewma" -> ewmaOracleSql,
+    // Mann-Whitney: doubled midranks off the q199 shared histogram;
+    // 2R_A = sum ca*(2*r0 + m + 1) with the exclusive prefix.
+    "q210_mann_whitney" -> """
+         WITH q AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+                    FROM documents
+                    WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL),
+         h AS (SELECT v,
+                      CAST(count(CASE WHEN g = 'en' THEN 1 END)
+                        AS BIGINT) AS ca,
+                      CAST(count(CASE WHEN g = 'de' THEN 1 END)
+                        AS BIGINT) AS cb
+               FROM q GROUP BY 1),
+         c AS (SELECT v, ca, cb, ca + cb AS m,
+                      CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS r0
+               FROM h),
+         t AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS na,
+                      CAST(coalesce(sum(cb), 0) AS BIGINT) AS nb,
+                      CAST(coalesce(sum(ca * (2 * r0 + m + 1)), 0)
+                        AS BIGINT) AS r2a
+               FROM c)
+         SELECT na AS n_a, nb AS n_b,
+                CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+                CAST(2 * na * nb - (r2a - na * (na + 1)) AS BIGINT)
+                  AS u2_b,
+                CASE WHEN na = 0 OR nb = 0 THEN 0
+                     ELSE (r2a - na * (na + 1)) * 1000000
+                          // (2 * na * nb) END AS auc_ppm
+         FROM t""",
+    // KL: per-category micro terms via the identical stated chain
+    // (exact-long ratios through one ln), summed exactly; weekday =
+    // Spark dayofweek 2..6 = DuckDB dayofweek+1 in 2..6.
+    "q211_kl_divergence" -> """
+         WITH e AS (SELECT CAST(event_type AS VARCHAR) AS cat,
+                           CASE WHEN dayofweek(ts::DATE) + 1 BETWEEN 2
+                                  AND 6
+                                THEN 'weekday' ELSE 'weekend' END AS g
+                    FROM events WHERE event_type IS NOT NULL),
+         cells AS (SELECT cat,
+                          CAST(count(CASE WHEN g = 'weekday' THEN 1 END)
+                            AS BIGINT) AS a,
+                          CAST(count(CASE WHEN g = 'weekend' THEN 1 END)
+                            AS BIGINT) AS b
+                   FROM e GROUP BY 1),
+         t AS (SELECT CAST(coalesce(sum(a), 0) AS BIGINT) AS ta,
+                      CAST(coalesce(sum(b), 0) AS BIGINT) AS tb
+               FROM cells),
+         terms AS (SELECT a, b, ta, tb,
+                          CASE WHEN a = 0 THEN 0
+                               WHEN b = 0 THEN NULL
+                               ELSE CAST(round(a::DOUBLE / ta::DOUBLE
+                                 * ln((a * tb)::DOUBLE / (b * ta)::DOUBLE)
+                                 * 1000000) AS BIGINT)
+                          END AS term
+                   FROM cells CROSS JOIN t),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+                        CAST(count(CASE WHEN a > 0 AND b = 0 THEN 1 END)
+                          AS BIGINT) AS n_a_only,
+                        CAST(coalesce(max(ta), 0) AS BIGINT) AS n_rows_a,
+                        CAST(coalesce(max(tb), 0) AS BIGINT) AS n_rows_b,
+                        CAST(sum(term) AS BIGINT) AS kl
+                 FROM terms)
+         SELECT n_categories, n_a_only, n_rows_a, n_rows_b,
+                CASE WHEN n_a_only > 0 OR n_rows_a = 0 OR n_rows_b = 0
+                     THEN NULL ELSE kl END AS kl_micro
+         FROM agg""",
+    // Spearman: both columns' doubled midranks joined back on the
+    // value, centered by the exact integer mean rank n+1, Pearson
+    // tail in the stated IEEE chain.
+    "q213_spearman" -> """
+         WITH q AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                           CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS y
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL
+                      AND l_extendedprice IS NOT NULL),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+         hx AS (SELECT x, CAST(count(*) AS BIGINT) AS m FROM q GROUP BY 1),
+         rx AS (SELECT x,
+                       2 * CAST(coalesce(sum(m) OVER (ORDER BY x
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) + m + 1 AS r2x
+                FROM hx),
+         hy AS (SELECT y, CAST(count(*) AS BIGINT) AS m FROM q GROUP BY 1),
+         ry AS (SELECT y,
+                       2 * CAST(coalesce(sum(m) OVER (ORDER BY y
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) + m + 1 AS r2y
+                FROM hy),
+         c AS (SELECT r2x - (n + 1) AS cx, r2y - (n + 1) AS cy, n
+               FROM q JOIN rx USING (x) JOIN ry USING (y) CROSS JOIN t),
+         a AS (SELECT n,
+                      CAST(coalesce(sum(cx * cy), 0) AS BIGINT) AS sxy,
+                      CAST(coalesce(sum(cx * cx), 0) AS BIGINT) AS sxx,
+                      CAST(coalesce(sum(cy * cy), 0) AS BIGINT) AS syy
+               FROM c GROUP BY n)
+         SELECT n, sxy, sxx, syy,
+                CASE WHEN sxx > 0 AND syy > 0
+                     THEN round(sxy::DOUBLE
+                       / (sqrt(sxx::DOUBLE) * sqrt(syy::DOUBLE)), 6)
+                     ELSE NULL END AS rho
+         FROM a""",
+    // Q-Q: the q169 per-group position selection, en joined to de on
+    // the decile.
+    "q214_qq_table" -> """
+         WITH q AS (SELECT lang AS k, CAST(n_chars AS BIGINT) AS v
+                    FROM documents WHERE lang IN ('en', 'de')),
+         h AS (SELECT k, v, CAST(count(*) AS BIGINT) AS c
+               FROM q GROUP BY 1, 2),
+         w AS (SELECT k, v, c,
+                      CAST(coalesce(sum(c) OVER (PARTITION BY k ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS below
+               FROM h),
+         t AS (SELECT k, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY k),
+         p AS (SELECT CAST(unnest([10, 20, 30, 40, 50, 60, 70, 80, 90])
+                 AS BIGINT) AS pct),
+         sel AS (SELECT w.k, p.pct, w.v
+                 FROM w JOIN t USING (k) CROSS JOIN p
+                 WHERE below < (pct * n + 99) // 100
+                   AND (pct * n + 99) // 100 <= below + c)
+         SELECT e.pct, e.v AS v_en, d.v AS v_de,
+                CASE WHEN d.v <> 0 THEN e.v * 1000000 // d.v
+                     ELSE NULL END AS ratio_ppm
+         FROM sel e JOIN sel d ON e.pct = d.pct
+         WHERE e.k = 'en' AND d.k = 'de'
+         ORDER BY e.pct""",
+    // Peak concurrency: the same +1/-1 sweep per day; the first
+    // second attaining the peak mirrors the struct-max.
+    "q215_peak_concurrency" -> """
+         WITH sess AS (SELECT user_id, ts::DATE AS d,
+                              CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
+                              CAST(floor(epoch(max(ts))) AS BIGINT) AS e
+                       FROM events GROUP BY 1, 2),
+         del AS (SELECT d AS day, s AS sec, 1 AS delta FROM sess
+                 UNION ALL
+                 SELECT d, e + 1, -1 FROM sess),
+         h AS (SELECT day, sec, CAST(sum(delta) AS BIGINT) AS dl,
+                      CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ns
+               FROM del GROUP BY 1, 2),
+         c AS (SELECT day, sec, ns,
+                      CAST(sum(dl) OVER (PARTITION BY day ORDER BY sec
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM h),
+         t AS (SELECT day, CAST(sum(ns) AS BIGINT) AS n_intervals
+               FROM c GROUP BY 1),
+         r AS (SELECT day, cum, sec,
+                      row_number() OVER (PARTITION BY day
+                        ORDER BY cum DESC, sec ASC) AS rn
+               FROM c)
+         SELECT CAST(r.day AS VARCHAR) AS day, t.n_intervals,
+                r.cum AS peak_concurrent, r.sec AS at_second
+         FROM r JOIN t USING (day)
+         WHERE rn = 1 ORDER BY day""",
+    // Winsorize: the q169 position selection pivoted to per-group
+    // (lo, hi), clamped row-level.
+    "q216_winsorize" -> """
+         WITH q AS (SELECT doc_id, CAST(lang AS VARCHAR) AS key,
+                           CAST(n_chars AS BIGINT) AS v
+                    FROM documents WHERE n_chars IS NOT NULL),
+         h AS (SELECT key, v, CAST(count(*) AS BIGINT) AS c
+               FROM q GROUP BY 1, 2),
+         w AS (SELECT key, v, c,
+                      CAST(coalesce(sum(c) OVER (PARTITION BY key
+                        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS below
+               FROM h),
+         t AS (SELECT key, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+         p AS (SELECT CAST(unnest([10, 90]) AS BIGINT) AS pct),
+         sel AS (SELECT w.key, p.pct, w.v
+                 FROM w JOIN t USING (key) CROSS JOIN p
+                 WHERE below < (pct * n + 99) // 100
+                   AND (pct * n + 99) // 100 <= below + c),
+         lim AS (SELECT key,
+                        max(CASE WHEN pct = 10 THEN v END) AS lo,
+                        max(CASE WHEN pct = 90 THEN v END) AS hi
+                 FROM sel GROUP BY 1)
+         SELECT q.doc_id, q.key, q.v,
+                greatest(lim.lo, least(lim.hi, q.v)) AS v_clipped,
+                lim.lo, lim.hi
+         FROM q JOIN lim USING (key) ORDER BY q.doc_id""",
+    // Scene changes: q167's frame checksums (every frame, no
+    // sampling) + per-doc lag; a cut moves >= 10% of the previous
+    // frame's mass.
+    "q217_scene_changes" -> """
+         WITH m AS (SELECT doc_id, text, strlen(text) AS len,
+                           strlen(text) % 13 + 2 AS w,
+                           strlen(text) % 7 + 2 AS h,
+                           strlen(text) % 5 + 2 AS nf
+                    FROM documents),
+         fr AS (SELECT doc_id, text, len, w, h, unnest(range(nf)) AS f
+                FROM m),
+         px AS (SELECT doc_id, f, w, h, len, text,
+                       unnest(range(w * h * 3)) AS i
+                FROM fr),
+         ck AS (SELECT doc_id, f,
+                       CAST(sum(ord(substr(text,
+                         CAST((i + f) % len AS INTEGER) + 1, 1)))
+                         AS BIGINT) AS px_checksum
+                FROM px GROUP BY 1, 2),
+         d AS (SELECT doc_id, f, px_checksum,
+                      lag(px_checksum) OVER (PARTITION BY doc_id
+                        ORDER BY f) AS prev
+               FROM ck)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+                CAST(count(CASE WHEN prev IS NOT NULL
+                           AND abs(px_checksum - prev)
+                               >= greatest(1, prev // 10)
+                           THEN 1 END) AS BIGINT) AS n_cuts,
+                CAST(coalesce(max(abs(px_checksum - prev)), 0) AS BIGINT)
+                  AS max_delta
+         FROM d GROUP BY doc_id ORDER BY doc_id""",
+    // Pettitt: U_t = cum(2R) - t*(n+1) over per-type doubled
+    // midranks; the first day maximizing |U| is the split.
+    "q218_pettitt" -> """
+         WITH daily AS (SELECT CAST(event_type AS VARCHAR) AS typ,
+                               ts::DATE AS day,
+                               CAST(count(*) AS BIGINT) AS v
+                        FROM events GROUP BY 1, 2),
+         h AS (SELECT typ, v, CAST(count(*) AS BIGINT) AS m
+               FROM daily GROUP BY 1, 2),
+         r AS (SELECT typ, v,
+                      2 * CAST(coalesce(sum(m) OVER (PARTITION BY typ
+                        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) + m + 1 AS r2
+               FROM h),
+         j AS (SELECT d.typ, d.day,
+                      CAST(count(*) OVER (PARTITION BY d.typ) AS BIGINT)
+                        AS n,
+                      CAST(row_number() OVER (PARTITION BY d.typ
+                        ORDER BY d.day) AS BIGINT) AS t,
+                      CAST(sum(r.r2) OVER (PARTITION BY d.typ
+                        ORDER BY d.day ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum
+               FROM daily d JOIN r ON d.typ = r.typ AND d.v = r.v),
+         u AS (SELECT typ, day, n, abs(cum - t * (n + 1)) AS a
+               FROM j WHERE t < n),
+         mx AS (SELECT typ, day, n, a,
+                       row_number() OVER (PARTITION BY typ
+                         ORDER BY a DESC, day ASC) AS rn
+                FROM u)
+         SELECT typ AS event_type, n AS n_days, a AS k2,
+                CAST(day AS VARCHAR) AS at_day
+         FROM mx WHERE rn = 1
+         UNION ALL
+         SELECT typ, CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), NULL
+         FROM daily GROUP BY typ HAVING count(*) < 2
+         ORDER BY event_type""",
+    // FD audit: the pair list is generated from the SAME Scala
+    // literal as the Spark plan (the minHashCoeffsSql discipline).
+    "q219_fd_audit" -> {
+      val fdCols =
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val parts = for { a <- fdCols; b <- fdCols if a != b } yield
+        s"""SELECT '$a' AS determinant, '$b' AS dependent,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(count(CASE WHEN d > 1 THEN 1 END) AS BIGINT)
+                     AS n_violating,
+                   CASE WHEN count(*) > 0
+                        THEN count(CASE WHEN d > 1 THEN 1 END)
+                             * 1000000 // count(*)
+                        ELSE 0 END AS violating_ppm
+            FROM (SELECT _a, CAST(count(DISTINCT _b) AS BIGINT) AS d
+                  FROM (SELECT CAST($a AS VARCHAR) AS _a,
+                               CAST($b AS VARCHAR) AS _b
+                        FROM orders
+                        WHERE $a IS NOT NULL AND $b IS NOT NULL) z
+                  GROUP BY _a) g"""
+      s"""SELECT * FROM (${parts.mkString(" UNION ALL ")}) u
+          ORDER BY determinant, dependent"""
+    },
+    // Readability: the identical marker-collapse runs counting and
+    // the identical IEEE chain (DuckDB regexp_replace needs 'g').
+    "q220_readability" -> """
+         WITH m AS (SELECT doc_id, text,
+                           regexp_replace(lower(text), '[aeiouy]+', 'V',
+                             'g') AS r1,
+                           regexp_replace(lower(text), '[.!?]+', 'S',
+                             'g') AS r2
+                    FROM documents WHERE strlen(text) > 0),
+         x AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT)
+                        AS n_words,
+                      greatest(1, CAST(strlen(r2)
+                        - strlen(regexp_replace(r2, 'S', '', 'g'))
+                        AS BIGINT)) AS n_sentences,
+                      CAST(strlen(r1)
+                        - strlen(regexp_replace(r1, 'V', '', 'g'))
+                        AS BIGINT) AS n_vowel_runs
+               FROM m)
+         SELECT doc_id, n_words, n_sentences, n_vowel_runs,
+                CAST(round((206.835
+                  - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                  - 84.6 * (n_vowel_runs::DOUBLE / n_words::DOUBLE))
+                  * 1000000) AS BIGINT) AS flesch_micro
+         FROM x ORDER BY doc_id""",
+    // Behavioral diversity: the q170 entropy arithmetic per user,
+    // bucketed quarter-nat; h_micro stays in the min/max columns so
+    // the hash is sensitive to the exact per-user values.
+    "q221_behavioral_diversity" -> """
+         WITH ut AS (SELECT CAST(user_id AS VARCHAR) AS u,
+                            CAST(event_type AS VARCHAR) AS t,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM events
+                     WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                     GROUP BY 1, 2),
+         per AS (SELECT u,
+                        CAST(sum(c) AS BIGINT) AS n,
+                        CAST(count(*) AS BIGINT) AS n_types,
+                        CAST(sum(c * CAST(round(ln(c) * 1e6) AS BIGINT))
+                          AS BIGINT) AS t
+                 FROM ut GROUP BY 1),
+         h AS (SELECT u, n_types,
+                      CAST(round(ln(n) * 1e6) AS BIGINT) - t // n
+                        AS h_micro
+               FROM per)
+         SELECT greatest(h_micro, 0) // 250000 AS bucket,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(min(h_micro) AS BIGINT) AS min_h_micro,
+                CAST(max(h_micro) AS BIGINT) AS max_h_micro,
+                CAST(max(n_types) AS BIGINT) AS max_types
+         FROM h GROUP BY 1 ORDER BY 1""",
+    // Frequency response: strict-before touch counts, cap+1 buckets,
+    // exact conversion ppm.
+    "q222_frequency_response" -> """
+         WITH e AS (SELECT CAST(user_id AS VARCHAR) AS u, ts,
+                           CAST(event_type AS VARCHAR) AS t
+                    FROM events WHERE user_id IS NOT NULL),
+         per AS (SELECT u,
+                        min(CASE WHEN t = 'purchase' THEN ts END)
+                          AS conv_ts,
+                        CAST(count(CASE WHEN t = 'view' THEN 1 END)
+                          AS BIGINT) AS all_touches
+                 FROM e GROUP BY 1),
+         pre AS (SELECT e.u, CAST(count(*) AS BIGINT) AS pre_touches
+                 FROM e JOIN per ON e.u = per.u
+                 WHERE e.t = 'view' AND per.conv_ts IS NOT NULL
+                   AND e.ts < per.conv_ts
+                 GROUP BY 1),
+         j AS (SELECT per.u,
+                      per.conv_ts IS NOT NULL AS converted,
+                      CASE WHEN per.conv_ts IS NOT NULL
+                           THEN coalesce(pre.pre_touches, 0)
+                           ELSE per.all_touches END AS touches
+               FROM per LEFT JOIN pre ON per.u = pre.u)
+         SELECT least(touches, 10) AS touch_bucket,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(count(CASE WHEN converted THEN 1 END) AS BIGINT)
+                  AS n_converted,
+                CAST(count(CASE WHEN converted THEN 1 END) * 1000000
+                  // count(*) AS BIGINT) AS conversion_ppm
+         FROM j GROUP BY 1 ORDER BY 1""",
+    // Aggregate consistency: cent-quantized parent total vs child
+    // rollup, relative gap in exact ppm, childless split out.
+    "q223_agg_consistency" -> """
+         WITH p AS (SELECT CAST(o_orderkey AS VARCHAR) AS key,
+                           CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS pv
+                    FROM orders
+                    WHERE o_orderkey IS NOT NULL
+                      AND o_totalprice IS NOT NULL),
+         c AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
+                      CAST(sum(CAST(round(l_extendedprice * 100)
+                        AS BIGINT)) AS BIGINT) AS cs
+               FROM lineitem
+               WHERE l_orderkey IS NOT NULL
+                 AND l_extendedprice IS NOT NULL
+               GROUP BY 1),
+         j AS (SELECT p.key, c.cs IS NULL AS childless,
+                      CASE WHEN c.cs IS NULL THEN 0
+                           ELSE abs(p.pv - c.cs) * 1000000
+                                // greatest(1, abs(p.pv)) END
+                        AS rel_gap_ppm
+               FROM p LEFT JOIN c ON p.key = c.key),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_parents,
+                      CAST(count(CASE WHEN childless THEN 1 END)
+                        AS BIGINT) AS n_childless,
+                      CAST(count(CASE WHEN NOT childless
+                                 AND rel_gap_ppm > 50000 THEN 1 END)
+                        AS BIGINT) AS n_violating,
+                      CAST(coalesce(max(CASE WHEN NOT childless
+                                        THEN rel_gap_ppm END), 0)
+                        AS BIGINT) AS max_rel_gap_ppm
+               FROM j)
+         SELECT n_parents, n_childless, n_violating,
+                CASE WHEN n_parents > 0
+                     THEN n_violating * 1000000 // n_parents
+                     ELSE 0 END AS violating_ppm,
+                max_rel_gap_ppm
+         FROM a""",
+    // Densify: generate_series over each type's span, left join,
+    // explicit zero days.
+    "q224_densify_days" -> """
+         WITH daily AS (SELECT CAST(event_type AS VARCHAR) AS typ,
+                               ts::DATE AS day,
+                               CAST(count(*) AS BIGINT) AS v
+                        FROM events GROUP BY 1, 2),
+         span AS (SELECT typ, min(day) AS d0, max(day) AS d1
+                  FROM daily GROUP BY 1),
+         axis AS (SELECT typ,
+                         CAST(unnest(generate_series(d0, d1,
+                           INTERVAL 1 DAY)) AS DATE) AS day
+                  FROM span)
+         SELECT axis.typ AS event_type, CAST(axis.day AS VARCHAR) AS day,
+                CAST(coalesce(daily.v, 0) AS BIGINT) AS v,
+                daily.v IS NULL AS is_gap
+         FROM axis LEFT JOIN daily
+           ON axis.typ = daily.typ AND axis.day = daily.day
+         ORDER BY event_type, day""",
+    // Capped census: the q205 graph with the both-endpoint degree-2
+    // cap applied before the same census arithmetic.
+    "q225_triangles_capped" ->
+      s"""WITH $minHashPairsSql,
+         ws AS (SELECT doc_id,
+                       list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                FROM documents),
+         vp AS (SELECT p.a, p.b
+                FROM pairs p
+                JOIN ws wa ON wa.doc_id = p.a
+                JOIN ws wb ON wb.doc_id = p.b
+                WHERE len(list_distinct(wa.ws || wb.ws)) > 0
+                  AND CAST(len(list_intersect(wa.ws, wb.ws)) AS BIGINT)
+                        * 1000000
+                        // CAST(len(list_distinct(wa.ws || wb.ws)) AS BIGINT)
+                        >= 500000),
+         e0 AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+                FROM vp WHERE a <> b),
+         half AS (SELECT x AS v, y AS w FROM e0
+                  UNION ALL SELECT y, x FROM e0),
+         rk AS (SELECT v, w,
+                       row_number() OVER (PARTITION BY v ORDER BY w) AS r
+                FROM half),
+         e AS (SELECT x, y FROM (
+                 SELECT least(v, w) AS x, greatest(v, w) AS y,
+                        count(*) AS k
+                 FROM rk WHERE r <= 2 GROUP BY 1, 2) z
+               WHERE k = 2),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+                 FROM (SELECT x AS v FROM e UNION ALL SELECT y FROM e) u
+                 GROUP BY 1),
+         shape AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                          CAST(coalesce(sum(d * (d - 1) // 2), 0)
+                            AS BIGINT) AS n_wedges
+                   FROM deg),
+         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         tr AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                FROM e e1 JOIN e e2 ON e1.y = e2.x
+                WHERE EXISTS (SELECT 1 FROM e e3
+                              WHERE e3.x = e1.x AND e3.y = e2.y))
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                CASE WHEN n_wedges > 0
+                     THEN 3 * n_triangles * 1000000 // n_wedges
+                     ELSE 0 END AS clustering_ppm
+         FROM shape CROSS JOIN ne CROSS JOIN tr""",
+    // Holt: the identical two-state recurrence as a recursive CTE;
+    // every micro division truncates TOWARD ZERO (sign-split) to
+    // mirror the driver fold's Long division on the signed trend.
+    "q226_holt" -> {
+      def tdiv(x: String): String =
+        s"(CASE WHEN ($x) >= 0 THEN ($x) // 1000000" +
+          s" ELSE -((-($x)) // 1000000) END)"
+      val l2 = s"(300000 * o.v + ${tdiv("(1000000 - 300000) * (r.l + r.b)")})"
+      s"""WITH RECURSIVE daily AS (
+           SELECT CAST(event_type AS VARCHAR) AS typ, ts::DATE AS day,
+                  CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         ord AS (SELECT typ, day, v,
+                        CAST(row_number() OVER (PARTITION BY typ
+                          ORDER BY day) AS BIGINT) AS i
+                 FROM daily),
+         rec AS (
+           SELECT typ, day, v, i,
+                  CAST(v * 1000000 AS BIGINT) AS l,
+                  CAST(0 AS BIGINT) AS b
+           FROM ord WHERE i = 1
+           UNION ALL
+           SELECT o.typ, o.day, o.v, o.i,
+                  CAST($l2 AS BIGINT),
+                  CAST(${tdiv(s"200000 * ($l2 - r.l)")}
+                    + ${tdiv("(1000000 - 200000) * r.b")} AS BIGINT)
+           FROM ord o JOIN rec r ON o.typ = r.typ AND o.i = r.i + 1)
+         SELECT typ AS event_type, CAST(day AS VARCHAR) AS day, v,
+                CAST(l AS BIGINT) AS level_micro,
+                CAST(b AS BIGINT) AS trend_micro,
+                CAST(l + b AS BIGINT) AS forecast_micro
+         FROM rec ORDER BY event_type, day"""
+    },
+    // Top PC: the q139 sufficient-stats mirror feeding an unrolled
+    // power-iteration CTE chain generated from PcaPowerIters; every
+    // signed division truncates toward zero (the q226 convention).
+    "q227_top_pc" -> {
+      def tz(x: String, d: String): String =
+        s"(CASE WHEN ($x) >= 0 THEN ($x) // ($d)" +
+          s" ELSE -((-($x)) // ($d)) END)"
+      val chain = (1 to PcaPowerIters).map { k =>
+        val p = k - 1
+        s"""y$k AS MATERIALIZED (SELECT cs.i AS d,
+                     CAST(sum(cs.cv * x$p.x) AS BIGINT) AS y
+              FROM cs JOIN x$p ON cs.j = x$p.d GROUP BY cs.i),
+         m$k AS MATERIALIZED (SELECT greatest(1, max(abs(y)) // 1000000) AS dv,
+                        CAST(max(abs(y)) AS BIGINT) AS my FROM y$k),
+         mp$k AS MATERIALIZED (SELECT greatest(1, max(abs(x))) AS m FROM x$p),
+         x$k AS MATERIALIZED (SELECT d, ${tz("y", "dv")} AS x
+                 FROM y$k CROSS JOIN m$k)"""
+      }.mkString(",\n         ")
+      val n = PcaPowerIters
+      s"""WITH q AS MATERIALIZED (SELECT list_transform(range(64), d ->
+                      CAST(round(embedding[CAST(d + 1 AS INTEGER)]::DOUBLE
+                        * 1e3) AS BIGINT)) AS qv
+                    FROM embeddings),
+         pp AS MATERIALIZED (SELECT CAST(d1.d AS BIGINT) AS d1,
+                       CAST(d2.d AS BIGINT) AS d2,
+                       qv[CAST(d1.d + 1 AS INTEGER)] AS x1,
+                       qv[CAST(d2.d + 1 AS INTEGER)] AS x2
+                FROM q
+                CROSS JOIN (SELECT unnest(range(64)) AS d) d1
+                CROSS JOIN (SELECT unnest(range(64)) AS d) d2
+                WHERE d1.d <= d2.d),
+         st AS MATERIALIZED (SELECT d1, d2, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x1) AS BIGINT) AS s1,
+                       CAST(sum(x2) AS BIGINT) AS s2,
+                       CAST(sum(x1 * x2) AS BIGINT) AS s12
+                FROM pp GROUP BY d1, d2),
+         cf AS MATERIALIZED (SELECT d1 AS i, d2 AS j, n * s12 - s1 * s2 AS cv FROM st
+                UNION ALL
+                SELECT d2, d1, n * s12 - s1 * s2 FROM st WHERE d1 <> d2),
+         sc AS MATERIALIZED (SELECT greatest(1, max(abs(cv)) // 1000000) AS s FROM cf),
+         cs AS MATERIALIZED (SELECT i, j, ${tz("cv", "s")} AS cv
+                FROM cf CROSS JOIN sc),
+         x0 AS MATERIALIZED (SELECT CAST(unnest(range(64)) AS BIGINT) AS d,
+                       CAST(1000000 AS BIGINT) AS x),
+         $chain,
+         lam AS MATERIALIZED (SELECT m$n.my // greatest(1, mp$n.m // 1000000)
+                   AS lambda
+                 FROM m$n CROSS JOIN mp$n),
+         tr AS MATERIALIZED (SELECT CAST(sum(cv) AS BIGINT) AS t FROM cs WHERE i = j),
+         mxf AS MATERIALIZED (SELECT max(abs(x)) AS m FROM x$n),
+         ld AS MATERIALIZED (SELECT min(d) AS d FROM x$n CROSS JOIN mxf
+                WHERE abs(x) = m),
+         sg AS MATERIALIZED (SELECT CASE WHEN xf.x < 0 THEN -1 ELSE 1 END AS s
+                FROM x$n xf JOIN ld ON xf.d = ld.d),
+         ex AS MATERIALIZED (SELECT CASE WHEN tr.t > 0
+                            THEN lam.lambda // greatest(1, tr.t)
+                            ELSE 0 END AS e
+                FROM lam CROSS JOIN tr)
+         SELECT xf.d AS dim, CAST(xf.x * sg.s AS BIGINT) AS component_ppm,
+                CAST(lam.lambda AS BIGINT) AS lambda_scaled,
+                CAST(tr.t AS BIGINT) AS trace_scaled,
+                CAST(ex.e AS BIGINT) AS explained_ppm
+         FROM x$n xf CROSS JOIN lam CROSS JOIN tr CROSS JOIN sg
+              CROSS JOIN ex
+         ORDER BY dim"""
+    },
+    // Cohort LTV: the q194 integer-week arithmetic; epoch days via
+    // the date-difference form (both engines agree on DATE - DATE).
+    "q228_cohort_ltv" -> """
+         WITH q AS (SELECT CAST(o_custkey AS VARCHAR) AS e,
+                           (o_orderdate::DATE - DATE '1970-01-01') AS ed,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                    FROM orders
+                    WHERE o_custkey IS NOT NULL
+                      AND o_orderdate IS NOT NULL
+                      AND o_totalprice IS NOT NULL),
+         qw AS (SELECT e, (ed - 4) // 7 AS w, v FROM q),
+         first AS (SELECT e, CAST(min(w) AS BIGINT) AS w0
+                   FROM qw GROUP BY 1),
+         sizes AS (SELECT w0, CAST(count(*) AS BIGINT) AS n_entities
+                   FROM first GROUP BY 1),
+         rev AS (SELECT f.w0, CAST(qw.w - f.w0 AS BIGINT)
+                          AS offset_weeks,
+                        CAST(sum(qw.v) AS BIGINT) AS revenue
+                 FROM qw JOIN first f ON qw.e = f.e
+                 GROUP BY 1, 2),
+         cum AS (SELECT w0, offset_weeks, revenue,
+                        CAST(sum(revenue) OVER (PARTITION BY w0
+                          ORDER BY offset_weeks
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                          AS cum_revenue
+                 FROM rev)
+         SELECT CAST(DATE '1970-01-01' + CAST(4 + 7 * cum.w0 AS INTEGER)
+                  AS VARCHAR) AS cohort_week,
+                cum.offset_weeks, sizes.n_entities, cum.revenue,
+                cum.cum_revenue,
+                CAST(cum.cum_revenue // sizes.n_entities AS BIGINT)
+                  AS cum_per_entity
+         FROM cum JOIN sizes ON cum.w0 = sizes.w0
+         ORDER BY cohort_week, offset_weeks""",
+    // Time-decay attribution: the same decay VALUES, floor shares,
+    // and most-recent-touch remainder pinning (micros precision,
+    // ties to the smallest channel name).
+    "q229_time_decay_attribution" -> {
+      val vals = DecayWeightsPpm.zipWithIndex
+        .map { case (w, g) => s"($g, $w)" }.mkString(", ")
+      s"""WITH w(g, wt) AS (SELECT * FROM (VALUES $vals)),
+         e AS (SELECT CAST(user_id AS VARCHAR) AS u, ts,
+                      CAST(event_type AS VARCHAR) AS t,
+                      (ts::DATE - DATE '1970-01-01') AS d
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         conv AS (SELECT DISTINCT u, epoch_us(ts) AS cus, d AS cd
+                  FROM e WHERE t = 'purchase'),
+         touch AS (SELECT u, epoch_us(ts) AS tus, d AS td,
+                          t AS channel
+                   FROM e WHERE t IN ('signup', 'view', 'click')),
+         j AS (SELECT c.u, c.cus, tch.channel, tch.tus,
+                      CAST(w.wt AS BIGINT) AS wv
+               FROM conv c
+               JOIN touch tch ON c.u = tch.u AND tch.tus < c.cus
+                 AND c.cd - tch.td BETWEEN 0 AND 30
+               JOIN w ON w.g = c.cd - tch.td),
+         perchan AS (SELECT u, cus, channel,
+                            CAST(sum(wv) AS BIGINT) AS ws,
+                            max(tus) AS lastT
+                     FROM j GROUP BY 1, 2, 3),
+         perconv AS (SELECT u, cus, CAST(sum(ws) AS BIGINT) AS wtot
+                     FROM perchan GROUP BY 1, 2),
+         win AS (SELECT u, cus, channel AS winner FROM (
+                   SELECT u, cus, channel,
+                          row_number() OVER (PARTITION BY u, cus
+                            ORDER BY lastT DESC, channel ASC) AS rn
+                   FROM perchan) z
+                 WHERE rn = 1),
+         based AS (SELECT pc.u, pc.cus, pc.channel, pc.ws, p.wtot,
+                          wn.winner,
+                          CASE WHEN p.wtot > 0
+                               THEN pc.ws * 1000000 // p.wtot
+                               ELSE 0 END AS base
+                   FROM perchan pc
+                   JOIN perconv p ON pc.u = p.u AND pc.cus = p.cus
+                   JOIN win wn ON pc.u = wn.u AND pc.cus = wn.cus),
+         fs AS (SELECT u, cus, CAST(sum(base) AS BIGINT) AS f
+                FROM based GROUP BY 1, 2),
+         cr AS (SELECT b.channel,
+                       b.base + CASE WHEN b.wtot > 0
+                                     AND b.channel = b.winner
+                                THEN 1000000 - fs.f ELSE 0 END AS credit
+                FROM based b
+                JOIN fs ON b.u = fs.u AND b.cus = fs.cus),
+         nt AS (SELECT 'none' AS channel,
+                       CAST(1000000 AS BIGINT) AS credit
+                FROM conv c
+                WHERE NOT EXISTS (SELECT 1 FROM j
+                                  WHERE j.u = c.u AND j.cus = c.cus)),
+         al AS (SELECT channel, credit FROM cr
+                UNION ALL SELECT channel, credit FROM nt)
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+                CAST(sum(credit) AS BIGINT) AS credit_ppm_total
+         FROM al GROUP BY 1 ORDER BY channel"""
+    },
+    // Next-event accuracy: the q122 pair extraction, argmax by
+    // (n desc, name asc), scored against actual successors.
+    "q230_next_event_accuracy" -> """
+         WITH pairs AS (SELECT event_type AS from_type,
+                               lead(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS to_type
+                        FROM events),
+         p2 AS (SELECT from_type, to_type FROM pairs
+                WHERE to_type IS NOT NULL),
+         counts AS (SELECT from_type, to_type,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM p2 GROUP BY 1, 2),
+         pred AS (SELECT from_type, to_type AS predicted FROM (
+                    SELECT from_type, to_type,
+                           row_number() OVER (PARTITION BY from_type
+                             ORDER BY n DESC, to_type ASC) AS rn
+                    FROM counts) z
+                  WHERE rn = 1),
+         scored AS (SELECT p2.from_type, pred.predicted,
+                           CAST(count(*) AS BIGINT) AS n_transitions,
+                           CAST(count(CASE WHEN p2.to_type
+                                      = pred.predicted THEN 1 END)
+                             AS BIGINT) AS n_correct
+                    FROM p2 JOIN pred ON p2.from_type = pred.from_type
+                    GROUP BY 1, 2),
+         al AS (SELECT from_type, predicted, n_transitions, n_correct
+                FROM scored
+                UNION ALL
+                SELECT '__overall__', NULL,
+                       CAST(coalesce(sum(n_transitions), 0) AS BIGINT),
+                       CAST(coalesce(sum(n_correct), 0) AS BIGINT)
+                FROM scored)
+         SELECT from_type, predicted, n_transitions, n_correct,
+                CASE WHEN n_transitions > 0
+                     THEN n_correct * 1000000 // n_transitions
+                     ELSE 0 END AS accuracy_ppm
+         FROM al ORDER BY from_type""",
+    // Classification report: the q27 prediction CTEs feeding exact
+    // ppm P/R/F1 per class plus the floor-mean macro row.
+    "q231_classification_report" -> """
+         WITH s AS (SELECT lang,
+                           list_distinct(string_split(text, ' ')) AS ws
+                    FROM documents),
+         sc AS (SELECT lang,
+             len(list_intersect(ws, ['the','a','of','and','to'])) AS s_en,
+             len(list_intersect(ws, ['der','die','das','und','ist'])) AS s_de,
+             len(list_intersect(ws, ['el','la','los','y','es'])) AS s_es,
+             len(list_intersect(ws, ['le','la','les','et','est'])) AS s_fr,
+             len(list_intersect(ws, ['de','shi','zhe','he','bu'])) AS s_zh
+           FROM s),
+         pr AS (SELECT lang AS a, CASE
+             WHEN s_en = g AND g > 0 THEN 'en'
+             WHEN s_de = g AND g > 0 THEN 'de'
+             WHEN s_es = g AND g > 0 THEN 'es'
+             WHEN s_fr = g AND g > 0 THEN 'fr'
+             WHEN s_zh = g AND g > 0 THEN 'zh'
+             ELSE 'und' END AS pdt
+           FROM (SELECT *, GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS g
+                 FROM sc) t),
+         cells AS (SELECT a, pdt, CAST(count(*) AS BIGINT) AS n
+                   FROM pr GROUP BY 1, 2),
+         classes AS (SELECT a AS cls FROM cells
+                     UNION SELECT pdt FROM cells),
+         act AS (SELECT a AS cls, CAST(sum(n) AS BIGINT) AS n_actual
+                 FROM cells GROUP BY 1),
+         prd AS (SELECT pdt AS cls, CAST(sum(n) AS BIGINT) AS n_predicted
+                 FROM cells GROUP BY 1),
+         tp AS (SELECT a AS cls, n AS n_correct FROM cells WHERE a = pdt),
+         per AS (SELECT classes.cls,
+                        CAST(coalesce(act.n_actual, 0) AS BIGINT)
+                          AS n_actual,
+                        CAST(coalesce(prd.n_predicted, 0) AS BIGINT)
+                          AS n_predicted,
+                        CAST(coalesce(tp.n_correct, 0) AS BIGINT)
+                          AS n_correct
+                 FROM classes
+                 LEFT JOIN act USING (cls)
+                 LEFT JOIN prd USING (cls)
+                 LEFT JOIN tp USING (cls)),
+         m AS (SELECT cls, n_actual, n_predicted, n_correct,
+                      CASE WHEN n_predicted > 0
+                           THEN n_correct * 1000000 // n_predicted
+                           ELSE 0 END AS precision_ppm,
+                      CASE WHEN n_actual > 0
+                           THEN n_correct * 1000000 // n_actual
+                           ELSE 0 END AS recall_ppm
+               FROM per),
+         f AS (SELECT *, CASE WHEN precision_ppm + recall_ppm > 0
+                              THEN 2 * precision_ppm * recall_ppm
+                                   // (precision_ppm + recall_ppm)
+                              ELSE 0 END AS f1_ppm
+               FROM m),
+         mac AS (SELECT '__macro__' AS cls,
+                        CAST(sum(n_actual) AS BIGINT) AS n_actual,
+                        CAST(sum(n_predicted) AS BIGINT) AS n_predicted,
+                        CAST(sum(n_correct) AS BIGINT) AS n_correct,
+                        CAST(sum(precision_ppm) // count(*) AS BIGINT)
+                          AS precision_ppm,
+                        CAST(sum(recall_ppm) // count(*) AS BIGINT)
+                          AS recall_ppm,
+                        CAST(sum(f1_ppm) // count(*) AS BIGINT) AS f1_ppm
+                 FROM f)
+         SELECT cls, n_actual, n_predicted, n_correct, precision_ppm,
+                recall_ppm, f1_ppm
+         FROM (SELECT * FROM f UNION ALL SELECT * FROM mac) u
+         ORDER BY cls""",
+    // Forecast backtest: the q209 recurrence + the MAE tail over
+    // days >= 2 (the EWMA's dev IS its standing one-step error).
+    "q232_forecast_backtest" -> """
+         WITH RECURSIVE daily AS (
+           SELECT CAST(event_type AS VARCHAR) AS typ, ts::DATE AS day,
+                  CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         ord AS (SELECT typ, day, v,
+                        CAST(row_number() OVER (PARTITION BY typ
+                          ORDER BY day) AS BIGINT) AS i
+                 FROM daily),
+         rec AS (
+           SELECT typ, day, v, i,
+                  v * 1000000 AS s, CAST(0 AS BIGINT) AS dev
+           FROM ord WHERE i = 1
+           UNION ALL
+           SELECT o.typ, o.day, o.v, o.i,
+                  300000 * o.v + (1000000 - 300000) * r.s // 1000000,
+                  o.v * 1000000 - r.s
+           FROM ord o JOIN rec r ON o.typ = r.typ AND o.i = r.i + 1),
+         l AS (SELECT typ, day, v, dev,
+                      lag(v) OVER (PARTITION BY typ ORDER BY day)
+                        AS vprev
+               FROM rec),
+         a AS (SELECT typ AS event_type,
+                      CAST(count(*) AS BIGINT) AS n_days,
+                      CAST(sum(abs(dev)) // count(*) AS BIGINT)
+                        AS mae_ewma_micro,
+                      CAST(sum(abs(v - vprev) * 1000000) // count(*)
+                        AS BIGINT) AS mae_naive_micro
+               FROM l WHERE vprev IS NOT NULL GROUP BY 1)
+         SELECT event_type, n_days, mae_ewma_micro, mae_naive_micro,
+                mae_ewma_micro < mae_naive_micro AS ewma_wins
+         FROM a ORDER BY event_type""",
+    // Kaplan-Meier: risk set by suffix sum over the lifetimes
+    // histogram, the survival product as the q209-style recursive
+    // recurrence with per-step ppm truncation.
+    "q233_kaplan_meier" -> """
+         WITH RECURSIVE e AS (SELECT CAST(user_id AS VARCHAR) AS u,
+                                     (ts::DATE - DATE '1970-01-01') AS d
+                              FROM events
+                              WHERE user_id IS NOT NULL
+                                AND ts IS NOT NULL),
+         mx AS (SELECT max(d) AS md FROM e),
+         per AS (SELECT u, min(d) AS f, max(d) AS l FROM e GROUP BY 1),
+         du AS (SELECT CAST(l - f AS BIGINT) AS t,
+                       (l > md - 14) AS cen
+                FROM per CROSS JOIN mx),
+         h AS (SELECT t,
+                      CAST(count(CASE WHEN NOT cen THEN 1 END)
+                        AS BIGINT) AS d,
+                      CAST(count(CASE WHEN cen THEN 1 END) AS BIGINT)
+                        AS c
+               FROM du GROUP BY 1),
+         r AS (SELECT t, d, c,
+                      CAST(sum(d + c) OVER (ORDER BY t DESC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                        AS n_at_risk
+               FROM h),
+         o AS (SELECT t, d, c, n_at_risk,
+                      CAST(row_number() OVER (ORDER BY t) AS BIGINT)
+                        AS i
+               FROM r),
+         s AS (SELECT i, t, d, c, n_at_risk,
+                      CAST((1000000 * (CASE WHEN n_at_risk > 0
+                             THEN (n_at_risk - d) * 1000000 // n_at_risk
+                             ELSE 1000000 END)) // 1000000 AS BIGINT)
+                        AS surv
+               FROM o WHERE i = 1
+               UNION ALL
+               SELECT o.i, o.t, o.d, o.c, o.n_at_risk,
+                      (s.surv * (CASE WHEN o.n_at_risk > 0
+                         THEN (o.n_at_risk - o.d) * 1000000
+                              // o.n_at_risk
+                         ELSE 1000000 END)) // 1000000
+               FROM o JOIN s ON o.i = s.i + 1)
+         SELECT t AS offset_days, n_at_risk, d AS n_events,
+                c AS n_censored, CAST(surv AS BIGINT) AS survival_ppm
+         FROM s ORDER BY offset_days""",
+
+    // Fixture stats: re-derive the K129 writer's hash-defined corpus
+    // from nothing but range(n) — the vocab literal and every md5
+    // tag below are generated from the SAME Scala constants the
+    // writer uses (literal-driven both-sides).
+    "q235_fixture_stats" -> s"""
+         WITH ids AS (SELECT range AS doc_id FROM range(5000)),
+         e AS (SELECT doc_id,
+                      CASE WHEN doc_id % 625 = 624 THEN doc_id - 1
+                           ELSE doc_id END AS eid
+               FROM ids),
+         b AS (SELECT doc_id, eid,
+                      (('0x' || substr(md5('len:' || eid), 1, 15))::BIGINT
+                        % 91) + 10 AS len,
+                      ('0x' || substr(md5('lang:' || doc_id), 1, 15))::BIGINT
+                        % 1000 AS lh,
+                      'src' || (('0x' || substr(md5('src:' || doc_id), 1, 15))::BIGINT
+                        % 20) AS source
+               FROM e),
+         d AS (SELECT doc_id, eid, len, source,
+                      CASE WHEN lh < 412 THEN 'en' WHEN lh < 559 THEN 'de'
+                           WHEN lh < 706 THEN 'es' WHEN lh < 853 THEN 'fr'
+                           ELSE 'zh' END AS lang
+               FROM b),
+         wi AS (SELECT doc_id, eid, unnest(generate_series(1, len)) AS i
+                FROM d),
+         w AS (SELECT doc_id, i,
+                      ($fixtureVocabSql)[
+                        CAST((('0x' || substr(md5('w:' || eid || '_' || i),
+                          1, 15))::BIGINT % 31) + 1 AS INT)] AS word
+               FROM wi),
+         txt AS (SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text
+                 FROM w GROUP BY doc_id),
+         dj AS (SELECT d.lang, txt.text FROM d JOIN txt USING (doc_id)),
+         dup AS (SELECT lang FROM dj
+                 QUALIFY count(*) OVER (PARTITION BY text) >= 2),
+         vl AS (SELECT range AS vec_id,
+                       ('0x' || substr(md5('lbl:' || range), 1, 15))::BIGINT
+                         % 10 AS label
+                FROM range(2000))
+         SELECT rel, key, CAST(n AS BIGINT) AS n FROM (
+           SELECT 'lang' AS rel, lang AS key, count(*) AS n FROM d GROUP BY 2
+           UNION ALL
+           SELECT 'words', lang, sum(len) FROM d GROUP BY 2
+           UNION ALL
+           SELECT 'dup', lang, count(*) FROM dup GROUP BY 2
+           UNION ALL
+           SELECT 'src', source, count(*) FROM d GROUP BY 2
+           UNION ALL
+           SELECT 'len', CAST(len AS VARCHAR), count(*) FROM d GROUP BY 2
+           UNION ALL
+           SELECT 'label', CAST(label AS VARCHAR), count(*) FROM vl GROUP BY 2)
+         ORDER BY rel, key""")
+}
