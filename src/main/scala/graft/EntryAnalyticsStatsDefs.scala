@@ -741,4 +741,28 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
         windows = 6, alphabet = 4)
       .orderBy(col("event_type"))
   }
+  /** Unigram-LM tokenizer TRAINING (q236): the SentencePiece-style
+    * family next to BPE (K127) — hard-EM over the Zipf-bounded vocab,
+    * integer micro-nat Viterbi costs (UnigramLm scaladoc states the
+    * one libm quantize point). The gate compares the LEARNED TABLE
+    * (piece, weighted usage count from the last E-step, final cost)
+    * against a DuckDB re-derivation that unrolls the same EM rounds
+    * as recursive-CTE Viterbi lattices over the same seed. */
+  private[graft] def unigramTrainQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.UnigramLm.train(Tables.documents(s, dir), "text")
+      .toDF("piece", "weighted_count", "cost_micro")
+      .orderBy(col("weighted_count").desc, col("piece"))
+  }
+
+  /** Unigram train-then-encode (q237, the K128 twin for the unigram
+    * family): learn the table, then Viterbi-encode every document —
+    * per-doc piece stream, token counts and the exact integer cost
+    * sum, all hash-compared against the DuckDB lattice replay. */
+  private[graft] def unigramEncodeQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val table = graft.operators.UnigramLm.train(docs, "text")
+    graft.operators.UnigramLm.encode(docs, "doc_id", "text", table)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -226,7 +226,7 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
                          CAST(floor(epoch(ts)) AS BIGINT) AS sec,
                          event_type AS typ
                   FROM events),
-       c0 AS (SELECT u, min(sec) AS m0 FROM e WHERE typ = 'signup' GROUP BY u),
+       c0 AS MATERIALIZED (SELECT u, min(sec) AS m0 FROM e WHERE typ = 'signup' GROUP BY u),
        c1 AS (SELECT e.u, min(sec) AS m1 FROM e JOIN c0 USING (u)
               WHERE typ = 'view' AND sec > m0 AND sec <= m0 + 172800
               GROUP BY e.u),
@@ -410,7 +410,7 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
                   ('0x' || substr(md5('kmseed:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT,
                   id) - 1 AS cell
               FROM q),
-       c0 AS (SELECT CAST(sd.cell AS BIGINT) AS cell, CAST(dd.d AS BIGINT) AS d,
+       c0 AS MATERIALIZED (SELECT CAST(sd.cell AS BIGINT) AS cell, CAST(dd.d AS BIGINT) AS d,
                      qv[CAST(dd.d + 1 AS INTEGER)] AS c
               FROM sd CROSS JOIN (SELECT unnest(range($dims)) AS d) dd
               WHERE sd.cell < $k),
@@ -436,5 +436,100 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
               coalesce(st.sum_d2, 0) AS sum_d2
        FROM c$iters c LEFT JOIN st USING (cell)
        ORDER BY c.cell, c.d"""
+  }
+
+  /** Unigram-LM oracle machinery (q236/q237) — generated from the SAME
+    * constants [[graft.operators.UnigramLm]] plans with (MaxPieceLen,
+    * SeedMulti, EmRounds, the miss costs): the minHashCoeffsSql /
+    * bpeTrainCtesSql discipline applied to a Viterbi lattice. The DP
+    * is a recursive CTE carrying the whole dp array per word (one row
+    * per word per position), candidates pre-joined against the piece
+    * table and sorted (cost ASC, predecessor ASC) — the exact
+    * tie-break the Spark `aggregate` fold uses. */
+  private[graft] def unigramDpCtes(x: String, piecesCte: String): String = {
+    val k = graft.operators.UnigramLm.MaxPieceLen
+    val ms = graft.operators.UnigramLm.MissSingle
+    val mm = graft.operators.UnigramLm.MissMulti
+    s"""pos$x AS MATERIALIZED (SELECT word, unnest(range(1, length(word)+1)) AS i FROM dw),
+       cj$x AS MATERIALIZED (SELECT word, i, unnest(range(greatest(0, i - $k), i)) AS j
+                FROM pos$x),
+       cand$x AS MATERIALIZED (SELECT c.word, c.i, c.j,
+                    coalesce(p.cost,
+                      CASE WHEN c.i - c.j = 1 THEN $ms ELSE $mm END) AS pc
+                  FROM cj$x c LEFT JOIN $piecesCte p
+                    ON p.piece = substr(c.word, c.j+1, c.i-c.j)),
+       sl$x AS MATERIALIZED (SELECT word, i, list({'c': pc, 'bp': j} ORDER BY j) AS cands
+                FROM cand$x GROUP BY word, i),
+       rec$x AS (
+         SELECT word, 0 AS i, [{'c': CAST(0 AS BIGINT), 'bp': 0}] AS dparr
+         FROM dw
+         UNION ALL
+         SELECT r.word, r.i + 1,
+                list_append(r.dparr,
+                  (list_sort(list_transform(s.cands,
+                     x -> {'c': struct_extract(r.dparr[x.bp + 1], 'c') + x.c,
+                           'bp': x.bp})))[1])
+         FROM rec$x r JOIN sl$x s ON s.word = r.word AND s.i = r.i + 1
+         WHERE r.i < length(r.word)),
+       dpfin$x AS MATERIALIZED (SELECT word, dparr FROM rec$x WHERE i = length(word)),
+       bt$x AS (
+         SELECT word, CAST(length(word) AS INTEGER) AS p,
+                CAST([] AS VARCHAR[]) AS ts
+         FROM dw
+         UNION ALL
+         SELECT b.word,
+                CAST(struct_extract(d.dparr[b.p + 1], 'bp') AS INTEGER) AS p,
+                list_prepend(
+                  substr(b.word, struct_extract(d.dparr[b.p+1],'bp') + 1,
+                         b.p - struct_extract(d.dparr[b.p+1],'bp')), b.ts) AS ts
+         FROM bt$x b JOIN dpfin$x d USING (word)
+         WHERE b.p > 0),
+       seg$x AS MATERIALIZED (SELECT word, ts FROM bt$x WHERE p = 0)"""
+  }
+
+  /** The unigram TRAINING rounds unrolled: seed substring counts c0,
+    * then per round r costs p\$r from c\${r-1}, Viterbi counts e\$r over
+    * the vocab (dp machinery suffix r), surviving pieces c\$r (alphabet
+    * persists, zero-count multi-char pieces drop). Ends at c\$rounds. */
+  private[graft] def unigramTrainCtes(rounds: Int): String = {
+    val k = graft.operators.UnigramLm.MaxPieceLen
+    val sm = graft.operators.UnigramLm.SeedMulti
+    val head = s"""
+       toks0 AS MATERIALIZED (SELECT t AS word FROM (
+                   SELECT unnest(string_split(text, ' ')) AS t
+                   FROM documents) WHERE t <> ''),
+       vocab AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n
+                 FROM toks0 GROUP BY 1),
+       dw AS MATERIALIZED (SELECT word FROM vocab),
+       sub1 AS MATERIALIZED (SELECT word, n, unnest(range(0, length(word))) AS j
+                FROM vocab),
+       sub2 AS MATERIALIZED (SELECT word, n, j,
+                  unnest(range(1, least($k, length(word) - j) + 1)) AS kk
+                FROM sub1),
+       subs AS MATERIALIZED (SELECT substr(word, j+1, kk) AS piece,
+                       CAST(sum(n) AS BIGINT) AS cnt
+                FROM sub2 GROUP BY 1),
+       sing AS MATERIALIZED (SELECT piece, cnt FROM subs WHERE length(piece) = 1),
+       mult AS MATERIALIZED (SELECT piece, cnt FROM subs WHERE length(piece) >= 2
+                ORDER BY cnt DESC, piece LIMIT $sm),
+       c0 AS MATERIALIZED (SELECT * FROM sing UNION ALL SELECT * FROM mult)"""
+    val roundsSql = (1 to rounds).map { r =>
+      val prev = s"c${r - 1}"
+      s"""t$r AS MATERIALIZED (SELECT CAST(sum(greatest(cnt, 1)) AS BIGINT) AS total
+                  FROM $prev),
+         p$r AS MATERIALIZED (SELECT piece,
+                   CAST(round(-ln(greatest(cnt, 1)::DOUBLE / total::DOUBLE)
+                     * 1e6) AS BIGINT) AS cost
+                 FROM $prev, t$r),
+         ${unigramDpCtes(r.toString, s"p$r")},
+         e$r AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
+                   SELECT v.n AS n, unnest(s.ts) AS piece
+                   FROM vocab v JOIN seg$r s USING (word))
+                 GROUP BY 1),
+         c$r AS MATERIALIZED (SELECT c.piece, coalesce(e.cnt, 0) AS cnt
+                 FROM $prev c LEFT JOIN e$r e USING (piece)
+                 WHERE length(c.piece) = 1 OR coalesce(e.cnt, 0) > 0)"""
+    }.mkString(",\n")
+    head + ",\n" + roundsSql
   }
 }

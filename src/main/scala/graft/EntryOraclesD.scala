@@ -717,7 +717,7 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
          cf AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
                        CAST(count(*) AS BIGINT) AS c
                 FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
-         pf AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key
+         pf AS MATERIALIZED (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key
                 FROM orders WHERE o_orderkey IS NOT NULL),
          ofk AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS orows
                  FROM cf WHERE NOT EXISTS
@@ -1952,5 +1952,52 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
            SELECT 'len', CAST(len AS VARCHAR), count(*) FROM d GROUP BY 2
            UNION ALL
            SELECT 'label', CAST(label AS VARCHAR), count(*) FROM vl GROUP BY 2)
-         ORDER BY rel, key""")
+         ORDER BY rel, key""",
+
+    // Unigram-LM tokenizer: the EM rounds and the Viterbi lattices are
+    // generated from the SAME constants the Spark plans fold
+    // (unigramTrainCtes / unigramDpCtes in EntryOracleFragments).
+    "q236_unigram_train" -> s"""
+         WITH RECURSIVE ${unigramTrainCtes(graft.operators.UnigramLm.EmRounds)},
+         tf AS MATERIALIZED (SELECT CAST(sum(greatest(cnt, 1)) AS BIGINT) AS total
+                FROM c${graft.operators.UnigramLm.EmRounds})
+         SELECT piece, CAST(cnt AS BIGINT) AS weighted_count,
+                CAST(round(-ln(greatest(cnt, 1)::DOUBLE / total::DOUBLE)
+                  * 1e6) AS BIGINT) AS cost_micro
+         FROM c${graft.operators.UnigramLm.EmRounds}, tf
+         ORDER BY weighted_count DESC, piece""",
+
+    "q237_unigram_encode" -> s"""
+         WITH RECURSIVE ${unigramTrainCtes(graft.operators.UnigramLm.EmRounds)},
+         tf AS MATERIALIZED (SELECT CAST(sum(greatest(cnt, 1)) AS BIGINT) AS total
+                FROM c${graft.operators.UnigramLm.EmRounds}),
+         pf AS MATERIALIZED (SELECT piece,
+                  CAST(round(-ln(greatest(cnt, 1)::DOUBLE / total::DOUBLE)
+                    * 1e6) AS BIGINT) AS cost
+                FROM c${graft.operators.UnigramLm.EmRounds}, tf),
+         ${unigramDpCtes("f", "pf")},
+         dwords AS MATERIALIZED (SELECT doc_id, wi, word FROM (
+                      SELECT doc_id,
+                             generate_subscripts(string_split(text, ' '), 1) AS wi,
+                             unnest(string_split(text, ' ')) AS word
+                      FROM documents) WHERE word <> ''),
+         enc AS MATERIALIZED (SELECT w.doc_id, flatten(list(s.ts ORDER BY w.wi)) AS toks
+                 FROM dwords w JOIN segf s USING (word) GROUP BY 1),
+         tok AS MATERIALIZED (SELECT doc_id, unnest(toks) AS piece FROM enc),
+         cst AS MATERIALIZED (SELECT t.doc_id,
+                   CAST(sum(coalesce(p.cost,
+                     CASE WHEN length(t.piece) = 1
+                          THEN ${graft.operators.UnigramLm.MissSingle}
+                          ELSE ${graft.operators.UnigramLm.MissMulti} END))
+                     AS BIGINT) AS cost_micro
+                 FROM tok t LEFT JOIN pf p USING (piece) GROUP BY 1),
+         nws AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws
+                 FROM dwords GROUP BY 1)
+         SELECT d.doc_id, coalesce(n.n_ws, 0) AS n_ws_tokens,
+                CAST(coalesce(len(e.toks), 0) AS BIGINT) AS n_tokens,
+                coalesce(array_to_string(e.toks, '|'), '') AS tokens,
+                coalesce(c.cost_micro, 0) AS cost_micro
+         FROM documents d LEFT JOIN enc e USING (doc_id)
+           LEFT JOIN nws n USING (doc_id) LEFT JOIN cst c USING (doc_id)
+         ORDER BY doc_id""")
 }
