@@ -623,6 +623,37 @@ private[graft] trait EntryMaintenanceStreamDefs extends EntryCurationTextDefs {
       .filter(col("event_type") =!= "tick")
       .orderBy(col("event_type"), col("day"))
 
+  /** Streaming last-touch attribution (q238, the 10th gate): the ONE
+    * Structured-Streaming shape the other nine don't exercise — a
+    * watermarked STREAM-STREAM interval join (conversions x touches,
+    * both sides streaming). The replay's pair relation distills to
+    * last-touch channel shares in batch and hash-compares against the
+    * SAME oracle as the batch q153 (corpus span 30d inside the 90d
+    * horizon, so the bounded join equals the unbounded batch window —
+    * stated envelope in StreamingAttribution). */
+  private[graft] def streamingAttributionQuery(s: SparkSession, dir: String): DataFrame = {
+    val pairs = replayedStreamTable(s, dir, "q238",
+      graft.streaming.StreamingAttribution.touchPairs(
+        _, convType = "purchase",
+        channels = Seq("signup", "view", "click"), horizonDays = 90))
+    // last touch per conversion: max (epoch ms, channel) — the exact
+    // tie order of the batch operator's lpad(ms)#type string key.
+    // Negative users are the replay's tick watermark carriers.
+    val last = pairs.filter(col("c_user") >= 0)
+      .groupBy(col("c_user"), col("c_ts"))
+      .agg(max(when(col("channel").isNotNull,
+        struct(unix_millis(col("t_ts")).as("ms"), col("channel"))))
+        .as("lt"))
+      .select(coalesce(col("lt.channel"), lit("none")).as("channel"))
+    val counts = last.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"))
+    counts.crossJoin(broadcast(
+        counts.agg(sum(col("n_conversions")).as("_t"))))
+      .select(col("channel"), col("n_conversions"),
+        expr("n_conversions * 1000000 div _t").as("share_ppm"))
+      .orderBy(col("channel"))
+  }
+
   /** BPE encode (q158): apply the literal demonstration merge table to
     * every document — real subword tokens, not whitespace words. The
     * oracle unrolls the SAME table as a DuckDB replace chain; the

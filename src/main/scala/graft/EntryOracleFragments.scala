@@ -438,6 +438,28 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
        ORDER BY c.cell, c.d"""
   }
 
+  /** Shared q153/q238 oracle: the batch last-touch attribution and
+    * its stream-stream interval-join replay must produce the SAME
+    * channel shares (the q120/q148 twin contract for joins). */
+  private[graft] val attributionOracleSql: String =
+    """WITH t AS (SELECT user_id, ts, event_type,
+                max(CASE WHEN event_type IN ('signup', 'view', 'click')
+                         THEN lpad(CAST(epoch_ms(ts) AS VARCHAR), 20, '0')
+                              || '#' || event_type END)
+                  OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS touch
+              FROM events),
+         conv AS (SELECT CASE WHEN touch IS NULL THEN 'none'
+                              ELSE split_part(touch, '#', 2) END AS channel
+                  FROM t WHERE event_type = 'purchase'),
+         c AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions
+               FROM conv GROUP BY channel),
+         tot AS (SELECT CAST(sum(n_conversions) AS BIGINT) AS t FROM c)
+         SELECT channel, n_conversions,
+                CAST(n_conversions * 1000000 // tot.t AS BIGINT) AS share_ppm
+         FROM c, tot ORDER BY channel"""
+
   /** Unigram-LM oracle machinery (q236/q237) — generated from the SAME
     * constants [[graft.operators.UnigramLm]] plans with (MaxPieceLen,
     * SeedMulti, EmRounds, the miss costs): the minHashCoeffsSql /

@@ -768,24 +768,7 @@ private[graft] trait EntryOraclesC extends EntryOraclesB {
          WHERE m.rank <= 5 ORDER BY m.qid, m.rank""",
     // Attribution: strictly-earlier range frame + order-independent
     // max of the padded epoch#channel string; no-touch -> 'none'.
-    "q153_attribution" ->
-      """WITH t AS (SELECT user_id, ts, event_type,
-                max(CASE WHEN event_type IN ('signup', 'view', 'click')
-                         THEN lpad(CAST(epoch_ms(ts) AS VARCHAR), 20, '0')
-                              || '#' || event_type END)
-                  OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
-                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                  AS touch
-              FROM events),
-         conv AS (SELECT CASE WHEN touch IS NULL THEN 'none'
-                              ELSE split_part(touch, '#', 2) END AS channel
-                  FROM t WHERE event_type = 'purchase'),
-         c AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions
-               FROM conv GROUP BY channel),
-         tot AS (SELECT CAST(sum(n_conversions) AS BIGINT) AS t FROM c)
-         SELECT channel, n_conversions,
-                CAST(n_conversions * 1000000 // tot.t AS BIGINT) AS share_ppm
-         FROM c, tot ORDER BY channel""",
+    "q153_attribution" -> attributionOracleSql,
     // MAD: two exact lower-median selections ((value, day) order,
     // position ceil(n/2)), then the 3*MAD outlier count.
     "q154_mad_outliers" ->

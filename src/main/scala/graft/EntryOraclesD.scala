@@ -1954,6 +1954,9 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
            SELECT 'label', CAST(label AS VARCHAR), count(*) FROM vl GROUP BY 2)
          ORDER BY rel, key""",
 
+    // 10th streaming gate: same expected relation as the batch q153.
+    "q238_streaming_attribution" -> attributionOracleSql,
+
     // Unigram-LM tokenizer: the EM rounds and the Viterbi lattices are
     // generated from the SAME constants the Spark plans fold
     // (unigramTrainCtes / unigramDpCtes in EntryOracleFragments).
