@@ -741,6 +741,51 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
         windows = 6, alphabet = 4)
       .orderBy(col("event_type"))
   }
+  /** PIVOT sugar (q239): daily counts spread to one column per event
+    * type — Spark's relational pivot with EXPLICIT values (the
+    * two-arg form; value discovery would add a whole extra pass over
+    * the fact table at 100 TB, so the enum is part of the contract,
+    * exactly like the funnel steps). Missing cells fill 0. */
+  private[graft] def pivotDailyQuery(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("signup", "view", "click", "purchase", "error")
+    Tables.events(s, dir)
+      .groupBy(dayOf(col("ts")).cast("string").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("day"))
+  }
+
+  /** UNPIVOT sugar (q240): the inverse reshape — wide per-type columns
+    * melt back to (day, event_type, n) rows via Spark's native unpivot
+    * (map-only over the pivoted rollup; no shuffle beyond q239's).
+    * Zero-filled cells drop so the round trip reproduces the plain
+    * GROUP BY relation exactly (stated; an unpivot keeping zeros is
+    * the q224 densify contract instead). */
+  private[graft] def unpivotDailyQuery(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("signup", "view", "click", "purchase", "error")
+    pivotDailyQuery(s, dir)
+      .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+      .filter(col("n") > 0)
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** HLL++ distinct audit (q241): the mergeable-sketch cardinality
+    * path beside K17's KMV — approx_count_distinct is the bounded
+    * state form that survives 100 TB groupBys where exact
+    * countDistinct shuffles every key. Gate = the q42 convention: the
+    * exact count hash-compares, the sketch must land within 5%
+    * (deterministic at this rsd on this data). */
+  private[graft] def hllDistinctQuery(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("_approx") - col("n_exact")) <=
+          greatest(col("n_exact") / 20, lit(1L))).as("approx_ok"))
+      .orderBy(col("event_type"))
+
   /** Unigram-LM tokenizer TRAINING (q236): the SentencePiece-style
     * family next to BPE (K127) — hard-EM over the Zipf-bounded vocab,
     * integer micro-nat Viterbi costs (UnigramLm scaladoc states the

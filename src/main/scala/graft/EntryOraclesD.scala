@@ -1957,6 +1957,28 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
     // 10th streaming gate: same expected relation as the batch q153.
     "q238_streaming_attribution" -> attributionOracleSql,
 
+    "q239_pivot_daily" ->
+      """SELECT CAST(ts::DATE AS VARCHAR) AS day,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'view') AS view,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'error') AS error
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q240_unpivot_daily" ->
+      """SELECT CAST(ts::DATE AS VARCHAR) AS day, event_type,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events
+         WHERE event_type IN ('signup','view','click','purchase','error')
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q241_hll_distinct" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                true AS approx_ok
+         FROM events GROUP BY 1 ORDER BY 1""",
+
     // Unigram-LM tokenizer: the EM rounds and the Viterbi lattices are
     // generated from the SAME constants the Spark plans fold
     // (unigramTrainCtes / unigramDpCtes in EntryOracleFragments).

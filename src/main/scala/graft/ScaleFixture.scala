@@ -92,14 +92,51 @@ object ScaleFixture {
         col("label"))
   }
 
+  /** Events with sf0.1's observable shape: 30-day span from
+    * 2024-01-01, five event types at ~uniform 20%, users hash-uniform
+    * over nUsers, value hash-uniform [0,100) at cent grain (the real
+    * column's mean ≈ 50 — the skew tail is not reproduced, stated;
+    * none of the rehearsal queries read value). */
+  def events(spark: org.apache.spark.sql.SparkSession,
+      nEvents: Long, nUsers: Long): org.apache.spark.sql.DataFrame = {
+    val types = array(Seq("signup", "view", "click", "purchase", "error")
+      .map(lit): _*)
+    spark.range(nEvents).select(col("id").as("event_id"))
+      .withColumn("ts", timestamp_seconds(
+        lit(1704067200L) + pmod(tag("t", col("event_id")), lit(2592000L))))
+      .withColumn("user_id", pmod(tag("u", col("event_id")), lit(nUsers)))
+      .withColumn("event_type", element_at(types,
+        (pmod(tag("e", col("event_id")), lit(5L)) + 1).cast("int")))
+      .withColumn("value",
+        pmod(tag("w", col("event_id")), lit(10000L)).cast("double") / 100.0)
+      .withColumn("props", lit(""))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Customers in the TPC-H name shape (q183's fuzzy-match base). */
+  def customer(spark: org.apache.spark.sql.SparkSession,
+      nCust: Long): org.apache.spark.sql.DataFrame =
+    spark.range(nCust).select(col("id").as("c_custkey"),
+      concat(lit("Customer#"), lpad(col("id").cast("string"), 9, "0"))
+        .as("c_name"))
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: ScaleFixture <nDocs> <nVecs> <outDir>")
+    require(args.length >= 3,
+      "usage: ScaleFixture <nDocs> <nVecs> <outDir> [<nEvents> <nUsers> <nCust>]")
     val (nDocs, nVecs, out) = (args(0).toLong, args(1).toLong, args(2))
     val spark = GraftSession.forMain("graft-scale-fixture")
     documents(spark, nDocs).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
     embeddings(spark, nVecs).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
+    if (args.length >= 6) {
+      val (nEv, nUs, nCu) = (args(3).toLong, args(4).toLong, args(5).toLong)
+      events(spark, nEv, nUs).write.mode("overwrite")
+        .parquet(s"$out/events.parquet")
+      customer(spark, nCu).write.mode("overwrite")
+        .parquet(s"$out/customer.parquet")
+      println(s"[scale-fixture] wrote $nEv events + $nCu customers to $out")
+    }
     println(s"[scale-fixture] wrote $nDocs docs + $nVecs vecs to $out")
     spark.stop()
   }
