@@ -37,10 +37,22 @@ object ScaleFixture {
 
   /** The documents relation at any row count — exposed (not just the
     * CLI) so q235 can gate the writer's observable statistics against
-    * a DuckDB re-derivation of the same hash definitions. */
+    * a DuckDB re-derivation of the same hash definitions.
+    *
+    * `vocabScale` (default 1 = the measured 31-word vocab, the form
+    * q235 gates) grows the vocabulary ×k by suffixing — a REAL corpus
+    * 100× larger has a larger vocabulary (Heaps' law, V ~ N^β); the
+    * fixed 31-word form at 100× is a deliberate near-clique
+    * ADVERSARIAL density (identical-wordset pairs grow ~N²: 27.7k /
+    * 2.86M / 287M at 1×/10×/100× — measured), useful for hitting
+    * walls on purpose but not for scaling exponents. Rehearsals use
+    * scale ≈ √(size multiplier) for Heaps-consistent density. */
   def documents(spark: org.apache.spark.sql.SparkSession,
-      nDocs: Long): org.apache.spark.sql.DataFrame = {
-    val vocabCol = array(vocab.map(lit): _*)
+      nDocs: Long, vocabScale: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(vocabScale >= 1, s"vocabScale >= 1: $vocabScale")
+    val v = (1 to vocabScale).flatMap(k =>
+      if (k == 1) vocab else vocab.map(w => s"$w$k"))
+    val vocabCol = array(v.map(lit): _*)
     // exact-dup planting at the measured sf0.1 rate: every 625th doc
     // copies its predecessor's text (8 pairs per 5,000 docs)
     val eid = when(col("doc_id") % 625 === 624, col("doc_id") - 1)
@@ -51,7 +63,8 @@ object ScaleFixture {
       .withColumn("text", array_join(
         transform(sequence(lit(1), col("_len")), i =>
           element_at(vocabCol,
-            (pmod(tag("w", concat(col("_eid"), lit("_"), i)), lit(31L)) + 1)
+            (pmod(tag("w", concat(col("_eid"), lit("_"), i)),
+              lit(v.size.toLong)) + 1)
               .cast("int"))), " "))
       .withColumn("_lh", pmod(tag("lang", col("doc_id")), lit(1000L)))
       .withColumn("lang",
@@ -122,10 +135,12 @@ object ScaleFixture {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: ScaleFixture <nDocs> <nVecs> <outDir> [<nEvents> <nUsers> <nCust>]")
+      "usage: ScaleFixture <nDocs> <nVecs> <outDir> " +
+        "[<nEvents> <nUsers> <nCust> [<vocabScale>]]")
     val (nDocs, nVecs, out) = (args(0).toLong, args(1).toLong, args(2))
+    val vocabScale = if (args.length >= 7) args(6).toInt else 1
     val spark = GraftSession.forMain("graft-scale-fixture")
-    documents(spark, nDocs).write.mode("overwrite")
+    documents(spark, nDocs, vocabScale).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
     embeddings(spark, nVecs).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
