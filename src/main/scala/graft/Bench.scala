@@ -157,8 +157,50 @@ object Bench {
         res.left.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
         name -> res
       }
-    renderLines(sfDir, repeats, results).foreach(println)
+    // Streaming throughput section (round-11 ask #6): each of the 10
+    // gates runs ONCE (replay + state handling dominate; min-of-N
+    // would triple an already IO-bound section), reported as
+    // source-relation rows/s so a state-handling regression shows up
+    // round over round. Skipped under a query-name filter (local
+    // iteration measures the named batch queries only).
+    val gates: Seq[(String, Either[String, (Double, Long)])] =
+      if (only.nonEmpty) Seq.empty
+      else {
+        val srcRows = Map(
+          "events" -> Tables.events(spark, sfDir).count(),
+          "documents" -> Tables.documents(spark, sfDir).count())
+        SparkEntry.streamingGates.map { case (name, table) =>
+          val t0 = System.nanoTime()
+          val r =
+            try { SparkEntry.queries(name)(spark, sfDir)
+                    .write.format("noop").mode("overwrite").save(); Right(()) }
+            catch { case e: Throwable => Left(e.toString.linesIterator.next()) }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          r.left.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
+          (name, r.map(_ => (dt, srcRows(table))))
+        }
+      }
+    val streamingLine: Option[String] =
+      if (gates.isEmpty) None
+      else {
+        val rps = gates.map {
+          case (k, Right((dt, rows))) =>
+            s"${jstr(shortKey(k))}:${math.round(rows / dt)}"
+          case (k, Left(_)) => s"${jstr(shortKey(k))}:null"
+        }.mkString("{", ",", "}")
+        val secs = gates.map {
+          case (k, Right((dt, _))) => s"${jstr(shortKey(k))}:${jnum(dt)}"
+          case (k, Left(_)) => s"${jstr(shortKey(k))}:null"
+        }.mkString("{", ",", "}")
+        Some(s"""{"metric":"streaming","unit":"rows_per_sec",""" +
+          s""""sec":$secs,"gates":$rps}""")
+      }
+    // packed minima + summary stay the LAST two lines (tail contract)
+    val lines = renderLines(sfDir, repeats, results)
+    (lines.dropRight(2) ++ streamingLine.toSeq ++ lines.takeRight(2))
+      .foreach(println)
     spark.stop()
-    if (results.exists(_._2.isLeft)) sys.exit(1)
+    if (results.exists(_._2.isLeft) || gates.exists(_._2.isLeft)) sys.exit(1)
   }
 }

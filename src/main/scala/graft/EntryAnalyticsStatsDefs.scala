@@ -425,15 +425,44 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
     * via deletion neighborhoods — digit-neighbour key collisions
     * ("…001" vs "…002") surface as genuine distance-1 pairs, the
     * entity-resolution shape. */
-  private[graft] def editJoinQuery(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.TextDedup
+  /** The q183/q243 shared fuzzy-match sides: customers vs a mutated
+    * copy (every 7th name grows a trailing char). */
+  private[graft] def editJoinSides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val c = Tables.customer(s, dir)
     val left = c.select(col("c_custkey").as("id"), col("c_name").as("name"))
     val right = c.select(col("c_custkey").as("id"),
       when(col("c_custkey") % 7 === 3, concat(col("c_name"), lit("x")))
         .otherwise(col("c_name")).as("name"))
-    TextDedup.editDistanceJoin(left, right, "id", "name")
+    (left, right)
+  }
+
+  /** The q183/q243 shared df-cap: 48 postings per variant key — does
+    * NOT bind on the real corpus (max postings 29 at sf0.01, 38 at
+    * sf0.1, measured), DOES bind on the adversarially dense
+    * sequential-id key space (the g10 1.5M-customer fixture: 150k
+    * hot keys carrying half the postings mass; capping them cuts the
+    * candidate relation 397M → 16.5M, measured in DuckDB). */
+  private[graft] val EditJoinVariantDfCap = 48
+
+  private[graft] def editJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val (left, right) = editJoinSides(s, dir)
+    TextDedup.editDistanceJoin(left, right, "id", "name",
+        variantDfCap = EditJoinVariantDfCap)
       .orderBy(col("left_id"), col("right_id"))
+  }
+
+  /** Edit-join cap audit (q243): the under-join report for q183's
+    * df-cap, run at variantDfCap = 16 so the cap BINDS on the real
+    * corpus (sf0.01 has 150 variant keys over 16 postings, measured)
+    * and the dropped-mass accounting is oracle-exercised. */
+  private[graft] def editJoinCapAuditQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val (left, right) = editJoinSides(s, dir)
+    TextDedup.editDistanceCapAudit(left, right, "id", "name",
+        variantDfCap = 16)
+      .orderBy(col("side"))
   }
 
   /** Delta-maintained key stats (q182): the diagnostics-state tick —
@@ -746,15 +775,20 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
     * two-arg form; value discovery would add a whole extra pass over
     * the fact table at 100 TB, so the enum is part of the contract,
     * exactly like the funnel steps). Missing cells fill 0. */
-  private[graft] def pivotDailyQuery(s: SparkSession, dir: String): DataFrame = {
+  /** The shared unsorted pivot rollup (q239/q240): q240 melts THIS,
+    * not the sorted q239 output, so the inner presentation sort's
+    * range exchange never stacks under the unpivot's own orderBy. */
+  private def pivotDaily(s: SparkSession, dir: String): DataFrame = {
     val types = Seq("signup", "view", "click", "purchase", "error")
     Tables.events(s, dir)
       .groupBy(dayOf(col("ts")).cast("string").as("day"))
       .pivot("event_type", types)
       .agg(count(lit(1)))
       .na.fill(0L, types)
-      .orderBy(col("day"))
   }
+
+  private[graft] def pivotDailyQuery(s: SparkSession, dir: String): DataFrame =
+    pivotDaily(s, dir).orderBy(col("day"))
 
   /** UNPIVOT sugar (q240): the inverse reshape — wide per-type columns
     * melt back to (day, event_type, n) rows via Spark's native unpivot
@@ -764,7 +798,7 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
     * the q224 densify contract instead). */
   private[graft] def unpivotDailyQuery(s: SparkSession, dir: String): DataFrame = {
     val types = Seq("signup", "view", "click", "purchase", "error")
-    pivotDailyQuery(s, dir)
+    pivotDaily(s, dir)
       .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
       .filter(col("n") > 0)
       .orderBy(col("day"), col("event_type"))

@@ -118,13 +118,48 @@ private[graft] trait EntryDedupAnnDefs extends EntryParityDefs {
   private[graft] def dupGraphTriangles(s: SparkSession, dir: String): DataFrame =
     graft.operators.Analytics.triangleCensus(verifiedDupPairs(s, dir))
 
-  /** Degree-capped census (q225): the dense-graph path — each node
-    * keeps its 2 smallest-id neighbors, an edge survives on BOTH
-    * endpoints; the bound that kept the 10× fixture census from
-    * going quadratic, oracle-exercised on the real corpus. */
+  /** The CAPPED verified pair relation (q225's base): identical to
+    * [[verifiedDupPairs]] except candidates come from
+    * [[graft.operators.TextDedup.lshCandidatePairsCapped]] with
+    * degreeCap = bucketCap = 100 — un-refined buckets emit their full
+    * pair set (so at sane densities this relation EQUALS the uncapped
+    * one; at sf0.01 the largest identical-wordset family is 29 docs,
+    * measured), and only refined identical-shingle-set mega-buckets
+    * are rank-chain capped, so the adversarial near-clique mass never
+    * becomes edges (the round-10 g10 wall: 1,515 s at 100× paid
+    * UPSTREAM of the census's own degree cap). */
+  private[graft] def verifiedDupPairsCapped(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val docs = Tables.documents(s, dir)
+    val ws = docs.select(col("doc_id"),
+      transform(TextDedup.normWordSet(col("text")),
+        w => TextDedup.md5Hash60(w)).as("ws"))
+    TextDedup.lshCandidatePairsCapped(docs, "doc_id", "text", degreeCap = 100)
+      .join(ws.select(col("doc_id").as("a"), col("ws").as("wa")), Seq("a"))
+      .join(ws.select(col("doc_id").as("b"), col("ws").as("wb")), Seq("b"))
+      .filter(size(array_union(col("wa"), col("wb"))) > 0 &&
+        expr("cast(size(array_intersect(wa, wb)) as bigint) * 1000000" +
+          " div cast(size(array_union(wa, wb)) as bigint)") >= 500000L)
+      .select(col("a"), col("b"))
+  }
+
+  /** Degree-capped census (q225): the dense-graph path — candidates
+    * bucket-capped UPSTREAM (see [[verifiedDupPairsCapped]]), then
+    * each node keeps its 2 smallest-id neighbors, an edge survives on
+    * BOTH endpoints; the bound that keeps the dense-fixture census
+    * from going quadratic, oracle-exercised on the real corpus. */
   private[graft] def dupTrianglesCapped(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Analytics.triangleCensus(verifiedDupPairs(s, dir),
+    graft.operators.Analytics.triangleCensus(verifiedDupPairsCapped(s, dir),
       maxDegree = 2)
+
+  /** LSH cap audit (q244): [[graft.operators.TextDedup.lshCapAudit]]
+    * at degreeCap = 16 — a cap that BINDS on the real corpus (the
+    * planted dup families exceed 17 members at every SF), so the
+    * full-vs-capped pair gap and the capped-bucket count are
+    * oracle-exercised, not just spec'd. */
+  private[graft] def lshCapAuditQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup.lshCapAudit(
+      Tables.documents(s, dir), "doc_id", "text", degreeCap = 16)
 
   /** Embedding cosine near-dup pairs (brute force — correct baseline;
     * the LSH-bucketed path in q26 is the 100 TB shape). */

@@ -106,7 +106,8 @@ private[graft] trait EntryMaintenanceStreamDefs extends EntryCurationTextDefs {
     // extra eager job — so plain sharing wins on simplicity.
     val weights = TextDedup.dfTokenWeights(d, "doc_id", "text")
     val pairs = TextDedup.weightedLshCandidatePairs(d, "doc_id", "text",
-      weights, 64, 4, 100, TextDedup.normWordSet)
+      weights, 64, 4, 100, TextDedup.normWordSet,
+      TextDedup.DefaultLshPairBudget)
     TextDedup.weightedJaccardPairs(d, "doc_id", "text", pairs, weights,
         TextDedup.normWordSet)
       .orderBy(col("a"), col("b"))
@@ -769,8 +770,33 @@ private[graft] trait EntryMaintenanceStreamDefs extends EntryCurationTextDefs {
       "vecpost", col("id"), col("cell"), col("cs"))
     val cov = pad(s.read.parquet(s"$stateDir/cov"),
       "cov", col("d1"), col("d2"), col("n"), col("s1"), col("s2"), col("s12"))
-    band.unionByName(hash).unionByName(card).unionByName(post).unionByName(cov)
+    val tok = pad(
+      graft.jobs.TokenizerMaintenance.card(
+        graft.jobs.TokenizerMaintenance.load(s, s"$stateDir/tokenizer").get),
+      "tok", col("lang"), col("n_docs"), col("n_chars"),
+      col("n_ws_tokens"), col("n_tokens"), col("chars_per_token_ppm"),
+      col("fertility_ppm"))
+    band.unionByName(hash).unionByName(card).unionByName(post)
+      .unionByName(cov).unionByName(tok)
       .orderBy(col("rel"), col("c1"), col("c2"))
+  }
+
+  /** Tokenizer card maintenance (q242): the persist-and-PIN tokenizer
+    * lifecycle gated standalone (the q141 pattern applied to K146's
+    * fertility card) — BPE merges train on the OLD snapshot and pin;
+    * the per-language fertility counters are BUILT over the old
+    * snapshot, one [[graft.jobs.TokenizerMaintenance]] tick brings
+    * them to the new snapshot by encoding ONLY the changed docs under
+    * the pinned table. The DuckDB oracle REBUILDS the card directly:
+    * trains the same 10 merges on the old snapshot, encodes the full
+    * NEW snapshot under them, rolls up — the hash compare is the
+    * tick≡rebuild-under-pinned-model gate. */
+  private[graft] def tokenizerCardNightlyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.TokenizerMaintenance
+    val (o, n) = cardSnapshotFixture(s, dir)
+    val st = TokenizerMaintenance.rebuild(o, "doc_id", "text")
+    val next = TokenizerMaintenance.nightly(st, o, n, "doc_id", "text")
+    TokenizerMaintenance.card(next).orderBy(col("lang"))
   }
 
   /** BPE trainer (q160): learn a 10-merge table from the corpus — the

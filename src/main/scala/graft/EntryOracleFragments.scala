@@ -39,7 +39,8 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
     * `pr$i` counts adjacent pairs weighted by word frequency, `m$i`
     * is the (count DESC, l, r) argmax, `r$i` applies it. The learned
     * table lives in m1..m$rounds. */
-  private[graft] def bpeTrainCtesSql(rounds: Int): String = {
+  private[graft] def bpeTrainCtesSql(
+      rounds: Int, docs: String = "documents"): String = {
     def round(i: Int): String = {
       val prev = s"r${i - 1}"
       s"""tk$i AS (SELECT string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS tk, n
@@ -53,12 +54,47 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
                  FROM $prev, m$i m)"""
     }
     s"""v AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
-               SELECT unnest(string_split(text, ' ')) AS word FROM documents) z
+               SELECT unnest(string_split(text, ' ')) AS word FROM $docs) z
              WHERE word <> '' GROUP BY word),
        r0 AS (SELECT regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g') AS enc, n
               FROM v),
        ${(1 to rounds).map(round).mkString(",\n       ")}"""
   }
+
+  /** Encode-under-learned-merges chain + per-lang fertility rollup —
+    * the q242/q157 'tok' relation: merges trained (via
+    * [[bpeTrainCtesSql]] CTEs m1..m`rounds`, already in scope) are
+    * applied to `docs`, then the q178 card shape per language. CTE
+    * names are ta0..ta`rounds`/tokj/tokf (collision-free with the
+    * kmeans a$$i chain q157 also embeds). */
+  private[graft] def bpeFertilityCtesSql(
+      rounds: Int, docs: String): String =
+    s"""ta0 AS (SELECT doc_id,
+                regexp_replace(text, '([^ ])', chr(1) || '\\1' || chr(1), 'g') AS enc
+              FROM $docs),
+       ${(1 to rounds).map(i =>
+          s"""ta$i AS (SELECT doc_id,
+                 replace(enc, chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+                         chr(1) || m.l || m.r || chr(1)) AS enc
+               FROM ta${i - 1}, m$i m)""").mkString(",\n       ")},
+       tokj AS (SELECT d.lang, CAST(length(d.text) AS BIGINT) AS nch,
+                       CAST(len(list_filter(string_split(d.text, ' '),
+                         x -> x <> '')) AS BIGINT) AS nws,
+                       CAST(len(list_filter(string_split(
+                         replace(replace(t.enc, chr(1) || chr(1), ' '), chr(1), ''),
+                         ' '), x -> x <> '')) AS BIGINT) AS ntk
+                FROM $docs d JOIN ta$rounds t USING (doc_id)),
+       tokf AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(nch) AS BIGINT) AS n_chars,
+                       CAST(sum(nws) AS BIGINT) AS n_ws_tokens,
+                       CAST(sum(ntk) AS BIGINT) AS n_tokens,
+                       CASE WHEN sum(ntk) > 0
+                            THEN CAST(sum(nch) * 1000000 // sum(ntk) AS BIGINT)
+                            ELSE 0 END AS chars_per_token_ppm,
+                       CASE WHEN sum(nws) > 0
+                            THEN CAST(sum(ntk) * 1000000 // sum(nws) AS BIGINT)
+                            ELSE 0 END AS fertility_ppm
+                FROM tokj GROUP BY lang)"""
 
   /** q158/q159 shared token-list CTE body over `documents`. */
   private[graft] def bpeToksSql: String =
@@ -77,6 +113,16 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
   private[graft] def lshPairsSqlOverShingles(
       wCte: String, numHashes: Int = 64, rowsPerBand: Int = 16,
       pairPred: String = "a.doc_id < b.doc_id"): String =
+    s"""${lshBandsSqlOverShingles(wCte, numHashes, rowsPerBand)},
+       pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                 FROM rb a JOIN rb b
+                   ON a.band = b.band AND a.key = b.key AND $pairPred)"""
+
+  /** The banding core through the refined `rb(doc_id, band, key)`
+    * relation — shared by the uncapped pair join above and the
+    * degree-capped rank-successor join below. */
+  private[graft] def lshBandsSqlOverShingles(
+      wCte: String, numHashes: Int = 64, rowsPerBand: Int = 16): String =
     s"""w AS ($wCte),
        hb AS (SELECT doc_id,
                      ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS h
@@ -94,16 +140,84 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
        rb AS (SELECT b.doc_id, b.band,
                      CASE WHEN s.n <= 100 THEN b.key
                           ELSE b.key || '!' || k.setkey END AS key
-              FROM bands b JOIN bsz s USING (band, key) JOIN sk k USING (doc_id)),
+              FROM bands b JOIN bsz s USING (band, key) JOIN sk k USING (doc_id))"""
+
+  /** Degree-capped candidate pairs — mirrors
+    * `TextDedup.lshCandidatePairsCapped`: rank within each refined
+    * bucket by doc id, pair each member with its `degreeCap` nearest
+    * rank successors. */
+  private[graft] def lshCappedPairsSqlOverShingles(
+      wCte: String, numHashes: Int = 64, rowsPerBand: Int = 16,
+      degreeCap: Int = 100): String =
+    s"""${lshBandsSqlOverShingles(wCte, numHashes, rowsPerBand)},
+       rrk AS (SELECT doc_id, band, key,
+                      row_number() OVER (PARTITION BY band, key
+                                         ORDER BY doc_id) AS r
+               FROM rb),
        pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-                 FROM rb a JOIN rb b
-                   ON a.band = b.band AND a.key = b.key AND $pairPred)"""
+                 FROM rrk a JOIN rrk b
+                   ON a.band = b.band AND a.key = b.key
+                  AND b.r > a.r AND b.r <= a.r + $degreeCap)"""
+
+  /** Cap audit over the refined buckets — mirrors
+    * `TextDedup.lshCapAudit`'s one-row rollup. */
+  private[graft] def lshCapAuditSqlOverShingles(
+      wCte: String, degreeCap: Int, numHashes: Int = 64,
+      rowsPerBand: Int = 16): String =
+    s"""${lshBandsSqlOverShingles(wCte, numHashes, rowsPerBand)},
+       bn AS (SELECT band, key, CAST(count(*) AS BIGINT) AS n
+              FROM rb GROUP BY 1, 2),
+       audit AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                        CAST(count(*) FILTER (WHERE n - 1 > $degreeCap)
+                          AS BIGINT) AS n_capped_buckets,
+                        CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket,
+                        CAST(coalesce(sum(n * (n - 1) // 2), 0)
+                          AS BIGINT) AS pairs_full,
+                        CAST(coalesce(sum(CASE WHEN n - 1 <= $degreeCap
+                                 THEN n * (n - 1) // 2
+                                 ELSE (n - $degreeCap) * $degreeCap
+                                      + $degreeCap * ($degreeCap - 1) // 2
+                               END), 0) AS BIGINT) AS pairs_capped
+                 FROM bn)"""
 
   /** Word-set shingles over a docs relation (the default shingler). */
   private[graft] def minHashPairsSqlOver(docs: String): String =
-    lshPairsSqlOverShingles(
-      s"""SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
-          FROM $docs""")
+    lshPairsSqlOverShingles(docShinglesSql(docs))
+
+  private[graft] def docShinglesSql(docs: String): String =
+    s"""SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+          FROM $docs"""
+
+  /** Degree-capped twin of [[minHashPairsSqlOver]] (q225's base). */
+  private[graft] def minHashCappedPairsSqlOver(
+      docs: String, degreeCap: Int = 100): String =
+    lshCappedPairsSqlOverShingles(docShinglesSql(docs), degreeCap = degreeCap)
+
+  /** q183/q243 shared fragment: the two fuzzy-match sides (customers
+    * vs the every-7th-mutated copy) through their deletion-variant
+    * postings `lv(lid, ls, h)` / `rv(rid, rs, h)`. */
+  private[graft] val editJoinSidesSql: String =
+    """l AS (SELECT c_custkey AS lid, c_name AS ls FROM customer),
+         r AS (SELECT c_custkey AS rid,
+                      CASE WHEN c_custkey % 7 = 3 THEN c_name || 'x'
+                           ELSE c_name END AS rs
+               FROM customer),
+         lv1 AS (SELECT lid, ls, list_prepend(ls,
+                   [substr(ls, 1, i - 1) || substr(ls, i + 1)
+                    FOR i IN generate_series(1, length(ls))]) AS vs
+                 FROM l),
+         lv2 AS (SELECT lid, ls, unnest(vs) AS v FROM lv1),
+         lv AS (SELECT DISTINCT lid, ls,
+                       ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+                FROM lv2),
+         rv1 AS (SELECT rid, rs, list_prepend(rs,
+                   [substr(rs, 1, i - 1) || substr(rs, i + 1)
+                    FOR i IN generate_series(1, length(rs))]) AS vs
+                 FROM r),
+         rv2 AS (SELECT rid, rs, unnest(vs) AS v FROM rv1),
+         rv AS (SELECT DISTINCT rid, rs,
+                       ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+                FROM rv2)"""
 
   /** The q131/q135 URL-variant derivation (4 variants per page id). */
   private[graft] val urlVariantSql: String =

@@ -939,7 +939,11 @@ private[graft] trait EntryOraclesC extends EntryOraclesB {
                            CAST(sum(x1) AS BIGINT) AS s1,
                            CAST(sum(x2) AS BIGINT) AS s2,
                            CAST(sum(x1 * x2) AS BIGINT) AS s12
-                    FROM cp GROUP BY d1, d2)
+                    FROM cp GROUP BY d1, d2),
+         olds AS (SELECT doc_id, text, lang FROM documents
+                  WHERE doc_id % 10 <> 3),
+         ${bpeTrainCtesSql(10, "olds")},
+         ${bpeFertilityCtesSql(10, "nw")}
          SELECT 'band' AS rel, CAST(doc_id AS VARCHAR) AS c1,
                 CAST(band AS VARCHAR) AS c2, key AS c3,
                 NULL AS c4, NULL AS c5, NULL AS c6, NULL AS c7 FROM bands
@@ -961,6 +965,12 @@ private[graft] trait EntryOraclesC extends EntryOraclesB {
          SELECT 'cov', CAST(d1 AS VARCHAR), CAST(d2 AS VARCHAR),
                 CAST(n AS VARCHAR), CAST(s1 AS VARCHAR), CAST(s2 AS VARCHAR),
                 CAST(s12 AS VARCHAR), NULL FROM covrel
+         UNION ALL
+         SELECT 'tok', lang, CAST(n_docs AS VARCHAR),
+                CAST(n_chars AS VARCHAR), CAST(n_ws_tokens AS VARCHAR),
+                CAST(n_tokens AS VARCHAR),
+                CAST(chars_per_token_ppm AS VARCHAR),
+                CAST(fertility_ppm AS VARCHAR) FROM tokf
          ORDER BY rel, c1, c2""",
     // BPE trainer: each round's argmax merge, unrolled.
     "q160_bpe_train" ->

@@ -210,30 +210,19 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
     // plus its delete-one variants, hashed 60-bit) equi-joined, then
     // the exact levenshtein verify — identical classic DP in both
     // engines. unnest stands on its own level (the q181 binder note).
+    // Round 11: the per-side variant df-cap (48) mirrored — it does
+    // not bind at sf0.01 (max postings 29, measured) but the oracle
+    // carries the same contract as the operator.
     "q183_edit_distance_join" ->
-      """WITH l AS (SELECT c_custkey AS lid, c_name AS ls FROM customer),
-         r AS (SELECT c_custkey AS rid,
-                      CASE WHEN c_custkey % 7 = 3 THEN c_name || 'x'
-                           ELSE c_name END AS rs
-               FROM customer),
-         lv1 AS (SELECT lid, ls, list_prepend(ls,
-                   [substr(ls, 1, i - 1) || substr(ls, i + 1)
-                    FOR i IN generate_series(1, length(ls))]) AS vs
-                 FROM l),
-         lv2 AS (SELECT lid, ls, unnest(vs) AS v FROM lv1),
-         lv AS (SELECT DISTINCT lid, ls,
-                       ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
-                FROM lv2),
-         rv1 AS (SELECT rid, rs, list_prepend(rs,
-                   [substr(rs, 1, i - 1) || substr(rs, i + 1)
-                    FOR i IN generate_series(1, length(rs))]) AS vs
-                 FROM r),
-         rv2 AS (SELECT rid, rs, unnest(vs) AS v FROM rv1),
-         rv AS (SELECT DISTINCT rid, rs,
-                       ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
-                FROM rv2),
+      s"""WITH $editJoinSidesSql,
+         lvc AS (SELECT * FROM (SELECT lid, ls, h,
+                        count(*) OVER (PARTITION BY h) AS n FROM lv)
+                 WHERE n <= 48),
+         rvc AS (SELECT * FROM (SELECT rid, rs, h,
+                        count(*) OVER (PARTITION BY h) AS n FROM rv)
+                 WHERE n <= 48),
          cand AS (SELECT DISTINCT lid, rid, ls, rs
-                  FROM lv JOIN rv USING (h) WHERE lid <> rid)
+                  FROM lvc JOIN rvc USING (h) WHERE lid <> rid)
          SELECT lid AS left_id, rid AS right_id,
                 ls AS left_str, rs AS right_str,
                 CAST(levenshtein(ls, rs) AS BIGINT) AS distance
@@ -1475,10 +1464,12 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
          FROM axis LEFT JOIN daily
            ON axis.typ = daily.typ AND axis.day = daily.day
          ORDER BY event_type, day""",
-    // Capped census: the q205 graph with the both-endpoint degree-2
-    // cap applied before the same census arithmetic.
+    // Capped census: candidates rank-chain capped at degreeCap=100
+    // UPSTREAM (the round-11 fix — refined mega-buckets never emit
+    // their quadratic pair set), then the q205 verify and the
+    // both-endpoint degree-2 cap before the same census arithmetic.
     "q225_triangles_capped" ->
-      s"""WITH $minHashPairsSql,
+      s"""WITH ${minHashCappedPairsSqlOver("documents")},
          ws AS (SELECT doc_id,
                        list_distinct(string_split(lower(trim(text)), ' ')) AS ws
                 FROM documents),
@@ -2024,5 +2015,54 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                 coalesce(c.cost_micro, 0) AS cost_micro
          FROM documents d LEFT JOIN enc e USING (doc_id)
            LEFT JOIN nws n USING (doc_id) LEFT JOIN cst c USING (doc_id)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+
+    // Tokenizer card maintenance: the FULL REBUILD under the pinned
+    // model — 10 merges trained on the OLD snapshot, the NEW snapshot
+    // encoded under them, per-lang fertility rollup. Hash-equality
+    // against the Spark side's maintained counters IS the
+    // tick≡rebuild-under-pinned-tokenizer gate.
+    "q242_tokenizer_card_nightly" ->
+      s"""WITH olds AS (SELECT doc_id, text, lang FROM documents
+                  WHERE doc_id % 10 <> 3),
+         news AS (SELECT doc_id,
+                         CASE WHEN doc_id % 10 = 5 THEN text || ' v2'
+                              ELSE text END AS text,
+                         lang
+                  FROM documents WHERE doc_id % 10 <> 7),
+         ${bpeTrainCtesSql(10, "olds")},
+         ${bpeFertilityCtesSql(10, "news")}
+         SELECT lang, n_docs, n_chars, n_ws_tokens, n_tokens,
+                chars_per_token_ppm, fertility_ppm
+         FROM tokf ORDER BY lang""",
+
+    // Edit-join cap audit: per-side postings rollup at a cap (16)
+    // that BINDS on the real corpus — dropped mass oracle-exercised.
+    "q243_edit_join_cap_audit" ->
+      s"""WITH $editJoinSidesSql,
+         la AS (SELECT 'left' AS side,
+                       CAST(count(*) AS BIGINT) AS n_variant_keys,
+                       CAST(count(*) FILTER (WHERE n > 16) AS BIGINT)
+                         AS n_capped_keys,
+                       CAST(coalesce(max(n), 0) AS BIGINT) AS max_postings,
+                       CAST(coalesce(sum(n) FILTER (WHERE n > 16), 0)
+                         AS BIGINT) AS dropped_postings
+                FROM (SELECT h, count(*) AS n FROM lv GROUP BY 1)),
+         ra AS (SELECT 'right' AS side,
+                       CAST(count(*) AS BIGINT) AS n_variant_keys,
+                       CAST(count(*) FILTER (WHERE n > 16) AS BIGINT)
+                         AS n_capped_keys,
+                       CAST(coalesce(max(n), 0) AS BIGINT) AS max_postings,
+                       CAST(coalesce(sum(n) FILTER (WHERE n > 16), 0)
+                         AS BIGINT) AS dropped_postings
+                FROM (SELECT h, count(*) AS n FROM rv GROUP BY 1))
+         SELECT * FROM la UNION ALL SELECT * FROM ra ORDER BY side""",
+
+    // LSH cap audit: refined-bucket rollup at degreeCap 16 (binds on
+    // the planted dup families), mirroring TextDedup.lshCapAudit.
+    "q244_lsh_cap_audit" ->
+      s"""WITH ${lshCapAuditSqlOverShingles(docShinglesSql("documents"), 16)}
+         SELECT n_buckets, n_capped_buckets, max_bucket, pairs_full,
+                pairs_capped
+         FROM audit""")
 }

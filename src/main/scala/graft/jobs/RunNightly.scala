@@ -18,7 +18,10 @@ import graft.operators.Similarity
   *   3. vector index        — [[Similarity.ivfSqIndexMaintain]] tick
   *      under the PERSISTED quantizer model;
   *   4. covariance state    — [[Similarity.covarianceDelta]] tick
-  *      (the drift monitors' nightly read).
+  *      (the drift monitors' nightly read);
+  *   5. tokenizer           — [[TokenizerMaintenance]] tick (BPE
+  *      merges bootstrap-trained then PINNED, fertility counters
+  *      maintained at O(changed) under the pinned table).
   *
   * Model lifecycle: on bootstrap (no state dir) the quantizer is
   * TRAINED — [[Similarity.kmeansFit]] centroids + [[Similarity.sqTrain]]
@@ -124,6 +127,16 @@ object RunNightly {
     covNext.write.mode("overwrite").parquet(s"$covDir.tmp")
     graft.util.StateDirs.promote(conf, covDir)
 
+    // 5. tokenizer: merges bootstrap-TRAINED then PINNED (the
+    // quantizer's persist/pin lifecycle — a scheduled retrain deletes
+    // the state dir), fertility counters maintained at O(changed)
+    // under the pinned table
+    val tokState = TokenizerMaintenance.load(spark, s"$stateDir/tokenizer")
+      .getOrElse(TokenizerMaintenance.rebuild(oldDocs, "doc_id", "text"))
+    val tokNext = TokenizerMaintenance.nightly(
+      tokState, oldDocs, newDocs, "doc_id", "text")
+    TokenizerMaintenance.save(tokNext, s"$stateDir/tokenizer")
+
     // summary reads the SAVED state fresh from disk — the pre-save
     // DataFrames' plans still point at the replaced previous files
     val card = CardMaintenance.card(CardMaintenance.load(spark, s"$stateDir/card").get)
@@ -131,7 +144,9 @@ object RunNightly {
       s"bands=${spark.read.parquet(s"$stateDir/index/band_index").count()} | " +
       s"card: langs=${card.count()} | " +
       s"vecindex: postings=${spark.read.parquet(postDir).count()} | " +
-      s"cov: pairs=${spark.read.parquet(covDir).count()}"
+      s"cov: pairs=${spark.read.parquet(covDir).count()} | " +
+      s"tokenizer: merges=${spark.read.parquet(s"$stateDir/tokenizer/merges").count()} " +
+      s"langs=${spark.read.parquet(s"$stateDir/tokenizer/fertility").count()}"
   }
 
   /** CLI: `RunNightly <stateDir> <oldDocs> <newDocs> <oldVecs>

@@ -138,9 +138,12 @@ object TextDedup {
       numHashes: Int = 64,
       bands: Int = 4,
       bucketCap: Int = 100,
-      shingler: Column => Column = normWordSet): DataFrame = {
-    val refined = lshRefinedBands(df, idCol, textCol, numHashes, bands,
-      bucketCap, shingler)
+      shingler: Column => Column = normWordSet,
+      pairBudget: Long = DefaultLshPairBudget): DataFrame = {
+    val refined = guardPairBudget(
+      lshRefinedBands(df, idCol, textCol, numHashes, bands, bucketCap,
+        shingler),
+      pairBudget, "lshCandidatePairs")
     val a = refined.as("a")
     val b = refined.as("b")
     a.join(b,
@@ -148,6 +151,143 @@ object TextDedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("a"), col("b.id").as("b"))
       .distinct()
+  }
+
+  /** Default candidate-pair budget for the LSH cascade family: past
+    * ~100M within-bucket pairs the verify join is doomed on any
+    * realistic task budget (measured: the adversarial fixed-vocab
+    * 100× fixture's 287M-pair relation ran >85 min before being
+    * killed), and the right behavior is an IMMEDIATE, itemized
+    * failure before the join launches — not an hours-long hang. The
+    * heaps-consistent 100× rehearsal corpus stays well inside. */
+  val DefaultLshPairBudget: Long = 100000000L
+
+  /** Pair-budget fail-fast (the K131 join-cardinality-audit discipline
+    * pointed at the band-bucket relation): the exact within-bucket
+    * candidate count Σ n·(n−1)/2 is computed from the banded key
+    * relation BEFORE the candidate self-join is launched, and a
+    * corpus whose buckets imply more than `pairBudget` pairs fails
+    * immediately with the measured estimate — never a silent
+    * multi-hour join. The banded relation is localCheckpoint'ed
+    * (bands×N small rows, cleaner-released once unreferenced) so the
+    * estimate and the join share ONE signature computation; the
+    * estimate itself is an upper bound on the distinct pair relation
+    * (cross-band duplicates collapse in the join's DISTINCT). */
+  private def guardPairBudget(
+      refined: DataFrame, pairBudget: Long, op: String): DataFrame = {
+    if (pairBudget == Long.MaxValue) return refined
+    val ck = refined.localCheckpoint()
+    val est = ck.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("est"))
+      .head().getLong(0)
+    require(est <= pairBudget,
+      s"$op: the banded LSH buckets imply $est within-bucket candidate " +
+        s"pairs, over the $pairBudget pair budget — the corpus is " +
+        "adversarially dense at this threshold (near-clique duplicate " +
+        "families). Cap the relation (lshCandidatePairsCapped), steepen " +
+        "the banding, or raise pairBudget deliberately.")
+    ck
+  }
+
+  /** Degree-CAPPED candidate pairs — the bounded-output form for
+    * graph-shaped consumers (triangle census, cluster audits) where a
+    * near-clique duplicate family must never materialize its full
+    * quadratic pair relation. Within each refined (band, key) bucket,
+    * members are ranked by id and each member pairs only with its
+    * `degreeCap` nearest SUCCESSORS in rank order, so
+    *  - per-bucket emissions are ≤ n·degreeCap (linear, not n²/2),
+    *  - every bucket stays CONNECTED as a rank chain (successor-1
+    *    edges always survive), so component labels are unaffected
+    *    wherever the clique is genuine,
+    *  - with the default degreeCap = bucketCap, UN-refined buckets
+    *    (≤ bucketCap members by the K2 guard) emit exactly the
+    *    uncapped pair set — only the refined identical-shingle-set
+    *    mega-buckets are capped, which is precisely the adversarial
+    *    mass the census cap exists for.
+    * Deterministic (rank = row_number by id) and mirrored in the
+    * DuckDB oracle; the capped-away mass is visible via
+    * [[lshCapAudit]], never silent. */
+  def lshCandidatePairsCapped(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 4,
+      bucketCap: Int = 100,
+      degreeCap: Int = 100,
+      shingler: Column => Column = normWordSet): DataFrame = {
+    require(degreeCap >= 1, s"degreeCap must be >= 1: $degreeCap")
+    val ex = df
+      .select(col(idCol).as("id"), explode(shingler(col(textCol))).as("w"))
+      .select(col("id"), (md5Hash60(col("w")) % MinHashP).as("h"))
+    // materialize ONCE (cleaner-released blocks): the sized banded
+    // relation feeds two branches × two join sides — left lazy, the
+    // signature pipeline replicates per consumer in the physical plan
+    val sized = refinedBandsFromElementsSized(ex, numHashes, bands, bucketCap)
+      .localCheckpoint()
+    // Split by PRE-refinement bucket size: a bucket whose whole
+    // pre-refine population fits in degreeCap+1 can never bind (its
+    // refined groups are subsets), so it takes the plain id<id join —
+    // the rank window runs ONLY over the oversized sliver, which is
+    // what keeps the capped form's cost at the uncapped form's cost
+    // plus a mega-bucket-sized window (measured: the full-relation
+    // window cost q225 +2.0 s at sf0.1).
+    val small = sized.filter(col("n") <= degreeCap + 1)
+      .select(col("id"), col("band"), col("key"))
+    val sa = small.as("a")
+    val sb = small.as("b")
+    val plainPairs = sa.join(sb,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+    val ranked = sized.filter(col("n") > degreeCap + 1)
+      .select(col("id"), col("band"), col("key"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("band"), col("key")).orderBy(col("id"))))
+    val ra = ranked.as("a")
+    val rb = ranked.as("b")
+    val cappedPairs = ra.join(rb,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("b._r") > col("a._r") && col("b._r") <= col("a._r") + degreeCap)
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+    // buckets are disjoint between branches (n is a bucket property),
+    // and within the rank branch the successor pairing subsumes the
+    // plain one for n <= cap+1 groups — the union is output-identical
+    // to ranking EVERY bucket (the oracle's pure rank form)
+    plainPairs.unionByName(cappedPairs).distinct()
+  }
+
+  /** Cap audit for [[lshCandidatePairsCapped]] — one row: bucket
+    * count, buckets where the cap binds (n − 1 > degreeCap), the
+    * largest bucket, and the full vs capped within-bucket pair counts
+    * (capped per bucket: n(n−1)/2 when n−1 ≤ cap, else
+    * (n−cap)·cap + cap(cap−1)/2 — the rank-successor sum). Both
+    * counts are pre-DISTINCT upper bounds on the emitted relation;
+    * their GAP is the capped-away mass a census consumer is trading
+    * for bounded degrees. */
+  def lshCapAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 4,
+      bucketCap: Int = 100,
+      degreeCap: Int = 100,
+      shingler: Column => Column = normWordSet): DataFrame = {
+    require(degreeCap >= 1, s"degreeCap must be >= 1: $degreeCap")
+    val cap = lit(degreeCap.toLong)
+    val capTail = lit(degreeCap.toLong * (degreeCap - 1) / 2)
+    lshRefinedBands(df, idCol, textCol, numHashes, bands, bucketCap, shingler)
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        count(when(col("n") - 1 > cap, 1)).as("n_capped_buckets"),
+        coalesce(max(col("n")), lit(0L)).as("max_bucket"),
+        coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("pairs_full"),
+        coalesce(sum(when(col("n") - 1 <= cap, expr("n * (n - 1) div 2"))
+          .otherwise((col("n") - cap) * cap + capTail)), lit(0L))
+          .as("pairs_capped"))
   }
 
   /** Banded, bucket-capped LSH keys — `(id, band, key)` — shared by the
@@ -179,6 +319,17 @@ object TextDedup {
       ex: DataFrame, // (id, h)
       numHashes: Int,
       bands: Int,
+      bucketCap: Int): DataFrame =
+    refinedBandsFromElementsSized(ex, numHashes, bands, bucketCap)
+      .select(col("id"), col("band"), col("key"))
+
+  /** [[refinedBandsFromElements]] keeping the PRE-refinement bucket
+    * size `n` — [[lshCandidatePairsCapped]] uses it to confine its
+    * rank window to buckets the cap could actually bind. */
+  private def refinedBandsFromElementsSized(
+      ex: DataFrame, // (id, h)
+      numHashes: Int,
+      bands: Int,
       bucketCap: Int): DataFrame = {
     val r = numHashes / bands
     val aggs = minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
@@ -196,7 +347,8 @@ object TextDedup {
       count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
     sized.select(col("id"), col("band"),
       when(col("n") <= bucketCap, col("key"))
-        .otherwise(concat(col("key"), lit("!"), col("setkey"))).as("key"))
+        .otherwise(concat(col("key"), lit("!"), col("setkey"))).as("key"),
+      col("n"))
   }
 
   /** STREAMING ingest dedup gate — the continuous-arrival twin of
@@ -348,7 +500,7 @@ object TextDedup {
       shingler: Column => Column = normWordSet): DataFrame =
     weightedLshCandidatePairs(docs, idCol, textCol,
       dfTokenWeights(docs, idCol, textCol, maxW, shingler),
-      numHashes, bands, bucketCap, shingler)
+      numHashes, bands, bucketCap, shingler, DefaultLshPairBudget)
 
   /** Weight-reuse form: `weights` is a precomputed `(tok, wt)`
     * relation ([[dfTokenWeights]]'s output) — a pipeline that scores
@@ -363,7 +515,8 @@ object TextDedup {
       numHashes: Int,
       bands: Int,
       bucketCap: Int,
-      shingler: Column => Column): DataFrame = {
+      shingler: Column => Column,
+      pairBudget: Long): DataFrame = {
     val ex = docs
       .select(col(idCol).as("id"), explode(shingler(col(textCol))).as("tok"))
       .join(weights, Seq("tok"))
@@ -371,7 +524,9 @@ object TextDedup {
         explode(transform(sequence(lit(1), col("wt").cast("int")),
           i => concat(col("tok"), lit("#"), i.cast("string")))).as("e"))
       .select(col("id"), (md5Hash60(col("e")) % MinHashP).as("h"))
-    val refined = refinedBandsFromElements(ex, numHashes, bands, bucketCap)
+    val refined = guardPairBudget(
+      refinedBandsFromElements(ex, numHashes, bands, bucketCap),
+      pairBudget, "weightedLshCandidatePairs")
     val a = refined.as("a")
     val b = refined.as("b")
     a.join(b,
@@ -630,11 +785,12 @@ object TextDedup {
       minJaccard: Double = 0.5,
       numHashes: Int = 64,
       bands: Int = 4,
-      bucketCap: Int = 100): DataFrame = {
+      bucketCap: Int = 100,
+      pairBudget: Long = DefaultLshPairBudget): DataFrame = {
     val survivors = exactDedup(df, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatePairs(survivors, idCol, textCol, numHashes,
-      bands, bucketCap)
+      bands, bucketCap, pairBudget = pairBudget)
     val ws = survivors.select(col(idCol).as("wid"),
       transform(normWordSet(col(textCol)), w => md5Hash60(w)).as("ws"))
     val gated = cands
@@ -1348,27 +1504,15 @@ object TextDedup {
       right: DataFrame,
       idCol: String,
       strCol: String,
-      maxLen: Int = 64): DataFrame = {
-    def variants(side: DataFrame, ip: String, sp: String): DataFrame = {
-      val s = col(strCol)
-      side
-        .filter(length(s) <= maxLen && length(s) >= 1)
-        .select(col(idCol).as(ip), s.as(sp),
-          explode(array_distinct(concat(array(s),
-            transform(sequence(lit(1), length(s)), i =>
-              concat(call_function("substring", s, lit(1), i - 1),
-                call_function("substring", s, i + 1, length(s)))))))
-            .as("_v"))
-        // band key = hash of (variant length, variant): the length
-        // component prunes cross-length hash-collision merges, as the
-        // scaladoc promises (exact verify keeps any residue harmless)
-        .select(col(ip), col(sp),
-          md5Hash60(concat(length(col("_v")).cast("string"),
-            lit("\u0001"), col("_v"))).as("_h"))
-        .distinct()
-    }
-    val lv = variants(left, "left_id", "left_str")
-    val rv = variants(right, "right_id", "right_str")
+      maxLen: Int = 64,
+      variantDfCap: Int = Int.MaxValue): DataFrame = {
+    require(variantDfCap >= 1, s"variantDfCap must be >= 1: $variantDfCap")
+    val lv = capVariants(
+      editVariants(left, idCol, strCol, maxLen, "left_id", "left_str"),
+      variantDfCap)
+    val rv = capVariants(
+      editVariants(right, idCol, strCol, maxLen, "right_id", "right_str"),
+      variantDfCap)
     lv.join(rv, Seq("_h"))
       .filter(col("left_id") =!= col("right_id"))
       .select(col("left_id"), col("right_id"),
@@ -1377,5 +1521,76 @@ object TextDedup {
       .withColumn("distance",
         levenshtein(col("left_str"), col("right_str")).cast("long"))
       .filter(col("distance") <= 1)
+  }
+
+  /** Deletion-neighborhood variant postings for [[editDistanceJoin]]:
+    * (id, str, variant hash), one DISTINCT row per (string, variant)
+    * — at most len+1 per string. */
+  private def editVariants(
+      side: DataFrame, idCol: String, strCol: String, maxLen: Int,
+      ip: String, sp: String): DataFrame = {
+    val s = col(strCol)
+    side
+      .filter(length(s) <= maxLen && length(s) >= 1)
+      .select(col(idCol).as(ip), s.as(sp),
+        explode(array_distinct(concat(array(s),
+          transform(sequence(lit(1), length(s)), i =>
+            concat(call_function("substring", s, lit(1), i - 1),
+              call_function("substring", s, i + 1, length(s)))))))
+          .as("_v"))
+      // band key = hash of (variant length, variant): the length
+      // component prunes cross-length hash-collision merges, as the
+      // scaladoc promises (exact verify keeps any residue harmless)
+      .select(col(ip), col(sp),
+        md5Hash60(concat(length(col("_v")).cast("string"),
+          lit("\u0001"), col("_v"))).as("_h"))
+      .distinct()
+  }
+
+  /** The df-cap (the K70/K97 postings-cap discipline applied to
+    * deletion variants): a variant hash carried by more than
+    * `variantDfCap` strings on this side is a STOP-VARIANT — on an
+    * adversarially dense key space (sequential zero-padded codes,
+    * where every string has dozens of genuine distance-1 partners)
+    * the hot variants drive the candidate relation super-linear, so
+    * their postings are dropped wholesale before the band join. The
+    * join then UNDER-reports pairs whose every shared variant is hot
+    * — stated, and never silent: [[editDistanceCapAudit]] reports
+    * the capped keys and the dropped postings mass. The count window
+    * partitions on the key the band join shuffles on anyway, so the
+    * cap adds no extra exchange. */
+  private def capVariants(v: DataFrame, variantDfCap: Int): DataFrame =
+    if (variantDfCap == Int.MaxValue) v
+    else v
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_h"))))
+      .filter(col("_n") <= variantDfCap)
+      .drop("_n")
+
+  /** Under-join audit for [[editDistanceJoin]]'s df-cap — one row
+    * per side (`side` in 'left'/'right'): variant-key count, keys
+    * over the cap, the largest postings list, and the postings mass
+    * the cap drops. A zero `n_capped_keys` row is this corpus's
+    * cap-did-not-bind certificate. */
+  def editDistanceCapAudit(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxLen: Int = 64,
+      variantDfCap: Int = Int.MaxValue): DataFrame = {
+    require(variantDfCap >= 1, s"variantDfCap must be >= 1: $variantDfCap")
+    def sideAudit(side: DataFrame, ip: String, sp: String, tag: String) =
+      editVariants(side, idCol, strCol, maxLen, ip, sp)
+        .groupBy(col("_h")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_variant_keys"),
+          count(when(col("n") > variantDfCap, 1)).as("n_capped_keys"),
+          coalesce(max(col("n")), lit(0L)).as("max_postings"),
+          coalesce(sum(when(col("n") > variantDfCap, col("n"))), lit(0L))
+            .as("dropped_postings"))
+        .select(lit(tag).as("side"), col("n_variant_keys"),
+          col("n_capped_keys"), col("max_postings"),
+          col("dropped_postings"))
+    sideAudit(left, "left_id", "left_str", "left")
+      .unionByName(sideAudit(right, "right_id", "right_str", "right"))
   }
 }

@@ -70,6 +70,18 @@ class RunNightlySpec extends SparkSpec {
     spark.read.parquet(s"$dir/cov")
       .select("d1", "d2", "n", "s1", "s2", "s12")
       .orderBy("d1", "d2").collect() shouldBe wantCov
+
+    // tokenizer card == rebuild(d2) under the PINNED bootstrap merges
+    val tokState = TokenizerMaintenance.load(spark, s"$dir/tokenizer").get
+    val pinned = TokenizerMaintenance.mergesOf(tokState)
+    pinned shouldBe TokenizerMaintenance.mergesOf(
+      TokenizerMaintenance.rebuild(d0, "doc_id", "text"))
+    val wantTok = TokenizerMaintenance.card(TokenizerMaintenance.TokState(
+        tokState.merges,
+        TokenizerMaintenance.rebuildCountersUnder(d2, "doc_id", "text", pinned)))
+      .orderBy("lang").collect()
+    TokenizerMaintenance.card(tokState)
+      .orderBy("lang").collect() shouldBe wantTok
   }
 
   test("the bootstrap-trained model is pinned: a tick never rewrites it") {

@@ -78,4 +78,36 @@ class StreamingAttributionSpec extends SparkSpec {
       ev(1L, "purchase", "2024-01-03 10:00:00"))))
     out shouldBe Seq((1L, "signup"), (1L, "view"))
   }
+
+  test("horizon CONTRACT: a beyond-horizon touch is where stream and batch disagree, by design") {
+    // The batch operator's attribution window is UNBOUNDED PRECEDING;
+    // the stream join must bound it to expire state (the stated q238
+    // envelope: corpus span inside the horizon => equality). This
+    // fixture plants the one case OUTSIDE the envelope — a touch 19
+    // days before the conversion under a 7-day horizon — and pins the
+    // documented disagreement: batch attributes, stream does not.
+    val fixture = Seq(
+      ev(1L, "click", "2024-01-01 10:00:00"),
+      ev(1L, "purchase", "2024-01-20 10:00:00"))
+    // stream at horizonDays = 7 -> none (asserted above, re-used here)
+    run(Seq(fixture)) shouldBe Seq((1L, "none"))
+    // batch, unbounded -> the click attributes
+    val batch = graft.operators.Analytics.lastTouchAttribution(
+        fixture.toDF(), "user_id", "ts", "event_type",
+        conversionType = "purchase",
+        channelTypes = Seq("signup", "view", "click"))
+      .select(col("channel")).as[String].collect().toSeq
+    batch shouldBe Seq("click")
+    // and INSIDE the envelope (span < horizon) the two agree — the
+    // q238 gate's operating point
+    val inside = Seq(
+      ev(1L, "click", "2024-01-14 10:00:00"),
+      ev(1L, "purchase", "2024-01-20 10:00:00"))
+    run(Seq(inside)) shouldBe Seq((1L, "click"))
+    graft.operators.Analytics.lastTouchAttribution(
+        inside.toDF(), "user_id", "ts", "event_type",
+        conversionType = "purchase",
+        channelTypes = Seq("signup", "view", "click"))
+      .select(col("channel")).as[String].collect().toSeq shouldBe Seq("click")
+  }
 }
