@@ -38,8 +38,17 @@ object Bench {
 
   type QResult = (String, Either[String, (Double, Double)]) // name -> err | (min, spread)
 
+  // Control characters must escape too: a recorded error string with
+  // an embedded tab (Spark stage-failure messages carry them) would
+  // otherwise make the whole artifact line unparseable JSON —
+  // observed on the h100 rehearsal's q105 OOM line.
   private def jstr(s: String) =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
   // Millisecond precision keeps lines short (less to truncate) without
   // losing anything a seconds-scale bench can measure.
   private def jnum(d: Double) =
@@ -122,16 +131,22 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     // optional args: query-name filter for local iteration (the driver
-    // passes none and always measures the full set). Unknown names fail
-    // fast — a typo must not silently benchmark nothing and exit 0.
-    val unknown = args.toSet.diff(SparkEntry.benchQueries.toSet)
+    // passes none and always measures the full set). The literal arg
+    // "streaming" runs ONLY the streaming gate section. Unknown names
+    // fail fast — a typo must not silently benchmark nothing and exit 0.
+    val streamingOnly = args.toSeq == Seq("streaming")
+    val unknown =
+      if (streamingOnly) Set.empty[String]
+      else args.toSet.diff(SparkEntry.benchQueries.toSet)
     if (unknown.nonEmpty) {
       System.err.println(
         s"[bench] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}; " +
           s"valid: ${SparkEntry.benchQueries.mkString(", ")}")
       sys.exit(2)
     }
-    val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None
+    val only: Option[Set[String]] =
+      if (streamingOnly) Some(Set.empty)
+      else if (args.nonEmpty) Some(args.toSet) else None
     val spark = GraftSession.forMain("graft-bench")
     // Warm the JVM/codegen/IO paths once so the first measured query
     // doesn't absorb session startup (measures queries, not JIT).
@@ -164,7 +179,7 @@ object Bench {
     // round over round. Skipped under a query-name filter (local
     // iteration measures the named batch queries only).
     val gates: Seq[(String, Either[String, (Double, Long)])] =
-      if (only.nonEmpty) Seq.empty
+      if (only.nonEmpty && !streamingOnly) Seq.empty
       else {
         val srcRows = Map(
           "events" -> Tables.events(spark, sfDir).count(),

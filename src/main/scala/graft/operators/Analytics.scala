@@ -2196,29 +2196,53 @@ object Analytics {
     *
     * Rows with a NULL on either side are excluded per pair (NULL
     * neither determines nor violates, and engines disagree on NULL
-    * distinctness — stated). Shape at 100 TB: one distinct-A rollup
-    * per pair (the pair list is literal and small — require-capped at
-    * 8 columns = 56 rollups); each rollup's exchange carries
-    * (A, countDistinct-partial) only; the unioned verdict is
-    * pairs-sized. */
+    * distinctness — stated): per A-group, a dependent participates
+    * only where it is non-null (`_n` counts carriers), so the
+    * per-pair group universe matches the pairwise filter exactly.
+    *
+    * Shape at 100 TB: ONE rollup per DETERMINANT, not per ordered
+    * pair (the round-11 q219 fix — k·(k−1) separate rollups re-scan
+    * the table k·(k−1) times and ReuseExchange cannot collapse
+    * different grouping keys; grouping once per determinant computes
+    * every dependent's distinct count in the same pass, k scans
+    * total, require-capped at 8 columns). The multi-distinct
+    * aggregate plans as Spark's Expand + two-phase agg: the exchange
+    * carries (A, dependent-value) partials — the union of the
+    * per-pair exchanges the old shape paid, for 1/(k−1) of the
+    * scans. The verdict explode is over a ONE-ROW relation. */
   def functionalDependencies(
       df: DataFrame,
       cols: Seq[String]): DataFrame = {
     require(cols.size >= 2 && cols.size <= 8,
       s"need 2..8 literal columns, got ${cols.size}")
     require(cols.distinct == cols, s"duplicate columns in $cols")
-    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
-    pairs.map { case (a, b) =>
-      df.select(col(a).cast("string").as("_a"),
-        col(b).cast("string").as("_b"))
-        .filter(col("_a").isNotNull && col("_b").isNotNull)
-        .groupBy(col("_a")).agg(countDistinct(col("_b")).as("_d"))
-        .agg(count(lit(1)).as("n_groups"),
-          count(when(col("_d") > 1, 1)).as("n_violating"))
-        .select(lit(a).as("determinant"), lit(b).as("dependent"),
-          col("n_groups"), col("n_violating"),
-          when(col("n_groups") > 0,
-            expr("n_violating * 1000000 div n_groups"))
+    val casted = df.select(cols.map(c => col(c).cast("string").as(c)): _*)
+    cols.map { a =>
+      val deps = cols.filterNot(_ == a)
+      val perGroup = casted.filter(col(a).isNotNull)
+        .groupBy(col(a))
+        .agg(
+          count(col(deps.head)).as(s"_n_${deps.head}"),
+          (countDistinct(col(deps.head)).as(s"_d_${deps.head}") +:
+            deps.tail.flatMap(b => Seq(
+              count(col(b)).as(s"_n_$b"),
+              countDistinct(col(b)).as(s"_d_$b")))): _*)
+      val verdicts = perGroup.agg(
+        count(when(col(s"_n_${deps.head}") > 0, 1)).as(s"_g_${deps.head}"),
+        (count(when(col(s"_d_${deps.head}") > 1, 1)).as(s"_v_${deps.head}") +:
+          deps.tail.flatMap(b => Seq(
+            count(when(col(s"_n_$b") > 0, 1)).as(s"_g_$b"),
+            count(when(col(s"_d_$b") > 1, 1)).as(s"_v_$b")))): _*)
+      verdicts.select(explode(array(deps.map(b =>
+          struct(lit(a).as("determinant"), lit(b).as("dependent"),
+            col(s"_g_$b").as("n_groups"),
+            col(s"_v_$b").as("n_violating"))): _*)).as("_r"))
+        .select(col("_r.determinant").as("determinant"),
+          col("_r.dependent").as("dependent"),
+          col("_r.n_groups").as("n_groups"),
+          col("_r.n_violating").as("n_violating"),
+          when(col("_r.n_groups") > 0,
+            expr("_r.n_violating * 1000000 div _r.n_groups"))
             .otherwise(lit(0L)).as("violating_ppm"))
     }.reduce(_ unionByName _)
   }

@@ -176,7 +176,13 @@ object TextDedup {
   private def guardPairBudget(
       refined: DataFrame, pairBudget: Long, op: String): DataFrame = {
     if (pairBudget == Long.MaxValue) return refined
-    val ck = refined.localCheckpoint()
+    // DISK_ONLY: the banded relation can reach GBs at 100× scale, and
+    // memory-resident checkpoint blocks squat on the unified pool's
+    // protected storage half — measured at the h100 rehearsal as an
+    // AGGREGATE_OUT_OF_MEMORY in the signature hashAgg. Disk blocks
+    // cost two sequential IOs and starve nothing.
+    val ck = refined.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val est = ck.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n"))
       .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("est"))
@@ -223,9 +229,12 @@ object TextDedup {
       .select(col("id"), (md5Hash60(col("w")) % MinHashP).as("h"))
     // materialize ONCE (cleaner-released blocks): the sized banded
     // relation feeds two branches × two join sides — left lazy, the
-    // signature pipeline replicates per consumer in the physical plan
+    // signature pipeline replicates per consumer in the physical plan.
+    // DISK_ONLY for the same reason as guardPairBudget: memory blocks
+    // starve the signature aggregation of execution memory at 100×.
     val sized = refinedBandsFromElementsSized(ex, numHashes, bands, bucketCap)
-      .localCheckpoint()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // Split by PRE-refinement bucket size: a bucket whose whole
     // pre-refine population fits in degreeCap+1 can never bind (its
     // refined groups are subsets), so it takes the plain id<id join —

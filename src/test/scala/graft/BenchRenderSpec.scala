@@ -25,6 +25,18 @@ class BenchRenderSpec extends AnyFunSuite with Matchers {
   }
   private val lines = Bench.renderLines("/root/testdata/sf0.1", 3, results)
 
+  test("error strings with control characters render with no raw control char in any line") {
+    // Spark stage-failure messages carry tabs; un-escaped they make
+    // the artifact line unparseable JSON (observed on the h100
+    // rehearsal's q105 OOM line).
+    val bad: Seq[Bench.QResult] = Seq(
+      "q01_ctrl" -> Left("boom" + 9.toChar + "tabbed" + 1.toChar + "ctrl"),
+      "q02_ok" -> Right((1.0, 0.0)))
+    Bench.renderLines("sf", 1, bad).foreach { l =>
+      withClue(l) { l.exists(_ < ' ') shouldBe false }
+    }
+  }
+
   test("no emitted line exceeds 1.5 KB") {
     val over = lines.filter(_.getBytes("UTF-8").length > 1536)
     withClue(s"lines over 1.5KB: ${over.map(_.take(60))}") {

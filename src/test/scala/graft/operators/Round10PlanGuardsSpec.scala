@@ -81,4 +81,16 @@ class Round10PlanGuardsSpec extends SparkSpec {
       spark, sfSmoke))
     plan should include("partial_approx_count_distinct")
   }
+
+  test("q219 FD audit: one rollup per DETERMINANT, not per ordered pair") {
+    // 4 columns = 12 ordered pairs; the per-pair shape re-scanned the
+    // table 24 times (measured, sf0.1) and ReuseExchange cannot
+    // collapse different grouping keys. The per-determinant shape
+    // scans once per determinant (multi-distinct Expand may print the
+    // scan twice per rollup in the formatted tree — cap at 2k, far
+    // under the 2·k·(k−1) of the pairwise shape).
+    val plan = exec(graft.SparkEntry.queries("q219_fd_audit")(
+      spark, sfSmoke))
+    countOf(plan, "Scan parquet") should be <= 8
+  }
 }

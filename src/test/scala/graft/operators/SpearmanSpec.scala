@@ -44,4 +44,29 @@ class SpearmanSpec extends SparkSpec {
     Analytics.spearmanCorrelation(df, col("a"), col("b"))
       .collect().head.getLong(0) shouldBe 2L
   }
+
+  test("exact-long envelope: n = 2e6 passes, n = 2e6 + 1 raises, the sampled fallback recovers") {
+    // the round-11 boundary rehearsal (VERDICT ask #7): the n³
+    // rank-sum envelope guard must fire AT the boundary, not just on
+    // absurd sizes — and the documented fallback (the q51
+    // deterministic sampler) must bring the same relation back inside
+    def series(n: Long) = spark.range(n)
+      .select(col("id").as("doc_id"), col("id").as("x"),
+        (col("id") * 7 % 1000).as("y"))
+    val atBound = Analytics.spearmanCorrelation(
+      series(2000000L), col("x"), col("y")).collect().head
+    atBound.getLong(0) shouldBe 2000000L
+    val ex = intercept[Exception] {
+      Analytics.spearmanCorrelation(
+        series(2000001L), col("x"), col("y")).collect()
+    }
+    ex.getMessage should include("exact-long rank-sum envelope")
+    // fallback: hash-sample to ~25% (deterministic), then correlate
+    val sampled = Curation.hashSample(series(2000001L), col("doc_id"),
+      permille = 250)
+    val r = Analytics.spearmanCorrelation(sampled, col("x"), col("y"))
+      .collect().head
+    r.getLong(0) should be < 2000000L
+    r.getLong(0) should be > 100000L
+  }
 }
