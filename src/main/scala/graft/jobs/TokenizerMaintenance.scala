@@ -42,12 +42,18 @@ object TokenizerMaintenance {
   /** The diff content for fertility maintenance: text ⊕ lang (chars,
     * token counts and the language bucket are all the card reads; a
     * re-tagged doc must count as changed — the CardMaintenance
-    * argument). */
+    * argument). Each field hashes SEPARATELY with an explicit
+    * null marker (round-12 ADVICE fix: concat_ws silently SKIPS
+    * nulls, so a lang flip between NULL and '' — or any null/value
+    * aliasing across the separator — produced an identical digest
+    * and the fertility counters went silently stale). md5(field) is
+    * fixed-width, so no separator ambiguity exists, and '-' can
+    * never collide with a 32-hex-char digest (md5('') included). */
   private def withTokContent(df: DataFrame, textCol: String): DataFrame =
-    // control-char field separator (no document contains it; an empty
-    // separator would alias fields across the boundary)
     df.withColumn("_tok",
-      concat_ws(1.toChar.toString, col(textCol), col("lang")))
+      concat_ws(":",
+        coalesce(md5(col(textCol)), lit("-")),
+        coalesce(md5(col("lang")), lit("-"))))
 
   /** Model-sized merge-table extraction (10s of rows, the
     * RunNightly.loadModel pattern). Rank order restored exactly. */
@@ -105,10 +111,15 @@ object TokenizerMaintenance {
       idCol: String,
       textCol: String): TokState = {
     val merges = mergesOf(state)
+    // DISK_ONLY: the diff relation is corpus-ID-sized (one row per id
+    // in EITHER snapshot, not changed-docs-sized) — memory-resident
+    // checkpoint blocks squat on the unified pool's storage half, the
+    // exact AGGREGATE_OUT_OF_MEMORY shape the h100 rehearsal measured
+    // in guardPairBudget (round-12 ADVICE fix).
     val diff = Curation.snapshotDiff(
         withTokContent(oldSnap, textCol), withTokContent(newSnap, textCol),
         idCol, "_tok")
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     def ids(statuses: String*) =
       diff.filter(col("status").isin(statuses: _*)).select(col(idCol))
     val leaving = oldSnap.join(ids("removed", "changed"), Seq(idCol))

@@ -130,7 +130,22 @@ object TextDedup {
     * refinement is deterministic and mirrored in the DuckDB oracle;
     * post-refinement bucket sizes are bounded by the largest group of
     * identical shingle sets — which is a genuine duplicate clique, not
-    * a hashing accident. */
+    * a hashing accident.
+    *
+    * EAGER-AT-CONSTRUCTION contract (K207): with the default
+    * `pairBudget`, CONSTRUCTING this DataFrame runs a Spark job (the
+    * exact within-bucket pair estimate) and pins the banded relation
+    * as a DISK_ONLY localCheckpoint — the input snapshot freezes at
+    * construction time (later input mutations are not seen by this
+    * result), and the checkpoint blocks live until the result is
+    * garbage-collected (ContextCleaner-released; a long-lived session
+    * constructing many cascades should let results go out of scope,
+    * or opt out). `pairBudget = Long.MaxValue` restores the fully
+    * lazy, UNGUARDED plan. The same contract applies to
+    * [[weightedLshCandidatePairs]], [[simHashCandidatePairs]],
+    * [[editDistanceJoin]] and everything built on them
+    * ([[nearDupLabels]], [[nearDupDedup]], [[nearDupDedupKeepBest]],
+    * [[leakageSafeSplit]]). */
   def lshCandidatePairs(
       df: DataFrame,
       idCol: String,
@@ -506,16 +521,38 @@ object TextDedup {
       bands: Int = 4,
       bucketCap: Int = 100,
       maxW: Int = 8,
-      shingler: Column => Column = normWordSet): DataFrame =
+      shingler: Column => Column = normWordSet,
+      pairBudget: Long = DefaultLshPairBudget): DataFrame =
     weightedLshCandidatePairs(docs, idCol, textCol,
       dfTokenWeights(docs, idCol, textCol, maxW, shingler),
-      numHashes, bands, bucketCap, shingler, DefaultLshPairBudget)
+      numHashes, bands, bucketCap, shingler, pairBudget)
 
   /** Weight-reuse form: `weights` is a precomputed `(tok, wt)`
     * relation ([[dfTokenWeights]]'s output) — a pipeline that scores
     * the candidates afterwards ([[weightedJaccardPairs]]) computes
     * the vocabulary aggregation ONCE and feeds both stages (the q130
-    * label-reuse discipline applied to weights). */
+    * label-reuse discipline applied to weights).
+    *
+    * Shares [[lshCandidatePairs]]' EAGER-AT-CONSTRUCTION pair-budget
+    * contract (see there); `pairBudget = Long.MaxValue` opts out on
+    * either overload. (Scala allows default arguments on only ONE
+    * overload of a name — the convenience form holds them, so the
+    * budget-less weights form below delegates with the default
+    * rather than forcing callers to spell the budget out.) */
+  def weightedLshCandidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      bucketCap: Int,
+      shingler: Column => Column): DataFrame =
+    weightedLshCandidatePairs(docs, idCol, textCol, weights,
+      numHashes, bands, bucketCap, shingler, DefaultLshPairBudget)
+
+  /** [[weightedLshCandidatePairs]] weights form with an explicit
+    * `pairBudget` (see the budget-less overload above). */
   def weightedLshCandidatePairs(
       docs: DataFrame,
       idCol: String,
@@ -646,19 +683,61 @@ object TextDedup {
     agg.select(col("id"), hash.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: pairs sharing any 15-bit chunk. */
-  def simHashCandidatePairs(sim: DataFrame, chunks: Int = 4): DataFrame = {
-    val chunkKeys = (0 until chunks).map { k =>
-      shiftright(col("simhash"), k * 15).bitwiseAND(lit(0x7fffL))
-    }
-    val banded = sim.select(col("id"),
-      posexplode(array(chunkKeys: _*)).as(Seq("chunk", "key")))
+  /** SimHash near-dup candidates: pairs sharing any 15-bit chunk.
+    *
+    * Guarded like every other pair generator in the cascade family
+    * (K207): N near-identical docs produce IDENTICAL 64-bit SimHashes,
+    * so they share all `chunks` chunk keys and the self-join would
+    * emit N²/2 pairs — the exact mega-bucket shape the MinHash pair
+    * budget exists for. The chunk-key relation therefore runs through
+    * the same [[guardPairBudget]] fail-fast: the exact Σ n·(n−1)/2
+    * over chunk buckets is computed BEFORE the join launches and a
+    * corpus over `pairBudget` dies immediately with the estimate in
+    * the error. EAGER-AT-CONSTRUCTION contract: building this
+    * DataFrame runs the estimate job and pins a DISK_ONLY
+    * localCheckpoint of the chunk-key relation (the input snapshot
+    * freezes here; blocks release via the ContextCleaner once the
+    * result is unreferenced). Pass `pairBudget = Long.MaxValue` to
+    * opt out (lazy, unguarded — the pre-round-12 plan).
+    * [[simHashPairAudit]] is the audit twin. */
+  def simHashCandidatePairs(
+      sim: DataFrame,
+      chunks: Int = 4,
+      pairBudget: Long = DefaultLshPairBudget): DataFrame = {
+    val banded = guardPairBudget(
+      simHashChunkKeys(sim, chunks), pairBudget, "simHashCandidatePairs")
     banded.as("a").join(banded.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("a"), col("b.id").as("b"))
       .distinct()
   }
+
+  /** The banded chunk-key relation behind [[simHashCandidatePairs]]
+    * — `(id, band, key)`, band = chunk index (named `band` so the
+    * shared [[guardPairBudget]] machinery applies unchanged). */
+  private def simHashChunkKeys(sim: DataFrame, chunks: Int): DataFrame = {
+    val chunkKeys = (0 until chunks).map { k =>
+      shiftright(col("simhash"), k * 15).bitwiseAND(lit(0x7fffL))
+    }
+    sim.select(col("id"),
+      posexplode(array(chunkKeys: _*)).as(Seq("band", "key")))
+  }
+
+  /** Audit twin for [[simHashCandidatePairs]] (the q243/q244
+    * discipline): one row — chunk-bucket count, the largest bucket,
+    * and the exact within-bucket pair estimate Σ n·(n−1)/2 the budget
+    * guard compares against `pairBudget`. Read next to
+    * [[DefaultLshPairBudget]]: `pairs_est` within an order of
+    * magnitude of the budget is the early-warning a nightly health
+    * sheet should surface BEFORE the fail-fast ever fires. */
+  def simHashPairAudit(sim: DataFrame, chunks: Int = 4): DataFrame =
+    simHashChunkKeys(sim, chunks)
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(max(col("n")), lit(0L)).as("max_bucket"),
+        coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("pairs_est"))
 
   /** Connected components over an undirected pair graph — the step
     * that turns near-dup candidate PAIRS into dedup CLUSTERS (keep the
@@ -786,7 +865,11 @@ object TextDedup {
     * block footprint is tiny and the ContextCleaner releases the
     * blocks once unreferenced (no session-lifetime CacheManager
     * entry) — then the corpus-sized cache is dropped before
-    * returning. */
+    * returning.
+    *
+    * Inherits [[lshCandidatePairs]]' EAGER-AT-CONSTRUCTION pair-budget
+    * contract: calling this runs the cascade's estimate job (and the
+    * component rounds) immediately. */
   def nearDupLabels(
       df: DataFrame,
       idCol: String,
@@ -1506,6 +1589,22 @@ object TextDedup {
     * KEY matching is a short-string problem), one shuffle on the
     * variant hash, per-bucket pairs bounded by bucket size, exact
     * verify on the pair relation.
+    *
+    * Pair budget, DEFAULT-ON (round-12: the raw API previously
+    * shipped unguarded while the gated entry passed a df-cap — the
+    * inconsistency a direct caller would pay for on an adversarially
+    * dense key space): the exact candidate estimate
+    * Σ_key |left postings| · |right postings| is computed BEFORE the
+    * band join and a corpus over `pairBudget` fails immediately with
+    * the estimate in the error (the [[guardPairBudget]] discipline
+    * for a two-sided join). EAGER-AT-CONSTRUCTION contract: building
+    * this DataFrame runs the estimate job and pins both variant
+    * relations as DISK_ONLY localCheckpoints (estimate and join share
+    * one variant computation; the input snapshots freeze here). Pass
+    * `pairBudget = Long.MaxValue` to opt out. `variantDfCap` remains
+    * the recall-trading REPAIR once the budget fires —
+    * [[editDistanceCapAudit]] prices what it drops.
+    *
     * Output: (left id, right id, left string, right string,
     * distance), distance ≤ 1, self-pairs excluded by id. */
   def editDistanceJoin(
@@ -1514,14 +1613,35 @@ object TextDedup {
       idCol: String,
       strCol: String,
       maxLen: Int = 64,
-      variantDfCap: Int = Int.MaxValue): DataFrame = {
+      variantDfCap: Int = Int.MaxValue,
+      pairBudget: Long = DefaultLshPairBudget): DataFrame = {
     require(variantDfCap >= 1, s"variantDfCap must be >= 1: $variantDfCap")
-    val lv = capVariants(
+    val lv0 = capVariants(
       editVariants(left, idCol, strCol, maxLen, "left_id", "left_str"),
       variantDfCap)
-    val rv = capVariants(
+    val rv0 = capVariants(
       editVariants(right, idCol, strCol, maxLen, "right_id", "right_str"),
       variantDfCap)
+    val (lv, rv) =
+      if (pairBudget == Long.MaxValue) (lv0, rv0)
+      else {
+        val lck = lv0.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val rck = rv0.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val est = lck.groupBy(col("_h")).agg(count(lit(1)).as("nl"))
+          .join(rck.groupBy(col("_h")).agg(count(lit(1)).as("nr")), Seq("_h"))
+          .agg(coalesce(sum(col("nl") * col("nr")), lit(0L)).as("est"))
+          .head().getLong(0)
+        require(est <= pairBudget,
+          s"editDistanceJoin: the variant postings imply $est candidate " +
+            s"pairs, over the $pairBudget pair budget — the key space is " +
+            "adversarially dense (hot deletion variants shared by " +
+            "thousands of strings). Set variantDfCap to drop the hot " +
+            "variants (editDistanceCapAudit prices the loss) or raise " +
+            "pairBudget deliberately.")
+        (lck, rck)
+      }
     lv.join(rv, Seq("_h"))
       .filter(col("left_id") =!= col("right_id"))
       .select(col("left_id"), col("right_id"),
