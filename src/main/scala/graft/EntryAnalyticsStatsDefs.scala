@@ -465,6 +465,36 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
       .orderBy(col("side"))
   }
 
+  /** Guard health, BINDING settings (q247): the K214 operational
+    * sheet — every dedup-family cap/budget audited at settings tight
+    * enough to bind on the real corpus (degreeCap/df-cap 16, budget
+    * 100 pairs), so the binding-row shapes (guard, n_affected,
+    * magnitude) are oracle-exercised end to end. */
+  private[graft] def guardHealthQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val (l, r) = editJoinSides(s, dir)
+    TextDedup.guardHealth(Tables.documents(s, dir), "doc_id", "text",
+        degreeCap = 16, pairBudget = 100L)
+      .unionByName(TextDedup.editGuardHealth(l, r, "id", "name",
+        variantDfCap = 16, pairBudget = 100L))
+      .orderBy(col("guard"))
+  }
+
+  /** Guard health, PRODUCTION settings (q248): the same sheet at the
+    * defaults the cascade family actually runs with (degreeCap 100,
+    * the 100M pair budget, the q183 df-cap 48) — ZERO rows, and the
+    * oracle re-derives the emptiness: this corpus's nothing-binds
+    * CERTIFICATE, the row a nightly health report carries to say the
+    * guards exist and none of them is silently trading accuracy. */
+  private[graft] def guardHealthClearQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val (l, r) = editJoinSides(s, dir)
+    TextDedup.guardHealth(Tables.documents(s, dir), "doc_id", "text")
+      .unionByName(TextDedup.editGuardHealth(l, r, "id", "name",
+        variantDfCap = EditJoinVariantDfCap))
+      .orderBy(col("guard"))
+  }
+
   /** Delta-maintained key stats (q182): the diagnostics-state tick —
     * counts/counts-of-counts/sufficient-stats are BUILT over an old
     * events snapshot, one [[graft.jobs.KeyStatsMaintenance]] tick

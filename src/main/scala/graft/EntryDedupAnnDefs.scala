@@ -161,6 +161,16 @@ private[graft] trait EntryDedupAnnDefs extends EntryParityDefs {
     graft.operators.TextDedup.lshCapAudit(
       Tables.documents(s, dir), "doc_id", "text", degreeCap = 16)
 
+  /** SimHash pair audit (q245): the K211 budget guard's accounting —
+    * chunk-bucket census + the exact pair estimate the fail-fast
+    * compares against the budget, gated standalone like q243/q244 so
+    * the estimate itself is oracle-verified. */
+  private[graft] def simHashPairAuditQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    TextDedup.simHashPairAudit(
+      TextDedup.simHash(Tables.documents(s, dir), "doc_id", "text"))
+  }
+
   /** Embedding cosine near-dup pairs (brute force — correct baseline;
     * the LSH-bucketed path in q26 is the 100 TB shape). */
   private[graft] def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {

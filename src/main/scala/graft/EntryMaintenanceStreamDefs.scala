@@ -799,6 +799,26 @@ private[graft] trait EntryMaintenanceStreamDefs extends EntryCurationTextDefs {
     TokenizerMaintenance.card(next).orderBy(col("lang"))
   }
 
+  /** Unigram-LM card maintenance (q246): the q242 pattern applied to
+    * the OTHER tokenizer family (K213) — unigram pieces train on the
+    * OLD snapshot and PIN ([[graft.jobs.UnigramMaintenance]]), one
+    * tick advances the per-language fertility counters by encoding
+    * only the changed docs under the pinned probabilities. The DuckDB
+    * oracle REBUILDS the card directly: trains the same EM rounds on
+    * the old snapshot, Viterbi-encodes the full NEW snapshot under
+    * the pinned pieces, rolls up — tick≡rebuild-under-pinned-model
+    * for the probability-carrying tokenizer, where pinning matters
+    * MORE (a retrain moves probabilities, so unchanged docs would
+    * re-segment and signed counters would not cancel). */
+  private[graft] def unigramCardNightlyQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.UnigramMaintenance
+    val (o, n) = cardSnapshotFixture(s, dir)
+    val st = UnigramMaintenance.rebuild(o, "doc_id", "text")
+    val next = UnigramMaintenance.nightly(st, o, n, "doc_id", "text")
+    UnigramMaintenance.card(next).orderBy(col("lang"))
+  }
+
+
   /** BPE trainer (q160): learn a 10-merge table from the corpus — the
     * weighted-argmax merge loop, each round's pick gated (rank, left,
     * right, weighted count) against the oracle's unrolled rounds. */

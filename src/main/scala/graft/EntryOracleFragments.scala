@@ -582,11 +582,12 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
     * per word per position), candidates pre-joined against the piece
     * table and sorted (cost ASC, predecessor ASC) — the exact
     * tie-break the Spark `aggregate` fold uses. */
-  private[graft] def unigramDpCtes(x: String, piecesCte: String): String = {
+  private[graft] def unigramDpCtes(x: String, piecesCte: String,
+      wordsCte: String = "dw"): String = {
     val k = graft.operators.UnigramLm.MaxPieceLen
     val ms = graft.operators.UnigramLm.MissSingle
     val mm = graft.operators.UnigramLm.MissMulti
-    s"""pos$x AS MATERIALIZED (SELECT word, unnest(range(1, length(word)+1)) AS i FROM dw),
+    s"""pos$x AS MATERIALIZED (SELECT word, unnest(range(1, length(word)+1)) AS i FROM $wordsCte),
        cj$x AS MATERIALIZED (SELECT word, i, unnest(range(greatest(0, i - $k), i)) AS j
                 FROM pos$x),
        cand$x AS MATERIALIZED (SELECT c.word, c.i, c.j,
@@ -598,7 +599,7 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
                 FROM cand$x GROUP BY word, i),
        rec$x AS (
          SELECT word, 0 AS i, [{'c': CAST(0 AS BIGINT), 'bp': 0}] AS dparr
-         FROM dw
+         FROM $wordsCte
          UNION ALL
          SELECT r.word, r.i + 1,
                 list_append(r.dparr,
@@ -611,7 +612,7 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
        bt$x AS (
          SELECT word, CAST(length(word) AS INTEGER) AS p,
                 CAST([] AS VARCHAR[]) AS ts
-         FROM dw
+         FROM $wordsCte
          UNION ALL
          SELECT b.word,
                 CAST(struct_extract(d.dparr[b.p + 1], 'bp') AS INTEGER) AS p,
@@ -627,13 +628,14 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
     * then per round r costs p\$r from c\${r-1}, Viterbi counts e\$r over
     * the vocab (dp machinery suffix r), surviving pieces c\$r (alphabet
     * persists, zero-count multi-char pieces drop). Ends at c\$rounds. */
-  private[graft] def unigramTrainCtes(rounds: Int): String = {
+  private[graft] def unigramTrainCtes(rounds: Int,
+      docs: String = "documents"): String = {
     val k = graft.operators.UnigramLm.MaxPieceLen
     val sm = graft.operators.UnigramLm.SeedMulti
     val head = s"""
        toks0 AS MATERIALIZED (SELECT t AS word FROM (
                    SELECT unnest(string_split(text, ' ')) AS t
-                   FROM documents) WHERE t <> ''),
+                   FROM $docs) WHERE t <> ''),
        vocab AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n
                  FROM toks0 GROUP BY 1),
        dw AS MATERIALIZED (SELECT word FROM vocab),
@@ -668,4 +670,68 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
     }.mkString(",\n")
     head + ",\n" + roundsSql
   }
+
+  /** Guard-health oracle (q247/q248) — mirrors
+    * `TextDedup.guardHealth` + `TextDedup.editGuardHealth` over the
+    * documents table and the q183 fuzzy-match sides: one row per
+    * guard that BINDS at the given settings, zero rows = the
+    * nothing-binds certificate. Same audits as q243/q244 (cap
+    * rollups) plus the K207/K211 pair-budget estimates. */
+  private[graft] def guardHealthSql(
+      degreeCap: Int, pairBudget: Long, editCap: Int): String =
+    s"""WITH ${lshCapAuditSqlOverShingles(docShinglesSql("documents"), degreeCap)},
+       sw AS (SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+              FROM documents),
+       sh1 AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM sw),
+       sv1 AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+               FROM sh1 CROSS JOIN (SELECT unnest(range(60)) AS j) GROUP BY doc_id, j),
+       ssh AS (SELECT doc_id,
+                      CAST(SUM(CASE WHEN vote > 0 THEN 1::BIGINT << CAST(j AS INTEGER)
+                                    ELSE 0 END) AS BIGINT) AS simhash
+               FROM sv1 GROUP BY doc_id),
+       sch AS (SELECT doc_id, k, (simhash >> CAST(k * 15 AS INTEGER)) & 32767 AS key
+               FROM ssh CROSS JOIN (SELECT unnest(range(4)) AS k)),
+       ssb AS (SELECT k, key, CAST(count(*) AS BIGINT) AS n FROM sch GROUP BY 1, 2),
+       ssa AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                      CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS pairs_est
+               FROM ssb),
+       $editJoinSidesSql,
+       lc AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM lv GROUP BY 1),
+       rc AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM rv GROUP BY 1),
+       la AS (SELECT CAST(count(*) FILTER (WHERE n > $editCap) AS BIGINT)
+                       AS n_capped_keys,
+                     CAST(coalesce(sum(n) FILTER (WHERE n > $editCap), 0)
+                       AS BIGINT) AS dropped
+              FROM lc),
+       ra AS (SELECT CAST(count(*) FILTER (WHERE n > $editCap) AS BIGINT)
+                       AS n_capped_keys,
+                     CAST(coalesce(sum(n) FILTER (WHERE n > $editCap), 0)
+                       AS BIGINT) AS dropped
+              FROM rc),
+       eb AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(coalesce(sum(l.n * r.n), 0) AS BIGINT) AS est
+              FROM (SELECT h, n FROM lc WHERE n <= $editCap) l
+              JOIN (SELECT h, n FROM rc WHERE n <= $editCap) r USING (h)),
+       grows AS (
+         SELECT 'lsh_degree_cap' AS guard, n_capped_buckets AS n_affected,
+                pairs_full - pairs_capped AS magnitude
+         FROM audit WHERE n_capped_buckets > 0
+         UNION ALL
+         SELECT 'lsh_pair_budget', n_buckets, pairs_full - $pairBudget
+         FROM audit WHERE pairs_full > $pairBudget
+         UNION ALL
+         SELECT 'simhash_pair_budget', n_buckets, pairs_est - $pairBudget
+         FROM ssa WHERE pairs_est > $pairBudget
+         UNION ALL
+         SELECT 'edit_df_cap_left', n_capped_keys, dropped
+         FROM la WHERE n_capped_keys > 0
+         UNION ALL
+         SELECT 'edit_df_cap_right', n_capped_keys, dropped
+         FROM ra WHERE n_capped_keys > 0
+         UNION ALL
+         SELECT 'edit_pair_budget', n_keys, est - $pairBudget
+         FROM eb WHERE est > $pairBudget)
+       SELECT guard, CAST(n_affected AS BIGINT) AS n_affected,
+              CAST(magnitude AS BIGINT) AS magnitude
+       FROM grows ORDER BY guard"""
 }

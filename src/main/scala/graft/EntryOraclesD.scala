@@ -2064,5 +2064,85 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
       s"""WITH ${lshCapAuditSqlOverShingles(docShinglesSql("documents"), 16)}
          SELECT n_buckets, n_capped_buckets, max_bucket, pairs_full,
                 pairs_capped
-         FROM audit""")
+         FROM audit""",
+
+    // SimHash pair audit: the chunk-bucket census + exact pair
+    // estimate behind the K211 budget guard (q22's simhash CTEs,
+    // rolled up instead of joined).
+    "q245_simhash_pair_audit" ->
+      """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+                    FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
+         v AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+               FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) GROUP BY doc_id, j),
+         sh AS (SELECT doc_id,
+                       CAST(SUM(CASE WHEN vote > 0 THEN 1::BIGINT << CAST(j AS INTEGER)
+                                     ELSE 0 END) AS BIGINT) AS simhash
+                FROM v GROUP BY doc_id),
+         ch AS (SELECT doc_id, k, (simhash >> CAST(k * 15 AS INTEGER)) & 32767 AS key
+                FROM sh CROSS JOIN (SELECT unnest(range(4)) AS k)),
+         b AS (SELECT k, key, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket,
+                CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS pairs_est
+         FROM b""",
+
+    // Unigram card maintenance: the q242 tick≡rebuild gate for the
+    // probability-carrying tokenizer — pieces trained on the OLD
+    // snapshot (the q236 EM CTEs over `olds`), the full NEW snapshot
+    // Viterbi-encoded under them, per-lang fertility rollup.
+    "q246_unigram_card_nightly" -> s"""
+         WITH RECURSIVE olds AS (SELECT doc_id, text, lang FROM documents
+                  WHERE doc_id % 10 <> 3),
+         news AS (SELECT doc_id,
+                         CASE WHEN doc_id % 10 = 5 THEN text || ' v2'
+                              ELSE text END AS text,
+                         lang
+                  FROM documents WHERE doc_id % 10 <> 7),
+         ${unigramTrainCtes(graft.operators.UnigramLm.EmRounds, "olds")},
+         tf AS MATERIALIZED (SELECT CAST(sum(greatest(cnt, 1)) AS BIGINT) AS total
+                FROM c${graft.operators.UnigramLm.EmRounds}),
+         pf AS MATERIALIZED (SELECT piece,
+                  CAST(round(-ln(greatest(cnt, 1)::DOUBLE / total::DOUBLE)
+                    * 1e6) AS BIGINT) AS cost
+                FROM c${graft.operators.UnigramLm.EmRounds}, tf),
+         dwords AS MATERIALIZED (SELECT doc_id, wi, word FROM (
+                      SELECT doc_id,
+                             generate_subscripts(string_split(text, ' '), 1) AS wi,
+                             unnest(string_split(text, ' ')) AS word
+                      FROM news) WHERE word <> ''),
+         dwn AS MATERIALIZED (SELECT DISTINCT word FROM dwords),
+         ${unigramDpCtes("f", "pf", "dwn")},
+         enc AS MATERIALIZED (SELECT w.doc_id, flatten(list(s.ts ORDER BY w.wi)) AS toks
+                 FROM dwords w JOIN segf s USING (word) GROUP BY 1),
+         nws AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws
+                 FROM dwords GROUP BY 1),
+         tokj AS (SELECT d.lang, CAST(length(d.text) AS BIGINT) AS nch,
+                         coalesce(n.n_ws, 0) AS nws,
+                         CAST(coalesce(len(e.toks), 0) AS BIGINT) AS ntk
+                  FROM news d LEFT JOIN enc e USING (doc_id)
+                       LEFT JOIN nws n USING (doc_id)),
+         tokf AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(nch) AS BIGINT) AS n_chars,
+                         CAST(sum(nws) AS BIGINT) AS n_ws_tokens,
+                         CAST(sum(ntk) AS BIGINT) AS n_tokens,
+                         CASE WHEN sum(ntk) > 0
+                              THEN CAST(sum(nch) * 1000000 // sum(ntk) AS BIGINT)
+                              ELSE 0 END AS chars_per_token_ppm,
+                         CASE WHEN sum(nws) > 0
+                              THEN CAST(sum(ntk) * 1000000 // sum(nws) AS BIGINT)
+                              ELSE 0 END AS fertility_ppm
+                  FROM tokj GROUP BY lang)
+         SELECT lang, n_docs, n_chars, n_ws_tokens, n_tokens,
+                chars_per_token_ppm, fertility_ppm
+         FROM tokf ORDER BY lang""",
+
+    // Guard health at BINDING settings: every dedup-family cap/budget
+    // audited tight enough to bind (caps 16, budget 100).
+    "q247_guard_health" -> guardHealthSql(16, 100L, 16),
+
+    // Guard health at PRODUCTION settings: zero rows — the
+    // nothing-binds certificate, re-derived by the oracle.
+    "q248_guard_health_clear" ->
+      guardHealthSql(100, graft.operators.TextDedup.DefaultLshPairBudget, 48))
 }

@@ -140,13 +140,27 @@ object RunNightly {
     // summary reads the SAVED state fresh from disk — the pre-save
     // DataFrames' plans still point at the replaced previous files
     val card = CardMaintenance.card(CardMaintenance.load(spark, s"$stateDir/card").get)
+    // Guard surfacing (round-12 ask #6): a binding cap on tonight's
+    // corpus is a REPORTED event. The audit reads the MAINTAINED band
+    // index (one bands×N rollup, zero re-banding); its pairs_full is
+    // the PRE-refinement upper bound on the cascade's K207 budget
+    // estimate — conservative, so `binding=false` here certifies the
+    // refined cascade too.
+    val guard = graft.operators.TextDedup.capAuditOverBands(
+      spark.read.parquet(s"$stateDir/index/band_index"), degreeCap = 100)
+      .head()
+    val gCapped = guard.getAs[Long]("n_capped_buckets")
+    val gPairs = guard.getAs[Long]("pairs_full")
+    val gBudget = graft.operators.TextDedup.DefaultLshPairBudget
     s"[nightly] index: hashes=${spark.read.parquet(s"$stateDir/index/hash_index").count()} " +
       s"bands=${spark.read.parquet(s"$stateDir/index/band_index").count()} | " +
       s"card: langs=${card.count()} | " +
       s"vecindex: postings=${spark.read.parquet(postDir).count()} | " +
       s"cov: pairs=${spark.read.parquet(covDir).count()} | " +
       s"tokenizer: merges=${spark.read.parquet(s"$stateDir/tokenizer/merges").count()} " +
-      s"langs=${spark.read.parquet(s"$stateDir/tokenizer/fertility").count()}"
+      s"langs=${spark.read.parquet(s"$stateDir/tokenizer/fertility").count()} | " +
+      s"guards: capped_buckets=$gCapped pairs_est=$gPairs " +
+      s"budget=$gBudget binding=${gCapped > 0 || gPairs > gBudget}"
   }
 
   /** CLI: `RunNightly <stateDir> <oldDocs> <newDocs> <oldVecs>

@@ -49,7 +49,7 @@ object TokenizerMaintenance {
     * and the fertility counters went silently stale). md5(field) is
     * fixed-width, so no separator ambiguity exists, and '-' can
     * never collide with a 32-hex-char digest (md5('') included). */
-  private def withTokContent(df: DataFrame, textCol: String): DataFrame =
+  private[jobs] def withTokContent(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("_tok",
       concat_ws(":",
         coalesce(md5(col(textCol)), lit("-")),
@@ -137,8 +137,13 @@ object TokenizerMaintenance {
   }
 
   /** The q178-shaped fertility card from the maintained counters. */
-  def card(state: TokState): DataFrame =
-    state.fertility.select(col("lang"), col("n_docs"), col("n_chars"),
+  def card(state: TokState): DataFrame = fertilityCard(state.fertility)
+
+  /** The card projection over ANY maintained fertility relation —
+    * shared with [[UnigramMaintenance]] (both tokenizer families
+    * publish the same sheet). */
+  private[jobs] def fertilityCard(fertility: DataFrame): DataFrame =
+    fertility.select(col("lang"), col("n_docs"), col("n_chars"),
       col("n_ws_tokens"), col("n_tokens"),
       when(col("n_tokens") > 0,
         expr("n_chars * 1000000 div n_tokens")).otherwise(lit(0L))

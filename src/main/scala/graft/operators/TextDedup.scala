@@ -298,11 +298,25 @@ object TextDedup {
       bands: Int = 4,
       bucketCap: Int = 100,
       degreeCap: Int = 100,
-      shingler: Column => Column = normWordSet): DataFrame = {
+      shingler: Column => Column = normWordSet): DataFrame =
+    capAuditOverBands(
+      lshRefinedBands(df, idCol, textCol, numHashes, bands, bucketCap,
+        shingler),
+      degreeCap)
+
+  /** [[lshCapAudit]]'s rollup over ANY `(id, band, key)` relation —
+    * the operational form: [[graft.jobs.RunNightly]] runs it over the
+    * MAINTAINED band index ([[graft.jobs.IndexMaintenance]] state), so
+    * the nightly binding-cap check costs one bands×N rollup, never a
+    * corpus re-banding. Note the maintained index is PRE-refinement
+    * ([[bandKeys]] — no bucket-cap key refinement), so `pairs_full`
+    * over it UPPER-bounds the refined cascade's budget estimate: the
+    * conservative direction for an early warning. */
+  def capAuditOverBands(banded: DataFrame, degreeCap: Int): DataFrame = {
     require(degreeCap >= 1, s"degreeCap must be >= 1: $degreeCap")
     val cap = lit(degreeCap.toLong)
     val capTail = lit(degreeCap.toLong * (degreeCap - 1) / 2)
-    lshRefinedBands(df, idCol, textCol, numHashes, bands, bucketCap, shingler)
+    banded
       .groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_buckets"),
@@ -312,6 +326,91 @@ object TextDedup {
         coalesce(sum(when(col("n") - 1 <= cap, expr("n * (n - 1) div 2"))
           .otherwise((col("n") - cap) * cap + capTail)), lit(0L))
           .as("pairs_capped"))
+  }
+
+  /** Operational guard health over the document-side pair generators
+    * (round-12 ask #6: a cap that starts binding on real data must be
+    * a REPORTED event, not a silent accuracy drift). Long-format rows
+    * `(guard, n_affected, magnitude)`, one row PER GUARD THAT BINDS
+    * at the given settings — ZERO rows is this corpus's
+    * nothing-binds certificate:
+    *  - `lsh_degree_cap` — refined (band, key) buckets where
+    *    `degreeCap` binds; magnitude = pairs_full − pairs_capped,
+    *    the mass a K206 census consumer would trade away;
+    *  - `lsh_pair_budget` — the cascade's exact within-bucket pair
+    *    estimate exceeds `pairBudget`; magnitude = the overshoot
+    *    (the K207 fail-fast would fire at these settings);
+    *  - `simhash_pair_budget` — same for the chunk-key generator
+    *    (K211).
+    * One LSH banding pass + one SimHash pass, each folded to a single
+    * row before the row-shaping explode — report cost, not cascade
+    * cost. */
+  def guardHealth(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      degreeCap: Int = 100,
+      pairBudget: Long = DefaultLshPairBudget,
+      numHashes: Int = 64,
+      bands: Int = 4,
+      bucketCap: Int = 100,
+      shingler: Column => Column = normWordSet): DataFrame = {
+    val lshRows = lshCapAudit(docs, idCol, textCol, numHashes, bands,
+        bucketCap, degreeCap, shingler)
+      .select(explode(array(
+        struct(lit("lsh_degree_cap").as("guard"),
+          col("n_capped_buckets").as("n_affected"),
+          (col("pairs_full") - col("pairs_capped")).as("magnitude"),
+          (col("n_capped_buckets") > 0).as("binds")),
+        struct(lit("lsh_pair_budget").as("guard"),
+          col("n_buckets").as("n_affected"),
+          (col("pairs_full") - lit(pairBudget)).as("magnitude"),
+          (col("pairs_full") > pairBudget).as("binds")))).as("g"))
+      .select(col("g.*"))
+    val simRows = simHashPairAudit(simHash(docs, idCol, textCol))
+      .select(lit("simhash_pair_budget").as("guard"),
+        col("n_buckets").as("n_affected"),
+        (col("pairs_est") - lit(pairBudget)).as("magnitude"),
+        (col("pairs_est") > pairBudget).as("binds"))
+    lshRows.unionByName(simRows).filter(col("binds")).drop("binds")
+  }
+
+  /** [[guardHealth]]'s edit-distance-join panel: `edit_df_cap_left` /
+    * `edit_df_cap_right` rows where the variant df-cap binds
+    * (magnitude = dropped postings, the K208 under-join mass) and an
+    * `edit_pair_budget` row when the POST-CAP candidate estimate
+    * Σ_key |left|·|right| still exceeds `pairBudget` (magnitude = the
+    * overshoot; n_affected = shared variant keys). Zero rows = the
+    * join runs uncapped and inside budget at these settings. */
+  def editGuardHealth(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxLen: Int = 64,
+      variantDfCap: Int = Int.MaxValue,
+      pairBudget: Long = DefaultLshPairBudget): DataFrame = {
+    val capRows = editDistanceCapAudit(left, right, idCol, strCol, maxLen,
+        variantDfCap)
+      .filter(col("n_capped_keys") > 0)
+      .select(concat(lit("edit_df_cap_"), col("side")).as("guard"),
+        col("n_capped_keys").as("n_affected"),
+        col("dropped_postings").as("magnitude"))
+    val lv = capVariants(
+      editVariants(left, idCol, strCol, maxLen, "left_id", "left_str"),
+      variantDfCap)
+    val rv = capVariants(
+      editVariants(right, idCol, strCol, maxLen, "right_id", "right_str"),
+      variantDfCap)
+    val budgetRow = lv.groupBy(col("_h")).agg(count(lit(1)).as("nl"))
+      .join(rv.groupBy(col("_h")).agg(count(lit(1)).as("nr")), Seq("_h"))
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(col("nl") * col("nr")), lit(0L)).as("est"))
+      .filter(col("est") > pairBudget)
+      .select(lit("edit_pair_budget").as("guard"),
+        col("n_keys").as("n_affected"),
+        (col("est") - lit(pairBudget)).as("magnitude"))
+    capRows.unionByName(budgetRow)
   }
 
   /** Banded, bucket-capped LSH keys — `(id, band, key)` — shared by the
