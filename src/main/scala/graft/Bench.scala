@@ -15,24 +15,45 @@ package graft
   * — a broken query must never silently deflate the benchmark.
   *
   * Output layout is load-bearing. The driver archives only the LAST
-  * ~2000 characters of stdout (measured from the round-8/9 artifacts),
-  * and the single compact line outgrew that tail at ~200 queries
-  * (round 9 lost q01–q79, headline included; rounds 6/7 had smaller
-  * versions of the same failure). So the bench now prints, in order:
+  * ~2000 characters of stdout (measured from the round-8/9 artifacts;
+  * BENCH_r11's tail field is exactly 2000), and the single compact
+  * line outgrew that tail at ~200 queries (round 9 lost q01–q79,
+  * headline included; rounds 6/7 had smaller versions of the same
+  * failure). So the bench prints, in order:
   *   1. `detail` chunks — full names + min + spread (+ errors), ~16
   *      queries per line. Front-truncation eats these first; fine.
   *   2. `mins` chunks — short qNN keys + minima, ~50 queries per line,
   *      ascending q order (a mid-size tail keeps the later chunks).
-  *   3. `mins_packed` — EVERY query's minimum as a millisecond-int
+  *   3. `streaming` (from main, full runs only) — per-gate seconds
+  *      THEN rows/s: the `sec` map sits first so a tight tail eats it
+  *      before the `gates` rows/s map the round-over-round comparison
+  *      needs.
+  *   4. `spread_b36` — EVERY query's max−min spread as ONE base-36
+  *      char in packed-id order: digit = min(35, ⌊5·spread/min⌋),
+  *      i.e. spread in FIFTHS of the minimum saturating at 7× ('z'),
+  *      'z' also for errored queries. Round-12 ask #1: the r11
+  *      artifact carried a 6–15× phantom-regression cluster that only
+  *      a judge-side re-run could falsify, because the per-query
+  *      spreads lived in the truncated detail chunks. A contended
+  *      window now shows as a run of high digits in ANY capture;
+  *      a quiet run is a string of 0s and 1s.
+  *   5. `mins_packed` — EVERY query's minimum as a millisecond-int
   *      array plus a range-encoded id list ("1-10,19-38,…"): ~6 bytes
   *      per query, so all 200+ minima fit in ONE ≤1.5 KB line.
-  *   4. LAST, `total` — the small summary the driver's parser keys on:
-  *      total, errors_n, the shared-8 headline aggregate, top-10
-  *      heaviest queries.
-  * Lines 3+4 together stay under ~1.8 KB, so BOTH always survive the
-  * 2000-char tail: every minimum is reconstructible from any capture.
-  * BenchRenderSpec locks the ≤1.5 KB per-line bound and the
-  * round-trip (packed line → every minimum) at 250 queries.
+  *   6. LAST, `total` — the small summary the driver's parser keys
+  *      on: total, errors_n, the shared-8 headline aggregate, top-10
+  *      heaviest queries, and the CONTENTION SENTINEL — the shared-8
+  *      set re-run single-shot at the very START and very END of the
+  *      run (`s8_start_sec`/`s8_end_sec`) plus the 1-min load average
+  *      and core count at exit. A uniform box shift reads as
+  *      start≈end both inflated vs prior rounds WITH high load1; a
+  *      transient window reads as start≉end or a high-digit spread
+  *      run; a real code regression reads as clean sentinels, flat
+  *      spreads and a shifted min.
+  * Lines 4+5+6 stay under ~1.8 KB combined (BenchRenderSpec locks
+  * this at 250 queries), so the spread array, every minimum and the
+  * sentinel ALL survive any 2 KB capture; the streaming gates map is
+  * the next-most-protected element (its own line's tail).
   */
 object Bench {
 
@@ -76,10 +97,28 @@ object Bench {
     out.mkString(",")
   }
 
+  /** Contention sentinel for the summary line: the shared-8 set run
+    * single-shot at the start and end of the run, plus box load at
+    * exit. None when a query-name filter skipped the sentinel. */
+  final case class Sentinel(
+      startSec: Double, endSec: Double, load1: Double, cores: Int)
+
+  /** One base-36 digit per query: spread (max−min) in FIFTHS of the
+    * minimum, saturating at 'z' (≥ 7× the min); 'z' for errors too.
+    * A zero-ms min (sub-millisecond query) renders as 'z' only if it
+    * has any spread at all — guarded by max(min, 1ms). */
+  private[graft] def spreadDigit(r: Either[String, (Double, Double)]): Char =
+    r match {
+      case Right((mn, sp)) =>
+        val b = math.min(35L, (5.0 * sp / math.max(mn, 0.001)).toLong)
+        java.lang.Character.forDigit(b.toInt, 36)
+      case Left(_) => 'z'
+    }
+
   /** Pure renderer (unit-tested): ALL stdout lines, sacrificial
-    * diagnostics first, packed minima + summary LAST. */
+    * diagnostics first, spread array + packed minima + summary LAST. */
   def renderLines(sfDir: String, repeats: Int,
-      results: Seq[QResult]): Seq[String] = {
+      results: Seq[QResult], sentinel: Option[Sentinel] = None): Seq[String] = {
     val detailChunks = results.grouped(16).zipWithIndex.toSeq
     val nDetail = detailChunks.size
     val detail = detailChunks.map { case (chunk, i) =>
@@ -110,6 +149,11 @@ object Bench {
       case (_, Right((mn, _))) => math.round(mn * 1000).toString
       case (_, Left(_)) => "null"
     }.mkString("[", ",", "]")
+    // spread array: same id order as mins_packed, one char per query
+    // (digit semantics in the header scaladoc + spreadDigit — a note
+    // field would cost ~70 tail chars per run)
+    val spread = s"""{"metric":"spread_b36","n":${results.size},""" +
+      s""""s":${jstr(results.map(r => spreadDigit(r._2)).mkString)}}"""
     val packed = s"""{"metric":"mins_packed","unit":"ms","n":${results.size},""" +
       s""""ids":${jstr(ids)},"ms":$ms}"""
     val total = results.collect { case (_, Right((mn, _))) => mn }.sum
@@ -120,11 +164,16 @@ object Bench {
       .sortBy(-_._2).take(10)
       .map { case (k, mn) => s"${jstr(shortKey(k))}:${jnum(mn)}" }
       .mkString("{", ",", "}")
+    val sent = sentinel.map { s =>
+      s""""s8_start_sec":${jnum(s.startSec)},"s8_end_sec":${jnum(s.endSec)},""" +
+        s""""load1":${jnum(s.load1)},"cores":${s.cores},"""
+    }.getOrElse("")
     val summary = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
       s""""repeats":$repeats,"errors_n":${results.count(_._2.isLeft)},""" +
+      sent +
       s""""shared8_sec":${jnum(shared8)},"top10_sec":$top10,""" +
       s""""value":${jnum(total)}}"""
-    detail ++ mins ++ Seq(packed, summary)
+    detail ++ mins ++ Seq(spread, packed, summary)
   }
 
   def main(args: Array[String]): Unit = {
@@ -151,6 +200,29 @@ object Bench {
     // Warm the JVM/codegen/IO paths once so the first measured query
     // doesn't absorb session startup (measures queries, not JIT).
     Tables.lineitem(spark, sfDir).limit(1).collect()
+    // Contention sentinel (round-12 ask #1): the shared-8 set runs
+    // single-shot at the very start and very end of the run; both
+    // sums land in the summary line so a capture can tell "box was
+    // busy" (sentinels disagree, or both inflated with high load1)
+    // from "code got slower" (clean sentinels, shifted mins). Skipped
+    // under a query-name filter — local iteration measures queries.
+    def runShared8(): Double =
+      (1 to 8).map { i =>
+        val name = SparkEntry.benchQueries.find(q => qNum(q) == i).get
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // errors surface in the main loop
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.sum
+    val fullRun = only.isEmpty
+    // one UNTIMED shared-8 pass first: the timed start sentinel must
+    // measure the box, not first-compilation (measured: a cold start
+    // sentinel read 38.9 s vs 3.9 s at run end on an idle box — the
+    // exact false positive the sentinel exists to rule out)
+    if (fullRun) runShared8(): Unit
+    val s8Start = if (fullRun) runShared8() else 0.0
     val results: Seq[QResult] =
       SparkEntry.benchQueries.filter(n => only.forall(_.contains(n))).map { name =>
         val fn = SparkEntry.queries(name)
@@ -211,9 +283,19 @@ object Bench {
         Some(s"""{"metric":"streaming","unit":"rows_per_sec",""" +
           s""""sec":$secs,"gates":$rps}""")
       }
-    // packed minima + summary stay the LAST two lines (tail contract)
-    val lines = renderLines(sfDir, repeats, results)
-    (lines.dropRight(2) ++ streamingLine.toSeq ++ lines.takeRight(2))
+    val sentinel =
+      if (!fullRun) None
+      else {
+        val s8End = runShared8()
+        val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        Some(Sentinel(s8Start, s8End, os.getSystemLoadAverage,
+          Runtime.getRuntime.availableProcessors))
+      }
+    // spread + packed minima + summary stay the LAST three lines (tail
+    // contract); the streaming line sits just above them so its
+    // trailing gates map is the next element a tight tail preserves
+    val lines = renderLines(sfDir, repeats, results, sentinel)
+    (lines.dropRight(3) ++ streamingLine.toSeq ++ lines.takeRight(3))
       .foreach(println)
     spark.stop()
     if (results.exists(_._2.isLeft) || gates.exists(_._2.isLeft)) sys.exit(1)

@@ -70,7 +70,11 @@ object RunNightly {
   }
 
   /** One full nightly tick over a persisted state dir. Returns the
-    * summary line printed by main (counts per maintained relation). */
+    * summary line printed by main (counts per maintained relation).
+    * `maxStep` (default 5 = all) exists for MEASUREMENT, not
+    * operation: `maxStep = 4` is the control that isolates step 5's
+    * (tokenizer) marginal cost in the round-12 BASELINE attribution
+    * — the composed gate's growth is measured, not assumed. */
   def tick(
       spark: SparkSession,
       stateDir: String,
@@ -80,7 +84,10 @@ object RunNightly {
       newVecs: DataFrame,
       k: Int = 8,
       iters: Int = 2,
-      dims: Int = 64): String = {
+      dims: Int = 64,
+      maxStep: Int = 5): String = {
+    require(maxStep >= 4 && maxStep <= 5,
+      s"maxStep in [4,5] (4 = tokenizer-less control): $maxStep")
     // 1. text dedup indexes
     val idxState = IndexMaintenance.load(spark, s"$stateDir/index")
       .getOrElse(IndexMaintenance.rebuild(oldDocs, "doc_id", "text"))
@@ -131,11 +138,13 @@ object RunNightly {
     // quantizer's persist/pin lifecycle — a scheduled retrain deletes
     // the state dir), fertility counters maintained at O(changed)
     // under the pinned table
-    val tokState = TokenizerMaintenance.load(spark, s"$stateDir/tokenizer")
-      .getOrElse(TokenizerMaintenance.rebuild(oldDocs, "doc_id", "text"))
-    val tokNext = TokenizerMaintenance.nightly(
-      tokState, oldDocs, newDocs, "doc_id", "text")
-    TokenizerMaintenance.save(tokNext, s"$stateDir/tokenizer")
+    if (maxStep >= 5) {
+      val tokState = TokenizerMaintenance.load(spark, s"$stateDir/tokenizer")
+        .getOrElse(TokenizerMaintenance.rebuild(oldDocs, "doc_id", "text"))
+      val tokNext = TokenizerMaintenance.nightly(
+        tokState, oldDocs, newDocs, "doc_id", "text")
+      TokenizerMaintenance.save(tokNext, s"$stateDir/tokenizer")
+    }
 
     // summary reads the SAVED state fresh from disk — the pre-save
     // DataFrames' plans still point at the replaced previous files
@@ -152,13 +161,16 @@ object RunNightly {
     val gCapped = guard.getAs[Long]("n_capped_buckets")
     val gPairs = guard.getAs[Long]("pairs_full")
     val gBudget = graft.operators.TextDedup.DefaultLshPairBudget
+    val tokPart =
+      if (maxStep < 5) ""
+      else s"tokenizer: merges=${spark.read.parquet(s"$stateDir/tokenizer/merges").count()} " +
+        s"langs=${spark.read.parquet(s"$stateDir/tokenizer/fertility").count()} | "
     s"[nightly] index: hashes=${spark.read.parquet(s"$stateDir/index/hash_index").count()} " +
       s"bands=${spark.read.parquet(s"$stateDir/index/band_index").count()} | " +
       s"card: langs=${card.count()} | " +
       s"vecindex: postings=${spark.read.parquet(postDir).count()} | " +
       s"cov: pairs=${spark.read.parquet(covDir).count()} | " +
-      s"tokenizer: merges=${spark.read.parquet(s"$stateDir/tokenizer/merges").count()} " +
-      s"langs=${spark.read.parquet(s"$stateDir/tokenizer/fertility").count()} | " +
+      tokPart +
       s"guards: capped_buckets=$gCapped pairs_est=$gPairs " +
       s"budget=$gBudget binding=${gCapped > 0 || gPairs > gBudget}"
   }
