@@ -1721,26 +1721,33 @@ object TextDedup {
     val rv0 = capVariants(
       editVariants(right, idCol, strCol, maxLen, "right_id", "right_str"),
       variantDfCap)
-    val (lv, rv) =
-      if (pairBudget == Long.MaxValue) (lv0, rv0)
-      else {
-        val lck = lv0.localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        val rck = rv0.localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        val est = lck.groupBy(col("_h")).agg(count(lit(1)).as("nl"))
-          .join(rck.groupBy(col("_h")).agg(count(lit(1)).as("nr")), Seq("_h"))
-          .agg(coalesce(sum(col("nl") * col("nr")), lit(0L)).as("est"))
-          .head().getLong(0)
-        require(est <= pairBudget,
-          s"editDistanceJoin: the variant postings imply $est candidate " +
-            s"pairs, over the $pairBudget pair budget — the key space is " +
-            "adversarially dense (hot deletion variants shared by " +
-            "thousands of strings). Set variantDfCap to drop the hot " +
-            "variants (editDistanceCapAudit prices the loss) or raise " +
-            "pairBudget deliberately.")
-        (lck, rck)
-      }
+    if (pairBudget != Long.MaxValue) {
+      // Estimate in ONE job over a tagged union of the variant-HASH
+      // columns only (no ids/strings shuffled), and let the join
+      // recompute the variants: unlike the LSH guard — whose banded
+      // relation costs a full signature aggregation and so earns its
+      // DISK_ONLY checkpoint — deletion variants are a stateless
+      // projection, and at bench scale a checkpoint round-trip costs
+      // MORE than the recompute (measured at sf0.1: four-job
+      // checkpointed guard q183 4.76→7.99 s, one-job recompute form
+      // → ~5.5 s). At 100× the double variant pass is one extra scan
+      // of a string column against a shuffle-bound join.
+      val est = lv0.select(col("_h"), lit(true).as("_l"))
+        .unionByName(rv0.select(col("_h"), lit(false).as("_l")))
+        .groupBy(col("_h"))
+        .agg(count(when(col("_l"), 1)).as("nl"),
+          count(when(!col("_l"), 1)).as("nr"))
+        .agg(coalesce(sum(col("nl") * col("nr")), lit(0L)).as("est"))
+        .head().getLong(0)
+      require(est <= pairBudget,
+        s"editDistanceJoin: the variant postings imply $est candidate " +
+          s"pairs, over the $pairBudget pair budget — the key space is " +
+          "adversarially dense (hot deletion variants shared by " +
+          "thousands of strings). Set variantDfCap to drop the hot " +
+          "variants (editDistanceCapAudit prices the loss) or raise " +
+          "pairBudget deliberately.")
+    }
+    val (lv, rv) = (lv0, rv0)
     lv.join(rv, Seq("_h"))
       .filter(col("left_id") =!= col("right_id"))
       .select(col("left_id"), col("right_id"),
