@@ -171,6 +171,26 @@ private[graft] trait EntryDedupAnnDefs extends EntryParityDefs {
       TextDedup.simHash(Tables.documents(s, dir), "doc_id", "text"))
   }
 
+  /** Degree-capped SimHash candidates (q249): the bounded-output
+    * repair for corpora where the K211 budget fires, at degreeCap =
+    * 16 — BINDING on the real corpus (max chunk bucket 155/154 at
+    * sf0.01/sf0.001, measured), so the rank-successor capping itself
+    * is oracle-exercised. Output: pair/doc census over the capped
+    * relation beside the audit's full-vs-capped accounting. */
+  private[graft] def simHashCappedPairsQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val sim = TextDedup.simHash(Tables.documents(s, dir), "doc_id", "text")
+      .localCheckpoint() // two consumers (pairs + audit) of one sketch
+    val stats = TextDedup.simHashCandidatePairsCapped(sim, degreeCap = 16)
+      .select(explode(array(col("a"), col("b"))).as("d"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
+    stats.crossJoin(
+      TextDedup.capAuditOverBands(TextDedup.simHashChunkKeys(sim), 16)
+        .select(col("n_capped_buckets"), col("pairs_full"),
+          col("pairs_capped")))
+  }
+
   /** Embedding cosine near-dup pairs (brute force — correct baseline;
     * the LSH-bucketed path in q26 is the 100 TB shape). */
   private[graft] def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {

@@ -2137,6 +2137,45 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                 chars_per_token_ppm, fertility_ppm
          FROM tokf ORDER BY lang""",
 
+    // Degree-capped SimHash candidates at a BINDING cap 16: the
+    // rank-successor pairing + full/capped accounting, mirroring
+    // TextDedup.simHashCandidatePairsCapped / capAuditOverBands.
+    "q249_simhash_capped_pairs" ->
+      """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+                    FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
+         v AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+               FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) GROUP BY doc_id, j),
+         sh AS (SELECT doc_id,
+                       CAST(SUM(CASE WHEN vote > 0 THEN 1::BIGINT << CAST(j AS INTEGER)
+                                     ELSE 0 END) AS BIGINT) AS simhash
+                FROM v GROUP BY doc_id),
+         ch AS (SELECT doc_id, k, (simhash >> CAST(k * 15 AS INTEGER)) & 32767 AS key
+                FROM sh CROSS JOIN (SELECT unnest(range(4)) AS k)),
+         rk AS (SELECT doc_id, k, key,
+                       row_number() OVER (PARTITION BY k, key
+                                          ORDER BY doc_id) AS r
+                FROM ch),
+         p AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+               FROM rk a JOIN rk b
+                 ON a.k = b.k AND a.key = b.key
+                AND b.r > a.r AND b.r <= a.r + 16),
+         e AS (SELECT a AS d FROM p UNION ALL SELECT b FROM p),
+         st AS (SELECT (SELECT COUNT(*) FROM p) AS n_pairs,
+                       (SELECT COUNT(DISTINCT d) FROM e) AS n_docs),
+         bn AS (SELECT k, key, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1, 2),
+         au AS (SELECT CAST(count(*) FILTER (WHERE n - 1 > 16) AS BIGINT)
+                         AS n_capped_buckets,
+                       CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+                         AS pairs_full,
+                       CAST(coalesce(sum(CASE WHEN n - 1 <= 16
+                                THEN n * (n - 1) // 2
+                                ELSE (n - 16) * 16 + 120 END), 0) AS BIGINT)
+                         AS pairs_capped
+                FROM bn)
+         SELECT n_pairs, n_docs, n_capped_buckets, pairs_full, pairs_capped
+         FROM st CROSS JOIN au""",
+
     // Guard health at BINDING settings: every dedup-family cap/budget
     // audited tight enough to bind (caps 16, budget 100).
     "q247_guard_health" -> guardHealthSql(16, 100L, 16),

@@ -814,13 +814,47 @@ object TextDedup {
 
   /** The banded chunk-key relation behind [[simHashCandidatePairs]]
     * — `(id, band, key)`, band = chunk index (named `band` so the
-    * shared [[guardPairBudget]] machinery applies unchanged). */
-  private def simHashChunkKeys(sim: DataFrame, chunks: Int): DataFrame = {
+    * shared [[guardPairBudget]] / [[capAuditOverBands]] machinery
+    * applies unchanged). */
+  def simHashChunkKeys(sim: DataFrame, chunks: Int = 4): DataFrame = {
     val chunkKeys = (0 until chunks).map { k =>
       shiftright(col("simhash"), k * 15).bitwiseAND(lit(0x7fffL))
     }
     sim.select(col("id"),
       posexplode(array(chunkKeys: _*)).as(Seq("band", "key")))
+  }
+
+  /** Degree-CAPPED SimHash candidates — the bounded-output REPAIR
+    * for corpora where [[simHashCandidatePairs]]' budget fires (the
+    * K206 rank-successor form on chunk buckets: each member pairs
+    * with its `degreeCap` nearest id-rank successors, so emissions
+    * are ≤ n·cap per bucket and rank chains keep genuine duplicate
+    * families connected). Measured need: on the heaps-consistent 5M
+    * fixture the health report flags the UNCAPPED generator at 11.4B
+    * pairs — small vocabularies converge near-identical word sets to
+    * identical sketches, so a runnable simhash pass on such corpora
+    * NEEDS the cap. Unlike K206 there is no small/oversized branch
+    * split: the chunk relation is exactly chunks×N rows (no shingle
+    * explode), and the rank window runs on the (band, key)
+    * partitioning the pair join shuffles on anyway, so the window is
+    * marginal at any scale. Capped-away mass stays visible:
+    * [[capAuditOverBands]] over [[simHashChunkKeys]]'s relation is
+    * the full 5-column audit. */
+  def simHashCandidatePairsCapped(
+      sim: DataFrame,
+      chunks: Int = 4,
+      degreeCap: Int = 100): DataFrame = {
+    require(degreeCap >= 1, s"degreeCap must be >= 1: $degreeCap")
+    val ranked = simHashChunkKeys(sim, chunks)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("band"), col("key")).orderBy(col("id"))))
+    val ra = ranked.as("a")
+    val rb = ranked.as("b")
+    ra.join(rb,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("b._r") > col("a._r") && col("b._r") <= col("a._r") + degreeCap)
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .distinct()
   }
 
   /** Audit twin for [[simHashCandidatePairs]] (the q243/q244
@@ -829,7 +863,9 @@ object TextDedup {
     * guard compares against `pairBudget`. Read next to
     * [[DefaultLshPairBudget]]: `pairs_est` within an order of
     * magnitude of the budget is the early-warning a nightly health
-    * sheet should surface BEFORE the fail-fast ever fires. */
+    * sheet should surface BEFORE the fail-fast ever fires. For the
+    * degree-capped form's full/capped gap, use [[capAuditOverBands]]
+    * over [[simHashChunkKeys]]. */
   def simHashPairAudit(sim: DataFrame, chunks: Int = 4): DataFrame =
     simHashChunkKeys(sim, chunks)
       .groupBy(col("band"), col("key"))

@@ -47,6 +47,24 @@ class Round12GuardsSpec extends SparkSpec {
     guarded should not be empty
   }
 
+  test("simhash degree cap: bounded emissions, connectivity, identity past the max bucket") {
+    val sim = TextDedup.simHash(cliqueDocs, "doc_id", "text").localCheckpoint()
+    val full = TextDedup.simHashCandidatePairs(sim)
+      .as[(Long, Long)].collect().toSet
+    // cap past the bucket size: output-identical to the uncapped form
+    TextDedup.simHashCandidatePairsCapped(sim, degreeCap = 100)
+      .as[(Long, Long)].collect().toSet shouldBe full
+    // binding cap: (30-3)*3 + 3 = 84 rank-successor pairs per bucket,
+    // all 4 chunk buckets hold the same members -> DISTINCT union 84
+    val capped = TextDedup.simHashCandidatePairsCapped(sim, degreeCap = 3)
+    capped.count() shouldBe 84
+    // rank chains keep the clique ONE component
+    val labels = TextDedup.connectedComponents(capped.toDF("a", "b"))
+      .as[(Long, Long)].collect()
+    labels.map(_._2).distinct.length shouldBe 1
+    labels.length shouldBe 30
+  }
+
   test("simHashPairAudit: bucket census matches the planted clique") {
     val sim = TextDedup.simHash(cliqueDocs, "doc_id", "text")
     val (nBuckets, maxBucket, pairsEst) = TextDedup.simHashPairAudit(sim)
