@@ -390,27 +390,34 @@ object TextDedup {
       maxLen: Int = 64,
       variantDfCap: Int = Int.MaxValue,
       pairBudget: Long = DefaultLshPairBudget): DataFrame = {
-    val capRows = editDistanceCapAudit(left, right, idCol, strCol, maxLen,
-        variantDfCap)
+    // ONE per-side postings-count relation feeds both the df-cap rows
+    // and the post-cap budget estimate (the first form recomputed the
+    // variants per consumer: 4 scans of the string column; this is 2)
+    def sideCounts(side: DataFrame, ip: String, sp: String) =
+      editVariants(side, idCol, strCol, maxLen, ip, sp)
+        .groupBy(col("_h")).agg(count(lit(1)).as("n"))
+    val lc = sideCounts(left, "left_id", "left_str")
+    val rc = sideCounts(right, "right_id", "right_str")
+    def capRow(counts: DataFrame, tag: String) = counts
+      .agg(count(when(col("n") > variantDfCap, 1)).as("n_capped_keys"),
+        coalesce(sum(when(col("n") > variantDfCap, col("n"))), lit(0L))
+          .as("dropped_postings"))
       .filter(col("n_capped_keys") > 0)
-      .select(concat(lit("edit_df_cap_"), col("side")).as("guard"),
+      .select(lit(s"edit_df_cap_$tag").as("guard"),
         col("n_capped_keys").as("n_affected"),
         col("dropped_postings").as("magnitude"))
-    val lv = capVariants(
-      editVariants(left, idCol, strCol, maxLen, "left_id", "left_str"),
-      variantDfCap)
-    val rv = capVariants(
-      editVariants(right, idCol, strCol, maxLen, "right_id", "right_str"),
-      variantDfCap)
-    val budgetRow = lv.groupBy(col("_h")).agg(count(lit(1)).as("nl"))
-      .join(rv.groupBy(col("_h")).agg(count(lit(1)).as("nr")), Seq("_h"))
+    val budgetRow = lc.filter(col("n") <= variantDfCap)
+      .select(col("_h"), col("n").as("nl"))
+      .join(rc.filter(col("n") <= variantDfCap)
+        .select(col("_h"), col("n").as("nr")), Seq("_h"))
       .agg(count(lit(1)).as("n_keys"),
         coalesce(sum(col("nl") * col("nr")), lit(0L)).as("est"))
       .filter(col("est") > pairBudget)
       .select(lit("edit_pair_budget").as("guard"),
         col("n_keys").as("n_affected"),
         (col("est") - lit(pairBudget)).as("magnitude"))
-    capRows.unionByName(budgetRow)
+    capRow(lc, "left").unionByName(capRow(rc, "right"))
+      .unionByName(budgetRow)
   }
 
   /** Banded, bucket-capped LSH keys — `(id, band, key)` — shared by the
