@@ -874,4 +874,56 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
     graft.operators.UnigramLm.encode(docs, "doc_id", "text", table)
       .orderBy(col("doc_id"))
   }
+
+  /** Association rules (q250): part pairs co-bought within an order —
+    * support/confidence/lift in exact ppm over the lineitem baskets,
+    * top-100 by lift with full deterministic ties. basketCap = 100 is
+    * non-binding on TPC-H (≤ 7 lineitems/order) and stated. */
+  private[graft] def associationRulesQuery(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.associationRules(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+        minSupport = 2L)
+      .orderBy(col("lift_ppm").desc, col("item_a"), col("item_b"))
+      .limit(100)
+
+  /** RFM segmentation (q251): the 5×5×5 customer-value grid over
+    * orders — exact quintile scores (ties share), cent-exact revenue
+    * per segment. */
+  private[graft] def rfmSegmentsQuery(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.rfmSegments(
+        Tables.orders(s, dir), "o_custkey", "o_orderdate",
+        round(col("o_totalprice") * 100))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+
+  /** Temporal embargo split (q258): cutoff at min_day+14, 3-day purge
+    * gap — per-split audit rows with the shared-entity count reported,
+    * never silent. */
+  private[graft] def temporalSplitQuery(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.temporalSplit(
+        Tables.events(s, dir), "ts", "user_id",
+        cutoffOffsetDays = 14, embargoDays = 3)
+      .orderBy(col("split"))
+
+  /** Holt–Winters additive weekly (q256): level + trend + 7-slot
+    * seasonal state in exact micro, α=0.3 β=0.2 γ=0.3 — the K193
+    * smoother with the weekday cycle modeled instead of chased. */
+  private[graft] def holtWintersQuery(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.holtWinters(
+        Tables.events(s, dir), "event_type", "ts",
+        alphaPpm = 300000L, betaPpm = 200000L, gammaPpm = 300000L)
+      .orderBy(col("event_type"), col("day"))
+
+  /** Poisson-bootstrap CI (q252): per event type, the exact micro-unit
+    * mean of `value` plus the five-number summary of 32 deterministic
+    * Poisson-resampled replicate means — the one-pass CI at 100 TB. */
+  private[graft] def bootstrapCiQuery(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.bootstrapCi(
+        Tables.events(s, dir), "event_type", "event_id", col("value"),
+        reps = 32)
+      .orderBy(col("event_type"))
 }

@@ -143,6 +143,18 @@ private[graft] trait EntryCurationTextDefs extends EntryDedupAnnDefs {
   private[graft] def bm25TopKQuery(s: SparkSession, dir: String): DataFrame =
     bm25Feeder(s, dir).orderBy(col("qid"), col("r"))
 
+  /** Retrieval training pairs (q255): positives + hard negatives off
+    * the q19 lexical ranking, random negatives from the bounded
+    * 256-doc hash pool — the contrastive-training feed. */
+  private[graft] def trainingPairsQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.HybridSearch.trainingPairs(
+        lexFeeder(s, dir).select(col("qid"), col("id"), col("r")),
+        docs.filter(col("doc_id") >= 20).select(col("doc_id").as("id")),
+        kHard = 5, kRand = 5)
+      .orderBy(col("qid"), col("role"), col("pair_rank"))
+  }
+
   /** Hybrid retrieval (q68): lexical Jaccard top-20 (via the q19
     * inverted-index feeder — no query×corpus scan) and cosine top-20
     * per query, fused by integer-micro-point reciprocal-rank fusion

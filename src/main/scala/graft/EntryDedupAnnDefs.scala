@@ -191,6 +191,37 @@ private[graft] trait EntryDedupAnnDefs extends EntryParityDefs {
           col("pairs_capped")))
   }
 
+  /** AMS pair-estimate sketch (q253): the map-only F₂ sketch beside
+    * the exact chunk-bucket census on the SAME relation — estimate,
+    * exact, and the sketch's error in ppm, so the guard fast-path's
+    * accuracy claim is itself oracle-gated. */
+  private[graft] def pairSketchQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup
+    val sim = TextDedup.simHash(Tables.documents(s, dir), "doc_id", "text")
+    val ch = TextDedup.simHashChunkKeys(sim)
+    val sk = TextDedup.pairEstimateSketch(ch,
+      concat(col("band").cast("string"), lit("\u0001"),
+        col("key").cast("string")))
+    val exact = TextDedup.simHashPairAudit(sim)
+      .select(col("pairs_est").as("pairs_exact"))
+    sk.crossJoin(exact)
+      .select(col("n_rows"), col("f2_est"), col("pairs_est"),
+        col("pairs_exact"),
+        expr("abs(pairs_est - pairs_exact) * 1000000 div " +
+          "greatest(pairs_exact, 1)").as("err_ppm"))
+  }
+
+  /** Dup-graph PageRank (q254): integer-micro PageRank over the ONE
+    * verified pair relation (q198/q205 label reuse) with every
+    * document a node — the canonical-pick centrality read; top-100
+    * with full deterministic ties. */
+  private[graft] def pageRankQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.pageRank(
+        verifiedDupPairs(s, dir), Tables.documents(s, dir), "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("rank_micro").desc, col("doc_id"))
+      .limit(100)
+
   /** Embedding cosine near-dup pairs (brute force — correct baseline;
     * the LSH-bucketed path in q26 is the 100 TB shape). */
   private[graft] def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -558,6 +589,26 @@ private[graft] trait EntryDedupAnnDefs extends EntryParityDefs {
     * CORRECTNESS row, not just the JSON≡CSV parity spec. */
   private[graft] def runImportJsonE2E(s: SparkSession, dir: String): DataFrame =
     runImportE2EImpl(s, dir, "q234", json = true)
+
+  /** ORC columnar interchange (q257): snapshot → lang-PARTITIONED ORC
+    * → read back → rollup, hash-compared against the parquet-direct
+    * oracle — the export/reimport identity for the third columnar
+    * wire format (CSV q41, JSON q234, ORC here). Partitioned layout
+    * means a lang-filtered reader prunes directories, the same
+    * mechanism DayPartitionedTable relies on. Write-path query: gated
+    * in Verify, excluded from bench (the q41/q234 convention). */
+  private[graft] def orcInterchangeQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.util.TmpDirs
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val root = TmpDirs.fresh(s"q257_orc_$tag")
+    Tables.documents(s, dir)
+      .write.mode("overwrite").partitionBy("lang").orc(s"$root/docs")
+    s.read.orc(s"$root/docs")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("doc_id")).as("n_ids"))
+      .orderBy(col("lang"), col("source"))
+  }
 
   private[graft] def runImportE2EImpl(
       s: SparkSession, dir: String, qtag: String, json: Boolean): DataFrame = {

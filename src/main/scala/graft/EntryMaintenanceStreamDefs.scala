@@ -624,6 +624,23 @@ private[graft] trait EntryMaintenanceStreamDefs extends EntryCurationTextDefs {
       .filter(col("event_type") =!= "tick")
       .orderBy(col("event_type"), col("day"))
 
+  /** Streaming heavy hitters (q259, the 11th gate): per-key exact
+    * counters drained at event-time timeout — the bounded-state
+    * streaming twin of the q201 CMS read; drained counts threshold
+    * batch-side at the q201 share constant (5%). */
+  private[graft] def streamingHeavyHittersQuery(
+      s: SparkSession, dir: String): DataFrame = {
+    val counts = replayedStreamTable(s, dir, "q259",
+      graft.streaming.StreamingHeavyHitters.keyCounts(_))
+      .filter(col("key") =!= "tick")
+    val thr = counts.agg(greatest(lit(1L),
+      expr("sum(n_rows) * 50000 div 1000000")).as("_t"))
+    counts.crossJoin(broadcast(thr))
+      .filter(col("n_rows") >= col("_t"))
+      .select(col("key"), col("n_rows"))
+      .orderBy(col("key"))
+  }
+
   /** Streaming last-touch attribution (q238, the 10th gate): the ONE
     * Structured-Streaming shape the other nine don't exercise — a
     * watermarked STREAM-STREAM interval join (conversions x touches,

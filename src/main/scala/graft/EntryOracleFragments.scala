@@ -487,6 +487,106 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
          ORDER BY event_type"""
   }
 
+  /** q254 oracle: the q205 verified-pair CTEs, then `iters` unrolled
+    * integer-micro PageRank rounds mirroring Analytics.pageRank —
+    * 10⁶ start mass, `85·r // (100·d)` per-neighbor sends, 150000
+    * base reset, floor/dangling mass dropped. */
+  private[graft] def pageRankOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""in$i AS (SELECT u.dst AS id,
+                      CAST(sum(85 * p.r // (100 * d.d)) AS BIGINT) AS inflow
+               FROM und u JOIN $prev p ON u.src = p.id
+                    JOIN deg d ON u.src = d.src
+               GROUP BY 1),
+         r$i AS (SELECT n.id,
+                        CAST(150000 + coalesce(i.inflow, 0) AS BIGINT) AS r
+                 FROM nodes n LEFT JOIN in$i i ON n.id = i.id)"""
+    }.mkString(",\n         ")
+    s"""WITH $minHashPairsSql,
+         ws AS (SELECT doc_id,
+                       list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                FROM documents),
+         vp AS (SELECT p.a, p.b
+                FROM pairs p
+                JOIN ws wa ON wa.doc_id = p.a
+                JOIN ws wb ON wb.doc_id = p.b
+                WHERE len(list_distinct(wa.ws || wb.ws)) > 0
+                  AND CAST(len(list_intersect(wa.ws, wb.ws)) AS BIGINT)
+                        * 1000000
+                        // CAST(len(list_distinct(wa.ws || wb.ws)) AS BIGINT)
+                        >= 500000),
+         e AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+               FROM vp WHERE a <> b),
+         und AS (SELECT x AS src, y AS dst FROM e
+                 UNION ALL SELECT y, x FROM e),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+                 FROM und GROUP BY 1),
+         nodes AS (SELECT doc_id AS id FROM documents),
+         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         $iterCtes
+         SELECT n.id AS doc_id, CAST(coalesce(d.d, 0) AS BIGINT) AS degree,
+                p.r AS rank_micro
+         FROM nodes n LEFT JOIN deg d ON n.id = d.src
+              JOIN r$iters p ON n.id = p.id
+         ORDER BY rank_micro DESC, doc_id LIMIT 100"""
+  }
+
+  /** q256 oracle: Holt–Winters additive weekly — the q226 recursive
+    * CTE carrying SEVEN seasonal slot columns, every ppm division
+    * truncating toward zero (tdiv). Generated from the same
+    * (α, β, γ) constants the Spark call uses. */
+  private[graft] def holtWintersOracleSql(
+      alphaPpm: Long, betaPpm: Long, gammaPpm: Long): String = {
+    def tdiv(x: String): String =
+      s"(CASE WHEN ($x) >= 0 THEN ($x) // 1000000" +
+        s" ELSE -((-($x)) // 1000000) END)"
+    val slots = 0 until 7
+    val sPrev = "(CASE o.w " +
+      slots.map(k => s"WHEN $k THEN r.s$k").mkString(" ") + " END)"
+    val lNew = s"(${tdiv(s"$alphaPpm * (o.v * 1000000 - $sPrev)")}" +
+      s" + ${tdiv(s"(1000000 - $alphaPpm) * (r.l + r.b)")})"
+    val sNew = slots.map { k =>
+      s"""CAST(CASE WHEN o.w = $k
+              THEN ${tdiv(s"$gammaPpm * (o.v * 1000000 - $lNew)")}
+                   + ${tdiv(s"(1000000 - $gammaPpm) * r.s$k")}
+              ELSE r.s$k END AS BIGINT) AS s$k"""
+    }.mkString(",\n                  ")
+    val sBase = slots.map(k => s"CAST(0 AS BIGINT) AS s$k").mkString(", ")
+    val sOut = "(CASE w " +
+      slots.map(k => s"WHEN $k THEN s$k").mkString(" ") + " END)"
+    val sNext = "(CASE (w + 1) % 7 " +
+      slots.map(k => s"WHEN $k THEN s$k").mkString(" ") + " END)"
+    s"""WITH RECURSIVE daily AS (
+           SELECT CAST(event_type AS VARCHAR) AS typ, ts::DATE AS day,
+                  CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         ord AS (SELECT typ, day, v,
+                        CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS w,
+                        CAST(row_number() OVER (PARTITION BY typ
+                          ORDER BY day) AS BIGINT) AS i
+                 FROM daily),
+         rec AS (
+           SELECT typ, day, v, w, i,
+                  CAST(v * 1000000 AS BIGINT) AS l,
+                  CAST(0 AS BIGINT) AS b,
+                  $sBase
+           FROM ord WHERE i = 1
+           UNION ALL
+           SELECT o.typ, o.day, o.v, o.w, o.i,
+                  CAST($lNew AS BIGINT),
+                  CAST(${tdiv(s"$betaPpm * ($lNew - r.l)")}
+                    + ${tdiv(s"(1000000 - $betaPpm) * r.b")} AS BIGINT),
+                  $sNew
+           FROM ord o JOIN rec r ON o.typ = r.typ AND o.i = r.i + 1)
+         SELECT typ AS event_type, CAST(day AS VARCHAR) AS day, v,
+                CAST(l AS BIGINT) AS level_micro,
+                CAST(b AS BIGINT) AS trend_micro,
+                CAST($sOut AS BIGINT) AS season_micro,
+                CAST(l + b + $sNext AS BIGINT) AS forecast_micro
+         FROM rec ORDER BY event_type, day"""
+  }
+
   /** q138/q146 shared oracle fragment: the exact-integer Lloyd
     * iteration CTEs, unrolled mechanically from the same (k, iters)
     * the Spark calls use (the minHashCoeffsSql pattern: one set of

@@ -2183,5 +2183,271 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
     // Guard health at PRODUCTION settings: zero rows — the
     // nothing-binds certificate, re-derived by the oracle.
     "q248_guard_health_clear" ->
-      guardHealthSql(100, graft.operators.TextDedup.DefaultLshPairBudget, 48))
+      guardHealthSql(100, graft.operators.TextDedup.DefaultLshPairBudget, 48),
+
+    "q250_association_rules" ->
+      """WITH b0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                     FROM lineitem
+                     WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+              keep AS (SELECT bk FROM b0 GROUP BY bk HAVING count(*) <= 100),
+              b AS (SELECT b0.bk, b0.it FROM b0 JOIN keep USING (bk)),
+              nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets
+                     FROM b),
+              s AS (SELECT it, CAST(count(*) AS BIGINT) AS sup
+                    FROM b GROUP BY it),
+              p AS (SELECT x.it AS item_a, y.it AS item_b,
+                           CAST(count(*) AS BIGINT) AS n_ab
+                    FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+                    GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT item_a, item_b, n_ab, sa.sup AS n_a, sb.sup AS n_b,
+                n_baskets,
+                n_ab * n_baskets * 1000000 // (sa.sup * sb.sup) AS lift_ppm,
+                n_ab * 1000000 // sa.sup AS conf_ab_ppm,
+                n_ab * 1000000 // sb.sup AS conf_ba_ppm
+         FROM p JOIN s sa ON p.item_a = sa.it
+                JOIN s sb ON p.item_b = sb.it
+              CROSS JOIN nb
+         ORDER BY lift_ppm DESC, item_a, item_b LIMIT 100""",
+
+    "q251_rfm_segments" ->
+      """WITH pc AS (SELECT o_custkey AS cust,
+                            max(o_orderdate::DATE) AS last_d,
+                            CAST(count(*) AS BIGINT) AS frequency,
+                            CAST(sum(CAST(round(o_totalprice * 100)
+                              AS BIGINT)) AS BIGINT) AS cents
+                     FROM orders
+                     WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                     GROUP BY 1),
+              an AS (SELECT max(last_d) AS anchor FROM pc),
+              m AS (SELECT cust, frequency, cents,
+                           CAST(anchor - last_d AS BIGINT) AS recency_days,
+                           cents // 100 AS dollars
+                    FROM pc CROSS JOIN an),
+              qr AS (SELECT v AS recency_days, below * 5 // n AS q FROM (
+                       SELECT v, coalesce(sum(c) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS below, sum(c) OVER () AS n
+                       FROM (SELECT recency_days AS v,
+                                    CAST(count(*) AS BIGINT) AS c
+                             FROM m GROUP BY 1))),
+              qf AS (SELECT v AS frequency, below * 5 // n AS q FROM (
+                       SELECT v, coalesce(sum(c) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS below, sum(c) OVER () AS n
+                       FROM (SELECT frequency AS v,
+                                    CAST(count(*) AS BIGINT) AS c
+                             FROM m GROUP BY 1))),
+              qm AS (SELECT v AS dollars, below * 5 // n AS q FROM (
+                       SELECT v, coalesce(sum(c) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS below, sum(c) OVER () AS n
+                       FROM (SELECT dollars AS v,
+                                    CAST(count(*) AS BIGINT) AS c
+                             FROM m GROUP BY 1)))
+         SELECT CAST(5 - qr.q AS BIGINT) AS r_score,
+                CAST(qf.q + 1 AS BIGINT) AS f_score,
+                CAST(qm.q + 1 AS BIGINT) AS m_score,
+                CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(sum(cents) AS BIGINT) AS total_cents,
+                CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+         FROM m JOIN qr USING (recency_days)
+                JOIN qf USING (frequency)
+                JOIN qm USING (dollars)
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q252_bootstrap_ci" ->
+      """WITH base AS (SELECT event_type AS g,
+                              CAST(event_id AS VARCHAR) AS id,
+                              CAST(round(value * 1000000) AS BIGINT) AS v
+                       FROM events
+                       WHERE event_type IS NOT NULL
+                         AND event_id IS NOT NULL AND value IS NOT NULL),
+              pt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+                            CAST(sum(v) // count(*) AS BIGINT) AS mean_micro
+                     FROM base GROUP BY 1),
+              reps AS (SELECT unnest(range(32)) AS b),
+              draws AS (SELECT g, b, v,
+                               ('0x' || substr(md5('boot:' || b || ':' || id),
+                                 1, 15))::BIGINT % 1000000 AS u
+                        FROM base CROSS JOIN reps),
+              wts AS (SELECT g, b, v,
+                             CASE WHEN u < 367879 THEN 0
+                                  WHEN u < 735759 THEN 1
+                                  WHEN u < 919699 THEN 2
+                                  WHEN u < 981012 THEN 3
+                                  WHEN u < 996340 THEN 4
+                                  WHEN u < 999406 THEN 5
+                                  WHEN u < 999917 THEN 6
+                                  WHEN u < 999990 THEN 7
+                                  WHEN u < 999999 THEN 8
+                                  ELSE 9 END AS w
+                      FROM draws),
+              m AS (SELECT g, b, sum(w * v) // sum(w) AS m
+                    FROM wts GROUP BY 1, 2 HAVING sum(w) > 0),
+              r AS (SELECT g, b, m,
+                           row_number() OVER (PARTITION BY g
+                                              ORDER BY m, b) AS rn,
+                           count(*) OVER (PARTITION BY g) AS bt
+                    FROM m),
+              s AS (SELECT g, CAST(max(bt) AS BIGINT) AS n_reps,
+                           CAST(max(CASE WHEN rn = 1 THEN m END)
+                             AS BIGINT) AS boot_min,
+                           CAST(max(CASE WHEN rn = (bt - 1) // 4 + 1
+                             THEN m END) AS BIGINT) AS boot_q1,
+                           CAST(max(CASE WHEN rn = (bt - 1) * 2 // 4 + 1
+                             THEN m END) AS BIGINT) AS boot_med,
+                           CAST(max(CASE WHEN rn = (bt - 1) * 3 // 4 + 1
+                             THEN m END) AS BIGINT) AS boot_q3,
+                           CAST(max(CASE WHEN rn = bt THEN m END)
+                             AS BIGINT) AS boot_max
+                    FROM r GROUP BY 1)
+         SELECT pt.g AS event_type, n_rows, mean_micro, n_reps,
+                boot_min, boot_q1, boot_med, boot_q3, boot_max
+         FROM pt JOIN s USING (g) ORDER BY 1""",
+
+    // AMS F2 sketch vs the exact chunk-bucket census on the same
+    // relation: the q245 simhash CTE chain, plus 24 signed counters
+    // whose median-of-means estimate the oracle re-derives bit-exact.
+    "q253_pair_sketch" ->
+      """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+                    FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
+         v AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+               FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) GROUP BY doc_id, j),
+         sh AS (SELECT doc_id,
+                       CAST(SUM(CASE WHEN vote > 0 THEN 1::BIGINT << CAST(j AS INTEGER)
+                                     ELSE 0 END) AS BIGINT) AS simhash
+                FROM v GROUP BY doc_id),
+         ch AS (SELECT doc_id, k, (simhash >> CAST(k * 15 AS INTEGER)) & 32767 AS key
+                FROM sh CROSS JOIN (SELECT unnest(range(4)) AS k)),
+         b AS (SELECT k, key, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1, 2),
+         ex AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+                       CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+                         AS pairs_exact
+                FROM b),
+         js AS (SELECT unnest(range(24)) AS j),
+         sg AS (SELECT j,
+                       sum(CASE WHEN ('0x' || substr(md5('ams:' || j || ':'
+                                 || CAST(k AS VARCHAR) || chr(1)
+                                 || CAST(key AS VARCHAR)), 1, 15))::BIGINT
+                               % 2 = 1 THEN 1 ELSE -1 END) AS x
+                FROM ch CROSS JOIN js GROUP BY j),
+         gm AS (SELECT j // 4 AS grp, sum(x * x) // 4 AS mean
+                FROM sg GROUP BY 1),
+         rk AS (SELECT mean, row_number() OVER (ORDER BY mean) AS rn
+                FROM gm),
+         md AS (SELECT (max(CASE WHEN rn = 3 THEN mean END) +
+                        max(CASE WHEN rn = 4 THEN mean END)) // 2 AS f2
+                FROM rk)
+         SELECT n_rows, CAST(f2 AS BIGINT) AS f2_est,
+                CAST(greatest(0, (f2 - n_rows) // 2) AS BIGINT) AS pairs_est,
+                pairs_exact,
+                CAST(abs(greatest(0, (f2 - n_rows) // 2) - pairs_exact)
+                  * 1000000 // greatest(pairs_exact, 1) AS BIGINT) AS err_ppm
+         FROM ex CROSS JOIN md""",
+
+    // Dup-graph PageRank: the q205 verified-pair CTEs, then 10
+    // unrolled integer-micro power iterations (85/100 damping,
+    // floor/dangling mass dropped — the operator's stated contract).
+    "q254_dup_pagerank" -> pageRankOracleSql(10),
+
+    // Retrieval training pairs: q19's lexical ranking re-derived,
+    // then pos/hard/random roles with the bounded 256-doc hash pool
+    // (pool and per-query draws both 52-bit md5 order).
+    "q255_training_pairs" ->
+      """WITH qw AS (SELECT doc_id AS qid,
+                            list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                     FROM documents WHERE doc_id < 20),
+         cw AS (SELECT doc_id AS id,
+                       list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                FROM documents WHERE doc_id >= 20),
+         sc AS (SELECT q.qid, c.id,
+                       len(list_intersect(q.ws, c.ws)) AS ov,
+                       round(CAST(len(list_intersect(q.ws, c.ws)) AS DOUBLE) /
+                             CAST(len(q.ws) + len(c.ws)
+                                  - len(list_intersect(q.ws, c.ws)) AS DOUBLE), 6) AS jac
+                FROM qw q CROSS JOIN cw c),
+         rt AS (SELECT qid, id, r FROM (
+                  SELECT qid, id, jac,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY jac DESC, id) AS r
+                  FROM sc WHERE ov > 0) t
+                WHERE r <= 20),
+         pos AS (SELECT qid, id, 'pos' AS role, CAST(1 AS BIGINT) AS pair_rank
+                 FROM rt WHERE r = 1),
+         hard AS (SELECT qid, id, 'hard_neg' AS role,
+                         CAST(r - 1 AS BIGINT) AS pair_rank
+                  FROM rt WHERE r BETWEEN 2 AND 6),
+         pool AS (SELECT id FROM (
+                    SELECT id, row_number() OVER (ORDER BY
+                      ('0x' || substr(md5('pool:' || CAST(id AS VARCHAR)),
+                        1, 13))::BIGINT, id) AS pr
+                    FROM cw) WHERE pr <= 256),
+         qs AS (SELECT DISTINCT qid FROM rt),
+         seen AS (SELECT qid, id FROM rt WHERE r <= 6),
+         cand AS (SELECT q.qid, p.id FROM qs q CROSS JOIN pool p
+                  WHERE NOT EXISTS (SELECT 1 FROM seen s
+                                    WHERE s.qid = q.qid AND s.id = p.id)),
+         rneg AS (SELECT qid, id, 'rand_neg' AS role,
+                         CAST(rr AS BIGINT) AS pair_rank FROM (
+                    SELECT qid, id, row_number() OVER (PARTITION BY qid
+                      ORDER BY ('0x' || substr(md5('neg:'
+                        || CAST(qid AS VARCHAR) || ':'
+                        || CAST(id AS VARCHAR)), 1, 13))::BIGINT, id) AS rr
+                    FROM cand) WHERE rr <= 5)
+         SELECT qid, id, role, pair_rank FROM (
+           SELECT * FROM pos UNION ALL SELECT * FROM hard
+           UNION ALL SELECT * FROM rneg)
+         ORDER BY qid, role, pair_rank""",
+
+    // Holt–Winters additive weekly: the q226 recursion with 7
+    // seasonal slot columns, constants shared with the Spark call.
+    "q256_holt_winters" -> holtWintersOracleSql(300000L, 200000L, 300000L),
+
+    // ORC interchange: the roundtrip must reproduce the parquet-direct
+    // rollup exactly (nulls, partition-column round-trip included).
+    "q257_orc_interchange" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q258_temporal_split" ->
+      """WITH base AS (SELECT ts::DATE AS d, CAST(user_id AS VARCHAR) AS e
+                       FROM events
+                       WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+              an AS (SELECT min(d) AS mind FROM base),
+              tagged AS (SELECT d, e,
+                                CASE WHEN d - mind <= 14 THEN 'train'
+                                     WHEN d - mind <= 17 THEN 'embargo'
+                                     ELSE 'test' END AS split
+                         FROM base CROSS JOIN an),
+              ps AS (SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+                            CAST(count(DISTINCT e) AS BIGINT) AS n_entities,
+                            CAST(min(d) AS VARCHAR) AS min_day,
+                            CAST(max(d) AS VARCHAR) AS max_day
+                     FROM tagged GROUP BY 1),
+              sh AS (SELECT CAST(coalesce(sum(CASE WHEN tr = 1 AND te = 1
+                              THEN 1 END), 0) AS BIGINT) AS shared_entities
+                     FROM (SELECT e,
+                                  max(CASE WHEN split = 'train' THEN 1
+                                      ELSE 0 END) AS tr,
+                                  max(CASE WHEN split = 'test' THEN 1
+                                      ELSE 0 END) AS te
+                           FROM tagged GROUP BY e))
+         SELECT split, n_rows, n_entities, min_day, max_day,
+                shared_entities
+         FROM ps CROSS JOIN sh ORDER BY split""",
+
+    // 11th streaming gate: the exact heavy-hitter relation (the q201
+    // CMS output equals the exact-threshold relation — its final
+    // filter is exact; the streaming counter reproduces it directly).
+    "q259_streaming_heavy_hitters" ->
+      """WITH r AS (SELECT CAST(event_type AS VARCHAR) AS key FROM events
+                    WHERE event_type IS NOT NULL),
+              t AS (SELECT greatest(1, count(*) * 50000 // 1000000) AS thr
+                    FROM r)
+         SELECT key, CAST(count(*) AS BIGINT) AS n_rows
+         FROM r CROSS JOIN t
+         GROUP BY key, thr HAVING count(*) >= thr ORDER BY key""")
 }

@@ -2314,6 +2314,78 @@ object Analytics {
       "forecast_micro")
   }
 
+  /** HOLT–WINTERS ADDITIVE (weekly) — [[holtSmoothing]] plus the
+    * seasonal state a 7-day business cycle actually needs (K141
+    * showed weekday seasonality dominates event volume; Holt alone
+    * chases Mondays as trend):
+    *
+    *   l_t = α(y_t − s_{w}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_w ← γ(y_t − l_t) + (1−γ)s_w,   w = epoch_day mod 7
+    *
+    * All states integer micro (y = v·10⁶); every ppm product divides
+    * by 10⁶ with TRUNCATION toward zero (Scala `/` — the q226/q227
+    * signed-division convention the oracle mirrors with the tdiv
+    * CASE). Seasonal slots start at 0 (cold start is the level's
+    * problem, stated). `forecast_micro` is the one-step-ahead read
+    * l + b + s_{w+1 mod 7} against the NEXT calendar slot.
+    *
+    * Driver-fold operator (the holtSmoothing contract): the recurrence
+    * is sequential per type, the relation is bounded to (types ×
+    * days) rows by [[boundedCollect]], and the envelope keeps every
+    * product inside exact longs (v < 2.3e6 — seasonal deltas give the
+    * state 2× the Holt headroom requirement). */
+  def holtWinters(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      alphaPpm: Long,
+      betaPpm: Long,
+      gammaPpm: Long,
+      maxRows: Int = 100000): DataFrame = {
+    for ((p, n) <- Seq(alphaPpm -> "alphaPpm", betaPpm -> "betaPpm",
+        gammaPpm -> "gammaPpm"))
+      require(p >= 1 && p <= 1000000, s"$n must be in [1, 1e6]: $p")
+    val daily = events
+      .groupBy(col(typeCol).cast("string").as("typ"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("v"))
+      .select(col("typ"), col("day").cast("string").as("day"), col("v"))
+    val rows = boundedCollect(daily, maxRows,
+      "holtWinters: (type, day) rows")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    rows.foreach { case (_, _, v) =>
+      require(v < 2300000L,
+        "holtWinters: daily count exceeds the exact-long micro " +
+          "envelope (2.3e6); use coarser units")
+    }
+    val out = rows.groupBy(_._1).toSeq.flatMap { case (typ, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var l = 0L
+      var b = 0L
+      val s = Array.fill(7)(0L)
+      sorted.zipWithIndex.map { case ((_, day, v), i) =>
+        val w = (java.time.LocalDate.parse(day).toEpochDay % 7).toInt
+        val y = v * 1000000L
+        if (i == 0) { l = y; b = 0L }
+        else {
+          val lPrev = l
+          l = alphaPpm * (y - s(w)) / 1000000L +
+            (1000000L - alphaPpm) * (l + b) / 1000000L
+          b = betaPpm * (l - lPrev) / 1000000L +
+            (1000000L - betaPpm) * b / 1000000L
+        }
+        s(w) = gammaPpm * (y - l) / 1000000L +
+          (1000000L - gammaPpm) * s(w) / 1000000L
+        (typ, day, v, l, b, s(w), l + b + s((w + 1) % 7))
+      }
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    out.toDF("event_type", "day", "v", "level_micro", "trend_micro",
+      "season_micro", "forecast_micro")
+  }
+
   /** PETTITT CHANGEPOINT — [[cusumChangepoint]]'s NONPARAMETRIC twin
     * (CUSUM finds a mean shift and is dragged by one outlier day;
     * Pettitt, AMS 1979, asks at which day the rank distribution
@@ -2954,5 +3026,290 @@ object Analytics {
       .crossJoin(broadcast(thr))
       .filter(col("n_rows") >= col("_t"))
       .select(col("key"), col("n_rows"))
+  }
+
+  /** MARKET-BASKET ASSOCIATION RULES — support / confidence / lift for
+    * item pairs that co-occur in the same basket (order), the classic
+    * affinity mine behind "customers who bought A also bought B".
+    * Outputs one row per unordered pair with pair support ≥
+    * `minSupport`, both directional confidences and the symmetric lift,
+    * all in exact integer ppm.
+    *
+    * Pair generation is a basket-key self-join of the deduplicated
+    * (basket, item) relation, so candidates per basket are
+    * `size·(size−1)/2` — bounded by `basketCap`: baskets with more
+    * than `basketCap` distinct items are DROPPED before the join (the
+    * guard-family discipline; one pathological "basket" — a crawler
+    * account, a merged cart — would otherwise contribute cap-free
+    * quadratic pairs, the same mega-bucket shape the dedup cascade
+    * budgets against). The cap is a stated part of the contract, like
+    * the funnel's step enum.
+    *
+    * Shape at 100 TB: one shuffle to dedup (basket, item), a window on
+    * the same basket key for the cap (partitioning reused), the
+    * self-join co-located on that key, then an aggregation keyed by the
+    * pair — whose cardinality the support threshold prunes map-side
+    * only AFTER the count, so the exchange carries (pair → partial
+    * count) combines, never raw pair rows per occurrence. Supports and
+    * the basket total join back item-keyed / broadcast.
+    *
+    * Exactness envelope: `lift_ppm = n_ab·N·10⁶ div (n_a·n_b)` needs
+    * `n_ab·N < 9.2e12` — raise_error past it (mine a sampled slice or
+    * raise `minSupport`; lift is ratio-stable under q51 sampling). */
+  def associationRules(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long,
+      basketCap: Int = 100): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    require(basketCap >= 2 && basketCap <= 100000,
+      s"basketCap must be in [2, 100000]: $basketCap")
+    val b0 = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .filter(col("_bk").isNotNull && col("_it").isNotNull)
+      .distinct()
+    val wb = Window.partitionBy(col("_bk"))
+    val b = b0.withColumn("_sz", count(lit(1)).over(wb))
+      .filter(col("_sz") <= basketCap)
+      .drop("_sz")
+    val nb = b.agg(count_distinct(col("_bk")).as("n_baskets"))
+    val supp = b.groupBy(col("_it")).agg(count(lit(1)).as("_s"))
+    val pairs = b.select(col("_bk"), col("_it").as("item_a"))
+      .join(b.select(col("_bk"), col("_it").as("item_b")), Seq("_bk"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(supp.select(col("_it").as("item_a"), col("_s").as("n_a")),
+        Seq("item_a"))
+      .join(supp.select(col("_it").as("item_b"), col("_s").as("n_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nb))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"),
+        when(col("n_ab") * col("n_baskets") >= lit(9223372036854L),
+          raise_error(lit("associationRules: n_ab * n_baskets exceeds " +
+            "the exact-long ppm envelope (~9.2e12); raise minSupport or " +
+            "mine a q51-sampled slice")))
+          .otherwise(expr("n_ab * n_baskets * 1000000 div (n_a * n_b)"))
+          .as("lift_ppm"),
+        expr("n_ab * 1000000 div n_a").as("conf_ab_ppm"),
+        expr("n_ab * 1000000 div n_b").as("conf_ba_ppm"))
+  }
+
+  /** Exact quintile score (0–4) per row of `df` on integer column
+    * `metric`, TIES SHARE A SCORE (every row of a value class gets the
+    * class's first-row quintile, the standard analyst convention —
+    * ntile would split ties arbitrarily AND sort every row through one
+    * partition). Distributive: one histogram shuffle on the metric
+    * value, an exclusive-prefix window over that Aggregate child
+    * (bounded by the value support, the equiDepthHistogram
+    * discipline), then a value-keyed join back — rows never globally
+    * sort. */
+  private def withQuintile(
+      df: DataFrame, metric: String, out: String): DataFrame = {
+    val h = df.groupBy(col(metric).as("_v")).agg(count(lit(1)).as("_c"))
+    val byV = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h.withColumn("_below",
+      coalesce(sum(col("_c")).over(byV), lit(0L)))
+    val tot = h.agg(sum(col("_c")).as("_n"))
+    val scored = cum.crossJoin(broadcast(tot))
+      .select(col("_v").as(metric), expr("_below * 5 div _n").as(out))
+    df.join(scored, Seq(metric))
+  }
+
+  /** RFM SEGMENTATION — the classic customer-value grid: per customer
+    * Recency (days since last order, against the corpus max date so
+    * the segmentation is reproducible from the data alone), Frequency
+    * (order count) and Monetary (exact cents, scored on whole-dollar
+    * quantization so the quintile histogram's support stays bounded),
+    * each scored into exact quintiles (5 = best; recency inverts), then
+    * rolled up to the 5×5×5 segment grid with customer counts and
+    * cent-exact revenue.
+    *
+    * Scores use [[withQuintile]]: ties share a quintile and no row-level
+    * global sort exists anywhere — the three score joins are
+    * value-keyed against histogram-sized relations.
+    *
+    * Shape at 100 TB: one shuffle of orders to the customer key; three
+    * metric-histogram shuffles over the CUSTOMER-sized relation (each
+    * further reduced to its value support before windowing); one final
+    * rollup to ≤ 125 rows. */
+  def rfmSegments(
+      orders: DataFrame,
+      custCol: String,
+      dateCol: String,
+      amountCents: Column): DataFrame = {
+    val perCust = orders
+      .select(col(custCol).as("_cust"), to_date(col(dateCol)).as("_d"),
+        amountCents.cast(LongType).as("_amt"))
+      .filter(col("_cust").isNotNull && col("_d").isNotNull)
+      .groupBy(col("_cust"))
+      .agg(max(col("_d")).as("_last"), count(lit(1)).as("frequency"),
+        sum(col("_amt")).as("cents"))
+    val anchor = perCust.agg(max(col("_last")).as("_anchor"))
+    val m = perCust.crossJoin(broadcast(anchor))
+      .select(col("_cust"), col("frequency"), col("cents"),
+        datediff(col("_anchor"), col("_last")).cast(LongType)
+          .as("recency_days"),
+        expr("cents div 100").as("_dollars"))
+    val scored =
+      withQuintile(
+        withQuintile(
+          withQuintile(m, "recency_days", "_qr"),
+          "frequency", "_qf"),
+        "_dollars", "_qm")
+    scored
+      .select((lit(5L) - col("_qr")).as("r_score"),
+        (col("_qf") + 1L).as("f_score"), (col("_qm") + 1L).as("m_score"),
+        col("cents"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("total_cents"))
+      .withColumn("avg_cents", expr("total_cents div n_customers"))
+  }
+
+  /** Cumulative Poisson(1) thresholds ×10⁶ (floor), the CONTRACT
+    * constants of [[bootstrapCi]]'s weight draw: a uniform micro-draw
+    * u lands weight k = #{thresholds ≤ u}. Fixed integers so Spark and
+    * the oracle CASE on identical boundaries — fidelity to Poisson(1)
+    * beyond 1e-6 is irrelevant to the resample's validity. */
+  val PoissonCdfMicro: Seq[Long] =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L,
+      999990L, 999999L)
+
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVALS — the one-pass resampling
+    * scheme that works at 100 TB: instead of materializing B sampled
+    * copies of the data (impossible) each row contributes to replicate
+    * b with a DETERMINISTIC Poisson(1) weight drawn from
+    * md5("boot:" + b + ":" + id), so all B weighted means build in one
+    * explode → map-side-combined aggregation and the whole resample is
+    * reproducible on any engine (same rows → same intervals; no rand()).
+    * Per group: the exact micro-unit point estimate plus the five-number
+    * summary (min/q1/median/q3/max) of the B replicate means — the
+    * spread IS the sampling distribution of the mean.
+    *
+    * Replicates whose total weight is zero (only reachable on toy
+    * groups; P ≈ e^(−n)) are dropped and `n_reps` reports the survivor
+    * count; order-statistic positions are computed from it.
+    *
+    * Shape at 100 TB: the explode fans each row ×B but feeds partial
+    * aggregation immediately — the exchange carries (group × B) partial
+    * sums, not row data; everything downstream is replicate-sized.
+    * Exactness: values quantize to micro units once (round ×10⁶, the
+    * q228 cents discipline); all sums and the `div` means are integer.
+    * Envelope: Σ w·v_micro per replicate must stay under 2⁶³ — at
+    * |v|≤10³ that is ~10⁹ rows per group per replicate; past it,
+    * bootstrap a q51-sampled slice (the CI width is what sampling
+    * preserves). */
+  def bootstrapCi(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      value: Column,
+      reps: Int = 32): DataFrame = {
+    require(reps >= 4 && reps <= 1000, s"reps must be in [4, 1000]: $reps")
+    val base = df.select(col(groupCol).cast("string").as("g"),
+      col(idCol).cast("string").as("_id"),
+      round(value * 1000000L).cast(LongType).as("v"))
+      .filter(col("g").isNotNull && col("_id").isNotNull &&
+        col("v").isNotNull)
+    val point = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("_sv"))
+      .select(col("g"), col("n_rows"), expr("_sv div n_rows").as("mean_micro"))
+    val u = TextDedup.md5Hash60(
+      concat(lit("boot:"), col("_b").cast("string"), lit(":"),
+        col("_id"))) % 1000000L
+    val w = PoissonCdfMicro.reverse.foldLeft(lit(9L)) { (acc, t) =>
+      when(col("_u") < t, lit(PoissonCdfMicro.indexOf(t).toLong))
+        .otherwise(acc)
+    }
+    val means = base
+      .select(col("g"), col("_id"), col("v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("_b"))
+      .withColumn("_u", u)
+      .withColumn("_w", w)
+      .groupBy(col("g"), col("_b"))
+      .agg(sum(col("_w")).as("_sw"), sum(col("_w") * col("v")).as("_swv"))
+      .filter(col("_sw") > 0)
+      .select(col("g"), col("_b"), expr("_swv div _sw").as("_m"))
+    val wg = Window.partitionBy(col("g"))
+    val ranked = means
+      .withColumn("_rn", row_number().over(
+        wg.orderBy(col("_m"), col("_b"))))
+      .withColumn("_bt", count(lit(1)).over(wg))
+    val stats = ranked.groupBy(col("g"))
+      .agg(max(col("_bt")).as("n_reps"),
+        max(when(col("_rn") === 1, col("_m"))).as("boot_min"),
+        max(when(col("_rn") === expr("(_bt - 1) div 4 + 1"), col("_m")))
+          .as("boot_q1"),
+        max(when(col("_rn") === expr("(_bt - 1) * 2 div 4 + 1"), col("_m")))
+          .as("boot_med"),
+        max(when(col("_rn") === expr("(_bt - 1) * 3 div 4 + 1"), col("_m")))
+          .as("boot_q3"),
+        max(when(col("_rn") === col("_bt"), col("_m"))).as("boot_max"))
+    point.join(stats, Seq("g"))
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** PAGERANK over an undirected pair relation (the near-dup graph) —
+    * "which documents sit at the center of large duplication
+    * families": canonical-pick and crawl-audit signal the plain degree
+    * misses (a hub bridging two families outranks an equal-degree
+    * clique member). Exact integer micro-mass contract so any engine
+    * reproduces it bit-for-bit:
+    * every node starts at 10⁶ micro; each iteration a node with
+    * degree d sends each neighbor `damping·r div (100·d)` and every
+    * node resets to `(100−damping)·10⁴` plus its inflow. Floor losses
+    * and dangling (isolated) mass are DROPPED — stated; ranking is
+    * unaffected and conservation-exact variants cost an extra global
+    * agg per iteration for no decision value.
+    *
+    * Shape at 100 TB: the edge relation materializes ONCE
+    * (localCheckpoint DISK_ONLY, the K207 discipline — it feeds
+    * 2·iters joins); each iteration is one join on src (edge
+    * partitioning reusable across iterations) and one inflow
+    * aggregation on dst; ranks re-checkpoint every 3 iterations so
+    * lineage stays shallow. Iterations are a fixed constant (the
+    * stationary-distribution contract), not convergence-tested —
+    * deterministic plans, and 10 rounds is past decision-stability on
+    * graphs whose diameter the dedup banding bounds. */
+  def pageRank(
+      edges: DataFrame,
+      nodes: DataFrame,
+      idCol: String,
+      iters: Int = 10,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
+    require(dampingPct >= 1 && dampingPct <= 99,
+      s"dampingPct must be in [1,99]: $dampingPct")
+    val base = (100 - dampingPct) * 10000L
+    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val ids = nodes.select(col(idCol).as("id"))
+    var ranks = ids.select(col("id"), lit(1000000L).as("r"))
+    for (i <- 1 to iters) {
+      val inflow = und
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"),
+          expr(s"$dampingPct * r div (100 * d)").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+      ranks = ids.join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("inflow"), lit(0L))).as("r"))
+      if (i % 3 == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+    ranks.join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("d"), lit(0L)).as("degree"),
+        col("r").as("rank_micro"))
   }
 }

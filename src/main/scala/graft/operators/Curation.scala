@@ -14,6 +14,59 @@ import TextDedup.{md5Hash60, words}
   */
 object Curation {
 
+  /** TEMPORAL EMBARGO SPLIT — the time-series counterpart of
+    * TextDedup.leakageSafeSplit (that one stops NEAR-DUP leakage
+    * across a random split; this one stops TEMPORAL leakage across a
+    * forecasting split): rows at day ≤ cutoff train, rows inside the
+    * `embargoDays` gap after the cutoff are DROPPED (the purge window
+    * that keeps label horizons from straddling the boundary), the
+    * rest test. The cutoff derives from the data
+    * (min_day + cutoffOffsetDays), so the split is reproducible from
+    * the corpus alone.
+    *
+    * Output is the split AUDIT, not the row assignment (that is a
+    * map-only `when` any consumer inlines): per split — row count,
+    * distinct entities, day range — plus `shared_entities`, the count
+    * of entities present on BOTH sides. Temporal splits share
+    * entities by design; the column makes the overlap a REPORTED
+    * quantity (the K147-audit discipline: an expected contamination
+    * you can read is fine, one you can't is drift).
+    *
+    * Shape at 100 TB: one map-only classify, one entity-keyed rollup
+    * (carrying per-side flags, so `shared_entities` needs no self-join),
+    * then a ≤3-row aggregate. */
+  def temporalSplit(
+      df: DataFrame,
+      tsCol: String,
+      entityCol: String,
+      cutoffOffsetDays: Int,
+      embargoDays: Int): DataFrame = {
+    require(cutoffOffsetDays >= 0, s"cutoffOffsetDays >= 0: $cutoffOffsetDays")
+    require(embargoDays >= 0, s"embargoDays >= 0: $embargoDays")
+    val base = df.select(to_date(col(tsCol)).as("_d"),
+      col(entityCol).cast("string").as("_e"))
+      .filter(col("_d").isNotNull && col("_e").isNotNull)
+    val anchor = base.agg(min(col("_d")).as("_min"))
+    val tagged = base.crossJoin(broadcast(anchor))
+      .select(col("_d"), col("_e"),
+        when(datediff(col("_d"), col("_min")) <= cutoffOffsetDays,
+          lit("train"))
+          .when(datediff(col("_d"), col("_min")) <=
+            cutoffOffsetDays + embargoDays, lit("embargo"))
+          .otherwise(lit("test")).as("split"))
+    val perSplit = tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("_e")).as("n_entities"),
+        min(col("_d")).cast("string").as("min_day"),
+        max(col("_d")).cast("string").as("max_day"))
+    val shared = tagged.groupBy(col("_e"))
+      .agg(max(when(col("split") === "train", 1).otherwise(0)).as("_tr"),
+        max(when(col("split") === "test", 1).otherwise(0)).as("_te"))
+      .agg(coalesce(sum(when(col("_tr") === 1 && col("_te") === 1, 1L)),
+        lit(0L)).as("shared_entities"))
+    perSplit.crossJoin(broadcast(shared))
+  }
+
   /** Deterministic hash-threshold sample: keep rows whose md5-derived
     * bucket of `id` falls under `permille`/1000.
     *

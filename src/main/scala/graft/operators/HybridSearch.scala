@@ -159,4 +159,66 @@ object HybridSearch {
         (col("pos") + 1).cast(LongType).as("r"),
         col("e.ord").cast(LongType).as("bm25_micro"))
   }
+
+  /** RETRIEVAL TRAINING-PAIR BUILDER — the contrastive-training feed a
+    * retrieval pipeline mines from its own index: per query a positive
+    * (pseudo-relevance top-1), `kHard` HARD negatives (the next ranks —
+    * lexically close but not the match, the pairs that actually teach
+    * the margin) and `kRand` RANDOM negatives drawn deterministically
+    * from a BOUNDED corpus pool, excluding anything the retriever
+    * surfaced.
+    *
+    * The random draw is the scale-critical part: per-query sampling of
+    * the full corpus would be a queries × corpus product. Instead the
+    * corpus reduces ONCE to a `poolSize` candidate pool through the
+    * bounded `graft_topk` heap on a global salt hash (map-side
+    * combine, ≤ poolSize entries per partition cross the exchange),
+    * and each query ranks only that broadcast pool by its own
+    * query-salted hash — queries × poolSize rows, constant per query.
+    * Hashes are 52-bit (double-exact through the heap's DOUBLE score,
+    * the md5Hash52 contract).
+    *
+    * Input `retrieved` is any (qid, id, r) ranking (lexical, BM25,
+    * fused); `corpus` is (id). Output: (qid, id, role, pair_rank) with role
+    * ∈ pos | hard_neg | rand_neg, pair_rank 1-based within role. */
+  def trainingPairs(
+      retrieved: DataFrame,
+      corpus: DataFrame,
+      kHard: Int,
+      kRand: Int,
+      poolSize: Int = 256): DataFrame = {
+    require(kHard >= 1 && kRand >= 1, s"need kHard, kRand >= 1")
+    require(poolSize >= kRand,
+      s"poolSize ($poolSize) must cover kRand ($kRand)")
+    val pos = retrieved.filter(col("r") === 1)
+      .select(col("qid"), col("id"), lit("pos").as("role"),
+        lit(1L).as("pair_rank"))
+    val hard = retrieved
+      .filter(col("r") >= 2 && col("r") <= kHard + 1)
+      .select(col("qid"), col("id"), lit("hard_neg").as("role"),
+        (col("r") - 1).cast(LongType).as("pair_rank"))
+    val pool = corpus
+      .agg(call_function("graft_topk",
+        (-TextDedup.md5Hash52(concat(lit("pool:"),
+          col("id").cast("string")))).cast(DoubleType),
+        col("id").cast(LongType), lit(poolSize)).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.id").as("id"))
+    val qids = retrieved.select(col("qid")).distinct()
+    val seen = retrieved.filter(col("r") <= kHard + 1)
+      .select(col("qid"), col("id"))
+    val rand = qids.crossJoin(broadcast(pool))
+      .join(seen, Seq("qid", "id"), "left_anti")
+      .groupBy(col("qid"))
+      .agg(call_function("graft_topk",
+        (-TextDedup.md5Hash52(concat(lit("neg:"),
+          col("qid").cast("string"), lit(":"),
+          col("id").cast("string")))).cast(DoubleType),
+        col("id").cast(LongType), lit(kRand)).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e.id").as("id"),
+        lit("rand_neg").as("role"),
+        (col("pos") + 1).cast(LongType).as("pair_rank"))
+    pos.unionByName(hard).unionByName(rand)
+  }
 }

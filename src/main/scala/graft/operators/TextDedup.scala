@@ -211,6 +211,74 @@ object TextDedup {
     ck
   }
 
+  /** AMS (Alon–Matias–Szegedy) SECOND-MOMENT SKETCH of a keyed
+    * relation → self-join size estimate WITHOUT the key shuffle. The
+    * exact pair estimate the K207 budget guard computes costs one
+    * groupBy(key) exchange of the whole banded relation; this sketch
+    * estimates the same quantity — Σ_key n², hence candidate pairs
+    * ≈ (F₂ − N)/2 — in ONE MAP-ONLY PASS: each of `counters`
+    * estimators keeps a single ±1-signed running sum
+    * X_j = Σ_rows sign_j(key) (signs from md5, deterministic on any
+    * engine), E[X_j²] = F₂. Median of `groups` group-means bounds the
+    * failure probability the textbook way.
+    *
+    * Operational composition (the guard fast-path): run the sketch
+    * first; if `pairs_est` clears the budget with an order of
+    * magnitude to spare, skip the exact count; anywhere near the
+    * line, fall through to [[guardPairBudget]]'s exact form — the
+    * sketch's ±1/√groups relative error is fine for a 10× clearance
+    * decision and free at 100 TB, where the exact form's exchange is
+    * the single most expensive guard job.
+    *
+    * Exactness envelope: X_j² needs |X_j| < √2⁶³ ≈ 3.04e9 —
+    * raise_error past it (an |X| that large means ≥ 3e9 rows share a
+    * sign, i.e. the relation is already far over any sane budget).
+    * Output row: n_rows, f2_est, pairs_est (clamped ≥ 0). */
+  def pairEstimateSketch(
+      relation: DataFrame,
+      key: Column,
+      counters: Int = 24,
+      groups: Int = 6): DataFrame = {
+    require(counters >= 4 && counters <= 256,
+      s"counters must be in [4, 256]: $counters")
+    require(groups >= 1 && counters % groups == 0,
+      s"groups ($groups) must divide counters ($counters)")
+    val r = counters / groups
+    val keyed = relation.select(key.cast("string").as("_k"))
+      .filter(col("_k").isNotNull)
+    def sign(j: Int): Column =
+      when(md5Hash60(concat(lit(s"ams:$j:"), col("_k"))) % 2 === 1, lit(1L))
+        .otherwise(lit(-1L))
+    val aggs = count(lit(1)).as("n_rows") +:
+      (0 until counters).map(j => sum(sign(j)).as(s"_x$j"))
+    val row = keyed.agg(aggs.head, aggs.tail: _*)
+    val sq = (0 until counters).foldLeft(row) { (acc, j) =>
+      acc.withColumn(s"_s$j",
+        when(abs(coalesce(col(s"_x$j"), lit(0L))) >= 3037000499L,
+          raise_error(lit("pairEstimateSketch: |X_j| exceeds the exact " +
+            "long square envelope (~3e9) — the relation is far past any " +
+            "usable pair budget; fail the corpus, don't sketch it")))
+          .otherwise(coalesce(col(s"_x$j"), lit(0L)) *
+            coalesce(col(s"_x$j"), lit(0L))))
+    }
+    val means = (0 until groups).map { g =>
+      val terms = (g * r until (g + 1) * r).map(j => s"_s$j").mkString(" + ")
+      expr(s"($terms) div $r")
+    }
+    val withMeans = sq.withColumn("_sm", array_sort(array(means: _*)))
+    // element_at is 1-based; even group counts average the two central
+    // order statistics with integer div (exact — a double `/` would
+    // lose bits past 2^53), odd take the middle one
+    val med =
+      if (groups % 2 == 1) element_at(col("_sm"), (groups + 1) / 2)
+      else expr(s"(element_at(_sm, ${groups / 2}) + " +
+        s"element_at(_sm, ${groups / 2 + 1})) div 2")
+    withMeans
+      .withColumn("f2_est", med)
+      .select(col("n_rows"), col("f2_est"),
+        greatest(lit(0L), expr("(f2_est - n_rows) div 2")).as("pairs_est"))
+  }
+
   /** Degree-CAPPED candidate pairs — the bounded-output form for
     * graph-shaped consumers (triangle census, cluster audits) where a
     * near-clique duplicate family must never materialize its full

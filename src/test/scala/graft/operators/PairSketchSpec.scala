@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** AMS pair-estimate sketch: shape, determinism, order-of-magnitude
+  * accuracy on a planted skew, and the parameter contracts. */
+class PairSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sketch(keys: Seq[String]) =
+    TextDedup.pairEstimateSketch(keys.toDF("k"), col("k"))
+      .as[(Long, Long, Long)].collect().head
+
+  test("n_rows counts the relation; estimate is non-negative") {
+    val (n, f2, pairs) = sketch((1 to 500).map(i => s"k$i"))
+    n shouldBe 500L
+    f2 should be >= 0L
+    pairs should be >= 0L
+  }
+
+  test("planted mega-bucket dominates the estimate within sketch error") {
+    // one key with 1000 rows + 500 singletons: F2 = 1e6 + 500,
+    // exact pairs = 499,500 + 0. Median-of-means over 6 groups of 4
+    // should land within a small factor.
+    val keys = Seq.fill(1000)("hot") ++ (1 to 500).map(i => s"k$i")
+    val (n, _, pairs) = sketch(keys)
+    n shouldBe 1500L
+    pairs should be >= 499500L / 10
+    pairs should be <= 499500L * 10
+  }
+
+  test("deterministic across runs") {
+    val keys = Seq.fill(100)("a") ++ (1 to 300).map(i => s"k$i")
+    sketch(keys) shouldBe sketch(keys)
+  }
+
+  test("groups must divide counters") {
+    an[IllegalArgumentException] should be thrownBy
+      TextDedup.pairEstimateSketch(Seq("a").toDF("k"), col("k"),
+        counters = 10, groups = 4)
+  }
+}
