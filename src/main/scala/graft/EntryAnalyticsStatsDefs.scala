@@ -897,6 +897,30 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
         round(col("o_totalprice") * 100))
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
 
+  /** Bloom-prefiltered join (q260): lineitem ⋈ urgent orders through
+    * the broadcast key-Bloom — output-identical to the plain join the
+    * oracle runs; the Bloom exists to shrink the fact exchange. */
+  private[graft] def bloomJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    graft.operators.SkewJoin.bloomPrefilteredJoin(
+        Tables.lineitem(s, dir), urgent, "l_orderkey", "o_orderkey")
+      .groupBy(to_date(col("o_orderdate")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("price_cents"))
+      .orderBy(col("day"))
+  }
+
+  /** Z-order locality audit (q261): the two-layout extent comparison
+    * over (l_partkey, l_suppkey) at 64 buckets — the data-skipping
+    * decision sheet. */
+  private[graft] def zOrderAuditQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.zOrderAudit(
+        Tables.lineitem(s, dir), "l_partkey", "l_suppkey",
+        bits = 16, bucketBits = 6)
+      .orderBy(col("layout"))
+
   /** Temporal embargo split (q258): cutoff at min_day+14, 3-day purge
     * gap — per-split audit rows with the shared-entity count reported,
     * never silent. */

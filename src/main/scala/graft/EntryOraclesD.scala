@@ -2449,5 +2449,50 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                     FROM r)
          SELECT key, CAST(count(*) AS BIGINT) AS n_rows
          FROM r CROSS JOIN t
-         GROUP BY key, thr HAVING count(*) >= thr ORDER BY key""")
+         GROUP BY key, thr HAVING count(*) >= thr ORDER BY key""",
+
+    // Bloom-prefiltered join: output-identical to the PLAIN join —
+    // the oracle runs the join with no bloom at all.
+    "q260_bloom_join" ->
+      """SELECT CAST(o_orderdate::DATE AS VARCHAR) AS day,
+                CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS price_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY 1""",
+
+    // Z-order locality audit: bit-interleave mirrored as a list_sum,
+    // both layouts' mean per-bucket extents in exact integers.
+    "q261_zorder_audit" ->
+      """WITH base AS (SELECT l_partkey & 65535 AS a, l_suppkey & 65535 AS b
+                       FROM lineitem
+                       WHERE l_partkey IS NOT NULL
+                         AND l_suppkey IS NOT NULL),
+              z AS (SELECT a, b,
+                           CAST(list_sum([(((a >> CAST(i AS INTEGER)) & 1)
+                                   << CAST(2 * i AS INTEGER))
+                                 + (((b >> CAST(i AS INTEGER)) & 1)
+                                   << CAST(2 * i + 1 AS INTEGER))
+                                 FOR i IN range(16)]) AS BIGINT) AS zv
+                    FROM base),
+              za AS (SELECT 'zorder' AS layout,
+                            CAST(count(*) AS BIGINT) AS n_buckets,
+                            CAST(sum(ea) // count(*) AS BIGINT)
+                              AS avg_extent_a,
+                            CAST(sum(eb) // count(*) AS BIGINT)
+                              AS avg_extent_b
+                     FROM (SELECT zv >> 26 AS bk, max(a) - min(a) AS ea,
+                                  max(b) - min(b) AS eb
+                           FROM z GROUP BY 1)),
+              sa AS (SELECT 'sort_a' AS layout,
+                            CAST(count(*) AS BIGINT) AS n_buckets,
+                            CAST(sum(ea) // count(*) AS BIGINT)
+                              AS avg_extent_a,
+                            CAST(sum(eb) // count(*) AS BIGINT)
+                              AS avg_extent_b
+                     FROM (SELECT a >> 10 AS bk, max(a) - min(a) AS ea,
+                                  max(b) - min(b) AS eb
+                           FROM base GROUP BY 1))
+         SELECT * FROM sa UNION ALL SELECT * FROM za ORDER BY layout""")
 }

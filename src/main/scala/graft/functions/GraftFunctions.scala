@@ -37,6 +37,22 @@ object GraftFunctions {
   /** F1 — epoch seconds BIGINT → timestamp (import_events.py:113). */
   def epochSecondsToTs(secs: Column): Column = timestamp_seconds(secs)
 
+  /** Z-ORDER value: bit-interleave the low `bits` of two non-negative
+    * longs (a → even positions, b → odd), the space-filling curve key
+    * behind multi-column data skipping — rows sorted by z cluster in
+    * BOTH dimensions at once, so per-file min/max ranges stay tight on
+    * a AND b where a plain sort leaves the second column full-range
+    * (quantified by Analytics.zOrderAudit). Pure integer bit algebra,
+    * mirrored exactly by a DuckDB list_sum. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    (0 until bits).map { i =>
+      (shiftright(a.cast(LongType), i).bitwiseAND(lit(1L)) * (1L << (2 * i))) +
+        (shiftright(b.cast(LongType), i).bitwiseAND(lit(1L)) *
+          (1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
+
   /** F5 — `::DATE` day bucketing of a timestamp. */
   def dayOf(ts: Column): Column = to_date(ts)
 

@@ -3253,6 +3253,50 @@ object Analytics {
       .withColumnRenamed("g", groupCol)
   }
 
+  /** Z-ORDER LOCALITY AUDIT — the quantified case for writing a table
+    * in z-order: bucket the relation two ways into `2^bucketBits`
+    * buckets — (a) by the top bits of the two-column
+    * [[graft.functions.GraftFunctions.zValue]] (the z-ordered file
+    * layout) and (b) by the top bits of column a alone (the plain
+    * single-column sort layout) — and report each layout's mean
+    * per-bucket min/max EXTENT on both columns. A file pruner skips a
+    * file when the predicate misses its [min,max]; mean extent IS the
+    * expected skip power: the plain layout leaves column b full-range
+    * in every bucket, z-order keeps both extents near range/2^(bits/2).
+    *
+    * Exact integers throughout (bit algebra + integer div); one
+    * aggregation per layout over the value-pair relation, outputs 2
+    * rows. The audit is the DECISION input; the write itself is
+    * `df.repartitionByRange(zValue(a,b)).sortWithinPartitions(...)` —
+    * plain Spark, no new machinery. */
+  def zOrderAudit(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      bits: Int = 16,
+      bucketBits: Int = 8): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= bits,
+      s"bucketBits must be in [1, bits=$bits]: $bucketBits")
+    import graft.functions.GraftFunctions.zValue
+    val base = df.select(
+      col(colA).cast(LongType).bitwiseAND(lit((1L << bits) - 1)).as("a"),
+      col(colB).cast(LongType).bitwiseAND(lit((1L << bits) - 1)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    def audit(layout: String, bucket: Column): DataFrame =
+      base.withColumn("_bk", bucket)
+        .groupBy(col("_bk"))
+        .agg((max(col("a")) - min(col("a"))).as("_ea"),
+          (max(col("b")) - min(col("b"))).as("_eb"))
+        .agg(count(lit(1)).as("n_buckets"),
+          expr("sum(_ea) div count(1)").as("avg_extent_a"),
+          expr("sum(_eb) div count(1)").as("avg_extent_b"))
+        .select(lit(layout).as("layout"), col("n_buckets"),
+          col("avg_extent_a"), col("avg_extent_b"))
+    audit("zorder",
+      shiftright(zValue(col("a"), col("b"), bits), 2 * bits - bucketBits))
+      .unionByName(audit("sort_a", shiftright(col("a"), bits - bucketBits)))
+  }
+
   /** PAGERANK over an undirected pair relation (the near-dup graph) —
     * "which documents sit at the center of large duplication
     * families": canonical-pick and crawl-audit signal the plain degree

@@ -16,6 +16,45 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** BLOOM-PREFILTERED JOIN — the shuffle-reduction form of a
+    * selective fact⋈dim join at 100 TB: when the dim side's key set is
+    * small but too large (or too dynamic) to broadcast-hash-join the
+    * whole dim payload, a `graft_bloom` sketch of the dim KEYS (a few
+    * MB regardless of dim width) broadcasts as a one-row relation and
+    * filters the fact MAP-SIDE, so only plausibly-matching fact rows
+    * ever enter the join exchange — the Bloom false-positive sliver is
+    * cleaned up by the real join, making the operator
+    * OUTPUT-IDENTICAL to the plain join (the q260 gate proves it
+    * against a plain-SQL oracle).
+    *
+    * This is what engines do as a runtime filter; expressing it as an
+    * operator makes the reduction available on any Spark version and
+    * on keys Catalyst won't infer (derived/hashed keys). Keys hash
+    * through md5Hash60, so string/long keys work uniformly.
+    *
+    * Shape: one pass over dim keys (map-combined Bloom partials →
+    * 1 row), one map-only fact filter, then the ordinary join on the
+    * surviving sliver. */
+  def bloomPrefilteredJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      numBits: Int = 1 << 22,
+      numHashes: Int = 5): DataFrame = {
+    import TextDedup.md5Hash60
+    val sketch = dim
+      .select(md5Hash60(col(dimKey).cast("string")).as("_h"))
+      .agg(call_function("graft_bloom", col("_h"), lit(numBits),
+        lit(numHashes)).as("_bloom"))
+    val filtered = fact
+      .crossJoin(broadcast(sketch))
+      .filter(call_function("graft_bloom_contains", col("_bloom"),
+        md5Hash60(col(factKey).cast("string"))))
+      .drop("_bloom")
+    filtered.join(dim, col(factKey) === col(dimKey))
+  }
+
   /** Inner equi-join on `keys`, salted `salt` ways. */
   def saltedInner(
       probe: DataFrame,
