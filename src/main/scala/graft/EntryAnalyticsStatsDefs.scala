@@ -912,6 +912,15 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
       .orderBy(col("day"))
   }
 
+  /** Churn dataset (q262): leak-free feature/label rows at cutoff
+    * min_day+14, 10-day label horizon — the supervised-training feed
+    * with temporal hygiene built in. */
+  private[graft] def churnDatasetQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.churnDataset(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        purchaseType = "purchase", cutoffOffsetDays = 14, horizonDays = 10)
+      .orderBy(col("user_id"))
+
   /** Z-order locality audit (q261): the two-layout extent comparison
     * over (l_partkey, l_suppkey) at 64 buckets — the data-skipping
     * decision sheet. */

@@ -2494,5 +2494,27 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                      FROM (SELECT a >> 10 AS bk, max(a) - min(a) AS ea,
                                   max(b) - min(b) AS eb
                            FROM base GROUP BY 1))
-         SELECT * FROM sa UNION ALL SELECT * FROM za ORDER BY layout""")
+         SELECT * FROM sa UNION ALL SELECT * FROM za ORDER BY layout""",
+
+    "q262_churn_dataset" ->
+      """WITH base AS (SELECT user_id, ts::DATE AS d, event_type AS t
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+              an AS (SELECT min(d) AS mind FROM base),
+              tagged AS (SELECT user_id, d, t, d - mind AS off
+                         FROM base CROSS JOIN an
+                         WHERE d - mind <= 24)
+         SELECT user_id,
+                CAST(count(*) FILTER (WHERE off <= 14) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT d) FILTER (WHERE off <= 14) AS BIGINT)
+                  AS n_active_days,
+                CAST(count(*) FILTER (WHERE off <= 14 AND t = 'purchase')
+                  AS BIGINT) AS n_purchases,
+                CAST(14 - max(off) FILTER (WHERE off <= 14) AS BIGINT)
+                  AS recency_days,
+                CAST(coalesce(max(CASE WHEN off > 14 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS label_active
+         FROM tagged GROUP BY user_id
+         HAVING count(*) FILTER (WHERE off <= 14) > 0
+         ORDER BY user_id""")
 }

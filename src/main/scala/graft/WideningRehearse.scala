@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the round-12 widening operators — the
+  * GuardRehearse discipline pointed at the two new ops whose cost
+  * grows with a GRAPH, not a table: measure a deterministic synthetic
+  * series and record the exponents in BASELINE.md.
+  *
+  * Modes:
+  *  - `pagerank <n>` — [[graft.operators.Analytics.pageRank]] over a
+  *    deterministic multiplicative-hash graph with 10·n edges, n
+  *    nodes, one 1%-degree hub (the skew a dup graph actually has);
+  *    10 iterations; reports edges/sec and the hub's final rank.
+  *  - `assoc <n>` — [[graft.operators.Analytics.associationRules]]
+  *    over n baskets × ~8 items from a 100k item space with a planted
+  *    hot pair in every 16th basket; minSupport scales with n so the
+  *    rule relation stays output-bounded.
+  * Prints one JSON line per run. */
+object WideningRehearse {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: WideningRehearse <mode> <n>")
+    val (mode, n) = (args(0), args(1).toLong)
+    val spark = GraftSession.forMain(s"graft-widening-rehearse-$mode")
+    import graft.operators.Analytics
+    mode match {
+      case "pagerank" =>
+        val m = 10L * n
+        // multiplicative-hash endpoints; every 100th edge hits node 0
+        val edges = spark.range(m).select(
+          (col("id") % n).as("a"),
+          when(col("id") % 100 === 0, lit(0L))
+            .otherwise((col("id") * 2654435761L) % n).as("b"))
+        val nodes = spark.range(n).select(col("id"))
+        val ((hub, total), sec) = time {
+          val r = Analytics.pageRank(edges, nodes, "id", iters = 10)
+          val agg = r.agg(sum(col("rank_micro")).as("t"),
+            max(when(col("id") === 0L, col("rank_micro"))).as("h"))
+            .head()
+          (agg.getLong(1), agg.getLong(0))
+        }
+        println(f"""{"mode":"pagerank","n_nodes":$n,"n_edges":$m,""" +
+          f""""sec":$sec%.3f,"edges_per_sec":${(10 * m / sec).toLong},""" +
+          f""""hub_rank_micro":$hub,"total_mass_micro":$total}""")
+      case "assoc" =>
+        // ~8 items per basket; hot pair (1,2) planted in every 16th
+        val rows = spark.range(n * 8).select(
+          (col("id") / 8).as("bk"),
+          when(col("id") % 128 === 0, lit(1L))
+            .when(col("id") % 128 === 1, lit(2L))
+            .otherwise((col("id") * 2654435761L) % 100000L).as("it"))
+        val minSupport = math.max(2L, n / 1000L)
+        val ((rules, hot), sec) = time {
+          val r = Analytics.associationRules(rows, "bk", "it", minSupport)
+          val agg = r.agg(count(lit(1)).as("n"),
+            max(when(col("item_a") === 1L && col("item_b") === 2L,
+              col("n_ab"))).as("hot"))
+            .head()
+          (agg.getLong(0), if (agg.isNullAt(1)) -1L else agg.getLong(1))
+        }
+        println(f"""{"mode":"assoc","n_baskets":$n,"min_support":""" +
+          f"""$minSupport,"sec":$sec%.3f,"n_rules":$rules,""" +
+          f""""hot_pair_support":$hot}""")
+      case other => sys.error(s"unknown mode: $other")
+    }
+    spark.stop()
+  }
+}

@@ -67,6 +67,56 @@ object Curation {
     perSplit.crossJoin(broadcast(shared))
   }
 
+  /** CHURN TRAINING DATASET — supervised feature/label construction
+    * with the temporal hygiene [[temporalSplit]] audits: features read
+    * ONLY the window at or before the cutoff (events, active days,
+    * purchases, recency vs the cutoff), the label reads ONLY the
+    * horizon after it (`active` = any event inside
+    * (cutoff, cutoff+horizon]), and the two windows meet at a single
+    * boundary so no feature can encode its own label. Users with no
+    * feature-window activity are EXCLUDED (cold-start rows carry no
+    * features to train on — stated).
+    *
+    * The cutoff derives from the data (min_day + cutoffOffsetDays),
+    * so the dataset is reproducible from the corpus alone.
+    *
+    * Shape at 100 TB: one map-only window classify, one user-keyed
+    * rollup carrying both feature partials and the label flag — the
+    * label needs no second pass and no join. */
+  def churnDataset(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      purchaseType: String,
+      cutoffOffsetDays: Int,
+      horizonDays: Int): DataFrame = {
+    require(cutoffOffsetDays >= 0 && horizonDays >= 1,
+      s"need cutoffOffsetDays >= 0, horizonDays >= 1: " +
+        s"$cutoffOffsetDays/$horizonDays")
+    val base = events.select(col(userCol).as("user_id"),
+      to_date(col(tsCol)).as("_d"), col(typeCol).as("_t"))
+      .filter(col("user_id").isNotNull && col("_d").isNotNull)
+    val anchor = base.agg(min(col("_d")).as("_min"))
+    val tagged = base.crossJoin(broadcast(anchor))
+      .select(col("user_id"), col("_d"), col("_t"),
+        datediff(col("_d"), col("_min")).as("_off"))
+      .filter(col("_off") <= cutoffOffsetDays + horizonDays)
+    tagged.groupBy(col("user_id"))
+      .agg(
+        count(when(col("_off") <= cutoffOffsetDays, 1)).as("n_events"),
+        count_distinct(when(col("_off") <= cutoffOffsetDays, col("_d")))
+          .as("n_active_days"),
+        count(when(col("_off") <= cutoffOffsetDays &&
+          col("_t") === purchaseType, 1)).as("n_purchases"),
+        (lit(cutoffOffsetDays) -
+          max(when(col("_off") <= cutoffOffsetDays, col("_off"))))
+          .cast(LongType).as("recency_days"),
+        max(when(col("_off") > cutoffOffsetDays, 1L).otherwise(0L))
+          .as("label_active"))
+      .filter(col("n_events") > 0)
+  }
+
   /** Deterministic hash-threshold sample: keep rows whose md5-derived
     * bucket of `id` falls under `permille`/1000.
     *
