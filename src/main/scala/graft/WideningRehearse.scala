@@ -52,7 +52,7 @@ object WideningRehearse {
       case "assoc" =>
         // ~8 items per basket; hot pair (1,2) planted in every 16th
         val rows = spark.range(n * 8).select(
-          (col("id") / 8).as("bk"),
+          expr("id div 8").as("bk"),
           when(col("id") % 128 === 0, lit(1L))
             .when(col("id") % 128 === 1, lit(2L))
             .otherwise((col("id") * 2654435761L) % 100000L).as("it"))
