@@ -912,6 +912,17 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
       .orderBy(col("day"))
   }
 
+  /** Frequent triples (q263): Apriori-pruned 3-itemsets over lineitem
+    * baskets at support ≥ 2, top-100 with full deterministic ties. */
+  private[graft] def frequentTriplesQuery(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.frequentTriples(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+        minSupport = 2L)
+      .orderBy(col("n_abc").desc, col("item_a"), col("item_b"),
+        col("item_c"))
+      .limit(100)
+
   /** Churn dataset (q262): leak-free feature/label rows at cutoff
     * min_day+14, 10-day label horizon — the supervised-training feed
     * with temporal hygiene built in. */

@@ -2516,5 +2516,18 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                   AS BIGINT) AS label_active
          FROM tagged GROUP BY user_id
          HAVING count(*) FILTER (WHERE off <= 14) > 0
-         ORDER BY user_id""")
+         ORDER BY user_id""",
+
+    "q263_frequent_triples" ->
+      """WITH b0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                     FROM lineitem
+                     WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+              keep AS (SELECT bk FROM b0 GROUP BY bk HAVING count(*) <= 100),
+              b AS (SELECT b0.bk, b0.it FROM b0 JOIN keep USING (bk))
+         SELECT x.it AS item_a, y.it AS item_b, z.it AS item_c,
+                CAST(count(*) AS BIGINT) AS n_abc
+         FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+                  JOIN b z ON x.bk = z.bk AND y.it < z.it
+         GROUP BY 1, 2, 3 HAVING count(*) >= 2
+         ORDER BY n_abc DESC, item_a, item_b, item_c LIMIT 100""")
 }

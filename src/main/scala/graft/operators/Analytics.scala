@@ -3098,6 +3098,58 @@ object Analytics {
         expr("n_ab * 1000000 div n_b").as("conf_ba_ppm"))
   }
 
+  /** FREQUENT TRIPLES — the Apriori step above [[associationRules]]:
+    * 3-itemsets with support ≥ `minSupport`, mined WITHOUT a three-way
+    * basket self-join. The anti-monotone pruning that makes itemset
+    * mining tractable at scale: a frequent triple's (a,b) pair must
+    * itself be frequent, so candidates extend the FREQUENT-PAIR
+    * relation (tiny after the support floor) with co-basket items,
+    * and the exact (a<b<c) recount then enforces the full
+    * anti-monotone property on the output (a triple at support s
+    * necessarily has all three pairs at ≥ s — the extra pair
+    * semi-joins classic Apriori adds would shrink only the
+    * intermediate, which the support floor already bounds). Basket
+    * capping is inherited verbatim from the rules miner.
+    *
+    * Shape at 100 TB: the basket relation shuffles once (dedup +
+    * cap); frequent pairs are support-floored BEFORE the extension
+    * join, so the three-way candidate generation touches only
+    * baskets×frequent-pairs — the full cubic itemset lattice never
+    * exists. */
+  def frequentTriples(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long,
+      basketCap: Int = 100): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val b0 = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .filter(col("_bk").isNotNull && col("_it").isNotNull)
+      .distinct()
+    val wb = Window.partitionBy(col("_bk"))
+    val b = b0.withColumn("_sz", count(lit(1)).over(wb))
+      .filter(col("_sz") <= basketCap)
+      .drop("_sz")
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val pairs = b.select(col("_bk"), col("_it").as("a"))
+      .join(b.select(col("_bk"), col("_it").as("b")), Seq("_bk"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val cand = pairs
+      .join(b.select(col("_bk"), col("_it").as("a")), Seq("a"))
+      .join(b.select(col("_bk"), col("_it").as("b")), Seq("_bk", "b"))
+      .join(b.select(col("_bk"), col("_it").as("c")), Seq("_bk"))
+      .filter(col("c") > col("b"))
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n_abc"))
+      .filter(col("n_abc") >= minSupport)
+    cand.select(col("a").as("item_a"), col("b").as("item_b"),
+      col("c").as("item_c"), col("n_abc"))
+  }
+
   /** Exact quintile score (0–4) per row of `df` on integer column
     * `metric`, TIES SHARE A SCORE (every row of a value class gets the
     * class's first-row quintile, the standard analyst convention —

@@ -28,8 +28,13 @@ class WideningPlanGuardsSpec extends SparkSpec {
   }
 
   test("bloomPrefilteredJoin: the bloom probe filters BELOW the join") {
-    val fact = Seq((1L, 2L)).toDF("fk", "v")
-    val dim = Seq((1L, "x")).toDF("dk", "n")
+    // parquet-backed input so ConvertToLocalRelation can't pre-evaluate
+    // the probe away (the kmeans-guard lesson)
+    val fact = graft.Tables.lineitem(spark, sfSmoke)
+      .select(col("l_orderkey").as("fk"), col("l_quantity").as("v"))
+    val dim = graft.Tables.orders(spark, sfSmoke)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("dk"))
     val plan = planOf(
       SkewJoin.bloomPrefilteredJoin(fact, dim, "fk", "dk"))
     plan should include("graft_bloom_contains")
