@@ -912,6 +912,13 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
       .orderBy(col("day"))
   }
 
+  /** Activity heatmap (q264): weekday × hour grid with corpus and
+    * weekday-local exact ppm shares. */
+  private[graft] def activityHeatmapQuery(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.activityHeatmap(Tables.events(s, dir), "ts")
+      .orderBy(col("weekday"), col("hour"))
+
   /** Frequent triples (q263): Apriori-pruned 3-itemsets over lineitem
     * baskets at support ≥ 2, top-100 with full deterministic ties. */
   private[graft] def frequentTriplesQuery(

@@ -2529,5 +2529,22 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
          FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
                   JOIN b z ON x.bk = z.bk AND y.it < z.it
          GROUP BY 1, 2, 3 HAVING count(*) >= 2
-         ORDER BY n_abc DESC, item_a, item_b, item_c LIMIT 100""")
+         ORDER BY n_abc DESC, item_a, item_b, item_c LIMIT 100""",
+
+    "q264_activity_heatmap" ->
+      """WITH c AS (SELECT CAST((ts::DATE - DATE '1970-01-01') % 7
+                      AS BIGINT) AS weekday,
+                           CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+                           CAST(count(*) AS BIGINT) AS n_rows
+                    FROM events WHERE ts IS NOT NULL
+                    GROUP BY 1, 2),
+              t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n FROM c),
+              w AS (SELECT weekday, CAST(sum(n_rows) AS BIGINT) AS wn
+                    FROM c GROUP BY 1)
+         SELECT weekday, hour, n_rows,
+                CAST(n_rows * 1000000 // n AS BIGINT) AS share_ppm,
+                CAST(n_rows * 1000000 // wn AS BIGINT)
+                  AS weekday_share_ppm
+         FROM c JOIN w USING (weekday) CROSS JOIN t
+         ORDER BY weekday, hour""")
 }

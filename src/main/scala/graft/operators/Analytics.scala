@@ -3098,6 +3098,32 @@ object Analytics {
         expr("n_ab * 1000000 div n_b").as("conf_ba_ppm"))
   }
 
+  /** ACTIVITY HEATMAP — the weekday × hour usage grid every analytics
+    * console renders: per cell, row count and exact ppm share of the
+    * corpus, plus the weekday-local share (the "when within the day"
+    * read that stays comparable across weekdays of different traffic).
+    * Weekday = epoch_day mod 7 (the [[holtWinters]] convention, 0 =
+    * Thursday, stated) so both engines derive it from arithmetic, not
+    * locale calendars. One map-only classify and one ≤168-row rollup. */
+  def activityHeatmap(
+      events: DataFrame,
+      tsCol: String): DataFrame = {
+    val base = events.select(to_date(col(tsCol)).as("_d"),
+      hour(col(tsCol)).cast(LongType).as("hour"))
+      .filter(col("_d").isNotNull)
+      .select((datediff(col("_d"), lit("1970-01-01").cast("date")) % 7)
+        .cast(LongType).as("weekday"), col("hour"))
+    val cells = base.groupBy(col("weekday"), col("hour"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = cells.agg(sum(col("n_rows")).as("_n"))
+    val wd = Window.partitionBy(col("weekday"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("_wdn", sum(col("n_rows")).over(wd))
+      .select(col("weekday"), col("hour"), col("n_rows"),
+        expr("n_rows * 1000000 div _n").as("share_ppm"),
+        expr("n_rows * 1000000 div _wdn").as("weekday_share_ppm"))
+  }
+
   /** FREQUENT TRIPLES — the Apriori step above [[associationRules]]:
     * 3-itemsets with support ≥ `minSupport`, mined WITHOUT a three-way
     * basket self-join. The anti-monotone pruning that makes itemset
