@@ -2309,7 +2309,7 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
     // relation: the q245 simhash CTE chain, plus 24 signed counters
     // whose median-of-means estimate the oracle re-derives bit-exact.
     "q253_pair_sketch" ->
-      """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
+      s"""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS word
                     FROM documents),
          h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w),
          v AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
@@ -2325,13 +2325,15 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                        CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
                          AS pairs_exact
                 FROM b),
-         js AS (SELECT unnest(range(24)) AS j),
-         sg AS (SELECT j,
-                       sum(CASE WHEN ('0x' || substr(md5('ams:' || j || ':'
-                                 || CAST(k AS VARCHAR) || chr(1)
-                                 || CAST(key AS VARCHAR)), 1, 15))::BIGINT
+         hh AS (SELECT ('0x' || substr(md5(CAST(k AS VARCHAR) || chr(1)
+                         || CAST(key AS VARCHAR)), 1, 15))::BIGINT
+                       % 2147483647 AS h
+                FROM ch),
+         cf(j, a, b) AS (VALUES ${minHashCoeffsSql(24)}),
+         sg AS (SELECT cf.j,
+                       sum(CASE WHEN ((hh.h * cf.a + cf.b) % 2147483647)
                                % 2 = 1 THEN 1 ELSE -1 END) AS x
-                FROM ch CROSS JOIN js GROUP BY j),
+                FROM hh CROSS JOIN cf GROUP BY cf.j),
          gm AS (SELECT j // 4 AS grp, sum(x * x) // 4 AS mean
                 FROM sg GROUP BY 1),
          rk AS (SELECT mean, row_number() OVER (ORDER BY mean) AS rn

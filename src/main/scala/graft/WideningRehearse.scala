@@ -68,6 +68,30 @@ object WideningRehearse {
         println(f"""{"mode":"assoc","n_baskets":$n,"min_support":""" +
           f"""$minSupport,"sec":$sec%.3f,"n_rules":$rules,""" +
           f""""hot_pair_support":$hot}""")
+      case "sketch" =>
+        // keyed relation with a planted mega-bucket: 1% of rows share
+        // one key, the rest spread over n/10 keys — the band-relation
+        // shape the pair-budget guard scans
+        val rows = spark.range(n).select(
+          when(col("id") % 100 === 0, lit(-1L))
+            .otherwise((col("id") * 2654435761L) % (n / 10)).as("k"))
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val (exact, exactSec) = time {
+          rows.groupBy(col("k")).agg(count(lit(1)).as("c"))
+            .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)))
+            .head().getLong(0)
+        }
+        val (est, skSec) = time {
+          graft.operators.TextDedup
+            .pairEstimateSketchHashed(rows,
+              pmod(col("k") * 2654435761L, lit(2147483647L)))
+            .head().getLong(2)
+        }
+        val err = math.abs(est - exact) * 1000000L / math.max(exact, 1L)
+        println(f"""{"mode":"sketch","n_rows":$n,"pairs_exact":$exact,""" +
+          f""""pairs_est":$est,"err_ppm":$err,"exact_sec":$exactSec%.3f,""" +
+          f""""sketch_sec":$skSec%.3f}""")
       case other => sys.error(s"unknown mode: $other")
     }
     spark.stop()
