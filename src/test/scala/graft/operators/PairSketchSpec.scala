@@ -41,4 +41,14 @@ class PairSketchSpec extends SparkSpec {
       TextDedup.pairEstimateSketch(Seq("a").toDF("k"), col("k"),
         counters = 10, groups = 4)
   }
+
+  test("hashed-key form: mega-bucket estimate within sketch error, no md5") {
+    val keys = Seq.fill(1000)(7L) ++ (100L to 599L)
+    val out = TextDedup.pairEstimateSketchHashed(keys.toDF("k"),
+        pmod(col("k") * 2654435761L, lit(2147483647L)))
+      .as[(Long, Long, Long)].collect().head
+    out._1 shouldBe 1500L
+    out._3 should be >= 499500L / 10
+    out._3 should be <= 499500L * 10
+  }
 }
