@@ -24,10 +24,13 @@ package graft
   *      queries per line. Front-truncation eats these first; fine.
   *   2. `mins` chunks — short qNN keys + minima, ~50 queries per line,
   *      ascending q order (a mid-size tail keeps the later chunks).
-  *   3. `streaming` (from main, full runs only) — per-gate seconds
-  *      THEN rows/s: the `sec` map sits first so a tight tail eats it
-  *      before the `gates` rows/s map the round-over-round comparison
-  *      needs.
+  *   3. `streaming` (from main, full runs only) — per-gate rows/s
+  *      ONLY. The r12 artifact proved the per-gate `sec` map doesn't
+  *      fit: its 2,000-byte tail cut `sec` AND the first 4 gates of
+  *      the rows/s map, so the round-over-round streaming comparison
+  *      fell back to builder-local logs (round-13 ask #3). rows/s is
+  *      the comparison the verdict tracks; seconds are derivable from
+  *      the source-table row counts if ever needed.
   *   4. `spread_b36` — EVERY query's max−min spread as ONE base-36
   *      char in packed-id order: digit = min(35, ⌊5·spread/min⌋),
   *      i.e. spread in FIFTHS of the minimum saturating at 7× ('z'),
@@ -37,9 +40,13 @@ package graft
   *      spreads lived in the truncated detail chunks. A contended
   *      window now shows as a run of high digits in ANY capture;
   *      a quiet run is a string of 0s and 1s.
-  *   5. `mins_packed` — EVERY query's minimum as a millisecond-int
-  *      array plus a range-encoded id list ("1-10,19-38,…"): ~6 bytes
-  *      per query, so all 200+ minima fit in ONE ≤1.5 KB line.
+  *   5. `mins_b36` — EVERY query's minimum in milliseconds as ONE
+  *      fixed-width 3-char base-36 group in packed-id order ("016" =
+  *      42 ms, "zzz" saturates at ≥ 46,655 ms, "---" = errored), plus
+  *      the range-encoded id list ("1-10,19-38,…"): exactly 3 bytes
+  *      per query vs the former decimal array's ~6, which is what
+  *      buys the streaming gates their place in the tail at 264
+  *      queries (round-13 ask #3).
   *   6. LAST, `total` — the small summary the driver's parser keys
   *      on: total, errors_n, the shared-8 headline aggregate, top-10
   *      heaviest queries, and the CONTENTION SENTINEL — the shared-8
@@ -50,10 +57,11 @@ package graft
   *      transient window reads as start≉end or a high-digit spread
   *      run; a real code regression reads as clean sentinels, flat
   *      spreads and a shifted min.
-  * Lines 4+5+6 stay under ~1.8 KB combined (BenchRenderSpec locks
-  * this at 250 queries), so the spread array, every minimum and the
-  * sentinel ALL survive any 2 KB capture; the streaming gates map is
-  * the next-most-protected element (its own line's tail).
+  * Lines 3+4+5+6 — the streaming gates, the spread array, every
+  * minimum and the sentinel — stay under ~1.75 KB COMBINED
+  * (BenchRenderSpec locks this at 264 queries + 11 gates), so ALL of
+  * them survive a 2 KB capture with sbt's `[info] `/`[success]`
+  * framing on top.
   */
 object Bench {
 
@@ -115,6 +123,34 @@ object Bench {
       case Left(_) => 'z'
     }
 
+  /** One query minimum → fixed-width 3-char base-36 milliseconds:
+    * "016" = 42 ms, "zzz" saturates at ≥ 46,655 ms, "---" = errored.
+    * Width 3 covers everything a sf0.1 bench measures (heaviest query
+    * 13.4 s in r12) at 1 ms granularity. */
+  private[graft] def msB36(r: Either[String, (Double, Double)]): String =
+    r match {
+      case Right((mn, _)) =>
+        val ms = math.min(46655L, math.max(0L, math.round(mn * 1000)))
+        val s = java.lang.Long.toString(ms, 36)
+        "000".substring(s.length) + s
+      case Left(_) => "---"
+    }
+
+  /** Pure renderer for the streaming-gate line: per-gate rows/s only
+    * (the r12 tail lost the `sec` map AND 4 gates to truncation;
+    * rows/s is the comparison that matters — round-13 ask #3). */
+  private[graft] def renderStreamingLine(
+      gates: Seq[(String, Either[String, (Double, Long)])]): Option[String] =
+    if (gates.isEmpty) None
+    else {
+      val rps = gates.map {
+        case (k, Right((dt, rows))) =>
+          s"${jstr(shortKey(k))}:${math.round(rows / dt)}"
+        case (k, Left(_)) => s"${jstr(shortKey(k))}:null"
+      }.mkString("{", ",", "}")
+      Some(s"""{"metric":"streaming","unit":"rows_per_sec","gates":$rps}""")
+    }
+
   /** Pure renderer (unit-tested): ALL stdout lines, sacrificial
     * diagnostics first, spread array + packed minima + summary LAST. */
   def renderLines(sfDir: String, repeats: Int,
@@ -145,17 +181,16 @@ object Bench {
       s"""{"metric":"mins","part":${i + 1},"parts":$nMin,"queries":$qs}"""
     }
     val ids = rangeEncode(results.map { case (k, _) => qNum(k) })
-    val ms = results.map {
-      case (_, Right((mn, _))) => math.round(mn * 1000).toString
-      case (_, Left(_)) => "null"
-    }.mkString("[", ",", "]")
-    // spread array: same id order as mins_packed, one char per query
+    // spread array: same id order as mins_b36, one char per query
     // (digit semantics in the header scaladoc + spreadDigit — a note
     // field would cost ~70 tail chars per run)
     val spread = s"""{"metric":"spread_b36","n":${results.size},""" +
       s""""s":${jstr(results.map(r => spreadDigit(r._2)).mkString)}}"""
-    val packed = s"""{"metric":"mins_packed","unit":"ms","n":${results.size},""" +
-      s""""ids":${jstr(ids)},"ms":$ms}"""
+    // every minimum as fixed-width-3 base-36 ms (decode: 3-char groups
+    // in id order, parseInt(_, 36); "---" = error) — see msB36
+    val packed = s"""{"metric":"mins_b36","unit":"ms_b36_w3",""" +
+      s""""n":${results.size},"ids":${jstr(ids)},""" +
+      s""""ms":${jstr(results.map(r => msB36(r._2)).mkString)}}"""
     val total = results.collect { case (_, Right((mn, _))) => mn }.sum
     val shared8 = results.collect {
       case (k, Right((mn, _))) if qNum(k) <= 8 => mn
@@ -268,21 +303,14 @@ object Bench {
           (name, r.map(_ => (dt, srcRows(table))))
         }
       }
-    val streamingLine: Option[String] =
-      if (gates.isEmpty) None
-      else {
-        val rps = gates.map {
-          case (k, Right((dt, rows))) =>
-            s"${jstr(shortKey(k))}:${math.round(rows / dt)}"
-          case (k, Left(_)) => s"${jstr(shortKey(k))}:null"
-        }.mkString("{", ",", "}")
-        val secs = gates.map {
-          case (k, Right((dt, _))) => s"${jstr(shortKey(k))}:${jnum(dt)}"
-          case (k, Left(_)) => s"${jstr(shortKey(k))}:null"
-        }.mkString("{", ",", "}")
-        Some(s"""{"metric":"streaming","unit":"rows_per_sec",""" +
-          s""""sec":$secs,"gates":$rps}""")
-      }
+    val streamingLine: Option[String] = renderStreamingLine(gates)
+    // per-gate seconds still reach the builder's local log (stderr —
+    // outside the driver's stdout tail budget) for deep-dives
+    gates.foreach {
+      case (k, Right((dt, rows))) =>
+        System.err.println(f"[bench] gate $k: $dt%.3f s, $rows rows")
+      case _ => ()
+    }
     val sentinel =
       if (!fullRun) None
       else {

@@ -347,6 +347,27 @@ private[graft] trait EntryDedupAnnDefs extends EntryParityDefs {
       .orderBy(col("doc_id"))
   }
 
+  /** PNG decode features (q265): the first COMPRESSED-codec modality —
+    * every document's payload becomes a real zlib-backed PNG (two IDAT
+    * chunks, all five scanline filters row-round-robin) and the
+    * batched decoder recovers dims, the per-row filter-byte sum, the
+    * inflated payload length and the unfiltered-raster checksum. The
+    * oracle re-derives all of them from the synthesized text (the q31
+    * convention), so a single wrong predictor byte anywhere in the
+    * CRC/inflate/unfilter path fails the hash compare. */
+  private[graft] def pngFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.extractPngFeatures(s,
+        Multimodal.attachPng(s, Tables.documents(s, dir)))
+      .toDF()
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_idat").cast("long").as("n_idat"),
+        col("filter_sum"), col("n_filtered"), col("px_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Video frame sampling (q167): concatenated-P6 frame streams (the
     * ffmpeg image2pipe layout) walked by a real header-parsing
     * decoder, every-2nd-frame sampling — the curation primitive that

@@ -2263,7 +2263,10 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                        WHERE event_type IS NOT NULL
                          AND event_id IS NOT NULL AND value IS NOT NULL),
               pt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
-                            CAST(sum(v) // count(*) AS BIGINT) AS mean_micro
+                            CAST(CASE WHEN sum(v) >= 0
+                                 THEN sum(v) // count(*)
+                                 ELSE -((-sum(v)) // count(*)) END
+                              AS BIGINT) AS mean_micro
                      FROM base GROUP BY 1),
               reps AS (SELECT unnest(range(32)) AS b),
               draws AS (SELECT g, b, v,
@@ -2282,7 +2285,13 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                                   WHEN u < 999999 THEN 8
                                   ELSE 9 END AS w
                       FROM draws),
-              m AS (SELECT g, b, sum(w * v) // sum(w) AS m
+              -- sign-split: Spark's div truncates toward zero, DuckDB's //
+              -- floors — they differ on any negative mean (the q226/q256
+              -- tdiv convention; bootstrapCi accepts arbitrary signed v)
+              m AS (SELECT g, b,
+                           CASE WHEN sum(w * v) >= 0
+                                THEN sum(w * v) // sum(w)
+                                ELSE -((-sum(w * v)) // sum(w)) END AS m
                     FROM wts GROUP BY 1, 2 HAVING sum(w) > 0),
               r AS (SELECT g, b, m,
                            row_number() OVER (PARTITION BY g
@@ -2548,5 +2557,29 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                 CAST(n_rows * 1000000 // wn AS BIGINT)
                   AS weekday_share_ppm
          FROM c JOIN w USING (weekday) CROSS JOIN t
-         ORDER BY weekday, hour""")
+         ORDER BY weekday, hour""",
+
+    // PNG decode (q265): the oracle mirrors the SYNTHESIZED raster —
+    // the q31 blob convention: dims derive from strlen, the raw raster
+    // is the text's leading bytes zero-padded, so every decoded feature
+    // (dims, filter-byte sum, inflated length, unfiltered checksum) is
+    // recomputable from the text without a DuckDB zlib. The codec work
+    // (CRC walk, multi-IDAT reassembly, Inflater, five-filter
+    // reconstruction) is exactly what the hash compare certifies: any
+    // mis-decode lands in px_checksum.
+    "q265_png_features" ->
+      """WITH m AS (SELECT doc_id, text,
+             strlen(text) % 11 + 2 AS w,
+             strlen(text) % 5 + 2 AS h
+           FROM documents)
+         SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(2 AS BIGINT) AS n_idat,
+           CAST(list_sum(list_transform(range(h), r -> r % 5))
+                AS BIGINT) AS filter_sum,
+           CAST(h * (1 + 3 * w) AS BIGINT) AS n_filtered,
+           CAST(COALESCE(list_sum(list_transform(
+                  range(1, LEAST(w * h * 3, strlen(text)) + 1),
+                  i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0)
+                AS BIGINT) AS px_checksum
+         FROM m ORDER BY doc_id""")
 }

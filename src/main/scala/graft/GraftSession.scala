@@ -21,6 +21,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // FAIR keeps concurrent jobs (Verify's query pool) round-robin
+      // instead of head-of-line; a strictly sequential caller (Bench)
+      // sees identical scheduling either way.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

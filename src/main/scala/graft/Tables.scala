@@ -20,10 +20,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Opt-in base-table memoization for batch drivers (Verify) that run
+    * hundreds of queries over the SAME fixture dir in ONE session: the
+    * first load of each (sfDir, table) is `.cache()`d and the same
+    * DataFrame object is handed to every subsequent query, so 264
+    * queries plan against one in-memory relation instead of re-reading
+    * (and re-inferring) the parquet 264 times. Off by default — Bench
+    * must keep measuring the real scan path, and library callers own
+    * their own caching policy. The memo is session-lifetime; it is only
+    * enabled from mains that stop the session at exit. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  @volatile private var memoOn = false
+  def enableMemo(): Unit = { memoOn = true }
+  /** Test hook: back to the plain scan path (and drop memoized refs) so
+    * plan-shape suites keep asserting against real parquet scans. */
+  private[graft] def disableMemoForTests(): Unit = {
+    memoOn = false
+    memo.clear()
+  }
+
   /** Read one test table; `sfDir` is e.g. /root/testdata/sf0.01.
     * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
     * (GraftSession sets it) — config is session-scoped, not set here. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (memoOn)
+      memo.computeIfAbsent((sfDir, name), _ => doLoad(spark, sfDir, name).cache())
+    else doLoad(spark, sfDir, name)
+
+  private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
       raw.schema("ts").dataType match {

@@ -3088,7 +3088,12 @@ object Analytics {
       .crossJoin(broadcast(nb))
       .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
         col("n_b"), col("n_baskets"),
-        when(col("n_ab") * col("n_baskets") >= lit(9223372036854L),
+        // guard by DIVISION — the comparison product itself is 64-bit,
+        // so `n_ab * n_baskets >= L` would wrap negative (and pass) at
+        // ≥ 2^63 (round-13 ADVICE item #3); n_ab ≥ ⌊L/n_baskets⌋ fires
+        // (conservatively, by < one n_baskets) without overflowing
+        when(col("n_ab") >=
+            expr("9223372036854 div greatest(n_baskets, 1)"),
           raise_error(lit("associationRules: n_ab * n_baskets exceeds " +
             "the exact-long ppm envelope (~9.2e12); raise minSupport or " +
             "mine a q51-sampled slice")))
@@ -3402,13 +3407,22 @@ object Analytics {
       nodes: DataFrame,
       idCol: String,
       iters: Int = 10,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85,
+      srcCol: String = "a",
+      dstCol: String = "b"): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
     require(dampingPct >= 1 && dampingPct <= 99,
       s"dampingPct must be in [1,99]: $dampingPct")
+    // edge schema is parameterized like the node id (round-13 ADVICE
+    // item #4: hard-coded a/b edge columns next to an idCol parameter
+    // was an undocumented asymmetry); fail fast on a missing column
+    // rather than letting Catalyst capture a same-named bystander
+    require(edges.columns.contains(srcCol) && edges.columns.contains(dstCol),
+      s"pageRank: edges must carry '$srcCol'/'$dstCol' columns " +
+        s"(got ${edges.columns.mkString(", ")})")
     val base = (100 - dampingPct) * 10000L
-    val und = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true,

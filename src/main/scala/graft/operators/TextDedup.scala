@@ -282,12 +282,19 @@ object TextDedup {
     val aggs = count(lit(1)).as("n_rows") +:
       (0 until counters).map(j => sum(sign(j)).as(s"_x$j"))
     val row = keyed.agg(aggs.head, aggs.tail: _*)
+    // The group mean sums r squares before `div r`, so each square must
+    // stay under 2^63 / r for the SUM to be exact too — the envelope is
+    // √(2^63/r) = 3037000499/√r, not the bare √2^63 (which kept X_j²
+    // exact but let the r-term sum wrap silently for |X_j| ∈
+    // [√(2^63/r), √2^63) — round-13 ADVICE item #1).
+    val xLimit = (3037000499L / math.sqrt(r.toDouble)).toLong
     val sq = (0 until counters).foldLeft(row) { (acc, j) =>
       acc.withColumn(s"_s$j",
-        when(abs(coalesce(col(s"_x$j"), lit(0L))) >= 3037000499L,
+        when(abs(coalesce(col(s"_x$j"), lit(0L))) >= xLimit,
           raise_error(lit("pairEstimateSketch: |X_j| exceeds the exact " +
-            "long square envelope (~3e9) — the relation is far past any " +
-            "usable pair budget; fail the corpus, don't sketch it")))
+            s"group-sum envelope (~${xLimit / 1000000}e6) — the relation " +
+            "is far past any usable pair budget; fail the corpus, don't " +
+            "sketch it")))
           .otherwise(coalesce(col(s"_x$j"), lit(0L)) *
             coalesce(col(s"_x$j"), lit(0L))))
     }

@@ -6,17 +6,19 @@ import org.scalatest.matchers.should.Matchers
 /** The bench artifact contract: the driver preserves only the last
   * ~2000 characters of stdout (BENCH_r11's tail field is exactly
   * 2000), so (a) no single line may exceed 1.5 KB, and (b) the final
-  * THREE lines — the base-36 spread array, the packed minima and the
-  * sentinel-carrying summary — must together reconstruct EVERY query
-  * minimum, its contention spread and the run's start/end sentinel
-  * inside that tail. Locked at 250 synthetic queries (above the
-  * current 225) so growth has headroom. */
+  * FOUR lines — the streaming-gates rows/s map, the base-36 spread
+  * array, the packed minima and the sentinel-carrying summary — must
+  * together reconstruct EVERY query minimum, its contention spread,
+  * every gate's throughput and the run's start/end sentinel inside
+  * that tail (the r12 artifact lost 4 of 11 gates to truncation —
+  * round-13 ask #3). Locked at 272 synthetic queries + 11 gates
+  * (above the current 265-query registry) so the budget binds with headroom. */
 class BenchRenderSpec extends AnyFunSuite with Matchers {
 
-  // 250 queries mirroring the real naming (qNN prefix + long suffix),
+  // 272 queries mirroring the real naming (qNN prefix + long suffix),
   // with the real id gaps and a couple of failures mixed in.
-  private val ids = (1 to 262).filterNot(Set(11, 12, 92, 148, 168, 180, 210,
-    211, 240, 241, 242, 243)).take(250)
+  private val ids = (1 to 280).filterNot(Set(11, 12, 92, 148, 168, 180, 210,
+    211, 240, 241, 242, 243)).take(272)
   // Minima follow the MEASURED artifact shape (BENCH_r11: bulk under
   // 2 s, a Zipf tail to ~14 s — packed-line digits track that), not a
   // uniform-to-20s fantasy that no real run produces.
@@ -53,9 +55,35 @@ class BenchRenderSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("the last three lines fit the 2000-char driver tail together") {
-    // +~80 chars of sbt [info]/[success] framing still leaves slack
-    lines.takeRight(3).map(_.length).sum should be < 1900
+  private val gates: Seq[(String, Either[String, (Double, Long)])] =
+    Seq("q46", "q58", "q65", "q92", "q132", "q148", "q168", "q180",
+      "q212", "q238", "q259").zipWithIndex.map { case (q, i) =>
+      s"${q}_streaming_gate_name_of_typical_len" ->
+        (if (i == 4) Left("planted gate failure")
+         else Right((3.5 + i * 0.7, 60000L + i * 1000L)))
+    }
+
+  test("streaming + spread + packed + summary fit the 2000-char tail TOGETHER") {
+    // 2000-byte capture minus sbt framing: 4 x "[info] " (28) + the
+    // trailing "[success] Total time: ..." line (~85) + newlines —
+    // every byte past ~1,880 risks eating the streaming line's head
+    // (exactly what happened to BENCH_r12). Assert 1,750 for margin.
+    val tail4 = Bench.renderStreamingLine(gates).toSeq ++ lines.takeRight(3)
+    tail4.size shouldBe 4
+    val bytes = tail4.map(_.getBytes("UTF-8").length).sum
+    withClue(s"combined tail bytes: $bytes") { bytes should be < 1750 }
+  }
+
+  test("streaming line carries ALL gates, rows/s only, errors null") {
+    val l = Bench.renderStreamingLine(gates).get
+    l should startWith("""{"metric":"streaming"""")
+    val entries = """"(q\d+)":(\d+|null)""".r.findAllMatchIn(l).toSeq
+    entries.map(_.group(1)) shouldBe gates.map(g => g._1.takeWhile(_ != '_'))
+    entries.count(_.group(2) == "null") shouldBe 1
+    // rows/s round-trips: gate 0 = 60000 rows / 3.5 s
+    entries.head.group(2).toLong shouldBe math.round(60000L / 3.5)
+    l should not include """"sec":"""
+    Bench.renderStreamingLine(Seq.empty) shouldBe None
   }
 
   test("spread line: one digit per query, decodable, errors marked 'z'") {
@@ -79,8 +107,8 @@ class BenchRenderSpec extends AnyFunSuite with Matchers {
 
   test("packed line reconstructs every minimum in ascending-q order") {
     val packed = lines(lines.size - 2)
-    packed should startWith("""{"metric":"mins_packed"""")
-    // parse ids: "1-10,13-..." and ms array back out with a dumb parser
+    packed should startWith("""{"metric":"mins_b36"""")
+    // parse ids: "1-10,13-..." and the 3-char base-36 groups back out
     val idsStr = """"ids":"([^"]*)"""".r.findFirstMatchIn(packed).get.group(1)
     val decoded = idsStr.split(",").flatMap { tok =>
       tok.split("-") match {
@@ -89,13 +117,18 @@ class BenchRenderSpec extends AnyFunSuite with Matchers {
       }
     }.toSeq
     decoded shouldBe ids
-    val msStr = """"ms":\[([^\]]*)\]""".r.findFirstMatchIn(packed).get.group(1)
-    val ms = msStr.split(",").toSeq
-    ms.size shouldBe results.size
-    results.zip(ms).foreach {
-      case ((_, Right((mn, _))), m) => m.toLong shouldBe math.round(mn * 1000)
-      case ((_, Left(_)), m) => m shouldBe "null"
+    val msStr = """"ms":"([^"]*)"""".r.findFirstMatchIn(packed).get.group(1)
+    msStr.length shouldBe results.size * 3
+    val groups = msStr.grouped(3).toSeq
+    results.zip(groups).foreach {
+      case ((_, Right((mn, _))), g) =>
+        java.lang.Long.parseLong(g, 36) shouldBe
+          math.min(46655L, math.round(mn * 1000))
+      case ((_, Left(_)), g) => g shouldBe "---"
     }
+    // saturation: a 60 s minimum encodes as "zzz", not a wider group
+    Bench.msB36(Right((60.0, 0.0))) shouldBe "zzz"
+    Bench.msB36(Right((0.0424, 0.0))) shouldBe "016"
   }
 
   test("summary line is last and carries total, errors_n, shared8, top10, sentinel") {

@@ -25,6 +25,36 @@ class BloomJoinAndZorderSpec extends SparkSpec {
     got.length shouldBe 30 // 10 fact rows per matching key
   }
 
+  test("bloom join works when fact and dim SHARE the key column name") {
+    // the common shared-join-key case: unqualified col(key) === col(key)
+    // would throw ambiguous-reference (round-13 ADVICE item #5)
+    val fact = (1L to 100L).map(i => (i % 10, i)).toDF("k", "payload")
+    val dim = Seq((3L, "x"), (7L, "y")).toDF("k", "name")
+    val got = SkewJoin.bloomPrefilteredJoin(fact, dim, "k", "k")
+      .select(col("payload"), col("name"))
+      .orderBy(col("payload")).as[(Long, String)].collect()
+    got.length shouldBe 20
+    got.map(_._2).distinct.sorted shouldBe Array("x", "y")
+  }
+
+  test("bloom join: empty dim short-circuits to the empty join") {
+    val fact = (1L to 10L).map(i => (i, i)).toDF("fk", "payload")
+    val dim = Seq.empty[(Long, String)].toDF("dk", "name")
+    val out = SkewJoin.bloomPrefilteredJoin(fact, dim, "fk", "dk")
+    out.count() shouldBe 0L
+    out.columns.toSeq shouldBe Seq("fk", "payload", "dk", "name")
+  }
+
+  test("bloom join: an oversized dim fails fast, not a saturated sketch") {
+    val fact = Seq((1L, 1L)).toDF("fk", "payload")
+    val dim = (1L to 40L).map(i => (i, s"n$i")).toDF("dk", "name")
+    val e = intercept[IllegalArgumentException] {
+      // 64-bit sketch -> default budget 64/8 = 8 keys, dim has 40
+      SkewJoin.bloomPrefilteredJoin(fact, dim, "fk", "dk", numBits = 64)
+    }
+    e.getMessage should include("40 rows, over the 8-key budget")
+  }
+
   test("zValue interleaves bits exactly") {
     // a=0b101 (bits 0,2 -> even positions 0,4), b=0b011 (odd 1,3)
     // z = 1 + 16 + 2 + 8 = 27
