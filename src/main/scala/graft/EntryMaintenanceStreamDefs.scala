@@ -220,6 +220,69 @@ private[graft] trait EntryMaintenanceStreamDefs extends EntryCurationTextDefs {
       .orderBy(col("id"))
   }
 
+  /** Distortion ceiling shared by q266/q267 and their oracles (the
+    * constants-shared discipline): sits between the stable fixture's
+    * audit mean and the negated-corpus fixture's, so each gate
+    * exercises one branch of the adaptive tick. */
+  private[graft] val AdaptiveD2Ceiling = 4000000L
+
+  /** Adaptive index tick, STABLE branch (q266): the q133 fixture's
+    * ~30% churn does NOT move the corpus off the pinned quantizer —
+    * the audit mean stays under the ceiling and the tick must take
+    * the O(changed) maintain path. The oracle re-derives the audit
+    * mean AND the maintained index (q133's rebuild convention), so
+    * the hash compare certifies decision + measurement + result. */
+  private[graft] def adaptiveIndexStableQuery(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val seeds = seedVectors(e)
+    val oldV = e.filter(col("vec_id") % 10 =!= 3)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val newV = e.filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id").as("id"),
+        when(col("vec_id") % 10 === 5,
+          concat(array(-element_at(col("embedding"), 1)),
+            slice(col("embedding"), 2, 63)))
+          .otherwise(col("embedding")).as("vec"))
+    val scales = Similarity.sqTrain(oldV, "vec", dims = 64)
+    val idx = Similarity.ivfSqIndexBuild(oldV, "id", "vec", seeds, scales)
+    Similarity.adaptiveIndexTick(idx, oldV, newV, "id", "vec", seeds,
+        scales, dims = 64, maxMeanD2Micro = AdaptiveD2Ceiling)
+      .select(col("decision"), col("mean_d2_micro"), col("id"), col("cell"),
+        concat_ws(",", col("code")).as("code_str"))
+      .orderBy(col("id"))
+  }
+
+  /** Adaptive index tick, DRIFTED branch (q267): the whole corpus
+    * re-embeds at 3x the norm scale — the embedding-model-swap event
+    * (cosine CELLS are scale-invariant, so the corpus still buckets,
+    * but the squared-L2 distortion the audit tracks explodes) — so
+    * the pinned quantizer's audit mean blows through the ceiling and
+    * the tick must RETRAIN (k-means, k = pinned cell count) and fully
+    * rebuild. The oracle re-derives the audit mean under the OLD
+    * seeds, the full exact-integer Lloyd training on the drifted
+    * corpus (the q146 CTEs), the fresh scales, and the re-encoded
+    * postings. */
+  private[graft] def adaptiveIndexDriftedQuery(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(s, dir)
+    val seeds = seedVectors(e)
+    val oldV = e.filter(col("vec_id") % 10 =!= 3)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val newV = e.filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => (x * lit(3.0f)).cast("float")).as("vec"))
+    val scales = Similarity.sqTrain(oldV, "vec", dims = 64)
+    val idx = Similarity.ivfSqIndexBuild(oldV, "id", "vec", seeds, scales)
+    Similarity.adaptiveIndexTick(idx, oldV, newV, "id", "vec", seeds,
+        scales, dims = 64, maxMeanD2Micro = AdaptiveD2Ceiling)
+      .select(col("decision"), col("mean_d2_micro"), col("id"), col("cell"),
+        concat_ws(",", col("code")).as("code_str"))
+      .orderBy(col("id"))
+  }
+
   /** HTML extraction (q134): every doc wrapped in a deterministic
     * page shell exercising script/style content drop, comments, tags,
     * all six entities (including the double-escape &amp;lt; case) and

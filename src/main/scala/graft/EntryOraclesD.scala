@@ -2581,5 +2581,101 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                   range(1, LEAST(w * h * 3, strlen(text)) + 1),
                   i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0)
                 AS BIGINT) AS px_checksum
-         FROM m ORDER BY doc_id""")
+         FROM m ORDER BY doc_id""",
+
+    // Adaptive index tick, STABLE branch: the q133 maintained index +
+    // the global audit mean under the pinned seeds (q91's d2u math,
+    // summed corpus-wide) + the decision literal the Spark tick must
+    // reproduce at the shared ceiling.
+    "q266_adaptive_index_stable" ->
+      s"""WITH dims AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS i),
+         o AS (SELECT vec_id AS id, embedding AS vec
+               FROM embeddings WHERE vec_id % 10 <> 3),
+         nw AS (SELECT vec_id AS id,
+                       CASE WHEN vec_id % 10 = 5
+                            THEN list_concat([-embedding[1]], embedding[2:64])
+                            ELSE embedding END AS vec
+                FROM embeddings WHERE vec_id % 10 <> 7),
+         sc AS (SELECT i, max(abs(CAST(vec[i + 1] AS DOUBLE))) AS s
+                FROM o, dims GROUP BY i),
+         cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                 WHERE vec_id BETWEEN 20 AND 35),
+         asg AS (SELECT id, cell FROM (
+             SELECT nw.id, cen.cid AS cell,
+                    row_number() OVER (PARTITION BY nw.id
+                      ORDER BY ${cosSql("nw.vec", "cen.cvec")} DESC, cen.cid) AS rn
+             FROM nw CROSS JOIN cen) t WHERE rn = 1),
+         du AS (SELECT CAST(round((${dotSqlN("nw.vec", "nw.vec", 64)}
+                                  - 2 * ${dotSqlN("nw.vec", "cen.cvec", 64)}
+                                  + ${dotSqlN("cen.cvec", "cen.cvec", 64)}) * 1e6)
+                         AS BIGINT) AS d2u
+               FROM asg JOIN nw ON nw.id = asg.id JOIN cen ON cen.cid = asg.cell),
+         mm AS (SELECT CAST(sum(d2u) AS BIGINT) // count(*) AS md FROM du),
+         codes AS (SELECT id, sc.i,
+                          CASE WHEN s <= 0 THEN 0
+                               ELSE CAST(greatest(-127, least(127,
+                                 floor(CAST(vec[sc.i + 1] AS DOUBLE) / s * 127 + 0.5)))
+                                 AS BIGINT)
+                          END AS code
+                   FROM nw, sc),
+         cs AS (SELECT id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY i)
+                         AS code_str
+                FROM codes GROUP BY id)
+         SELECT 'maintained' AS decision,
+                (SELECT md FROM mm) AS mean_d2_micro,
+                asg.id, asg.cell, cs.code_str
+         FROM asg JOIN cs USING (id) ORDER BY asg.id""",
+
+    // Adaptive index tick, DRIFTED branch: audit mean under the OLD
+    // seeds on the 3x-rescaled corpus trips the ceiling, so the
+    // oracle re-derives the FULL retrain — exact-integer Lloyd (q146
+    // CTEs over the drifted source, k = 16 pinned cells), fresh
+    // max-abs scales, re-encoded postings under the trained model.
+    "q267_adaptive_index_drifted" ->
+      s"""WITH ${kmeansCtesSql(16, 2, 64,
+            """(SELECT vec_id,
+                       list_transform(embedding, x -> CAST(3.0 * x AS FLOAT)) AS embedding
+                FROM embeddings WHERE vec_id % 10 <> 7) emb""")},
+         cf AS (SELECT cell,
+                       list(CAST(CAST(c AS DOUBLE) / 1000000.0 - 1.0 AS FLOAT)
+                            ORDER BY d) AS cvec
+                FROM c2 GROUP BY cell),
+         dims AS (SELECT CAST(unnest(range(64)) AS INTEGER) AS i),
+         nw AS (SELECT vec_id AS id,
+                       list_transform(embedding, x -> CAST(3.0 * x AS FLOAT)) AS vec
+                FROM embeddings WHERE vec_id % 10 <> 7),
+         cen AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                 WHERE vec_id BETWEEN 20 AND 35),
+         asgO AS (SELECT id, cell FROM (
+             SELECT nw.id, cen.cid AS cell,
+                    row_number() OVER (PARTITION BY nw.id
+                      ORDER BY ${cosSql("nw.vec", "cen.cvec")} DESC, cen.cid) AS rn
+             FROM nw CROSS JOIN cen) t WHERE rn = 1),
+         du AS (SELECT CAST(round((${dotSqlN("nw.vec", "nw.vec", 64)}
+                                  - 2 * ${dotSqlN("nw.vec", "cen.cvec", 64)}
+                                  + ${dotSqlN("cen.cvec", "cen.cvec", 64)}) * 1e6)
+                         AS BIGINT) AS d2u
+               FROM asgO JOIN nw ON nw.id = asgO.id JOIN cen ON cen.cid = asgO.cell),
+         mm AS (SELECT CAST(sum(d2u) AS BIGINT) // count(*) AS md FROM du),
+         sc AS (SELECT i, max(abs(CAST(vec[i + 1] AS DOUBLE))) AS s
+                FROM nw, dims GROUP BY i),
+         asg AS (SELECT id, cell FROM (
+             SELECT nw.id, cf.cell,
+                    row_number() OVER (PARTITION BY nw.id
+                      ORDER BY ${cosSql("nw.vec", "cf.cvec")} DESC, cf.cell) AS rn
+             FROM nw CROSS JOIN cf) t WHERE rn = 1),
+         codes AS (SELECT id, sc.i,
+                          CASE WHEN s <= 0 THEN 0
+                               ELSE CAST(greatest(-127, least(127,
+                                 floor(CAST(vec[sc.i + 1] AS DOUBLE) / s * 127 + 0.5)))
+                                 AS BIGINT)
+                          END AS code
+                   FROM nw, sc),
+         cs AS (SELECT id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY i)
+                         AS code_str
+                FROM codes GROUP BY id)
+         SELECT 'rebuilt' AS decision,
+                (SELECT md FROM mm) AS mean_d2_micro,
+                asg.id, asg.cell, cs.code_str
+         FROM asg JOIN cs USING (id) ORDER BY asg.id""")
 }

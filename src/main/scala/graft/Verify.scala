@@ -21,9 +21,11 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *    jobs from multiple threads natively; local[32] has the cores,
   *    and a single sf0.01 query leaves most of them idle). The
   *    [[SparkEntry.statefulQueries]] — TmpDirs write pipelines and
-  *    streaming gates with on-disk checkpoints — keep their exclusive
-  *    sequential section afterwards. Known-heavy queries start first
-  *    so the pool doesn't drain into a single-straggler tail.
+  *    streaming gates with on-disk checkpoints — run on a second small
+  *    pool, sequential within a scratch-namespace group
+  *    ([[SparkEntry.statefulGroupOf]]) and concurrent across groups,
+  *    overlapped with the pure pool. Known-heavy work starts first in
+  *    both pools so neither drains into a single-straggler tail.
   */
 object Verify {
 
@@ -112,37 +114,59 @@ object Verify {
       (rank.getOrElse(n, Int.MaxValue), n)
     }
 
-    // 3. Pure queries on a pool. Pool width: enough to fill the gaps a
-    // single small query leaves, few enough that shuffle stages don't
-    // thrash each other for task slots.
+    // 3. Two PHASES over the shared session (measured, not guessed):
+    //
+    //  Phase 1 — stateful queries grouped by scratch-dir namespace
+    //  (SparkEntry.statefulGroupOf): sequential WITHIN a group (the
+    //  flow/activity pipelines memoize a shared run; streaming gates
+    //  own their checkpoint dirs), concurrent ACROSS groups on
+    //  nStateful workers. The three ~140 s per-day ingest pipelines
+    //  (q12 flow cascade, q41/q234 run-import) dominate: they are
+    //  hundreds of tiny driver-scheduled jobs each, so they inflate
+    //  ~1.4x when run against EACH OTHER (226 s for all three) but
+    //  ~4x when the pure pool's 8 submitters also queue on the
+    //  driver (562 s each, 611 s total — measured on this box).
+    //
+    //  Phase 2 — pure queries on nThreads workers, heavy-first.
+    //  Their 723 s of work packs into ~110 s of wall alone.
+    //
+    //  Phased beats overlapped here BECAUSE the bottleneck is driver
+    //  job-scheduling throughput, not executor cores.
     val cores = spark.sparkContext.defaultParallelism
     val nThreads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS").map(_.toInt)
       .getOrElse(math.max(2, math.min(8, cores / 4)))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val nStateful = sys.env.get("SPARK_GRAFT_VERIFY_STATEFUL_THREADS")
+      .map(_.toInt).getOrElse(math.max(2, math.min(4, cores / 8)))
     val okCount = new java.util.concurrent.atomic.AtomicInteger(0)
-    val futures = pureOrdered.map { case (name, fn) =>
+
+    // longest pipelines first so the group pool's tail is short ones
+    val groupRank = Seq("flow", "q41_run_import_e2e", "q234_run_import_json",
+      "activity").zipWithIndex.toMap
+    val groups = stateful.groupBy(q => SparkEntry.statefulGroupOf(q._1))
+      .toSeq.sortBy { case (g, _) => (groupRank.getOrElse(g, Int.MaxValue), g) }
+    val statefulPool =
+      java.util.concurrent.Executors.newFixedThreadPool(nStateful)
+    groups.map { case (_, qs) =>
+      statefulPool.submit(new Runnable {
+        def run(): Unit = qs.sortBy(_._1).foreach { case (name, fn) =>
+          if (runOne(name, fn)) okCount.incrementAndGet(): Unit
+        }
+      })
+    }.foreach(_.get())
+    statefulPool.shutdown()
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    pureOrdered.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit = if (runOne(name, fn)) okCount.incrementAndGet(): Unit
       })
-    }
-    futures.foreach(_.get())
+    }.foreach(_.get())
     pool.shutdown()
-
-    // 4. Stateful pipelines keep their exclusive sequential section
-    // (shared TmpDirs tags + streaming checkpoints must not overlap);
-    // per-query cache hygiene as before, with the fixture memo re-marked
-    // after each clear so stateful queries still read the cached tables.
-    spark.catalog.clearCache()
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).cache(): Unit)
-    stateful.foreach { case (name, fn) =>
-      if (runOne(name, fn)) okCount.incrementAndGet(): Unit
-      spark.catalog.clearCache()
-      Tables.names.foreach(n => Tables.load(spark, sfDir, n).cache(): Unit)
-    }
 
     val wallSec = (System.nanoTime() - t0) / 1e9
     val summary = s"""{"q":"_summary","n":${selected.size},""" +
       s""""ok":${okCount.get},"threads":$nThreads,""" +
+      s""""stateful_threads":$nStateful,""" +
       s""""wall_sec":${math.round(wallSec * 10) / 10.0}}\n"""
     statusLock.synchronized {
       Files.writeString(statusPath, summary, StandardOpenOption.APPEND): Unit

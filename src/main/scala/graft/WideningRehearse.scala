@@ -68,6 +68,95 @@ object WideningRehearse {
         println(f"""{"mode":"assoc","n_baskets":$n,"min_support":""" +
           f"""$minSupport,"sec":$sec%.3f,"n_rules":$rules,""" +
           f""""hot_pair_support":$hot}""")
+      case "pagerank_dense" =>
+        // round-13 ask #5: edges ∝ N with a PLANTED NEAR-CLIQUE emitted
+        // the way the census actually receives one — through the K206
+        // degree cap (each family member chains to its 16 rank
+        // successors), so the rehearsal measures the operator on the
+        // graph shape the guards guarantee, not a fantasy clique
+        val family = math.max(16L, n / 100L) // 1% of nodes, one dup family
+        val bg = spark.range(5L * n).select(
+          (col("id") % n).as("a"),
+          ((col("id") * 2654435761L) % n).as("b"))
+        val capped = spark.range(family * 16L).select(
+          expr("id div 16").as("m"), (col("id") % 16L + 1L).as("k"))
+          .filter(expr("m + k") < family)
+          .select(col("m").as("a"), expr("m + k").as("b"))
+        val edges = bg.unionByName(capped).filter(col("a") =!= col("b"))
+        val nodes = spark.range(n).select(col("id"))
+        val ((fam, total), sec) = time {
+          val r = Analytics.pageRank(edges, nodes, "id", iters = 10)
+          val agg = r.agg(sum(col("rank_micro")).as("t"),
+            sum(when(col("id") < family, col("rank_micro"))).as("f"))
+            .head()
+          (agg.getLong(1), agg.getLong(0))
+        }
+        val m = 5L * n + family * 16L
+        println(f"""{"mode":"pagerank_dense","n_nodes":$n,""" +
+          f""""n_edges":$m,"family":$family,"sec":$sec%.3f,""" +
+          f""""edges_per_sec":${(10 * m / sec).toLong},""" +
+          f""""family_mass_micro":$fam,"total_mass_micro":$total}""")
+      case "assoc_capped" =>
+        // basket-cap BINDING: every 1000th basket is a 500-item crawler
+        // cart (over the 100 cap -> dropped pre-join); the hot pair
+        // stays planted in normal baskets so the output is asserted
+        val normal = spark.range(n * 8).select(
+          expr("id div 8").as("bk"),
+          when(col("id") % 128 === 0, lit(1L))
+            .when(col("id") % 128 === 1, lit(2L))
+            .otherwise((col("id") * 2654435761L) % 100000L).as("it"))
+        val giants = spark.range((n / 1000L + 1L) * 500L).select(
+          (expr("id div 500") * 1000L + n).as("bk"),
+          (col("id") % 500L + 200000L).as("it"))
+        val rows = normal.unionByName(giants)
+        val minSupport = math.max(2L, n / 1000L)
+        val ((rules, giantLeak), sec) = time {
+          val r = Analytics.associationRules(rows, "bk", "it", minSupport)
+          val agg = r.agg(count(lit(1)).as("n"),
+            count(when(col("item_a") >= 200000L, 1)).as("g")).head()
+          (agg.getLong(0), agg.getLong(1))
+        }
+        println(f"""{"mode":"assoc_capped","n_baskets":$n,""" +
+          f""""min_support":$minSupport,"sec":$sec%.3f,""" +
+          f""""n_rules":$rules,"giant_basket_rules":$giantLeak}""")
+      case "triples_capped" =>
+        // q263 under the same binding cap: giant baskets dropped, the
+        // planted triple (1,2,3) in every 32nd basket must survive
+        val normal = spark.range(n * 8).select(
+          expr("id div 8").as("bk"),
+          when(col("id") % 256 === 0, lit(1L))
+            .when(col("id") % 256 === 1, lit(2L))
+            .when(col("id") % 256 === 2, lit(3L))
+            .otherwise((col("id") * 2654435761L) % 100000L).as("it"))
+        val giants = spark.range((n / 1000L + 1L) * 500L).select(
+          (expr("id div 500") * 1000L + n).as("bk"),
+          (col("id") % 500L + 200000L).as("it"))
+        val rows = normal.unionByName(giants)
+        val minSupport = math.max(2L, n / 1000L)
+        val ((triples, hot), sec) = time {
+          val r = Analytics.frequentTriples(rows, "bk", "it", minSupport)
+          val agg = r.agg(count(lit(1)).as("n"),
+            max(when(col("item_a") === 1L && col("item_b") === 2L &&
+              col("item_c") === 3L, col("n_abc"))).as("hot")).head()
+          (agg.getLong(0), if (agg.isNullAt(1)) -1L else agg.getLong(1))
+        }
+        println(f"""{"mode":"triples_capped","n_baskets":$n,""" +
+          f""""min_support":$minSupport,"sec":$sec%.3f,""" +
+          f""""n_triples":$triples,"hot_triple_support":$hot}""")
+      case "bootstrap" =>
+        // q252 at fan-out: B=32 Poisson replicates over n rows × 8
+        // groups — the exchange carries (group, b) partials only
+        val rows = spark.range(n).select(
+          (col("id") % 8).cast("string").as("g"),
+          col("id").as("rid"),
+          ((col("id") * 2654435761L) % 1000L).cast("double").as("v"))
+        val (nOut, sec) = time {
+          Analytics.bootstrapCi(rows, "g", "rid", col("v"), reps = 32)
+            .count()
+        }
+        println(f"""{"mode":"bootstrap","n_rows":$n,"reps":32,""" +
+          f""""sec":$sec%.3f,"rows_per_sec":${(n / sec).toLong},""" +
+          f""""n_groups_out":$nOut}""")
       case "sketch" =>
         // keyed relation with a planted mega-bucket: 1% of rows share
         // one key, the rest spread over n/10 keys — the band-relation

@@ -18,6 +18,20 @@ class VerifyContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"streaming gates missing from stateful: $missing")
   }
 
+  test("stateful groups only name stateful queries") {
+    val unknown = SparkEntry.statefulGroups.keySet
+      .diff(SparkEntry.statefulQueries)
+    assert(unknown.isEmpty, s"grouped names not stateful: $unknown")
+    // the two memoized pipelines each keep their callers in ONE group
+    SparkEntry.statefulGroupOf("q12_flow_metadata_cascade") shouldBe
+      SparkEntry.statefulGroupOf("q14_flow_events_absorbed")
+    SparkEntry.statefulGroupOf("q11_activity_import_tiers") shouldBe
+      SparkEntry.statefulGroupOf("q15_daily_devices_rollup")
+    // an unlisted stateful query is its own singleton group
+    SparkEntry.statefulGroupOf("q41_run_import_e2e") shouldBe
+      "q41_run_import_e2e"
+  }
+
   test("heavy-first hints name real PURE queries") {
     val unknown = Verify.heavyFirst.toSet.diff(SparkEntry.queries.keySet)
     assert(unknown.isEmpty, s"heavyFirst names not in queries: $unknown")
