@@ -518,6 +518,30 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
       KeyStatsMaintenance.tick(st, oldSnap, newSnap, "event_id", "user_id"))
   }
 
+  /** Reliability diagram (q270): the K52 hashed quality scorer's
+    * calibration against the lang=='en' label, 10 equal-width score
+    * bins — the audit run before trusting a score threshold. */
+  private[graft] def reliabilityQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Analytics, TextAnalysis}
+    val d = Tables.documents(s, dir)
+    val scored = TextAnalysis.hashedQualityScoreMapOnly(d, "doc_id", "text")
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    Analytics.reliabilityDiagram(scored, col("score"),
+        col("lang") === "en", nBins = 10)
+      .orderBy(col("bin"))
+  }
+
+  /** U-shaped position attribution (q271): 40/20/40 credit over the
+    * q153/q175 channel set — the attribution family's fourth member,
+    * middle-split remainder pinned to the FIRST touch. */
+  private[graft] def positionAttributionQuery(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.positionAttribution(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        conversionType = "purchase",
+        channelTypes = Seq("signup", "view", "click"))
+      .orderBy(col("channel"))
+
   /** k-anonymity audit (q179): how much of the corpus a
     * (lang, source, length-bucket) quasi-identifier tuple still
     * singles out at k = 5 — the release-gate companion to q54's PII

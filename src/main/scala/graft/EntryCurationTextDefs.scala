@@ -732,6 +732,26 @@ private[graft] trait EntryCurationTextDefs extends EntryDedupAnnDefs {
     * continuous-crawl shape: at 100 TB the index side is a persisted
     * (band, key) → id table and only the new batch computes
     * signatures. */
+  /** Blocklist term gate (q269): exact per-doc blocklist density in
+    * ppm + the gate verdict; the three terms are corpus-vocab words so
+    * the fixture exercises real hits at sf0.01. */
+  private[graft] def blocklistGateQuery(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.blocklistGate(
+        Tables.documents(s, dir), "doc_id", "text",
+        blocklist = Seq("slow", "dup", "merge"), maxHitPpm = 80000L)
+      .orderBy(col("doc_id"))
+
+  /** Conformal quality-gate calibration (q272): per-language keep-30%
+    * threshold on n_chars from the md5 calibration half, coverage
+    * audited on the evaluation half. */
+  private[graft] def conformalThresholdQuery(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.conformalThreshold(
+        Tables.documents(s, dir), "lang", "doc_id", col("n_chars"),
+        keepPpm = 300000L)
+      .orderBy(col("lang"))
+
   private[graft] def lshIncrementalProbe(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextDedup
     TextDedup.lshProbeIndex(Tables.documents(s, dir), "doc_id", "text",

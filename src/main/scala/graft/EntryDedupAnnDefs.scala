@@ -222,6 +222,23 @@ private[graft] trait EntryDedupAnnDefs extends EntryParityDefs {
       .orderBy(col("rank_micro").desc, col("doc_id"))
       .limit(100)
 
+  /** Majority label propagation (q268): semi-supervised label
+    * spreading over the verified dup graph — every 7th doc is seeded
+    * with its language, 3 synchronous rounds push labels across
+    * near-dup families (clamped seeds, count-then-label deterministic
+    * ties); the oracle unrolls the same 3 rounds over the q254 graph
+    * CTEs. */
+  private[graft] def labelPropagationQuery(
+      s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val seeds = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("lang").as("label"))
+    graft.operators.Analytics.labelPropagation(
+        verifiedDupPairs(s, dir), docs, "doc_id", seeds, iters = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding cosine near-dup pairs (brute force — correct baseline;
     * the LSH-bucketed path in q26 is the 100 TB shape). */
   private[graft] def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {

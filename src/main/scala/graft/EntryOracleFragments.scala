@@ -532,6 +532,57 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
          ORDER BY rank_micro DESC, doc_id LIMIT 100"""
   }
 
+  /** q268 oracle: the q254 verified-pair graph CTEs, then `iters`
+    * unrolled majority-label rounds mirroring
+    * Analytics.labelPropagation — clamped seeds, (count DESC, label
+    * ASC) ties, keep-previous when no labeled neighbor. */
+  private[graft] def labelPropOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"l${i - 1}"
+      s"""nb$i AS (SELECT u.src AS id, p.label, CAST(count(*) AS BIGINT) AS c
+               FROM und u JOIN $prev p ON u.dst = p.id
+               WHERE p.label IS NOT NULL GROUP BY 1, 2),
+         mj$i AS (SELECT id, label FROM (
+                  SELECT id, label,
+                         row_number() OVER (PARTITION BY id
+                           ORDER BY c DESC, label) AS rn
+                  FROM nb$i) WHERE rn = 1),
+         l$i AS (SELECT n.id,
+                        coalesce(sd.label, m.label, p.label) AS label
+                 FROM nodes n LEFT JOIN seeds sd ON n.id = sd.id
+                      LEFT JOIN mj$i m ON n.id = m.id
+                      LEFT JOIN $prev p ON n.id = p.id)"""
+    }.mkString(",\n         ")
+    s"""WITH $minHashPairsSql,
+         ws AS (SELECT doc_id,
+                       list_distinct(string_split(lower(trim(text)), ' ')) AS ws
+                FROM documents),
+         vp AS (SELECT p.a, p.b
+                FROM pairs p
+                JOIN ws wa ON wa.doc_id = p.a
+                JOIN ws wb ON wb.doc_id = p.b
+                WHERE len(list_distinct(wa.ws || wb.ws)) > 0
+                  AND CAST(len(list_intersect(wa.ws, wb.ws)) AS BIGINT)
+                        * 1000000
+                        // CAST(len(list_distinct(wa.ws || wb.ws)) AS BIGINT)
+                        >= 500000),
+         e AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+               FROM vp WHERE a <> b),
+         und AS (SELECT x AS src, y AS dst FROM e
+                 UNION ALL SELECT y, x FROM e),
+         nodes AS (SELECT doc_id AS id FROM documents),
+         seeds AS (SELECT doc_id AS id, lang AS label FROM documents
+                   WHERE doc_id % 7 = 0),
+         l0 AS (SELECT n.id, sd.label
+                FROM nodes n LEFT JOIN seeds sd ON n.id = sd.id),
+         $iterCtes
+         SELECT n.id AS doc_id, l.label,
+                (sd.id IS NOT NULL) AS is_seed
+         FROM nodes n JOIN l$iters l ON n.id = l.id
+              LEFT JOIN seeds sd ON n.id = sd.id
+         ORDER BY doc_id"""
+  }
+
   /** q256 oracle: Holt–Winters additive weekly — the q226 recursive
     * CTE carrying SEVEN seasonal slot columns, every ppm division
     * truncating toward zero (tdiv). Generated from the same

@@ -2677,5 +2677,164 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
          SELECT 'rebuilt' AS decision,
                 (SELECT md FROM mm) AS mean_d2_micro,
                 asg.id, asg.cell, cs.code_str
-         FROM asg JOIN cs USING (id) ORDER BY asg.id""")
+         FROM asg JOIN cs USING (id) ORDER BY asg.id""",
+
+    "q268_label_propagation" -> labelPropOracleSql(3),
+
+    // Blocklist gate: whitespace tokens of lower(trim(text)), exact
+    // hit density ppm, gate at 80000 ppm.
+    "q269_blocklist_gate" ->
+      """WITH t AS (SELECT doc_id,
+                           list_filter(string_split(lower(trim(text)), ' '),
+                                       x -> x <> '') AS toks
+                    FROM documents)
+         SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(toks,
+                  x -> list_contains(['slow', 'dup', 'merge'], x)))
+                  AS BIGINT) AS n_hits,
+                CAST(CASE WHEN len(toks) > 0
+                     THEN len(list_filter(toks,
+                       x -> list_contains(['slow', 'dup', 'merge'], x)))
+                       * 1000000 // len(toks)
+                     ELSE 0 END AS BIGINT) AS hit_ppm,
+                (CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks,
+                   x -> list_contains(['slow', 'dup', 'merge'], x)))
+                   * 1000000 // len(toks)
+                 ELSE 0 END) > 80000 AS blocked
+         FROM t ORDER BY doc_id""",
+
+    // Reliability diagram: the q83 hashed score per doc (n_tokens>0
+    // docs only, the scorer's contract), lang='en' label, 10
+    // equal-width bins over [min,max] (the q137 binning).
+    "q270_reliability_diagram" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         f AS (SELECT doc_id,
+                      (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024)
+                        * 2654435761 % 2001 - 1000 AS w
+               FROM t WHERE tok <> ''),
+         s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
+               FROM f GROUP BY doc_id),
+         j AS (SELECT s.score, d.lang = 'en' AS y
+               FROM s JOIN documents d USING (doc_id)),
+         mm AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+                       CAST(max(score) AS BIGINT) AS mx FROM j),
+         b AS (SELECT CASE WHEN mx = mn THEN 0
+                           ELSE least(9, (score - mn) * 10 // (mx - mn + 1))
+                      END AS bin, score, y
+               FROM j CROSS JOIN mm)
+         SELECT CAST(bin AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(CASE WHEN sum(score) >= 0
+                     THEN sum(score) // count(*)
+                     ELSE -((-sum(score)) // count(*)) END AS BIGINT)
+                  AS mean_score,
+                CAST(count(*) FILTER (WHERE y) * 1000000 // count(*)
+                  AS BIGINT) AS pos_ppm
+         FROM b GROUP BY bin ORDER BY bin""",
+
+    // U-shaped 40/20/40 attribution: first/last via the q153 string
+    // trick, middle share 200000//(k-2) with the remainder pinned to
+    // the FIRST touch.
+    "q271_position_attribution" ->
+      """WITH t AS (SELECT user_id AS u, event_type AS typ,
+                count(*) FILTER (WHERE event_type = 'signup') OVER pw AS n0,
+                count(*) FILTER (WHERE event_type = 'view') OVER pw AS n1,
+                count(*) FILTER (WHERE event_type = 'click') OVER pw AS n2,
+                min(CASE WHEN event_type IN ('signup', 'view', 'click')
+                         THEN lpad(CAST(epoch_ms(ts) AS VARCHAR), 20, '0')
+                              || '#' || event_type END) OVER pw AS firstt,
+                max(CASE WHEN event_type IN ('signup', 'view', 'click')
+                         THEN lpad(CAST(epoch_ms(ts) AS VARCHAR), 20, '0')
+                              || '#' || event_type END) OVER pw AS lastt
+              FROM events
+              WINDOW pw AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         c AS (SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+                      CAST(n2 AS BIGINT) AS n2,
+                      CAST(n0 + n1 + n2 AS BIGINT) AS k,
+                      split_part(firstt, '#', 2) AS fc,
+                      split_part(lastt, '#', 2) AS lc
+               FROM t WHERE typ = 'purchase'),
+         c2 AS (SELECT *,
+                       CASE WHEN k >= 3 THEN 200000 // (k - 2) ELSE 0 END AS m,
+                       CASE WHEN k >= 3
+                            THEN 200000 - (k - 2) * (200000 // (k - 2))
+                            ELSE 0 END AS rem
+                FROM c),
+         arms AS (
+           SELECT 'signup' AS channel, n0 AS touches,
+                  CASE WHEN k = 0 THEN 0
+                       WHEN k = 1 THEN CASE WHEN fc = 'signup' THEN 1000000 ELSE 0 END
+                       WHEN k = 2 THEN (CASE WHEN fc = 'signup' THEN 500000 ELSE 0 END)
+                                     + (CASE WHEN lc = 'signup' THEN 500000 ELSE 0 END)
+                       ELSE (CASE WHEN fc = 'signup' THEN 400000 + rem ELSE 0 END)
+                          + (CASE WHEN lc = 'signup' THEN 400000 ELSE 0 END)
+                          + (n0 - (CASE WHEN fc = 'signup' THEN 1 ELSE 0 END)
+                                - (CASE WHEN lc = 'signup' THEN 1 ELSE 0 END)) * m
+                  END AS credit FROM c2
+           UNION ALL
+           SELECT 'view', n1,
+                  CASE WHEN k = 0 THEN 0
+                       WHEN k = 1 THEN CASE WHEN fc = 'view' THEN 1000000 ELSE 0 END
+                       WHEN k = 2 THEN (CASE WHEN fc = 'view' THEN 500000 ELSE 0 END)
+                                     + (CASE WHEN lc = 'view' THEN 500000 ELSE 0 END)
+                       ELSE (CASE WHEN fc = 'view' THEN 400000 + rem ELSE 0 END)
+                          + (CASE WHEN lc = 'view' THEN 400000 ELSE 0 END)
+                          + (n1 - (CASE WHEN fc = 'view' THEN 1 ELSE 0 END)
+                                - (CASE WHEN lc = 'view' THEN 1 ELSE 0 END)) * m
+                  END FROM c2
+           UNION ALL
+           SELECT 'click', n2,
+                  CASE WHEN k = 0 THEN 0
+                       WHEN k = 1 THEN CASE WHEN fc = 'click' THEN 1000000 ELSE 0 END
+                       WHEN k = 2 THEN (CASE WHEN fc = 'click' THEN 500000 ELSE 0 END)
+                                     + (CASE WHEN lc = 'click' THEN 500000 ELSE 0 END)
+                       ELSE (CASE WHEN fc = 'click' THEN 400000 + rem ELSE 0 END)
+                          + (CASE WHEN lc = 'click' THEN 400000 ELSE 0 END)
+                          + (n2 - (CASE WHEN fc = 'click' THEN 1 ELSE 0 END)
+                                - (CASE WHEN lc = 'click' THEN 1 ELSE 0 END)) * m
+                  END FROM c2
+           UNION ALL
+           SELECT 'none', CAST(0 AS BIGINT),
+                  CASE WHEN k = 0 THEN 1000000 ELSE 0 END FROM c2)
+         SELECT channel,
+                CAST(count(*) FILTER (WHERE credit > 0) AS BIGINT)
+                  AS n_conversions,
+                CAST(sum(touches) AS BIGINT) AS touches,
+                CAST(sum(credit) AS BIGINT) AS credit_ppm
+         FROM arms GROUP BY 1
+         HAVING sum(touches) > 0 OR sum(credit) > 0
+         ORDER BY channel""",
+
+    // Conformal threshold: md5 calibration split, k-th largest
+    // calibration score per language (ties by doc_id), eval coverage.
+    "q272_conformal_threshold" ->
+      """WITH base AS (SELECT lang AS g, doc_id AS id,
+                              CAST(n_chars AS BIGINT) AS s,
+                              ('0x' || substr(md5('conf:' || CAST(doc_id AS VARCHAR)),
+                                1, 15))::BIGINT % 2 = 0 AS calib
+                       FROM documents
+                       WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         r AS (SELECT g, s,
+                      row_number() OVER (PARTITION BY g
+                        ORDER BY s DESC, id) AS rn,
+                      count(*) OVER (PARTITION BY g) AS n
+               FROM base WHERE calib),
+         th AS (SELECT g, CAST(max(n) AS BIGINT) AS n_calib,
+                       CAST(max(CASE WHEN rn = greatest(1, n * 300000 // 1000000)
+                         THEN s END) AS BIGINT) AS threshold
+                FROM r GROUP BY g),
+         ev AS (SELECT b.g, CAST(count(*) AS BIGINT) AS n_eval,
+                       CAST(count(*) FILTER (WHERE b.s >= th.threshold)
+                         AS BIGINT) AS n_kept
+                FROM base b JOIN th ON b.g = th.g
+                WHERE NOT b.calib GROUP BY b.g)
+         SELECT th.g AS lang, th.n_calib, th.threshold,
+                ev.n_eval, ev.n_kept,
+                CAST(ev.n_kept * 1000000 // greatest(ev.n_eval, 1)
+                  AS BIGINT) AS kept_ppm
+         FROM th JOIN ev ON th.g = ev.g ORDER BY lang""")
 }

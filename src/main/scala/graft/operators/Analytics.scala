@@ -3448,4 +3448,180 @@ object Analytics {
       .select(col("id"), coalesce(col("d"), lit(0L)).as("degree"),
         col("r").as("rank_micro"))
   }
+
+  /** MAJORITY LABEL PROPAGATION over an undirected pair relation —
+    * semi-supervised label SPREADING: a small seeded subset (human
+    * labels, trusted-source tags) pushes labels across the near-dup /
+    * similarity graph in `iters` synchronous rounds, the standard way
+    * a corpus gets weak labels from few annotations. Deterministic by
+    * construction: seeds are CLAMPED (never overwritten), an unseeded
+    * node takes the majority label among its LABELED neighbors from
+    * the previous round with ties broken (count DESC, label ASC), and
+    * a node with no labeled neighbor keeps its previous label (null
+    * until first reached). Fixed round count, not convergence-tested
+    * (the [[pageRank]] contract — deterministic plans).
+    *
+    * Shape at 100 TB: the edge relation materializes once
+    * (localCheckpoint DISK_ONLY) and feeds one join + one
+    * (node, label)-keyed count + one top-1 window per round; labels
+    * are the only thing that shuffles. The window partitions by node
+    * id over the per-(node, label) COUNT relation — bounded by a
+    * node's distinct neighbor labels, never its raw degree. */
+  def labelPropagation(
+      edges: DataFrame,
+      nodes: DataFrame,
+      idCol: String,
+      seeds: DataFrame, // (idCol, label)
+      iters: Int = 3,
+      srcCol: String = "a",
+      dstCol: String = "b"): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
+    require(edges.columns.contains(srcCol) && edges.columns.contains(dstCol),
+      s"labelPropagation: edges must carry '$srcCol'/'$dstCol' columns")
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val ids = nodes.select(col(idCol).as("id"))
+    val seed = seeds.select(col(idCol).as("id"), col("label").as("_seed"))
+    var lab = ids.join(seed, Seq("id"), "left")
+      .select(col("id"), col("_seed").as("label"))
+    for (i <- 1 to iters) {
+      val counts = und
+        .join(lab.select(col("id").as("dst"), col("label").as("_nl")),
+          Seq("dst"))
+        .filter(col("_nl").isNotNull)
+        .groupBy(col("src").as("id"), col("_nl"))
+        .agg(count(lit(1)).as("_c"))
+      val top = Window.partitionBy(col("id"))
+        .orderBy(col("_c").desc, col("_nl").asc)
+      val maj = counts.withColumn("_rn", row_number().over(top))
+        .filter(col("_rn") === 1)
+        .select(col("id"), col("_nl").as("_maj"))
+      lab = lab.join(maj, Seq("id"), "left")
+        .join(seed, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("_seed"), col("_maj"), col("label")).as("label"))
+      if (i % 3 == 0 && i < iters)
+        lab = lab.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+    lab.join(seed, Seq("id"), "left")
+      .select(col("id"), col("label"), col("_seed").isNotNull.as("is_seed"))
+  }
+
+  /** RELIABILITY DIAGRAM — the calibration audit for any scorer a
+    * curation gate trusts (quality scorer, toxicity model, dedup
+    * confidence): scores bin into `nBins` equal-width buckets (the
+    * [[histogram]] binning contract, exact integer) and each bucket
+    * reports its size, exact mean score and positive-label rate in
+    * ppm. A well-calibrated scorer's pos_ppm rises monotonically with
+    * the bin; a flat or folded curve means thresholds on this score
+    * are arbitrary — the check that belongs next to K198's
+    * classification report. One pass for min/max (broadcast scalar),
+    * one map-only classify + a ≤nBins rollup. */
+  def reliabilityDiagram(
+      df: DataFrame,
+      score: Column, // integer-valued
+      label: Column, // boolean
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000, s"nBins must be in [2,1e4]: $nBins")
+    val base = df.select(score.cast(LongType).as("_s"),
+        label.cast("boolean").as("_y"))
+      .filter(col("_s").isNotNull && col("_y").isNotNull)
+    val mm = base.agg(min(col("_s")).as("mn"), max(col("_s")).as("mx"))
+    base.crossJoin(broadcast(mm))
+      .select(
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            expr(s"(_s - mn) * $nBins div (mx - mn + 1)"))).as("bin"),
+        col("_s"), col("_y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_s")).as("_ss"),
+        count(when(col("_y"), 1)).as("_np"))
+      .select(col("bin"), col("n_rows"),
+        expr("_ss div n_rows").as("mean_score"),
+        expr("_np * 1000000 div n_rows").as("pos_ppm"))
+  }
+
+  /** U-SHAPED (position-based, 40/20/40) ATTRIBUTION — the third
+    * point of the attribution family next to last-touch (K122),
+    * linear (K143) and time-decay (K196): per conversion the FIRST
+    * touch gets 40%, the LAST 40%, and the middles split the
+    * remaining 20% equally — exact integer ppm with the remainder of
+    * the middle split pinned to the FIRST touch (stated; the K143
+    * remainder-to-last convention mirrored to the U-shape's
+    * first-touch emphasis). One touch → 100%; two → 50/50 by touch
+    * (a repeated channel accumulates). Zero-touch conversions credit
+    * the 'none' channel. Same-timestamp touches order by
+    * (timestamp, type) — the K122 lexicographic contract.
+    *
+    * Shape: one pass over events with three running windows (first
+    * touch, last touch, per-channel counts) — no per-conversion touch
+    * list ever materializes. */
+  def positionAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      conversionType: String,
+      channelTypes: Seq[String]): DataFrame = {
+    require(channelTypes.nonEmpty, "need at least one channel type")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_millis(col(tsCol)))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    def touchKey: Column =
+      when(col(typeCol).isin(channelTypes: _*),
+        concat(lpad(unix_millis(col(tsCol)).cast("string"), 20, "0"),
+          lit("#"), col(typeCol)))
+    val counted = channelTypes.zipWithIndex.foldLeft(
+      events.select(col(userCol), col(tsCol), col(typeCol))
+        .withColumn("_first", min(touchKey).over(w))
+        .withColumn("_last", max(touchKey).over(w))) {
+      case (d, (c, i)) =>
+        d.withColumn(s"_n$i",
+          coalesce(sum(when(col(typeCol) === c, 1L)).over(w), lit(0L)))
+    }
+    val conv = counted.filter(col(typeCol) === conversionType)
+      .withColumn("_k",
+        channelTypes.indices.map(i => col(s"_n$i")).reduce(_ + _))
+      .withColumn("_fc", substring_index(col("_first"), "#", -1))
+      .withColumn("_lc", substring_index(col("_last"), "#", -1))
+      // middle share per touch and its remainder (k >= 3 only)
+      .withColumn("_m", when(col("_k") >= 3,
+        expr("200000 div (_k - 2)")).otherwise(lit(0L)))
+      .withColumn("_rem", when(col("_k") >= 3,
+        lit(200000L) - (col("_k") - 2) * col("_m")).otherwise(lit(0L)))
+    val credited = conv.select(
+      explode(array(channelTypes.zipWithIndex.map { case (c, i) =>
+        val isF = col("_fc") === c
+        val isL = col("_lc") === c
+        val credit =
+          when(col("_k") === 0, lit(0L))
+            .when(col("_k") === 1, when(isF, lit(1000000L)).otherwise(lit(0L)))
+            .when(col("_k") === 2,
+              when(isF, lit(500000L)).otherwise(lit(0L)) +
+                when(isL, lit(500000L)).otherwise(lit(0L)))
+            .otherwise(
+              when(isF, lit(400000L) + col("_rem")).otherwise(lit(0L)) +
+                when(isL, lit(400000L)).otherwise(lit(0L)) +
+                (col(s"_n$i")
+                  - when(isF, lit(1L)).otherwise(lit(0L))
+                  - when(isL, lit(1L)).otherwise(lit(0L))) * col("_m"))
+        struct(lit(c).as("channel"), col(s"_n$i").as("touches"),
+          credit.as("credit"))
+      } :+ struct(lit("none").as("channel"), lit(0L).as("touches"),
+        when(col("_k") === 0, lit(1000000L)).otherwise(lit(0L))
+          .as("credit")): _*)).as("e"))
+      .select(col("e.channel").as("channel"), col("e.touches").as("touches"),
+        col("e.credit").as("credit"))
+    credited.groupBy(col("channel"))
+      .agg(count(when(col("credit") > 0, 1)).as("n_conversions"),
+        sum(col("touches")).as("touches"),
+        sum(col("credit")).as("credit_ppm"))
+      .filter(col("touches") > 0 || col("credit_ppm") > 0)
+  }
 }

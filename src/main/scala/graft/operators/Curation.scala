@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -866,5 +867,87 @@ object Curation {
       .select(col(idCol), col("key"), col("v"),
         greatest(col("lo"), least(col("hi"), col("v"))).as("v_clipped"),
         col("lo"), col("hi"))
+  }
+
+  /** BLOCKLIST TERM GATE — the unsafe-content screen every production
+    * curation pass runs before anything model-based: per document,
+    * the exact count and ppm density of tokens from a (small, plan-
+    * literal) blocklist, and the gate verdict at `maxHitPpm`. The
+    * blocklist folds into generated code as an array literal — one
+    * map-only pass, no join, no shuffle beyond nothing; at 100 TB
+    * this is a free rider on whatever scan reads the text anyway.
+    * Token convention: whitespace split of the lowercased trimmed
+    * text, empties dropped (the [[TextDedup.normWordSet]] family).
+    * Empty documents have density 0 and pass. */
+  def blocklistGate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blocklist: Seq[String],
+      maxHitPpm: Long): DataFrame = {
+    require(blocklist.nonEmpty, "blocklistGate needs a non-empty blocklist")
+    require(blocklist.size <= 10000,
+      s"blocklist has ${blocklist.size} terms; a list this large should " +
+        "be a broadcast-joined relation, not a plan literal")
+    require(maxHitPpm >= 0, s"maxHitPpm must be >= 0: $maxHitPpm")
+    val bl = array(blocklist.map(t => lit(t.toLowerCase)): _*)
+    val toks = filter(words(lower(trim(col(textCol)))), t => t =!= "")
+    docs.select(col(idCol),
+        size(toks).cast(LongType).as("n_tokens"),
+        size(filter(toks, t => array_contains(bl, t))).cast(LongType)
+          .as("n_hits"))
+      .select(col(idCol), col("n_tokens"), col("n_hits"),
+        when(col("n_tokens") > 0,
+          expr("n_hits * 1000000 div n_tokens")).otherwise(lit(0L))
+          .as("hit_ppm"))
+      .withColumn("blocked", col("hit_ppm") > maxHitPpm)
+  }
+
+  /** CONFORMAL QUALITY-GATE CALIBRATION — turn "keep the best X% by
+    * this score" into a NUMERIC threshold with a measured coverage
+    * audit, the way a production gate is actually deployed (the
+    * threshold ships; the percentile doesn't). Rows split
+    * deterministically into a calibration half and an evaluation half
+    * (md5 of the id — the q51 sampler convention); per group the
+    * threshold is the k-th LARGEST calibration score with
+    * k = max(1, n_calib·keepPpm div 10⁶) (an exact order statistic,
+    * ties by id), and the evaluation half reports realized coverage
+    * of `score >= threshold` — which can exceed the target when the
+    * threshold value is tied (stated; the audit is the point).
+    *
+    * Shape at 100 TB: one row_number window per group over the
+    * calibration half (the K149 equi-depth discipline: windows over
+    * per-group SCORES, never a global sort), thresholds are a
+    * groups-sized relation broadcast back, the audit is one rollup. */
+  def conformalThreshold(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      score: Column,
+      keepPpm: Long): DataFrame = {
+    require(keepPpm >= 1 && keepPpm <= 1000000,
+      s"keepPpm must be in [1, 1e6]: $keepPpm")
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("_id"),
+        score.cast(LongType).as("_s"))
+      .filter(col("g").isNotNull && col("_s").isNotNull)
+      .withColumn("_calib",
+        md5Hash60(concat(lit("conf:"), col("_id").cast("string"))) % 2 === 0)
+    val calib = base.filter(col("_calib"))
+    val wg = Window.partitionBy(col("g"))
+      .orderBy(col("_s").desc, col("_id").asc)
+    val ranked = calib.withColumn("_rn", row_number().over(wg))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("g"))))
+    val thresholds = ranked
+      .filter(col("_rn") ===
+        greatest(lit(1L), expr(s"_n * $keepPpm div 1000000")))
+      .select(col("g"), col("_n").as("n_calib"), col("_s").as("threshold"))
+    val eval = base.filter(!col("_calib"))
+      .join(thresholds, Seq("g"))
+      .groupBy(col("g"), col("n_calib"), col("threshold"))
+      .agg(count(lit(1)).as("n_eval"),
+        count(when(col("_s") >= col("threshold"), 1)).as("n_kept"))
+    eval.select(col("g").as(groupCol), col("n_calib"), col("threshold"),
+      col("n_eval"), col("n_kept"),
+      expr("n_kept * 1000000 div greatest(n_eval, 1)").as("kept_ppm"))
   }
 }
