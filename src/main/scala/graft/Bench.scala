@@ -203,7 +203,9 @@ object Bench {
       s""""s8_start_sec":${jnum(s.startSec)},"s8_end_sec":${jnum(s.endSec)},""" +
         s""""load1":${jnum(s.load1)},"cores":${s.cores},"""
     }.getOrElse("")
-    val summary = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+    // no "sf" field: the driver's artifact records sf at its own top
+    // level, and every tail byte here competes with the streaming line
+    val summary = s"""{"metric":"total","unit":"sec",""" +
       s""""repeats":$repeats,"errors_n":${results.count(_._2.isLeft)},""" +
       sent +
       s""""shared8_sec":${jnum(shared8)},"top10_sec":$top10,""" +

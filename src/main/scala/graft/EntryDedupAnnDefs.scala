@@ -364,6 +364,33 @@ private[graft] trait EntryDedupAnnDefs extends EntryParityDefs {
       .orderBy(col("doc_id"))
   }
 
+  /** Snapshot-table lifecycle (q273): the manifest-pointer commit
+    * protocol end to end — v1 publishes every day of events, v2
+    * transactionally overwrites the trailing 10 days with an
+    * evens-only rebuild (unchanged days carry forward BY REFERENCE,
+    * no rewrite), vacuum drops the superseded manifest, and the final
+    * read must equal the oracle's direct CASE over the source — the
+    * multi-partition-overwrite gate clear-day-then-insert can't give
+    * (round-12 missing-item #4). */
+  private[graft] def snapshotTableQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.store.SnapshotTable
+    import graft.util.TmpDirs
+    val root = TmpDirs.fresh("q273_snap")
+    val t = new SnapshotTable(root)
+    val ev = Tables.events(s, dir).withColumn("day", dayOf(col("ts")))
+    t.commitDays(s, ev)
+    val maxDay = ev.agg(max(col("day"))).head().getDate(0).toLocalDate
+    val cutoff = java.sql.Date.valueOf(maxDay.minusDays(9))
+    t.commitDays(s,
+      ev.filter(col("day") > lit(cutoff) && col("event_id") % 2 === 0))
+    t.vacuum(s): Unit
+    t.read(s)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_ids"))
+      .orderBy(col("day"))
+  }
+
   /** PNG decode features (q265): the first COMPRESSED-codec modality —
     * every document's payload becomes a real zlib-backed PNG (two IDAT
     * chunks, all five scanline filters row-round-robin) and the

@@ -2836,5 +2836,18 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                 ev.n_eval, ev.n_kept,
                 CAST(ev.n_kept * 1000000 // greatest(ev.n_eval, 1)
                   AS BIGINT) AS kept_ppm
-         FROM th JOIN ev ON th.g = ev.g ORDER BY lang""")
+         FROM th JOIN ev ON th.g = ev.g ORDER BY lang""",
+
+    // Snapshot table: after v2 overwrites the trailing 10 days with
+    // evens-only, the survivors are (old days: everything) UNION
+    // (late days: even event_ids) — recomputed directly.
+    "q273_snapshot_table" ->
+      """WITH e AS (SELECT ts::DATE AS day, event_id FROM events),
+         mx AS (SELECT MAX(day) AS m FROM e)
+         SELECT CAST(day AS VARCHAR) AS day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(event_id) AS BIGINT) AS sum_ids
+         FROM e CROSS JOIN mx
+         WHERE day <= m - INTERVAL 9 DAY OR event_id % 2 = 0
+         GROUP BY 1 ORDER BY 1""")
 }

@@ -1,0 +1,88 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.util.TmpDirs
+
+/** The manifest-pointer commit protocol: snapshot isolation across a
+  * MULTI-day overwrite, the crash window between data-write and
+  * publish, carry-forward by reference, optimistic concurrency, and
+  * vacuum scope. */
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(tag: String) =
+    new SnapshotTable(TmpDirs.fresh(s"snaptab_$tag"))
+
+  private def days(n: Int, mark: String) =
+    (1 to n).flatMap(d => (1 to 3).map(i =>
+      (f"2024-02-$d%02d", d.toLong * 10 + i, mark)))
+      .toDF("day", "event_id", "mark")
+
+  test("commit + read round trip; multi-day overwrite is all-or-nothing visible") {
+    val t = mkTable("rt")
+    t.commitDays(spark, days(4, "v1")) shouldBe 1
+    t.read(spark).count() shouldBe 12
+    // overwrite days 3-4 with a single-row-per-day v2
+    val v2 = Seq(("2024-02-03", 999L, "v2"), ("2024-02-04", 998L, "v2"))
+      .toDF("day", "event_id", "mark")
+    t.commitDays(spark, v2) shouldBe 2
+    val got = t.read(spark).groupBy(col("day")).agg(count(lit(1)).as("n"),
+        max(col("mark")).as("m"))
+      .orderBy(col("day")).as[(String, Long, String)].collect()
+    got shouldBe Array(("2024-02-01", 3L, "v1"), ("2024-02-02", 3L, "v1"),
+      ("2024-02-03", 1L, "v2"), ("2024-02-04", 1L, "v2"))
+  }
+
+  test("crash between data-write and publish: readers see the OLD state in full") {
+    val t = mkTable("crash")
+    t.commitDays(spark, days(3, "v1"))
+    // the crash window: v2 files fully written, manifest never published
+    val (v2, mapping) = t.stageDays(spark,
+      Seq(("2024-02-02", 7L, "v2")).toDF("day", "event_id", "mark"))
+    v2 shouldBe 2
+    t.read(spark).filter(col("mark") === "v2").count() shouldBe 0
+    t.current(spark).get._1 shouldBe 1
+    // the producing job re-runs: re-stage + publish converges
+    val (v2b, mapping2) = t.stageDays(spark,
+      Seq(("2024-02-02", 7L, "v2")).toDF("day", "event_id", "mark"))
+    v2b shouldBe 2
+    t.publish(spark, v2b, mapping2)
+    t.read(spark).filter(col("mark") === "v2").count() shouldBe 1
+    mapping.keySet shouldBe mapping2.keySet
+  }
+
+  test("publishing the same version twice fails loudly (optimistic concurrency)") {
+    val t = mkTable("race")
+    t.commitDays(spark, days(1, "v1"))
+    val (v, m) = t.stageDays(spark, days(1, "v2a"))
+    t.publish(spark, v, m)
+    intercept[java.io.IOException] {
+      t.publish(spark, v, m)
+    }.getMessage should include("lost the race")
+  }
+
+  test("vacuum drops only unreferenced versions and stale manifests") {
+    val t = mkTable("vac")
+    t.commitDays(spark, days(2, "v1"))
+    // v2 overwrites EVERYTHING -> v1 dirs become unreferenced
+    t.commitDays(spark, days(2, "v2"))
+    t.vacuum(spark) shouldBe 2L // the v1 dir + manifest-000001
+    t.read(spark).select(max(col("mark"))).as[String].head() shouldBe "v2"
+    // partial overwrite keeps the still-referenced older version dir
+    val t2 = mkTable("vac2")
+    t2.commitDays(spark, days(2, "v1"))
+    t2.commitDays(spark,
+      Seq(("2024-02-02", 5L, "v2")).toDF("day", "event_id", "mark"))
+    t2.vacuum(spark) shouldBe 1L // only manifest-000001; v1 still referenced
+    t2.read(spark).count() shouldBe 4
+  }
+
+  test("empty commit fails fast") {
+    val t = mkTable("empty")
+    intercept[IllegalArgumentException] {
+      t.commitDays(spark, days(1, "x").filter(col("event_id") < 0))
+    }.getMessage should include("no rows")
+  }
+}
