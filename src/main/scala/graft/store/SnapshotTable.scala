@@ -74,6 +74,20 @@ class SnapshotTable(root: String, dayCol: String = "day") {
     spark.read.parquet(paths: _*)
   }
 
+  /** Manifest-driven partition pruning — the metadata skip that makes
+    * the pointer design pay at read time too: a day-bounded read
+    * touches ONLY the requested days' directories (no listing, no
+    * footer reads for anything else; `inputFiles`-asserted in the
+    * spec). Unknown days are simply absent — same semantics as a
+    * partition-pruned scan. */
+  def readDays(spark: SparkSession, days: Seq[String]): DataFrame = {
+    val (_, mapping) = current(spark).getOrElse(
+      throw new IllegalStateException(s"SnapshotTable $root: no manifest"))
+    val paths = days.distinct.sorted.flatMap(mapping.get).map(rel => s"$root/$rel")
+    if (paths.isEmpty) read(spark).limit(0)
+    else spark.read.parquet(paths: _*)
+  }
+
   /** Write the affected days' files for the NEXT version WITHOUT
     * publishing — the commit's first half, exposed separately so the
     * crash window between data-write and publish is testable. Returns

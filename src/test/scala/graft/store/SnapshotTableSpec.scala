@@ -79,6 +79,20 @@ class SnapshotTableSpec extends SparkSpec {
     t2.read(spark).count() shouldBe 4
   }
 
+  test("readDays prunes to the requested days' files via the manifest") {
+    val t = mkTable("prune")
+    t.commitDays(spark, days(4, "v1"))
+    val one = t.readDays(spark, Seq("2024-02-02"))
+    one.count() shouldBe 3
+    // the scan touches ONLY that day's directory — metadata pruning,
+    // not a filter over the full listing
+    val files = one.inputFiles
+    files should not be empty
+    all(files) should include("day=2024-02-02")
+    // unknown days are absent, empty result keeps the schema
+    t.readDays(spark, Seq("2030-01-01")).count() shouldBe 0
+  }
+
   test("empty commit fails fast") {
     val t = mkTable("empty")
     intercept[IllegalArgumentException] {
