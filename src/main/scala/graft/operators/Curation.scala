@@ -915,10 +915,16 @@ object Curation {
     * of `score >= threshold` — which can exceed the target when the
     * threshold value is tied (stated; the audit is the point).
     *
-    * Shape at 100 TB: one row_number window per group over the
-    * calibration half (the K149 equi-depth discipline: windows over
-    * per-group SCORES, never a global sort), thresholds are a
-    * groups-sized relation broadcast back, the audit is one rollup. */
+    * Shape at 100 TB: the calibration half collapses to a per-(group,
+    * score) COUNT relation in one shuffle (map-side partials), and the
+    * order-statistic threshold comes from a descending cumulative
+    * window over THAT — the K149 equi-depth discipline: windows over
+    * per-group score SUPPORT, never per-group rows, so no task ever
+    * sorts a group's corpus. The k-th-largest ROW value and the first
+    * score whose descending cumulative count reaches k are the same
+    * number, so the histogram form is output-identical to a
+    * row_number rank. Thresholds are a groups-sized relation
+    * broadcast back; the audit is one rollup. */
   def conformalThreshold(
       df: DataFrame,
       groupCol: String,
@@ -932,14 +938,18 @@ object Curation {
       .filter(col("g").isNotNull && col("_s").isNotNull)
       .withColumn("_calib",
         md5Hash60(concat(lit("conf:"), col("_id").cast("string"))) % 2 === 0)
-    val calib = base.filter(col("_calib"))
-    val wg = Window.partitionBy(col("g"))
-      .orderBy(col("_s").desc, col("_id").asc)
-    val ranked = calib.withColumn("_rn", row_number().over(wg))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("g"))))
-    val thresholds = ranked
-      .filter(col("_rn") ===
-        greatest(lit(1L), expr(s"_n * $keepPpm div 1000000")))
+    val hist = base.filter(col("_calib"))
+      .groupBy(col("g"), col("_s"))
+      .agg(count(lit(1)).as("_c"))
+    val cumW = Window.partitionBy(col("g")).orderBy(col("_s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val thresholds = hist
+      .withColumn("_cum", sum(col("_c")).over(cumW))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col("g"))))
+      .withColumn("_k", greatest(lit(1L), expr(s"_n * $keepPpm div 1000000")))
+      // first (largest) score whose descending cumulative count reaches
+      // k = the k-th largest row value
+      .filter(col("_cum") >= col("_k") && col("_cum") - col("_c") < col("_k"))
       .select(col("g"), col("_n").as("n_calib"), col("_s").as("threshold"))
     val eval = base.filter(!col("_calib"))
       .join(thresholds, Seq("g"))
