@@ -542,6 +542,32 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
         channelTypes = Seq("signup", "view", "click"))
       .orderBy(col("channel"))
 
+  /** PSI drift (q274): the K52 hashed quality score over the q141/q242
+    * old/new snapshot pair — the baseline snapshot fixes the 10-bin
+    * grid, the patched snapshot's scores clamp into it, per-bin PSI
+    * terms in exact micro units. */
+  private[graft] def psiDriftQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Analytics, TextAnalysis}
+    val (o, n) = cardSnapshotFixture(s, dir)
+    val so = TextAnalysis.hashedQualityScoreMapOnly(o, "doc_id", "text")
+      .select(lit("base").as("snap"), col("score"))
+    val sn = TextAnalysis.hashedQualityScoreMapOnly(n, "doc_id", "text")
+      .select(lit("cur").as("snap"), col("score"))
+    Analytics.psiDrift(so.unionByName(sn), "snap", col("score"),
+        baseline = "base", current = "cur", nBins = 10)
+      .orderBy(col("bin"))
+  }
+
+  /** Exact trimmed mean (q275): 5%-each-side robust price mean per
+    * return flag, histogram-order-statistic form — the partial
+    * boundary-class take makes it row-trim-exact. */
+  private[graft] def trimmedMeanQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.trimmedMean(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
+        "l_returnflag", col("cents"), trimPpm = 50000L)
+      .orderBy(col("l_returnflag"))
+
   /** k-anonymity audit (q179): how much of the corpus a
     * (lang, source, length-bucket) quasi-identifier tuple still
     * singles out at k = 5 — the release-gate companion to q54's PII

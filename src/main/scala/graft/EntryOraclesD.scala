@@ -2849,5 +2849,84 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                 CAST(sum(event_id) AS BIGINT) AS sum_ids
          FROM e CROSS JOIN mx
          WHERE day <= m - INTERVAL 9 DAY OR event_id % 2 = 0
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+
+    // PSI: q83 hashed scores over both snapshots, baseline-fixed
+    // 10-bin grid with edge clamps, add-one smoothing, one-ln
+    // micro-nat terms. The sign-matched (diff x ln) product is >= 0,
+    // so // and div agree on every term.
+    "q274_psi_drift" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3),
+         nw AS (SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 5 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 10 <> 7),
+         so AS (SELECT 'base' AS snap, doc_id,
+                       unnest(string_split(text, ' ')) AS tok FROM o
+                UNION ALL
+                SELECT 'cur', doc_id, unnest(string_split(text, ' ')) FROM nw),
+         f AS (SELECT snap, doc_id,
+                      (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024)
+                        * 2654435761 % 2001 - 1000 AS w
+               FROM so WHERE tok <> ''),
+         sc AS (SELECT snap, doc_id, CAST(sum(w) AS BIGINT) AS s
+                FROM f GROUP BY 1, 2),
+         mm AS (SELECT CAST(min(s) AS BIGINT) AS mn,
+                       CAST(max(s) AS BIGINT) AS mx
+                FROM sc WHERE snap = 'base'),
+         b AS (SELECT snap,
+                      CASE WHEN mx = mn THEN 0
+                           ELSE greatest(0, least(9,
+                             (s - mn) * 10 // (mx - mn + 1))) END AS bin
+               FROM sc CROSS JOIN mm),
+         c AS (SELECT bin,
+                      count(*) FILTER (WHERE snap = 'base') AS nb,
+                      count(*) FILTER (WHERE snap = 'cur') AS nc
+               FROM b GROUP BY 1),
+         t AS (SELECT CAST(sum(nb) AS BIGINT) AS tb,
+                      CAST(sum(nc) AS BIGINT) AS tc FROM c),
+         r AS (SELECT bin, nb, nc,
+                      CAST((nb + 1) * 1000000 // (tb + 10) AS BIGINT) AS pb,
+                      CAST((nc + 1) * 1000000 // (tc + 10) AS BIGINT) AS pc,
+                      CAST(round(ln(CAST((nc + 1) * (tb + 10) AS DOUBLE)
+                                  / CAST((nb + 1) * (tc + 10) AS DOUBLE))
+                                 * 1e6) AS BIGINT) AS lr
+               FROM c CROSS JOIN t)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(nb AS BIGINT) AS n_base,
+                CAST(nc AS BIGINT) AS n_cur,
+                pb AS p_base_ppm, pc AS p_cur_ppm,
+                CAST((pc - pb) * lr // 1000000 AS BIGINT) AS term_micro
+         FROM r ORDER BY bin""",
+
+    // Trimmed mean: per-(flag, cents) histogram, ascending/descending
+    // cumulative cut masses with a partial boundary-class take; all
+    // values nonnegative so // and div agree.
+    "q275_trimmed_mean" ->
+      """WITH q AS (SELECT l_returnflag AS g,
+                           CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                    FROM lineitem),
+         h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY 1, 2),
+         e AS (SELECT g, v, c,
+                      sum(c) OVER (PARTITION BY g ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                      sum(c) OVER (PARTITION BY g) AS n,
+                      sum(c * v) OVER (PARTITION BY g) AS sv
+               FROM h),
+         e2 AS (SELECT *, n * 50000 // 1000000 AS k FROM e),
+         e3 AS (SELECT g, n, sv, k, v,
+                       least(c, greatest(0, k - (cum - c))) AS lo,
+                       least(c, greatest(0, k - (n - cum))) AS hi
+                FROM e2),
+         a AS (SELECT g, CAST(max(n) AS BIGINT) AS n_rows,
+                      CAST(max(k) AS BIGINT) AS n_trimmed_each,
+                      CAST(max(sv) AS BIGINT) AS svm,
+                      CAST(sum(lo * v) AS BIGINT) AS losum,
+                      CAST(sum(hi * v) AS BIGINT) AS hisum
+               FROM e3 GROUP BY g)
+         SELECT g AS l_returnflag, n_rows, n_trimmed_each,
+                CAST((svm - losum - hisum)
+                     // (n_rows - 2 * n_trimmed_each) AS BIGINT)
+                  AS trimmed_mean,
+                CAST(svm // n_rows AS BIGINT) AS plain_mean
+         FROM a ORDER BY 1""")
 }

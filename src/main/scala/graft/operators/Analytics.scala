@@ -3449,6 +3449,111 @@ object Analytics {
         col("r").as("rank_micro"))
   }
 
+  /** POPULATION STABILITY INDEX — the deployed-scorer drift metric
+    * next to [[ksDrift]] (ordered two-sample) and [[klDivergence]]
+    * (categorical): the BASELINE slice's [min,max] fixes `nBins`
+    * equal-width bins (the binning that shipped with the model — the
+    * point of PSI is that the bins do NOT re-fit), the current slice
+    * clamps into the edge bins, and each bin contributes
+    * `(p_cur − p_base)·ln(p_cur/p_base)`. Counts are add-one smoothed
+    * over the bin space (stated — PSI's standard guard against empty
+    * bins; unlike KL the caller expects a finite number here).
+    *
+    * Cross-engine arithmetic (the q67/q211 convention): shares as
+    * exact ppm of the smoothed totals, the log ratio as ONE libm ln
+    * of an exact-long ratio rounded to micro-nats, the term as
+    * `(ppm diff)·(micro ln) div 10⁶` — an exact integer in
+    * micro-PSI units; Σ term_micro over bins is the PSI reading
+    * (<10⁴ stable, >2.5·10⁵ action — the industry rule of thumb,
+    * scaled). Shape: one pass for the baseline min/max, one map-only
+    * classify + a ≤nBins rollup. */
+  def psiDrift(
+      df: DataFrame,
+      groupCol: String,
+      score: Column,
+      baseline: String,
+      current: String,
+      nBins: Int = 10): DataFrame = {
+    require(baseline != current, "PSI needs two distinct slices")
+    require(nBins >= 2 && nBins <= 10000, s"nBins must be in [2,1e4]: $nBins")
+    val q = df.select(col(groupCol).cast("string").as("g"),
+        score.cast(LongType).as("_s"))
+      .filter(col("_s").isNotNull && col("g").isin(baseline, current))
+    val mm = q.filter(col("g") === baseline)
+      .agg(min(col("_s")).as("mn"), max(col("_s")).as("mx"))
+    val binned = q.crossJoin(broadcast(mm))
+      .select(col("g"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(greatest(lit(0L), least(lit(nBins - 1L),
+            expr(s"(_s - mn) * $nBins div (mx - mn + 1)")))).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(when(col("g") === baseline, 1)).as("n_base"),
+        count(when(col("g") === current, 1)).as("n_cur"))
+    val tot = binned.agg(coalesce(sum(col("n_base")), lit(0L)).as("tb"),
+      coalesce(sum(col("n_cur")), lit(0L)).as("tc"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        expr(s"(n_base + 1) * 1000000 div (tb + $nBins)").as("p_base_ppm"),
+        expr(s"(n_cur + 1) * 1000000 div (tc + $nBins)").as("p_cur_ppm"),
+        round(log(((col("n_cur") + 1) * (col("tb") + nBins)).cast("double") /
+            ((col("n_base") + 1) * (col("tc") + nBins)).cast("double")) * 1e6)
+          .cast(LongType).as("_lr"))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        col("p_base_ppm"), col("p_cur_ppm"),
+        expr("(p_cur_ppm - p_base_ppm) * _lr div 1000000").as("term_micro"))
+  }
+
+  /** EXACT TRIMMED MEAN per group — the robust KPI next to
+    * [[madOutliers]] and `Curation.winsorize`: drop the lowest and
+    * highest `trimPpm` of ROWS per group (k = n·trim div 10⁶ each
+    * side, an exact count) and average the remainder — but computed
+    * from the per-(group, value) COUNT relation, never a per-row
+    * sort: the cut masses come from cumulative windows over the
+    * value support, with the boundary value class taken PARTIALLY
+    * (exactly the rows a row-ranked trim would drop). Integer
+    * division truncates toward zero — the fixture keeps values
+    * nonnegative, and signed callers get the stated q252 sign-split
+    * in their oracle. Fails fast when trimming would eat the whole
+    * group. Output: group, n_rows, n_trimmed_each, trimmed_mean,
+    * plain_mean. */
+  def trimmedMean(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      trimPpm: Long): DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000,
+      s"trimPpm must be in [0, 5e5): $trimPpm")
+    val q = df.select(col(groupCol).cast("string").as("g"),
+        value.cast(LongType).as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val h = q.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val asc = Window.partitionBy(col("g")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy(col("g"))
+    val e = h
+      .withColumn("_cum", sum(col("c")).over(asc))
+      .withColumn("_n", sum(col("c")).over(all))
+      .withColumn("_sv", sum(col("c") * col("v")).over(all))
+      .withColumn("_k", expr(s"_n * $trimPpm div 1000000"))
+      .withColumn("_lo",
+        least(col("c"), greatest(lit(0L), col("_k") - (col("_cum") - col("c")))))
+      .withColumn("_hi",
+        least(col("c"), greatest(lit(0L), col("_k") - (col("_n") - col("_cum")))))
+    e.groupBy(col("g"))
+      .agg(max(col("_n")).as("n_rows"), max(col("_k")).as("n_trimmed_each"),
+        max(col("_sv")).as("_svm"),
+        sum(col("_lo") * col("v")).as("_losum"),
+        sum(col("_hi") * col("v")).as("_hisum"))
+      .select(col("g").as(groupCol), col("n_rows"), col("n_trimmed_each"),
+        when(col("n_rows") - col("n_trimmed_each") * 2 <= 0,
+          raise_error(lit("trimmedMean: trim eats the whole group — " +
+            "lower trimPpm or drop the group")))
+          .otherwise(expr(
+            "(_svm - _losum - _hisum) div (n_rows - 2 * n_trimmed_each)"))
+          .as("trimmed_mean"),
+        expr("_svm div n_rows").as("plain_mean"))
+  }
+
   /** MAJORITY LABEL PROPAGATION over an undirected pair relation —
     * semi-supervised label SPREADING: a small seeded subset (human
     * labels, trusted-source tags) pushes labels across the near-dup /

@@ -110,6 +110,44 @@ class Round13OpsSpec extends SparkSpec {
     out.map(_._4).sum shouldBe 1000000L
   }
 
+  test("psiDrift: identical slices read zero, shifts read positive, " +
+      "out-of-range scores clamp to edge bins") {
+    val same = (1L to 100L).flatMap(s => Seq(("base", s), ("cur", s)))
+      .toDF("snap", "s")
+    val zero = Analytics.psiDrift(same, "snap", col("s"), "base", "cur", 5)
+      .agg(sum(col("term_micro"))).as[Long].head()
+    zero shouldBe 0L
+    // current shifted up by 60: mass moves to upper bins, PSI > 0,
+    // and scores past the baseline max land in the LAST bin
+    val shifted = (1L to 100L).map(s => ("base", s)) ++
+      (1L to 100L).map(s => ("cur", s + 60L))
+    val out = Analytics.psiDrift(shifted.toDF("snap", "s"), "snap",
+        col("s"), "base", "cur", 5)
+      .orderBy(col("bin"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    out.map(_._6).sum should be > 0L
+    out.map(_._1) shouldBe Array(0L, 1L, 2L, 3L, 4L)
+    // bins cover 1..100 in fives of 20; cur = 61..160: bin 3 takes
+    // 61..80 (20 rows), bin 4 takes 81..100 native (20) plus 101..160
+    // CLAMPED (60) = 80 rows
+    out(3)._3 shouldBe 20L
+    out.last._3 shouldBe 80L
+  }
+
+  test("trimmedMean: exact row-trim semantics incl. partial boundary class") {
+    val df = (1L to 10L).map(v => ("g", v)).toDF("grp", "v")
+    val out = Analytics.trimmedMean(df, "grp", col("v"), trimPpm = 200000L)
+      .as[(String, Long, Long, Long, Long)].head()
+    // k = 2: drop {1,2} and {9,10}; mean(3..8) = 33 div 6 = 5; plain 5
+    out shouldBe (("g", 10L, 2L, 5L, 5L))
+    // partial boundary: [1, 5, 5, 5, 5], 20% -> k = 1: drop the 1 and
+    // ONE of the 5s; kept 3 x 5
+    val part = Seq(1L, 5L, 5L, 5L, 5L).map(v => ("g", v)).toDF("grp", "v")
+    Analytics.trimmedMean(part, "grp", col("v"), 200000L)
+      .as[(String, Long, Long, Long, Long)].head() shouldBe
+      (("g", 5L, 1L, 5L, 4L))
+  }
+
   test("conformalThreshold: k-th largest calibration score, eval coverage") {
     // one group, scores = id so the order statistic is transparent
     val df = (1L to 40L).map(i => ("g", i, i)).toDF("grp", "id", "s")
