@@ -558,6 +558,79 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
       .orderBy(col("bin"))
   }
 
+  /** Shared preference-match fixture for q277/q278: per (user, day),
+    * every unordered event-type pair with UNEQUAL counts yields one
+    * match won by the more-frequent type — a deterministic stand-in
+    * for pairwise model comparisons, derived with one count rollup
+    * and a (user, day)-keyed self-join whose per-group fan-out is
+    * bounded by the 5-type enum (≤ 10 pairs). */
+  private[graft] def eventPreferenceMatches(
+      s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .groupBy(col("user_id"), dayOf(col("ts")).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val a = c.select(col("user_id"), col("day"),
+      col("event_type").as("ta"), col("c").as("ca"))
+    val b = c.select(col("user_id"), col("day"),
+      col("event_type").as("tb"), col("c").as("cb"))
+    a.join(b, Seq("user_id", "day"))
+      .filter(col("ta") < col("tb") && col("ca") =!= col("cb"))
+      .select(
+        when(col("ca") > col("cb"), col("ta")).otherwise(col("tb"))
+          .as("winner"),
+        when(col("ca") > col("cb"), col("tb")).otherwise(col("ta"))
+          .as("loser"))
+  }
+
+  /** Cohen's kappa (q276): chance-corrected agreement between two
+    * deterministic document raters — the K52 hashed quality score in
+    * 3 classes vs a raw-length tercile rule. Near-independent raters,
+    * so the gate exercises the chance correction, not just p_o. */
+  private[graft] def cohenKappaQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Analytics, TextAnalysis}
+    val docs = Tables.documents(s, dir)
+    val scored = TextAnalysis
+      .hashedQualityScoreMapOnly(docs, "doc_id", "text")
+      .select(col("doc_id"), col("score"))
+    val j = docs.select(col("doc_id"), length(col("text")).as("len"))
+      .join(scored, Seq("doc_id"))
+    Analytics.cohenKappa(j,
+      when(col("score") < 0, "low").when(col("score") < 2000, "mid")
+        .otherwise("high"),
+      when(col("len") < 200, "low").when(col("len") < 400, "mid")
+        .otherwise("high"))
+  }
+
+  /** Bradley–Terry strengths (q277): MM-fit preference strengths over
+    * the event-type match fixture, 4 unrolled rounds, exact µ-units —
+    * the oracle repeats every round as its own CTE. */
+  private[graft] def bradleyTerryQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.bradleyTerry(
+        eventPreferenceMatches(s, dir), "winner", "loser", iters = 4)
+      .orderBy(col("item"))
+
+  /** Win-rate matrix (q278): per event-type pair, the lesser item's
+    * exact win share plus Wilson 95% bounds — the eval sheet read
+    * next to q277's fitted strengths. */
+  private[graft] def winRateMatrixQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.winRateMatrix(
+        eventPreferenceMatches(s, dir), "winner", "loser")
+      .orderBy(col("item_a"), col("item_b"))
+
+  /** Preference pairs (q279): DPO-style chosen/rejected assembly —
+    * 25-doc prompt groups over the hashed quality score, margin ≥ 500,
+    * smallest-id ties on both sides. */
+  private[graft] def preferencePairsQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, TextAnalysis}
+    val scored = TextAnalysis
+      .hashedQualityScoreMapOnly(Tables.documents(s, dir), "doc_id", "text")
+      .withColumn("prompt", expr("doc_id div 25"))
+    Curation.preferencePairs(scored, "prompt", "doc_id", col("score"),
+        minMargin = 500L)
+      .orderBy(col("prompt"))
+  }
+
   /** Exact trimmed mean (q275): 5%-each-side robust price mean per
     * return flag, histogram-order-statistic form — the partial
     * boundary-class take makes it row-trim-exact. */

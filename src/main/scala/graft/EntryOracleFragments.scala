@@ -47,9 +47,11 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
                    FROM $prev),
          pr$i AS (SELECT tk[j] AS l, tk[j + 1] AS r, CAST(sum(n) AS BIGINT) AS np
                   FROM tk$i, UNNEST(range(1, len(tk))) AS u(j) GROUP BY 1, 2),
-         m$i AS (SELECT CAST($i AS BIGINT) AS mrank, l, r, np
+         m$i AS MATERIALIZED (
+                 SELECT CAST($i AS BIGINT) AS mrank, l, r, np
                  FROM pr$i ORDER BY np DESC, l, r LIMIT 1),
-         r$i AS (SELECT replace(enc, chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+         r$i AS MATERIALIZED (
+                 SELECT replace(enc, chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
                                 chr(1) || m.l || m.r || chr(1)) AS enc, n
                  FROM $prev, m$i m)"""
     }
@@ -124,7 +126,7 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
   private[graft] def lshBandsSqlOverShingles(
       wCte: String, numHashes: Int = 64, rowsPerBand: Int = 16): String =
     s"""w AS ($wCte),
-       hb AS (SELECT doc_id,
+       hb AS MATERIALIZED (SELECT doc_id,
                      ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS h
               FROM w),
        hs AS (SELECT doc_id, c.i AS i,
@@ -133,11 +135,11 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
               GROUP BY doc_id, c.i),
        sk AS (SELECT doc_id, md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS setkey
               FROM (SELECT DISTINCT doc_id, h FROM hb) GROUP BY doc_id),
-       bands AS (SELECT doc_id, i // $rowsPerBand AS band,
+       bands AS MATERIALIZED (SELECT doc_id, i // $rowsPerBand AS band,
                         string_agg(CAST(sig AS VARCHAR), '|' ORDER BY i) AS key
                  FROM hs GROUP BY doc_id, (i // $rowsPerBand)),
        bsz AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key),
-       rb AS (SELECT b.doc_id, b.band,
+       rb AS MATERIALIZED (SELECT b.doc_id, b.band,
                      CASE WHEN s.n <= 100 THEN b.key
                           ELSE b.key || '!' || k.setkey END AS key
               FROM bands b JOIN bsz s USING (band, key) JOIN sk k USING (doc_id))"""
@@ -150,7 +152,7 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
       wCte: String, numHashes: Int = 64, rowsPerBand: Int = 16,
       degreeCap: Int = 100): String =
     s"""${lshBandsSqlOverShingles(wCte, numHashes, rowsPerBand)},
-       rrk AS (SELECT doc_id, band, key,
+       rrk AS MATERIALIZED (SELECT doc_id, band, key,
                       row_number() OVER (PARTITION BY band, key
                                          ORDER BY doc_id) AS r
                FROM rb),
@@ -207,7 +209,7 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
                     FOR i IN generate_series(1, length(ls))]) AS vs
                  FROM l),
          lv2 AS (SELECT lid, ls, unnest(vs) AS v FROM lv1),
-         lv AS (SELECT DISTINCT lid, ls,
+         lv AS MATERIALIZED (SELECT DISTINCT lid, ls,
                        ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
                 FROM lv2),
          rv1 AS (SELECT rid, rs, list_prepend(rs,
@@ -215,7 +217,7 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
                     FOR i IN generate_series(1, length(rs))]) AS vs
                  FROM r),
          rv2 AS (SELECT rid, rs, unnest(vs) AS v FROM rv1),
-         rv AS (SELECT DISTINCT rid, rs,
+         rv AS MATERIALIZED (SELECT DISTINCT rid, rs,
                        ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
                 FROM rv2)"""
 
@@ -284,20 +286,20 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
   private[graft] def nearDupComponentsSql: String =
     s"""kmin AS (SELECT MIN(doc_id) AS doc_id FROM documents
                                   GROUP BY lower(trim(text))),
-         sdocs AS (SELECT d.* FROM documents d JOIN kmin USING (doc_id)),
+         sdocs AS MATERIALIZED (SELECT d.* FROM documents d JOIN kmin USING (doc_id)),
          ${minHashPairsSqlOver("sdocs")},
-         hws AS (SELECT doc_id,
+         hws AS MATERIALIZED (SELECT doc_id,
                         list_distinct(list_transform(
                           list_distinct(string_split(lower(trim(text)), ' ')),
                           w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS ws
                  FROM sdocs),
-         gp AS (SELECT p.a, p.b FROM pairs p
+         gp AS MATERIALIZED (SELECT p.a, p.b FROM pairs p
                 JOIN hws wa ON wa.doc_id = p.a
                 JOIN hws wb ON wb.doc_id = p.b
                 WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) /
                             CAST(len(list_distinct(wa.ws || wb.ws)) AS DOUBLE), 6)
                       >= 0.5),
-         ed AS (SELECT a AS src, b AS dst FROM gp UNION SELECT b, a FROM gp),
+         ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM gp UNION SELECT b, a FROM gp),
          reach(d, r) AS (
            SELECT src AS d, src AS r FROM ed
            UNION
@@ -336,7 +338,7 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
     * streaming stateful replay must produce the SAME per-step rows
     * (the q120/q148 twin contract under per-step deadlines). */
   private[graft] val windowedFunnelOracleSql: String =
-    """WITH e AS (SELECT user_id AS u,
+    """WITH e AS MATERIALIZED (SELECT user_id AS u,
                          CAST(floor(epoch(ts)) AS BIGINT) AS sec,
                          event_type AS typ
                   FROM events),
@@ -406,7 +408,7 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
            SELECT CAST(event_type AS VARCHAR) AS typ, ts::DATE AS day,
                   CAST(count(*) AS BIGINT) AS v
            FROM events GROUP BY 1, 2),
-         ord AS (SELECT typ, day, v,
+         ord AS MATERIALIZED (SELECT typ, day, v,
                         CAST(row_number() OVER (PARTITION BY typ
                           ORDER BY day) AS BIGINT) AS i
                  FROM daily),
@@ -457,7 +459,8 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
                GROUP BY 1),
          ab$i AS (SELECT p.typ, p.pi FROM $prev p
                   WHERE NOT EXISTS (SELECT 1 FROM rs WHERE rs.ft = p.typ)),
-         p$i AS (SELECT st.typ,
+         p$i AS MATERIALIZED (
+                 SELECT st.typ,
                         CAST(coalesce(i.v, 0) + coalesce(a.pi, 0)
                           AS BIGINT) AS pi
                  FROM st LEFT JOIN in$i i ON st.typ = i.typ
@@ -468,10 +471,10 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
                    FROM events),
          pr AS (SELECT typ AS ft, lead(typ) OVER (PARTITION BY u
                   ORDER BY ts, eid) AS tt FROM e),
-         tr AS (SELECT ft, tt, CAST(count(*) AS BIGINT) AS c
+         tr AS MATERIALIZED (SELECT ft, tt, CAST(count(*) AS BIGINT) AS c
                 FROM pr WHERE tt IS NOT NULL GROUP BY 1, 2),
-         rs AS (SELECT ft, CAST(sum(c) AS BIGINT) AS r FROM tr GROUP BY 1),
-         st AS (SELECT DISTINCT typ FROM e),
+         rs AS MATERIALIZED (SELECT ft, CAST(sum(c) AS BIGINT) AS r FROM tr GROUP BY 1),
+         st AS MATERIALIZED (SELECT DISTINCT typ FROM e),
          sm AS (SELECT CAST(count(*) AS BIGINT) AS s, min(typ) AS m FROM st),
          p0 AS (SELECT st.typ,
                        CAST(1000000 // s + CASE WHEN st.typ = m
@@ -516,13 +519,13 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
                         * 1000000
                         // CAST(len(list_distinct(wa.ws || wb.ws)) AS BIGINT)
                         >= 500000),
-         e AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+         e AS MATERIALIZED (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
                FROM vp WHERE a <> b),
-         und AS (SELECT x AS src, y AS dst FROM e
+         und AS MATERIALIZED (SELECT x AS src, y AS dst FROM e
                  UNION ALL SELECT y, x FROM e),
-         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+         deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d
                  FROM und GROUP BY 1),
-         nodes AS (SELECT doc_id AS id FROM documents),
+         nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
          r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
          $iterCtes
          SELECT n.id AS doc_id, CAST(coalesce(d.d, 0) AS BIGINT) AS degree,
@@ -547,7 +550,8 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
                          row_number() OVER (PARTITION BY id
                            ORDER BY c DESC, label) AS rn
                   FROM nb$i) WHERE rn = 1),
-         l$i AS (SELECT n.id,
+         l$i AS MATERIALIZED (
+                 SELECT n.id,
                         coalesce(sd.label, m.label, p.label) AS label
                  FROM nodes n LEFT JOIN seeds sd ON n.id = sd.id
                       LEFT JOIN mj$i m ON n.id = m.id
@@ -566,12 +570,12 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
                         * 1000000
                         // CAST(len(list_distinct(wa.ws || wb.ws)) AS BIGINT)
                         >= 500000),
-         e AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+         e AS MATERIALIZED (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
                FROM vp WHERE a <> b),
-         und AS (SELECT x AS src, y AS dst FROM e
+         und AS MATERIALIZED (SELECT x AS src, y AS dst FROM e
                  UNION ALL SELECT y, x FROM e),
-         nodes AS (SELECT doc_id AS id FROM documents),
-         seeds AS (SELECT doc_id AS id, lang AS label FROM documents
+         nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+         seeds AS MATERIALIZED (SELECT doc_id AS id, lang AS label FROM documents
                    WHERE doc_id % 7 = 0),
          l0 AS (SELECT n.id, sd.label
                 FROM nodes n LEFT JOIN seeds sd ON n.id = sd.id),
@@ -612,7 +616,7 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
            SELECT CAST(event_type AS VARCHAR) AS typ, ts::DATE AS day,
                   CAST(count(*) AS BIGINT) AS v
            FROM events GROUP BY 1, 2),
-         ord AS (SELECT typ, day, v,
+         ord AS MATERIALIZED (SELECT typ, day, v,
                         CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS w,
                         CAST(row_number() OVER (PARTITION BY typ
                           ORDER BY day) AS BIGINT) AS i
@@ -663,10 +667,11 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
               FROM q JOIN a$i a USING (id)
               CROSS JOIN (SELECT CAST(unnest(range($dims)) AS BIGINT) AS d) dd
               GROUP BY a.cell, dd.d),
-         c$i AS (SELECT p.cell, p.d, CAST(coalesce(s.s // s.n, p.c) AS BIGINT) AS c
+         c$i AS MATERIALIZED (
+              SELECT p.cell, p.d, CAST(coalesce(s.s // s.n, p.c) AS BIGINT) AS c
               FROM $prev p LEFT JOIN s$i s ON p.cell = s.cell AND p.d = s.d)"""
     }
-    s"""q AS (SELECT vec_id AS id,
+    s"""q AS MATERIALIZED (SELECT vec_id AS id,
               list_transform(range($dims), d ->
                 CAST(round((embedding[CAST(d + 1 AS INTEGER)]::DOUBLE + 1.0) * 1e6) AS BIGINT)) AS qv
             FROM $source),
@@ -718,7 +723,7 @@ private[graft] trait EntryOracleFragments extends EntryAnalyticsStatsDefs {
          conv AS (SELECT CASE WHEN touch IS NULL THEN 'none'
                               ELSE split_part(touch, '#', 2) END AS channel
                   FROM t WHERE event_type = 'purchase'),
-         c AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions
+         c AS MATERIALIZED (SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions
                FROM conv GROUP BY channel),
          tot AS (SELECT CAST(sum(n_conversions) AS BIGINT) AS t FROM c)
          SELECT channel, n_conversions,

@@ -2023,9 +2023,11 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
     // against the Spark side's maintained counters IS the
     // tick≡rebuild-under-pinned-tokenizer gate.
     "q242_tokenizer_card_nightly" ->
-      s"""WITH olds AS (SELECT doc_id, text, lang FROM documents
+      s"""WITH olds AS MATERIALIZED (
+                  SELECT doc_id, text, lang FROM documents
                   WHERE doc_id % 10 <> 3),
-         news AS (SELECT doc_id,
+         news AS MATERIALIZED (
+                  SELECT doc_id,
                          CASE WHEN doc_id % 10 = 5 THEN text || ' v2'
                               ELSE text END AS text,
                          lang
@@ -2186,11 +2188,13 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
       guardHealthSql(100, graft.operators.TextDedup.DefaultLshPairBudget, 48),
 
     "q250_association_rules" ->
-      """WITH b0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+      """WITH b0 AS MATERIALIZED (
+                     SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
                      FROM lineitem
                      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
               keep AS (SELECT bk FROM b0 GROUP BY bk HAVING count(*) <= 100),
-              b AS (SELECT b0.bk, b0.it FROM b0 JOIN keep USING (bk)),
+              b AS MATERIALIZED (
+                     SELECT b0.bk, b0.it FROM b0 JOIN keep USING (bk)),
               nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets
                      FROM b),
               s AS (SELECT it, CAST(count(*) AS BIGINT) AS sup
@@ -2530,11 +2534,13 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
          ORDER BY user_id""",
 
     "q263_frequent_triples" ->
-      """WITH b0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+      """WITH b0 AS MATERIALIZED (
+                     SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
                      FROM lineitem
                      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
               keep AS (SELECT bk FROM b0 GROUP BY bk HAVING count(*) <= 100),
-              b AS (SELECT b0.bk, b0.it FROM b0 JOIN keep USING (bk))
+              b AS MATERIALIZED (
+                     SELECT b0.bk, b0.it FROM b0 JOIN keep USING (bk))
          SELECT x.it AS item_a, y.it AS item_b, z.it AS item_c,
                 CAST(count(*) AS BIGINT) AS n_abc
          FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
@@ -2879,10 +2885,13 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                            ELSE greatest(0, least(9,
                              (s - mn) * 10 // (mx - mn + 1))) END AS bin
                FROM sc CROSS JOIN mm),
-         c AS (SELECT bin,
-                      count(*) FILTER (WHERE snap = 'base') AS nb,
-                      count(*) FILTER (WHERE snap = 'cur') AS nc
-               FROM b GROUP BY 1),
+         c0 AS (SELECT bin,
+                       count(*) FILTER (WHERE snap = 'base') AS nb,
+                       count(*) FILTER (WHERE snap = 'cur') AS nc
+                FROM b GROUP BY 1),
+         c AS (SELECT g.range AS bin, coalesce(nb, 0) AS nb,
+                      coalesce(nc, 0) AS nc
+               FROM range(0, 10) g LEFT JOIN c0 ON c0.bin = g.range),
          t AS (SELECT CAST(sum(nb) AS BIGINT) AS tb,
                       CAST(sum(nc) AS BIGINT) AS tc FROM c),
          r AS (SELECT bin, nb, nc,
@@ -2928,5 +2937,186 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                      // (n_rows - 2 * n_trimmed_each) AS BIGINT)
                   AS trimmed_mean,
                 CAST(svm // n_rows AS BIGINT) AS plain_mean
-         FROM a ORDER BY 1""")
+         FROM a ORDER BY 1""",
+
+    // Cohen's kappa: the q83 hashed score in 3 classes vs a length
+    // tercile rule; po/pe exact ppm, kappa with the tdiv sign-split
+    // (po - pe can be negative; Spark div truncates, // floors).
+    "q276_cohen_kappa" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+         f AS (SELECT doc_id,
+                      (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024)
+                        * 2654435761 % 2001 - 1000 AS w
+               FROM t WHERE tok <> ''),
+         s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
+               FROM f GROUP BY 1),
+         r AS (SELECT d.doc_id,
+                      CASE WHEN s.score < 0 THEN 'low'
+                           WHEN s.score < 2000 THEN 'mid'
+                           ELSE 'high' END AS a,
+                      CASE WHEN length(d.text) < 200 THEN 'low'
+                           WHEN length(d.text) < 400 THEN 'mid'
+                           ELSE 'high' END AS b
+               FROM documents d JOIN s ON s.doc_id = d.doc_id),
+         cells AS (SELECT a, b, count(*) AS c FROM r GROUP BY 1, 2),
+         core AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                         CAST(coalesce(sum(c) FILTER (WHERE a = b), 0)
+                              AS BIGINT) AS n_agree
+                  FROM cells),
+         ra AS (SELECT a AS k, sum(c) AS na FROM cells GROUP BY 1),
+         rb AS (SELECT b AS k, sum(c) AS nb FROM cells GROUP BY 1),
+         marg AS (SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+                  FROM ra FULL OUTER JOIN rb ON ra.k = rb.k),
+         ch AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                       CAST(sum(na * nb) AS BIGINT) AS pe_num
+                FROM marg),
+         p AS (SELECT n, n_agree, n_classes,
+                      n_agree * 1000000 // n AS po_ppm,
+                      pe_num * 1000000 // (n * n) AS pe_ppm
+               FROM core CROSS JOIN ch)
+         SELECT n, n_agree, n_classes, po_ppm, pe_ppm,
+                CASE WHEN pe_ppm = 1000000 THEN NULL
+                     WHEN po_ppm >= pe_ppm
+                       THEN (po_ppm - pe_ppm) * 1000000
+                              // (1000000 - pe_ppm)
+                     ELSE -((pe_ppm - po_ppm) * 1000000
+                              // (1000000 - pe_ppm)) END AS kappa_ppm
+         FROM p""",
+
+    "q277_bradley_terry" -> bradleyTerryOracleSql,
+
+    // Win-rate matrix: exact ppm rate + the Wilson bounds as the SAME
+    // stated IEEE chain (adds/multiplies/one sqrt, all
+    // correctly-rounded, then round-to-ppm) the Spark side runs.
+    "q278_win_rate_matrix" ->
+      s"""WITH $preferenceMatchesSql,
+         g AS (SELECT least(w, l) AS item_a, greatest(w, l) AS item_b,
+                      CAST(count(*) AS BIGINT) AS n_matches,
+                      CAST(coalesce(sum(CASE WHEN w < l THEN 1 ELSE 0 END),
+                                    0) AS BIGINT) AS wins_a
+               FROM mt GROUP BY 1, 2)
+         SELECT item_a, item_b, n_matches, wins_a,
+                wins_a * 1000000 // n_matches AS win_rate_ppm,
+                CAST(round(((wins_a + 3.8416 / 2) / (n_matches + 3.8416)
+                  - 1.96 * sqrt(wins_a * (n_matches - wins_a) / n_matches
+                      + 3.8416 / 4) / (n_matches + 3.8416)) * 1e6)
+                  AS BIGINT) AS wilson_lo_ppm,
+                CAST(round(((wins_a + 3.8416 / 2) / (n_matches + 3.8416)
+                  + 1.96 * sqrt(wins_a * (n_matches - wins_a) / n_matches
+                      + 3.8416 / 4) / (n_matches + 3.8416)) * 1e6)
+                  AS BIGINT) AS wilson_hi_ppm
+         FROM g ORDER BY item_a, item_b""",
+
+    // Preference pairs: per 25-doc prompt group, best/worst by score
+    // with smallest-id ties (row_number mirrors the struct extrema),
+    // margin >= 500.
+    "q279_preference_pairs" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+         f AS (SELECT doc_id,
+                      (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024)
+                        * 2654435761 % 2001 - 1000 AS w
+               FROM t WHERE tok <> ''),
+         s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
+               FROM f GROUP BY 1),
+         p AS (SELECT doc_id // 25 AS prompt, doc_id, score FROM s),
+         w1 AS (SELECT prompt, doc_id, score,
+                       row_number() OVER (PARTITION BY prompt
+                         ORDER BY score DESC, doc_id ASC) AS rc,
+                       row_number() OVER (PARTITION BY prompt
+                         ORDER BY score ASC, doc_id ASC) AS rr,
+                       CAST(count(*) OVER (PARTITION BY prompt)
+                            AS BIGINT) AS n_candidates
+                FROM p),
+         ch AS (SELECT prompt, n_candidates, doc_id AS chosen_id,
+                       score AS chosen_score
+                FROM w1 WHERE rc = 1),
+         rj AS (SELECT prompt, doc_id AS rejected_id,
+                       score AS rejected_score
+                FROM w1 WHERE rr = 1)
+         SELECT ch.prompt, n_candidates, chosen_id, rejected_id,
+                chosen_score, rejected_score,
+                chosen_score - rejected_score AS margin
+         FROM ch JOIN rj USING (prompt)
+         WHERE chosen_id <> rejected_id
+           AND chosen_score - rejected_score >= 500
+         ORDER BY prompt""")
+
+  /** Shared q277/q278 match-derivation SQL (the Scala twin is
+    * [[EntryAnalyticsStatsDefs.eventPreferenceMatches]]): per
+    * (user, day), unordered event-type pairs with unequal counts,
+    * winner = the more frequent type. */
+  private def preferenceMatchesSql: String =
+    """cnt AS MATERIALIZED (
+              SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2, 3),
+       mt AS MATERIALIZED (
+              SELECT CASE WHEN x.c > y.c THEN x.event_type
+                          ELSE y.event_type END AS w,
+                     CASE WHEN x.c > y.c THEN y.event_type
+                          ELSE x.event_type END AS l
+              FROM cnt x JOIN cnt y
+                ON x.user_id = y.user_id AND x.day = y.day
+               AND x.event_type < y.event_type AND x.c <> y.c)"""
+
+  /** q277: Hunter's MM rounds unrolled — one (terms, D, update,
+    * renormalize) CTE quartet per round, every quantity a nonnegative
+    * exact long so `//` and `div` agree. */
+  private def bradleyTerryOracleSql: String = {
+    // MATERIALIZED everywhere a CTE is read more than once: DuckDB
+    // inlines plain CTEs, so 4 unrolled rounds each reading the
+    // previous round TWICE would otherwise expand exponentially.
+    def mmRound(k: Int): String = {
+      val prev = if (k == 1) "it0" else s"it${k - 1}"
+      s"""t$k AS MATERIALIZED (
+                SELECT i AS item, n * 1000000000000 // (a.r + b.r) AS t
+                FROM g JOIN $prev a ON a.item = g.i
+                       JOIN $prev b ON b.item = g.j
+                UNION ALL
+                SELECT j, n * 1000000000000 // (a.r + b.r)
+                FROM g JOIN $prev a ON a.item = g.i
+                       JOIN $prev b ON b.item = g.j),
+         d$k AS (SELECT item, CAST(sum(t) AS BIGINT) AS dsum
+                 FROM t$k GROUP BY 1),
+         r$k AS MATERIALIZED (
+                 SELECT st.item,
+                        CASE WHEN d$k.dsum IS NULL OR st.n_wins = 0 THEN 0
+                             ELSE st.n_wins * 1000000000000 // d$k.dsum
+                        END AS r1
+                 FROM st LEFT JOIN d$k USING (item)),
+         it$k AS MATERIALIZED (
+                  SELECT item,
+                         r1 * ((SELECT count(*) FROM st) * 1000000)
+                           // (SELECT CAST(sum(r1) AS BIGINT) FROM r$k)
+                           AS r
+                  FROM r$k)"""
+    }
+    s"""WITH $preferenceMatchesSql,
+       g AS MATERIALIZED (
+             SELECT least(w, l) AS i, greatest(w, l) AS j,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM mt GROUP BY 1, 2),
+       wn AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS n_wins
+              FROM mt GROUP BY 1),
+       items AS (SELECT DISTINCT item FROM
+                  (SELECT w AS item FROM mt
+                   UNION ALL SELECT l FROM mt)),
+       st AS MATERIALIZED (
+              SELECT items.item, coalesce(n_wins, 0) AS n_wins
+              FROM items LEFT JOIN wn USING (item)),
+       it0 AS MATERIALIZED (
+               SELECT item, CAST(1000000 AS BIGINT) AS r FROM st),
+       ${(1 to 4).map(mmRound).mkString(",\n       ")},
+       nm AS (SELECT item, CAST(sum(n) AS BIGINT) AS n_matches
+              FROM (SELECT i AS item, n FROM g
+                    UNION ALL SELECT j, n FROM g)
+              GROUP BY 1)
+       SELECT st.item, st.n_wins,
+              coalesce(nm.n_matches, 0) AS n_matches,
+              it4.r AS strength_micro
+       FROM st LEFT JOIN nm USING (item) JOIN it4 USING (item)
+       ORDER BY item"""
+  }
 }

@@ -23,7 +23,10 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // FAIR keeps concurrent jobs (Verify's query pool) round-robin
       // instead of head-of-line; a strictly sequential caller (Bench)
-      // sees identical scheduling either way.
+      // sees identical scheduling either way. The DEFAULT pool's
+      // internal mode is FIFO unless an allocation file says otherwise
+      // — src/main/resources/fairscheduler.xml (the classpath fallback
+      // FairSchedulableBuilder documents) sets it to FAIR.
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -33,9 +36,13 @@ object GraftSession {
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.ui.enabled", "false")
 
-  /** Session for Verify/Bench mains: core count from SPARK_GRAFT_CPUS. */
+  /** Session for Verify/Bench mains: core count from SPARK_GRAFT_CPUS,
+    * defaulting to every core the box has — a harness that forgets to
+    * export the override must never silently run the gate at local[4]
+    * on a 32-core machine. */
   def forMain(appName: String): SparkSession = {
-    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cores = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = builder(appName, cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)

@@ -6,7 +6,13 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *
   * Round-12 shipped with an EMPTY correctness artifact because the
   * sequential 264-query run (~25 min at sf0.01) outlived the driver's
-  * window and left nothing behind. Two fixes, both load-bearing:
+  * window and left nothing behind; round 13's phased rework was not
+  * enough (still `{}`) — the re-measured r13 tree took 685 s here,
+  * and the DRIVER-SIDE DuckDB compare added >25 min more (exponential
+  * CTE inlining in the unrolled-iteration oracles, fixed round 14
+  * with a MATERIALIZED pass — see BASELINE.md). Current quiet-box
+  * wall: ~540 s for 279 queries + ~30 s compare. Fixes, all
+  * load-bearing:
   *
   *  - EVIDENCE FIRST, INCREMENTALLY. oracle_sql.json is written BEFORE
   *    any query runs, and a status line (name, rows, ms, err) is
@@ -74,15 +80,28 @@ object Verify {
     Tables.enableMemo()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count(): Unit)
 
+    // Everything persisted beyond this point is per-query build-side
+    // growth, not the fixture memo. Swept at SAFE POINTS ONLY (phase
+    // boundary + between pure batches, never while a query is in
+    // flight — several operators localCheckpoint, and unpersisting a
+    // local checkpoint mid-query destroys unrecoverable blocks).
+    val fixtureRddIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def sweepCaches(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!fixtureRddIds.contains(id)) rdd.unpersist(blocking = false)
+      }
+
     val statusPath = Paths.get(s"$outDir/status.jsonl")
     Files.writeString(statusPath, "")
     val statusLock = new Object
     def runOne(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        sess: SparkSession = null): Boolean = {
+      val s = Option(sess).getOrElse(spark)
       val q0 = System.nanoTime()
       val res: Either[String, Long] =
         try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          fn(s, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           // row count from the single written file — cheap, and it
           // round-trips the bytes the driver will actually compare
@@ -148,19 +167,44 @@ object Verify {
       java.util.concurrent.Executors.newFixedThreadPool(nStateful)
     groups.map { case (_, qs) =>
       statefulPool.submit(new Runnable {
-        def run(): Unit = qs.sortBy(_._1).foreach { case (name, fn) =>
-          if (runOne(name, fn)) okCount.incrementAndGet(): Unit
+        // The per-day pipelines are HUNDREDS of tiny driver-scheduled
+        // jobs over day-sized slices; at 32 shuffle partitions + AQE
+        // every one of them schedules ~16x more tasks (and replan
+        // stages) than its data needs, and the fixed cost dominates
+        // the phase (measured: q41 alone 241 s -> 68 s with this
+        // session). Each group gets its OWN child session (shared
+        // SparkContext, independent SQLConf) tuned for tiny-slice
+        // orchestration — the root session's scale defaults stay
+        // untouched for every other query.
+        def run(): Unit = {
+          val gs = spark.newSession()
+          gs.conf.set("spark.sql.shuffle.partitions", "2")
+          gs.conf.set("spark.sql.adaptive.enabled", "false")
+          // scratch-dir writes only — snappy skips a zstd context init
+          // per tiny file; the gates never see the codec
+          gs.conf.set("spark.sql.parquet.compression.codec", "snappy")
+          GraftExtensions.register(gs)
+          qs.sortBy(_._1).foreach { case (name, fn) =>
+            if (runOne(name, fn, gs)) okCount.incrementAndGet(): Unit
+          }
         }
       })
     }.foreach(_.get())
     statefulPool.shutdown()
+    sweepCaches()
 
+    // Pure queries in batches: a sweep between batches bounds cached
+    // build-side growth across the whole run at the cost of a short
+    // per-batch tail (heavy-first ordering keeps the tails short).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
-    pureOrdered.map { case (name, fn) =>
-      pool.submit(new Runnable {
-        def run(): Unit = if (runOne(name, fn)) okCount.incrementAndGet(): Unit
-      })
-    }.foreach(_.get())
+    pureOrdered.grouped(64).foreach { batch =>
+      batch.map { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit = if (runOne(name, fn)) okCount.incrementAndGet(): Unit
+        })
+      }.foreach(_.get())
+      sweepCaches()
+    }
     pool.shutdown()
 
     val wallSec = (System.nanoTime() - t0) / 1e9
@@ -173,6 +217,16 @@ object Verify {
     }
     println(s"[verify] ${okCount.get}/${selected.size} queries written in " +
       f"$wallSec%.1f s ($nThreads threads)")
+    // All evidence is on disk. A lingering non-daemon thread (streaming
+    // gates, executor pools) must never turn this green run into a
+    // driver-side timeout / non-zero exit: halt hard if the normal
+    // shutdown hasn't finished within a grace period.
+    val reaper = new Thread(() => {
+      Thread.sleep(60000); Runtime.getRuntime.halt(0)
+    })
+    reaper.setDaemon(true)
+    reaper.start()
     spark.stop()
+    System.exit(0)
   }
 }

@@ -3456,8 +3456,12 @@ object Analytics {
     * point of PSI is that the bins do NOT re-fit), the current slice
     * clamps into the edge bins, and each bin contributes
     * `(p_cur − p_base)·ln(p_cur/p_base)`. Counts are add-one smoothed
-    * over the bin space (stated — PSI's standard guard against empty
-    * bins; unlike KL the caller expects a finite number here).
+    * over the FULL bin space — every bin 0..nBins−1 is emitted, even
+    * ones empty in both slices, so the smoothed shares genuinely sum
+    * to ~10⁶ ppm (textbook PSI; unlike KL the caller expects a finite
+    * number here). An EMPTY baseline slice fails fast in-plan
+    * (raise_error): without baseline rows the bin grid is undefined
+    * and any smoothed shares would be meaningless.
     *
     * Cross-engine arithmetic (the q67/q211 convention): shares as
     * exact ppm of the smoothed totals, the log ratio as ONE libm ln
@@ -3480,8 +3484,14 @@ object Analytics {
         score.cast(LongType).as("_s"))
       .filter(col("_s").isNotNull && col("g").isin(baseline, current))
     val mm = q.filter(col("g") === baseline)
-      .agg(min(col("_s")).as("mn"), max(col("_s")).as("mx"))
-    val binned = q.crossJoin(broadcast(mm))
+      .agg(min(col("_s")).as("_mn"), max(col("_s")).as("mx"))
+      .select(
+        when(col("_mn").isNull,
+          raise_error(lit("psiDrift: baseline slice has no rows — the " +
+            "bin grid is undefined; check the baseline key")))
+          .otherwise(col("_mn")).as("mn"),
+        col("mx"))
+    val counts = q.crossJoin(broadcast(mm))
       .select(col("g"),
         when(col("mx") === col("mn"), lit(0L))
           .otherwise(greatest(lit(0L), least(lit(nBins - 1L),
@@ -3489,6 +3499,12 @@ object Analytics {
       .groupBy(col("bin"))
       .agg(count(when(col("g") === baseline, 1)).as("n_base"),
         count(when(col("g") === current, 1)).as("n_cur"))
+    // full bin space: bins empty in BOTH slices still smooth and sum
+    val binned = df.sparkSession.range(nBins).select(col("id").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val tot = binned.agg(coalesce(sum(col("n_base")), lit(0L)).as("tb"),
       coalesce(sum(col("n_cur")), lit(0L)).as("tc"))
     binned.crossJoin(broadcast(tot))
@@ -3728,5 +3744,188 @@ object Analytics {
         sum(col("touches")).as("touches"),
         sum(col("credit")).as("credit_ppm"))
       .filter(col("touches") > 0 || col("credit_ppm") > 0)
+  }
+
+  /** COHEN'S KAPPA — chance-corrected agreement between two raters
+    * over the same rows: the label-quality audit a human-annotation or
+    * LLM-judge pipeline runs before trusting its labels (two judges
+    * that agree 80% of the time sound good until chance alone gives
+    * 75%). κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement
+    * share and p_e the chance agreement Σ_k p_A(k)·p_B(k).
+    *
+    * Exact integers end to end: p_o and p_e as ppm of n and n²
+    * (envelope n ≤ 3.03·10⁶ so Σ_k rowMarg·colMarg·10⁶ stays inside
+    * long — raise_error past it, audit a sampled slice), κ itself as
+    * `(po − pe)·10⁶ div (10⁶ − pe)` in ppm. Degenerate chance-perfect
+    * marginals (pe = 10⁶: both raters constant on the same label)
+    * yield NULL — κ is undefined there, stated. Rows where either
+    * rating is NULL are dropped (stated).
+    *
+    * Shape at 100 TB: one classes² cell rollup off a single shuffle,
+    * marginal joins on the label (classes-sized), a one-row verdict. */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val q = df.select(raterA.cast("string").as("a"),
+        raterB.cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val cells = q.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val ra = cells.groupBy(col("a").as("k")).agg(sum(col("c")).as("na"))
+    val rb = cells.groupBy(col("b").as("k")).agg(sum(col("c")).as("nb"))
+    val marg = ra.join(rb, Seq("k"), "full_outer")
+      .select(col("k"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val core = cells.agg(sum(col("c")).as("n"),
+      coalesce(sum(when(col("a") === col("b"), col("c"))), lit(0L))
+        .as("n_agree"))
+    val chance = marg.agg(count(lit(1)).as("n_classes"),
+      sum(col("na") * col("nb")).as("pe_num"))
+    core.crossJoin(broadcast(chance))
+      .select(col("n"), col("n_agree"), col("n_classes"),
+        when(col("n") > 3030000L,
+          raise_error(lit("cohenKappa: n exceeds the exact-long ppm " +
+            "envelope (~3.03e6); audit a sampled slice")))
+          .otherwise(expr("n_agree * 1000000 div n")).as("po_ppm"),
+        expr("pe_num * 1000000 div (n * n)").as("pe_ppm"))
+      .select(col("n"), col("n_agree"), col("n_classes"),
+        col("po_ppm"), col("pe_ppm"),
+        when(col("pe_ppm") === 1000000L, lit(null).cast(LongType))
+          .otherwise(expr(
+            "(po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)"))
+          .as("kappa_ppm"))
+  }
+
+  /** BRADLEY–TERRY preference strengths — the pairwise-comparison
+    * model under every RLHF preference dataset and chat-arena
+    * leaderboard: matches (winner, loser) → a latent strength π per
+    * item with P(i beats j) = π_i/(π_i + π_j), fit by Hunter's MM
+    * iteration π_i ← W_i / Σ_j n_ij/(π_i + π_j) from a uniform start,
+    * renormalized each round to Σπ = nItems·10⁶.
+    *
+    * Exact integer µ-units cross-engine: the pair term is
+    * `n_ij·10¹² div (π_i + π_j)` (envelope n_ij < 9.2·10⁶
+    * raise_error-guarded — past it, aggregate matches to coarser
+    * units), the update `W_i·10¹² div D_i`, the renormalization
+    * `π·(nItems·10⁶) div Σπ`. A fixed `iters` unrolls in the oracle
+    * as one CTE per round — convergence is geometric and rank order
+    * stabilizes in a handful of rounds; never-winners sit at 0
+    * (their MLE), never-losers soak the normalized mass (stated;
+    * the true MLE diverges there).
+    *
+    * Shape at 100 TB: matches roll up ONCE to the pair relation
+    * (items²-bounded, in practice comparison-graph-sized); each MM
+    * round is pair⋈strengths joins on item-keyed relations —
+    * corpus-sized data is touched exactly once. */
+  def bradleyTerry(
+      matches: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8]: $iters")
+    val m = matches.select(col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull &&
+        col("w") =!= col("l"))
+    val g = m.select(least(col("w"), col("l")).as("i"),
+        greatest(col("w"), col("l")).as("j"),
+        (col("w") < col("l")).as("lo_won"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("lo_won"), 1L)), lit(0L)).as("wi"))
+      .select(col("i"), col("j"),
+        when(col("n") >= 9200000L,
+          raise_error(lit("bradleyTerry: n_ij exceeds the exact-long " +
+            "term envelope (~9.2e6 matches per pair); aggregate first")))
+          .otherwise(col("n")).as("n"),
+        col("wi"))
+    val wins = m.groupBy(col("w").as("item")).agg(count(lit(1)).as("n_wins"))
+    val items = m.select(col("w").as("item"))
+      .unionByName(m.select(col("l").as("item"))).distinct()
+    // pair- and item-sized anchors, each read by EVERY MM round: one
+    // materialization apiece keeps the per-round plan flat
+    val gC = g.localCheckpoint()
+    val stats = items
+      .join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("n_wins"), lit(0L)).as("n_wins"))
+      .localCheckpoint()
+    var pi = stats.select(col("item"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val terms = gC
+        .join(pi.select(col("item").as("i"), col("r").as("ri")), Seq("i"))
+        .join(pi.select(col("item").as("j"), col("r").as("rj")), Seq("j"))
+        .select(explode(array(
+          struct(col("i").as("item"),
+            expr("n * 1000000000000 div (ri + rj)").as("t")),
+          struct(col("j").as("item"),
+            expr("n * 1000000000000 div (ri + rj)").as("t")))).as("e"))
+        .select(col("e.item").as("item"), col("e.t").as("t"))
+      val d = terms.groupBy(col("item")).agg(sum(col("t")).as("dsum"))
+      val raw = stats.join(d, Seq("item"), "left")
+        .select(col("item"),
+          when(col("dsum").isNull || col("n_wins") === 0, lit(0L))
+            .otherwise(expr("n_wins * 1000000000000 div dsum")).as("r1"))
+      // items-sized relation: the two unpartitioned windows are over
+      // the MM state, never the match corpus. nItems ≤ 2000 keeps
+      // r1·nItems·10⁶ provably inside long (r1 ≤ 2·10⁶·nItems).
+      // localCheckpoint per round: each round reads pi TWICE (the i
+      // and j sides), so an unbroken lineage doubles per round —
+      // 4 rounds of a leaderboard-sized relation is a deep exponential
+      // plan the analyzer chews minutes on; the checkpoint keeps every
+      // round O(items) flat.
+      pi = raw
+        .withColumn("_tot", sum(col("r1")).over(Window.partitionBy()))
+        .withColumn("_cnt", count(lit(1)).over(Window.partitionBy()))
+        .select(col("item"),
+          when(col("_cnt") > 2000L,
+            raise_error(lit("bradleyTerry: item count exceeds the " +
+              "normalization envelope (2000); shard the leaderboard")))
+            .otherwise(expr("r1 * (_cnt * 1000000) div _tot")).as("r"))
+        .localCheckpoint()
+    }
+    val nMatches = gC.select(explode(array(
+        struct(col("i").as("item"), col("n")),
+        struct(col("j").as("item"), col("n")))).as("e"))
+      .groupBy(col("e.item").as("item")).agg(sum(col("e.n")).as("n_matches"))
+    stats.join(nMatches, Seq("item"), "left")
+      .join(pi, Seq("item"))
+      .select(col("item"), col("n_wins"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("r").as("strength_micro"))
+  }
+
+  /** PAIRWISE WIN-RATE MATRIX with Wilson 95% intervals — the model-
+    * eval sheet next to [[bradleyTerry]]: per unordered pair, how
+    * often the lexicographically-lesser item won, with the interval
+    * that says whether the edge is real or five coin flips. Win rate
+    * is exact ppm; the Wilson bound is the ONE stated IEEE chain both
+    * engines run identically (adds, multiplies, one sqrt — all
+    * correctly-rounded per IEEE-754 — then round-to-ppm):
+    * `(ŵ + z²/2 ± z·√(ŵ(1−ŵ)/n + z²/4n)) / (n + z²)` scaled by n.
+    * Shape: one pair rollup, map-only math after it. */
+  def winRateMatrix(
+      matches: DataFrame,
+      winnerCol: String,
+      loserCol: String): DataFrame = {
+    val m = matches.select(col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull &&
+        col("w") =!= col("l"))
+    val g = m.select(least(col("w"), col("l")).as("item_a"),
+        greatest(col("w"), col("l")).as("item_b"),
+        (col("w") < col("l")).as("a_won"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_matches"),
+        coalesce(sum(when(col("a_won"), 1L)), lit(0L)).as("wins_a"))
+    // z = 1.96, z² = 3.8416: the same literals in both engines
+    g.select(col("item_a"), col("item_b"), col("n_matches"), col("wins_a"),
+        expr("wins_a * 1000000 div n_matches").as("win_rate_ppm"),
+        round(((col("wins_a") + lit(3.8416) / 2) / (col("n_matches") + lit(3.8416)) -
+          lit(1.96) * sqrt(col("wins_a") * (col("n_matches") - col("wins_a")) /
+              col("n_matches") + lit(3.8416) / 4) /
+            (col("n_matches") + lit(3.8416))) * 1e6)
+          .cast(LongType).as("wilson_lo_ppm"),
+        round(((col("wins_a") + lit(3.8416) / 2) / (col("n_matches") + lit(3.8416)) +
+          lit(1.96) * sqrt(col("wins_a") * (col("n_matches") - col("wins_a")) /
+              col("n_matches") + lit(3.8416) / 4) /
+            (col("n_matches") + lit(3.8416))) * 1e6)
+          .cast(LongType).as("wilson_hi_ppm"))
   }
 }

@@ -960,4 +960,42 @@ object Curation {
       col("n_eval"), col("n_kept"),
       expr("n_kept * 1000000 div greatest(n_eval, 1)").as("kept_ppm"))
   }
+
+  /** PREFERENCE-PAIR ASSEMBLY — the DPO/RLHF dataset builder: per
+    * prompt group, the best-scoring candidate becomes `chosen`, the
+    * worst `rejected`, and the pair ships only when the score margin
+    * clears `minMargin` (a pair the scorer can barely separate
+    * teaches the wrong thing) and the group actually has two distinct
+    * candidates. Ties break to the SMALLEST id on both sides
+    * (deterministic across runs/partitionings); a group whose best
+    * and worst tie end-to-end (margin 0 with minMargin 0) still
+    * requires chosen ≠ rejected, so single-candidate groups never
+    * emit. NULL scores/ids drop (stated).
+    *
+    * Shape at 100 TB: ONE groupBy on the prompt key carrying two
+    * struct-extrema — no per-group candidate list ever materializes,
+    * no window sort; output is prompts-sized. */
+  def preferencePairs(
+      df: DataFrame,
+      promptCol: String,
+      idCol: String,
+      score: Column,
+      minMargin: Long = 0L): DataFrame = {
+    require(minMargin >= 0, s"minMargin must be >= 0: $minMargin")
+    val q = df.select(col(promptCol).as("prompt"),
+        col(idCol).cast(LongType).as("_id"),
+        score.cast(LongType).as("_s"))
+      .filter(col("prompt").isNotNull && col("_id").isNotNull &&
+        col("_s").isNotNull)
+    q.groupBy(col("prompt"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("_s").as("s"), (-col("_id")).as("ni"))).as("_ch"),
+        min(struct(col("_s").as("s"), col("_id").as("i"))).as("_rj"))
+      .select(col("prompt"), col("n_candidates"),
+        (-col("_ch.ni")).as("chosen_id"), col("_rj.i").as("rejected_id"),
+        col("_ch.s").as("chosen_score"), col("_rj.s").as("rejected_score"),
+        (col("_ch.s") - col("_rj.s")).as("margin"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("margin") >= minMargin)
+  }
 }

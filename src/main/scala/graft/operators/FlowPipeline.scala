@@ -138,12 +138,16 @@ final class FlowPipeline(
     val w = window.cache()
 
     // 4: fold — MAX(flow_time), MAX(locale), MAX(uid) per flow (E2; MAX
-    // over VARCHAR = "any non-blank wins" since ''/NULL sort low)
+    // over VARCHAR = "any non-blank wins" since ''/NULL sort low).
+    // localCheckpoint: the fold is read THREE times (the upd chain, the
+    // experiments update's emptiness probe, its join) — one day-sized
+    // materialization beats three aggregations of the window.
     val fold = w.groupBy("flow_id").agg(
       max("flow_time").as("upd_flow_time"),
       max("locale").as("upd_locale"),
       max("uid").as("upd_uid"))
       .withColumn("fold_m", lit(true))
+      .localCheckpoint()
     // 5/6: completed / new_account flag sets (C3)
     val completedIds = w.filter(col("type") === "flow.complete")
       .select("flow_id").distinct().withColumn("completed_m", lit(true))
@@ -164,10 +168,15 @@ final class FlowPipeline(
           .withColumn("mcx_m", lit(true)))
       else None
 
-    // one combined update frame, one metadata rewrite
+    // one combined update frame, one metadata rewrite. localCheckpoint:
+    // applyMetadataUpdates probes emptiness and then joins — without
+    // the checkpoint each of those re-evaluates the 5-way full-outer
+    // chain (measured: the q41 profile's isEmpty line was 47 s of the
+    // 30-day cascade before this).
     val upd = Seq(Some(fold), Some(completedIds), Some(createdIds),
       Some(continued), mcx).flatten
       .reduce(_.join(_, Seq("flow_id"), "full_outer"))
+      .localCheckpoint()
     applyMetadataUpdates(spark, metaT, upd, day)
 
     // 10/11: experiments clear+insert (SPLIT_PART name/cohort — F4)

@@ -101,9 +101,24 @@ final class DayPartitionedTable(
     * analog for partitions accreted by many small incremental jobs):
     * rewrite the partition's files into `filesPerDay` sorted files via
     * a sibling temp dir and a directory swap — fully distributed, one
-    * partition of IO, and never reads the path it overwrites. */
+    * partition of IO, and never reads the path it overwrites.
+    *
+    * Already-shaped partitions are SKIPPED on a pure file-count
+    * listing — no Spark job, no rewrite. Redshift's VACUUM does the
+    * same (unsorted-region-only); rewriting every touched day made
+    * RunImport.compact ~half of the whole import's job count (the
+    * q41 profile: ~1k of 1986 driver-scheduled jobs) for runs whose
+    * partitions writeDays had ALREADY shaped. A skipped partition
+    * keeps its writer's internal order — sortkey parity (G1) lives in
+    * the writeDays rebuild path, and compaction re-establishes it
+    * exactly when accretion is present (file count past the target). */
   def compactDay(spark: SparkSession, day: LocalDate): Unit = {
     if (!hasDay(spark, day)) return
+    val dataFiles = fs(spark)
+      .listStatus(new Path(s"$path/$dayCol=$day"))
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    if (dataFiles <= math.max(filesPerDay, 1)) return
     val src = new Path(s"$path/$dayCol=$day")
     val tmp = new Path(s"$path/.compacting-$day")
     val f = fs(spark)

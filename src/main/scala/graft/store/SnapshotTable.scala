@@ -11,17 +11,20 @@ import org.apache.spark.sql.functions._
   * day-partitioned table mixed, because each day's dynamic overwrite
   * is atomic but the set of them is not).
   *
-  * Layout: immutable version directories `v<N>/day=<day>/` holding
-  * plain parquet (the day column stays IN the data), plus immutable
-  * numbered manifest files `manifest-<NNNNNN>.txt`, each a complete
-  * day→directory mapping. The CURRENT state is the highest-numbered
-  * manifest; a commit writes all its data files first, then publishes
-  * ONE new manifest via single-file rename. Crash anywhere before the
-  * publish: the new version dir is unreferenced garbage and every
-  * reader still sees the previous manifest in full — old-or-new at
-  * TABLE granularity, never a mix. The rename also doubles as
-  * optimistic concurrency: two racing commits target the same
-  * manifest number and the loser's rename fails loudly.
+  * Layout: immutable WRITER-UNIQUE version directories
+  * `v<N>-<token>/day=<day>/` holding plain parquet (the day column
+  * stays IN the data), plus immutable numbered manifest files
+  * `manifest-<NNNNNN>.txt`, each a complete day→directory mapping.
+  * The CURRENT state is the highest-numbered manifest; a commit
+  * writes all its data files first, then publishes ONE new manifest
+  * via single-file rename. Crash anywhere before the publish: the new
+  * version dir is unreferenced garbage and every reader still sees
+  * the previous manifest in full — old-or-new at TABLE granularity,
+  * never a mix. Concurrency is safe end to end: the unique staging
+  * token keeps two racing commits' DATA files disjoint (a loser can
+  * never clobber files the winner's manifest references), and the
+  * manifest rename arbitrates the POINTER — the loser fails loudly
+  * and its staged files await [[vacuum]].
   *
   * Object-store note (the K233 lesson): the publish is one SMALL-FILE
   * create+rename — on S3-semantics stores that is a single-object
@@ -91,20 +94,30 @@ class SnapshotTable(root: String, dayCol: String = "day") {
   /** Write the affected days' files for the NEXT version WITHOUT
     * publishing — the commit's first half, exposed separately so the
     * crash window between data-write and publish is testable. Returns
-    * (newVersion, full day→reldir mapping for the new manifest). */
+    * (newVersion, full day→reldir mapping for the new manifest).
+    *
+    * The staging directory is WRITER-UNIQUE (`v<N>-<token>`), the
+    * Iceberg/Delta convention: two racing commits that both compute
+    * vNew = current+1 stage into DISJOINT paths, so the loser of the
+    * manifest rename can never have overwritten data files the
+    * winner's published manifest references — its staged files are
+    * unreferenced garbage that the next [[vacuum]] collects. The
+    * manifest rename protects the pointer; the unique path protects
+    * the data. */
   private[graft] def stageDays(
       spark: SparkSession, df: DataFrame): (Int, Map[String, String]) = {
     val cur = current(spark)
     val vNew = cur.map(_._1).getOrElse(0) + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
     val days = df.select(col(dayCol).cast("string").as("d"))
       .distinct().collect().map(_.getString(0)).sorted
     require(days.nonEmpty, s"SnapshotTable $root: commit with no rows")
     days.foreach { d =>
       df.filter(col(dayCol).cast("string") === d)
-        .write.mode("overwrite").parquet(s"$root/v$vNew/day=$d")
+        .write.mode("overwrite").parquet(s"$root/v$vNew-$token/day=$d")
     }
     val carried = cur.map(_._2).getOrElse(Map.empty)
-    val mapping = carried ++ days.map(d => d -> s"v$vNew/day=$d").toMap
+    val mapping = carried ++ days.map(d => d -> s"v$vNew-$token/day=$d").toMap
     (vNew, mapping)
   }
 

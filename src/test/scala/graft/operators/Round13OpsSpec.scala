@@ -134,6 +134,30 @@ class Round13OpsSpec extends SparkSpec {
     out.last._3 shouldBe 80L
   }
 
+  test("psiDrift: full bin space emitted (empty-in-both bins included, " +
+      "smoothed shares sum to ~1e6) and an empty baseline fails fast") {
+    // base mass only at the extremes: bins 1..3 are empty in BOTH
+    // slices but must still appear, so the ppm columns cover the grid
+    val sparse = Seq(("base", 1L), ("base", 100L), ("cur", 1L), ("cur", 100L))
+      .toDF("snap", "s")
+    val rows = Analytics.psiDrift(sparse, "snap", col("s"), "base", "cur", 5)
+      .orderBy(col("bin"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    rows.map(_._1) shouldBe Array(0L, 1L, 2L, 3L, 4L)
+    rows.map(_._2) shouldBe Array(1L, 0L, 0L, 0L, 1L)
+    // add-one smoothing over the FULL grid: shares sum to 1e6 up to
+    // the per-bin floor division (< nBins ppm short)
+    val pbSum = rows.map(_._4).sum
+    pbSum should be <= 1000000L
+    pbSum should be > (1000000L - 5L)
+    // baseline key matches no rows -> in-plan fail-fast, not null bins
+    val ex = intercept[Exception] {
+      Analytics.psiDrift(sparse, "snap", col("s"), "nope", "cur", 5)
+        .collect()
+    }
+    ex.getMessage should include("baseline slice has no rows")
+  }
+
   test("trimmedMean: exact row-trim semantics incl. partial boundary class") {
     val df = (1L to 10L).map(v => ("g", v)).toDF("grp", "v")
     val out = Analytics.trimmedMean(df, "grp", col("v"), trimPpm = 200000L)

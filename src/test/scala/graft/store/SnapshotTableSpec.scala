@@ -63,6 +63,27 @@ class SnapshotTableSpec extends SparkSpec {
     }.getMessage should include("lost the race")
   }
 
+  test("racing commits stage into DISJOINT paths: the loser can never " +
+      "clobber data the winner's manifest references") {
+    val t = mkTable("race2")
+    t.commitDays(spark, days(1, "v1"))
+    // both writers compute vNew = 2 and fully stage BEFORE either
+    // publishes — the exact interleaving the shared v<N> path corrupted
+    val (vA, mA) = t.stageDays(spark, days(1, "winner"))
+    val (vB, mB) = t.stageDays(spark, days(1, "loser"))
+    vA shouldBe 2
+    vB shouldBe 2
+    // writer-unique staging: the two manifests reference different dirs
+    mA("2024-02-01") should not be mB("2024-02-01")
+    t.publish(spark, vA, mA)
+    intercept[java.io.IOException] { t.publish(spark, vB, mB) }
+    // the WINNER's data is intact even though the loser staged later
+    t.read(spark).select(max(col("mark"))).as[String].head() shouldBe "winner"
+    // and the loser's orphaned staging dir is vacuumable garbage
+    t.vacuum(spark) should be >= 2L // loser dir + v1 dir + old manifest
+    t.read(spark).select(max(col("mark"))).as[String].head() shouldBe "winner"
+  }
+
   test("vacuum drops only unreferenced versions and stale manifests") {
     val t = mkTable("vac")
     t.commitDays(spark, days(2, "v1"))

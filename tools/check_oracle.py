@@ -38,8 +38,13 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     n_pass = n_fail = 0
+    import time
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
+        t0 = time.time()
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -67,7 +72,8 @@ def main():
             print("  ref :", ref[idx].head(3).to_dict("records"))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(mine)} rows)")
+            print(f"PASS {name} ({len(mine)} rows, "
+                  f"{time.time() - t0:.1f}s)", flush=True)
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
