@@ -631,6 +631,50 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
       .orderBy(col("prompt"))
   }
 
+  /** Quantile-sketch audit (q280): percentile_approx — the mergeable
+    * 100 TB quantile path — certified against its rank-error contract
+    * on the lineitem cents histogram; the oracle pins within_eps
+    * (the q241 sketch-audit convention) and re-derives (group, n). */
+  private[graft] def quantileSketchAuditQuery(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.quantileSketchAudit(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
+        "l_returnflag", col("cents"),
+        Seq(10000L, 250000L, 500000L, 750000L, 990000L),
+        accuracy = 10000)
+      .orderBy(col("l_returnflag"), col("pctile_ppm"))
+
+  /** Brier decomposition (q281): a PERFECTLY-calibrated synthetic
+    * forecaster (outcome drawn under its own stated probability via
+    * an independent hash) — reliability reads near zero, resolution
+    * near its uncertainty share; every term exact micro integers. */
+  private[graft] def brierQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup.md5Hash60
+    val base = Tables.documents(s, dir).select(
+      (pmod(md5Hash60(concat(lit("cal:"), col("doc_id").cast("string"))),
+        lit(1001L)) * 1000L).as("p_ppm"),
+      (pmod(md5Hash60(concat(lit("out:"), col("doc_id").cast("string"))),
+        lit(1000000L)) <
+        pmod(md5Hash60(concat(lit("cal:"), col("doc_id").cast("string"))),
+          lit(1001L)) * 1000L).as("outcome"))
+    graft.operators.Analytics.brierDecomposition(base, col("p_ppm"),
+      col("outcome"), nBins = 10)
+  }
+
+  /** Rolling-origin CV folds (q282): 4 expanding-window folds with a
+    * 5-day test horizon over the events day span — the temporal-
+    * leakage-free evaluation protocol next to the q258 embargo. */
+  private[graft] def rollingFoldsQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.rollingOriginFolds(
+        Tables.events(s, dir), col("ts"), nFolds = 4, horizonDays = 5)
+      // dates → ISO strings for the gate (the q273 day convention)
+      .select(col("fold"), col("train_from").cast("string").as("train_from"),
+        col("test_from").cast("string").as("test_from"),
+        col("test_until").cast("string").as("test_until"),
+        col("n_train"), col("n_test"))
+      .orderBy(col("fold"))
+
   /** Exact trimmed mean (q275): 5%-each-side robust price mean per
     * return flag, histogram-order-statistic form — the partial
     * boundary-class take makes it row-trim-exact. */

@@ -3041,7 +3041,89 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
          FROM ch JOIN rj USING (prompt)
          WHERE chosen_id <> rejected_id
            AND chosen_score - rejected_score >= 500
-         ORDER BY prompt""")
+         ORDER BY prompt""",
+
+    // Quantile-sketch audit: the oracle pins within_eps true (the
+    // q241 convention — the sketch element itself is not
+    // oracle-reproducible) and re-derives group row counts exactly.
+    "q280_quantile_sketch_audit" ->
+      """WITH n AS (SELECT l_returnflag AS g,
+                         CAST(count(*) AS BIGINT) AS n_rows
+                  FROM lineitem GROUP BY 1),
+         p(pct) AS (VALUES (10000), (250000), (500000), (750000),
+                           (990000))
+         SELECT g AS l_returnflag, CAST(pct AS BIGINT) AS pctile_ppm,
+                n_rows, true AS within_eps
+         FROM n CROSS JOIN p ORDER BY 1, 2""",
+
+    // Brier decomposition: the calibrated-synthetic fixture re-derived
+    // from the same md5 chains; squares computed BEFORE any division
+    // so // and div agree everywhere.
+    "q281_brier_decomposition" ->
+      """WITH c AS (SELECT
+                (('0x' || substr(md5('cal:' || CAST(doc_id AS VARCHAR)),
+                   1, 15))::BIGINT % 1001) * 1000 AS p,
+                CASE WHEN ('0x' || substr(md5('out:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           % 1000000
+                        < (('0x' || substr(md5('cal:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           % 1001) * 1000
+                     THEN 1 ELSE 0 END AS ob
+              FROM documents),
+         b AS (SELECT least(9, p * 10 // 1000001) AS bin,
+                      CAST(count(*) AS BIGINT) AS nk,
+                      CAST(sum(p) AS BIGINT) AS sp,
+                      CAST(sum(ob) AS BIGINT) AS so,
+                      CAST(sum((p - ob * 1000000) * (p - ob * 1000000))
+                        AS BIGINT) AS sq
+               FROM c GROUP BY 1),
+         t AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+                      CAST(sum(so) AS BIGINT) AS son,
+                      CAST(sum(sq) AS BIGINT) AS sqn FROM b),
+         k AS (SELECT t.n, son * 1000000 // t.n AS obar, sqn, nk,
+                      sp // nk AS pbar, so * 1000000 // nk AS okbar
+               FROM b CROSS JOIN t),
+         r AS (SELECT n, obar, sqn,
+                      CAST(sum(nk * ((pbar - okbar) * (pbar - okbar)))
+                        AS BIGINT) AS reln,
+                      CAST(sum(nk * ((okbar - obar) * (okbar - obar)))
+                        AS BIGINT) AS resn
+               FROM k GROUP BY 1, 2, 3)
+         SELECT n, sqn // (n * 1000000) AS brier_micro,
+                reln // (n * 1000000) AS reliability_micro,
+                resn // (n * 1000000) AS resolution_micro,
+                obar * (1000000 - obar) // 1000000 AS uncertainty_micro
+         FROM r""",
+
+    // Rolling-origin folds: expanding train windows, fixed 5-day test
+    // horizon, ceil fold cuts over the day span.
+    "q282_rolling_folds" ->
+      """WITH days AS (SELECT CAST(ts AS DATE) AS d,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM events GROUP BY 1),
+         sp AS (SELECT min(d) AS d0,
+                       CAST(max(d) - min(d) + 1 AS BIGINT) AS span
+                FROM days),
+         f AS (SELECT CAST(fold AS BIGINT) AS fold, d0,
+                      (span * fold + 4) // 5 AS cut
+               FROM sp CROSS JOIN
+                    (SELECT unnest(range(1, 5)) AS fold)),
+         b AS (SELECT fold, d0 AS train_from,
+                      d0 + CAST(cut AS INTEGER) AS test_from,
+                      d0 + CAST(cut + 5 AS INTEGER) AS test_until
+               FROM f)
+         SELECT b.fold, CAST(b.train_from AS VARCHAR) AS train_from,
+                CAST(b.test_from AS VARCHAR) AS test_from,
+                CAST(b.test_until AS VARCHAR) AS test_until,
+                CAST(coalesce(sum(CASE WHEN d.d < b.test_from
+                                       THEN d.c END), 0) AS BIGINT)
+                  AS n_train,
+                CAST(coalesce(sum(CASE WHEN d.d >= b.test_from
+                                       THEN d.c END), 0) AS BIGINT)
+                  AS n_test
+         FROM b LEFT JOIN days d ON d.d < b.test_until
+         GROUP BY 1, 2, 3, 4 ORDER BY fold""")
 
   /** Shared q277/q278 match-derivation SQL (the Scala twin is
     * [[EntryAnalyticsStatsDefs.eventPreferenceMatches]]): per

@@ -3891,6 +3891,113 @@ object Analytics {
         col("r").as("strength_micro"))
   }
 
+  /** QUANTILE-SKETCH AUDIT — certifies Spark's own mergeable
+    * percentile sketch (`percentile_approx`, the KLL-style digest
+    * that IS the 100 TB quantile path: partials merge, nothing
+    * sorts globally) against its rank-error contract on real data.
+    * For each group and requested percentile, the sketch's returned
+    * ELEMENT is located exactly in the per-(group, value) histogram:
+    * rank interval [#<v + 1, #≤v] vs the target rank ⌈p·n⌉; the miss
+    * distance in ppm of n must stay within 10⁶/accuracy (+ slack).
+    * The oracle pins `within_eps` true and re-derives (group, n) —
+    * the q241 audit convention for sketch outputs an oracle cannot
+    * reproduce; the spec exercises the rank math on hand fixtures.
+    * Shape: one value-histogram shuffle + one sketch aggregation;
+    * the audit join is (groups × percentiles)-sized. */
+  def quantileSketchAudit(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      percentilesPpm: Seq[Long],
+      accuracy: Int = 10000,
+      slackPpm: Long = 0L): DataFrame = {
+    require(percentilesPpm.nonEmpty &&
+      percentilesPpm.forall(p => p >= 0 && p <= 1000000),
+      "percentiles must be ppm in [0, 1e6]")
+    require(accuracy >= 100, s"accuracy must be >= 100: $accuracy")
+    val q = df.select(col(groupCol).cast("string").as("g"),
+        value.cast(LongType).as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val h = q.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val pcts = percentilesPpm.map(_ / 1e6)
+    val approx = q.groupBy(col("g"))
+      .agg(percentile_approx(col("v"),
+        array(pcts.map(lit): _*), lit(accuracy)).as("_av"))
+      .select(col("g"), posexplode(col("_av")).as(Seq("_pi", "_val")))
+      .select(col("g"),
+        element_at(
+          array(percentilesPpm.map(lit): _*), col("_pi") + 1).as("pctile_ppm"),
+        col("_val"))
+    val ranked = approx.join(h, Seq("g"))
+      .groupBy(col("g"), col("pctile_ppm"), col("_val"))
+      .agg(sum(col("c")).as("n_rows"),
+        coalesce(sum(when(col("v") < col("_val"), col("c"))), lit(0L))
+          .as("_lo"),
+        coalesce(sum(when(col("v") <= col("_val"), col("c"))), lit(0L))
+          .as("_hi"))
+    ranked
+      .withColumn("_t", // target rank ⌈p·n⌉, floored at 1 (p=0 = the min)
+        greatest(lit(1L),
+          expr("(pctile_ppm * n_rows + 999999) div 1000000")))
+      .withColumn("_err",
+        when(col("_t") >= col("_lo") + 1 && col("_t") <= col("_hi"), lit(0L))
+          .otherwise(least(abs(col("_t") - (col("_lo") + 1)),
+            abs(col("_t") - col("_hi")))))
+      .select(col("g").as(groupCol), col("pctile_ppm"), col("n_rows"),
+        (expr("_err * 1000000 div greatest(n_rows, 1)") <=
+          lit(1000000L / accuracy + slackPpm)).as("within_eps"))
+  }
+
+  /** BRIER-SCORE DECOMPOSITION — the scalar companion to the q270
+    * reliability diagram: mean squared probability error split into
+    * Murphy's reliability − resolution + uncertainty over equal-width
+    * probability bins. Exact integers in micro (ppm-of-ppm²) units:
+    * per-row (p_ppm − o·10⁶)² summed exactly then `div (n·10⁶)`; per
+    * bin, n_k·(p̄_k − ō_k)² and n_k·(ō_k − ō)² with the bin means as
+    * exact ppm `div` — the integer identity holds up to the stated
+    * truncations (each TERM is exact for its formula; the real-number
+    * identity brier = rel − res + unc is approximate, stated). The
+    * n ≤ 9.2·10⁶ long envelope is raise_error-guarded (sample past
+    * it). Shape: one nBins rollup, one-row verdict. */
+  def brierDecomposition(
+      df: DataFrame,
+      probPpm: Column,
+      outcome: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2,1e3]: $nBins")
+    val q = df.select(probPpm.cast(LongType).as("p"),
+        outcome.cast("boolean").as("o"))
+      .filter(col("p").isNotNull && col("o").isNotNull)
+      .select(col("p"), when(col("o"), 1L).otherwise(0L).as("ob"))
+    val binned = q
+      .select(col("p"), col("ob"),
+        least(lit(nBins - 1L), expr(s"p * $nBins div 1000001")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"), sum(col("p")).as("sp"),
+        sum(col("ob")).as("so"),
+        sum(expr("(p - ob * 1000000) * (p - ob * 1000000)")).as("sq"))
+    val tot = binned.agg(sum(col("nk")).as("n"), sum(col("so")).as("son"),
+      sum(col("sq")).as("sqn"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("n"),
+        when(col("n") > 9200000L,
+          raise_error(lit("brierDecomposition: n exceeds the exact-long " +
+            "sum-of-squares envelope (~9.2e6); sample first")))
+          .otherwise(expr("son * 1000000 div n")).as("obar"),
+        col("sqn"), col("nk"),
+        expr("sp div nk").as("pbar"),
+        expr("so * 1000000 div nk").as("okbar"))
+      .groupBy(col("n"), col("obar"), col("sqn"))
+      .agg(
+        sum(expr("nk * ((pbar - okbar) * (pbar - okbar))")).as("reln"),
+        sum(expr("nk * ((okbar - obar) * (okbar - obar))")).as("resn"))
+      .select(col("n"),
+        expr("sqn div (n * 1000000)").as("brier_micro"),
+        expr("reln div (n * 1000000)").as("reliability_micro"),
+        expr("resn div (n * 1000000)").as("resolution_micro"),
+        expr("obar * (1000000 - obar) div 1000000").as("uncertainty_micro"))
+  }
+
   /** PAIRWISE WIN-RATE MATRIX with Wilson 95% intervals — the model-
     * eval sheet next to [[bradleyTerry]]: per unordered pair, how
     * often the lexicographically-lesser item won, with the interval

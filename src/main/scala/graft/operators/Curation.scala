@@ -961,6 +961,54 @@ object Curation {
       expr("n_kept * 1000000 div greatest(n_eval, 1)").as("kept_ppm"))
   }
 
+  /** ROLLING-ORIGIN CROSS-VALIDATION FOLDS — the time-series
+    * evaluation protocol next to the q258 temporal embargo split: an
+    * EXPANDING training window with a fixed-length test horizon
+    * rolled forward `nFolds` times across the corpus's day span.
+    * Fold i (1-based) trains on days [minDay, cut_i) and tests on
+    * [cut_i, cut_i + horizonDays), with cut_i = minDay +
+    * ceil(span·i / (nFolds+1)) in days — the classic scheme where
+    * every test day is strictly after every training day of its fold
+    * (no temporal leakage by construction) and later folds subsume
+    * earlier training windows. Day spans come from ONE day rollup;
+    * fold boundaries are arithmetic over that rollup — corpus rows
+    * are touched exactly once, folds are (nFolds × days)-joined on a
+    * days-sized relation. Output per fold: the boundary dates and
+    * exact train/test row counts (a fold whose test window falls
+    * past the data reports n_test 0 — visible, not dropped). */
+  def rollingOriginFolds(
+      df: DataFrame,
+      tsCol: Column,
+      nFolds: Int,
+      horizonDays: Int): DataFrame = {
+    require(nFolds >= 1 && nFolds <= 100, s"nFolds must be in [1,100]: $nFolds")
+    require(horizonDays >= 1, s"horizonDays must be >= 1: $horizonDays")
+    val days = df.select(tsCol.cast("date").as("d"))
+      .filter(col("d").isNotNull)
+      .groupBy(col("d")).agg(count(lit(1)).as("c"))
+    val span = days.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("d0"), (datediff(col("d1"), col("d0")) + 1).as("span"))
+    val folds = span.crossJoin(
+        df.sparkSession.range(1, nFolds + 1).select(col("id").as("fold")))
+      .select(col("fold"), col("d0"),
+        expr(s"(span * fold + ${nFolds + 1} - 1) div ${nFolds + 1}")
+          .as("_cut"))
+      .select(col("fold"),
+        col("d0").as("train_from"),
+        date_add(col("d0"), col("_cut").cast("int")).as("test_from"),
+        date_add(col("d0"), (col("_cut") + lit(horizonDays)).cast("int"))
+          .as("test_until"))
+    folds.join(days,
+        col("d") < col("test_until"), "left")
+      .groupBy(col("fold"), col("train_from"), col("test_from"),
+        col("test_until"))
+      .agg(
+        coalesce(sum(when(col("d") < col("test_from"), col("c"))), lit(0L))
+          .as("n_train"),
+        coalesce(sum(when(col("d") >= col("test_from"), col("c"))), lit(0L))
+          .as("n_test"))
+  }
+
   /** PREFERENCE-PAIR ASSEMBLY — the DPO/RLHF dataset builder: per
     * prompt group, the best-scoring candidate becomes `chosen`, the
     * worst `rejected`, and the pair ships only when the score margin

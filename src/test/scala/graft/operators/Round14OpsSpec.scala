@@ -97,4 +97,76 @@ class Round14OpsSpec extends SparkSpec {
     loose.map(_._1) shouldBe Seq("g1", "g4")
     loose.find(_._1 == "g4").get._7 shouldBe 2L
   }
+
+  test("quantileSketchAudit: exact rank interval logic — the sketch's " +
+      "element lands within the eps band on a known distribution") {
+    // 1..1000 in one group: every percentile's exact element is known,
+    // and at accuracy 10000 the allowed rank slack is 100 ppm = 0.1
+    // ranks — effectively exact on 1000 rows
+    val df = (1L to 1000L).map(v => ("g", v)).toDF("grp", "v")
+    val out = Analytics.quantileSketchAudit(df, "grp", col("v"),
+        Seq(10000L, 500000L, 990000L), accuracy = 10000)
+      .orderBy(col("pctile_ppm"))
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    out.map(_._2) shouldBe Seq(10000L, 500000L, 990000L)
+    all(out.map(_._3)) shouldBe 1000L
+    all(out.map(_._4)) shouldBe true
+    // a coarse sketch on a skewed histogram still honors ITS OWN
+    // (larger) eps bound
+    val skew = ((1L to 990L).map(_ => ("g", 1L)) ++
+      (1L to 10L).map(v => ("g", v * 1000L))).toDF("grp", "v")
+    val c = Analytics.quantileSketchAudit(skew, "grp", col("v"),
+        Seq(995000L), accuracy = 100)
+      .as[(String, Long, Long, Boolean)].head()
+    c._4 shouldBe true
+  }
+
+  test("brierDecomposition: hand-computed terms, perfect forecaster " +
+      "reads zero, constant forecaster reads zero resolution") {
+    // perfect: p = outcome exactly -> brier 0, reliability 0
+    val perfect = Seq((1000000L, true), (0L, false), (1000000L, true),
+      (0L, false)).toDF("p", "o")
+    val pf = Analytics.brierDecomposition(perfect, col("p"), col("o"), 10)
+      .as[(Long, Long, Long, Long, Long)].head()
+    pf._2 shouldBe 0L // brier
+    pf._3 shouldBe 0L // reliability
+    // obar = 500000 -> uncertainty = 0.25 in micro
+    pf._5 shouldBe 250000L
+    // constant 50% forecaster on a 50/50 outcome: brier = 0.25,
+    // reliability 0 (bin mean = outcome rate), resolution 0 (one bin)
+    val const = Seq((500000L, true), (500000L, false),
+      (500000L, true), (500000L, false)).toDF("p", "o")
+    val cf = Analytics.brierDecomposition(const, col("p"), col("o"), 10)
+      .as[(Long, Long, Long, Long, Long)].head()
+    cf._2 shouldBe 250000L
+    cf._3 shouldBe 0L
+    cf._4 shouldBe 0L
+    cf._5 shouldBe 250000L
+  }
+
+  test("rollingOriginFolds: expanding train windows, fixed horizon, " +
+      "exact counts, past-the-data test windows report zero") {
+    import java.sql.Timestamp
+    // 10 days, 1 row per day: span 10, cuts at ceil(10i/5) = 2,4,6,8
+    val rows = (0 until 10).map(d =>
+      Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00")).toDF("ts")
+    val out = Curation.rollingOriginFolds(rows, col("ts"), nFolds = 4,
+        horizonDays = 3)
+      .orderBy(col("fold"))
+      .as[(Long, java.sql.Date, java.sql.Date, java.sql.Date, Long, Long)]
+      .collect().toSeq
+    out.map(_._1) shouldBe Seq(1L, 2L, 3L, 4L)
+    out.map(_._5) shouldBe Seq(2L, 4L, 6L, 8L) // expanding train
+    out.map(_._6) shouldBe Seq(3L, 3L, 3L, 2L) // last horizon clipped
+    out.head._3.toString shouldBe "2024-03-03"
+    // every test day strictly after every train day of its fold
+    all(out.map(f => f._3.after(f._2))) shouldBe true
+    // horizon falling entirely past the data: n_test 0, fold visible
+    val tiny = Seq(Timestamp.valueOf("2024-03-01 00:00:00")).toDF("ts")
+    val t = Curation.rollingOriginFolds(tiny, col("ts"), 1, 5)
+      .as[(Long, java.sql.Date, java.sql.Date, java.sql.Date, Long, Long)]
+      .head()
+    t._5 shouldBe 1L
+    t._6 shouldBe 0L
+  }
 }
