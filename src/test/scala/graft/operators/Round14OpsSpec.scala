@@ -169,4 +169,70 @@ class Round14OpsSpec extends SparkSpec {
     t._5 shouldBe 1L
     t._6 shouldBe 0L
   }
+
+  test("propensityMatch: nearest-class match with lower-side ties, " +
+      "class-mean control outcome, caliper refusal reported") {
+    // treated at scores 100/200; controls at 90 (y 10,20 -> mean 15),
+    // 110 (y 100), 350 (y 7). caliper 50:
+    //  s=100: 90 and 110 both at distance 10 -> LOWER side wins (90),
+    //         matched outcome = class mean 15e6 micro
+    //  s=200: nearest control 110 is 90 away > caliper -> unmatched
+    val df = Seq(
+      (true, 100L, 40L), (true, 200L, 50L),
+      (false, 90L, 10L), (false, 90L, 20L),
+      (false, 110L, 100L), (false, 350L, 7L)
+    ).toDF("t", "s", "y")
+    val out = Analytics.propensityMatch(df, col("t"), col("s"), col("y"),
+        caliperPpm = 50L)
+      .as[(Long, Long, Long, Option[Long])].head()
+    out._1 shouldBe 2L
+    out._2 shouldBe 1L
+    out._3 shouldBe 500000L
+    // ATT over the matched unit: 40e6 - 15e6 = 25e6
+    out._4 shouldBe Some(25000000L)
+    // no control inside any caliper: n_matched 0, ATT null
+    val none = Analytics.propensityMatch(df.filter(col("s") =!= 90L &&
+        col("s") =!= 110L && col("s") =!= 350L || col("t")),
+        col("t"), col("s"), col("y"), caliperPpm = 5L)
+      .as[(Long, Long, Long, Option[Long])].head()
+    none._2 shouldBe 0L
+    none._4 shouldBe None
+  }
+
+  test("diffInDiff: hand 2x2, incomplete design fails fast") {
+    // T: pre mean 10, post mean 30 (+20); C: pre 5, post 15 (+10)
+    // -> DiD = +10 in micro
+    val df = Seq(
+      (true, false, 10L), (true, true, 30L),
+      (false, false, 5L), (false, true, 15L)
+    ).toDF("t", "p", "v")
+    val out = Analytics.diffInDiff(df, col("t"), col("p"), col("v"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    out._9 shouldBe 10000000L
+    val ex = intercept[Exception] {
+      Analytics.diffInDiff(df.filter(col("p") || !col("t")),
+        col("t"), col("p"), col("v")).collect()
+    }
+    ex.getMessage should include("2x2 design is incomplete")
+  }
+
+  test("cupedAdjust: a metric that IS the covariate adjusts to the " +
+      "global mean everywhere; zero-variance covariate fails fast") {
+    // y = x: theta = 1e6 ppm, rho2 = 1e6, adjusted mean = global mean
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("b", 7L))
+      .toDF("g", "x").withColumn("y", col("x"))
+    val out = Analytics.cupedAdjust(df, "g", col("x"), col("y"))
+      .orderBy(col("g"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    all(out.map(_._5)) shouldBe 1000000L // theta
+    all(out.map(_._6)) shouldBe 1000000L // rho2
+    // global mean 4e6; both arms adjust to it exactly
+    all(out.map(_._4)) shouldBe 4000000L
+    out.map(_._3) shouldBe Seq(2000000L, 6000000L) // raw means differ
+    val flat = Seq(("a", 2L, 9L), ("b", 2L, 4L)).toDF("g", "x", "y")
+    val ex = intercept[Exception] {
+      Analytics.cupedAdjust(flat, "g", col("x"), col("y")).collect()
+    }
+    ex.getMessage should include("zero variance")
+  }
 }
