@@ -675,6 +675,59 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
         col("n_train"), col("n_test"))
       .orderBy(col("fold"))
 
+  /** Shared q283/q284/q285 fixture: per-user PRE/POST event counts
+    * split at the corpus midpoint day (min day + 14 — derived, not
+    * hardcoded, so every SF splits its own span), a deterministic
+    * hash treatment CORRELATED with pre-period activity (the
+    * confound q283 exists to correct), and the pre-derived
+    * propensity score. One user rollup; everything after is
+    * users-sized. */
+  private[graft] def causalUnits(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup.md5Hash60
+    val e = Tables.events(s, dir)
+      .select(col("user_id").as("u"), dayOf(col("ts")).as("day"))
+    val cut = e.agg(date_add(min(col("day")), 14).as("cut"))
+    val units = e.crossJoin(broadcast(cut))
+      .groupBy(col("u"))
+      .agg(count(when(col("day") <= col("cut"), 1)).as("pre"),
+        count(when(col("day") > col("cut"), 1)).as("post"))
+    units
+      .withColumn("score_ppm",
+        least(lit(1000000L), col("pre") * 50000L))
+      .withColumn("treated",
+        pmod(md5Hash60(concat(lit("trt:"), col("u").cast("string"))),
+          lit(1000000L)) <
+          lit(200000L) + least(lit(600000L), col("pre") * 30000L))
+  }
+
+  /** Propensity-matched ATT (q283): treatment is hash-assigned with
+    * probability rising in pre-period activity — the naive treated
+    * minus control gap is confounded; matching on the pre-derived
+    * score within a 25k-ppm caliper removes it. */
+  private[graft] def propensityMatchQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.propensityMatch(causalUnits(s, dir),
+      col("treated"), col("score_ppm"), col("post"), caliperPpm = 25000L)
+
+  /** Difference-in-differences (q284): the same units unpivoted to
+    * (treated, period, count) observations; cell means and the DiD
+    * estimate in exact micro units. */
+  private[graft] def diffInDiffQuery(s: SparkSession, dir: String): DataFrame = {
+    val u = causalUnits(s, dir)
+    val long = u.select(col("treated"), lit(false).as("p"), col("pre").as("v"))
+      .unionByName(
+        u.select(col("treated"), lit(true).as("p"), col("post").as("v")))
+    graft.operators.Analytics.diffInDiff(long, col("treated"), col("p"),
+      col("v"))
+  }
+
+  /** CUPED adjustment (q285): pre-period count as the covariate for
+    * the post-period metric, per treatment arm — θ and the achieved
+    * variance-reduction share, plus exact adjusted means. */
+  private[graft] def cupedQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.cupedAdjust(causalUnits(s, dir),
+        "treated", col("pre"), col("post"))
+      .orderBy(col("treated"))
+
   /** Exact trimmed mean (q275): 5%-each-side robust price mean per
     * return flag, histogram-order-statistic form — the partial
     * boundary-class take makes it row-trim-exact. */

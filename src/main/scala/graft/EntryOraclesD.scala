@@ -3123,7 +3123,132 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                                        THEN d.c END), 0) AS BIGINT)
                   AS n_test
          FROM b LEFT JOIN days d ON d.d < b.test_until
-         GROUP BY 1, 2, 3, 4 ORDER BY fold""")
+         GROUP BY 1, 2, 3, 4 ORDER BY fold""",
+
+    // Propensity-matched ATT: nearest control score class (ties to the
+    // lower side), exact class-mean control outcome, signed ATT with
+    // the tdiv sign-split.
+    "q283_propensity_att" ->
+      s"""WITH $causalUnitsSql,
+         reps AS MATERIALIZED (
+                 SELECT score AS cs,
+                        CAST(sum(post) * 1000000 // count(*) AS BIGINT)
+                          AS cy
+                 FROM un WHERE NOT t GROUP BY 1),
+         cls AS MATERIALIZED (
+                 SELECT score AS s, post AS y,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM un WHERE t GROUP BY 1, 2),
+         cand AS (SELECT c.s, c.y, c.n, r.cs, r.cy
+                  FROM cls c JOIN reps r ON abs(r.cs - c.s) <= 25000),
+         best AS (SELECT s, y, n, cy FROM (
+                   SELECT s, y, n, cy,
+                          row_number() OVER (PARTITION BY s, y
+                            ORDER BY abs(cs - s), cs) AS rn
+                   FROM cand) WHERE rn = 1),
+         m AS (SELECT c.s, c.y, c.n, b.cy
+               FROM cls c LEFT JOIN best b USING (s, y, n)),
+         a AS (SELECT CAST(sum(n) AS BIGINT) AS n_treated,
+                      CAST(coalesce(sum(n) FILTER (WHERE cy IS NOT NULL),
+                                    0) AS BIGINT) AS n_matched,
+                      CAST(coalesce(sum((y * 1000000 - cy) * n)
+                                      FILTER (WHERE cy IS NOT NULL), 0)
+                        AS BIGINT) AS sd
+               FROM m)
+         SELECT n_treated, n_matched,
+                n_matched * 1000000 // greatest(n_treated, 1)
+                  AS match_rate_ppm,
+                CASE WHEN n_matched = 0 THEN NULL
+                     WHEN sd >= 0 THEN sd // n_matched
+                     ELSE -((-sd) // n_matched) END AS att_micro
+         FROM a""",
+
+    // Difference-in-differences: the 2x2 cell means (all divisions on
+    // nonnegative sums) and the subtraction-only estimate.
+    "q284_diff_in_diff" ->
+      s"""WITH $causalUnitsSql,
+         lg AS (SELECT t, false AS p, pre AS v FROM un
+                UNION ALL SELECT t, true, post FROM un),
+         cm AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(v) * 1000000 // count(*) AS BIGINT) AS m
+                FROM lg GROUP BY 1, 2)
+         SELECT max(CASE WHEN t AND NOT p THEN n END) AS n_t_pre,
+                max(CASE WHEN t AND p THEN n END) AS n_t_post,
+                max(CASE WHEN NOT t AND NOT p THEN n END) AS n_c_pre,
+                max(CASE WHEN NOT t AND p THEN n END) AS n_c_post,
+                max(CASE WHEN t AND NOT p THEN m END) AS m_t_pre,
+                max(CASE WHEN t AND p THEN m END) AS m_t_post,
+                max(CASE WHEN NOT t AND NOT p THEN m END) AS m_c_pre,
+                max(CASE WHEN NOT t AND p THEN m END) AS m_c_post,
+                (max(CASE WHEN t AND p THEN m END)
+                   - max(CASE WHEN t AND NOT p THEN m END))
+                - (max(CASE WHEN NOT t AND p THEN m END)
+                   - max(CASE WHEN NOT t AND NOT p THEN m END))
+                  AS did_micro
+         FROM cm""",
+
+    // CUPED: theta and the adjustment product carry signs — both get
+    // the tdiv sign-split; rho2 is the same stated IEEE chain
+    // (multiplies, one divide, round) as the Spark side.
+    "q285_cuped" ->
+      s"""WITH $causalUnitsSql,
+         mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(pre) AS BIGINT) AS sx,
+                        CAST(count(*) * sum(pre * pre)
+                             - sum(pre) * sum(pre) AS BIGINT) AS varn,
+                        CAST(count(*) * sum(pre * post)
+                             - sum(pre) * sum(post) AS BIGINT) AS covn,
+                        CAST(count(*) * sum(post * post)
+                             - sum(post) * sum(post) AS BIGINT) AS varny
+                 FROM un),
+         th AS (SELECT n, sx, varn,
+                       CASE WHEN covn >= 0 THEN covn * 1000000 // varn
+                            ELSE -((-covn) * 1000000 // varn)
+                       END AS theta_ppm,
+                       CAST(round(covn::DOUBLE * covn::DOUBLE
+                              / (varn::DOUBLE * varny::DOUBLE) * 1e6)
+                         AS BIGINT) AS rho2_ppm
+                FROM mom),
+         g AS (SELECT CAST(t AS VARCHAR) AS treated,
+                      CAST(count(*) AS BIGINT) AS n_g,
+                      CAST(sum(pre) AS BIGINT) AS sxg,
+                      CAST(sum(post) AS BIGINT) AS syg
+               FROM un GROUP BY 1),
+         j AS (SELECT treated, n_g,
+                      syg * 1000000 // n_g AS mean_micro,
+                      theta_ppm
+                        * (sxg * 1000000 // n_g - sx * 1000000 // n)
+                        AS prod,
+                      theta_ppm, rho2_ppm
+               FROM g CROSS JOIN th)
+         SELECT treated, n_g, mean_micro,
+                mean_micro - (CASE WHEN prod >= 0 THEN prod // 1000000
+                                   ELSE -((-prod) // 1000000) END)
+                  AS adjusted_micro,
+                theta_ppm, rho2_ppm
+         FROM j ORDER BY treated""")
+
+  /** Shared q283/q284/q285 fixture SQL (the Scala twin is
+    * [[EntryAnalyticsStatsDefs.causalUnits]]): per-user pre/post
+    * counts at the derived midpoint cut, hash treatment correlated
+    * with pre-period activity, pre-derived propensity score. */
+  private def causalUnitsSql: String =
+    """cu AS MATERIALIZED (
+              SELECT user_id AS u,
+                     CAST(count(*) FILTER (WHERE CAST(ts AS DATE) <= cut)
+                       AS BIGINT) AS pre,
+                     CAST(count(*) FILTER (WHERE CAST(ts AS DATE) > cut)
+                       AS BIGINT) AS post
+              FROM events CROSS JOIN
+                   (SELECT min(CAST(ts AS DATE)) + 14 AS cut FROM events)
+              GROUP BY 1),
+       un AS MATERIALIZED (
+              SELECT u, pre, post,
+                     least(1000000, pre * 50000) AS score,
+                     (('0x' || substr(md5('trt:' || CAST(u AS VARCHAR)),
+                        1, 15))::BIGINT % 1000000)
+                       < 200000 + least(600000, pre * 30000) AS t
+              FROM cu)"""
 
   /** Shared q277/q278 match-derivation SQL (the Scala twin is
     * [[EntryAnalyticsStatsDefs.eventPreferenceMatches]]): per

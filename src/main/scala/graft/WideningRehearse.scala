@@ -181,6 +181,35 @@ object WideningRehearse {
         println(f"""{"mode":"sketch","n_rows":$n,"pairs_exact":$exact,""" +
           f""""pairs_est":$est,"err_ppm":$err,"exact_sec":$exactSec%.3f,""" +
           f""""sketch_sec":$skSec%.3f}""")
+      case "bt" =>
+        // q277/q278 at corpus scale: n matches over 256 items with a
+        // Zipf-ish winner skew — the corpus rolls up ONCE to the
+        // ≤ items² pair relation; the 4 MM rounds price items, not
+        // matches, so the exponent should read ~linear-in-n scan cost
+        val items = 256L
+        val matches = spark.range(n).select(
+          // winner biased low, loser uniform, never equal
+          (pmod(col("id") * 2654435761L, lit(items * items)) / items)
+            .cast("long").as("wRaw"),
+          pmod(col("id") * 40503L, lit(items)).as("lRaw"))
+          .select(
+            least(col("wRaw") % items, pmod(col("wRaw"), lit(17L)) * 15L)
+              .cast("string").as("w"),
+            col("lRaw").cast("string").as("l"))
+          .filter(col("w") =!= col("l"))
+        val ((nItems, topW), sec) = time {
+          val r = graft.operators.Analytics
+            .bradleyTerry(matches, "w", "l", iters = 4)
+          val agg = r.agg(count(lit(1)), max(col("strength_micro"))).head()
+          (agg.getLong(0), agg.getLong(1))
+        }
+        val (nPairs, wrSec) = time {
+          graft.operators.Analytics.winRateMatrix(matches, "w", "l").count()
+        }
+        println(f"""{"mode":"bt","n_matches":$n,"n_items":$nItems,""" +
+          f""""sec":$sec%.3f,"matches_per_sec":${(n / sec).toLong},""" +
+          f""""top_strength_micro":$topW,"winrate_pairs":$nPairs,""" +
+          f""""winrate_sec":$wrSec%.3f}""")
       case other => sys.error(s"unknown mode: $other")
     }
     spark.stop()

@@ -3998,6 +3998,156 @@ object Analytics {
         expr("obar * (1000000 - obar) div 1000000").as("uncertainty_micro"))
   }
 
+  /** PROPENSITY-SCORE MATCHING (ATT, with replacement, caliper) —
+    * the observational-causal read the experimentation family
+    * (A/B q195, DiD [[diffInDiff]]) can't give when assignment
+    * wasn't randomized: every treated row matches the control CLASS
+    * with the nearest propensity score (equidistant ties: the lower
+    * score side — fully deterministic), takes that class's EXACT
+    * mean outcome (every control at the matched score is equally
+    * near; averaging them is the lowest-variance deterministic
+    * choice), reports unmatched-past-the-caliper instead of silently
+    * dropping it, and states ATT as the exact mean treated−matched
+    * gap in micro units.
+    *
+    * Shape at 100 TB: controls collapse FIRST to one class per
+    * DISTINCT integer score, treated classes explode to 3
+    * caliper-width bucket keys so the match is an EQUI-join (hash,
+    * never a nested loop) — and because scores are integers,
+    * classes-in-range is ≤ 2·caliper+1 by construction: bounded
+    * fan-out, no global sort anywhere. */
+  def propensityMatch(
+      df: DataFrame,
+      treatedCol: Column,
+      scorePpm: Column,
+      outcome: Column,
+      caliperPpm: Long = 10000L): DataFrame = {
+    require(caliperPpm >= 0 && caliperPpm <= 1000000,
+      s"caliperPpm must be in [0, 1e6]: $caliperPpm")
+    val q = df.select(treatedCol.cast("boolean").as("t"),
+        scorePpm.cast(LongType).as("s"),
+        outcome.cast(LongType).as("y"))
+      .filter(col("t").isNotNull && col("s").isNotNull && col("y").isNotNull)
+    val bsz = math.max(caliperPpm, 1L)
+    // one class per distinct control score, carrying its exact mean
+    val reps = q.filter(!col("t"))
+      .groupBy(col("s").as("cs"))
+      .agg(expr("sum(y) * 1000000 div count(1)").as("cy_micro"))
+      .withColumn("cbk", expr(s"cs div $bsz"))
+    // treated classes (distinct (s, y) with multiplicity) x 3 buckets
+    val classes = q.filter(col("t")).groupBy(col("s"), col("y"))
+      .agg(count(lit(1)).as("n"))
+    val cand = classes
+      .withColumn("jb", explode(array(expr(s"s div $bsz - 1"),
+        expr(s"s div $bsz"), expr(s"s div $bsz + 1"))))
+      .join(reps, col("jb") === col("cbk") &&
+        abs(col("cs") - col("s")) <= lit(caliperPpm))
+    val best = cand
+      .groupBy(col("s"), col("y"), col("n"))
+      .agg(min(struct(abs(col("cs") - col("s")).as("d"),
+        col("cs").as("cs"), col("cy_micro").as("cy"))).as("m"))
+      .select(col("s"), col("y"), col("n"), col("m.cy").as("cy_micro"))
+    val matched = classes.join(best, Seq("s", "y", "n"), "left")
+    matched.agg(
+        sum(col("n")).as("n_treated"),
+        coalesce(sum(when(col("cy_micro").isNotNull, col("n"))), lit(0L))
+          .as("n_matched"),
+        coalesce(sum(when(col("cy_micro").isNotNull,
+          (col("y") * 1000000L - col("cy_micro")) * col("n"))), lit(0L))
+          .as("_sd"))
+      .select(col("n_treated"), col("n_matched"),
+        expr("n_matched * 1000000 div greatest(n_treated, 1)")
+          .as("match_rate_ppm"),
+        when(col("n_matched") === 0, lit(null).cast(LongType))
+          .otherwise(expr("_sd div n_matched")).as("att_micro"))
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES — the parallel-trends causal estimate
+    * over a 2×2 (treated × pre/post) design: cell means as exact
+    * micro integers, DiD = (T,post − T,pre) − (C,post − C,pre). One
+    * 4-cell rollup; the estimate is arithmetic over it. Cells with
+    * no rows fail fast (the design is broken, not zero). */
+  def diffInDiff(
+      df: DataFrame,
+      treatedCol: Column,
+      postCol: Column,
+      value: Column): DataFrame = {
+    val q = df.select(treatedCol.cast("boolean").as("t"),
+        postCol.cast("boolean").as("p"),
+        value.cast(LongType).as("v"))
+      .filter(col("t").isNotNull && col("p").isNotNull && col("v").isNotNull)
+    val cells = q.groupBy(col("t"), col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select(col("t"), col("p"), col("n"),
+        expr("sv * 1000000 div n").as("mean_micro"))
+    cells.agg(
+        count(lit(1)).as("_cells"),
+        sum(when(col("t") && col("p"), col("n"))).as("n_t_post"),
+        sum(when(col("t") && !col("p"), col("n"))).as("n_t_pre"),
+        sum(when(!col("t") && col("p"), col("n"))).as("n_c_post"),
+        sum(when(!col("t") && !col("p"), col("n"))).as("n_c_pre"),
+        sum(when(col("t") && col("p"), col("mean_micro"))).as("m_t_post"),
+        sum(when(col("t") && !col("p"), col("mean_micro"))).as("m_t_pre"),
+        sum(when(!col("t") && col("p"), col("mean_micro"))).as("m_c_post"),
+        sum(when(!col("t") && !col("p"), col("mean_micro"))).as("m_c_pre"))
+      .select(
+        when(col("_cells") < 4,
+          raise_error(lit("diffInDiff: a (treated, period) cell has no " +
+            "rows — the 2x2 design is incomplete")))
+          .otherwise(col("n_t_pre")).as("n_t_pre"),
+        col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+        col("m_t_pre"), col("m_t_post"), col("m_c_pre"), col("m_c_post"),
+        ((col("m_t_post") - col("m_t_pre")) -
+          (col("m_c_post") - col("m_c_pre"))).as("did_micro"))
+  }
+
+  /** CUPED VARIANCE REDUCTION — the industry-standard experiment
+    * sensitivity boost: adjust the metric by a pre-period covariate,
+    * y' = y − θ(x − x̄), with θ = cov(x,y)/var(x) fit on ALL units
+    * (assignment-independent, so the adjustment is unbiased). θ in
+    * exact ppm off the n-scaled integer moments (covN = n·Σxy−Σx·Σy,
+    * varN = n·Σx²−(Σx)², both exact longs under the stated n·Σ
+    * envelope — raise_error past it); per-group adjusted means as
+    * the exact integer chain; the achieved variance-reduction share
+    * ρ² as ONE stated IEEE chain (two multiplies, one divide,
+    * round-to-ppm). Zero covariate variance fails fast. Shape: one
+    * moments rollup + one group rollup. */
+  def cupedAdjust(
+      df: DataFrame,
+      groupCol: String,
+      covariate: Column,
+      metric: Column): DataFrame = {
+    val q = df.select(col(groupCol).cast("string").as("g"),
+        covariate.cast(LongType).as("x"), metric.cast(LongType).as("y"))
+      .filter(col("g").isNotNull && col("x").isNotNull && col("y").isNotNull)
+    val mom = q.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varn"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("covn"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("varny"))
+      .select(col("n"), col("sx"), col("sy"), col("varn"),
+        when(col("varn") <= 0,
+          raise_error(lit("cupedAdjust: covariate has zero variance — " +
+            "CUPED is undefined; pick a real pre-period covariate")))
+          .otherwise(expr("covn * 1000000 div varn")).as("theta_ppm"),
+        round(col("covn").cast(DoubleType) * col("covn").cast(DoubleType) /
+          (col("varn").cast(DoubleType) * col("varny").cast(DoubleType))
+          * 1e6).cast(LongType).as("rho2_ppm"))
+    val grp = q.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("sxg"),
+        sum(col("y")).as("syg"))
+    grp.crossJoin(broadcast(mom))
+      .select(col("g").as(groupCol), col("n_g"),
+        expr("syg * 1000000 div n_g").as("mean_micro"),
+        (expr("syg * 1000000 div n_g") -
+          expr("theta_ppm * (sxg * 1000000 div n_g - sx * 1000000 div n) " +
+            "div 1000000")).as("adjusted_micro"),
+        col("theta_ppm"), col("rho2_ppm"))
+  }
+
   /** PAIRWISE WIN-RATE MATRIX with Wilson 95% intervals — the model-
     * eval sheet next to [[bradleyTerry]]: per unordered pair, how
     * often the lexicographically-lesser item won, with the interval
