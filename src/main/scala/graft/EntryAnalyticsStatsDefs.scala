@@ -728,6 +728,41 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
         "treated", col("pre"), col("post"))
       .orderBy(col("treated"))
 
+  /** McNemar paired test (q286): two hash "models" with 70%/60%
+    * copy-the-truth accuracy against a modular truth — the discordant
+    * cells carry the signal, continuity-corrected chi2 exact micro. */
+  private[graft] def mcnemarQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup.md5Hash60
+    val truth = pmod(col("doc_id"), lit(3L))
+    val d = Tables.documents(s, dir).select(
+      truth.cast("string").as("t"),
+      when(pmod(md5Hash60(concat(lit("ma:"), col("doc_id").cast("string"))),
+        lit(10L)) < 7, truth).otherwise(pmod(truth + 1, lit(3L)))
+        .cast("string").as("a"),
+      when(pmod(md5Hash60(concat(lit("mb:"), col("doc_id").cast("string"))),
+        lit(10L)) < 6, truth).otherwise(pmod(truth + 2, lit(3L)))
+        .cast("string").as("b"))
+    graft.operators.Analytics.mcnemarTest(d, col("a"), col("b"), col("t"))
+  }
+
+  /** Minimum detectable effect (q287): the power read over the causal
+    * fixture's two hash arms on the post-period metric — exact arm
+    * moments, one stated IEEE sqrt chain for the MDE itself. */
+  private[graft] def mdeQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.minDetectableEffect(
+      causalUnits(s, dir).select(col("treated").cast("string").as("arm"),
+        col("post")),
+      "arm", col("post"))
+
+  /** Temperature-0.5 mixture (q288): the √-share rebalance over the
+    * documents source column — low-resource sources lift, the
+    * bottleneck source keeps 100%, every rate exact ppm. */
+  private[graft] def temperatureMixtureQuery(
+      s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.temperatureMixture(
+        Tables.documents(s, dir), "source")
+      .orderBy(col("source"))
+
   /** Exact trimmed mean (q275): 5%-each-side robust price mean per
     * return flag, histogram-order-statistic form — the partial
     * boundary-class take makes it row-trim-exact. */

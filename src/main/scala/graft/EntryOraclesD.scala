@@ -3226,7 +3226,105 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                                    ELSE -((-prod) // 1000000) END)
                   AS adjusted_micro,
                 theta_ppm, rho2_ppm
-         FROM j ORDER BY treated""")
+         FROM j ORDER BY treated""",
+
+    "q286_mcnemar" -> mcnemarOracleSql,
+    "q287_mde" -> mdeOracleSql,
+    "q288_temperature_mixture" -> temperatureMixtureOracleSql)
+
+  /** q286 McNemar: the same hash models re-derived; only the
+    * discordant counts enter the statistic. */
+  private def mcnemarOracleSql: String =
+    """WITH d AS (SELECT doc_id % 3 AS truth,
+                CASE WHEN ('0x' || substr(md5('ma:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 7
+                     THEN doc_id % 3 ELSE (doc_id % 3 + 1) % 3 END AS a,
+                CASE WHEN ('0x' || substr(md5('mb:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 6
+                     THEN doc_id % 3 ELSE (doc_id % 3 + 2) % 3 END AS b
+              FROM documents),
+       c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(coalesce(sum(CASE WHEN a = truth AND b = truth
+                      THEN 1 END), 0) AS BIGINT) AS n_both_correct,
+                    CAST(coalesce(sum(CASE WHEN a = truth AND b <> truth
+                      THEN 1 END), 0) AS BIGINT) AS n_a_only,
+                    CAST(coalesce(sum(CASE WHEN a <> truth AND b = truth
+                      THEN 1 END), 0) AS BIGINT) AS n_b_only,
+                    CAST(coalesce(sum(CASE WHEN a <> truth AND b <> truth
+                      THEN 1 END), 0) AS BIGINT) AS n_both_wrong
+             FROM d)
+       SELECT n, n_both_correct, n_a_only, n_b_only, n_both_wrong,
+              CASE WHEN n_a_only + n_b_only = 0 THEN NULL
+                   ELSE (abs(n_a_only - n_b_only) - 1)
+                        * (abs(n_a_only - n_b_only) - 1)
+                        * 1000000 // (n_a_only + n_b_only)
+              END AS chi2_micro
+       FROM c"""
+
+  /** q287 MDE: exact arm moments, then the SAME 2.8016·sqrt chain. */
+  private def mdeOracleSql: String =
+    s"""WITH $causalUnitsSql,
+       arms AS (SELECT CAST(t AS VARCHAR) AS g,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(post) AS BIGINT) AS sv,
+                       CAST(sum(post * post) AS BIGINT) AS svv
+                FROM un GROUP BY 1),
+       m AS (SELECT a.g AS arm_a, b.g AS arm_b, a.n AS n_a, b.n AS n_b,
+                    a.sv AS sva, b.sv AS svb,
+                    a.svv AS svva, b.svv AS svvb
+             FROM arms a JOIN arms b ON a.g < b.g),
+       e AS (SELECT arm_a, arm_b, n_a, n_b,
+                    sva * 1000000 // n_a AS mean_a_micro,
+                    svb * 1000000 // n_b AS mean_b_micro,
+                    CAST(n_a * svva - sva * sva AS DOUBLE)
+                      / CAST(n_a * (n_a - 1) AS DOUBLE) AS s2a,
+                    CAST(n_b * svvb - svb * svb AS DOUBLE)
+                      / CAST(n_b * (n_b - 1) AS DOUBLE) AS s2b
+             FROM m),
+       f AS (SELECT arm_a, arm_b, n_a, n_b, mean_a_micro, mean_b_micro,
+                    CAST(round(2.8016 * sqrt(s2a / n_a + s2b / n_b)
+                      * 1e6) AS BIGINT) AS mde_abs_micro
+             FROM e)
+       SELECT arm_a, arm_b, n_a, n_b, mean_a_micro, mean_b_micro,
+              mde_abs_micro,
+              CASE WHEN mean_a_micro <= 0 THEN NULL
+                   ELSE mde_abs_micro * 1000000 // mean_a_micro
+              END AS mde_rel_ppm
+       FROM f"""
+
+  /** q288 temperature mixture: one IEEE sqrt per source on the
+    * ppm-quantized share, everything else exact integers with the
+    * same wrap-free cap split. */
+  private def temperatureMixtureOracleSql: String =
+    """WITH counts AS MATERIALIZED (
+                SELECT source AS src, CAST(count(*) AS BIGINT) AS n_rows
+                FROM documents GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS nn FROM counts),
+       raw AS MATERIALIZED (
+               SELECT src, n_rows, nn,
+                      CAST(round(sqrt(CAST((n_rows * 1000000 // nn)
+                        * 1000000 AS DOUBLE))) AS BIGINT) AS raw
+               FROM counts CROSS JOIN tot),
+       rt AS (SELECT CAST(sum(raw) AS BIGINT) AS rt FROM raw),
+       tg AS MATERIALIZED (
+              SELECT src, n_rows, nn,
+                     raw * 1000000 // rt.rt AS target_ppm
+              FROM raw CROSS JOIN rt),
+       cp AS (SELECT CAST(min(n_rows * 1000000
+                         // greatest(target_ppm, 1)) AS BIGINT) AS cap
+              FROM tg),
+       k AS (SELECT src, n_rows, nn, target_ppm,
+                    least(n_rows,
+                      target_ppm * (cap // 1000000)
+                      + (target_ppm * (cap % 1000000) + 500000) // 1000000)
+                      AS n_keep_expected
+             FROM tg CROSS JOIN cp)
+       SELECT src AS source, n_rows,
+              n_rows * 1000000 // nn AS share_ppm, target_ppm,
+              least(1000000, n_keep_expected * 1000000 // n_rows)
+                AS keep_rate_ppm,
+              n_keep_expected
+       FROM k ORDER BY source"""
 
   /** Shared q283/q284/q285 fixture SQL (the Scala twin is
     * [[EntryAnalyticsStatsDefs.causalUnits]]): per-user pre/post

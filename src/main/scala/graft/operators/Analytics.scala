@@ -4148,6 +4148,107 @@ object Analytics {
         col("theta_ppm"), col("rho2_ppm"))
   }
 
+  /** McNEMAR'S PAIRED TEST — did model B actually beat model A, or
+    * did they just disagree on different rows? The paired-predictions
+    * significance read next to [[cohenKappa]] (agreement) and the
+    * win-rate matrix (unpaired): only the DISCORDANT counts carry
+    * signal (b = A-only-correct, c = B-only-correct), and the
+    * continuity-corrected statistic (|b−c|−1)²/(b+c) is exact integer
+    * micro. Zero discordance yields NULL (the test is undefined, not
+    * zero — models that always agree cannot be separated by this
+    * test, stated). One 4-cell rollup off a map-only classify. */
+  def mcnemarTest(
+      df: DataFrame,
+      predA: Column,
+      predB: Column,
+      truth: Column): DataFrame = {
+    val q = df.select(predA.cast("string").as("a"),
+        predB.cast("string").as("b"), truth.cast("string").as("t"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("t").isNotNull)
+      .select((col("a") === col("t")).as("ca"),
+        (col("b") === col("t")).as("cb"))
+    q.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("ca") && col("cb"), 1L)), lit(0L))
+          .as("n_both_correct"),
+        coalesce(sum(when(col("ca") && !col("cb"), 1L)), lit(0L))
+          .as("n_a_only"),
+        coalesce(sum(when(!col("ca") && col("cb"), 1L)), lit(0L))
+          .as("n_b_only"),
+        coalesce(sum(when(!col("ca") && !col("cb"), 1L)), lit(0L))
+          .as("n_both_wrong"))
+      .select(col("n"), col("n_both_correct"), col("n_a_only"),
+        col("n_b_only"), col("n_both_wrong"),
+        when(col("n_a_only") + col("n_b_only") === 0,
+          lit(null).cast(LongType))
+          .otherwise(expr(
+            """(abs(n_a_only - n_b_only) - 1) * (abs(n_a_only - n_b_only) - 1)
+               * 1000000 div (n_a_only + n_b_only)"""))
+          .as("chi2_micro"))
+  }
+
+  /** MINIMUM DETECTABLE EFFECT — the power-analysis read an
+    * experimenter runs BEFORE the A/B (q195) and alongside CUPED
+    * ([[cupedAdjust]]): at α = 5% two-sided and 80% power, the
+    * smallest true lift this arm split could reliably detect,
+    * MDE = (z_α + z_β)·√(σ²/n_a + σ²/n_b) with σ² pooled from the
+    * n-scaled exact long moments. The z constants and the √/×/÷
+    * tail are ONE stated IEEE chain (both engines bit-identical);
+    * everything before it is exact integers. Degenerate inputs fail
+    * fast: fewer than two arms, or an arm with < 2 rows. Output also
+    * states the MDE relative to the CONTROL (first-sorted arm) mean
+    * in ppm — the number a product owner actually reads. */
+  def minDetectableEffect(
+      df: DataFrame,
+      armCol: String,
+      value: Column): DataFrame = {
+    val q = df.select(col(armCol).cast("string").as("g"),
+        value.cast(LongType).as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val arms = q.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("svv"))
+    val two = arms
+      .select(struct(col("g"), col("n"), col("sv"), col("svv")).as("a"))
+      .agg(count(lit(1)).as("_k"), min(col("a")).as("lo"),
+        max(col("a")).as("hi"))
+      .select(
+        when(col("_k") =!= 2,
+          raise_error(lit("minDetectableEffect: exactly two arms " +
+            "required; got a different arm count")))
+          .otherwise(col("lo.g")).as("arm_a"),
+        col("hi.g").as("arm_b"),
+        col("lo.n").as("n_a"), col("hi.n").as("n_b"),
+        col("lo.sv").as("sva"), col("hi.sv").as("svb"),
+        col("lo.svv").as("svva"), col("hi.svv").as("svvb"))
+    two
+      .select(col("arm_a"), col("arm_b"), col("n_a"), col("n_b"),
+        when(col("n_a") < 2 || col("n_b") < 2,
+          raise_error(lit("minDetectableEffect: each arm needs >= 2 rows")))
+          .otherwise(expr("sva * 1000000 div n_a")).as("mean_a_micro"),
+        expr("svb * 1000000 div n_b").as("mean_b_micro"),
+        // per-arm sample variance in DOUBLE from exact long pieces —
+        // the stated IEEE chain starts here
+        ((col("n_a") * col("svva") - col("sva") * col("sva"))
+          .cast(DoubleType) /
+          (col("n_a") * (col("n_a") - 1)).cast(DoubleType)).as("_s2a"),
+        ((col("n_b") * col("svvb") - col("svb") * col("svb"))
+          .cast(DoubleType) /
+          (col("n_b") * (col("n_b") - 1)).cast(DoubleType)).as("_s2b"))
+      .select(col("arm_a"), col("arm_b"), col("n_a"), col("n_b"),
+        col("mean_a_micro"), col("mean_b_micro"),
+        // z_{0.025} + z_{0.20} = 1.96 + 0.8416 = 2.8016, two-sided 5%
+        // at 80% power — the same literal in both engines
+        round(lit(2.8016) *
+          sqrt(col("_s2a") / col("n_a").cast(DoubleType) +
+            col("_s2b") / col("n_b").cast(DoubleType)) * 1e6)
+          .cast(LongType).as("mde_abs_micro"))
+      .select(col("arm_a"), col("arm_b"), col("n_a"), col("n_b"),
+        col("mean_a_micro"), col("mean_b_micro"), col("mde_abs_micro"),
+        when(col("mean_a_micro") <= 0, lit(null).cast(LongType))
+          .otherwise(expr("mde_abs_micro * 1000000 div mean_a_micro"))
+          .as("mde_rel_ppm"))
+  }
+
   /** PAIRWISE WIN-RATE MATRIX with Wilson 95% intervals — the model-
     * eval sheet next to [[bradleyTerry]]: per unordered pair, how
     * often the lexicographically-lesser item won, with the interval

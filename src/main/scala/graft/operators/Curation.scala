@@ -1009,6 +1009,61 @@ object Curation {
           .as("n_test"))
   }
 
+  /** TEMPERATURE-0.5 MIXTURE PLAN — the multilingual-pretraining
+    * rebalance (the √-share rule from the multilingual-LM lineage):
+    * tempered target shares ∝ √(source share) lift low-resource
+    * sources without letting any head source dominate. K59's planner
+    * takes targets as INPUT; this one DERIVES them. Exactness
+    * discipline: the ONLY non-integer op is one correctly-rounded
+    * IEEE sqrt per source (√(n_k·10¹² div N), rounded to a long);
+    * target shares renormalize exactly off those longs, the
+    * achievable total is the bottleneck source's exact ceiling
+    * C = min_k(n_k·10⁶ div target_k), and keep rates are
+    * half-up-rounded exact integers —
+    * the bottleneck source keeps everything to the nearest row
+    * (exactly 10⁶ whenever its target share ≤ 50%, the always-true
+    * case for a real multi-source corpus), every other source
+    * downsamples. One source rollup; sources-sized
+    * everything after. */
+  def temperatureMixture(
+      df: DataFrame,
+      sourceCol: String): DataFrame = {
+    val counts = df.select(col(sourceCol).cast("string").as("src"))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src")).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("nn"))
+    // share quantized to exact ppm BEFORE the sqrt (stated), so the
+    // sqrt input n_rows*1e6 div nn * 1e6 <= 1e12 never wraps at any
+    // corpus size with sources up to ~9.2e12 rows
+    val raw = counts.crossJoin(broadcast(tot))
+      .select(col("src"), col("n_rows"), col("nn"),
+        round(sqrt(expr("(n_rows * 1000000 div nn) * 1000000")
+          .cast("double"))).cast(LongType).as("_raw"))
+    val rawTot = raw.agg(sum(col("_raw")).as("rt"))
+    val targets = raw.crossJoin(broadcast(rawTot))
+      .select(col("src"), col("n_rows"), col("nn"),
+        expr("_raw * 1000000 div rt").as("target_ppm"))
+    // achievable total under the bottleneck source (exact rows)
+    val ceiling = targets
+      .agg(min(expr("n_rows * 1000000 div greatest(target_ppm, 1)"))
+        .as("cap"))
+    // target_ppm * cap div 1e6 without the 64-bit wrap a direct
+    // product hits past ~9.2e12 total rows: split cap into
+    // 1e6-quotient and remainder — floor(t*(a*1e6+b)/1e6) = t*a +
+    // floor(t*b/1e6), each term provably in range
+    targets.crossJoin(broadcast(ceiling))
+      .withColumn("n_keep_expected",
+        expr("""least(n_rows,
+                 target_ppm * (cap div 1000000)
+                 + (target_ppm * (cap % 1000000) + 500000) div 1000000)"""))
+      .select(col("src").as(sourceCol), col("n_rows"),
+        expr("n_rows * 1000000 div nn").as("share_ppm"),
+        col("target_ppm"),
+        least(lit(1000000L),
+          expr("n_keep_expected * 1000000 div n_rows")).as("keep_rate_ppm"),
+        col("n_keep_expected"))
+  }
+
   /** PREFERENCE-PAIR ASSEMBLY — the DPO/RLHF dataset builder: per
     * prompt group, the best-scoring candidate becomes `chosen`, the
     * worst `rejected`, and the pair ships only when the score margin

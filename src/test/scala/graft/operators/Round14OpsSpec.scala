@@ -235,4 +235,73 @@ class Round14OpsSpec extends SparkSpec {
     }
     ex.getMessage should include("zero variance")
   }
+
+  test("mcnemarTest: only discordant cells enter; zero discordance is " +
+      "NULL, textbook counts hand-checked") {
+    // truth always 'x'; A correct on 8, B correct on 5; overlap 4:
+    // b = A-only = 4, c = B-only = 1, chi2 = (|4-1|-1)^2/5 = 0.8
+    def row(ca: Boolean, cb: Boolean) =
+      (if (ca) "x" else "w", if (cb) "x" else "w", "x")
+    val rows = Seq.fill(4)(row(true, true)) ++ Seq.fill(4)(row(true, false)) ++
+      Seq.fill(1)(row(false, true)) ++ Seq.fill(2)(row(false, false))
+    val out = Analytics.mcnemarTest(rows.toDF("a", "b", "t"),
+        col("a"), col("b"), col("t"))
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+    out shouldBe ((11L, 4L, 4L, 1L, 2L, Some(800000L)))
+    // perfect agreement: the test is undefined
+    val agree = Seq.fill(3)(row(true, true)).toDF("a", "b", "t")
+    Analytics.mcnemarTest(agree, col("a"), col("b"), col("t"))
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+      ._6 shouldBe None
+  }
+
+  test("minDetectableEffect: matches the direct two-arm formula; " +
+      "wrong arm count and tiny arms fail fast") {
+    val df = (Seq.fill(50)(("a", 10L)) ++ Seq.fill(50)(("a", 20L)) ++
+      Seq.fill(50)(("b", 12L)) ++ Seq.fill(50)(("b", 22L))).toDF("g", "v")
+    val out = Analytics.minDetectableEffect(df, "g", col("v"))
+      .as[(String, String, Long, Long, Long, Long, Long, Option[Long])]
+      .head()
+    out._1 shouldBe "a"
+    out._5 shouldBe 15000000L
+    // s2 per arm = (100*25000 - 1500^2)/(100*99) = 25.2525...
+    val s2a = (100.0 * 25000 - 1500.0 * 1500) / (100.0 * 99)
+    val s2b = (100.0 * 31400 - 1700.0 * 1700) / (100.0 * 99)
+    out._7 shouldBe math.round(2.8016 * math.sqrt(s2a / 100 + s2b / 100) * 1e6)
+    out._8.get shouldBe out._7 * 1000000L / 15000000L
+    intercept[Exception] {
+      Analytics.minDetectableEffect(
+        df.withColumn("g", lit("one")), "g", col("v")).collect()
+    }.getMessage should include("exactly two arms")
+    intercept[Exception] {
+      Analytics.minDetectableEffect(
+        Seq(("a", 1L), ("b", 2L), ("b", 3L)).toDF("g", "v"),
+        "g", col("v")).collect()
+    }.getMessage should include(">= 2 rows")
+  }
+
+  test("temperatureMixture: sqrt-share targets lift the tail, the " +
+      "bottleneck source keeps 100%, expected keeps never exceed rows") {
+    // 90/9/1 split: raw shares 900k/90k/10k ppm; sqrt lifts c hard
+    val df = (Seq.fill(900)("a") ++ Seq.fill(90)("b") ++ Seq.fill(10)("c"))
+      .toDF("source")
+    val out = Curation.temperatureMixture(df, "source")
+      .orderBy(col("source"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    out.map(_._3) shouldBe Seq(900000L, 90000L, 10000L)
+    // tempered targets: sqrt(0.9):sqrt(0.09):sqrt(0.01) ~ .9487:.3:.1
+    val t = out.map(_._4)
+    t.sum should be <= 1000000L
+    t.sum should be > 999990L
+    (t(2).toDouble / out(2)._3) should be > (t(0).toDouble / out(0)._3)
+    // the binding source keeps everything; all keeps bounded by rows
+    out.map(_._5).max shouldBe 1000000L
+    all(out.map(r => r._6 <= r._2)) shouldBe true
+    // achieved mixture matches targets: keep_i/total_keep ~ target_i
+    val keeps = out.map(_._6.toDouble)
+    val tot = keeps.sum
+    out.indices.foreach { i =>
+      math.abs(keeps(i) / tot - t(i) / 1e6) should be < 0.01
+    }
+  }
 }
