@@ -412,6 +412,26 @@ private[graft] trait EntryDedupAnnDefs extends EntryParityDefs {
       .orderBy(col("doc_id"))
   }
 
+  /** GIF decode features (q289): the SECOND compressed codec — LZW
+    * with variable-width codes next to q265's DEFLATE. Every
+    * document's payload becomes a real GIF89a (256-entry palette,
+    * ≤126-byte sub-blocks, one image) and the decoder recovers dims
+    * plus the index- and palette-resolved checksums. The oracle
+    * re-derives all of them from the synthesized text (the q265
+    * convention), so any LZW mis-decode — width growth, CLEAR reset,
+    * KwKwK, bit packing — lands in the checksums. */
+  private[graft] def gifFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.extractGifFeatures(s,
+        Multimodal.attachGif(s, Tables.documents(s, dir)))
+      .toDF()
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("idx_checksum"), col("px_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Video frame sampling (q167): concatenated-P6 frame streams (the
     * ffmpeg image2pipe layout) walked by a real header-parsing
     * decoder, every-2nd-frame sampling — the curation primitive that

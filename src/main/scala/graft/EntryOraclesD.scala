@@ -3230,7 +3230,33 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
 
     "q286_mcnemar" -> mcnemarOracleSql,
     "q287_mde" -> mdeOracleSql,
-    "q288_temperature_mixture" -> temperatureMixtureOracleSql)
+    "q288_temperature_mixture" -> temperatureMixtureOracleSql,
+
+    // GIF decode: dims and both checksums re-derived from the
+    // synthesized text (the q265 blob convention) — the LZW path
+    // (variable-width codes, CLEAR reset, KwKwK, LSB bit packing,
+    // sub-block reassembly) is exactly what the hash compare
+    // certifies; padding indices are 0 and the palette maps 0 -> 0.
+    "q289_gif_features" ->
+      """WITH m AS (SELECT doc_id, text, strlen(text) AS len,
+             strlen(text) % 13 + 2 AS w,
+             strlen(text) % 7 + 2 AS h
+           FROM documents)
+         SELECT doc_id, CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(COALESCE(list_sum(list_transform(
+                  range(1, LEAST(w * h, len) + 1),
+                  i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0)
+                AS BIGINT) AS idx_checksum,
+           CAST(COALESCE(list_sum(list_transform(
+                  range(1, LEAST(w * h, len) + 1),
+                  i -> ord(substr(text, CAST(i AS INTEGER), 1))
+                       + (2 * ord(substr(text, CAST(i AS INTEGER), 1)))
+                         % 256
+                       + (7 * ord(substr(text, CAST(i AS INTEGER), 1)))
+                         % 256)), 0)
+                AS BIGINT) AS px_checksum
+         FROM m ORDER BY doc_id""")
 
   /** q286 McNemar: the same hash models re-derived; only the
     * discordant counts enter the statistic. */

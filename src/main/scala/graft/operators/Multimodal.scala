@@ -809,4 +809,284 @@ object Multimodal {
       }
     }
   }
+
+  // ---------------------------------------------------------------
+  // GIF — the SECOND compressed codec (PNG brought DEFLATE; this
+  // brings LZW with variable-width codes, the other compression
+  // family production image corpora actually contain), again built
+  // entirely on public format structure with zero dependencies. The
+  // decoder exercises everything a real GIF reader pays for: header
+  // + logical-screen parse, a 256-entry global color table,
+  // sub-block reassembly of the compressed stream, and a full LZW
+  // decode with code-width growth, dictionary reset on CLEAR, and
+  // the KwKwK (code == next unassigned) special case.
+
+  final case class GifFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      idx_checksum: Long, // Σ decoded pixel INDICES (the raw raster)
+      px_checksum: Long)  // Σ palette-resolved r+g+b per pixel
+
+  /** The fixed deterministic palette: index v → (v, 2v mod 256,
+    * 7v mod 256) — oracle-re-derivable per pixel. */
+  @inline private def palSum(v: Int): Long =
+    (v + ((2 * v) & 0xff) + ((7 * v) & 0xff)).toLong
+
+  /** GIF-variant LZW encoder over 8-bit indices: initial code size 9
+    * (min-code-size 8), CLEAR/EOI codes, width grows when the next
+    * free code crosses a power of two, dictionary reset at 4096 —
+    * LSB-first bit packing per the spec. */
+  private def lzwEncode(indices: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    def emit(code: Int, size: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += size
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt)
+        bitBuf >>>= 8
+        bitCnt -= 8
+      }
+    }
+    val Clear = 256; val Eoi = 257
+    // boxed key/value types: a [Long, Int]-typed java.util.HashMap
+    // unboxes a missing key's null to 0 and every lookup "hits"
+    var dict = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    var nextCode = 258
+    var codeSize = 9
+    def reset(): Unit = { dict = new java.util.HashMap(); nextCode = 258; codeSize = 9 }
+    emit(Clear, codeSize)
+    var cur = indices(0) & 0xff
+    var i = 1
+    while (i < indices.length) {
+      val b = indices(i) & 0xff
+      val key = java.lang.Long.valueOf((cur.toLong << 8) | b)
+      val hit = dict.get(key)
+      if (hit ne null) cur = hit.intValue()
+      else {
+        emit(cur, codeSize)
+        if (nextCode < 4096) {
+          dict.put(key, java.lang.Integer.valueOf(nextCode))
+          nextCode += 1
+          if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+        } else { emit(Clear, codeSize); reset() }
+        cur = b
+      }
+      i += 1
+    }
+    emit(cur, codeSize)
+    emit(Eoi, codeSize)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+
+  /** Encode an explicit index raster as a spec-shaped GIF89a (global
+    * 256-color table, one image, LZW sub-blocks of ≤126 bytes so the
+    * multi-block path is always real). Exposed for the spec's
+    * large-raster cases (code-width growth, 4096 reset). */
+  def encodeGifRaster(
+      docId: Long, indices: Array[Byte], w: Int, h: Int): MediaDoc = {
+    require(indices.length == w * h, s"raster must be w*h: $w x $h")
+    val pal = new Array[Byte](768)
+    var v = 0
+    while (v < 256) {
+      pal(3 * v) = v.toByte
+      pal(3 * v + 1) = ((2 * v) & 0xff).toByte
+      pal(3 * v + 2) = ((7 * v) & 0xff).toByte
+      v += 1
+    }
+    val lzw = lzwEncode(indices)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0xf7) // GCT present, 8-bit color res, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // aspect
+    out.write(pal)
+    out.write(0x2c) // image descriptor
+    out.write(le16(0)); out.write(le16(0))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0)    // no local table, not interlaced
+    out.write(8)    // LZW minimum code size
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(126, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    val media = out.toByteArray
+    MediaDoc(docId, media, "image/gif", media.length.toLong)
+  }
+
+  /** Deterministic GIF fixture: dims from strlen (distinct moduli from
+    * PPM/PNG so the image fixtures never alias), pixel INDICES are the
+    * document's leading bytes zero-padded — the q265 convention that
+    * lets the oracle re-derive every decoded feature from `text`. */
+  def encodeGif(docId: Long, text: String): MediaDoc = {
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    val w = bytes.length % 13 + 2
+    val h = bytes.length % 7 + 2
+    val idx = new Array[Byte](w * h)
+    System.arraycopy(bytes, 0, idx, 0, math.min(bytes.length, idx.length))
+    encodeGifRaster(docId, idx, w, h)
+  }
+
+  /** Attach a GIF media column (the [[attachPng]] twin). */
+  def attachGif(spark: SparkSession, df: DataFrame): Dataset[MediaDoc] = {
+    import spark.implicits._
+    df.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => encodeGif(id, text) }
+  }
+
+  /** REAL GIF decoder: header + logical-screen parse, global color
+    * table load, image-descriptor walk, sub-block reassembly, full
+    * variable-width LZW decode (CLEAR reset, KwKwK case, width
+    * growth), trailer check. Throws on corruption (bad header,
+    * truncation, missing terminator, out-of-range code) like a
+    * production decoder. Fixture contract: one image, GCT, no
+    * interlace, no extensions. */
+  def decodeGif(doc: MediaDoc): GifFeatures = {
+    val b = doc.media
+    require(b.length >= 13 && new String(b, 0, 6,
+        StandardCharsets.US_ASCII) == "GIF89a",
+      s"doc ${doc.doc_id}: not a GIF89a")
+    def u16(at: Int): Int = (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+    val sw = u16(6); val sh = u16(8)
+    val flags = b(10) & 0xff
+    require((flags & 0x80) != 0 && (flags & 0x07) == 7,
+      s"doc ${doc.doc_id}: fixture contract wants a 256-entry GCT")
+    var pos = 13
+    require(pos + 768 <= b.length, s"doc ${doc.doc_id}: truncated GCT")
+    val pal = java.util.Arrays.copyOfRange(b, pos, pos + 768)
+    pos += 768
+    require(pos < b.length && (b(pos) & 0xff) == 0x2c,
+      s"doc ${doc.doc_id}: expected image descriptor")
+    val w = u16(pos + 5); val h = u16(pos + 7)
+    require(w == sw && h == sh, s"doc ${doc.doc_id}: sub-image dims differ")
+    require((b(pos + 9) & 0x80) == 0, s"doc ${doc.doc_id}: no LCT in fixture")
+    pos += 10
+    val minCode = b(pos) & 0xff
+    require(minCode == 8, s"doc ${doc.doc_id}: fixture min code size is 8")
+    pos += 1
+    // sub-block reassembly
+    val zin = new java.io.ByteArrayOutputStream()
+    var blockLen = b(pos) & 0xff
+    pos += 1
+    while (blockLen != 0) {
+      require(pos + blockLen <= b.length, s"doc ${doc.doc_id}: truncated block")
+      zin.write(b, pos, blockLen)
+      pos += blockLen
+      require(pos < b.length, s"doc ${doc.doc_id}: missing block terminator")
+      blockLen = b(pos) & 0xff
+      pos += 1
+    }
+    require(pos < b.length && (b(pos) & 0xff) == 0x3b,
+      s"doc ${doc.doc_id}: missing trailer")
+    val z = zin.toByteArray
+    // LZW decode
+    val Clear = 256; val Eoi = 257
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var nextCode = 258
+    var codeSize = 9
+    var bitPos = 0
+    def readCode(): Int = {
+      require(bitPos + codeSize <= z.length * 8,
+        s"doc ${doc.doc_id}: LZW stream truncated")
+      var v = 0; var i = 0
+      while (i < codeSize) {
+        val bit = (z((bitPos + i) >> 3) >> ((bitPos + i) & 7)) & 1
+        v |= bit << i
+        i += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    val out = new Array[Byte](w * h)
+    var outPos = 0
+    def expand(code: Int): Unit = {
+      // walk the chain onto a stack, emit in order
+      val stack = new Array[Byte](4096)
+      var sp = 0
+      var c = code
+      while (c >= 258) { stack(sp) = suffix(c).toByte; sp += 1; c = prefix(c) }
+      stack(sp) = c.toByte; sp += 1
+      while (sp > 0) {
+        sp -= 1
+        require(outPos < out.length, s"doc ${doc.doc_id}: raster overflow")
+        out(outPos) = stack(sp)
+        outPos += 1
+      }
+    }
+    def firstByte(code: Int): Int = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      c
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code == Clear) { nextCode = 258; codeSize = 9; prev = -1 }
+      else if (code == Eoi) done = true
+      else if (prev == -1) {
+        require(code < 256, s"doc ${doc.doc_id}: bad first code $code")
+        expand(code)
+        prev = code
+      } else {
+        require(code <= nextCode && code != Clear && code != Eoi &&
+          (code < nextCode || prev >= 0),
+          s"doc ${doc.doc_id}: out-of-range LZW code $code")
+        val kwkwk = code == nextCode
+        if (nextCode < 4096) {
+          prefix(nextCode) = prev
+          suffix(nextCode) = firstByte(if (kwkwk) prev else code)
+          nextCode += 1
+          // the decoder's dictionary lags the encoder's by ONE entry
+          // (the encoder inserts at emit time, the decoder on the
+          // NEXT code), so it must widen a step early — at 2^w − 1,
+          // the classic GIF decode rule — to read the encoder's
+          // first w+1-bit code with w+1 bits
+          if (nextCode == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+        }
+        expand(code)
+        prev = code
+      }
+    }
+    require(outPos == out.length,
+      s"doc ${doc.doc_id}: decoded $outPos of ${out.length} pixels")
+    var idxSum = 0L
+    var pxSum = 0L
+    var i = 0
+    while (i < out.length) {
+      val v = out(i) & 0xff
+      idxSum += v
+      pxSum += (pal(3 * v) & 0xff) + (pal(3 * v + 1) & 0xff) +
+        (pal(3 * v + 2) & 0xff)
+      i += 1
+    }
+    GifFeatures(doc.doc_id, w, h, idxSum, pxSum)
+  }
+
+  /** Batched partition-local GIF feature extraction (the
+    * [[extractPngFeatures]] shape). */
+  def extractGifFeatures(
+      spark: SparkSession,
+      media: Dataset[MediaDoc],
+      batchSize: Int = 64): Dataset[GifFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(decodeGif)
+      }
+    }
+  }
 }
