@@ -432,6 +432,31 @@ private[graft] trait EntryDedupAnnDefs extends EntryParityDefs {
       .orderBy(col("doc_id"))
   }
 
+  /** JPEG decode features (q290): the THIRD compressed codec —
+    * baseline sequential DCT (JFIF) next to q265's DEFLATE and
+    * q289's LZW, the most common real image bytes a 100 TB corpus
+    * holds. Every document becomes a real baseline JPEG (grayscale,
+    * carried Huffman tables, restart interval 4) and the decoder
+    * runs the full pipeline: marker walk, canonical table build from
+    * DHT, entropy decode with byte unstuffing, RSTn sequence checks,
+    * dequant, de-zigzag, IDCT. The fixture's blocks are DC-only, so
+    * the oracle re-derives every decoded pixel from the text (the
+    * q265 convention) — any mis-decode anywhere lands in
+    * px_checksum. */
+  private[graft] def jpegFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.extractJpegFeatures(s,
+        Multimodal.attachJpeg(s, Tables.documents(s, dir)))
+      .toDF()
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_blocks").cast("long").as("n_blocks"),
+        col("n_restarts").cast("long").as("n_restarts"),
+        col("px_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Video frame sampling (q167): concatenated-P6 frame streams (the
     * ffmpeg image2pipe layout) walked by a real header-parsing
     * decoder, every-2nd-frame sampling — the curation primitive that

@@ -410,7 +410,8 @@ private[graft] trait EntryOraclesA extends EntryOracleFragments {
     // header + raster, and the raster checksum = byte sum of the
     // doc's leading min(strlen, w*h*3) bytes (the zero padding adds 0).
     "q31_multimodal_features" ->
-      """WITH m AS (SELECT doc_id, text,
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+             strlen(text) AS len,
              strlen(text) % 13 + 2 AS w,
              strlen(text) % 7 + 2 AS h
            FROM documents)
@@ -419,8 +420,9 @@ private[graft] trait EntryOraclesA extends EntryOracleFragments {
                        CAST(h AS VARCHAR) || chr(10) || '255' || chr(10))
                 + w * h * 3 AS BIGINT) AS byte_len,
            CAST(COALESCE(list_sum(list_transform(
-                  range(1, LEAST(w * h * 3, strlen(text)) + 1),
-                  i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0)
+                  range(1, LEAST(w * h * 3, len) + 1),
+                  i -> ('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER),
+                                       2))::BIGINT)), 0)
                 AS BIGINT) AS px_checksum
          FROM m ORDER BY doc_id""",
     "q32_minhash_char_shingles" ->

@@ -2574,7 +2574,8 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
     // reconstruction) is exactly what the hash compare certifies: any
     // mis-decode lands in px_checksum.
     "q265_png_features" ->
-      """WITH m AS (SELECT doc_id, text,
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+             strlen(text) AS len,
              strlen(text) % 11 + 2 AS w,
              strlen(text) % 5 + 2 AS h
            FROM documents)
@@ -2584,8 +2585,9 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                 AS BIGINT) AS filter_sum,
            CAST(h * (1 + 3 * w) AS BIGINT) AS n_filtered,
            CAST(COALESCE(list_sum(list_transform(
-                  range(1, LEAST(w * h * 3, strlen(text)) + 1),
-                  i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0)
+                  range(1, LEAST(w * h * 3, len) + 1),
+                  i -> ('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER),
+                                       2))::BIGINT)), 0)
                 AS BIGINT) AS px_checksum
          FROM m ORDER BY doc_id""",
 
@@ -3237,24 +3239,50 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
     // (variable-width codes, CLEAR reset, KwKwK, LSB bit packing,
     // sub-block reassembly) is exactly what the hash compare
     // certifies; padding indices are 0 and the palette maps 0 -> 0.
+    // The Spark encoder consumes UTF-8 BYTES, so the oracle indexes
+    // OCTETS via hex(encode(text)) (2 hex chars per byte) rather than
+    // character code points — non-ASCII text agrees byte-for-byte.
     "q289_gif_features" ->
-      """WITH m AS (SELECT doc_id, text, strlen(text) AS len,
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+             strlen(text) AS len,
              strlen(text) % 13 + 2 AS w,
              strlen(text) % 7 + 2 AS h
-           FROM documents)
+           FROM documents),
+         b AS (SELECT doc_id, w, h,
+                      list_transform(range(1, LEAST(w * h, len) + 1),
+                        i -> ('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER),
+                                             2))::BIGINT) AS oct
+               FROM m)
          SELECT doc_id, CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height,
-           CAST(COALESCE(list_sum(list_transform(
-                  range(1, LEAST(w * h, len) + 1),
-                  i -> ord(substr(text, CAST(i AS INTEGER), 1)))), 0)
-                AS BIGINT) AS idx_checksum,
-           CAST(COALESCE(list_sum(list_transform(
-                  range(1, LEAST(w * h, len) + 1),
-                  i -> ord(substr(text, CAST(i AS INTEGER), 1))
-                       + (2 * ord(substr(text, CAST(i AS INTEGER), 1)))
-                         % 256
-                       + (7 * ord(substr(text, CAST(i AS INTEGER), 1)))
-                         % 256)), 0)
+           CAST(COALESCE(list_sum(oct), 0) AS BIGINT) AS idx_checksum,
+           CAST(COALESCE(list_sum(list_transform(oct,
+                  v -> v + (2 * v) % 256 + (7 * v) % 256)), 0)
+                AS BIGINT) AS px_checksum
+         FROM b ORDER BY doc_id""",
+
+    // JPEG decode (q290): dims/blocks/restarts and the pixel checksum
+    // re-derived from the text. The fixture's 8x8 blocks are CONSTANT
+    // at the document's i-th byte (DC-only, quant 1), so every
+    // conforming IDCT reconstructs the block value exactly — the
+    // whole decode pipeline (marker walk, carried-DHT canonical
+    // Huffman build, entropy decode + 0xFF00 unstuffing, RSTn cycle
+    // at interval 4, dequant, de-zigzag, IDCT) lands in px_checksum.
+    // Octet-indexed via hex(encode(text)) — byte-true for any UTF-8.
+    "q290_jpeg_features" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+             strlen(text) AS len,
+             strlen(text) % 5 + 1 AS wb,
+             strlen(text) % 3 + 1 AS hb
+           FROM documents)
+         SELECT doc_id, CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           CAST(wb * hb AS BIGINT) AS n_blocks,
+           CAST((wb * hb - 1) // 4 AS BIGINT) AS n_restarts,
+           CAST(64 * COALESCE(list_sum(list_transform(
+                  range(1, LEAST(wb * hb, len) + 1),
+                  i -> ('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER),
+                                       2))::BIGINT)), 0)
                 AS BIGINT) AS px_checksum
          FROM m ORDER BY doc_id""")
 

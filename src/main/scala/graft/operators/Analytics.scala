@@ -4124,6 +4124,18 @@ object Analytics {
         sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("y") * col("y")).as("syy"))
+      // n-aware envelope (the graft_gram discipline): the n-scaled
+      // products n·Σx², n·Σxy, n·Σy² need Σ < Long.MAX div n, and the
+      // sum-squares (Σx)², Σx·Σy, (Σy)² need |Σ| < √Long.MAX ≈ 3.03e9
+      .select(col("n"),
+        when(greatest(col("sxx"), abs(col("sxy")), col("syy")) >=
+            expr("9223372036854775807 div n") ||
+            greatest(abs(col("sx")), abs(col("sy"))) >= lit(3037000499L),
+          raise_error(lit("cupedAdjust: the n-scaled moments exceed the " +
+            "exact-long envelope (sum >= Long.MAX/n or |sum| >= ~3.03e9); " +
+            "use coarser metric units")))
+          .otherwise(col("sx")).as("sx"),
+        col("sy"), col("sxx"), col("sxy"), col("syy"))
       .select(col("n"), col("sx"), col("sy"),
         (col("n") * col("sxx") - col("sx") * col("sx")).as("varn"),
         (col("n") * col("sxy") - col("sx") * col("sy")).as("covn"),
@@ -4193,8 +4205,10 @@ object Analytics {
     * MDE = (z_α + z_β)·√(σ²/n_a + σ²/n_b) with σ² pooled from the
     * n-scaled exact long moments. The z constants and the √/×/÷
     * tail are ONE stated IEEE chain (both engines bit-identical);
-    * everything before it is exact integers. Degenerate inputs fail
-    * fast: fewer than two arms, or an arm with < 2 rows. Output also
+    * everything before it is exact integers under a raise_error'd
+    * n-aware envelope (Σv² < Long.MAX/n, |Σv|, n < ~3.03e9).
+    * Degenerate inputs fail fast: fewer than two arms, or an arm
+    * with < 2 rows. Output also
     * states the MDE relative to the CONTROL (first-sorted arm) mean
     * in ppm — the number a product owner actually reads. */
   def minDetectableEffect(
@@ -4227,8 +4241,17 @@ object Analytics {
           .otherwise(expr("sva * 1000000 div n_a")).as("mean_a_micro"),
         expr("svb * 1000000 div n_b").as("mean_b_micro"),
         // per-arm sample variance in DOUBLE from exact long pieces —
-        // the stated IEEE chain starts here
-        ((col("n_a") * col("svva") - col("sva") * col("sva"))
+        // the stated IEEE chain starts here. n-aware envelope first
+        // (the graft_gram discipline): n·Σv² needs Σv² < Long.MAX/n,
+        // (Σv)² and n·(n−1) need |Σv|, n < √Long.MAX ≈ 3.03e9
+        ((when(col("svva") >= expr("9223372036854775807 div n_a") ||
+            col("svvb") >= expr("9223372036854775807 div n_b") ||
+            greatest(abs(col("sva")), abs(col("svb")), col("n_a"),
+              col("n_b")) >= lit(3037000499L),
+          raise_error(lit("minDetectableEffect: the n-scaled moments " +
+            "exceed the exact-long envelope (sum-sq >= Long.MAX/n or " +
+            "|sum| >= ~3.03e9); use coarser metric units")))
+          .otherwise(col("n_a")) * col("svva") - col("sva") * col("sva"))
           .cast(DoubleType) /
           (col("n_a") * (col("n_a") - 1)).cast(DoubleType)).as("_s2a"),
         ((col("n_b") * col("svvb") - col("svb") * col("svb"))

@@ -1050,14 +1050,18 @@ object Multimodal {
           prefix(nextCode) = prev
           suffix(nextCode) = firstByte(if (kwkwk) prev else code)
           nextCode += 1
-          // the decoder's dictionary lags the encoder's by ONE entry
-          // (the encoder inserts at emit time, the decoder on the
-          // NEXT code), so it must widen a step early — at 2^w − 1,
-          // the classic GIF decode rule — to read the encoder's
-          // first w+1-bit code with w+1 bits
-          if (nextCode == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
         }
         expand(code)
+        // the decoder's dictionary lags the encoder's by ONE entry
+        // (the encoder inserts at emit time, the decoder on the
+        // NEXT code), so it must widen a step early — at 2^w − 1,
+        // the classic GIF decode rule — to read the encoder's
+        // first w+1-bit code with w+1 bits. EXCEPT once the raster
+        // is complete: the encoder performs no insert after its
+        // final flush emit, so EOI arrives at the OLD width — the
+        // 254/766/1790-phrase boundary case.
+        if (nextCode == (1 << codeSize) - 1 && codeSize < 12 &&
+          outPos < out.length) codeSize += 1
         prev = code
       }
     }
@@ -1086,6 +1090,453 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map(decodeGif)
+      }
+    }
+  }
+
+  // ----- JPEG: the THIRD compressed codec (baseline sequential DCT,
+  // JFIF) — the most common real-world image bytes a 100 TB
+  // multimodal corpus holds (round-14 verdict ask #5). The decoder is
+  // a real entropy-coded-segment walk: marker parse (SOI/APP0/DQT/
+  // SOF0/DHT/DRI/SOS/EOI), canonical Huffman table construction from
+  // the DHT bits/huffval lists (T.81 C.2), MSB-first bit reading with
+  // 0xFF00 byte unstuffing, DC-predictor + run-length AC coefficient
+  // decode (EOB/ZRL/(run,size)), restart-marker sequence validation,
+  // dequantization, de-zigzag, and a deterministic double-precision
+  // IDCT. Fixture contract (the q265/q289 convention): grayscale,
+  // one component, no subsampling, quant table all ones; the oracle
+  // fixture uses DC-only (per-block-constant) rasters, where any
+  // IDCT reconstructs the block value EXACTLY (the only nonzero term
+  // is DC = 8·(v−128), and F/8 is integer), so every decoded pixel
+  // is re-derivable from the document text. The AC path is real and
+  // spec-exercised via [[encodeJpegCoeffs]] with adversarial
+  // coefficient blocks.
+
+  final case class JpegFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_blocks: Int,
+      n_restarts: Int,
+      px_checksum: Long) // Σ decoded 8-bit luma pixels
+
+  /** Zigzag scan order: zigzag position k → natural (row-major)
+    * index, the T.81 Figure 5 walk. */
+  private[operators] val ZigzagNat: Array[Int] = {
+    val out = new Array[Int](64)
+    var k = 0
+    var d = 0
+    while (d < 15) {
+      // diagonal d: cells (r, d-r); even diagonals walk up, odd down
+      val cells =
+        (math.max(0, d - 7) to math.min(7, d)).map(r => (r, d - r))
+      val walk = if (d % 2 == 0) cells.reverse else cells
+      walk.foreach { case (r, c) => out(k) = r * 8 + c; k += 1 }
+      d += 1
+    }
+    out
+  }
+
+  // custom-but-spec-legal canonical Huffman tables, CARRIED IN THE
+  // STREAM via DHT (the decoder builds its tables from the segment,
+  // never from these constants): DC = twelve 4-bit codes for
+  // categories 0..11; AC = 162 eight-bit codes covering EOB, ZRL and
+  // every (run 0..15, size 1..10) pair — Kraft-valid, all-ones code
+  // unassigned in both
+  private val JpegDcBits: Array[Int] =
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals: Array[Int] = (0 to 11).toArray
+  private val JpegAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegAcVals: Array[Int] =
+    Array(0x00, 0xf0) ++
+      (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size)
+
+  /** Canonical code assignment (T.81 C.2): symbol → (code, length). */
+  private def canonicalCodes(
+      bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var vi = 0
+    val out = scala.collection.mutable.HashMap[Int, (Int, Int)]()
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out(vals(vi)) = (code, len)
+        code += 1
+        vi += 1
+        i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out.toMap
+  }
+
+  /** Magnitude category of a DC difference / AC value (0 = zero). */
+  private def jpegCategory(v: Int): Int = {
+    var a = math.abs(v)
+    var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Encode QUANTIZED coefficient blocks (natural order, 64 ints
+    * each, row-major block raster) as a baseline JFIF stream. The
+    * general entry the spec drives with adversarial AC patterns; the
+    * oracle fixture feeds DC-only blocks. */
+  def encodeJpegCoeffs(
+      docId: Long,
+      blocks: Array[Array[Int]],
+      wBlocks: Int,
+      hBlocks: Int,
+      restartInterval: Int): MediaDoc = {
+    require(blocks.length == wBlocks * hBlocks,
+      s"need $wBlocks x $hBlocks coefficient blocks")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { b(v >>> 8); b(v) }
+    def marker(m: Int): Unit = { b(0xff); b(m) }
+    marker(0xd8) // SOI
+    marker(0xe0) // APP0 / JFIF
+    u16(16); out.write("JFIF".getBytes(StandardCharsets.US_ASCII)); b(0)
+    b(1); b(1); b(0); u16(1); u16(1); b(0); b(0)
+    marker(0xdb) // DQT: table 0, 8-bit, all ones (zigzag order)
+    u16(67); b(0)
+    for (_ <- 0 until 64) b(1)
+    marker(0xc0) // SOF0: 8-bit, 1 component, no subsampling
+    u16(11); b(8); u16(8 * hBlocks); u16(8 * wBlocks); b(1)
+    b(1); b(0x11); b(0)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4)
+      u16(2 + 1 + 16 + vals.length)
+      b(cls << 4)
+      bits.foreach(b)
+      vals.foreach(b)
+    }
+    dht(0, JpegDcBits, JpegDcVals)
+    dht(1, JpegAcBits, JpegAcVals)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    marker(0xda) // SOS
+    u16(8); b(1); b(1); b(0x00); b(0); b(63); b(0)
+    // entropy-coded data: MSB-first bit packing with 0xFF00 stuffing
+    val dcCodes = canonicalCodes(JpegDcBits, JpegDcVals)
+    val acCodes = canonicalCodes(JpegAcBits, JpegAcVals)
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = if (n > 0) {
+      bitBuf = (bitBuf << n) | (v & ((1L << n) - 1))
+      bitCnt += n
+      while (bitCnt >= 8) {
+        val byte = ((bitBuf >> (bitCnt - 8)) & 0xff).toInt
+        b(byte)
+        if (byte == 0xff) b(0x00)
+        bitCnt -= 8
+      }
+    }
+    def flushBits(): Unit = if (bitCnt > 0) {
+      val byte = ((bitBuf << (8 - bitCnt)) & 0xff).toInt | ((1 << (8 - bitCnt)) - 1)
+      b(byte)
+      if (byte == 0xff) b(0x00)
+      bitCnt = 0
+      bitBuf = 0L
+    }
+    def putMag(v: Int, s: Int): Unit =
+      // magnitude bits: v if positive, v-1 (ones-complement form) if
+      // negative — T.81 F.1.2.1
+      if (s > 0) putBits(if (v >= 0) v else v - 1, s)
+    var pred = 0
+    var restartIdx = 0
+    var i = 0
+    while (i < blocks.length) {
+      if (restartInterval > 0 && i > 0 && i % restartInterval == 0) {
+        flushBits()
+        marker(0xd0 + restartIdx)
+        restartIdx = (restartIdx + 1) % 8
+        pred = 0
+      }
+      val blk = blocks(i)
+      val diff = blk(0) - pred
+      pred = blk(0)
+      val s = jpegCategory(diff)
+      require(s <= 11, s"DC diff $diff past baseline category 11")
+      val (dc, dl) = dcCodes(s)
+      putBits(dc, dl)
+      putMag(diff, s)
+      // AC run-length: walk zigzag positions 1..63
+      var run = 0
+      var lastNonzero = 0
+      var k = 63
+      while (k >= 1 && blk(ZigzagNat(k)) == 0) k -= 1
+      lastNonzero = k
+      k = 1
+      while (k <= lastNonzero) {
+        val v = blk(ZigzagNat(k))
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) {
+            val (zc, zl) = acCodes(0xf0); putBits(zc, zl); run -= 16
+          }
+          val sz = jpegCategory(v)
+          require(sz <= 10, s"AC coefficient $v past category 10")
+          val (ac, al) = acCodes((run << 4) | sz)
+          putBits(ac, al)
+          putMag(v, sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (lastNonzero < 63) { val (ec, el) = acCodes(0x00); putBits(ec, el) }
+      i += 1
+    }
+    flushBits()
+    marker(0xd9) // EOI
+    val media = out.toByteArray
+    MediaDoc(docId, media, "image/jpeg", media.length.toLong)
+  }
+
+  /** Deterministic JPEG fixture: block-grid dims from strlen
+    * (distinct moduli from PPM/PNG/GIF), each 8×8 block CONSTANT at
+    * the document's i-th byte (zero-padded) — DC-only coefficients
+    * 8·(v−128), which every conforming IDCT reconstructs exactly, so
+    * the oracle re-derives each decoded pixel from `text`. Restart
+    * interval 4 keeps the RSTn path always-on. */
+  def encodeJpeg(docId: Long, text: String): MediaDoc = {
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    val wb = bytes.length % 5 + 1
+    val hb = bytes.length % 3 + 1
+    val blocks = Array.tabulate(wb * hb) { i =>
+      val v = if (i < bytes.length) bytes(i) & 0xff else 0
+      val blk = new Array[Int](64)
+      blk(0) = 8 * (v - 128)
+      blk
+    }
+    encodeJpegCoeffs(docId, blocks, wb, hb, restartInterval = 4)
+  }
+
+  /** Attach a JPEG media column (the [[attachGif]] twin). */
+  def attachJpeg(spark: SparkSession, df: DataFrame): Dataset[MediaDoc] = {
+    import spark.implicits._
+    df.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => encodeJpeg(id, text) }
+  }
+
+  /** Decode a baseline JFIF stream to (wBlocks, hBlocks, nRestarts,
+    * row-major pixels). Throws on corruption (bad markers,
+    * truncation, invalid Huffman codes, out-of-sequence restarts,
+    * missing EOI) like a production decoder. Fixture contract: 8-bit
+    * baseline, one component, no subsampling, no progressive. */
+  def decodeJpegPixels(doc: MediaDoc): (Int, Int, Int, Array[Int]) = {
+    val d = doc.media
+    var pos = 0
+    def u8(): Int = {
+      require(pos < d.length, s"doc ${doc.doc_id}: truncated JPEG")
+      val v = d(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = { val hi = u8(); (hi << 8) | u8() }
+    require(d.length >= 2 && u8() == 0xff && u8() == 0xd8,
+      s"doc ${doc.doc_id}: not a JPEG (missing SOI)")
+    var qt: Array[Int] = null // zigzag order, as carried in DQT
+    var w = -1; var h = -1
+    var restartInterval = 0
+    // decode tables: per class, (maxcode/valptr/mincode per length)
+    val huff = new Array[(Array[Int], Array[Int], Array[Int], Array[Int])](2)
+    def buildHuff(bits: Array[Int], vals: Array[Int]) = {
+      val minCode = new Array[Int](17)
+      val maxCode = Array.fill(17)(-1)
+      val valPtr = new Array[Int](17)
+      var code = 0; var vi = 0; var len = 1
+      while (len <= 16) {
+        if (bits(len - 1) > 0) {
+          valPtr(len) = vi
+          minCode(len) = code
+          code += bits(len - 1); vi += bits(len - 1)
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+        len += 1
+      }
+      (minCode, maxCode, valPtr, vals)
+    }
+    var sos = false
+    while (!sos) {
+      require(u8() == 0xff, s"doc ${doc.doc_id}: expected marker")
+      val m = u8()
+      m match {
+        case 0xda => // SOS
+          val len = u16()
+          require(len == 8 && u8() == 1, s"doc ${doc.doc_id}: fixture " +
+            "contract wants a single-component scan")
+          pos += len - 3
+          sos = true
+        case 0xdb =>
+          val len = u16()
+          require(len == 67 && u8() == 0x00,
+            s"doc ${doc.doc_id}: fixture contract wants one 8-bit DQT")
+          qt = Array.fill(64)(u8())
+        case 0xc0 =>
+          val len = u16()
+          require(u8() == 8, s"doc ${doc.doc_id}: 8-bit precision only")
+          h = u16(); w = u16()
+          require(u8() == 1, s"doc ${doc.doc_id}: one component only")
+          require(u8() == 1 && u8() == 0x11 && u8() == 0,
+            s"doc ${doc.doc_id}: no subsampling in the fixture contract")
+          require(len == 11, s"doc ${doc.doc_id}: bad SOF0 length")
+        case 0xc4 =>
+          var len = u16() - 2
+          while (len > 0) {
+            val tc = u8()
+            val cls = tc >> 4
+            require(cls <= 1 && (tc & 0x0f) == 0,
+              s"doc ${doc.doc_id}: fixture contract wants tables 0")
+            val bits = Array.fill(16)(u8())
+            val n = bits.sum
+            val vals = Array.fill(n)(u8())
+            huff(cls) = buildHuff(bits, vals)
+            len -= 1 + 16 + n
+          }
+        case 0xdd =>
+          require(u16() == 4, s"doc ${doc.doc_id}: bad DRI length")
+          restartInterval = u16()
+        case 0xe0 | 0xe1 | 0xfe => // APPn / COM: skip
+          // NOT `pos += u16() - 2`: compound assignment reads `pos`
+          // BEFORE the side-effecting RHS and would drop u16's advance
+          val skip = u16() - 2
+          pos += skip
+        case 0xc2 => throw new IllegalArgumentException(
+          s"doc ${doc.doc_id}: progressive JPEG is out of contract")
+        case other => throw new IllegalArgumentException(
+          s"doc ${doc.doc_id}: unexpected marker ${other.toHexString}")
+      }
+    }
+    require(qt != null && huff(0) != null && huff(1) != null && w > 0,
+      s"doc ${doc.doc_id}: missing DQT/DHT/SOF before SOS")
+    require(w % 8 == 0 && h % 8 == 0,
+      s"doc ${doc.doc_id}: fixture dims are block multiples")
+    val wb = w / 8; val hb = h / 8
+    // entropy-coded segment: MSB-first bits with 0xFF00 unstuffing
+    var bitBuf = 0; var bitCnt = 0
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        val byte = u8()
+        if (byte == 0xff) {
+          val mk = u8()
+          require(mk == 0x00, s"doc ${doc.doc_id}: unexpected marker " +
+            s"${mk.toHexString} inside entropy data")
+        }
+        bitBuf = byte; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def huffDecode(cls: Int): Int = {
+      val (minCode, maxCode, valPtr, vals) = huff(cls)
+      var code = nextBit()
+      var len = 1
+      while (len <= 16 && (maxCode(len) < 0 || code > maxCode(len))) {
+        code = (code << 1) | nextBit()
+        len += 1
+      }
+      require(len <= 16, s"doc ${doc.doc_id}: bad Huffman code")
+      vals(valPtr(len) + code - minCode(len))
+    }
+    def receive(s: Int): Int = {
+      var v = 0; var i = 0
+      while (i < s) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    val cosT = Array.tabulate(8, 8)((x, u) =>
+      math.cos((2 * x + 1) * u * math.Pi / 16))
+    val cU = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+    val px = new Array[Int](w * h)
+    var pred = 0
+    var restarts = 0
+    var mcu = 0
+    while (mcu < wb * hb) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // restart: byte-align, read RSTn, check the 0..7 cycle
+        bitCnt = 0
+        require(u8() == 0xff, s"doc ${doc.doc_id}: expected restart marker")
+        val mk = u8()
+        require(mk == 0xd0 + (restarts % 8),
+          s"doc ${doc.doc_id}: restart marker out of sequence " +
+            s"(got ${mk.toHexString})")
+        restarts += 1
+        pred = 0
+      }
+      val coef = new Array[Int](64) // natural order, dequantized
+      val s0 = huffDecode(0)
+      require(s0 <= 11, s"doc ${doc.doc_id}: bad DC category $s0")
+      pred += extend(receive(s0), s0)
+      coef(0) = pred * qt(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = huffDecode(1)
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 else eob = true
+        } else {
+          k += r
+          require(k < 64, s"doc ${doc.doc_id}: coefficient index overflow")
+          coef(ZigzagNat(k)) = extend(receive(s), s) * qt(k)
+          k += 1
+        }
+      }
+      // deterministic double-precision IDCT + level shift + clamp
+      val bx = (mcu % wb) * 8; val by = (mcu / wb) * 8
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0.0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              val f = coef(v * 8 + u)
+              if (f != 0)
+                acc += cU(u) * cU(v) * f * cosT(x)(u) * cosT(y)(v)
+              v += 1
+            }
+            u += 1
+          }
+          val p = math.round(acc / 4.0).toInt + 128
+          px((by + y) * w + bx + x) = math.max(0, math.min(255, p))
+          x += 1
+        }
+        y += 1
+      }
+      mcu += 1
+    }
+    bitCnt = 0
+    require(pos + 2 <= d.length && u8() == 0xff && u8() == 0xd9,
+      s"doc ${doc.doc_id}: missing EOI trailer")
+    (wb, hb, restarts, px)
+  }
+
+  /** JPEG feature extraction: dims, block/restart counts, pixel
+    * checksum. */
+  def decodeJpeg(doc: MediaDoc): JpegFeatures = {
+    val (wb, hb, restarts, px) = decodeJpegPixels(doc)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) { sum += px(i); i += 1 }
+    JpegFeatures(doc.doc_id, 8 * wb, 8 * hb, wb * hb, restarts, sum)
+  }
+
+  /** Batched partition-local JPEG feature extraction (the
+    * [[extractGifFeatures]] shape — media bytes never shuffle). */
+  def extractJpegFeatures(
+      spark: SparkSession,
+      media: Dataset[MediaDoc],
+      batchSize: Int = 64): Dataset[JpegFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(decodeJpeg)
       }
     }
   }

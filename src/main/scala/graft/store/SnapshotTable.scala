@@ -45,6 +45,20 @@ class SnapshotTable(root: String, dayCol: String = "day") {
   private def manifestName(v: Int) = f"manifest-$v%06d.txt"
   private val ManifestRe = "manifest-(\\d{6})\\.txt".r
 
+  /** Parse one published manifest's complete day→reldir mapping. */
+  private def readManifest(
+      spark: SparkSession, v: Int): Map[String, String] = {
+    val fs = fsOf(spark)
+    val in = fs.open(new Path(root, manifestName(v)))
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(d, p) = l.split("\t", 2)
+      d -> p
+    }.toMap
+  }
+
   /** Highest published version and its complete day→reldir mapping. */
   def current(spark: SparkSession): Option[(Int, Map[String, String])] = {
     val fs = fsOf(spark)
@@ -56,16 +70,21 @@ class SnapshotTable(root: String, dayCol: String = "day") {
     if (versions.isEmpty) None
     else {
       val v = versions.max
-      val in = fs.open(new Path(root, manifestName(v)))
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val mapping = text.linesIterator.filter(_.nonEmpty).map { l =>
-        val Array(d, p) = l.split("\t", 2)
-        d -> p
-      }.toMap
-      Some((v, mapping))
+      Some((v, readManifest(spark, v)))
     }
+  }
+
+  /** Time travel: the table as of a SPECIFIC retained manifest —
+    * the reader-pinning primitive the vacuum retention window
+    * protects. Fails loudly if that manifest was already vacuumed. */
+  def readAsOf(spark: SparkSession, v: Int): DataFrame = {
+    val fs = fsOf(spark)
+    if (!fs.exists(new Path(root, manifestName(v))))
+      throw new IllegalStateException(
+        s"SnapshotTable $root: manifest v$v is not retained")
+    val mapping = readManifest(spark, v)
+    val paths = mapping.values.toSeq.sorted.map(rel => s"$root/$rel")
+    spark.read.parquet(paths: _*)
   }
 
   /** The table as of the current manifest (empty relation error if the
@@ -148,20 +167,37 @@ class SnapshotTable(root: String, dayCol: String = "day") {
     v
   }
 
-  /** Delete version directories no longer referenced by the CURRENT
-    * manifest, and all older manifests — the compaction a reader-free
-    * maintenance window runs. Returns the number of paths deleted. */
-  def vacuum(spark: SparkSession): Long = {
+  /** Garbage collection with a SNAPSHOT-RETENTION WINDOW (the
+    * Iceberg convention, round-14 verdict ask #2): keep the newest
+    * `retainManifests` manifests and every version directory ANY
+    * retained manifest references, so a concurrent reader that
+    * resolved manifest v−1 (a long scan, or one caught between
+    * `current()` and its parquet reads) keeps every file it needs —
+    * and [[readAsOf]] time travel stays valid across the window.
+    * Version dirs numbered ABOVE the current version are an
+    * in-flight writer's staging area and are never touched; a
+    * crashed stager's garbage is collected once the version counter
+    * passes it. `retainManifests = 1` is the old reader-free
+    * maintenance-window behavior. Returns the number of paths
+    * deleted. */
+  def vacuum(spark: SparkSession, retainManifests: Int = 2): Long = {
+    require(retainManifests >= 1, "vacuum must retain the current manifest")
     val fs = fsOf(spark)
-    val (v, mapping) = current(spark).getOrElse(return 0L)
-    val referenced = mapping.values.map(_.split("/")(0)).toSet
+    val (v, _) = current(spark).getOrElse(return 0L)
+    val floor = v - retainManifests + 1
+    val retained = (floor to v).filter(n =>
+      fs.exists(new Path(root, manifestName(n))))
+    val referenced = retained.flatMap(n =>
+      readManifest(spark, n).values.map(_.split("/")(0))).toSet
+    val VerDirRe = "v(\\d+)-.*".r
     var deleted = 0L
     fs.listStatus(new Path(root)).foreach { st =>
       val name = st.getPath.getName
       val drop = name match {
-        case ManifestRe(n) => n.toInt < v
-        case _ => st.isDirectory && name.startsWith("v") &&
+        case ManifestRe(n) => n.toInt < floor
+        case VerDirRe(n) => st.isDirectory && n.toInt <= v &&
           !referenced.contains(name)
+        case _ => false
       }
       if (drop && fs.delete(st.getPath, true)) deleted += 1
     }

@@ -61,6 +61,56 @@ class GifSpec extends SparkSpec {
     roundTrip(reset, 160, 100)
   }
 
+  /** Length-n index sequence where EVERY consecutive pair is novel —
+    * each of the n−1 pairs is an encoder miss, so the decoder's
+    * dictionary lands on exactly 258 + (n−1) after the final data
+    * code. Greedy construction over the 64k pair space. */
+  private def allMissRaster(n: Int): Array[Byte] = {
+    // star walks: walk k = k, k+1, k, k+2, ..., k, 255 uses pairs
+    // (k,j) and (j,k) for j in k+1..254 plus (k,255); the (255, k+1)
+    // transition pair between walks is used by no walk — every
+    // consecutive pair in the concatenation is distinct.
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](n)
+    buf += 0
+    var k = 0
+    while (buf.length < n) {
+      var j = k + 1
+      while (j <= 255 && buf.length < n) {
+        buf += j
+        if (j < 255 && buf.length < n) buf += k
+        j += 1
+      }
+      k += 1
+      if (buf.length < n) buf += k
+    }
+    buf.map(_.toByte).toArray
+  }
+
+  test("epoch-final code-width boundaries: a raster whose LAST data " +
+      "code lands the decoder dictionary exactly on 2^w - 1 still " +
+      "reads EOI at the encoder's (old) width") {
+    // decoder nextCode after the final insert = 258 + (n - 1); the
+    // widen boundaries are 511 (n=254), 1023 (n=766), 2047 (n=1790).
+    // Before the fix, 254 threw 'LZW stream truncated'; 253/255 passed.
+    roundTrip(allMissRaster(253), 11, 23)
+    roundTrip(allMissRaster(254), 127, 2)
+    roundTrip(allMissRaster(255), 15, 17)
+    roundTrip(allMissRaster(766), 383, 2)
+    roundTrip(allMissRaster(767), 59, 13)
+    roundTrip(allMissRaster(1790), 179, 10)
+  }
+
+  test("seeded random rasters round-trip across a dense length sweep " +
+      "(no other data-dependent desync sizes)") {
+    val rnd = new scala.util.Random(0x61f)
+    var n = 1
+    while (n <= 600) {
+      val idx = Array.fill(n)(rnd.nextInt(256).toByte)
+      roundTrip(idx, n, 1)
+      n += 7
+    }
+  }
+
   test("corruption classes fail loudly") {
     val good = Multimodal.encodeGifRaster(4L,
       Array.tabulate(24)(i => (i * 11 % 256).toByte), 6, 4)

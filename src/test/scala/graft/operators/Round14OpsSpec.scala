@@ -236,6 +236,24 @@ class Round14OpsSpec extends SparkSpec {
     ex.getMessage should include("zero variance")
   }
 
+  test("cupedAdjust / minDetectableEffect: the n-scaled moments past " +
+      "the exact-long envelope fail fast instead of wrapping") {
+    // |sx| past sqrt(Long.MAX): (sx)^2 would wrap silently (the
+    // per-row sums themselves stay exact: 3 * 2.56e18 < Long.MAX)
+    val big = Seq(("a", 1600000000L, 1L), ("a", 1600000000L, 2L),
+      ("b", 1600000000L, 3L)).toDF("g", "x", "y")
+    intercept[Exception] {
+      Analytics.cupedAdjust(big, "g", col("x"), col("y")).collect()
+    }.getMessage should include("exact-long envelope")
+    // svv past Long.MAX/n: n*svv would wrap silently (svv = 8.82e18
+    // is itself still exact)
+    val bigv = Seq(("a", 2100000000L), ("a", -2100000000L),
+      ("b", 1L), ("b", 2L)).toDF("g", "v")
+    intercept[Exception] {
+      Analytics.minDetectableEffect(bigv, "g", col("v")).collect()
+    }.getMessage should include("exact-long envelope")
+  }
+
   test("mcnemarTest: only discordant cells enter; zero discordance is " +
       "NULL, textbook counts hand-checked") {
     // truth always 'x'; A correct on 8, B correct on 5; overlap 4:

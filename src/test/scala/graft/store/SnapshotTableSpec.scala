@@ -79,25 +79,53 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[java.io.IOException] { t.publish(spark, vB, mB) }
     // the WINNER's data is intact even though the loser staged later
     t.read(spark).select(max(col("mark"))).as[String].head() shouldBe "winner"
-    // and the loser's orphaned staging dir is vacuumable garbage
-    t.vacuum(spark) should be >= 2L // loser dir + v1 dir + old manifest
+    // the loser's orphaned staging dir is vacuumable garbage; the
+    // default retention window keeps manifest v1 and its dirs
+    t.vacuum(spark) shouldBe 1L // loser dir only
+    t.read(spark).select(max(col("mark"))).as[String].head() shouldBe "winner"
+    // a reader-free maintenance window collects the history too
+    t.vacuum(spark, retainManifests = 1) shouldBe 2L // v1 dir + manifest 1
     t.read(spark).select(max(col("mark"))).as[String].head() shouldBe "winner"
   }
 
-  test("vacuum drops only unreferenced versions and stale manifests") {
+  test("vacuum retention window: a reader pinned to manifest v-1 " +
+      "survives a concurrent vacuum; retainManifests=1 collects it") {
     val t = mkTable("vac")
     t.commitDays(spark, days(2, "v1"))
-    // v2 overwrites EVERYTHING -> v1 dirs become unreferenced
+    // v2 overwrites EVERYTHING -> v1 dirs referenced only by manifest 1
     t.commitDays(spark, days(2, "v2"))
-    t.vacuum(spark) shouldBe 2L // the v1 dir + manifest-000001
+    // the pinned reader: resolved v1 BEFORE the vacuum ran
+    val pinned = t.readAsOf(spark, 1)
+    t.vacuum(spark) shouldBe 0L // window keeps m1 + m2 and both dirs
+    // mid-scan after the vacuum: every v1 file is still there
+    pinned.select(max(col("mark"))).as[String].head() shouldBe "v1"
+    t.readAsOf(spark, 1).count() shouldBe 6
+    t.read(spark).select(max(col("mark"))).as[String].head() shouldBe "v2"
+    // the reader-free window: old manifest + its now-unreferenced dir go
+    t.vacuum(spark, retainManifests = 1) shouldBe 2L
+    intercept[IllegalStateException] {
+      t.readAsOf(spark, 1)
+    }.getMessage should include("not retained")
     t.read(spark).select(max(col("mark"))).as[String].head() shouldBe "v2"
     // partial overwrite keeps the still-referenced older version dir
     val t2 = mkTable("vac2")
     t2.commitDays(spark, days(2, "v1"))
     t2.commitDays(spark,
       Seq(("2024-02-02", 5L, "v2")).toDF("day", "event_id", "mark"))
-    t2.vacuum(spark) shouldBe 1L // only manifest-000001; v1 still referenced
+    t2.vacuum(spark, retainManifests = 1) shouldBe 1L // only manifest 1
     t2.read(spark).count() shouldBe 4
+  }
+
+  test("vacuum never touches an in-flight writer's staging dirs " +
+      "(version numbers above current)") {
+    val t = mkTable("vac3")
+    t.commitDays(spark, days(1, "v1"))
+    // an in-flight commit: v2 fully staged, not yet published
+    val (v2, m2) = t.stageDays(spark, days(1, "v2"))
+    t.vacuum(spark, retainManifests = 1) shouldBe 0L
+    // the stager completes AFTER the vacuum — nothing was deleted
+    t.publish(spark, v2, m2)
+    t.read(spark).select(max(col("mark"))).as[String].head() shouldBe "v2"
   }
 
   test("readDays prunes to the requested days' files via the manifest") {
