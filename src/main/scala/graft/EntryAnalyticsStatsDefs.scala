@@ -754,6 +754,77 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
         col("post")),
       "arm", col("post"))
 
+  /** Experiment readout sheet (q291): the q200 health-report
+    * discipline applied to the experimentation family — ONE relation
+    * carrying the fixed-horizon z-test (q195), the CUPED-adjusted
+    * means and variance-reduction share (q285), the minimum
+    * detectable effect (q287), and the label-quality reads (q276
+    * kappa, q286 McNemar) for the planted experiment. Pure reuse of
+    * the gated operators: every number on the sheet is the SAME
+    * number its source query publishes. */
+  private[graft] def experimentReadoutQuery(
+      s: SparkSession, dir: String): DataFrame = {
+    def sheet(df: DataFrame, pairs: (String, String)*): DataFrame =
+      df.select(expr("stack(" + pairs.length + ", " +
+        pairs.map { case (m, c) => s"'$m', CAST($c AS BIGINT)" }
+          .mkString(", ") + ") AS (metric, value)"))
+    val cup = sheet(
+      cupedQuery(s, dir).agg(
+        max(when(col("treated") === "true", col("n_g"))).as("nt"),
+        max(when(col("treated") === "false", col("n_g"))).as("nc"),
+        max(when(col("treated") === "true", col("mean_micro"))).as("mt"),
+        max(when(col("treated") === "false", col("mean_micro"))).as("mc"),
+        max(when(col("treated") === "true", col("adjusted_micro"))).as("at"),
+        max(when(col("treated") === "false", col("adjusted_micro"))).as("ac"),
+        max(col("theta_ppm")).as("th"), max(col("rho2_ppm")).as("rh")),
+      "cuped_n_treated" -> "nt", "cuped_n_control" -> "nc",
+      "cuped_mean_treated_micro" -> "mt", "cuped_mean_control_micro" -> "mc",
+      "cuped_adj_treated_micro" -> "at", "cuped_adj_control_micro" -> "ac",
+      "cuped_theta_ppm" -> "th", "cuped_rho2_ppm" -> "rh")
+    val mde = sheet(mdeQuery(s, dir),
+      "mde_abs_micro" -> "mde_abs_micro", "mde_rel_ppm" -> "mde_rel_ppm")
+    val ab = sheet(abTestQuery(s, dir),
+      "ab_n_a" -> "n_a", "ab_x_a" -> "x_a",
+      "ab_n_b" -> "n_b", "ab_x_b" -> "x_b",
+      "ab_rate_a_ppm" -> "rate_a_ppm", "ab_rate_b_ppm" -> "rate_b_ppm",
+      "ab_z_micro" -> "round(z * 1000000.0)",
+      "ab_significant" -> "CASE WHEN significant THEN 1 ELSE 0 END")
+    val kap = sheet(cohenKappaQuery(s, dir),
+      "label_kappa_ppm" -> "kappa_ppm",
+      "label_po_ppm" -> "po_ppm", "label_pe_ppm" -> "pe_ppm")
+    val mcn = sheet(mcnemarQuery(s, dir),
+      "label_mcnemar_chi2_micro" -> "chi2_micro",
+      "label_mcnemar_a_only" -> "n_a_only",
+      "label_mcnemar_b_only" -> "n_b_only")
+    Seq(cup, mde, ab, kap, mcn).reduce(_ unionByName _)
+      .orderBy(col("metric"))
+  }
+
+  /** mSPRT sequential monitor (q292): the always-valid p over the
+    * q195 experiment replayed day by day — each active USER-DAY is a
+    * unit (did that user convert that day) in its hash arm, and the
+    * monitor reports the running mixture-LR evidence and the p an
+    * experimenter may read EVERY day without alpha inflation (the
+    * peeking problem the fixed-horizon z-test has). ~30 daily
+    * readings at every SF, so the sequential path is genuinely
+    * exercised. */
+  private[graft] def msprtQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup.md5Hash60
+    val perUnit = Tables.events(s, dir)
+      .select(col("user_id").cast("string").as("u"),
+        dayOf(col("ts")).as("d"),
+        when(col("event_type") === "purchase", 1L).as("p"))
+      .groupBy(col("u"), col("d"))
+      .agg(max(col("p")).as("_c"))
+      .select(col("d"),
+        pmod(md5Hash60(concat(lit("ab:exp1:"), col("u"))), lit(2L)).as("arm"),
+        coalesce(col("_c"), lit(0L)).as("conv"))
+    graft.operators.Analytics.msprtMonitor(perUnit,
+        col("d"), col("arm"), col("conv"), tau2Micro = 10000L)
+      .withColumn("day", col("day").cast("string"))
+      .orderBy(col("day"))
+  }
+
   /** Temperature-0.5 mixture (q288): the √-share rebalance over the
     * documents source column — low-resource sources lift, the
     * bottleneck source keeps 100%, every rate exact ppm. */

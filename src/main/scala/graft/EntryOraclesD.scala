@@ -3284,7 +3284,138 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
                   i -> ('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER),
                                        2))::BIGINT)), 0)
                 AS BIGINT) AS px_checksum
-         FROM m ORDER BY doc_id""")
+         FROM m ORDER BY doc_id""",
+
+    // mSPRT sequential monitor: the q195 experiment replayed by
+    // enrollment day. Cumulative counts are exact-long windows; each
+    // day's mixture log-LR is the SAME stated IEEE chain the Spark
+    // side runs (pooled v, tau2 = 10000/1e6, ln + one division
+    // ladder), quantized to micro BEFORE the running max so the
+    // extremum is over exact longs; p = exp(-max/1e6) off that long.
+    "q292_msprt_monitor" ->
+      """WITH pu AS (SELECT CAST(user_id AS VARCHAR) AS u,
+                     ts::DATE AS unit_day,
+                     CASE WHEN max(CASE WHEN event_type = 'purchase'
+                                        THEN 1 END) IS NULL THEN 0
+                          ELSE 1 END AS conv
+               FROM events GROUP BY 1, 2),
+         a AS (SELECT unit_day,
+                      ('0x' || substr(md5('ab:exp1:' || u), 1, 15))::BIGINT
+                        % 2 AS arm, conv
+               FROM pu),
+         d AS (SELECT unit_day AS day,
+                      CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS d_na,
+                      CAST(coalesce(sum(conv) FILTER (WHERE arm = 0), 0)
+                        AS BIGINT) AS d_xa,
+                      CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS d_nb,
+                      CAST(coalesce(sum(conv) FILTER (WHERE arm = 1), 0)
+                        AS BIGINT) AS d_xb
+               FROM a GROUP BY 1),
+         c AS (SELECT day,
+                      CAST(sum(d_na) OVER w AS BIGINT) AS n_a,
+                      CAST(sum(d_xa) OVER w AS BIGINT) AS x_a,
+                      CAST(sum(d_nb) OVER w AS BIGINT) AS n_b,
+                      CAST(sum(d_xb) OVER w AS BIGINT) AS x_b
+               FROM d
+               WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         l AS (SELECT day, n_a, x_a, n_b, x_b,
+                      CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+                                AND x_a + x_b < n_a + n_b
+                           THEN (CAST(x_a + x_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE)) *
+                             (1.0 - CAST(x_a + x_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE)) *
+                             (1.0 / CAST(n_a AS DOUBLE)
+                               + 1.0 / CAST(n_b AS DOUBLE))
+                      END AS v,
+                      CAST(10000 AS DOUBLE) / 1000000.0 AS t2
+               FROM c),
+         e AS (SELECT day, n_a, x_a, n_b, x_b,
+                      CASE WHEN v IS NOT NULL
+                           THEN CAST(round((0.5 * ln(v / (v + t2)) +
+                             (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+                              CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) *
+                             (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+                              CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) *
+                             t2 / (2.0 * v * (v + t2))) * 1000000.0)
+                             AS BIGINT)
+                      END AS log_lr_micro
+               FROM l),
+         f AS (SELECT day, n_a, x_a, n_b, x_b, log_lr_micro,
+                      max(log_lr_micro) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS max_log_lr_micro
+               FROM e),
+         g AS (SELECT *,
+                      CAST(CASE WHEN max_log_lr_micro IS NULL THEN 1000000
+                                ELSE LEAST(1000000, CAST(round(
+                                  exp(-max_log_lr_micro / 1000000.0)
+                                  * 1000000.0) AS BIGINT))
+                           END AS BIGINT) AS always_valid_p_ppm
+               FROM f)
+         SELECT CAST(day AS VARCHAR) AS day, n_a, x_a, n_b, x_b,
+                log_lr_micro, max_log_lr_micro, always_valid_p_ppm,
+                always_valid_p_ppm <= 50000 AS reject_at_5pct
+         FROM g ORDER BY day""")
+
+  /** q291 experiment readout: the sheet is PURE COMPOSITION — each
+    * section's numbers are lifted from the source query's own oracle
+    * (nested as MATERIALIZED CTEs), so the sheet can never drift
+    * from what q195/q285/q287/q276/q286 individually certify. */
+  private[graft] def experimentReadoutOracle(
+      base: Map[String, String]): String =
+    s"""WITH cup AS MATERIALIZED (${base("q285_cuped")}),
+       mde AS MATERIALIZED (${base("q287_mde")}),
+       ab AS MATERIALIZED (${base("q195_ab_test")}),
+       kap AS MATERIALIZED (${base("q276_cohen_kappa")}),
+       mcn AS MATERIALIZED (${base("q286_mcnemar")})
+       SELECT metric, value FROM (
+         SELECT 'cuped_n_treated' AS metric,
+                CAST(max(CASE WHEN treated = 'true' THEN n_g END)
+                  AS BIGINT) AS value FROM cup
+         UNION ALL SELECT 'cuped_n_control',
+           CAST(max(CASE WHEN treated = 'false' THEN n_g END) AS BIGINT)
+           FROM cup
+         UNION ALL SELECT 'cuped_mean_treated_micro',
+           CAST(max(CASE WHEN treated = 'true' THEN mean_micro END)
+             AS BIGINT) FROM cup
+         UNION ALL SELECT 'cuped_mean_control_micro',
+           CAST(max(CASE WHEN treated = 'false' THEN mean_micro END)
+             AS BIGINT) FROM cup
+         UNION ALL SELECT 'cuped_adj_treated_micro',
+           CAST(max(CASE WHEN treated = 'true' THEN adjusted_micro END)
+             AS BIGINT) FROM cup
+         UNION ALL SELECT 'cuped_adj_control_micro',
+           CAST(max(CASE WHEN treated = 'false' THEN adjusted_micro END)
+             AS BIGINT) FROM cup
+         UNION ALL SELECT 'cuped_theta_ppm',
+           CAST(max(theta_ppm) AS BIGINT) FROM cup
+         UNION ALL SELECT 'cuped_rho2_ppm',
+           CAST(max(rho2_ppm) AS BIGINT) FROM cup
+         UNION ALL SELECT 'mde_abs_micro',
+           CAST(mde_abs_micro AS BIGINT) FROM mde
+         UNION ALL SELECT 'mde_rel_ppm', CAST(mde_rel_ppm AS BIGINT) FROM mde
+         UNION ALL SELECT 'ab_n_a', CAST(n_a AS BIGINT) FROM ab
+         UNION ALL SELECT 'ab_x_a', CAST(x_a AS BIGINT) FROM ab
+         UNION ALL SELECT 'ab_n_b', CAST(n_b AS BIGINT) FROM ab
+         UNION ALL SELECT 'ab_x_b', CAST(x_b AS BIGINT) FROM ab
+         UNION ALL SELECT 'ab_rate_a_ppm', CAST(rate_a_ppm AS BIGINT) FROM ab
+         UNION ALL SELECT 'ab_rate_b_ppm', CAST(rate_b_ppm AS BIGINT) FROM ab
+         UNION ALL SELECT 'ab_z_micro',
+           CAST(round(z * 1000000.0) AS BIGINT) FROM ab
+         UNION ALL SELECT 'ab_significant',
+           CAST(CASE WHEN significant THEN 1 ELSE 0 END AS BIGINT) FROM ab
+         UNION ALL SELECT 'label_kappa_ppm', CAST(kappa_ppm AS BIGINT) FROM kap
+         UNION ALL SELECT 'label_po_ppm', CAST(po_ppm AS BIGINT) FROM kap
+         UNION ALL SELECT 'label_pe_ppm', CAST(pe_ppm AS BIGINT) FROM kap
+         UNION ALL SELECT 'label_mcnemar_chi2_micro',
+           CAST(chi2_micro AS BIGINT) FROM mcn
+         UNION ALL SELECT 'label_mcnemar_a_only',
+           CAST(n_a_only AS BIGINT) FROM mcn
+         UNION ALL SELECT 'label_mcnemar_b_only',
+           CAST(n_b_only AS BIGINT) FROM mcn
+       ) ORDER BY metric"""
 
   /** q286 McNemar: the same hash models re-derived; only the
     * discordant counts enter the statistic. */

@@ -4309,4 +4309,84 @@ object Analytics {
             (col("n_matches") + lit(3.8416))) * 1e6)
           .cast(LongType).as("wilson_hi_ppm"))
   }
+
+  /** mSPRT SEQUENTIAL A/B MONITOR — the always-valid p-value (the
+    * mixture sequential probability ratio test, Johari et al.) that
+    * lets an experimenter PEEK at the dashboard daily without
+    * inflating false positives: unlike the fixed-horizon z-test
+    * (q195), the running p is valid at EVERY stopping time. Input is
+    * one row per experimental unit (enrollment day, arm 0/1,
+    * converted 0/1); output is one row per enrollment day with the
+    * cumulative counts, the mixture log-likelihood-ratio, its
+    * running maximum, and the always-valid p.
+    *
+    * Determinism contract (the q209 discipline): cumulative counts
+    * are exact longs from day-rollup windows; each day's log-LR is
+    * ONE stated IEEE chain off those longs —
+    * `llr = 0.5·ln(v/(v+τ²)) + (p̂_a−p̂_b)²·τ²/(2v(v+τ²))` with
+    * pooled `v = p̂(1−p̂)(1/n_a+1/n_b)` and τ² = tau2Micro/1e6 —
+    * quantized to micro BEFORE the running max, so the extremum is
+    * taken over exact longs (no cross-engine tie ambiguity); the
+    * final `p = min(1, exp(−maxllr))` is a second stated IEEE step
+    * off that long. Days with an undefined statistic (an empty arm,
+    * zero or total pooled conversions) carry NULL and p = 1.
+    *
+    * Shape at 100 TB: one shuffle to the (day, arm) rollup, two
+    * windows over the days-sized relation, map-only math after. */
+  def msprtMonitor(
+      units: DataFrame,
+      dayCol: Column,
+      armCol: Column,
+      convertedCol: Column,
+      tau2Micro: Long = 10000L): DataFrame = {
+    require(tau2Micro > 0, "msprtMonitor: the mixture variance must be > 0")
+    val daily = units
+      .select(dayCol.cast("date").as("day"),
+        armCol.cast(LongType).as("arm"),
+        convertedCol.cast(LongType).as("conv"))
+      .filter(col("day").isNotNull && col("arm").isin(0L, 1L))
+      .groupBy(col("day"))
+      .agg(count(when(col("arm") === 0, 1)).as("d_na"),
+        coalesce(sum(when(col("arm") === 0, col("conv"))), lit(0L)).as("d_xa"),
+        count(when(col("arm") === 1, 1)).as("d_nb"),
+        coalesce(sum(when(col("arm") === 1, col("conv"))), lit(0L)).as("d_xb"))
+    val byDay = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .withColumn("n_a", sum(col("d_na")).over(byDay))
+      .withColumn("x_a", sum(col("d_xa")).over(byDay))
+      .withColumn("n_b", sum(col("d_nb")).over(byDay))
+      .withColumn("x_b", sum(col("d_xb")).over(byDay))
+    val llr = cum
+      .withColumn("t2", lit(tau2Micro).cast(DoubleType) / lit(1000000.0))
+      .withColumn("v", expr(
+        """CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+                 AND x_a + x_b < n_a + n_b
+                THEN (CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+                  (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+                  (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+           END"""))
+      .withColumn("log_lr_micro", expr(
+        """CASE WHEN v IS NOT NULL
+                THEN CAST(round((0.5 * ln(v / (v + t2)) +
+                  (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+                   CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) *
+                  (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+                   CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) *
+                  t2 / (2.0 * v * (v + t2))) * 1000000.0) AS BIGINT)
+           END"""))
+    llr
+      .withColumn("max_log_lr_micro",
+        max(col("log_lr_micro")).over(byDay))
+      .select(col("day"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        col("log_lr_micro"),
+        col("max_log_lr_micro"),
+        expr(
+          """CASE WHEN max_log_lr_micro IS NULL THEN 1000000
+                  ELSE LEAST(1000000, CAST(round(
+                    exp(-max_log_lr_micro / 1000000.0) * 1000000.0)
+                    AS BIGINT))
+             END""").as("always_valid_p_ppm"))
+      .withColumn("reject_at_5pct", col("always_valid_p_ppm") <= 50000L)
+  }
 }
