@@ -825,6 +825,33 @@ private[graft] trait EntryAnalyticsStatsDefs extends EntryMaintenanceStreamDefs 
       .orderBy(col("day"))
   }
 
+  /** Per-user (views, purchases) units in the q195 hash arms — the
+    * shared fixture for the ratio-metric and SRM reads. */
+  private def abRatioUnits(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextDedup.md5Hash60
+    Tables.events(s, dir)
+      .groupBy(col("user_id").cast("string").as("u"))
+      .agg(count(when(col("event_type") === "view", 1)).as("x"),
+        count(when(col("event_type") === "purchase", 1)).as("y"))
+      .select(pmod(md5Hash60(concat(lit("ab:exp1:"), col("u"))), lit(2L))
+        .as("arm"), col("x"), col("y"))
+  }
+
+  /** Ratio-metric delta-method CI (q293): purchases PER VIEW per arm
+    * — the correlated-numerator variance read the per-user mean CI
+    * gets wrong. Exact arm moments, exact ppm ratio, one stated IEEE
+    * chain for the se and the ±1.96 band. */
+  private[graft] def ratioMetricQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.ratioMetricCi(abRatioUnits(s, dir),
+        "arm", col("x"), col("y"))
+      .orderBy(col("arm"))
+
+  /** Sample-ratio-mismatch audit (q294): is the realized split of the
+    * q195 hash assignment compatible with 50/50 — the plumbing check
+    * that must pass before any experiment metric is read. */
+  private[graft] def srmQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.srmCheck(abRatioUnits(s, dir), col("arm"))
+
   /** Temperature-0.5 mixture (q288): the √-share rebalance over the
     * documents source column — low-resource sources lift, the
     * bottleneck source keeps 100%, every rate exact ppm. */

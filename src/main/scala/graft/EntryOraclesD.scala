@@ -3357,7 +3357,77 @@ private[graft] trait EntryOraclesD extends EntryOraclesC {
          SELECT CAST(day AS VARCHAR) AS day, n_a, x_a, n_b, x_b,
                 log_lr_micro, max_log_lr_micro, always_valid_p_ppm,
                 always_valid_p_ppm <= 50000 AS reject_at_5pct
-         FROM g ORDER BY day""")
+         FROM g ORDER BY day""",
+
+    // Ratio-metric delta-method CI: exact per-arm moments over the
+    // per-user (views, purchases) units; ratio exact ppm; se/CI the
+    // SAME stated IEEE chain the Spark side runs (n-scaled sample
+    // covariances, delta-method variance, one sqrt, round-to-micro).
+    "q293_ratio_metric_ci" ->
+      """WITH pu AS (SELECT CAST(user_id AS VARCHAR) AS u,
+                     CAST(count(*) FILTER (WHERE event_type = 'view')
+                       AS BIGINT) AS x,
+                     CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                       AS BIGINT) AS y
+               FROM events GROUP BY 1),
+         a AS (SELECT CAST(('0x' || substr(md5('ab:exp1:' || u), 1, 15))
+                        ::BIGINT % 2 AS VARCHAR) AS arm, x, y
+               FROM pu),
+         m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(x * y) AS BIGINT) AS sxy,
+                      CAST(sum(y * y) AS BIGINT) AS syy
+               FROM a GROUP BY 1),
+         r AS (SELECT arm, n, sx AS sum_x, sy AS sum_y,
+                      sy * 1000000 // sx AS ratio_ppm,
+                      CAST(round(sqrt(greatest(0.0,
+                        ((CAST(n * syy - sy * sy AS DOUBLE)
+                          - 2.0 * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE))
+                            * CAST(n * sxy - sx * sy AS DOUBLE)
+                          + (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE))
+                            * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE))
+                            * CAST(n * sxx - sx * sx AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))))
+                        * 1000000.0) AS BIGINT) AS se_micro
+               FROM m)
+         SELECT arm, n, sum_x, sum_y, ratio_ppm, se_micro,
+                CAST(round(CAST(ratio_ppm AS DOUBLE)
+                  - 1.96 * CAST(se_micro AS DOUBLE)) AS BIGINT) AS ci_lo_ppm,
+                CAST(round(CAST(ratio_ppm AS DOUBLE)
+                  + 1.96 * CAST(se_micro AS DOUBLE)) AS BIGINT) AS ci_hi_ppm
+         FROM r ORDER BY arm""",
+
+    // SRM audit: exact arm counts; the one-df chi-square against the
+    // configured 50/50 split as the SAME stated IEEE chain, quantized
+    // to micro; the flag at the 3.841459 critical value.
+    "q294_srm_audit" ->
+      """WITH pu AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events
+               GROUP BY 1),
+         a AS (SELECT ('0x' || substr(md5('ab:exp1:' || u), 1, 15))::BIGINT
+                        % 2 AS arm
+               FROM pu),
+         c AS (SELECT CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+                      CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b
+               FROM a),
+         s AS (SELECT n_a, n_b, CAST(500000 AS BIGINT) AS expected_a_ppm,
+                      n_a * 1000000 // (n_a + n_b) AS observed_a_ppm,
+                      CAST(round(
+                        ((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE)
+                          * (500000 / 1000000.0)) *
+                         (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE)
+                          * (500000 / 1000000.0)))
+                        / (CAST(n_a + n_b AS DOUBLE) * (500000 / 1000000.0)
+                           * (1.0 - 500000 / 1000000.0))
+                        * 1000000.0) AS BIGINT) AS chi2_micro
+               FROM c)
+         SELECT n_a, n_b, expected_a_ppm, observed_a_ppm, chi2_micro,
+                chi2_micro > 3841459 AS srm_detected
+         FROM s""")
 
   /** q291 experiment readout: the sheet is PURE COMPOSITION — each
     * section's numbers are lifted from the source query's own oracle

@@ -4310,6 +4310,109 @@ object Analytics {
           .cast(LongType).as("wilson_hi_ppm"))
   }
 
+  /** RATIO-METRIC DELTA-METHOD CI — the variance read every A/B on a
+    * per-unit RATIO (purchases per view, revenue per session) needs:
+    * the naive binomial/mean CI is wrong because numerator and
+    * denominator are correlated WITHIN units. Per arm, the ratio
+    * R = Σy/Σx with the delta-method standard error
+    * `se² = (s_yy − 2R·s_xy + R²·s_xx) / (n·x̄²)` off the n-scaled
+    * exact long moments (s_ab = (n·Σab − Σa·Σb)/(n(n−1)), the sample
+    * covariance). The ratio itself is exact ppm (Σy·1e6 div Σx); the
+    * se and the ±1.96 CI are ONE stated IEEE chain. The same
+    * n-aware raise_error envelope as [[cupedAdjust]] guards the
+    * moment products. Shape: one arm rollup, map-only math after. */
+  def ratioMetricCi(
+      df: DataFrame,
+      armCol: String,
+      denom: Column,
+      numer: Column): DataFrame = {
+    val q = df.select(col(armCol).cast("string").as("arm"),
+        denom.cast(LongType).as("x"), numer.cast(LongType).as("y"))
+      .filter(col("arm").isNotNull && col("x").isNotNull && col("y").isNotNull)
+    q.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("arm"), col("n"),
+        when(col("n") < 2 || col("sx") <= 0,
+          raise_error(lit("ratioMetricCi: each arm needs >= 2 units and " +
+            "a positive denominator mass")))
+          .otherwise(
+            when(greatest(col("sxx"), abs(col("sxy")), col("syy")) >=
+                expr("9223372036854775807 div n") ||
+                greatest(abs(col("sx")), abs(col("sy"))) >= lit(3037000499L),
+              raise_error(lit("ratioMetricCi: the n-scaled moments exceed " +
+                "the exact-long envelope (sum >= Long.MAX/n or |sum| >= " +
+                "~3.03e9); use coarser metric units")))
+              .otherwise(col("sx"))).as("sum_x"),
+        col("sy").as("sum_y"),
+        // the CASE guards keep ANSI division-by-zero out of the plan
+        // on the degenerate arms; the raise_error above is what the
+        // caller actually sees
+        expr("CASE WHEN sx > 0 THEN sy * 1000000 div sx END")
+          .as("ratio_ppm"),
+        // the stated IEEE chain: R, the three n-scaled covariances,
+        // the delta-method se, then round-to-micro
+        expr("""CASE WHEN n >= 2 AND sx > 0 THEN
+          CAST(round(sqrt(greatest(0.0d,
+            ((CAST(n * syy - sy * sy AS DOUBLE)
+              - 2.0 * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE))
+                * CAST(n * sxy - sx * sy AS DOUBLE)
+              + (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE))
+                * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE))
+                * CAST(n * sxx - sx * sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+            / (CAST(n AS DOUBLE)
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))))
+          * 1000000.0) AS BIGINT) END""").as("se_micro"))
+      .select(col("arm"), col("n"), col("sum_x"), col("sum_y"),
+        col("ratio_ppm"), col("se_micro"),
+        expr("""CAST(round(CAST(ratio_ppm AS DOUBLE)
+            - 1.96 * CAST(se_micro AS DOUBLE)) AS BIGINT)""")
+          .as("ci_lo_ppm"),
+        expr("""CAST(round(CAST(ratio_ppm AS DOUBLE)
+            + 1.96 * CAST(se_micro AS DOUBLE)) AS BIGINT)""")
+          .as("ci_hi_ppm"))
+  }
+
+  /** SAMPLE-RATIO-MISMATCH AUDIT — the first thing to check when an
+    * experiment reads strange: if the realized arm split is
+    * incompatible with the configured split, the assignment plumbing
+    * is broken and EVERY downstream metric is invalid. One-df
+    * chi-square of the observed 2-arm counts against the expected
+    * share: counts are exact longs; the statistic is ONE stated IEEE
+    * chain off them, quantized to micro; the flag trips at the 5%
+    * critical value 3.841459 (the same literal in both engines). */
+  def srmCheck(
+      units: DataFrame,
+      armCol: Column,
+      expectedAPpm: Long = 500000L): DataFrame = {
+    require(expectedAPpm > 0 && expectedAPpm < 1000000L,
+      "srmCheck: expected share must be inside (0, 1e6) ppm")
+    val q = units.select(armCol.cast(LongType).as("arm"))
+      .filter(col("arm").isin(0L, 1L))
+    q.agg(count(when(col("arm") === 0, 1)).as("n_a"),
+        count(when(col("arm") === 1, 1)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") + col("n_b") === 0,
+          raise_error(lit("srmCheck: no units in either arm")))
+          .otherwise(lit(expectedAPpm)).as("expected_a_ppm"),
+        expr("n_a * 1000000 div (n_a + n_b)").as("observed_a_ppm"))
+      .select(col("n_a"), col("n_b"), col("expected_a_ppm"),
+        col("observed_a_ppm"),
+        expr(s"""CAST(round(
+            ((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE)
+              * ($expectedAPpm / 1000000.0)) *
+             (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE)
+              * ($expectedAPpm / 1000000.0)))
+            / (CAST(n_a + n_b AS DOUBLE) * ($expectedAPpm / 1000000.0)
+               * (1.0 - $expectedAPpm / 1000000.0))
+            * 1000000.0) AS BIGINT)""").as("chi2_micro"))
+      .withColumn("srm_detected", col("chi2_micro") > lit(3841459L))
+  }
+
   /** mSPRT SEQUENTIAL A/B MONITOR — the always-valid p-value (the
     * mixture sequential probability ratio test, Johari et al.) that
     * lets an experimenter PEEK at the dashboard daily without

@@ -75,6 +75,57 @@ class Round15OpsSpec extends SparkSpec {
     }.getMessage should include("mixture variance")
   }
 
+  test("ratioMetricCi: hand-checked delta-method se, exact ratio, " +
+      "degenerate arms fail fast") {
+    // arm a: (x,y) = (2,1),(4,1),(4,2) -> R = 4/10; hand moments:
+    // n=3, sx=10, sy=4, sxx=36, sxy=14, syy=6
+    val df = Seq(("a", 2L, 1L), ("a", 4L, 1L), ("a", 4L, 2L),
+      ("b", 5L, 0L), ("b", 5L, 0L)).toDF("g", "x", "y")
+    val out = Analytics.ratioMetricCi(df, "g", col("x"), col("y"))
+      .orderBy(col("arm"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    out(0)._5 shouldBe 400000L // 4*1e6 div 10
+    val r = 4.0 / 10.0
+    val sxx = (3.0 * 36 - 100) / (3 * 2)
+    val sxy = (3.0 * 14 - 40) / (3 * 2)
+    val syy = (3.0 * 6 - 16) / (3 * 2)
+    val se = math.sqrt((syy - 2 * r * sxy + r * r * sxx) /
+      (3.0 * (10.0 / 3) * (10.0 / 3)))
+    out(0)._6 shouldBe math.round(se * 1e6)
+    out(0)._7 shouldBe math.round(400000.0 - 1.96 * out(0)._6)
+    out(0)._8 shouldBe math.round(400000.0 + 1.96 * out(0)._6)
+    // zero-conversion arm: ratio 0, se 0 (y constant 0 given x const)
+    out(1)._5 shouldBe 0L
+    intercept[Exception] {
+      Analytics.ratioMetricCi(Seq(("a", 0L, 0L), ("a", 0L, 1L))
+        .toDF("g", "x", "y"), "g", col("x"), col("y")).collect()
+    }.getMessage should include("positive denominator")
+  }
+
+  test("srmCheck: a clean 50/50 split passes, a broken assignment " +
+      "trips the flag, the chi-square matches the hand value") {
+    val clean = (1 to 500).map(_ => 0L) ++ (1 to 520).map(_ => 1L)
+    val c = Analytics.srmCheck(clean.toDF("arm"), col("arm"))
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    c._1 shouldBe 500L
+    c._2 shouldBe 520L
+    // chi2 = (500 - 510)^2 / (1020 * 0.25) = 100/255 = 0.392156...
+    c._5 shouldBe math.round(
+      (500.0 - 1020 * 0.5) * (500.0 - 1020 * 0.5) /
+        (1020 * 0.5 * 0.5) * 1e6)
+    c._6 shouldBe false
+    // 600/400: chi2 = 100^2/250 = 40 >> 3.84 -> SRM
+    val broken = (1 to 600).map(_ => 0L) ++ (1 to 400).map(_ => 1L)
+    val b = Analytics.srmCheck(broken.toDF("arm"), col("arm"))
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    b._5 shouldBe 40000000L
+    b._6 shouldBe true
+    intercept[IllegalArgumentException] {
+      Analytics.srmCheck(clean.toDF("arm"), col("arm"), expectedAPpm = 0L)
+    }.getMessage should include("expected share")
+  }
+
   test("mSPRT: a null effect keeps p high while a planted lift " +
       "drives it to rejection (the peeking guarantee is usable)") {
     // 20 days x 200 units/arm with a 15-point lift: p must cross 5%
