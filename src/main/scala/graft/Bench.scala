@@ -282,11 +282,18 @@ object Bench {
         name -> res
       }
     // Streaming throughput section (round-11 ask #6): each of the 10
-    // gates runs ONCE (replay + state handling dominate; min-of-N
-    // would triple an already IO-bound section), reported as
+    // gates run ONCE by default (a full 11-gate pass is ~3.6 min at
+    // sf0.1 — measured round 15 — so min-of-N inside the driver
+    // window is a deliberate opt-in, not the default), reported as
     // source-relation rows/s so a state-handling regression shows up
-    // round over round. Skipped under a query-name filter (local
-    // iteration measures the named batch queries only).
+    // round over round. SPARK_GRAFT_STREAM_REPEATS=N turns on the
+    // q182-style best-of-N discipline for a deep-dive; the round-15
+    // interleaved A/B (BASELINE r15 row) showed single-run gate
+    // readings spread ±10% with box load, which the bracketing
+    // shared-8 sentinels already flag. Skipped under a query-name
+    // filter (local iteration measures the named batch queries only).
+    val streamRepeats =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_REPEATS", "1").toInt.max(1)
     val gates: Seq[(String, Either[String, (Double, Long)])] =
       if (only.nonEmpty && !streamingOnly) Seq.empty
       else {
@@ -294,15 +301,22 @@ object Bench {
           "events" -> Tables.events(spark, sfDir).count(),
           "documents" -> Tables.documents(spark, sfDir).count())
         SparkEntry.streamingGates.map { case (name, table) =>
-          val t0 = System.nanoTime()
-          val r =
-            try { SparkEntry.queries(name)(spark, sfDir)
-                    .write.format("noop").mode("overwrite").save(); Right(()) }
-            catch { case e: Throwable => Left(e.toString.linesIterator.next()) }
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          r.left.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
-          (name, r.map(_ => (dt, srcRows(table))))
+          val runs = (1 to streamRepeats).map { _ =>
+            val t0 = System.nanoTime()
+            val r =
+              try { SparkEntry.queries(name)(spark, sfDir)
+                      .write.format("noop").mode("overwrite").save(); Right(()) }
+              catch { case e: Throwable => Left(e.toString.linesIterator.next()) }
+            val dt = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            r.left.foreach(e => System.err.println(s"[bench] $name FAILED: $e"))
+            r.map(_ => dt)
+          }
+          val best = runs.collect { case Right(dt) => dt }
+          val res: Either[String, (Double, Long)] =
+            if (best.nonEmpty) Right((best.min, srcRows(table)))
+            else Left(runs.collectFirst { case Left(e) => e }.get)
+          (name, res)
         }
       }
     val streamingLine: Option[String] = renderStreamingLine(gates)
