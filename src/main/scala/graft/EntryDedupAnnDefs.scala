@@ -103,9 +103,12 @@ private[graft] trait EntryDedupAnnDefs extends EntryParityDefs {
   private[graft] def verifiedDupPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextDedup
     val docs = Tables.documents(s, dir)
-    val ws = docs.select(col("doc_id"),
-      transform(TextDedup.normWordSet(col("text")),
-        w => TextDedup.md5Hash60(w)).as("ws"))
+    // spread before the per-word md5 transform (interpreted HOF — the
+    // expensive narrow phase; see util.Spread)
+    val ws = graft.util.Spread.byKey(docs, col("doc_id"))
+      .select(col("doc_id"),
+        transform(TextDedup.normWordSet(col("text")),
+          w => TextDedup.md5Hash60(w)).as("ws"))
     TextDedup.lshCandidatePairs(docs, "doc_id", "text")
       .join(ws.select(col("doc_id").as("a"), col("ws").as("wa")), Seq("a"))
       .join(ws.select(col("doc_id").as("b"), col("ws").as("wb")), Seq("b"))
@@ -131,9 +134,10 @@ private[graft] trait EntryDedupAnnDefs extends EntryParityDefs {
   private[graft] def verifiedDupPairsCapped(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextDedup
     val docs = Tables.documents(s, dir)
-    val ws = docs.select(col("doc_id"),
-      transform(TextDedup.normWordSet(col("text")),
-        w => TextDedup.md5Hash60(w)).as("ws"))
+    val ws = graft.util.Spread.byKey(docs, col("doc_id"))
+      .select(col("doc_id"),
+        transform(TextDedup.normWordSet(col("text")),
+          w => TextDedup.md5Hash60(w)).as("ws"))
     TextDedup.lshCandidatePairsCapped(docs, "doc_id", "text", degreeCap = 100)
       .join(ws.select(col("doc_id").as("a"), col("ws").as("wa")), Seq("a"))
       .join(ws.select(col("doc_id").as("b"), col("ws").as("wb")), Seq("b"))
@@ -243,11 +247,16 @@ private[graft] trait EntryDedupAnnDefs extends EntryParityDefs {
     * the LSH-bucketed path in q26 is the 100 TB shape). */
   private[graft] def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity
-    // norms precomputed once per vector (not once per pair)
+    // norms precomputed once per vector (not once per pair); the
+    // STREAM side of the all-pairs nested-loop join is spread so the
+    // n²/2 dot products run at full width (the single-row-group
+    // fixture scanned as ~4 tasks — profiled 4 tasks/4 jobs, one core
+    // busy; see util.Spread)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         Similarity.norm2(col("embedding")).as("nrm"))
-    val a = e.select(col("vec_id").as("a"), col("embedding").as("va"), col("nrm").as("na"))
+    val a = graft.util.Spread.byKey(e, col("vec_id"))
+      .select(col("vec_id").as("a"), col("embedding").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
@@ -987,9 +996,11 @@ private[graft] trait EntryDedupAnnDefs extends EntryParityDefs {
   private[graft] def contaminationScan(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextDedup
     val docs = Tables.documents(s, dir)
-    def shingles(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), explode(TextDedup.charShingles(col("text"))).as("w"))
-      .select(col("doc_id"), TextDedup.md5Hash60(col("w")).as("h"))
+    def shingles(d: DataFrame): DataFrame =
+      // spread before the char-shingle explode + md5 (see util.Spread)
+      graft.util.Spread.byKey(d, col("doc_id"))
+        .select(col("doc_id"), explode(TextDedup.charShingles(col("text"))).as("w"))
+        .select(col("doc_id"), TextDedup.md5Hash60(col("w")).as("h"))
     val evalSh = shingles(docs.filter(col("doc_id") < 20)).select(col("h")).distinct()
       .withColumn("hit", lit(1))
     shingles(docs.filter(col("doc_id") >= 20))

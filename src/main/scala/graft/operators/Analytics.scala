@@ -3308,7 +3308,9 @@ object Analytics {
       when(col("_u") < t, lit(PoissonCdfMicro.indexOf(t).toLong))
         .otherwise(acc)
     }
-    val means = base
+    // spread before the reps-way explode + per-(row, rep) md5 — the
+    // expensive narrow phase (see util.Spread)
+    val means = graft.util.Spread.byKey(base, col("_id"))
       .select(col("g"), col("_id"), col("v"),
         explode(sequence(lit(0), lit(reps - 1))).as("_b"))
       .withColumn("_u", u)
@@ -3421,6 +3423,15 @@ object Analytics {
       s"pageRank: edges must carry '$srcCol'/'$dstCol' columns " +
         s"(got ${edges.columns.mkString(", ")})")
     val base = (100 - dampingPct) * 10000L
+    // Loop discipline (round-15 optimization; guide §2.4/§3.1): the
+    // undirected edge relation materializes ONCE with the out-degree
+    // already attached, PRE-PARTITIONED by src at explicit width —
+    // the old plan re-joined deg every round (an extra node-sized
+    // join × iters) and re-shuffled edges per round. The node-sized
+    // loop relations (ranks, inflow) join with SHUFFLE_HASH hints:
+    // at 100 TB neither is broadcastable, and locally every avoided
+    // BroadcastExchange was a serialized per-round driver job
+    // (profiled: q254 ran 67 jobs at ~234 ms/job before the rewrite).
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .filter(col("src") =!= col("dst"))
@@ -3428,12 +3439,21 @@ object Analytics {
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // Round-15 optimization (guide §2.4): the out-degree is attached to
+    // the edge relation ONCE, eagerly — the old loop re-joined `deg`
+    // inside every round (a node-sized extra join × iters). (SHUFFLE_HASH
+    // hints on the loop joins were tried and REVERTED: at sf0.1 the
+    // forced co-partition exchanges measured slower than the planner's
+    // broadcast choice, and at scale size-based planning already avoids
+    // broadcasting node-sized relations.)
+    val undDeg = und.join(deg, Seq("src"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val ids = nodes.select(col(idCol).as("id"))
     var ranks = ids.select(col("id"), lit(1000000L).as("r"))
     for (i <- 1 to iters) {
-      val inflow = und
+      val inflow = undDeg
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("id"),
           expr(s"$dampingPct * r div (100 * d)").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
@@ -3599,6 +3619,9 @@ object Analytics {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
     require(edges.columns.contains(srcCol) && edges.columns.contains(dstCol),
       s"labelPropagation: edges must carry '$srcCol'/'$dstCol' columns")
+    // Round-15 optimization (guide §2.4): the seed column rides INSIDE
+    // the loop state — the old plan re-joined `seed` once per round
+    // plus once at the end (a node-sized join × (iters+1) removed).
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .filter(col("src") =!= col("dst"))
@@ -3608,7 +3631,7 @@ object Analytics {
     val ids = nodes.select(col(idCol).as("id"))
     val seed = seeds.select(col(idCol).as("id"), col("label").as("_seed"))
     var lab = ids.join(seed, Seq("id"), "left")
-      .select(col("id"), col("_seed").as("label"))
+      .select(col("id"), col("_seed").as("label"), col("_seed"))
     for (i <- 1 to iters) {
       val counts = und
         .join(lab.select(col("id").as("dst"), col("label").as("_nl")),
@@ -3622,15 +3645,14 @@ object Analytics {
         .filter(col("_rn") === 1)
         .select(col("id"), col("_nl").as("_maj"))
       lab = lab.join(maj, Seq("id"), "left")
-        .join(seed, Seq("id"), "left")
         .select(col("id"),
-          coalesce(col("_seed"), col("_maj"), col("label")).as("label"))
+          coalesce(col("_seed"), col("_maj"), col("label")).as("label"),
+          col("_seed"))
       if (i % 3 == 0 && i < iters)
         lab = lab.localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
-    lab.join(seed, Seq("id"), "left")
-      .select(col("id"), col("label"), col("_seed").isNotNull.as("is_seed"))
+    lab.select(col("id"), col("label"), col("_seed").isNotNull.as("is_seed"))
   }
 
   /** RELIABILITY DIAGRAM — the calibration audit for any scorer a

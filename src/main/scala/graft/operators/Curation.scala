@@ -164,8 +164,9 @@ object Curation {
     * doc-sized shuffle; the token stream itself never re-shuffles. */
   def repetitionSignals(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      words(col(textCol)).as("ws"))
+    // spread before the two explodes (see util.Spread)
+    val toks = graft.util.Spread.byKey(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
     val wordStats = toks
       .select(col("doc_id"), explode(col("ws")).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("n"))

@@ -89,8 +89,10 @@ object TextAnalysis {
       groupCol: String,
       topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tokens = docs.select(col(groupCol).as("grp"), col(idCol).as("id"),
-      explode(words(col(textCol))).as("term"))
+    // spread before the token explode (see util.Spread)
+    val tokens = graft.util.Spread.byKey(docs, col(idCol))
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        explode(words(col(textCol))).as("term"))
     val tf = tokens.groupBy(col("grp"), col("term")).agg(count(lit(1)).as("tf"))
     val dfc = tokens.groupBy(col("term")).agg(countDistinct(col("id")).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -125,8 +127,10 @@ object TextAnalysis {
     * (the q45 tf-idf shape) and collapses to one row per doc —
     * map-side partials all the way. */
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(words(col(textCol))).as("t"))
+    // spread before the token explode (see util.Spread)
+    val toks = graft.util.Spread.byKey(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("t"))
       .filter(col("t") =!= "")
     val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("n_w"))
     val total = vocab.agg(sum(col("n_w")).as("n_total"))
@@ -176,7 +180,7 @@ object TextAnalysis {
       textCol: String,
       buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    def toks(d: DataFrame): DataFrame = d
+    def toks(d: DataFrame): DataFrame = graft.util.Spread.byKey(d, col(idCol))
       .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("t"))
       .filter(col("t") =!= "")
       .select(col("doc_id"),
@@ -217,7 +221,9 @@ object TextAnalysis {
     * matter how often the word occurs. Top-k is a per-partition heap
     * (TakeOrdered), never a full sort. */
   def bpePairCounts(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
-    val vocab = docs
+    // spread before the token explode (keyed on the text itself — the
+    // vocab rollup has no doc key; see util.Spread)
+    val vocab = graft.util.Spread.byKey(docs, col(textCol))
       .select(explode(words(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
@@ -281,7 +287,10 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), m.cast(LongType).as("n_grams"),
         gh.as("_gh"))
       .filter(col("n_grams") >= 1)
-      .repartition(col("doc_id"))
+      // explicit-width spread: same load-bearing exchange, but AQE could
+      // coalesce a count-less repartition of a small input to ONE
+      // partition, serializing the m-window min scans (see util.Spread)
+      .transform(d => graft.util.Spread.byKey(d, col("doc_id")))
     val nWin = greatest(col("n_grams") - (w - 1), lit(1L))
     val base = hashed
       .select(col("doc_id"), col("n_grams"), nWin.as("n_windows"),
@@ -332,7 +341,7 @@ object TextAnalysis {
     * unigram vocab at worst), so the join strategy is left to AQE. */
   def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = words(col(textCol))
-    val bi = docs
+    val bi = graft.util.Spread.byKey(docs, col(idCol))
       .select(col(idCol).as("doc_id"), ws.as("_ws"), size(ws).as("_nw"))
       .filter(col("_nw") >= 2)
       .select(col("doc_id"),
@@ -640,7 +649,8 @@ object TextAnalysis {
   def zipfAudit(docs: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topK >= 2, s"topK must be >= 2, got $topK")
-    val top = docs.select(explode(words(col(textCol))).as("t"))
+    val top = graft.util.Spread.byKey(docs, col(textCol))
+      .select(explode(words(col(textCol))).as("t"))
       .filter(col("t") =!= "")
       .groupBy(col("t")).agg(count(lit(1)).as("n_w"))
       .orderBy(col("n_w").desc, col("t"))
@@ -699,7 +709,7 @@ object TextAnalysis {
       s"checkpoints must be >= 1: $checkpoints")
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = docs
+    val vocab = graft.util.Spread.byKey(docs, col(textCol))
       .select(explode(words(col(textCol))).as("t"))
       .filter(col("t") =!= "")
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
@@ -776,7 +786,9 @@ object TextAnalysis {
       rounds: Int): Seq[(String, String, Long)] = {
     require(rounds >= 1, s"bpeTrain needs rounds >= 1, got $rounds")
     def wrap(t: String) = BpeSep + t + BpeSep
-    val vocab = docs
+    // spread before the token explode (keyed on the text itself — the
+    // vocab rollup has no doc key; see util.Spread)
+    val vocab = graft.util.Spread.byKey(docs, col(textCol))
       .select(explode(words(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("n"))

@@ -101,14 +101,29 @@ object TextDedup {
       textCol: String,
       numHashes: Int,
       shingler: Column => Column): DataFrame = {
-    val ex = df
-      .select(col(idCol).as("id"), explode(shingler(col(textCol))).as("w"))
-      .select(col("id"), (md5Hash60(col("w")) % MinHashP).as("h"))
+    val ex = shingleElements(df, idCol, textCol, shingler)
     val aggs = minHashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % MinHashP).as(s"sig$i")
     }
     ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The `(id, h)` shingle-element relation every sketch builds on —
+    * spread (hash-repartitioned by id, [[graft.util.Spread]]) BEFORE
+    * the shingle explode + per-element md5, so the expensive narrow
+    * phase runs at full shuffle parallelism instead of at the input's
+    * split count (single-row-group parquet scans as ONE task), and the
+    * downstream `groupBy(id)` reuses the partitioning instead of
+    * paying its own exchange on the exploded (wider) relation. */
+  private def shingleElements(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingler: Column => Column): DataFrame =
+    graft.util.Spread.byKey(
+        df.select(col(idCol).as("id"), col(textCol).as("_t")), col("id"))
+      .select(col("id"), explode(shingler(col("_t"))).as("w"))
+      .select(col("id"), (md5Hash60(col("w")) % MinHashP).as("h"))
 
   /** LSH banding: candidate near-dup pairs = doc pairs sharing at least
     * one band key (bands × rowsPerBand = numHashes). Join happens only
@@ -535,9 +550,7 @@ object TextDedup {
       bands: Int,
       bucketCap: Int,
       shingler: Column => Column): DataFrame = {
-    val ex = df
-      .select(col(idCol).as("id"), explode(shingler(col(textCol))).as("w"))
-      .select(col("id"), (md5Hash60(col("w")) % MinHashP).as("h"))
+    val ex = shingleElements(df, idCol, textCol, shingler)
     refinedBandsFromElements(ex, numHashes, bands, bucketCap)
   }
 
@@ -868,8 +881,9 @@ object TextDedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.id").as("new_id"), col("b.id").as("dup_of"))
       .distinct()
-    val ws = df.select(col(idCol).as("wid"),
-      transform(shingler(col(textCol)), w => md5Hash60(w)).as("ws"))
+    val ws = graft.util.Spread.byKey(df, col(idCol))
+      .select(col(idCol).as("wid"),
+        transform(shingler(col(textCol)), w => md5Hash60(w)).as("ws"))
     cands
       .join(ws.select(col("wid").as("new_id"), col("ws").as("wa")), Seq("new_id"))
       .join(ws.select(col("wid").as("dup_of"), col("ws").as("wb")), Seq("dup_of"))
@@ -880,8 +894,12 @@ object TextDedup {
 
   /** SimHash sketch (bit-vote over the word set's hashes). */
   def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-        explode(normWordSet(col(textCol))).as("w"))
+    // spread before the explode+md5 (see shingleElements): the bit-vote
+    // groupBy(id) then reuses the id partitioning — same exchange
+    // count, full-width hashing
+    val exploded = graft.util.Spread.byKey(
+        df.select(col(idCol).as("id"), col(textCol).as("_t")), col("id"))
+      .select(col("id"), explode(normWordSet(col("_t"))).as("w"))
       .withColumn("h", md5Hash60(col("w")))
     val votes = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
@@ -1005,23 +1023,42 @@ object TextDedup {
     * `checkpoint()` for jobs that cannot afford a recompute-from-root).
     * Returns (id, label). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // Loop discipline (round-15 optimization; guide §2.4):
+    //  - the first propagation round folds into the label INIT: both
+    //    edge directions exist, so grouping by dst enumerates every
+    //    node and label₀ = least(id, min neighbor) — one aggregation
+    //    replaces the old distinct-ids init plus the first round;
+    //  - l1 is persisted across its two pointer-jump uses (the old
+    //    plan recomputed the neighbor-min join TWICE per round).
+    // (Tried and REVERTED, both measured slower at sf0.1: SHUFFLE_HASH
+    // hints on the label-side joins — they force the checkpointed edge
+    // relation, which scans back as UnknownPartitioning under AQE, to
+    // re-exchange EVERY round, where the planner's broadcast keeps it
+    // in place; and a pre-partition+persist of the edges — cache
+    // round-trips cost more than the label-side exchanges they save.
+    // At 100 TB size-based planning never broadcasts the node-sized
+    // label relations anyway, so the unhinted form is scale-correct.)
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint() // reused every round: materialize once, no lineage
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    var labels = edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("_nmin"))
+      .select(col("dst").as("id"),
+        least(col("dst"), col("_nmin")).as("label"))
       .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
-        .groupBy(col("src").as("id"))
+        .groupBy(col("src"))
         .agg(min(col("label")).as("nmin"))
+        .withColumnRenamed("src", "id")
       val l1 = labels.select(col("id"), col("label").as("old_label"))
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("old_label"),
           least(col("old_label"), coalesce(col("nmin"), col("old_label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jump: label ← label(label). Every label value is the id
       // of a node in the same component, so the lookup stays in-component
       // and only ever decreases the label.
@@ -1031,6 +1068,7 @@ object TextDedup {
         .select(col("id"), col("old_label"),
           least(col("label"), coalesce(col("jmp"), col("label"))).as("label"))
         .localCheckpoint()
+      l1.unpersist(blocking = false)
       val changed = next
         .agg(coalesce(sum(when(col("label") =!= col("old_label"), 1L)), lit(0L)))
         .first().getLong(0)
@@ -1332,7 +1370,8 @@ object TextDedup {
       sep: String = "\n",
       minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val lines = docs
+    // spread before the line explode + per-line md5 (see util.Spread)
+    val lines = graft.util.Spread.byKey(docs, col(idCol))
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "line")))
@@ -1380,7 +1419,8 @@ object TextDedup {
       n: Int = 5): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     val ws = words(col(textCol))
-    val grams = docs
+    // spread before the positional-gram transform (see util.Spread)
+    val grams = graft.util.Spread.byKey(docs, col(idCol))
       .select(col(idCol).as("doc_id"), ws.as("_ws"), size(ws).as("_nw"))
       .filter(col("_nw") >= n)
       .select(col("doc_id"),
@@ -1430,7 +1470,8 @@ object TextDedup {
     val ws = words(col(textCol))
     // DISTINCT gram sets: containment is a set measure, so a gram
     // repeated inside one doc counts once (array_distinct post-hash).
-    val grams = docs
+    // Spread before the gram transform (see util.Spread).
+    val grams = graft.util.Spread.byKey(docs, col(idCol))
       .select(col(idCol).as("id"), ws.as("_ws"), size(ws).as("_nw"))
       .filter(col("_nw") >= n)
       .select(col("id"),
@@ -1668,8 +1709,11 @@ object TextDedup {
     require(n >= 1, s"n must be >= 1, got $n")
     def grams(d: DataFrame): DataFrame = {
       val ws = words(col(textCol))
-      d.select(col(idCol).as("doc_id"), ws.as("_ws"), size(ws).as("_nw"))
-        .filter(col("_nw") >= n)
+      // spread before the positional-gram transform (interpreted HOF
+      // md5 per gram — the expensive narrow phase; see util.Spread)
+      graft.util.Spread.byKey(
+          d.select(col(idCol).as("doc_id"), ws.as("_ws"), size(ws).as("_nw"))
+            .filter(col("_nw") >= n), col("doc_id"))
         .select(col("doc_id"),
           posexplode(transform(sequence(lit(0), col("_nw") - n),
             i => md5Hash60(array_join(slice(col("_ws"), i + 1, lit(n)), " "))))
@@ -1744,8 +1788,9 @@ object TextDedup {
       minDocs: Int = 2): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val base = docs.select(col(idCol).as("doc_id"),
-      words(col(textCol)).as("_ws"))
+    val base = graft.util.Spread.byKey(
+      docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("_ws")),
+      col("doc_id"))
     val toks = base
       .select(col("doc_id"), posexplode(col("_ws")).as(Seq("pos", "tok")))
     val grams = base
@@ -1790,7 +1835,8 @@ object TextDedup {
       minDocs: Int = 2,
       unk: String = "<unk>"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val toks = docs
+    // spread before the token explode + per-token md5 (see util.Spread)
+    val toks = graft.util.Spread.byKey(docs, col(idCol))
       .select(col(idCol).as("doc_id"),
         posexplode(words(col(textCol))).as(Seq("pos", "tok")))
       .withColumn("_th", md5Hash60(col("tok")))
@@ -1913,8 +1959,8 @@ object TextDedup {
       side: DataFrame, idCol: String, strCol: String, maxLen: Int,
       ip: String, sp: String): DataFrame = {
     val s = col(strCol)
-    side
-      .filter(length(s) <= maxLen && length(s) >= 1)
+    graft.util.Spread.byKey(
+        side.filter(length(s) <= maxLen && length(s) >= 1), col(idCol))
       .select(col(idCol).as(ip), s.as(sp),
         explode(array_distinct(concat(array(s),
           transform(sequence(lit(1), length(s)), i =>

@@ -1,0 +1,41 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic hash-repartition placed immediately BEFORE a
+  * compute-heavy narrow phase (shingle/variant explosion, per-element
+  * md5, all-pairs scoring): `spread(df, key)` spends one exchange of
+  * the NARROW pre-explode rows to buy full-width parallelism for the
+  * expensive map work that follows.
+  *
+  * Why it exists (guide §2.5 "input skew — repartition immediately
+  * after the read"): a parquet input whose files hold a single row
+  * group scans as ONE task regardless of core count (a split must
+  * contain a row-group midpoint to read it), so every pre-shuffle
+  * expression — the expensive part of the dedup/text operators — ran
+  * single-threaded. Profiled at sf0.1/local[32] before the fix: q47
+  * ran 6 tasks across 6 jobs, q24 4 tasks across 4 jobs, with
+  * task_time ≈ wall (one core busy, 31 idle).
+  *
+  * Scale behavior: the width is the session's shuffle parallelism
+  * (`spark.sql.shuffle.partitions` — conf-derived, not a local
+  * constant), and the exchange this adds replaces one the plan was
+  * paying anyway in the common `explode → groupBy(id)` shape: hash
+  * partitioning by the SAME key upstream of the explode satisfies the
+  * aggregation's required distribution, so the post-explode exchange
+  * disappears and the shuffled bytes are the un-exploded rows.
+  * The explicit partition count (not `repartition(col)`) is
+  * load-bearing: AQE may coalesce a count-less repartition of a small
+  * relation back to one partition, which would undo the spread.
+  *
+  * Determinism: hash partitioning on a key column — never round-robin
+  * (`repartition(n)`), which pays a sort-before-repartition and has
+  * retry hazards (SPARK-38388). Placement rule: only in front of
+  * per-row/exact-integer computations — every aggregation downstream
+  * of a spread in this codebase is order-independent (min/count/exact
+  * integer sums), so results are bit-identical by construction.
+  */
+object Spread {
+  def byKey(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, key)
+}
