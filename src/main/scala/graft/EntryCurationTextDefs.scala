@@ -100,12 +100,10 @@ private[graft] trait EntryCurationTextDefs extends EntryDedupAnnDefs {
     val docs = Tables.documents(s, dir)
     def ws(c: Column): Column =
       transform(TextDedup.normWordSet(c), w => TextDedup.md5Hash60(w))
-    // corpus side spread before the per-word md5 transform (interpreted
-    // HOF — the expensive narrow phase; see util.Spread)
     HybridSearch.lexicalTopK(
       docs.filter(col("doc_id") < 20)
         .select(col("doc_id").as("qid"), ws(col("text")).as("qws")),
-      graft.util.Spread.byKey(docs.filter(col("doc_id") >= 20), col("doc_id"))
+      docs.filter(col("doc_id") >= 20)
         .select(col("doc_id").as("id"), ws(col("text")).as("ws")),
       k = 20)
   }
@@ -120,7 +118,7 @@ private[graft] trait EntryCurationTextDefs extends EntryDedupAnnDefs {
     HybridSearch.bm25TopK(
       docs.filter(col("doc_id") < 20)
         .select(col("doc_id").as("qid"), toks(col("text")).as("qtoks")),
-      graft.util.Spread.byKey(docs.filter(col("doc_id") >= 20), col("doc_id"))
+      docs.filter(col("doc_id") >= 20)
         .select(col("doc_id").as("id"), toks(col("text")).as("toks")),
       k = 20)
   }

@@ -41,7 +41,11 @@ object Similarity {
       queries: DataFrame, // (qid, qvec)
       corpus: DataFrame, // (id, vec)
       k: Int): DataFrame = {
-    val scored = corpus.join(broadcast(queries), col("qid") =!= col("id"))
+    // corpus side spread before the queries×corpus scoring scan — the
+    // single-row-group fixture otherwise scores on ONE task; the
+    // per-query window shuffles right after anyway (see util.Spread)
+    val scored = graft.util.Spread.byKey(corpus, col("id"))
+      .join(broadcast(queries), col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
         round(cosine(col("qvec"), col("vec")), 6).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
@@ -123,8 +127,9 @@ object Similarity {
     val probed = queries
       .withColumn("probe", explode(array(base +: flips: _*)))
       .select(col("qid"), col("qvec"), col("probe"))
-    val bucketed = corpus.withColumn("bucket",
-      signRandomProjection(col("vec"), dims, nbits))
+    // corpus spread before the nbits-dot bucketing scan (see util.Spread)
+    val bucketed = graft.util.Spread.byKey(corpus, col("id"))
+      .withColumn("bucket", signRandomProjection(col("vec"), dims, nbits))
     val scored = bucketed.join(broadcast(probed),
         col("bucket") === col("probe") && col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
@@ -207,7 +212,9 @@ object Similarity {
       queries: DataFrame, // (qid, qvec)
       corpus: DataFrame, // (id, vec)
       k: Int): DataFrame = {
-    val scored = corpus.join(broadcast(queries), col("qid") =!= col("id"))
+    // corpus spread: same reasoning as bruteForceTopK
+    val scored = graft.util.Spread.byKey(corpus, col("id"))
+      .join(broadcast(queries), col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
         round(cosine(col("qvec"), col("vec")), 6).as("cos"))
     scored.groupBy(col("qid"))

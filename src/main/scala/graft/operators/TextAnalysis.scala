@@ -287,10 +287,7 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), m.cast(LongType).as("n_grams"),
         gh.as("_gh"))
       .filter(col("n_grams") >= 1)
-      // explicit-width spread: same load-bearing exchange, but AQE could
-      // coalesce a count-less repartition of a small input to ONE
-      // partition, serializing the m-window min scans (see util.Spread)
-      .transform(d => graft.util.Spread.byKey(d, col("doc_id")))
+      .repartition(col("doc_id"))
     val nWin = greatest(col("n_grams") - (w - 1), lit(1L))
     val base = hashed
       .select(col("doc_id"), col("n_grams"), nWin.as("n_windows"),
@@ -786,9 +783,11 @@ object TextAnalysis {
       rounds: Int): Seq[(String, String, Long)] = {
     require(rounds >= 1, s"bpeTrain needs rounds >= 1, got $rounds")
     def wrap(t: String) = BpeSep + t + BpeSep
-    // spread before the token explode (keyed on the text itself — the
-    // vocab rollup has no doc key; see util.Spread)
-    val vocab = graft.util.Spread.byKey(docs, col(textCol))
+    // (A round-15 spread/re-widen of this vocab pass was tried and
+    // REVERTED: the vocab and its rounds are Zipf-tiny, and the added
+    // exchanges measured q160 1.03 s -> 2.07 s at sf0.1 — the merge
+    // loop is driver/round-bound, not compute-bound.)
+    val vocab = docs
       .select(explode(words(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("n"))

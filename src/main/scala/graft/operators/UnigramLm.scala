@@ -120,17 +120,13 @@ object UnigramLm {
     require(rounds >= 1 && rounds <= 16, s"rounds in [1,16]: $rounds")
     require(maxPieceLen >= 2 && maxPieceLen <= 16,
       s"maxPieceLen in [2,16]: $maxPieceLen")
-    // spread the corpus before the explode AND the vocab before the
-    // checkpoint: the E-step's interpreted Viterbi (segment) runs over
-    // the checkpointed vocab partitions as materialized — AQE coalesces
-    // the tiny rollup to ONE partition, which would serialize every EM
-    // round (see util.Spread)
-    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val vocab = graft.util.Spread.byKey(docs, col(textCol))
+    // (A round-15 spread/re-widen pass here was tried and REVERTED:
+    // the vocab is Zipf-tiny and the tokenizer family benched slower
+    // with the extra exchanges — q246 2.85 s -> 4.15 s at sf0.1.)
+    val vocab = docs
       .select(explode(words(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .repartition(width, col("word"))
       .localCheckpoint() // the one corpus-sized pass (bpeTrain contract)
     // seed: every substring occurrence of length 1..maxPieceLen,
     // frequency-weighted (overlaps count — occurrence statistics)
@@ -196,15 +192,10 @@ object UnigramLm {
       maxPieceLen: Int = MaxPieceLen): DataFrame = {
     require(table.nonEmpty, "unigramEncode needs a non-empty table")
     val costs = costMapLit(table.map { case (p, _, m) => p -> m })
-    val occ = graft.util.Spread.byKey(docs, col(idCol))
-      .select(col(idCol).as("doc_id"),
+    val occ = docs.select(col(idCol).as("doc_id"),
         posexplode(filter(words(col(textCol)), w => w =!= ""))
           .as(Seq("wi", "word")))
-    // spread the distinct-word relation before the interpreted Viterbi
-    // segment pass — AQE coalesces the small distinct to one partition
-    // (see util.Spread)
-    val segd = graft.util.Spread.byKey(
-        occ.select(col("word")).distinct(), col("word"))
+    val segd = occ.select(col("word")).distinct()
       .withColumn("_ts", segment(col("word"), costs, maxPieceLen))
       .withColumn("_wcost", aggregate(col("_ts"), lit(0L),
         (acc, t) => acc + coalesce(element_at(costs, t),

@@ -20,8 +20,16 @@ import scala.concurrent.duration.Duration
 object Par {
   private val threadName = "graft-par"
 
+  /** Pool width: cores/4, floored at the historical 4 (round-15
+    * measurement: the per-day ingest pipelines submit ~30 tiny
+    * single-task jobs; at width 4 they drain in ~8 serialized waves
+    * of ~200 ms scheduling latency each on a 32-core box). Each
+    * submitted job is day/tier-sized and independent, so the width
+    * scales with the machine rather than pinning to either a laptop
+    * or this box. */
   private val pool = ExecutionContext.fromExecutorService(
-    Executors.newFixedThreadPool(4, r => {
+    Executors.newFixedThreadPool(
+      math.max(4, Runtime.getRuntime.availableProcessors / 4), r => {
       val t = new Thread(r, threadName)
       t.setDaemon(true)
       t
