@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNPREFIXED (no "[info] " sbt-log
+// framing). The driver json-parses the bench's stdout lines; with the
+// default LoggedOutput every BENCH artifact back to round 1 carried
+// `parsed: null` even when the line was the exact documented contract —
+// the only non-JSON content was sbt's prefix. StdoutOutput makes every
+// printed JSON line a raw, parseable line (and keeps the forked JVM's
+// stderr out of stdout entirely).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -36,6 +36,27 @@ import org.apache.spark.sql.{Column, DataFrame}
   * integer sums), so results are bit-identical by construction.
   */
 object Spread {
-  def byKey(df: DataFrame, key: Column): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, key)
+
+  /** Number of partitions the relation would scan/compute with as-is —
+    * the physical plan's RDD partition count (cheap: plans the query,
+    * launches no job). Streaming relations cannot be planned this way;
+    * they report 0 so the spread always applies (the pre-round-16
+    * behavior). */
+  private def inputSplits(df: DataFrame): Int =
+    if (df.isStreaming) 0 else df.rdd.getNumPartitions
+
+  /** Gate (round-15 verdict ask #6): the spread exists to fix the
+    * UNSPLITTABLE-input case (single-row-group parquet ⇒ one-task
+    * narrow phases, guide §2.5). A real 100 TB input arrives in
+    * thousands of splits, where an extra corpus-text exchange is pure
+    * overhead — so the spread only fires when the source genuinely
+    * lacks parallelism: fewer splits than HALF the shuffle width.
+    * Locally the fixtures scan as 1 task, so the gate changes nothing
+    * on the bench; on a multi-split input the plan shows no spread
+    * exchange at all. */
+  def byKey(df: DataFrame, key: Column): DataFrame = {
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (inputSplits(df) * 2 >= width) df
+    else df.repartition(width, key)
+  }
 }

@@ -48,10 +48,31 @@ class BenchRenderSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("no emitted line exceeds 1.5 KB") {
-    val over = lines.filter(_.getBytes("UTF-8").length > 1536)
+  test("no emitted line exceeds 1.5 KB except the whole-stdout contract line") {
+    // The contract line is the ONE deliberate exception: it targets a
+    // parser reading the full stdout, not the 2000-char archival tail
+    // (see the Bench header scaladoc, item 2b).
+    val over = lines
+      .filterNot(_.startsWith("""{"metric":"total","value":"""))
+      .filter(_.getBytes("UTF-8").length > 1536)
     withClue(s"lines over 1.5KB: ${over.map(_.take(60))}") {
       over shouldBe empty
+    }
+  }
+
+  test("contract line: full names, every query, value/unit/sf — the documented driver interface") {
+    val c = lines(lines.size - 4)
+    c should startWith("""{"metric":"total","value":""")
+    c should include(""""unit":"sec"""")
+    c should endWith(""""sf":"/root/testdata/sf0.1"}""")
+    val entries = """"(q\d+_[a-z_]+)":(\d+\.\d+|null)""".r.findAllMatchIn(c).toSeq
+    entries.map(_.group(1)) shouldBe results.map(_._1)
+    entries.count(_.group(2) == "null") shouldBe 2
+    // minima round-trip at millisecond precision
+    val byName = entries.map(m => m.group(1) -> m.group(2)).toMap
+    results.collect { case (k, Right((mn, _))) =>
+      BigDecimal(byName(k)) shouldBe
+        BigDecimal(mn).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     }
   }
 
@@ -64,15 +85,17 @@ class BenchRenderSpec extends AnyFunSuite with Matchers {
     }
 
   test("streaming + spread + packed + summary fit the 2000-char tail TOGETHER") {
-    // 2000-byte capture minus sbt framing: 4 x "[info] " (28) + the
-    // trailing "[success] Total time: ..." line (~85) + 5 newlines =
-    // ~120 bytes, so the four lines must stay under ~1,880 together —
-    // asserted at 1,800 for margin (BENCH_r12 lost its streaming line
-    // exactly here).
+    // 2000-byte capture minus framing: since round 16 build.sbt's
+    // StdoutOutput strips the per-line "[info] " prefixes, so only the
+    // trailing "[success] Total time: ..." line (~85) + newlines eat
+    // into the capture — the four lines must stay under ~1,910
+    // together; asserted at 1,860 for margin (BENCH_r12 lost its
+    // streaming line exactly here; r16 added the sf + contended
+    // fields to the summary).
     val tail4 = Bench.renderStreamingLine(gates).toSeq ++ lines.takeRight(3)
     tail4.size shouldBe 4
     val bytes = tail4.map(_.getBytes("UTF-8").length).sum
-    withClue(s"combined tail bytes: $bytes") { bytes should be < 1800 }
+    withClue(s"combined tail bytes: $bytes") { bytes should be < 1860 }
   }
 
   test("streaming line carries ALL gates, rows/s only, errors null") {
@@ -141,6 +164,16 @@ class BenchRenderSpec extends AnyFunSuite with Matchers {
     s should include(""""s8_end_sec":8.312""")
     s should include(""""load1":3.270""")
     s should include(""""cores":32""")
+    // sentinel pair within 20% and load1 under cores/3 -> not contended
+    s should include(""""contended":false""")
+    // the two contention signatures each flip the flag
+    Bench.renderLines("sf", 3, results.take(3),
+      Some(Bench.Sentinel(10.0, 13.0, 1.0, 32))).last should
+      include(""""contended":true""")
+    Bench.renderLines("sf", 3, results.take(3),
+      Some(Bench.Sentinel(8.0, 8.1, 12.0, 32))).last should
+      include(""""contended":true""")
+    s should include(""""sf":"/root/testdata/sf0.1"""")
     // a filtered run omits the sentinel cleanly
     Bench.renderLines("sf", 1, results.take(3)).last should not include "s8_start"
     val shared8 = results.collect {
