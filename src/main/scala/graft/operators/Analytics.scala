@@ -3423,15 +3423,25 @@ object Analytics {
       s"pageRank: edges must carry '$srcCol'/'$dstCol' columns " +
         s"(got ${edges.columns.mkString(", ")})")
     val base = (100 - dampingPct) * 10000L
-    // Loop discipline (round-15 optimization; guide §2.4/§3.1): the
-    // undirected edge relation materializes ONCE with the out-degree
-    // already attached, PRE-PARTITIONED by src at explicit width —
-    // the old plan re-joined deg every round (an extra node-sized
-    // join × iters) and re-shuffled edges per round. The node-sized
-    // loop relations (ranks, inflow) join with SHUFFLE_HASH hints:
-    // at 100 TB neither is broadcastable, and locally every avoided
-    // BroadcastExchange was a serialized per-round driver job
-    // (profiled: q254 ran 67 jobs at ~234 ms/job before the rewrite).
+    // Loop discipline (round-15/16 optimization; guide §2.4/§3.1): the
+    // undirected edge relation materializes ONCE; the out-degree is
+    // attached ONCE (the old loop re-joined deg every round); and —
+    // round 16 — the per-round `nodes ⋈ inflow` join is GONE: the loop
+    // runs over the SYMMETRIC closure restricted to src,dst ∈ nodes
+    // (`undLoop`), where every node that can send also receives each
+    // round (its reverse edge is present), so the inflow aggregation
+    // itself enumerates exactly the loop node set and
+    // `ranks = base + inflow` needs no node-relation join. This is
+    // EXACTLY the old semantics: a source outside `nodes` never had a
+    // rank row to send from; a destination outside `nodes` was dropped
+    // by the old left join every round; a node with no in-`nodes`
+    // neighbor receives nothing forever, so its rank is `base` — which
+    // the final coalesce supplies without it ever riding the loop.
+    // Round 1 is folded into the degree relation (r₀ = 10⁶ is a
+    // constant, so round-1 inflow is a pure function of undLoop) — one
+    // aggregation replaces the init-distinct plus the first join, the
+    // connectedComponents init-fold discipline. Degrees still count
+    // EVERY und neighbor (in or out of `nodes`), as before.
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .filter(col("src") =!= col("dst"))
@@ -3439,34 +3449,35 @@ object Analytics {
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // Round-15 optimization (guide §2.4): the out-degree is attached to
-    // the edge relation ONCE, eagerly — the old loop re-joined `deg`
-    // inside every round (a node-sized extra join × iters). (SHUFFLE_HASH
-    // hints on the loop joins were tried and REVERTED: at sf0.1 the
-    // forced co-partition exchanges measured slower than the planner's
-    // broadcast choice, and at scale size-based planning already avoids
-    // broadcasting node-sized relations.)
-    val undDeg = und.join(deg, Seq("src"))
+    val ids = nodes.select(col(idCol).as("id"))
+    val undLoop = und.join(deg, Seq("src"))
+      .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val ids = nodes.select(col(idCol).as("id"))
-    var ranks = ids.select(col("id"), lit(1000000L).as("r"))
-    for (i <- 1 to iters) {
-      val inflow = undDeg
+    // round 1 folded: inflow₁(u) = Σ_{v∈N(u)} damping·10⁶ div (100·d_v)
+    var ranks = undLoop
+      .select(col("dst").as("id"),
+        expr(s"$dampingPct * 1000000 div (100 * d)").as("c"))
+      .groupBy(col("id"))
+      .agg((lit(base) + sum(col("c"))).as("r"))
+    for (i <- 2 to iters) {
+      val inflow = undLoop
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"),
           expr(s"$dampingPct * r div (100 * d)").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
-      ranks = ids.join(inflow, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + coalesce(col("inflow"), lit(0L))).as("r"))
+      ranks = inflow.select(col("id"),
+        (lit(base) + col("inflow")).as("r"))
       if (i % 3 == 0 && i < iters)
         ranks = ranks.localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
-    ranks.join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+    nodes.select(col(idCol).as("id"))
+      .join(ranks, Seq("id"), "left")
+      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("d"), lit(0L)).as("degree"),
-        col("r").as("rank_micro"))
+        coalesce(col("r"), lit(base)).as("rank_micro"))
   }
 
   /** POPULATION STABILITY INDEX — the deployed-scorer drift metric

@@ -127,8 +127,10 @@ object Similarity {
     val probed = queries
       .withColumn("probe", explode(array(base +: flips: _*)))
       .select(col("qid"), col("qvec"), col("probe"))
-    // corpus spread before the nbits-dot bucketing scan (see util.Spread)
-    val bucketed = graft.util.Spread.byKey(corpus, col("id"))
+    // NO corpus spread (round-16 quiet-box A/B: spread 0.80s vs revert
+    // 0.66s min-of-3 x 3 JVM pairs) - the probe join's own exchange
+    // follows immediately, so the extra corpus exchange never pays.
+    val bucketed = corpus
       .withColumn("bucket", signRandomProjection(col("vec"), dims, nbits))
     val scored = bucketed.join(broadcast(probed),
         col("bucket") === col("probe") && col("qid") =!= col("id"))

@@ -89,8 +89,12 @@ object TextAnalysis {
       groupCol: String,
       topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // spread before the token explode (see util.Spread)
-    val tokens = graft.util.Spread.byKey(docs, col(idCol))
+    // NO spread here (round-16 quiet-box interleaved A/B, 3 JVM pairs:
+    // spread 0.88s vs revert 0.80s min-of-3): the downstream aggregation is
+    // token-keyed, so the doc-keyed exchange is never reused and ships
+    // corpus text for nothing - the round-15 artifact's regression was
+    // real, not contention.
+    val tokens = docs
       .select(col(groupCol).as("grp"), col(idCol).as("id"),
         explode(words(col(textCol))).as("term"))
     val tf = tokens.groupBy(col("grp"), col("term")).agg(count(lit(1)).as("tf"))
@@ -127,8 +131,12 @@ object TextAnalysis {
     * (the q45 tf-idf shape) and collapses to one row per doc —
     * map-side partials all the way. */
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // spread before the token explode (see util.Spread)
-    val toks = graft.util.Spread.byKey(docs, col(idCol))
+    // NO spread here (round-16 quiet-box interleaved A/B, 3 JVM pairs:
+    // spread 1.01s vs revert 0.68s min-of-3): the downstream aggregation is
+    // token-keyed, so the doc-keyed exchange is never reused and ships
+    // corpus text for nothing - the round-15 artifact's regression was
+    // real, not contention.
+    val toks = docs
       .select(col(idCol).as("doc_id"),
         explode(words(col(textCol))).as("t"))
       .filter(col("t") =!= "")
@@ -338,7 +346,12 @@ object TextAnalysis {
     * unigram vocab at worst), so the join strategy is left to AQE. */
   def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = words(col(textCol))
-    val bi = graft.util.Spread.byKey(docs, col(idCol))
+    // NO spread here (round-16 quiet-box interleaved A/B, 3 JVM pairs:
+    // spread 1.23s vs revert 0.87s min-of-3): the downstream aggregation is
+    // token-keyed, so the doc-keyed exchange is never reused and ships
+    // corpus text for nothing - the round-15 artifact's regression was
+    // real, not contention.
+    val bi = docs
       .select(col(idCol).as("doc_id"), ws.as("_ws"), size(ws).as("_nw"))
       .filter(col("_nw") >= 2)
       .select(col("doc_id"),

@@ -1370,7 +1370,11 @@ object TextDedup {
       sep: String = "\n",
       minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    // spread before the line explode + per-line md5 (see util.Spread)
+    // spread before the line explode + per-line md5 (see util.Spread).
+    // KEPT on a round-16 quiet-box interleaved A/B (spread 1.57s vs
+    // revert 1.88-2.16s, min-of-3 x 3 JVM pairs): the final
+    // groupBy(doc_id) reuses this partitioning, and the r15 artifact's
+    // 7.75s reading was box contention (same-day 8-core run: 0.95s).
     val lines = graft.util.Spread.byKey(docs, col(idCol))
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))

@@ -128,12 +128,35 @@ class SnapshotTable(root: String, dayCol: String = "day") {
     val cur = current(spark)
     val vNew = cur.map(_._1).getOrElse(0) + 1
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val days = df.select(col(dayCol).cast("string").as("d"))
-      .distinct().collect().map(_.getString(0)).sorted
-    require(days.nonEmpty, s"SnapshotTable $root: commit with no rows")
+    // ONE write job for the whole version (round-16; guide §5 driver/
+    // actions + §6): the old form ran one write job PER DAY, each
+    // re-scanning the input with a day filter — D full passes over the
+    // commit and D serialized driver round-trips (profiled at sf0.1:
+    // the q273 lifecycle spent ~40 jobs here). partitionBy splits the
+    // same rows into the same per-day directories in a single pass.
+    // The partition column is a THROWAWAY COPY (`_p`) so the real day
+    // column stays IN the data files (the layout contract readers and
+    // the spec depend on), and the `_p=<d>` dirs are renamed to
+    // `day=<d>` — D metadata-only renames, no data movement. The day
+    // list for the manifest falls out of the directory listing, which
+    // also drops the old distinct+collect job.
+    require(!df.columns.contains("_p"),
+      s"SnapshotTable $root: reserved staging column '_p' present")
+    val stage = s"$root/v$vNew-$token"
+    df.withColumn("_p", col(dayCol).cast("string"))
+      .write.mode("overwrite").partitionBy("_p").parquet(stage)
+    val fs = fsOf(spark)
+    val PartRe = "_p=(.+)".r
+    val days = fs.listStatus(new Path(stage)).toSeq
+      .map(_.getPath.getName).collect { case PartRe(d) => d }.sorted
+    if (days.isEmpty) {
+      fs.delete(new Path(stage), true) // no staged garbage on fail-fast
+      require(days.nonEmpty, s"SnapshotTable $root: commit with no rows")
+    }
     days.foreach { d =>
-      df.filter(col(dayCol).cast("string") === d)
-        .write.mode("overwrite").parquet(s"$root/v$vNew-$token/day=$d")
+      if (!fs.rename(new Path(stage, s"_p=$d"), new Path(stage, s"day=$d")))
+        throw new java.io.IOException(
+          s"SnapshotTable $root: staging rename of day=$d failed")
     }
     val carried = cur.map(_._2).getOrElse(Map.empty)
     val mapping = carried ++ days.map(d => d -> s"v$vNew-$token/day=$d").toMap
