@@ -211,7 +211,13 @@ object TextDedup {
     // protected storage half — measured at the h100 rehearsal as an
     // AGGREGATE_OUT_OF_MEMORY in the signature hashAgg. Disk blocks
     // cost two sequential IOs and starve nothing.
-    val ck = refined.localCheckpoint(true,
+    // LAZY checkpoint + eager estimate (round 16, guide §5 actions):
+    // the estimate's own action materializes the checkpoint blocks in
+    // the SAME job that counts the buckets — one signature pass
+    // instead of the old checkpoint-job-then-estimate-job pair. The
+    // eager-at-construction contract is unchanged: the estimate runs
+    // (and the snapshot freezes) before this method returns.
+    val ck = refined.localCheckpoint(false,
       org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val est = ck.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n"))
@@ -1175,7 +1181,12 @@ object TextDedup {
       .join(ws.select(col("wid").as("b"), col("ws").as("wb")), Seq("b"))
       .filter(round(jaccard(col("wa"), col("wb")), 6) >= minJaccard)
       .select(col("a"), col("b"))
-    val labels = connectedComponents(gated).localCheckpoint()
+    // No extra localCheckpoint here (round 16): connectedComponents'
+    // result is already a narrow projection over its own final-round
+    // eager checkpoint — materialized, lineage-free, and independent
+    // of the corpus cache dropped below. Re-checkpointing it cost one
+    // more job per cascade for blocks that duplicated existing ones.
+    val labels = connectedComponents(gated)
     survivors.unpersist()
     labels
   }
