@@ -3661,7 +3661,15 @@ object Analytics {
         .select(col("id"),
           coalesce(col("_seed"), col("_maj"), col("label")).as("label"),
           col("_seed"))
-      if (i % 3 == 0 && i < iters)
+      // Checkpoint EVERY round (round 16): `lab` feeds the next round
+      // TWICE (directly and through `maj`), so an uncheckpointed loop
+      // doubles the plan per round — 2^iters copies of the seed join,
+      // all recomputed (profiled at sf0.1: 126 s of task time for a
+      // 5k-node graph). The connectedComponents loop checkpoints per
+      // round for the same two-consumer reason; pageRank's every-3
+      // cadence is correct there because ranks feeds the next round
+      // ONCE (linear chain, no recompute blow-up).
+      if (i < iters)
         lab = lab.localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
