@@ -793,8 +793,13 @@ object TextDedup {
       bucketCap: Int,
       shingler: Column => Column,
       pairBudget: Long): DataFrame = {
-    val ex = docs
-      .select(col(idCol).as("id"), explode(shingler(col(textCol))).as("tok"))
+    // spread before the token explode + weight replication + per-element
+    // md5 (round 16 — the weighted path missed the round-15 treatment:
+    // profiled 21 single-task stages at sf0.1; the signature groupBy(id)
+    // downstream reuses this partitioning, see util.Spread)
+    val ex = graft.util.Spread.byKey(
+        docs.select(col(idCol).as("id"), col(textCol).as("_t")), col("id"))
+      .select(col("id"), explode(shingler(col("_t"))).as("tok"))
       .join(weights, Seq("tok"))
       .select(col("id"),
         explode(transform(sequence(lit(1), col("wt").cast("int")),
@@ -1068,16 +1073,22 @@ object TextDedup {
       // pointer jump: label ← label(label). Every label value is the id
       // of a node in the same component, so the lookup stays in-component
       // and only ever decreases the label.
+      // LAZY checkpoint + the changed-count action materializes it
+      // (round 16, the guardPairBudget discipline): lineage truncates
+      // at plan level immediately, and the count job doubles as the
+      // block materialization — one job per round where the eager
+      // checkpoint-then-count pair cost two. l1 stays cached until
+      // after that action (next reads it twice).
       val next = l1.as("x")
         .join(l1.select(col("id").as("label"), col("label").as("jmp")).as("y"),
           Seq("label"), "left")
         .select(col("id"), col("old_label"),
           least(col("label"), coalesce(col("jmp"), col("label"))).as("label"))
-        .localCheckpoint()
-      l1.unpersist(blocking = false)
+        .localCheckpoint(false)
       val changed = next
         .agg(coalesce(sum(when(col("label") =!= col("old_label"), 1L)), lit(0L)))
         .first().getLong(0)
+      l1.unpersist(blocking = false)
       labels = next.select("id", "label")
       converged = changed == 0L
       i += 1
